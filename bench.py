@@ -1,0 +1,72 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else 0.0
+
+    from entropy_balance_weighting_spark.queries import QUERIES
+    from entropy_balance_weighting_spark.session import get_spark
+
+    spark = get_spark(app_name="ebw_bench")
+
+    # Warm the JVM/parquet footers once so timings measure the queries.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        n_rows = df.count() if df.isStreaming is False else -1
+        _ = df.collect() if n_rows < 1_000_000 else None
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    extra = _solver_bench(spark, sf_dir)
+    timings.update(extra)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+def _solver_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Solver end-to-end bench entries; populated as solvers land (M2+)."""
+    timings: dict[str, float] = {}
+    try:
+        from entropy_balance_weighting_spark.bench_solver import run_solver_bench
+    except ImportError:
+        return timings
+    try:
+        timings.update(run_solver_bench(spark, sf_dir))
+    except Exception as exc:  # pragma: no cover - bench must always print JSON
+        print(f"solver bench failed: {exc}", file=sys.stderr)
+    return timings
+
+
+if __name__ == "__main__":
+    main()
