@@ -1,0 +1,237 @@
+"""Moment-spec builder: any DataFrame → canonical EBW problem tables.
+
+This is the engine's data layer (SURVEY §7.0 layer 1).  The reference takes
+a pre-built numpy/CSR design matrix (ref: ebw_routines.py:18-24); its survey
+example builds that matrix with Polars selects, one-hot dummies, per-state
+``partition_by`` + scipy ``block_diag`` stacking, and window normalization
+(ref: examples/pums_example.py:85-96,222-296).  Here the whole pipeline is
+declarative DataFrame ops producing the **long/COO encoding**:
+
+- ``x_long  (row_id BIGINT, moment_id INT, value DOUBLE)``
+- ``w0      (row_id BIGINT, w0 DOUBLE)``
+- ``moments (moment_id INT, moment_name STRING)`` — the schema IS this table
+
+Design decisions for 100 TB scale:
+
+- One-hot encoding never widens the table: an indicator is just a long row
+  ``(row_id, 'col=value', 1.0)`` (E10) — K can reach 10⁵ with no schema blowup.
+- Group-specific ("block-diagonal") moments are composite moment names
+  ``'grp=<g>|var'`` (A10) — no per-group splitting, no block_diag, and the
+  resulting Gram matrix is block-diagonal by construction because moments of
+  different groups never co-occur in a row.
+- ``moment_id`` comes from a deterministic sort of moment names (driver-side:
+  K is small relative to N) broadcast back into the long table — an explicit
+  key replacing the reference's positional column↔target alignment (J2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class MomentSpec:
+    """Declarative description of how to turn rows into moments.
+
+    Attributes
+    ----------
+    weight_col: survey-weight column (must be > 0 after filtering; V2).
+    numeric: numeric moment columns (cast to double; V5).
+    onehot: categorical columns expanded to indicator moments (E10).
+    group: grouping columns making every moment group-specific (A10).
+    intercept: add a constant ``1.0`` "count" moment (V6,
+        ref: pums_example.py:223,277-278).
+    drop_nonpositive_weights: apply the ``w > 0`` filter (V2,
+        ref: pums_example.py:222).
+    dropna: drop rows with nulls in any used column (V3,
+        ref: pums_example.py:276).
+    normalize_weights_within_group: divide weights by their group total via
+        a window (W1, ref: pums_example.py:277-281); requires ``group``.
+    row_key: columns forming a unique row key; hashed to ``row_id``.  None →
+        a zipWithIndex-style id (deterministic given stable input order).
+    """
+
+    weight_col: str
+    numeric: tuple[str, ...] = ()
+    onehot: tuple[str, ...] = ()
+    group: tuple[str, ...] = ()
+    intercept: bool = False
+    drop_nonpositive_weights: bool = True
+    dropna: bool = True
+    normalize_weights_within_group: bool = False
+    row_key: tuple[str, ...] | None = None
+
+
+@dataclass
+class ProblemTables:
+    """The canonical problem encoding consumed by the solver layer."""
+
+    x_long: DataFrame  # (row_id, moment_id, value)
+    w0: DataFrame  # (row_id, w0)
+    moments: DataFrame  # (moment_id, moment_name)
+    moment_names: list[str] = field(default_factory=list)  # id-ordered
+
+    @property
+    def k(self) -> int:
+        return len(self.moment_names)
+
+
+def prepared_rows(df: DataFrame, spec: MomentSpec) -> DataFrame:
+    """Filter/cast/project the input down to (row_id, w0, group, moment cols).
+
+    Applies V2 (positive-weight filter), V3 (null drop), V4 (projection),
+    V5 (double casts) and the W1 within-group weight normalization in one
+    declarative plan — Catalyst pushes the filters and pruning into the scan.
+    """
+    used = [spec.weight_col, *spec.numeric, *spec.onehot, *spec.group]
+    if spec.row_key:
+        used += [c for c in spec.row_key if c not in used]
+    df = df.select(*dict.fromkeys(used))
+    if spec.dropna:
+        df = df.na.drop()
+    w = F.col(spec.weight_col).cast("double")
+    if spec.drop_nonpositive_weights:
+        df = df.filter(w > 0)
+    df = df.withColumn("__w0", w)
+    if spec.normalize_weights_within_group:
+        if not spec.group:
+            raise ValueError("normalize_weights_within_group requires group cols")
+        win = Window.partitionBy(*spec.group)
+        df = df.withColumn("__w0", F.col("__w0") / F.sum("__w0").over(win))
+    if spec.row_key:
+        # The declared key need not be unique (real data has dupes); append a
+        # deterministic within-key sequence before hashing.  Ties in the
+        # ordering only occur between rows identical in every used column, so
+        # any tie assignment yields the same problem tables.  64-bit hash ids
+        # are collision-safe to ~1e8 rows (birthday bound); beyond that,
+        # supply an already-unique BIGINT key column as the single row_key.
+        order_cols = [F.col(c) for c in df.columns if c != "__w0"]
+        seq = F.row_number().over(
+            Window.partitionBy(*spec.row_key).orderBy(*order_cols)
+        )
+        df = df.withColumn("row_id", F.xxhash64(*spec.row_key, seq.cast("long")))
+    else:
+        df = df.withColumn(
+            "row_id", F.monotonically_increasing_id()
+        )  # stable once cached/materialized
+    casted = [F.col(c).cast("double").alias(c) for c in spec.numeric]
+    keep = (
+        [F.col("row_id"), F.col("__w0").alias("w0")]
+        + casted
+        + [F.col(c) for c in spec.onehot]
+        + [F.col(c) for c in spec.group]
+    )
+    return df.select(*keep)
+
+
+def _moment_name_expr(spec: MomentSpec, base: "F.Column") -> "F.Column":
+    """Composite moment name: ``grp=<g1>/<g2>|<base>`` when grouped (A10)."""
+    if not spec.group:
+        return base
+    grp = F.concat_ws("/", *[F.col(c).cast("string") for c in spec.group])
+    return F.concat(F.lit("grp="), grp, F.lit("|"), base)
+
+
+def long_moments(rows: DataFrame, spec: MomentSpec) -> DataFrame:
+    """(row_id, w0, moment_name, value) — numeric + intercept + one-hot stacked.
+
+    Union of three shapes (U1); zero-value numeric entries are kept (they
+    carry information for dense parity) but one-hot rows only exist where the
+    indicator fires — the long table IS the sparse encoding.
+    """
+    parts: list[DataFrame] = []
+    if spec.numeric or spec.intercept:
+        stack_items: list[str] = []
+        for c in spec.numeric:
+            stack_items += [f"'{c}'", c]
+        if spec.intercept:
+            stack_items += ["'_count'", "CAST(1.0 AS DOUBLE)"]
+        n = len(stack_items) // 2
+        stacked = rows.selectExpr(
+            "row_id",
+            "w0",
+            *spec.group,
+            f"stack({n}, {', '.join(stack_items)}) AS (__base, value)",
+        )
+        parts.append(
+            stacked.select(
+                "row_id",
+                "w0",
+                _moment_name_expr(spec, F.col("__base")).alias("moment_name"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+    for c in spec.onehot:
+        name = _moment_name_expr(
+            spec, F.concat(F.lit(c), F.lit("="), F.col(c).cast("string"))
+        )
+        parts.append(
+            rows.select(
+                "row_id",
+                "w0",
+                name.alias("moment_name"),
+                F.lit(1.0).alias("value"),
+            )
+        )
+    if not parts:
+        raise ValueError("MomentSpec declares no moments")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
+    """Full data layer: input rows → (x_long, w0, moments) with integer ids.
+
+    The moment dictionary is collected to the driver (K rows — driver-scale
+    by §1.4) and broadcast back to key the long table; x_long comes out
+    hash-partitioned by ``row_id`` so downstream per-row joins are co-located.
+    """
+    rows = prepared_rows(df, spec)
+    long = long_moments(rows, spec)
+
+    names = [
+        r[0]
+        for r in long.select("moment_name").distinct().orderBy("moment_name").collect()
+    ]
+    spark = df.sparkSession
+    moments = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)],
+        T.StructType(
+            [
+                T.StructField("moment_id", T.IntegerType(), False),
+                T.StructField("moment_name", T.StringType(), False),
+            ]
+        ),
+    )
+    x_long = (
+        long.join(F.broadcast(moments), "moment_name")
+        .select("row_id", "moment_id", "value")
+    )
+    w0 = rows.select("row_id", "w0")
+    return ProblemTables(x_long=x_long, w0=w0, moments=moments, moment_names=names)
+
+
+def targets_from_weighted_means(
+    df: DataFrame, spec: MomentSpec, *, perturb: float = 0.0
+) -> DataFrame:
+    """Compute target moments as the data's own weighted means (optionally
+    perturbed) — the pattern the reference's tests use to generate feasible
+    targets (ref: test_penalty.py:16 'mean of last 100 rows';
+    pums_example.py:244-247).
+
+    Returns ``(moment_name, target)``; join with the moment dictionary for
+    integer keys.
+    """
+    long = long_moments(prepared_rows(df, spec), spec)
+    t = long.groupBy("moment_name").agg(
+        (F.sum(F.col("value") * F.col("w0")) / F.sum("w0")).alias("target")
+    )
+    if perturb:
+        t = t.withColumn("target", F.col("target") * (1.0 + F.lit(perturb)))
+    return t
