@@ -1,0 +1,30 @@
+"""Solver benchmark entries, picked up by bench.py.
+
+Times the distributed end-to-end solve at the bench scale factor — the
+scaled-down analogue of the reference's headline claim ('millions of rows ×
+many moments in minutes', ref README.md:8).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+
+def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    from entropy_balance_weighting_spark.queries.solver import solve_lineitem_problem
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    _, _, res = solve_lineitem_problem(spark, sf_dir, force_distributed=True)
+    if res.converged:
+        res.new_weights.count()
+    timings["ebw_solve_distributed"] = round(time.perf_counter() - t0, 4)
+    timings["ebw_solve_iterations"] = float(res.n_iterations)
+
+    t0 = time.perf_counter()
+    _, _, res_local = solve_lineitem_problem(spark, sf_dir, local_threshold=10**10)
+    timings["ebw_solve_localpath"] = round(time.perf_counter() - t0, 4)
+    return timings

@@ -1,0 +1,322 @@
+"""Distributed kernel: packed-row DataFrame + Arrow-batched mapInPandas passes.
+
+Layout: one DataFrame row per observation —
+``(row_id BIGINT, w0 DOUBLE, q DOUBLE, idx ARRAY<INT>, val ARRAY<DOUBLE>,
+wstar DOUBLE)`` — i.e. per-row CSR (the Spark rendering of the reference's
+package-wide CSR canonicalization, ref: shared.py:11-12).  Packing happens
+once; every solver iteration then runs whole-pass ``mapInPandas`` jobs that
+compute ALL of the iteration's N→{scalar,K,K×K} reductions in a single scan
+(the same fusion the reference gets from numexpr + MKL, ref:
+ebw_routines.py:210-233), shipping only K- and K²-sized partials to the
+driver.
+
+Why mapInPandas and not joins/explodes: the per-iteration primitives
+(segment dot products, Gram accumulation) are BLAS-shaped; exploding the
+arrays back to long form would shuffle N·nnz rows per iteration, while this
+design shuffles nothing after setup — partials are partition-local and only
+K²-sized buffers cross the driver boundary (SURVEY §3.4).
+
+State update uses ``localCheckpoint(eager=True)`` per commit: the iterate's
+lineage is truncated so 30-100 iterations don't grow an unbounded plan —
+the classic iterative-MLlib pitfall (SURVEY §4 caching note).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.kernels.base import IterStats, StepStats
+
+PACKED_SCHEMA = (
+    "row_id long, w0 double, q double, idx array<int>, val array<double>, wstar double"
+)
+_PAYLOAD_SCHEMA = "sums binary, mins binary"
+
+
+def _flatten(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch CSR pieces: flat indices, flat values, row lengths."""
+    idx_list = pdf["idx"].to_list()
+    lens = np.fromiter((len(a) for a in idx_list), dtype=np.int64, count=len(idx_list))
+    if lens.sum() == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), lens
+    flat_idx = np.concatenate(idx_list).astype(np.int64, copy=False)
+    flat_val = np.concatenate(pdf["val"].to_list()).astype(np.float64, copy=False)
+    return flat_idx, flat_val, lens
+
+
+def _segsum(prod: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Row-wise sums of a flat product vector (handles empty rows)."""
+    cs = np.concatenate(([0.0], np.cumsum(prod)))
+    ends = np.cumsum(lens)
+    return cs[ends] - cs[ends - lens]
+
+
+def _xt_v(flat_idx, flat_val, lens, v, k) -> np.ndarray:
+    """X_batch^T v — scatter-add into a K-vector."""
+    if flat_idx.size == 0:
+        return np.zeros(k)
+    return np.bincount(flat_idx, weights=flat_val * np.repeat(v, lens), minlength=k)
+
+
+def _x_dot(flat_idx, flat_val, lens, lam) -> np.ndarray:
+    """X_batch · λ — per-row dot products."""
+    if flat_idx.size == 0:
+        return np.zeros(len(lens))
+    return _segsum(flat_val * lam[flat_idx], lens)
+
+
+def _gram_accum(flat_idx, flat_val, lens, d, k, out: np.ndarray) -> None:
+    """out += X_batch^T Diag(d) X_batch via chunked densify + BLAS syrk-shape.
+
+    Chunk size adapts to K so the dense scratch stays ~32 MB; for the
+    block-diagonal huge-K regime (group moments) a per-block path is the
+    planned extension (SURVEY §7.2).
+    """
+    n = len(lens)
+    if flat_idx.size == 0 or n == 0:
+        return
+    chunk = max(256, int(4_000_000 / max(k, 1)))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        rows = hi - lo
+        s, e = starts[lo], ends[hi - 1]
+        xc = np.zeros((rows, k))
+        rr = np.repeat(np.arange(rows), lens[lo:hi])
+        xc[rr, flat_idx[s:e]] = flat_val[s:e]
+        out += (xc * d[lo:hi, None]).T @ xc
+
+
+def _pack(sums: list[float | np.ndarray], mins: list[float]) -> pd.DataFrame:
+    sbuf = np.concatenate([np.atleast_1d(np.asarray(x, dtype=np.float64)).ravel() for x in sums])
+    mbuf = np.asarray(mins, dtype=np.float64)
+    return pd.DataFrame({"sums": [sbuf.tobytes()], "mins": [mbuf.tobytes()]})
+
+
+def _stats_pass(k: int, lam: np.ndarray) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        f_val = 0.0
+        cd_sq = 0.0
+        nan_ct = 0.0
+        xt_w = np.zeros(k)
+        xt_wcd = np.zeros(k)
+        gram = np.zeros((k, k))
+        min_w = np.inf
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            w0 = pdf["w0"].to_numpy(np.float64)
+            q = pdf["q"].to_numpy(np.float64)
+            w = pdf["wstar"].to_numpy(np.float64)
+            r = w / q
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lr = np.log(r)
+                f_val += float(np.sum(w0 * (r * lr - r + 1.0)))
+                cd = lr - _x_dot(flat_idx, flat_val, lens, lam)
+            bad = ~np.isfinite(cd)
+            nan_ct += float(bad.sum())
+            cdf = np.where(bad, 0.0, cd)
+            cd_sq += float(cdf @ cdf)
+            xt_w += _xt_v(flat_idx, flat_val, lens, w, k)
+            xt_wcd += _xt_v(flat_idx, flat_val, lens, w * cdf, k)
+            _gram_accum(flat_idx, flat_val, lens, w, k, gram)
+            if len(w):
+                min_w = min(min_w, float(w.min()))
+        yield _pack([f_val, cd_sq, nan_ct, xt_w, xt_wcd, gram], [min_w])
+
+    return fn
+
+
+def _step_pass(k: int, lam: np.ndarray, dlam: np.ndarray) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dw_sq = 0.0
+        nan_ct = 0.0
+        xt_dw = np.zeros(k)
+        xt_wdual = np.zeros(k)
+        alpha_raw = np.inf
+        min_wdual = np.inf
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            q = pdf["q"].to_numpy(np.float64)
+            w = pdf["wstar"].to_numpy(np.float64)
+            xlam = _x_dot(flat_idx, flat_val, lens, lam)
+            xdl = _x_dot(flat_idx, flat_val, lens, dlam)
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                cd = np.log(w / q) - xlam
+                dw = (xdl - cd) * w
+                wdual = q * np.exp(xlam + xdl)
+            bad = ~np.isfinite(dw) | ~np.isfinite(wdual)
+            nan_ct += float(bad.sum())
+            dwf = np.where(np.isfinite(dw), dw, 0.0)
+            blocked = dwf < 0
+            if blocked.any():
+                alpha_raw = min(alpha_raw, float(np.min(-w[blocked] / dwf[blocked])))
+            dw_sq += float(dwf @ dwf)
+            xt_dw += _xt_v(flat_idx, flat_val, lens, dwf, k)
+            wdf = np.where(np.isfinite(wdual), wdual, 0.0)
+            xt_wdual += _xt_v(flat_idx, flat_val, lens, wdf, k)
+            if len(wdf):
+                min_wdual = min(min_wdual, float(wdf.min()))
+        yield _pack([dw_sq, nan_ct, xt_dw, xt_wdual], [alpha_raw, min_wdual])
+
+    return fn
+
+
+def _commit_pass(choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            q = pdf["q"].to_numpy(np.float64)
+            w = pdf["wstar"].to_numpy(np.float64)
+            xlam = _x_dot(flat_idx, flat_val, lens, lam)
+            if choice == "primal":
+                xdl = _x_dot(flat_idx, flat_val, lens, dlam)
+                cd = np.log(w / q) - xlam
+                new_w = w + alpha * (xdl - cd) * w
+            else:
+                xdl = _x_dot(flat_idx, flat_val, lens, dlam)
+                new_w = q * np.exp(xlam + xdl)
+            out = pdf.copy()
+            out["wstar"] = new_w
+            yield out
+
+    return fn
+
+
+class SparkKernel:
+    """Distributed kernel over the packed-row DataFrame."""
+
+    def __init__(self, df: DataFrame, k: int, sum_w0: float, n: int) -> None:
+        self.df = df
+        self.k = k
+        self.sum_w0 = sum_w0
+        self.n = n
+
+    @classmethod
+    def from_problem(
+        cls,
+        x_long: DataFrame,
+        w0: DataFrame,
+        k: int,
+        *,
+        ratio_guess: DataFrame | None = None,
+    ) -> "SparkKernel":
+        """Pack the canonical long tables into per-row CSR — the one setup
+        shuffle; every subsequent iteration is shuffle-free."""
+        sums = w0.agg(F.sum("w0").alias("s"), F.count(F.lit(1)).alias("n")).first()
+        sum_w0, n = float(sums["s"]), int(sums["n"])
+        packed_x = (
+            x_long.groupBy("row_id")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("moment_id", "value"))).alias("mv")
+            )
+            .select(
+                "row_id",
+                F.col("mv").getField("moment_id").alias("idx"),
+                F.col("mv").getField("value").alias("val"),
+            )
+        )
+        df = (
+            w0.select("row_id", "w0")
+            .join(packed_x, "row_id", "left")
+            .select(
+                "row_id",
+                "w0",
+                F.coalesce("idx", F.expr("array()").cast("array<int>")).alias("idx"),
+                F.coalesce("val", F.expr("array()").cast("array<double>")).alias("val"),
+                (F.col("w0") / F.lit(sum_w0)).alias("q"),
+            )
+        )
+        if ratio_guess is not None:
+            df = df.join(ratio_guess.select("row_id", "ratio"), "row_id", "left").select(
+                "row_id",
+                "w0",
+                "idx",
+                "val",
+                "q",
+                (F.col("q") * F.coalesce("ratio", F.lit(1.0))).alias("wstar"),
+            )
+        else:
+            df = df.withColumn("wstar", F.col("q"))
+        df = df.localCheckpoint(eager=True)
+        return cls(df, k, sum_w0, n)
+
+    def init_state(self, ratio_guess=None) -> None:
+        if ratio_guess is not None:
+            raise ValueError(
+                "SparkKernel takes the ratio guess at construction (from_problem)"
+            )
+
+    # -- passes ------------------------------------------------------------
+    def _reduce(self, fn) -> tuple[np.ndarray, np.ndarray]:
+        rows = self.df.mapInPandas(fn, _PAYLOAD_SCHEMA).collect()
+        sums = np.sum(
+            [np.frombuffer(r.sums, dtype=np.float64) for r in rows], axis=0
+        )
+        mins = np.min(
+            [np.frombuffer(r.mins, dtype=np.float64) for r in rows], axis=0
+        )
+        return sums, mins
+
+    def stats(self, lam: np.ndarray) -> IterStats:
+        k = self.k
+        sums, mins = self._reduce(_stats_pass(k, lam))
+        f_val, cd_sq, nan_ct = sums[0], sums[1], sums[2]
+        xt_w = sums[3 : 3 + k]
+        xt_wcd = sums[3 + k : 3 + 2 * k]
+        gram = sums[3 + 2 * k :].reshape(k, k)
+        return IterStats(
+            f_val=float(f_val),
+            xt_w=xt_w,
+            cd_sq=float(cd_sq),
+            xt_wcd=xt_wcd,
+            gram=gram,
+            min_w=float(mins[0]),
+            has_nan=nan_ct > 0,
+        )
+
+    def step_stats(self, lam: np.ndarray, dlam: np.ndarray) -> StepStats:
+        k = self.k
+        sums, mins = self._reduce(_step_pass(k, lam, dlam))
+        return StepStats(
+            alpha_raw=float(mins[0]),
+            xt_dw=sums[2 : 2 + k],
+            dw_sq=float(sums[0]),
+            xt_wdual=sums[2 + k : 2 + 2 * k],
+            min_wdual=float(mins[1]),
+            has_nan=sums[1] > 0,
+        )
+
+    def commit(self, choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -> None:
+        """Advance the iterate — one materializing pass, lineage truncated.
+
+        No extra min-job here: zero-weight detection uses the step pass's
+        ``min_wdual`` (dual candidate) and the next stats pass's ``min_w``
+        (primal underflow), keeping commits at exactly one Spark job.
+        """
+        new_df = self.df.mapInPandas(
+            _commit_pass(choice, lam, dlam, alpha), PACKED_SCHEMA
+        ).localCheckpoint(eager=True)
+        old = self.df
+        self.df = new_df
+        old.unpersist()
+
+    def new_weights(self) -> DataFrame:
+        return self.df.select(
+            "row_id", (F.col("wstar") * F.lit(self.sum_w0)).alias("new_weight")
+        )
+
+    def cleanup(self) -> None:
+        self.df.unpersist()

@@ -1,0 +1,88 @@
+"""Solver-backed registry queries.
+
+The solve itself is iterative (not SQL-expressible), but its defining
+postcondition IS: a converged entropy-balance run must reproduce the target
+moments exactly (ref: test_dense.py:32-44 moment-match invariant).  The
+oracle computes the same targets directly in SQL; the Spark side reports the
+solver's achieved weighted means.  Hash-equality of the two (rounded) is a
+full end-to-end correctness check of the solver pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark import entropy_balance
+from entropy_balance_weighting_spark.plans import MomentSpec, build_problem_tables
+from entropy_balance_weighting_spark.plans.moment_spec import (
+    targets_from_weighted_means,
+)
+from entropy_balance_weighting_spark.queries.registry import register
+from entropy_balance_weighting_spark.session import load_table
+
+_SPEC = MomentSpec(
+    weight_col="l_quantity",
+    numeric=("l_discount", "l_tax"),
+    onehot=("l_returnflag",),
+    row_key=("l_orderkey", "l_linenumber"),
+)
+
+
+def solve_lineitem_problem(spark: SparkSession, sf_dir: str, **opts):
+    """Shared fixture: lineitem-derived EBW problem with 2%-perturbed targets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = build_problem_tables(li, _SPEC)
+    targets = targets_from_weighted_means(li, _SPEC, perturb=0.02)
+    res = entropy_balance(
+        mean_population_moments=targets,
+        x_sample=pt,
+        weights0=None,
+        options=opts or None,
+    )
+    return pt, targets, res
+
+
+@register(
+    "ebw_solver_moment_match",
+    survey="C1,C2,A1,A3,A4,L1-L3 (solver end-to-end)",
+    oracle="""
+WITH long AS (
+  SELECT 'l_discount' AS moment_name, l_discount AS value, l_quantity AS w0
+  FROM lineitem WHERE l_quantity > 0
+  UNION ALL SELECT 'l_tax', l_tax, l_quantity FROM lineitem WHERE l_quantity > 0
+  UNION ALL SELECT 'l_returnflag=' || l_returnflag, 1.0, l_quantity
+  FROM lineitem WHERE l_quantity > 0
+)
+SELECT moment_name,
+       round(sum(value * w0) / sum(w0) * 1.02, 6) AS achieved_wmean,
+       1 AS converged
+FROM long GROUP BY moment_name ORDER BY moment_name
+""",
+)
+def ebw_solver_moment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full solve, then report achieved weighted moment means.
+
+    The oracle computes the TARGETS in SQL; a converged solver reproduces
+    them to ~1e-11 relative, so the rounded values hash-match.  This checks
+    the entire chain: data layer → packing → Newton iterations → weights.
+    """
+    pt, targets, res = solve_lineitem_problem(spark, sf_dir)
+    w = res.new_weights  # DataFrame (row_id, new_weight)
+    achieved = (
+        pt.x_long.join(w, "row_id")
+        .groupBy("moment_id")
+        .agg(F.sum(F.col("value") * F.col("new_weight")).alias("total"))
+        .join(F.broadcast(pt.moments), "moment_id")
+    )
+    # invariant is X^T w_new = m·Σw0 — normalize by the ORIGINAL weight total
+    # (Σw_new differs when no intercept moment pins it)
+    sum_w0 = pt.w0.agg(F.sum("w0")).first()[0]
+    return (
+        achieved.select(
+            "moment_name",
+            F.round(F.col("total") / F.lit(sum_w0), 6).alias("achieved_wmean"),
+            F.lit(1 if res.converged else 0).alias("converged"),
+        )
+        .orderBy("moment_name")
+    )

@@ -1,0 +1,255 @@
+"""Public solver API — mirrors the reference's surface (ref:
+ebw_routines.py:18-24, ebw_penalty.py:17-23) for both local numpy inputs and
+distributed DataFrame inputs.
+
+Input forms accepted for ``x_sample``:
+
+- ``numpy.ndarray`` (N×K dense) — local kernel, exact reference-shaped path.
+- :class:`plans.ProblemTables` — canonical long encoding; runs distributed,
+  or collects to the local kernel below ``local_threshold`` nnz (SURVEY §7.2
+  'local fast path'), unless ``options['force_distributed']``.
+
+``mean_population_moments`` is a K-vector (id-ordered) or, with
+ProblemTables input, a targets DataFrame ``(moment_name|moment_id, target)``.
+``weights0`` is an N-vector (local) or implied by ``ProblemTables.w0``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from entropy_balance_weighting_spark.plans.moment_spec import ProblemTables
+from entropy_balance_weighting_spark.results import EntropyBalanceResults
+
+_KNOWN_OPTIONS = {
+    "max_steps",
+    "bounds",
+    "initial_ratio_guess",
+    "optimality_violation",
+    "step_tol",
+    "save_problem_data",
+    "save_failure_data",
+    "eta",
+    "force_distributed",
+    "local_threshold",
+    "validate",
+}
+
+
+def _validate_options(options: dict | None) -> dict:
+    opts = dict(options or {})
+    unknown = set(opts) - _KNOWN_OPTIONS
+    if unknown:
+        raise ValueError(f"Unknown options: {sorted(unknown)}")
+    return opts
+
+
+def _validate_local_inputs(x: np.ndarray, w0: np.ndarray, m: np.ndarray) -> None:
+    """V1 guard — same predicate set as the reference (ref: shared.py:105-133)."""
+    bad = (
+        np.any(~np.isfinite(x))
+        or np.any(~np.isfinite(w0))
+        or np.any(~np.isfinite(m))
+        or np.any(w0 <= 0)
+    )
+    if bad:
+        raise ValueError(
+            "Inputs include invalid values (NaNs, Infs, or non-positive weights)"
+        )
+
+
+def _validate_distributed_inputs(pt: ProblemTables) -> None:
+    """V1 as one counting scan over the long tables."""
+    from pyspark.sql import functions as F
+
+    inf = float("inf")
+    bad_x = pt.x_long.filter(
+        F.isnan("value") | F.col("value").isin(inf, -inf)
+    ).count()
+    bad_w = pt.w0.filter(
+        F.isnan("w0") | F.col("w0").isin(inf, -inf) | (F.col("w0") <= 0)
+    ).count()
+    if bad_x or bad_w:
+        raise ValueError(
+            f"Inputs include invalid values ({bad_x} bad X entries, "
+            f"{bad_w} bad weights)"
+        )
+
+
+def _moments_vector(pt: ProblemTables, m: Any) -> np.ndarray:
+    """Targets as an id-ordered K-vector; accepts ndarray or DataFrame."""
+    if isinstance(m, np.ndarray):
+        if len(m) != pt.k:
+            raise ValueError(f"moments length {len(m)} != K {pt.k}")
+        return np.asarray(m, dtype=np.float64)
+    cols = set(m.columns)
+    if "moment_id" not in cols:
+        from pyspark.sql import functions as F
+
+        m = m.join(F.broadcast(pt.moments), "moment_name")
+    rows = m.select("moment_id", "target").collect()
+    out = np.full(pt.k, np.nan)
+    for r in rows:
+        out[r["moment_id"]] = float(r["target"])
+    if np.any(np.isnan(out)):
+        missing = [pt.moment_names[i] for i in np.where(np.isnan(out))[0][:5]]
+        raise ValueError(f"targets missing for moments: {missing}")
+    return out
+
+
+def entropy_balance(
+    *,
+    mean_population_moments: Any,
+    x_sample: Any,
+    weights0: Any = None,
+    options: dict | None = None,
+) -> EntropyBalanceResults:
+    """Primary entry point: entropy-balance reweighting (unbounded or bounded).
+
+    With ``options['bounds']`` set, dispatches to the elastic interior-point
+    solver (ref: ebw_routines.py:166-172 dispatch semantics).
+    """
+    opts = _validate_options(options)
+
+    if opts.get("bounds") is not None:
+        from entropy_balance_weighting_spark.solvers.elastic import (
+            entropy_balance_elastic,
+        )
+
+        return entropy_balance_elastic(
+            mean_population_moments=mean_population_moments,
+            x_sample=x_sample,
+            weights0=weights0,
+            options=opts,
+        )
+
+    kernel, m, original = _build_kernel(
+        x_sample, weights0, mean_population_moments, opts
+    )
+    from entropy_balance_weighting_spark.solvers.newton import solve_unbounded
+
+    res = solve_unbounded(kernel, m, opts, original_weights=original)
+    _maybe_dump(opts, x_sample, weights0, mean_population_moments, res)
+    return res
+
+
+def entropy_balance_penalty(
+    mean_population_moments: Any,
+    x_sample: Any,
+    weights0: Any = None,
+    penalty_parameter: Any = 1.0,
+    options: dict | None = None,
+) -> EntropyBalanceResults:
+    """Quadratic-penalty variant (ref: ebw_penalty.py:17-23); M3."""
+    from entropy_balance_weighting_spark.solvers.penalty import solve_penalty
+
+    opts = _validate_options(options)
+    kernel, m, original = _build_kernel(
+        x_sample, weights0, mean_population_moments, opts
+    )
+    return solve_penalty(
+        kernel, m, penalty_parameter, opts, original_weights=original
+    )
+
+
+def _build_kernel(x_sample, weights0, mean_population_moments, opts):
+    """Dispatch on input form → (kernel, m-vector, original-weights handle)."""
+    validate = opts.get("validate", True)
+
+    if isinstance(x_sample, np.ndarray):
+        x = np.asarray(x_sample, dtype=np.float64)
+        w0 = np.asarray(weights0, dtype=np.float64)
+        m = np.asarray(mean_population_moments, dtype=np.float64)
+        if validate:
+            _validate_local_inputs(x, w0, m)
+        from entropy_balance_weighting_spark.kernels.local import LocalKernel
+
+        kernel = LocalKernel(x, w0)
+        guess = opts.get("initial_ratio_guess")
+        kernel.init_state(None if guess is None else np.asarray(guess, float))
+        return kernel, m, w0.copy()
+
+    if isinstance(x_sample, ProblemTables):
+        pt = x_sample
+        if pt.k == 0:
+            raise ValueError("Problem has no moments (K=0)")
+        if validate:
+            _validate_distributed_inputs(pt)
+        m = _moments_vector(pt, mean_population_moments)
+
+        nnz = pt.x_long.count()
+        threshold = int(opts.get("local_threshold", 2_000_000))
+        if not opts.get("force_distributed") and nnz <= threshold:
+            return _collect_local(pt, m, opts)
+
+        from entropy_balance_weighting_spark.kernels.spark import SparkKernel
+
+        guess = opts.get("initial_ratio_guess")
+        kernel = SparkKernel.from_problem(
+            pt.x_long, pt.w0, pt.k, ratio_guess=guess
+        )
+        original = pt.w0.select(
+            "row_id", pt.w0["w0"].alias("new_weight")
+        )
+        return kernel, m, original
+
+    raise TypeError(
+        f"x_sample must be numpy.ndarray or ProblemTables, got {type(x_sample)}"
+    )
+
+
+class _LocalKernelAsDataFrame:
+    """LocalKernel wrapper that reports weights as a (row_id, new_weight)
+    DataFrame, so ProblemTables input yields a DataFrame result regardless of
+    which kernel ran (API symmetry with SparkKernel)."""
+
+    def __init__(self, inner, row_ids, spark):
+        self._inner = inner
+        self._row_ids = row_ids
+        self._spark = spark
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def new_weights(self):
+        w = self._inner.new_weights()
+        return self._spark.createDataFrame(
+            [(int(rid), float(v)) for rid, v in zip(self._row_ids, w)],
+            "row_id long, new_weight double",
+        )
+
+
+def _collect_local(pt: ProblemTables, m: np.ndarray, opts):
+    """Local fast path: collect the long tables into a dense numpy problem
+    (SURVEY §7.2 — exactness for small fixtures, no per-iteration jobs)."""
+    from entropy_balance_weighting_spark.kernels.local import LocalKernel
+
+    w_rows = pt.w0.collect()
+    row_ids = [r["row_id"] for r in w_rows]
+    pos = {rid: i for i, rid in enumerate(row_ids)}
+    n = len(row_ids)
+    w0 = np.fromiter((r["w0"] for r in w_rows), dtype=np.float64, count=n)
+    x = np.zeros((n, pt.k))
+    for r in pt.x_long.collect():
+        x[pos[r["row_id"]], r["moment_id"]] = r["value"]
+    kernel = LocalKernel(x, w0)
+    guess = opts.get("initial_ratio_guess")
+    kernel.init_state(None if guess is None else np.asarray(guess, float))
+    wrapped = _LocalKernelAsDataFrame(kernel, row_ids, pt.w0.sparkSession)
+    original = pt.w0.select("row_id", pt.w0["w0"].alias("new_weight"))
+    return wrapped, m, original
+
+
+def _maybe_dump(opts, x_sample, weights0, m, res) -> None:
+    """S2 problem-bundle sinks (save_problem_data / save_failure_data); M5."""
+    want = opts.get("save_problem_data") or (
+        opts.get("save_failure_data") and not res.converged
+    )
+    if not want:
+        return
+    from entropy_balance_weighting_spark.sources import bundle
+
+    path = opts.get("save_problem_data") or opts.get("save_failure_data")
+    bundle.dump_problem(path, x_sample, weights0, m)
