@@ -53,6 +53,11 @@ class MomentSpec:
         a window (W1, ref: pums_example.py:277-281); requires ``group``.
     row_key: columns forming a unique row key; hashed to ``row_id``.  None →
         a zipWithIndex-style id (deterministic given stable input order).
+    dedupe_row_key: opt-in for known-duplicate keys — appends a
+        window-derived sequence before hashing (full shuffle+sort; at scale
+        prefer supplying a truly unique key).  When False (default) the key
+        is hashed directly and uniqueness is asserted with a cheap
+        count == count_distinct guard at build time.
     """
 
     weight_col: str
@@ -64,6 +69,7 @@ class MomentSpec:
     dropna: bool = True
     normalize_weights_within_group: bool = False
     row_key: tuple[str, ...] | None = None
+    dedupe_row_key: bool = False
 
 
 @dataclass
@@ -74,6 +80,13 @@ class ProblemTables:
     w0: DataFrame  # (row_id, w0)
     moments: DataFrame  # (moment_id, moment_name)
     moment_names: list[str] = field(default_factory=list)  # id-ordered
+    n: int | None = None  # row count, when known at build time
+    nnz_per_row: int | None = None  # exact long entries per row (data layer
+    # emits a fixed count: numeric + intercept + one indicator per onehot col)
+    moment_groups: list[str] | None = None  # id-ordered group label per moment
+    # ('' when ungrouped); group-specific moments never co-occur in a row, so
+    # the Gram matrix is block-diagonal by group (SURVEY A10) — the large-K
+    # solve path exploits this.
 
     @property
     def k(self) -> int:
@@ -102,18 +115,24 @@ def prepared_rows(df: DataFrame, spec: MomentSpec) -> DataFrame:
             raise ValueError("normalize_weights_within_group requires group cols")
         win = Window.partitionBy(*spec.group)
         df = df.withColumn("__w0", F.col("__w0") / F.sum("__w0").over(win))
-    if spec.row_key:
-        # The declared key need not be unique (real data has dupes); append a
-        # deterministic within-key sequence before hashing.  Ties in the
-        # ordering only occur between rows identical in every used column, so
-        # any tie assignment yields the same problem tables.  64-bit hash ids
-        # are collision-safe to ~1e8 rows (birthday bound); beyond that,
-        # supply an already-unique BIGINT key column as the single row_key.
+    if spec.row_key and spec.dedupe_row_key:
+        # Opt-in duplicate-tolerant path: append a deterministic within-key
+        # sequence before hashing.  Ties in the ordering only occur between
+        # rows identical in every used column, so any tie assignment yields
+        # the same problem tables.  This shuffles and sorts on every used
+        # column — at 100 TB prefer a truly unique key (default path below).
         order_cols = [F.col(c) for c in df.columns if c != "__w0"]
         seq = F.row_number().over(
             Window.partitionBy(*spec.row_key).orderBy(*order_cols)
         )
         df = df.withColumn("row_id", F.xxhash64(*spec.row_key, seq.cast("long")))
+    elif spec.row_key:
+        # Default: hash the declared key directly — no shuffle, no sort; the
+        # scan stays embarrassingly parallel.  Uniqueness is asserted by
+        # ``build_problem_tables`` (count == approx-free exact distinct).
+        # 64-bit hash ids are collision-safe to ~1e8 rows (birthday bound);
+        # beyond that, supply an already-unique BIGINT key as the row_key.
+        df = df.withColumn("row_id", F.xxhash64(*spec.row_key))
     else:
         df = df.withColumn(
             "row_id", F.monotonically_increasing_id()
@@ -188,20 +207,40 @@ def long_moments(rows: DataFrame, spec: MomentSpec) -> DataFrame:
 def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
     """Full data layer: input rows → (x_long, w0, moments) with integer ids.
 
-    The moment dictionary is collected to the driver (K rows — driver-scale
-    by §1.4) and broadcast back to key the long table; x_long comes out
-    hash-partitioned by ``row_id`` so downstream per-row joins are co-located.
+    The prepared rows are materialized ONCE (``localCheckpoint``) before the
+    moment-dictionary collect / x_long / w0 fan-out — without it the whole
+    prep plan (scan, filters, window) re-executes per consumer, and
+    nondeterministic ids (``monotonically_increasing_id`` after a shuffle)
+    could silently pair weights with the wrong rows.  The moment dictionary
+    is collected to the driver (K rows — driver-scale by §1.4) and broadcast
+    back to key the long table.
     """
-    rows = prepared_rows(df, spec)
-    long = long_moments(rows, spec)
+    rows = prepared_rows(df, spec).localCheckpoint(eager=True)
 
+    if spec.row_key and not spec.dedupe_row_key:
+        # Uniqueness guard for the shuffle-free hashed row ids: one cheap
+        # aggregate over the materialized rows (also yields n for free).
+        counts = rows.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("row_id").alias("nd"),
+        ).first()
+        n, nd = int(counts["n"]), int(counts["nd"])
+        if n != nd:
+            raise ValueError(
+                f"row_key {spec.row_key} is not unique ({n} rows, {nd} distinct "
+                "ids) — pass dedupe_row_key=True or supply a unique key"
+            )
+    else:
+        n = int(rows.count())
+
+    long = long_moments(rows, spec)
     names = [
         r[0]
         for r in long.select("moment_name").distinct().orderBy("moment_name").collect()
     ]
     spark = df.sparkSession
     moments = spark.createDataFrame(
-        [(i, n) for i, n in enumerate(names)],
+        [(i, nm) for i, nm in enumerate(names)],
         T.StructType(
             [
                 T.StructField("moment_id", T.IntegerType(), False),
@@ -214,7 +253,18 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
         .select("row_id", "moment_id", "value")
     )
     w0 = rows.select("row_id", "w0")
-    return ProblemTables(x_long=x_long, w0=w0, moments=moments, moment_names=names)
+    groups = [
+        nm.split("|", 1)[0] if nm.startswith("grp=") else "" for nm in names
+    ]
+    return ProblemTables(
+        x_long=x_long,
+        w0=w0,
+        moments=moments,
+        moment_names=names,
+        n=n,
+        nnz_per_row=len(spec.numeric) + int(spec.intercept) + len(spec.onehot),
+        moment_groups=groups,
+    )
 
 
 def targets_from_weighted_means(
@@ -225,12 +275,49 @@ def targets_from_weighted_means(
     targets (ref: test_penalty.py:16 'mean of last 100 rows';
     pums_example.py:244-247).
 
+    The denominator is the GLOBAL Σw0 over all prepared rows: target_j =
+    Σ_i x_ij·w0_i / Σ_i w0_i, matching the solver's constraint
+    ``X^T w = m·Σw0``.  (Dividing per moment group would make every one-hot
+    indicator's target 1.0 — a category's *within-category* mean — instead
+    of its population share.)
+
     Returns ``(moment_name, target)``; join with the moment dictionary for
     integer keys.
     """
-    long = long_moments(prepared_rows(df, spec), spec)
-    t = long.groupBy("moment_name").agg(
-        (F.sum(F.col("value") * F.col("w0")) / F.sum("w0")).alias("target")
+    rows = prepared_rows(df, spec)
+    long = long_moments(rows, spec)
+    total = rows.agg(F.sum("w0").alias("__sum_w0"))
+    t = (
+        long.groupBy("moment_name")
+        .agg(F.sum(F.col("value") * F.col("w0")).alias("__wtotal"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "moment_name",
+            (F.col("__wtotal") / F.col("__sum_w0")).alias("target"),
+        )
+    )
+    if perturb:
+        t = t.withColumn("target", F.col("target") * (1.0 + F.lit(perturb)))
+    return t
+
+
+def targets_from_problem(
+    pt: ProblemTables, *, perturb: float = 0.0
+) -> DataFrame:
+    """Same as :func:`targets_from_weighted_means` but over already-built
+    problem tables — reuses the materialized x_long/w0 instead of re-running
+    the prep plan.  Returns ``(moment_name, target)``."""
+    total = pt.w0.agg(F.sum("w0").alias("__sum_w0"))
+    t = (
+        pt.x_long.join(pt.w0, "row_id")
+        .groupBy("moment_id")
+        .agg(F.sum(F.col("value") * F.col("w0")).alias("__wtotal"))
+        .crossJoin(F.broadcast(total))
+        .join(F.broadcast(pt.moments), "moment_id")
+        .select(
+            "moment_name",
+            (F.col("__wtotal") / F.col("__sum_w0")).alias("target"),
+        )
     )
     if perturb:
         t = t.withColumn("target", F.col("target") * (1.0 + F.lit(perturb)))

@@ -51,7 +51,8 @@ def m1_problem_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric=("l_extendedprice", "l_discount"),
         onehot=("l_returnflag", "l_linestatus"),
         intercept=True,
-        row_key=("l_orderkey", "l_linenumber"),
+        # no unique natural key in the synthetic lineitem — use the default
+        # shuffle-free monotonic id (safe: rows are checkpointed before fan-out)
     )
     pt = build_problem_tables(li, spec)
     joined = pt.x_long.join(pt.w0, "row_id").join(
@@ -103,7 +104,8 @@ def m1_group_block_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric=("extendedprice",),
         group=("l_returnflag",),
         normalize_weights_within_group=True,
-        row_key=("l_orderkey", "l_linenumber"),
+        # no unique natural key in the synthetic lineitem — use the default
+        # shuffle-free monotonic id (safe: rows are checkpointed before fan-out)
     )
     pt = build_problem_tables(li, spec)
     joined = pt.x_long.join(pt.w0, "row_id").join(
@@ -126,12 +128,14 @@ def m1_group_block_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m1_feasible_targets",
     survey="A9,J2",
     oracle="""
-WITH long AS (
-  SELECT 'l_returnflag=' || l_returnflag AS moment_name, 1.0 AS value, l_quantity AS w0
-  FROM lineitem WHERE l_quantity > 0
+WITH base AS (
+  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity > 0
+), tot AS (
+  SELECT sum(l_quantity) AS s FROM base
 )
-SELECT moment_name, round(sum(value * w0) / sum(w0) * 1.02, 8) AS target
-FROM long GROUP BY moment_name ORDER BY moment_name
+SELECT 'l_returnflag=' || l_returnflag AS moment_name,
+       round(sum(l_quantity) / (SELECT s FROM tot) * 1.02, 8) AS target
+FROM base GROUP BY l_returnflag ORDER BY moment_name
 """,
 )
 def m1_feasible_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,6 +143,9 @@ def m1_feasible_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mirrors the reference-test pattern of deriving targets from the data's
     own weighted means (ref: test_penalty.py:16, pums_example.py:244-247).
+    One-hot targets are population shares — the weighted indicator total
+    over the GLOBAL weight total — so they sum to (1+perturb), a feasible
+    2% total-mass scaling.
     """
     from entropy_balance_weighting_spark.plans.moment_spec import (
         targets_from_weighted_means,
@@ -148,7 +155,8 @@ def m1_feasible_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = MomentSpec(
         weight_col="l_quantity",
         onehot=("l_returnflag",),
-        row_key=("l_orderkey", "l_linenumber"),
+        # no unique natural key in the synthetic lineitem — use the default
+        # shuffle-free monotonic id (safe: rows are checkpointed before fan-out)
     )
     t = targets_from_weighted_means(li, spec, perturb=0.02)
     return t.select(

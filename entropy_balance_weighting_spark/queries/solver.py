@@ -15,9 +15,7 @@ from pyspark.sql import functions as F
 
 from entropy_balance_weighting_spark import entropy_balance
 from entropy_balance_weighting_spark.plans import MomentSpec, build_problem_tables
-from entropy_balance_weighting_spark.plans.moment_spec import (
-    targets_from_weighted_means,
-)
+from entropy_balance_weighting_spark.plans.moment_spec import targets_from_problem
 from entropy_balance_weighting_spark.queries.registry import register
 from entropy_balance_weighting_spark.session import load_table
 
@@ -25,15 +23,21 @@ _SPEC = MomentSpec(
     weight_col="l_quantity",
     numeric=("l_discount", "l_tax"),
     onehot=("l_returnflag",),
-    row_key=("l_orderkey", "l_linenumber"),
+    # no unique natural key in the synthetic lineitem — use the default
+    # shuffle-free monotonic id (safe: rows are checkpointed before fan-out)
 )
 
 
 def solve_lineitem_problem(spark: SparkSession, sf_dir: str, **opts):
-    """Shared fixture: lineitem-derived EBW problem with 2%-perturbed targets."""
+    """Shared fixture: lineitem-derived EBW problem with 2%-perturbed targets.
+
+    Targets are population weighted means scaled by 1.02 (one-hot targets =
+    category shares ×1.02), a well-conditioned feasible problem — the solver
+    converges in ~6 Newton iterations.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     pt = build_problem_tables(li, _SPEC)
-    targets = targets_from_weighted_means(li, _SPEC, perturb=0.02)
+    targets = targets_from_problem(pt, perturb=0.02)
     res = entropy_balance(
         mean_population_moments=targets,
         x_sample=pt,
@@ -47,27 +51,33 @@ def solve_lineitem_problem(spark: SparkSession, sf_dir: str, **opts):
     "ebw_solver_moment_match",
     survey="C1,C2,A1,A3,A4,L1-L3 (solver end-to-end)",
     oracle="""
-WITH long AS (
-  SELECT 'l_discount' AS moment_name, l_discount AS value, l_quantity AS w0
-  FROM lineitem WHERE l_quantity > 0
-  UNION ALL SELECT 'l_tax', l_tax, l_quantity FROM lineitem WHERE l_quantity > 0
-  UNION ALL SELECT 'l_returnflag=' || l_returnflag, 1.0, l_quantity
-  FROM lineitem WHERE l_quantity > 0
+WITH base AS (
+  SELECT * FROM lineitem WHERE l_quantity > 0
+), tot AS (
+  SELECT sum(l_quantity) AS s FROM base
+), long AS (
+  SELECT 'l_discount' AS moment_name, l_discount AS value, l_quantity AS w0 FROM base
+  UNION ALL SELECT 'l_tax', l_tax, l_quantity FROM base
+  UNION ALL SELECT 'l_returnflag=' || l_returnflag, 1.0, l_quantity FROM base
 )
 SELECT moment_name,
-       round(sum(value * w0) / sum(w0) * 1.02, 6) AS achieved_wmean,
+       round(sum(value * w0) / (SELECT s FROM tot) * 1.02, 6) AS achieved_wmean,
        1 AS converged
 FROM long GROUP BY moment_name ORDER BY moment_name
 """,
 )
 def ebw_solver_moment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full solve, then report achieved weighted moment means.
+    """Full solve (distributed kernel forced), then report achieved weighted
+    moment means.
 
-    The oracle computes the TARGETS in SQL; a converged solver reproduces
-    them to ~1e-11 relative, so the rounded values hash-match.  This checks
-    the entire chain: data layer → packing → Newton iterations → weights.
+    The oracle computes the TARGETS in SQL — population weighted means over
+    the global Σw0, scaled 1.02; a converged solver reproduces them to
+    ~1e-11 relative, so the rounded values hash-match.  This checks the
+    entire chain: data layer → packing → Newton iterations → weights, on
+    the SAME kernel that ships for the at-scale path
+    (``force_distributed=True`` so the local fast path can't mask it).
     """
-    pt, targets, res = solve_lineitem_problem(spark, sf_dir)
+    pt, targets, res = solve_lineitem_problem(spark, sf_dir, force_distributed=True)
     w = res.new_weights  # DataFrame (row_id, new_weight)
     achieved = (
         pt.x_long.join(w, "row_id")

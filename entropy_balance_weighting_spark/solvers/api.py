@@ -131,7 +131,7 @@ def entropy_balance(
     from entropy_balance_weighting_spark.solvers.newton import solve_unbounded
 
     res = solve_unbounded(kernel, m, opts, original_weights=original)
-    _maybe_dump(opts, x_sample, weights0, mean_population_moments, res)
+    _maybe_dump(opts, x_sample, weights0, m, res)
     return res
 
 
@@ -179,9 +179,20 @@ def _build_kernel(x_sample, weights0, mean_population_moments, opts):
             _validate_distributed_inputs(pt)
         m = _moments_vector(pt, mean_population_moments)
 
-        nnz = pt.x_long.count()
+        n = pt.n if pt.n is not None else pt.w0.count()
+        # nnz is known exactly when the data layer built the tables (fixed
+        # entries per row) — no extra counting pass (VERDICT r1 perf note).
+        nnz = n * pt.nnz_per_row if pt.nnz_per_row else pt.x_long.count()
         threshold = int(opts.get("local_threshold", 2_000_000))
-        if not opts.get("force_distributed") and nnz <= threshold:
+        # Gate on the DENSE footprint too: _collect_local densifies to n×k,
+        # so a sparse problem under the nnz threshold with huge n·k must
+        # still run distributed (8·n·k bytes ≲ 8× the nnz budget).
+        dense_cells = n * pt.k
+        if (
+            not opts.get("force_distributed")
+            and nnz <= threshold
+            and dense_cells <= 8 * threshold
+        ):
             return _collect_local(pt, m, opts)
 
         from entropy_balance_weighting_spark.kernels.spark import SparkKernel
@@ -214,26 +225,30 @@ class _LocalKernelAsDataFrame:
         return getattr(self._inner, name)
 
     def new_weights(self):
+        import pandas as pd
+
         w = self._inner.new_weights()
-        return self._spark.createDataFrame(
-            [(int(rid), float(v)) for rid, v in zip(self._row_ids, w)],
-            "row_id long, new_weight double",
+        pdf = pd.DataFrame(
+            {"row_id": np.asarray(self._row_ids, dtype=np.int64), "new_weight": w}
         )
+        return self._spark.createDataFrame(pdf)
 
 
 def _collect_local(pt: ProblemTables, m: np.ndarray, opts):
     """Local fast path: collect the long tables into a dense numpy problem
-    (SURVEY §7.2 — exactness for small fixtures, no per-iteration jobs)."""
+    (SURVEY §7.2 — exactness for small fixtures, no per-iteration jobs).
+    Arrow-batched ``toPandas`` + vectorized scatter — no per-row Python."""
     from entropy_balance_weighting_spark.kernels.local import LocalKernel
 
-    w_rows = pt.w0.collect()
-    row_ids = [r["row_id"] for r in w_rows]
-    pos = {rid: i for i, rid in enumerate(row_ids)}
+    wpd = pt.w0.toPandas()
+    row_ids = wpd["row_id"].to_numpy(np.int64)
+    w0 = wpd["w0"].to_numpy(np.float64)
     n = len(row_ids)
-    w0 = np.fromiter((r["w0"] for r in w_rows), dtype=np.float64, count=n)
+    pos = {int(rid): i for i, rid in enumerate(row_ids)}
+    xpd = pt.x_long.toPandas()
+    ridx = xpd["row_id"].map(pos).to_numpy(np.int64)
     x = np.zeros((n, pt.k))
-    for r in pt.x_long.collect():
-        x[pos[r["row_id"]], r["moment_id"]] = r["value"]
+    x[ridx, xpd["moment_id"].to_numpy(np.int64)] = xpd["value"].to_numpy(np.float64)
     kernel = LocalKernel(x, w0)
     guess = opts.get("initial_ratio_guess")
     kernel.init_state(None if guess is None else np.asarray(guess, float))
@@ -243,13 +258,17 @@ def _collect_local(pt: ProblemTables, m: np.ndarray, opts):
 
 
 def _maybe_dump(opts, x_sample, weights0, m, res) -> None:
-    """S2 problem-bundle sinks (save_problem_data / save_failure_data); M5."""
-    want = opts.get("save_problem_data") or (
-        opts.get("save_failure_data") and not res.converged
-    )
-    if not want:
-        return
+    """S2 problem-bundle sinks: ``save_problem_data`` always writes,
+    ``save_failure_data`` writes only on failure (ref: ebw_routines.py:312-319).
+    ``m`` is the resolved id-ordered target vector."""
     from entropy_balance_weighting_spark.sources import bundle
 
-    path = opts.get("save_problem_data") or opts.get("save_failure_data")
-    bundle.dump_problem(path, x_sample, weights0, m)
+    names = (
+        x_sample.moment_names
+        if isinstance(x_sample, ProblemTables)
+        else None
+    )
+    if path := opts.get("save_problem_data"):
+        bundle.dump_problem(path, x_sample, weights0, m, moment_names=names)
+    if (path := opts.get("save_failure_data")) and not res.converged:
+        bundle.dump_problem(path, x_sample, weights0, m, moment_names=names)

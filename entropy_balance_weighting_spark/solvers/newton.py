@@ -125,7 +125,15 @@ def solve_unbounded(
         use_dual = float(np.linalg.norm(ce_dual)) < float(np.linalg.norm(ce_primal))
 
         if use_dual and step.min_wdual <= 0.0:
-            use_dual = False  # dual candidate underflowed to zero weights
+            # The chosen candidate reached zero weights: fail BEFORE
+            # committing, as the reference does (ref: ebw_routines.py:274-282)
+            # — failure_weights must hold the last good iterate, not a
+            # corrupted post-commit state.
+            error_message = (
+                "Zero weights reached; feasibility in doubt — "
+                "run with bounds=(0.0, None) for an infeasibility certificate"
+            )
+            break
         if alpha < 0.01:
             error_message = (
                 "Step collapsed (backtrack < 0.01); feasibility in doubt — "

@@ -193,7 +193,8 @@ def small_problem_tables(spark):
         weight_col="l_quantity",
         numeric=("l_discount", "l_tax"),
         onehot=("l_returnflag",),
-        row_key=("l_orderkey", "l_linenumber"),
+        # no unique natural key in the synthetic lineitem — use the default
+        # shuffle-free monotonic id (safe: rows are checkpointed before fan-out)
     )
     return build_problem_tables(li, spec)
 
@@ -211,7 +212,8 @@ def test_distributed_matches_local(spark, small_problem_tables):
         weight_col="l_quantity",
         numeric=("l_discount", "l_tax"),
         onehot=("l_returnflag",),
-        row_key=("l_orderkey", "l_linenumber"),
+        # no unique natural key in the synthetic lineitem — use the default
+        # shuffle-free monotonic id (safe: rows are checkpointed before fan-out)
     )
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     targets = targets_from_weighted_means(li, spec, perturb=0.01)
