@@ -38,6 +38,56 @@ class StepStats:
     has_nan: bool
 
 
+@dataclass
+class PenaltyStats:
+    """Per-iteration reductions for the unbounded penalty solver.
+
+    Everything the driver needs is λ-free: ``‖Cd‖²`` and the Woodbury legs
+    decompose into c-independent pieces (c = P∘Ce is only known after g1
+    arrives), so ONE pass suffices per iteration.
+    """
+
+    f_val: float  # Σ w0·(r·log r − r + 1)
+    g1: np.ndarray  # X^T (w0∘r)               = A^T r          (K,)
+    g2v: np.ndarray  # X^T (w0∘r∘log r)                          (K,)
+    h: np.ndarray  # X^T (w0²∘log r)                            (K,)
+    s_ll: float  # Σ w0²·(log r)²
+    gram: np.ndarray  # X^T Diag(w0∘r) X                          (K,K)
+    has_nan: bool
+
+
+@dataclass
+class PBStats:
+    """Per-iteration reductions for the BOUNDED penalty solver (log-barrier).
+
+    μ-dependent quantities decompose linearly in μ (``u1 = u1a − μ·u1b``)
+    because μ may be updated by the driver AFTER seeing these reductions.
+    """
+
+    f_val: float
+    g1: np.ndarray  # X^T (w0∘r)                                 (K,)
+    sd0_sq: float  # Σ d0², d0 = w0·log r − λ_lo + λ_hi
+    hd: np.ndarray  # X^T (w0∘d0)                                 (K,)
+    gb: np.ndarray  # X^T Diag(w0²/h̃_b) X, h̃_b = w0/r + λ/s sums (K,K)
+    u1a: np.ndarray  # X^T (w0/h̃_b ∘ w0·log r)                    (K,)
+    u1b: np.ndarray  # X^T (w0/h̃_b ∘ (1/s_lo − 1/s_hi))           (K,)
+    s_sum: float  # Σ s·λ over present slack blocks
+    s_sq: float  # Σ (s·λ)²
+    s_min: float  # min s·λ
+    s_cnt: float  # number of slack entries (n or 2n)
+    has_nan: bool
+
+
+@dataclass
+class PBStepStats:
+    """Reductions over the bounded-penalty candidate step."""
+
+    p_sq: float  # Σ p_r²
+    ftb_slack: float  # min(−τ·s/ds over ds<0) across blocks; +inf unblocked
+    ftb_dual: float  # min(−τ·λ/dλ over dλ<0) across blocks
+    has_nan: bool
+
+
 class Kernel(Protocol):
     """N-dimensional compute surface for the unbounded Newton solver."""
 

@@ -1,0 +1,424 @@
+"""Distributed kernel for the penalty solver — packed-row DataFrame +
+Arrow-batched ``mapInPandas`` passes, same execution design as
+:class:`kernels.spark.SparkKernel` (one fused scan per stage, zero
+per-iteration shuffles, only K/K²-sized partials cross the driver
+boundary; lineage truncated per commit).
+
+State columns: ``ratio`` always; bounded mode adds ``s_lo, s_hi, lm_lo,
+lm_hi`` (slacks and inequality multipliers per bound side — the reference's
+``A_ineq=[I,−I]`` incidence never materializes, its products ARE these
+column pairs; ref: ebw_penalty.py:275,402-439).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.kernels.base import (
+    PBStats,
+    PBStepStats,
+    PenaltyStats,
+)
+from entropy_balance_weighting_spark.kernels.penalty_local import TAU
+from entropy_balance_weighting_spark.kernels.spark import (
+    _flatten,
+    _gram_accum,
+    _pack,
+    _x_dot,
+    _xt_v,
+    pack_rows,
+)
+
+_PAYLOAD_SCHEMA = "sums binary, mins binary"
+
+UNBOUNDED_SCHEMA = (
+    "row_id long, w0 double, idx array<int>, val array<double>, ratio double"
+)
+BOUNDED_SCHEMA = UNBOUNDED_SCHEMA + (
+    ", s_lo double, s_hi double, lm_lo double, lm_hi double"
+)
+
+
+def _ftb_batch(point: np.ndarray, step: np.ndarray) -> float:
+    blocked = step < 0
+    if not blocked.any():
+        return np.inf
+    return float(np.min(-TAU * point[blocked] / step[blocked]))
+
+
+def _gram_init_pass(k: int) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g2 = np.zeros((k, k))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            w0 = pdf["w0"].to_numpy(np.float64)
+            _gram_accum(flat_idx, flat_val, lens, w0**2, k, g2)
+        yield _pack([g2], [np.inf])
+
+    return fn
+
+
+def _moment_totals_pass(k: int) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g1 = np.zeros(k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            w0 = pdf["w0"].to_numpy(np.float64)
+            r = pdf["ratio"].to_numpy(np.float64)
+            g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
+        yield _pack([g1], [np.inf])
+
+    return fn
+
+
+# -- unbounded -------------------------------------------------------------
+def _pstats_pass(k: int) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        f_val = 0.0
+        s_ll = 0.0
+        nan_ct = 0.0
+        g1 = np.zeros(k)
+        g2v = np.zeros(k)
+        h = np.zeros(k)
+        gram = np.zeros((k, k))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            w0 = pdf["w0"].to_numpy(np.float64)
+            r = pdf["ratio"].to_numpy(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lr = np.log(r)
+            bad = ~np.isfinite(lr)
+            nan_ct += float(bad.sum())
+            lrf = np.where(bad, 0.0, lr)
+            f_val += float(np.sum(w0 * (r * lrf - r + 1.0)))
+            s_ll += float(np.sum(w0**2 * lrf**2))
+            g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
+            g2v += _xt_v(flat_idx, flat_val, lens, w0 * r * lrf, k)
+            h += _xt_v(flat_idx, flat_val, lens, w0**2 * lrf, k)
+            _gram_accum(flat_idx, flat_val, lens, w0 * r, k, gram)
+        yield _pack([f_val, s_ll, nan_ct, g1, g2v, h, gram], [np.inf])
+
+    return fn
+
+
+def _pcommit_pass(z: np.ndarray) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            r = pdf["ratio"].to_numpy(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p = -r * (np.log(r) + _x_dot(flat_idx, flat_val, lens, z))
+            out = pdf.copy()
+            out["ratio"] = r + np.where(np.isfinite(p), p, 0.0)
+            yield out
+
+    return fn
+
+
+def _pstep_sq_pass(z: np.ndarray) -> Callable:
+    """Σp² + NaN count for the step just about to be committed."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p_sq = 0.0
+        nan_ct = 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            r = pdf["ratio"].to_numpy(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p = -r * (np.log(r) + _x_dot(flat_idx, flat_val, lens, z))
+            bad = ~np.isfinite(p)
+            nan_ct += float(bad.sum())
+            pf = np.where(bad, 0.0, p)
+            p_sq += float(pf @ pf)
+        yield _pack([p_sq, nan_ct], [np.inf])
+
+    return fn
+
+
+# -- bounded ---------------------------------------------------------------
+def _bounded_pieces(pdf: pd.DataFrame, has_ub: bool):
+    w0 = pdf["w0"].to_numpy(np.float64)
+    r = pdf["ratio"].to_numpy(np.float64)
+    s_lo = pdf["s_lo"].to_numpy(np.float64)
+    lm_lo = pdf["lm_lo"].to_numpy(np.float64)
+    s_hi = pdf["s_hi"].to_numpy(np.float64)
+    lm_hi = pdf["lm_hi"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lr = np.log(r)
+        hb = w0 / r + lm_lo / s_lo + (lm_hi / s_hi if has_ub else 0.0)
+        inv_hb = 1.0 / hb
+    return w0, r, s_lo, lm_lo, s_hi, lm_hi, lr, inv_hb
+
+
+def _pbstats_pass(k: int, has_ub: bool) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        f_val = 0.0
+        sd0_sq = 0.0
+        s_sum = 0.0
+        s_sq = 0.0
+        nan_ct = 0.0
+        s_min = np.inf
+        g1 = np.zeros(k)
+        hd = np.zeros(k)
+        u1a = np.zeros(k)
+        u1b = np.zeros(k)
+        gb = np.zeros((k, k))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            w0, r, s_lo, lm_lo, s_hi, lm_hi, lr, inv_hb = _bounded_pieces(
+                pdf, has_ub
+            )
+            d0 = w0 * lr - lm_lo + (lm_hi if has_ub else 0.0)
+            bad = ~np.isfinite(d0) | ~np.isfinite(inv_hb)
+            nan_ct += float(bad.sum())
+            d0 = np.where(bad, 0.0, d0)
+            inv_hb = np.where(bad, 0.0, inv_hb)
+            lrf = np.where(np.isfinite(lr), lr, 0.0)
+            f_val += float(np.sum(w0 * (r * lrf - r + 1.0)))
+            sd0_sq += float(d0 @ d0)
+            g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
+            hd += _xt_v(flat_idx, flat_val, lens, w0 * d0, k)
+            u1a += _xt_v(flat_idx, flat_val, lens, w0 * inv_hb * w0 * lrf, k)
+            sinv = 1.0 / s_lo - (1.0 / s_hi if has_ub else 0.0)
+            u1b += _xt_v(flat_idx, flat_val, lens, w0 * inv_hb * sinv, k)
+            _gram_accum(flat_idx, flat_val, lens, w0**2 * inv_hb, k, gb)
+            sl = s_lo * lm_lo
+            if has_ub:
+                sl = np.concatenate([sl, s_hi * lm_hi])
+            s_sum += float(np.sum(sl))
+            s_sq += float(sl @ sl)
+            if len(sl):
+                s_min = min(s_min, float(sl.min()))
+        yield _pack(
+            [f_val, sd0_sq, s_sum, s_sq, nan_ct, g1, hd, u1a, u1b, gb], [s_min]
+        )
+
+    return fn
+
+
+def _pb_step_arrays(pdf, flat_idx, flat_val, lens, z, mu, has_ub):
+    w0, r, s_lo, lm_lo, s_hi, lm_hi, lr, inv_hb = _bounded_pieces(pdf, has_ub)
+    e = w0 * lr - mu / s_lo + (mu / s_hi if has_ub else 0.0)
+    p = -inv_hb * (e + w0 * _x_dot(flat_idx, flat_val, lens, z))
+    dl_lo = lm_lo / s_lo * (-p - s_lo + mu / lm_lo)
+    dl_hi = (
+        lm_hi / s_hi * (p - s_hi + mu / lm_hi) if has_ub else np.zeros(len(r))
+    )
+    return p, dl_lo, dl_hi, s_lo, lm_lo, s_hi, lm_hi
+
+
+def _pbstep_pass(z: np.ndarray, mu: float, has_ub: bool) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p_sq = 0.0
+        nan_ct = 0.0
+        ftb_s = np.inf
+        ftb_l = np.inf
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            p, dl_lo, dl_hi, s_lo, lm_lo, s_hi, lm_hi = _pb_step_arrays(
+                pdf, flat_idx, flat_val, lens, z, mu, has_ub
+            )
+            bad = ~np.isfinite(p)
+            nan_ct += float(bad.sum())
+            pf = np.where(bad, 0.0, p)
+            p_sq += float(pf @ pf)
+            ftb_s = min(ftb_s, _ftb_batch(s_lo, pf))
+            ftb_l = min(ftb_l, _ftb_batch(lm_lo, dl_lo))
+            if has_ub:
+                ftb_s = min(ftb_s, _ftb_batch(s_hi, -pf))
+                ftb_l = min(ftb_l, _ftb_batch(lm_hi, dl_hi))
+        yield _pack([p_sq, nan_ct], [ftb_s, ftb_l])
+
+    return fn
+
+
+def _pbcommit_pass(
+    z: np.ndarray, mu: float, bp: float, bd: float, has_ub: bool
+) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            p, dl_lo, dl_hi, s_lo, lm_lo, s_hi, lm_hi = _pb_step_arrays(
+                pdf, flat_idx, flat_val, lens, z, mu, has_ub
+            )
+            out = pdf.copy()
+            out["ratio"] = pdf["ratio"].to_numpy(np.float64) + bp * p
+            out["s_lo"] = s_lo + bp * p
+            out["lm_lo"] = lm_lo + bd * dl_lo
+            if has_ub:
+                out["s_hi"] = s_hi - bp * p
+                out["lm_hi"] = lm_hi + bd * dl_hi
+            yield out
+
+    return fn
+
+
+class PenaltySparkKernel:
+    """Distributed penalty kernel over the packed-row DataFrame."""
+
+    def __init__(
+        self, df: DataFrame, k: int, sum_w0: float, n: int, has_ub: bool, bounded: bool
+    ) -> None:
+        self.df = df
+        self.k = k
+        self.sum_w0 = sum_w0
+        self.n = n
+        self.has_ub = has_ub
+        self.bounded = bounded
+        self._schema = BOUNDED_SCHEMA if bounded else UNBOUNDED_SCHEMA
+
+    @classmethod
+    def from_problem(
+        cls,
+        x_long: DataFrame,
+        w0: DataFrame,
+        k: int,
+        *,
+        bounds: tuple[float, float | None] | None = None,
+        ratio_guess: DataFrame | None = None,
+    ) -> "PenaltySparkKernel":
+        df, sum_w0, n = pack_rows(x_long, w0)
+        if ratio_guess is not None:
+            df = df.join(
+                ratio_guess.select("row_id", "ratio"), "row_id", "left"
+            ).withColumn("ratio", F.coalesce("ratio", F.lit(1.0)))
+        else:
+            df = df.withColumn("ratio", F.lit(1.0))
+        bounded = bounds is not None
+        has_ub = bounded and bounds[1] is not None
+        if bounded:
+            lb = max(float(bounds[0]), 0.0)
+            df = df.withColumn("s_lo", F.col("ratio") - F.lit(lb))
+            df = df.withColumn("lm_lo", F.lit(1.0) / F.col("s_lo"))
+            if has_ub:
+                ub = float(bounds[1])
+                df = df.withColumn("s_hi", F.lit(ub) - F.col("ratio"))
+                df = df.withColumn("lm_hi", F.lit(1.0) / F.col("s_hi"))
+            else:
+                df = df.withColumn("s_hi", F.lit(1.0)).withColumn(
+                    "lm_hi", F.lit(0.0)
+                )
+            bad = df.filter(
+                (F.col("s_lo") <= 0) | (F.lit(has_ub) & (F.col("s_hi") <= 0))
+            ).count()
+            if bad:
+                raise ValueError(
+                    "bounds must strictly contain the initial ratio guess"
+                )
+        df = df.localCheckpoint(eager=True)
+        return cls(df, k, sum_w0, n, has_ub, bounded)
+
+    # -- plumbing ----------------------------------------------------------
+    def _reduce(self, fn) -> tuple[np.ndarray, np.ndarray]:
+        rows = self.df.mapInPandas(fn, _PAYLOAD_SCHEMA).collect()
+        sums = np.sum([np.frombuffer(r.sums, dtype=np.float64) for r in rows], axis=0)
+        mins = np.min([np.frombuffer(r.mins, dtype=np.float64) for r in rows], axis=0)
+        return sums, mins
+
+    def _commit(self, fn) -> None:
+        new_df = self.df.mapInPandas(fn, self._schema).localCheckpoint(eager=True)
+        old = self.df
+        self.df = new_df
+        old.unpersist()
+
+    # -- shared ------------------------------------------------------------
+    def penalty_init(self) -> np.ndarray:
+        sums, _ = self._reduce(_gram_init_pass(self.k))
+        return sums.reshape(self.k, self.k)
+
+    def moment_totals(self) -> np.ndarray:
+        sums, _ = self._reduce(_moment_totals_pass(self.k))
+        return sums
+
+    def new_weights(self) -> DataFrame:
+        return self.df.select(
+            "row_id", (F.col("ratio") * F.col("w0")).alias("new_weight")
+        )
+
+    def cleanup(self) -> None:
+        self.df.unpersist()
+
+    # -- unbounded ---------------------------------------------------------
+    def penalty_stats(self) -> PenaltyStats:
+        k = self.k
+        sums, _ = self._reduce(_pstats_pass(k))
+        f_val, s_ll, nan_ct = sums[0], sums[1], sums[2]
+        g1 = sums[3 : 3 + k]
+        g2v = sums[3 + k : 3 + 2 * k]
+        h = sums[3 + 2 * k : 3 + 3 * k]
+        gram = sums[3 + 3 * k :].reshape(k, k)
+        return PenaltyStats(
+            f_val=float(f_val),
+            g1=g1,
+            g2v=g2v,
+            h=h,
+            s_ll=float(s_ll),
+            gram=gram,
+            has_nan=nan_ct > 0,
+        )
+
+    def penalty_commit(self, z: np.ndarray) -> tuple[float, bool]:
+        sums, _ = self._reduce(_pstep_sq_pass(z))
+        self._commit(_pcommit_pass(z))
+        return float(sums[0]), sums[1] > 0
+
+    # -- bounded -----------------------------------------------------------
+    def pb_stats(self) -> PBStats:
+        k = self.k
+        sums, mins = self._reduce(_pbstats_pass(k, self.has_ub))
+        f_val, sd0_sq, s_sum, s_sq, nan_ct = sums[:5]
+        off = 5
+        g1 = sums[off : off + k]
+        hd = sums[off + k : off + 2 * k]
+        u1a = sums[off + 2 * k : off + 3 * k]
+        u1b = sums[off + 3 * k : off + 4 * k]
+        gb = sums[off + 4 * k :].reshape(k, k)
+        return PBStats(
+            f_val=float(f_val),
+            g1=g1,
+            sd0_sq=float(sd0_sq),
+            hd=hd,
+            gb=gb,
+            u1a=u1a,
+            u1b=u1b,
+            s_sum=float(s_sum),
+            s_sq=float(s_sq),
+            s_min=float(mins[0]),
+            s_cnt=float(self.n * (2 if self.has_ub else 1)),
+            has_nan=nan_ct > 0,
+        )
+
+    def pb_step(self, z: np.ndarray, mu: float) -> PBStepStats:
+        sums, mins = self._reduce(_pbstep_pass(z, mu, self.has_ub))
+        return PBStepStats(
+            p_sq=float(sums[0]),
+            ftb_slack=float(mins[0]),
+            ftb_dual=float(mins[1]),
+            has_nan=sums[1] > 0,
+        )
+
+    def pb_commit(self, z: np.ndarray, mu: float, bp: float, bd: float) -> None:
+        self._commit(_pbcommit_pass(z, mu, bp, bd, self.has_ub))

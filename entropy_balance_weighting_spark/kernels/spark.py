@@ -93,6 +93,36 @@ def _gram_accum(flat_idx, flat_val, lens, d, k, out: np.ndarray) -> None:
         out += (xc * d[lo:hi, None]).T @ xc
 
 
+def pack_rows(x_long: DataFrame, w0: DataFrame) -> tuple[DataFrame, float, int]:
+    """Pack the canonical long tables into per-row CSR — the one setup
+    shuffle shared by every distributed kernel; returns (packed, Σw0, n).
+    Rows absent from x_long get empty arrays (all-zero X rows)."""
+    sums = w0.agg(F.sum("w0").alias("s"), F.count(F.lit(1)).alias("n")).first()
+    sum_w0, n = float(sums["s"]), int(sums["n"])
+    packed_x = (
+        x_long.groupBy("row_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("moment_id", "value"))).alias("mv")
+        )
+        .select(
+            "row_id",
+            F.col("mv").getField("moment_id").alias("idx"),
+            F.col("mv").getField("value").alias("val"),
+        )
+    )
+    df = (
+        w0.select("row_id", "w0")
+        .join(packed_x, "row_id", "left")
+        .select(
+            "row_id",
+            "w0",
+            F.coalesce("idx", F.expr("array()").cast("array<int>")).alias("idx"),
+            F.coalesce("val", F.expr("array()").cast("array<double>")).alias("val"),
+        )
+    )
+    return df, sum_w0, n
+
+
 def _pack(sums: list[float | np.ndarray], mins: list[float]) -> pd.DataFrame:
     sbuf = np.concatenate([np.atleast_1d(np.asarray(x, dtype=np.float64)).ravel() for x in sums])
     mbuf = np.asarray(mins, dtype=np.float64)
@@ -215,30 +245,8 @@ class SparkKernel:
     ) -> "SparkKernel":
         """Pack the canonical long tables into per-row CSR — the one setup
         shuffle; every subsequent iteration is shuffle-free."""
-        sums = w0.agg(F.sum("w0").alias("s"), F.count(F.lit(1)).alias("n")).first()
-        sum_w0, n = float(sums["s"]), int(sums["n"])
-        packed_x = (
-            x_long.groupBy("row_id")
-            .agg(
-                F.sort_array(F.collect_list(F.struct("moment_id", "value"))).alias("mv")
-            )
-            .select(
-                "row_id",
-                F.col("mv").getField("moment_id").alias("idx"),
-                F.col("mv").getField("value").alias("val"),
-            )
-        )
-        df = (
-            w0.select("row_id", "w0")
-            .join(packed_x, "row_id", "left")
-            .select(
-                "row_id",
-                "w0",
-                F.coalesce("idx", F.expr("array()").cast("array<int>")).alias("idx"),
-                F.coalesce("val", F.expr("array()").cast("array<double>")).alias("val"),
-                (F.col("w0") / F.lit(sum_w0)).alias("q"),
-            )
-        )
+        df, sum_w0, n = pack_rows(x_long, w0)
+        df = df.withColumn("q", F.col("w0") / F.lit(sum_w0))
         if ratio_guess is not None:
             df = df.join(ratio_guess.select("row_id", "ratio"), "row_id", "left").select(
                 "row_id",

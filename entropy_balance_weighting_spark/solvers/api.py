@@ -142,20 +142,33 @@ def entropy_balance_penalty(
     penalty_parameter: Any = 1.0,
     options: dict | None = None,
 ) -> EntropyBalanceResults:
-    """Quadratic-penalty variant (ref: ebw_penalty.py:17-23); M3."""
-    from entropy_balance_weighting_spark.solvers.penalty import solve_penalty
+    """Quadratic-penalty variant (ref: ebw_penalty.py:17-23); dispatches to
+    the bounded variant when ``options['bounds']`` is set (ref:
+    ebw_penalty.py:155-162)."""
+    from entropy_balance_weighting_spark.solvers.penalty import (
+        solve_penalty,
+        solve_penalty_bounded,
+    )
 
     opts = _validate_options(options)
-    kernel, m, original = _build_kernel(
-        x_sample, weights0, mean_population_moments, opts
+    bounds = opts.get("bounds")
+    kernel, m, original = _build_penalty_kernel(
+        x_sample, weights0, mean_population_moments, opts, bounds
     )
-    return solve_penalty(
-        kernel, m, penalty_parameter, opts, original_weights=original
-    )
+    solve = solve_penalty_bounded if bounds else solve_penalty
+    res = solve(kernel, m, penalty_parameter, opts, original_weights=original)
+    _maybe_dump(opts, x_sample, weights0, m, res)
+    return res
 
 
-def _build_kernel(x_sample, weights0, mean_population_moments, opts):
-    """Dispatch on input form → (kernel, m-vector, original-weights handle)."""
+def _resolve_problem(x_sample, weights0, mean_population_moments, opts):
+    """Dispatch on input form → ('local'|'spark', payload).
+
+    'local' payload: (x, w0, m, original, wrap) where ``wrap`` re-exposes an
+    ndarray-weights kernel as a DataFrame-weights kernel when the input came
+    from ProblemTables (API symmetry), else identity.
+    'spark' payload: (pt, m, original).
+    """
     validate = opts.get("validate", True)
 
     if isinstance(x_sample, np.ndarray):
@@ -164,12 +177,7 @@ def _build_kernel(x_sample, weights0, mean_population_moments, opts):
         m = np.asarray(mean_population_moments, dtype=np.float64)
         if validate:
             _validate_local_inputs(x, w0, m)
-        from entropy_balance_weighting_spark.kernels.local import LocalKernel
-
-        kernel = LocalKernel(x, w0)
-        guess = opts.get("initial_ratio_guess")
-        kernel.init_state(None if guess is None else np.asarray(guess, float))
-        return kernel, m, w0.copy()
+        return "local", (x, w0, m, w0.copy(), lambda kernel: kernel)
 
     if isinstance(x_sample, ProblemTables):
         pt = x_sample
@@ -188,27 +196,72 @@ def _build_kernel(x_sample, weights0, mean_population_moments, opts):
         # so a sparse problem under the nnz threshold with huge n·k must
         # still run distributed (8·n·k bytes ≲ 8× the nnz budget).
         dense_cells = n * pt.k
+        original = pt.w0.select("row_id", pt.w0["w0"].alias("new_weight"))
         if (
             not opts.get("force_distributed")
             and nnz <= threshold
             and dense_cells <= 8 * threshold
         ):
-            return _collect_local(pt, m, opts)
-
-        from entropy_balance_weighting_spark.kernels.spark import SparkKernel
-
-        guess = opts.get("initial_ratio_guess")
-        kernel = SparkKernel.from_problem(
-            pt.x_long, pt.w0, pt.k, ratio_guess=guess
-        )
-        original = pt.w0.select(
-            "row_id", pt.w0["w0"].alias("new_weight")
-        )
-        return kernel, m, original
+            x, w0, row_ids, spark = _collect_dense(pt)
+            wrap = lambda kernel: _LocalKernelAsDataFrame(kernel, row_ids, spark)  # noqa: E731
+            return "local", (x, w0, m, original, wrap)
+        return "spark", (pt, m, original)
 
     raise TypeError(
         f"x_sample must be numpy.ndarray or ProblemTables, got {type(x_sample)}"
     )
+
+
+def _build_kernel(x_sample, weights0, mean_population_moments, opts):
+    """Unbounded-Newton kernel factory → (kernel, m-vector, original)."""
+    mode, payload = _resolve_problem(
+        x_sample, weights0, mean_population_moments, opts
+    )
+    guess = opts.get("initial_ratio_guess")
+    if mode == "local":
+        x, w0, m, original, wrap = payload
+        from entropy_balance_weighting_spark.kernels.local import LocalKernel
+
+        kernel = LocalKernel(x, w0)
+        kernel.init_state(None if guess is None else np.asarray(guess, float))
+        return wrap(kernel), m, original
+
+    pt, m, original = payload
+    from entropy_balance_weighting_spark.kernels.spark import SparkKernel
+
+    kernel = SparkKernel.from_problem(pt.x_long, pt.w0, pt.k, ratio_guess=guess)
+    return kernel, m, original
+
+
+def _build_penalty_kernel(x_sample, weights0, mean_population_moments, opts, bounds):
+    """Penalty kernel factory → (kernel, m-vector, original)."""
+    mode, payload = _resolve_problem(
+        x_sample, weights0, mean_population_moments, opts
+    )
+    guess = opts.get("initial_ratio_guess")
+    if mode == "local":
+        x, w0, m, original, wrap = payload
+        from entropy_balance_weighting_spark.kernels.penalty_local import (
+            PenaltyLocalKernel,
+        )
+
+        kernel = PenaltyLocalKernel(
+            x,
+            w0,
+            bounds=bounds,
+            ratio_guess=None if guess is None else np.asarray(guess, float),
+        )
+        return wrap(kernel), m, original
+
+    pt, m, original = payload
+    from entropy_balance_weighting_spark.kernels.penalty_spark import (
+        PenaltySparkKernel,
+    )
+
+    kernel = PenaltySparkKernel.from_problem(
+        pt.x_long, pt.w0, pt.k, bounds=bounds, ratio_guess=guess
+    )
+    return kernel, m, original
 
 
 class _LocalKernelAsDataFrame:
@@ -234,12 +287,10 @@ class _LocalKernelAsDataFrame:
         return self._spark.createDataFrame(pdf)
 
 
-def _collect_local(pt: ProblemTables, m: np.ndarray, opts):
+def _collect_dense(pt: ProblemTables):
     """Local fast path: collect the long tables into a dense numpy problem
     (SURVEY §7.2 — exactness for small fixtures, no per-iteration jobs).
     Arrow-batched ``toPandas`` + vectorized scatter — no per-row Python."""
-    from entropy_balance_weighting_spark.kernels.local import LocalKernel
-
     wpd = pt.w0.toPandas()
     row_ids = wpd["row_id"].to_numpy(np.int64)
     w0 = wpd["w0"].to_numpy(np.float64)
@@ -249,12 +300,7 @@ def _collect_local(pt: ProblemTables, m: np.ndarray, opts):
     ridx = xpd["row_id"].map(pos).to_numpy(np.int64)
     x = np.zeros((n, pt.k))
     x[ridx, xpd["moment_id"].to_numpy(np.int64)] = xpd["value"].to_numpy(np.float64)
-    kernel = LocalKernel(x, w0)
-    guess = opts.get("initial_ratio_guess")
-    kernel.init_state(None if guess is None else np.asarray(guess, float))
-    wrapped = _LocalKernelAsDataFrame(kernel, row_ids, pt.w0.sparkSession)
-    original = pt.w0.select("row_id", pt.w0["w0"].alias("new_weight"))
-    return wrapped, m, original
+    return x, w0, row_ids, pt.w0.sparkSession
 
 
 def _maybe_dump(opts, x_sample, weights0, m, res) -> None:
