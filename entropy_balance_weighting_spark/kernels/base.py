@@ -88,6 +88,48 @@ class PBStepStats:
     has_nan: bool
 
 
+@dataclass
+class EStats:
+    """Per-iteration reductions for the elastic interior-point solver.
+
+    All scalars/K-vectors the driver needs from the N-dimensional blocks:
+    residual square-norms, the Schur legs, and the alternate-optimality
+    exponential residual (computed against the SAME state, a documented
+    deviation from the reference which mixes pre-/post-update quantities).
+    """
+
+    f_val: float  # Σ w0·(r·log r − r + 1)
+    cd_sq: float  # ‖Cd‖², Cd = (1/η)·w0·log r − w0·Xλ − (λ_lo − λ_hi)
+    ci_sq: float  # ‖Ci‖² over present slack blocks
+    cs_sq: float  # ‖Cs‖² over present slack blocks
+    alt_sq: float  # Σ(exp(η·(Xλ + (λ_lo−λ_hi)/w0)) − r)²
+    g1: np.ndarray  # X^T (w0∘r) = A^T r                          (K,)
+    rhs_leg: np.ndarray  # X^T (w0/h̃ ∘ (Cd + zterm))             (K,)
+    gram: np.ndarray  # X^T Diag(w0²/h̃) X                        (K,K)
+    has_nan: bool
+
+
+@dataclass
+class EStepStats:
+    """Reductions over the elastic N-dimensional step blocks."""
+
+    rstep_sq: float  # Σ r_step²
+    xt_rstep: np.ndarray  # X^T r_step (unweighted; for the Δck test)  (K,)
+    ftb_slack: float  # min(−τ·s/ds over ds<0) across slack blocks
+    ftb_dual: float  # min(−τ·λ/dλ over dλ<0) across λ_ineq blocks
+    has_nan: bool
+
+
+@dataclass
+class ECommitStats:
+    """Post-update aggregates the next iteration's μ/η rules need."""
+
+    sl_sum: float  # Σ s·λ_ineq over present blocks (post-update)
+    sl_min: float  # min s·λ_ineq
+    sl_cnt: float  # number of slack entries
+    lm_max: float  # max λ_ineq (post-update)
+
+
 class Kernel(Protocol):
     """N-dimensional compute surface for the unbounded Newton solver."""
 

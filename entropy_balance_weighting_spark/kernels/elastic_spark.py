@@ -1,0 +1,352 @@
+"""Distributed kernel for the elastic interior-point solver — packed-row
+DataFrame + Arrow-batched ``mapInPandas`` passes (same execution design as
+the other distributed kernels: one fused scan per stage, zero per-iteration
+shuffles, K/K²-sized partials only, lineage truncated per commit).
+
+State columns: ``ratio, s_lo, s_hi, lm_lo, lm_hi``.  The hi block is inert
+(s_hi=1, lm_hi=0) when no upper bound is set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.kernels.base import (
+    ECommitStats,
+    EStats,
+    EStepStats,
+)
+from entropy_balance_weighting_spark.kernels.penalty_spark import (
+    BOUNDED_SCHEMA,
+    _ftb_batch,
+)
+from entropy_balance_weighting_spark.kernels.spark import (
+    _flatten,
+    _gram_accum,
+    _pack,
+    _x_dot,
+    _xt_v,
+    pack_rows,
+)
+
+_PAYLOAD_SCHEMA = "sums binary, mins binary"
+
+
+def _cols(pdf: pd.DataFrame):
+    return (
+        pdf["w0"].to_numpy(np.float64),
+        pdf["ratio"].to_numpy(np.float64),
+        pdf["s_lo"].to_numpy(np.float64),
+        pdf["s_hi"].to_numpy(np.float64),
+        pdf["lm_lo"].to_numpy(np.float64),
+        pdf["lm_hi"].to_numpy(np.float64),
+    )
+
+
+def _pieces(pdf, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub):
+    """Batch rendering of ElasticLocalKernel._pieces (kept in lockstep)."""
+    w0, r, s_lo, s_hi, lm_lo, lm_hi = _cols(pdf)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lr = np.log(r)
+    xlam = _x_dot(flat_idx, flat_val, lens, lam)
+    lm_net = lm_lo - lm_hi if has_ub else lm_lo
+    cd = (1.0 / eta) * w0 * lr - w0 * xlam - lm_net
+    ci_lo = r - s_lo - lb
+    cs_lo = s_lo * lm_lo - mu_s
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ht = (1.0 / eta) * w0 / r + lm_lo / s_lo
+        zterm = lm_lo / s_lo * (ci_lo + cs_lo / lm_lo)
+        if has_ub:
+            ci_hi = -r - s_hi + ub
+            cs_hi = s_hi * lm_hi - mu_s
+            ht = ht + lm_hi / s_hi
+            zterm = zterm - lm_hi / s_hi * (ci_hi + cs_hi / lm_hi)
+        else:
+            ci_hi = np.zeros(len(r))
+            cs_hi = np.zeros(len(r))
+    return w0, r, s_lo, s_hi, lm_lo, lm_hi, lr, xlam, lm_net, cd, ci_lo, ci_hi, cs_lo, cs_hi, ht, zterm
+
+
+def _steps_arrays(pieces, flat_idx, flat_val, lens, dlam, mu_s, has_ub):
+    (w0, r, s_lo, s_hi, lm_lo, lm_hi, lr, xlam, lm_net, cd,
+     ci_lo, ci_hi, cs_lo, cs_hi, ht, zterm) = pieces
+    xdl = _x_dot(flat_idx, flat_val, lens, dlam)
+    r_step = (1.0 / ht) * (w0 * xdl - cd - zterm)
+    li_lo = lm_lo / s_lo * (-r_step - ci_lo - cs_lo / lm_lo)
+    ss_lo = -s_lo - s_lo / lm_lo * li_lo + mu_s / lm_lo
+    if has_ub:
+        li_hi = lm_hi / s_hi * (r_step - ci_hi - cs_hi / lm_hi)
+        ss_hi = -s_hi - s_hi / lm_hi * li_hi + mu_s / lm_hi
+    else:
+        li_hi = np.zeros(len(r_step))
+        ss_hi = np.zeros(len(r_step))
+    return r_step, li_lo, li_hi, ss_lo, ss_hi
+
+
+def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        f_val = cd_sq = ci_sq = cs_sq = alt_sq = nan_ct = 0.0
+        g1 = np.zeros(k)
+        rhs_leg = np.zeros(k)
+        gram = np.zeros((k, k))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            pieces = _pieces(
+                pdf, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
+            )
+            (w0, r, s_lo, s_hi, lm_lo, lm_hi, lr, xlam, lm_net, cd,
+             ci_lo, ci_hi, cs_lo, cs_hi, ht, zterm) = pieces
+            bad = ~np.isfinite(cd) | ~np.isfinite(ht) | (ht <= 0)
+            cdf = np.where(bad, 0.0, cd)
+            lrf = np.where(np.isfinite(lr), lr, 0.0)
+            with np.errstate(over="ignore"):
+                alt = np.exp(eta * (xlam + lm_net / w0)) - r
+            alt_bad = ~np.isfinite(alt)
+            nan_ct += float(bad.sum() + alt_bad.sum())
+            altf = np.where(alt_bad, 0.0, alt)
+            inv_ht = np.where(bad, 0.0, 1.0 / ht)
+            f_val += float(np.sum(w0 * (r * lrf - r + 1.0)))
+            cd_sq += float(cdf @ cdf)
+            ci_sq += float(ci_lo @ ci_lo) + (float(ci_hi @ ci_hi) if has_ub else 0.0)
+            cs_sq += float(cs_lo @ cs_lo) + (float(cs_hi @ cs_hi) if has_ub else 0.0)
+            alt_sq += float(altf @ altf)
+            g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
+            rhs_leg += _xt_v(flat_idx, flat_val, lens, w0 * inv_ht * (cdf + zterm), k)
+            _gram_accum(flat_idx, flat_val, lens, w0**2 * inv_ht, k, gram)
+        yield _pack(
+            [f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct, g1, rhs_leg, gram],
+            [np.inf],
+        )
+
+    return fn
+
+
+def _estep_pass(k, lam, dlam, eta, mu_s, lb, ub, has_ub) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rstep_sq = nan_ct = 0.0
+        xt_rstep = np.zeros(k)
+        ftb_s = np.inf
+        ftb_l = np.inf
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            pieces = _pieces(
+                pdf, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
+            )
+            r_step, li_lo, li_hi, ss_lo, ss_hi = _steps_arrays(
+                pieces, flat_idx, flat_val, lens, dlam, mu_s, has_ub
+            )
+            s_lo, s_hi, lm_lo, lm_hi = pieces[2], pieces[3], pieces[4], pieces[5]
+            bad = ~np.isfinite(r_step)
+            nan_ct += float(bad.sum())
+            rsf = np.where(bad, 0.0, r_step)
+            rstep_sq += float(rsf @ rsf)
+            xt_rstep += _xt_v(flat_idx, flat_val, lens, rsf, k)
+            ftb_s = min(ftb_s, _ftb_batch(s_lo, ss_lo))
+            ftb_l = min(ftb_l, _ftb_batch(lm_lo, li_lo))
+            if has_ub:
+                ftb_s = min(ftb_s, _ftb_batch(s_hi, ss_hi))
+                ftb_l = min(ftb_l, _ftb_batch(lm_hi, li_hi))
+        yield _pack([rstep_sq, nan_ct, xt_rstep], [ftb_s, ftb_l])
+
+    return fn
+
+
+def _ecommit_pass(
+    lam, dlam, eta, mu_s, alpha_p, alpha_d, lb, ub, has_ub
+) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            pieces = _pieces(
+                pdf, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
+            )
+            r_step, li_lo, li_hi, ss_lo, ss_hi = _steps_arrays(
+                pieces, flat_idx, flat_val, lens, dlam, mu_s, has_ub
+            )
+            _, r, s_lo, s_hi, lm_lo, lm_hi = _cols(pdf)
+            out = pdf.copy()
+            out["ratio"] = r + alpha_p * r_step
+            out["s_lo"] = s_lo + alpha_p * ss_lo
+            out["lm_lo"] = lm_lo + alpha_d * li_lo
+            if has_ub:
+                out["s_hi"] = s_hi + alpha_p * ss_hi
+                out["lm_hi"] = lm_hi + alpha_d * li_hi
+            yield out
+
+    return fn
+
+
+def _ecommit_agg_pass(has_ub) -> Callable:
+    """Post-commit aggregates over the NEW state (run on the committed df)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sl_sum = 0.0
+        sl_min = np.inf
+        neg_lm_max = np.inf  # min(−λ) = −max(λ)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            _, _, s_lo, s_hi, lm_lo, lm_hi = _cols(pdf)
+            sl = s_lo * lm_lo
+            lm_mx = float(lm_lo.max()) if len(lm_lo) else -np.inf
+            if has_ub:
+                sl = np.concatenate([sl, s_hi * lm_hi])
+                lm_mx = max(lm_mx, float(lm_hi.max()))
+            sl_sum += float(np.sum(sl))
+            if len(sl):
+                sl_min = min(sl_min, float(sl.min()))
+            neg_lm_max = min(neg_lm_max, -lm_mx)
+        yield _pack([sl_sum], [sl_min, neg_lm_max])
+
+    return fn
+
+
+def _g1_pass(k) -> Callable:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g1 = np.zeros(k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat_idx, flat_val, lens = _flatten(pdf)
+            w0 = pdf["w0"].to_numpy(np.float64)
+            r = pdf["ratio"].to_numpy(np.float64)
+            g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
+        yield _pack([g1], [np.inf])
+
+    return fn
+
+
+class ElasticSparkKernel:
+    def __init__(
+        self, df: DataFrame, k: int, sum_w0: float, n: int, lb: float,
+        ub: float, has_ub: bool,
+    ) -> None:
+        self.df = df
+        self.k = k
+        self.sum_w0 = sum_w0
+        self.n = n
+        self.lb = lb
+        self.ub = ub
+        self.has_ub = has_ub
+
+    @classmethod
+    def from_problem(
+        cls,
+        x_long: DataFrame,
+        w0: DataFrame,
+        k: int,
+        *,
+        bounds: tuple[float, float | None],
+        ratio_guess: DataFrame | None = None,
+    ) -> "ElasticSparkKernel":
+        df, sum_w0, n = pack_rows(x_long, w0)
+        if ratio_guess is not None:
+            df = df.join(
+                ratio_guess.select("row_id", "ratio"), "row_id", "left"
+            ).withColumn("ratio", F.coalesce("ratio", F.lit(1.0)))
+        else:
+            df = df.withColumn("ratio", F.lit(1.0))
+        lb = max(float(bounds[0]), 0.0)
+        has_ub = bounds[1] is not None
+        ub = float(bounds[1]) if has_ub else 0.0
+        df = df.withColumn("s_lo", F.col("ratio") - F.lit(lb))
+        df = df.withColumn("lm_lo", F.lit(0.05))
+        if has_ub:
+            df = df.withColumn("s_hi", F.lit(ub) - F.col("ratio")).withColumn(
+                "lm_hi", F.lit(0.05)
+            )
+        else:
+            df = df.withColumn("s_hi", F.lit(1.0)).withColumn("lm_hi", F.lit(0.0))
+        bad = df.filter(
+            (F.col("s_lo") <= 0) | (F.lit(has_ub) & (F.col("s_hi") <= 0))
+        ).count()
+        if bad:
+            raise ValueError("bounds must strictly contain the initial ratio guess")
+        df = df.localCheckpoint(eager=True)
+        return cls(df, k, sum_w0, n, lb, ub, has_ub)
+
+    def _reduce(self, fn):
+        rows = self.df.mapInPandas(fn, _PAYLOAD_SCHEMA).collect()
+        sums = np.sum([np.frombuffer(r.sums, dtype=np.float64) for r in rows], axis=0)
+        mins = np.min([np.frombuffer(r.mins, dtype=np.float64) for r in rows], axis=0)
+        return sums, mins
+
+    def elastic_g1(self) -> np.ndarray:
+        sums, _ = self._reduce(_g1_pass(self.k))
+        return sums
+
+    def elastic_stats(self, lam, eta, mu_s) -> EStats:
+        k = self.k
+        sums, _ = self._reduce(
+            _estats_pass(k, lam, eta, mu_s, self.lb, self.ub, self.has_ub)
+        )
+        f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct = sums[:6]
+        g1 = sums[6 : 6 + k]
+        rhs_leg = sums[6 + k : 6 + 2 * k]
+        gram = sums[6 + 2 * k :].reshape(k, k)
+        return EStats(
+            f_val=float(f_val),
+            cd_sq=float(cd_sq),
+            ci_sq=float(ci_sq),
+            cs_sq=float(cs_sq),
+            alt_sq=float(alt_sq),
+            g1=g1,
+            rhs_leg=rhs_leg,
+            gram=gram,
+            has_nan=nan_ct > 0,
+        )
+
+    def elastic_step(self, lam, dlam, eta, mu_s) -> EStepStats:
+        sums, mins = self._reduce(
+            _estep_pass(
+                self.k, lam, dlam, eta, mu_s, self.lb, self.ub, self.has_ub
+            )
+        )
+        return EStepStats(
+            rstep_sq=float(sums[0]),
+            xt_rstep=sums[2 : 2 + self.k],
+            ftb_slack=float(mins[0]),
+            ftb_dual=float(mins[1]),
+            has_nan=sums[1] > 0,
+        )
+
+    def elastic_commit(
+        self, lam, dlam, eta, mu_s, alpha_p, alpha_d
+    ) -> ECommitStats:
+        new_df = self.df.mapInPandas(
+            _ecommit_pass(
+                lam, dlam, eta, mu_s, alpha_p, alpha_d, self.lb, self.ub,
+                self.has_ub,
+            ),
+            BOUNDED_SCHEMA,
+        ).localCheckpoint(eager=True)
+        old = self.df
+        self.df = new_df
+        old.unpersist()
+        sums, mins = self._reduce(_ecommit_agg_pass(self.has_ub))
+        return ECommitStats(
+            sl_sum=float(sums[0]),
+            sl_min=float(mins[0]),
+            sl_cnt=float(self.n * (2 if self.has_ub else 1)),
+            lm_max=float(-mins[1]),
+        )
+
+    def new_weights(self) -> DataFrame:
+        return self.df.select(
+            "row_id", (F.col("ratio") * F.col("w0")).alias("new_weight")
+        )
+
+    def cleanup(self) -> None:
+        self.df.unpersist()

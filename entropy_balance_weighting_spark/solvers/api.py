@@ -264,6 +264,37 @@ def _build_penalty_kernel(x_sample, weights0, mean_population_moments, opts, bou
     return kernel, m, original
 
 
+def _build_elastic_kernel(x_sample, weights0, mean_population_moments, opts, bounds):
+    """Elastic kernel factory → (kernel, m-vector, original)."""
+    mode, payload = _resolve_problem(
+        x_sample, weights0, mean_population_moments, opts
+    )
+    guess = opts.get("initial_ratio_guess")
+    if mode == "local":
+        x, w0, m, original, wrap = payload
+        from entropy_balance_weighting_spark.kernels.elastic_local import (
+            ElasticLocalKernel,
+        )
+
+        kernel = ElasticLocalKernel(
+            x,
+            w0,
+            bounds=bounds,
+            ratio_guess=None if guess is None else np.asarray(guess, float),
+        )
+        return wrap(kernel), m, original
+
+    pt, m, original = payload
+    from entropy_balance_weighting_spark.kernels.elastic_spark import (
+        ElasticSparkKernel,
+    )
+
+    kernel = ElasticSparkKernel.from_problem(
+        pt.x_long, pt.w0, pt.k, bounds=bounds, ratio_guess=guess
+    )
+    return kernel, m, original
+
+
 class _LocalKernelAsDataFrame:
     """LocalKernel wrapper that reports weights as a (row_id, new_weight)
     DataFrame, so ProblemTables input yields a DataFrame result regardless of

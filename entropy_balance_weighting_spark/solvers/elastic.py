@@ -1,7 +1,246 @@
-"""Elastic/bounded interior-point solver (SURVEY §3.2) — lands in M4."""
+"""Elastic-mode bounded entropy-balance solver (M4; SURVEY §3.2, ref C4).
+
+Problem (public formulation, ref README.md:92-99): bound-constrained EBW
+where the equality constraints are RELAXED with nonnegative elastic slacks
+u, v priced at η per unit of L¹ violation:
+
+    min  (1/η)·Σ w0(r log r − r + 1) + 1^T(u+v)
+    s.t. A^T r − b + u − v = 0,   A_ineq^T r ≥ bounds,   u, v ≥ 0
+
+so an infeasible problem still "converges", returning the violations as an
+infeasibility certificate (ref: README.md:97-99).  A = Diag(w0)X, b = m·Σw0.
+
+Primal-dual interior point with 9 state blocks.  The KKT Newton system —
+dimension (n + 5K + up-to-4n) — is condensed analytically to ONE K×K Schur
+system (L5, ref: ebw_routines.py:457-506) whose assembly needs exactly
+three N-dimensional reductions per iteration (one fused kernel stats pass);
+all other step blocks recover in closed form (ref: 507-535).  N-dim state
+lives in the kernel; K-dim blocks (λ_eq, u, v, λ_u, λ_v) and scalars
+(μ_s, μ_u, μ_v, η) live here.
+
+Per iteration: 1 stats pass → driver K×K solve → 1 step pass → driver
+fraction-to-boundary + K-block steps → 1 commit pass.  Only K/K²-sized
+partials ever cross the driver boundary (SURVEY §1.4, §3.4).
+
+Documented deviations from the reference (both conservative):
+- the alternate-optimality residual is evaluated against one consistent
+  state (the reference mixes pre-update residuals with the post-update
+  exponential term, ebw_routines.py:586-600);
+- convergence breaks at the measured state instead of taking one extra
+  committed step past it (ebw_routines.py:602-616).
+"""
 
 from __future__ import annotations
 
+import logging
+import math
+from typing import Any
 
-def entropy_balance_elastic(**kwargs):
-    raise NotImplementedError("bounded/elastic mode lands in M4")
+import numpy as np
+
+from entropy_balance_weighting_spark.results import EntropyBalanceResults
+
+logger = logging.getLogger("entropy_balance_weighting_spark")
+
+TAU = 0.995
+
+
+def _ftb_k(point: np.ndarray, step: np.ndarray) -> float:
+    """Fraction-to-boundary for a driver-side K block (ref: shared.py:76-91)."""
+    blocked = step < 0
+    if not blocked.any():
+        return 1.0
+    return min(1.0, float(np.min(-TAU * point[blocked] / step[blocked])))
+
+
+def _mu_update(products: np.ndarray) -> float:
+    """Mehrotra-flavored ζ/σ barrier rule (ref: ebw_routines.py:560-574)."""
+    mean = float(np.mean(products))
+    zeta = float(np.min(products)) / mean
+    sigma = 0.1 * min(0.05 * (1.0 - zeta) / zeta, 2.0) ** 3
+    return sigma * mean
+
+
+def entropy_balance_elastic(
+    *,
+    mean_population_moments: Any,
+    x_sample: Any,
+    weights0: Any = None,
+    options: dict | None = None,
+) -> EntropyBalanceResults:
+    """Public elastic entry point (ref: ebw_routines.py:334-340)."""
+    from entropy_balance_weighting_spark.solvers.api import (
+        _build_elastic_kernel,
+        _validate_options,
+    )
+
+    opts = _validate_options(options)
+    bounds = opts.get("bounds") or (0.0, None)
+    kernel, m, original = _build_elastic_kernel(
+        x_sample, weights0, mean_population_moments, opts, bounds
+    )
+    return solve_elastic(kernel, m, opts, original_weights=original)
+
+
+def solve_elastic(
+    kernel,
+    m: np.ndarray,
+    options: dict | None,
+    *,
+    original_weights,
+) -> EntropyBalanceResults:
+    opts = options or {}
+    max_steps = int(opts.get("max_steps", 100))
+    opt_tol = float(opts.get("optimality_violation", 1e-5))
+    step_tol = float(opts.get("step_tol", 1e-8))
+
+    k = kernel.k
+    sum_w0 = kernel.sum_w0
+    b = m * sum_w0
+
+    # K-dim init (ref: ebw_routines.py:372-395): elastic slacks absorb the
+    # initial constraint gap so the IP starts strictly interior.
+    cv = kernel.elastic_g1() - b
+    u = np.where(cv < 0, -cv + 0.01, 0.01)
+    v = np.where(cv > 0, cv + 0.01, 0.01)
+    mu_s = mu_u = mu_v = 0.05
+    lu = mu_u / u
+    lv = mu_u / v  # ref uses mu_u for both inits (ebw_routines.py:389)
+    lam = np.zeros(k)
+    eta = float(opts.get("eta", 1.5 * max(float(lu.max()), float(lv.max()))))
+
+    n_steps = 0
+    converged = False
+    error_message = ""
+    prev_step: tuple[float, float] | None = None
+    commit_agg = None
+
+    while True:
+        if commit_agg is not None:
+            # Barrier + η updates read the post-commit state, which the
+            # commit pass aggregated for free (no extra job).
+            mean_sl = commit_agg.sl_sum / commit_agg.sl_cnt
+            zeta = commit_agg.sl_min / mean_sl
+            sigma = 0.1 * min(0.05 * (1.0 - zeta) / zeta, 2.0) ** 3
+            mu_s = sigma * mean_sl
+            mu_u = _mu_update(u * lu)
+            mu_v = _mu_update(v * lv)
+            max_lm = max(
+                float(np.abs(lam).max()),
+                commit_agg.lm_max,
+                float(lu.max()),
+                float(lv.max()),
+            )
+            if eta < max_lm:
+                eta = 2.0 * max_lm  # grow the L¹ price (ref: 576-584)
+
+        st = kernel.elastic_stats(lam, eta, mu_s)
+        ce = st.g1 - b + u - v
+        cu = 1.0 - lam - lu
+        cvv = 1.0 + lam - lv
+        clu = u * lu - mu_u
+        clv = v * lv - mu_v
+        k_sq = (
+            float(ce @ ce)
+            + float(cu @ cu)
+            + float(cvv @ cvv)
+            + float(clu @ clu)
+            + float(clv @ clv)
+        )
+        opt_viol = math.sqrt(st.cd_sq + st.ci_sq + st.cs_sq + k_sq)
+        alt_viol = math.sqrt(st.alt_sq + st.ci_sq + st.cs_sq + k_sq)
+        logger.info(
+            "elastic iter=%d f=%.6e |Ce|=%.3e viol=%.3e alt=%.3e eta=%.3e",
+            n_steps,
+            st.f_val,
+            float(np.linalg.norm(ce)),
+            opt_viol,
+            alt_viol,
+            eta,
+        )
+        if st.has_nan or not math.isfinite(opt_viol):
+            error_message = "NaN in elastic optimality conditions"
+            break
+        if min(opt_viol, alt_viol) < opt_tol:
+            converged = True
+            break
+        if (
+            prev_step is not None
+            and prev_step[0] < step_tol
+            and prev_step[1] < step_tol
+        ):
+            converged = True
+            logger.info("step sizes converged")
+            break
+        if n_steps >= max_steps:
+            error_message = f"Max steps {max_steps} exceeded"
+            break
+
+        # Condensed K×K Schur system (L5) with adaptive Tikhonov (L3) and
+        # ×10 escalation on failure (L2; ref: 448-455,497-506)
+        delta = max(1e-8, 1e-5 * opt_viol**0.55)
+        lhs = st.gram + np.diag(u / lu + v / lv)
+        rhs = (
+            ce
+            + (v / lv) * (cvv + clv / v)
+            - (u / lu) * (cu + clu / u)
+            - st.rhs_leg
+        )
+        eye = np.eye(k)
+        while True:
+            try:
+                dlam = -np.linalg.solve(lhs + delta * eye, rhs)
+                break
+            except np.linalg.LinAlgError:
+                delta *= 10.0
+                if delta > 1e12:
+                    dlam = None
+                    break
+        if dlam is None:
+            error_message = "Singular Schur system"
+            break
+
+        sp = kernel.elastic_step(lam, dlam, eta, mu_s)
+        if sp.has_nan:
+            error_message = "NaN in elastic step"
+            break
+
+        # Closed-form K-dim step blocks (ref: 522-535)
+        u_step = (u / lu) * (dlam - (cu + clu / u))
+        v_step = (v / lv) * (-dlam - (cvv + clv / v))
+        lu_step = (1.0 / u) * (-clu - lu * u_step)
+        lv_step = (1.0 / v) * (-clv - lv * v_step)
+
+        alpha_p = min(
+            min(1.0, sp.ftb_slack), _ftb_k(u, u_step), _ftb_k(v, v_step)
+        )
+        alpha_d = min(
+            min(1.0, sp.ftb_dual), _ftb_k(lu, lu_step), _ftb_k(lv, lv_step)
+        )
+
+        commit_agg = kernel.elastic_commit(lam, dlam, eta, mu_s, alpha_p, alpha_d)
+        lam = lam + alpha_d * dlam
+        u = u + alpha_p * u_step
+        v = v + alpha_p * v_step
+        lu = lu + alpha_d * lu_step
+        lv = lv + alpha_d * lv_step
+        n_steps += 1
+        prev_step = (
+            alpha_p * math.sqrt(sp.rstep_sq),
+            float(np.linalg.norm(sum_w0 * alpha_p * sp.xt_rstep)),
+        )
+
+    final_cv = kernel.elastic_g1() - b
+    attempt = kernel.new_weights()
+    return EntropyBalanceResults(
+        new_weights=attempt if converged else original_weights,
+        converged=converged,
+        n_iterations=n_steps,
+        constraint_violations=final_cv,
+        failure_weights=attempt,
+        equality_multipliers_estimate=lam,
+        moment_slack_multipliers_estimate=np.concatenate([lu, lv]),
+        eta=eta,
+        error_message=error_message,
+        diagnostics={"optimality_violation": float(np.linalg.norm(final_cv))},
+    )

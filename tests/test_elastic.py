@@ -1,0 +1,207 @@
+"""Elastic/bounded solver tests (SURVEY §5 layers 5, 10; ref:
+test_inequality.py:60-214 full-KKT oracle, test_elastic.py:35-83
+infeasibility semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from entropy_balance_weighting_spark import entropy_balance
+
+
+def _problem(n=400, k=3, seed=7, perturb=1.03):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(size=(n, k))
+    w0 = rng.uniform(0.5, 2.0, size=n)
+    m = x.T @ w0 / w0.sum() * perturb
+    return x, w0, m
+
+
+def test_condensed_step_satisfies_full_kkt_newton_system():
+    """The Schur-condensed step + closed-form recoveries must satisfy every
+    block of the full linearized KKT system (the reference proves the same
+    equivalence against a brute-force factorization,
+    ref: test_inequality.py:60-214)."""
+    n, k = 40, 3
+    x, w0, m = _problem(n=n, k=k, seed=3)
+    from entropy_balance_weighting_spark.kernels.elastic_local import (
+        ElasticLocalKernel,
+    )
+
+    kern = ElasticLocalKernel(x, w0, bounds=(0.3, 2.0))
+    a = x * w0[:, None]
+    b = m * w0.sum()
+
+    # driver init (mirrors solvers.elastic)
+    cv = kern.elastic_g1() - b
+    u = np.where(cv < 0, -cv + 0.01, 0.01)
+    v = np.where(cv > 0, cv + 0.01, 0.01)
+    mu_s = mu_u = mu_v = 0.05
+    lu = mu_u / u
+    lv = mu_u / v
+    lam = np.zeros(k)
+    eta = 1.5 * max(lu.max(), lv.max())
+
+    st = kern.elastic_stats(lam, eta, mu_s)
+    ce = st.g1 - b + u - v
+    cu = 1.0 - lam - lu
+    cvv = 1.0 + lam - lv
+    clu = u * lu - mu_u
+    clv = v * lv - mu_v
+    lhs = st.gram + np.diag(u / lu + v / lv)
+    rhs = ce + (v / lv) * (cvv + clv / v) - (u / lu) * (cu + clu / u) - st.rhs_leg
+    dlam = -np.linalg.solve(lhs, rhs)  # δ=0: test the exact condensation
+
+    r_step, li_lo, li_hi, ss_lo, ss_hi = kern._steps(lam, dlam, eta, mu_s)
+    u_step = (u / lu) * (dlam - (cu + clu / u))
+    v_step = (v / lv) * (-dlam - (cvv + clv / v))
+    lu_step = (1.0 / u) * (-clu - lu * u_step)
+    lv_step = (1.0 / v) * (-clv - lv * v_step)
+
+    r = kern.ratio
+    cd = (1.0 / eta) * w0 * np.log(r) - a @ lam - (kern.lm_lo - kern.lm_hi)
+    ci_lo = r - kern.s_lo - kern.lb
+    ci_hi = -r - kern.s_hi + kern.ub
+    cs_lo = kern.s_lo * kern.lm_lo - mu_s
+    cs_hi = kern.s_hi * kern.lm_hi - mu_s
+
+    atol = 1e-9
+    # 1: dual feasibility row
+    np.testing.assert_allclose(
+        (1.0 / eta) * (w0 / r) * r_step - a @ dlam - (li_lo - li_hi),
+        -cd,
+        atol=atol,
+    )
+    # 2: elastic equality row
+    np.testing.assert_allclose(a.T @ r_step + u_step - v_step, -ce, atol=atol)
+    # 3: inequality rows (both bound sides)
+    np.testing.assert_allclose(r_step - ss_lo, -ci_lo, atol=atol)
+    np.testing.assert_allclose(-r_step - ss_hi, -ci_hi, atol=atol)
+    # 4/5: elastic multiplier rows
+    np.testing.assert_allclose(-dlam - lu_step, -cu, atol=atol)
+    np.testing.assert_allclose(dlam - lv_step, -cvv, atol=atol)
+    # 6/7: elastic complementarity rows
+    np.testing.assert_allclose(lu * u_step + u * lu_step, -clu, atol=atol)
+    np.testing.assert_allclose(lv * v_step + v * lv_step, -clv, atol=atol)
+    # 8: slack complementarity rows
+    np.testing.assert_allclose(
+        kern.lm_lo * ss_lo + kern.s_lo * li_lo, -cs_lo, atol=atol
+    )
+    np.testing.assert_allclose(
+        kern.lm_hi * ss_hi + kern.s_hi * li_hi, -cs_hi, atol=atol
+    )
+
+
+def test_elastic_feasible_matches_targets():
+    """Wide bounds + feasible targets: elastic converges and the weighted
+    moments reproduce the targets (violations are interior-point-small)."""
+    x, w0, m = _problem(seed=11)
+    res = entropy_balance(
+        mean_population_moments=m,
+        x_sample=x,
+        weights0=w0,
+        options={"bounds": (0.0, None)},
+    )
+    assert res.converged
+    achieved = x.T @ res.new_weights / w0.sum()
+    np.testing.assert_allclose(achieved, m, rtol=1e-5)
+    assert res.new_weights.min() > 0
+
+
+def test_elastic_bounds_respected():
+    x, w0, m = _problem(seed=19, perturb=1.10)
+    res = entropy_balance(
+        mean_population_moments=m,
+        x_sample=x,
+        weights0=w0,
+        options={"bounds": (0.8, 1.25)},
+    )
+    assert res.converged
+    ratio = res.new_weights / w0
+    assert ratio.min() >= 0.8 - 1e-6
+    assert ratio.max() <= 1.25 + 1e-6
+
+
+def test_elastic_infeasible_converges_with_certificate():
+    """Impossible targets (share > 1 per indicator-free scaling): elastic
+    still converges; constraint_violations carry the infeasibility
+    (ref: README.md:97-99, test_elastic.py:35-83)."""
+    x, w0, m = _problem(seed=23)
+    m_bad = m * 5.0  # unreachable under ratio ≤ 1.05
+    res = entropy_balance(
+        mean_population_moments=m_bad,
+        x_sample=x,
+        weights0=w0,
+        options={"bounds": (0.95, 1.05)},
+    )
+    assert res.converged
+    viol = np.abs(res.constraint_violations) / w0.sum()
+    assert viol.max() > 0.1  # certifiably infeasible, not silently "solved"
+
+
+def test_elastic_violation_decreases_with_eta():
+    """Higher η (L¹ price) ⇒ weakly smaller violation on an infeasible
+    problem (ref: test_elastic.py eta monotonicity)."""
+    x, w0, m = _problem(seed=29)
+    m_bad = m * 1.5
+    viols = []
+    for eta in (10.0, 1000.0):
+        res = entropy_balance(
+            mean_population_moments=m_bad,
+            x_sample=x,
+            weights0=w0,
+            options={"bounds": (0.5, 1.6), "eta": eta},
+        )
+        assert res.converged
+        viols.append(float(np.sum(np.abs(res.constraint_violations))))
+    assert viols[1] <= viols[0] * 1.01
+
+
+def test_elastic_results_fields():
+    x, w0, m = _problem(seed=31)
+    res = entropy_balance(
+        mean_population_moments=m,
+        x_sample=x,
+        weights0=w0,
+        options={"bounds": (0.0, None)},
+    )
+    assert res.equality_multipliers_estimate.shape == (3,)
+    assert res.moment_slack_multipliers_estimate.shape == (6,)
+    assert res.eta is not None and res.eta > 0
+
+
+def test_elastic_distributed_matches_local(spark):
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.plans import (
+        MomentSpec,
+        build_problem_tables,
+    )
+
+    x, w0, m = _problem(n=250, seed=37)
+    pdf = pd.DataFrame(
+        {"rid": np.arange(250), "w": w0, "x0": x[:, 0], "x1": x[:, 1], "x2": x[:, 2]}
+    )
+    df = spark.createDataFrame(pdf)
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1", "x2"), row_key=("rid",))
+    pt = build_problem_tables(df, spec)
+    opts = {"bounds": (0.5, 1.8)}
+    res_local = entropy_balance(
+        mean_population_moments=m, x_sample=x, weights0=w0, options=opts
+    )
+    res_dist = entropy_balance(
+        mean_population_moments=m,
+        x_sample=pt,
+        options={**opts, "force_distributed": True},
+    )
+    assert res_local.converged and res_dist.converged
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(pdf[["rid"]]).select(
+        "rid", F.xxhash64("rid").alias("row_id")
+    ).collect()
+    by_rid = {r["rid"]: r["row_id"] for r in rows}
+    got = {r["row_id"]: r["new_weight"] for r in res_dist.new_weights.collect()}
+    w_dist = np.array([got[by_rid[rid]] for rid in pdf["rid"]])
+    np.testing.assert_allclose(w_dist, res_local.new_weights, rtol=1e-5)
