@@ -1,0 +1,18 @@
+"""Large-scale training-data-pipeline operators (extension layer, SURVEY
+§7.5 — NOT reference parity; these are the operations a 100 TB LLM-data
+pipeline needs, built Spark-first as first-class engine components):
+
+- :mod:`functions.text` — tokenization, shingling, engine-portable hashing,
+  quality scoring, language-ID heuristics, fingerprinting.
+- :mod:`functions.dedup` — exact dedup, MinHash+LSH banded near-dup
+  detection (never all-pairs), SimHash clustering, n-gram Jaccard verify.
+- :mod:`functions.similarity` — brute-force cosine top-k baseline and the
+  LSH-bucketed approximate variant (the scale path).
+- :mod:`functions.events` — event-time tumbling windows, gap-based
+  sessionization, JSON property extraction.
+- :mod:`functions.multimodal` — opaque-binary column plumbing (schema,
+  batching, Arrow UDF signatures) with the actual decoders stubbed.
+
+Everything is DataFrame/Column-expression first; Python reaches the hot
+path only through Arrow-batched ``mapInPandas`` where semantics require it.
+"""

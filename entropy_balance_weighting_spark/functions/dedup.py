@@ -1,0 +1,188 @@
+"""Deduplication operators: exact, MinHash+LSH near-dup, SimHash.
+
+Scale design (the 100 TB lens):
+
+- **Exact** dedup is a hash-groupBy on the normalized text — one shuffle,
+  map-side partial aggregation, no row ever compared to another row
+  directly.
+- **MinHash+LSH** never goes all-pairs: signatures are banded, docs
+  bucket-join on (band, band-signature), and only same-bucket pairs are
+  candidates (expected candidate count scales with the true duplicate
+  count, not N²).  The Jaccard verify step runs only on candidates.
+- **SimHash** clusters by exact 16-bit signature equality — a groupBy.
+
+All hashing uses the engine-portable md5-prefix primitive
+(:func:`functions.text.portable_hash32`) so every stage is DuckDB-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from entropy_balance_weighting_spark.functions.text import (
+    portable_hash32,
+    tokens,
+    word_shingles,
+)
+
+# MinHash parameters — fixed, deterministic, engine-portable (mirrored
+# literally in the DuckDB oracles).
+MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+N_HASHES = 8
+BAND_ROWS = 2  # 4 bands of 2 rows
+
+
+def _minhash_params() -> list[tuple[int, int]]:
+    return [
+        (
+            (123456789 * i + 987654321) % MINHASH_P,
+            (362436069 * i + 521288629) % MINHASH_P,
+        )
+        for i in range(1, N_HASHES + 1)
+    ]
+
+
+def exact_dup_stats(df: DataFrame, text_col: str, by: str) -> DataFrame:
+    """Exact-duplicate statistics per ``by`` group: rows, distinct
+    normalized texts, and rows that are duplicates of an earlier row."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    return (
+        df.withColumn("__norm", norm)
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("__norm").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct("__norm")).alias("n_dup_rows"),
+        )
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — exploded distinct word n-grams."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(id, mh_1..mh_H) from a shingle table — ONE groupBy computing all H
+    min-hashes as parallel aggregates (no per-hash shuffle)."""
+    h = portable_hash32(F.col("sh")) % MINHASH_P
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_minhash_params(), start=1)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs sharing ≥1 LSH band bucket.
+
+    Bands of BAND_ROWS signature rows; the join key is (band, signature
+    string) so only same-bucket docs ever meet — the banded bucket-join
+    that replaces the N² comparison.
+    """
+    n_bands = N_HASHES // BAND_ROWS
+    bands = []
+    for bidx in range(n_bands):
+        cols = [f"mh_{bidx * BAND_ROWS + j + 1}" for j in range(BAND_ROWS)]
+        bands.append(
+            sig.select(
+                "id",
+                F.lit(bidx).alias("band"),
+                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias(
+                    "bsig"
+                ),
+            )
+        )
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verified_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash → LSH buckets → exact
+    n-gram Jaccard on candidates only → pairs with jaccard ≥ threshold.
+
+    Returns ``(id_a, id_b, jaccard)``.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # |A ∩ B| per candidate pair: equi-join the two shingle sets on (id, sh)
+    inter = (
+        pairs.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document from token-frequency-weighted bit votes.
+
+    Bit b of the signature is 1 iff Σ_tokens cnt·(±1 by bit b of the token
+    hash) > 0.  Near-identical documents collide exactly; clusters are a
+    groupBy on the signature.  Returns ``(id, simhash)``.
+    """
+    th = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", portable_hash32(F.col("tok")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+    votes = (
+        th.select("id", "h", "cnt", bit)
+        .withColumn(
+            "vote",
+            F.when(
+                F.expr("shiftright(h, bit) & 1") == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt")),
+        )
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

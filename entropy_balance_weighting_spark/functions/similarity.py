@@ -1,0 +1,178 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths:
+
+- :func:`cosine_topk` — exact brute force: probes are broadcast, the
+  corpus is scanned once, per-row cosine is a JVM-side ``zip_with`` +
+  ``aggregate`` fold (no Python, no shuffle until the tiny top-k).  The
+  correctness baseline; O(P·N) dot products.
+- :func:`cosine_topk_lsh` — random-hyperplane LSH: each vector gets a
+  B-bit sign signature from deterministic pseudo-hyperplanes; candidates
+  share a signature band; only candidates are re-ranked exactly.  The 100 TB
+  path: the corpus scan emits (band, sig) keys, the join fans in, and the
+  exact re-rank touches a small candidate set per probe.
+
+Hyperplanes are derived from the engine-portable hash (plane, dim) → a
+value in [−0.5, 0.5), so signatures are reproducible across runs and
+engines with no stored model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe id.
+
+    Returns ``(probe_id, neighbor_id, cos)``, k rows per probe, ordered by
+    (probe_id, cos desc, neighbor_id).
+    """
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    probes = base.filter(F.col("neighbor_id").isin(probe_ids)).select(
+        F.col("neighbor_id").alias("probe_id"), F.col("v").alias("p")
+    )
+    joined = base.crossJoin(F.broadcast(probes)).filter(
+        F.col("neighbor_id") != F.col("probe_id")
+    )
+    scored = joined.select(
+        "probe_id",
+        "neighbor_id",
+        (_dot(F.col("p"), F.col("v")) / (_norm(F.col("p")) * _norm(F.col("v")))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "cos")
+    )
+
+
+def _plane_coeff(plane: int, dim_idx):
+    """Deterministic pseudo-hyperplane coefficient in [−0.5, 0.5)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(plane).cast("string"), dim_idx.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(4294967296.0) - F.lit(0.5)
+
+
+def signature_bits(vec, n_planes: int = 16) -> "F.Column":
+    """B-bit sign signature: bit p = 1 iff ⟨vec, plane_p⟩ > 0."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(dims, lambda i: _plane_coeff(p, i)),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signatures, banded buckets,
+    exact re-rank of candidates only.  Same output schema as
+    :func:`cosine_topk`; recall < 1 by design (measured in tests)."""
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("sig", signature_bits(F.col("v"), n_planes))
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    bands = []
+    for b in range(n_bands):
+        bands.append(
+            base.select(
+                "neighbor_id",
+                "v",
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * band_bits)
+                .bitwiseAND(mask)
+                .alias("bsig"),
+            )
+        )
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    probes = banded.filter(F.col("neighbor_id").isin(probe_ids)).select(
+        F.col("neighbor_id").alias("probe_id"),
+        F.col("v").alias("p"),
+        "band",
+        "bsig",
+    )
+    cands = (
+        banded.join(F.broadcast(probes), ["band", "bsig"])
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "p", "neighbor_id", "v")
+        .distinct()
+    )
+    scored = cands.select(
+        "probe_id",
+        "neighbor_id",
+        (_dot(F.col("p"), F.col("v")) / (_norm(F.col("p")) * _norm(F.col("v")))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "cos")
+    )

@@ -1,0 +1,88 @@
+"""Text-analysis building blocks as pure Column expressions (JVM-side,
+whole-stage-codegen'd; zero Python on the hot path).
+
+The hash primitive is deliberately **engine-portable**: the first 8 hex
+chars of md5, read as a big-endian integer.  Both Spark
+(``conv(substr(md5(s),1,8),16,10)``) and DuckDB
+(``('0x'||substr(md5(s),1,8))::BIGINT``) compute the identical value, so
+every downstream fingerprint (MinHash, SimHash) is oracle-checkable
+bit-for-bit.  ``xxhash64`` would be faster but is not portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny english function-word list for the language-ID heuristic and
+# stopword-ratio quality signal.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus convention)."""
+    return F.split(text, " ")
+
+
+def portable_hash32(s: Column | str) -> Column:
+    """md5-prefix hash → BIGINT in [0, 2^32) — identical in Spark & DuckDB."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of distinct word n-gram shingles (the MinHash input units)."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are english function words — a classic
+    fast quality / language signal."""
+    t = tokens(text)
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return hits / F.size(t)
+
+
+def mean_token_length(text: Column | str) -> Column:
+    t = tokens(text)
+    return F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.size(t)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite heuristic quality score in [0, 1]:
+    0.4·clip(tokens/100) + 0.3·clip(stopword_ratio/0.3) +
+    0.3·clip(mean_token_len/8).  Deterministic arithmetic — SQL-portable."""
+    nt = token_count(text).cast("double")
+    s1 = F.least(nt / F.lit(100.0), F.lit(1.0))
+    s2 = F.least(stopword_ratio(text) / F.lit(0.3), F.lit(1.0))
+    s3 = F.least(mean_token_length(text) / F.lit(8.0), F.lit(1.0))
+    return 0.4 * s1 + 0.3 * s2 + 0.3 * s3
+
+
+def langid_en_score(text: Column | str) -> Column:
+    """Language-ID heuristic: stopword hit-rate thresholded at 2%.
+    (The synthetic corpus is english; real corpora would use per-language
+    stopword tables — same plan shape, one array per language.)"""
+    return (stopword_ratio(text) > 0.02).cast("int")
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive 32-bit document fingerprint: hash of the first 64
+    tokens re-joined — a cheap rolling-hash-style content id."""
+    return portable_hash32(F.concat_ws(" ", F.slice(tokens(text), 1, 64)))

@@ -1,0 +1,341 @@
+"""LLM-data-pipeline queries (extension surface): dedup, similarity,
+text analysis, event windows, multimodal plumbing — each the SQL-checkable
+rendering of a :mod:`functions` operator over the driver's testdata.
+
+Hash-sensitive stages (MinHash, SimHash) use the engine-portable
+md5-prefix hash so the DuckDB oracles replicate them bit-for-bit; float
+aggregates are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.functions import dedup, events, similarity
+from entropy_balance_weighting_spark.functions import multimodal, text
+from entropy_balance_weighting_spark.queries.registry import register
+from entropy_balance_weighting_spark.session import load_table
+
+
+@register(
+    "dd_exact_dedup",
+    survey="ext:dedup-exact",
+    bench=True,
+    oracle="""
+SELECT source,
+       count(*) AS n_rows,
+       count(DISTINCT lower(trim(text))) AS n_distinct,
+       count(*) - count(DISTINCT lower(trim(text))) AS n_dup_rows
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text — one shuffle with
+    map-side partial aggregation, never row-vs-row comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dup_stats(docs, "text", "source").orderBy("source")
+
+
+_MINHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(sh),1,8))::BIGINT % 2147483647 AS h
+  FROM shingles
+), params AS (
+  SELECT i, (123456789 * i + 987654321) % 2147483647 AS a,
+         (362436069 * i + 521288629) % 2147483647 AS b
+  FROM unnest(range(1, 9)) AS r(i)
+), mh AS (
+  SELECT doc_id, p.i, min((p.a * h + p.b) % 2147483647) AS mh
+  FROM hashed, params p GROUP BY doc_id, p.i
+), bands AS (
+  SELECT doc_id, (i-1)//2 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+  FROM mh GROUP BY doc_id, (i-1)//2
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.id_a
+  JOIN shingles sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+  GROUP BY p.id_a, p.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.id_a
+JOIN counts cb ON cb.doc_id = i.id_b
+WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dd_minhash_near_dups",
+    survey="ext:dedup-minhash-lsh",
+    bench=True,
+    oracle=_MINHASH_ORACLE,
+)
+def dd_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, Jaccard-verified.
+
+    Banded signatures → (band, sig) bucket-join → candidates only → exact
+    3-gram Jaccard ≥ 0.8.  Never all-pairs: candidate volume scales with
+    true duplicate volume, not N².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.verified_near_dups(docs, "doc_id", "text", threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dd_simhash_clusters",
+    survey="ext:dedup-simhash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, tok, ('0x'||substr(md5(tok),1,8))::BIGINT AS h,
+         count(*) AS cnt
+  FROM toks GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (h >> b.i::INT) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM th, unnest(range(0,16)) AS b(i) GROUP BY doc_id, b.i
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT simhash, count(*) AS n_docs FROM sh
+GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash
+""",
+)
+def dd_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clusters: 16-bit token-vote signatures; documents
+    sharing a signature are cluster candidates (groupBy, no pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.simhash16(docs, "doc_id", "text")
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("simhash")
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    survey="ext:similarity-topk",
+    bench=True,
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 5
+), scored AS (
+  SELECT probe_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(p, v) /
+               (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v))),
+               5) AS cos
+  FROM probes, e WHERE e.vec_id != probe_id
+), ranked AS (
+  SELECT *, row_number() OVER
+      (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos FROM ranked WHERE rk <= 3
+ORDER BY probe_id, cos DESC, neighbor_id
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for probe ids 0–4: probes broadcast, one
+    corpus scan, JVM-side fold for the dot product.  (The LSH-bucketed
+    variant is :func:`functions.similarity.cosine_topk_lsh` — same output
+    contract, measured recall in tests.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=3)
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cos", 5).alias("cos")
+    ).orderBy("probe_id", F.col("cos").desc(), "neighbor_id")
+
+
+@register(
+    "txt_quality_stats",
+    survey="ext:text-analysis",
+    bench=True,
+    oracle="""
+WITH t AS (
+  SELECT source, lang, string_split(text, ' ') AS toks, text FROM documents
+), per_doc AS (
+  SELECT source, lang,
+    len(toks) AS n_tok,
+    len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_retok,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
+        * 1.0 / len(toks) AS swr,
+    list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) AS mtl
+  FROM t
+), scored AS (
+  SELECT source, lang, n_tok, n_retok, swr,
+    0.4 * least(n_tok / 100.0, 1.0) + 0.3 * least(swr / 0.3, 1.0)
+      + 0.3 * least(mtl / 8.0, 1.0) AS q,
+    CASE WHEN swr > 0.02 THEN 1 ELSE 0 END AS is_en
+  FROM per_doc
+)
+SELECT source, lang, count(*) AS n_docs,
+       round(avg(n_tok), 4) AS avg_tokens,
+       round(avg(n_retok), 4) AS avg_regex_tokens,
+       round(avg(q), 4) AS avg_quality,
+       sum(is_en) AS n_pred_en
+FROM scored GROUP BY source, lang ORDER BY source, lang
+""",
+)
+def txt_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis per (source, lang): token counts (whitespace + a
+    BPE-ish regex), composite quality score, language-ID heuristic — all
+    pure Column expressions inside one codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        text.token_count("text").alias("n_tok"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")).alias(
+            "n_retok"
+        ),
+        text.quality_score(F.col("text")).alias("q"),
+        text.langid_en_score(F.col("text")).alias("is_en"),
+    )
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_retok"), 4).alias("avg_regex_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.sum("is_en").alias("n_pred_en"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "ev_tumbling_windows",
+    survey="ext:events-window",
+    bench=True,
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def ev_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling event-time windows (streaming-native ``F.window``)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = events.tumbling_window_agg(ev, width="1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "ev_sessionization",
+    survey="ext:events-session",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+)
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via ``F.session_window`` —
+    the stateful streaming operator, verified against the batch
+    gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    out = events.session_window_agg(ev, gap="30 minutes")
+    return out.select(
+        "user_id", F.col("n_sessions").cast("double"), "n_events"
+    ).orderBy("user_id")
+
+
+@register(
+    "ev_json_props",
+    survey="ext:events-json",
+    oracle="""
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)), 4)
+         AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON ``props`` column (multimodal-metadata
+    pattern: opaque payload + parsed typed fields)."""
+    ev = events.json_prop_int(load_table(spark, sf_dir, "events"), "k")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg("prop_k"), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "mm_feature_extract",
+    survey="ext:multimodal",
+    oracle="""
+SELECT source, count(*) AS n_docs,
+       round(avg(strlen(text)), 4) AS avg_bytes,
+       round(avg(strlen(text) % 64 + 1), 4) AS avg_width,
+       round(avg(strlen(text) % 48 + 1), 4) AS avg_height,
+       round(avg(ascii(substr(text, 1, 1))), 4) AS avg_first_byte
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: opaque binary payloads through the
+    Arrow-batched ``mapInPandas`` feature extractor (deterministic fake
+    decoder — the real image decoder is stubbed; the schema/batch/partition
+    plumbing is the real thing) and typed aggregation of the results."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.text_as_binary(docs).select(
+        "doc_id", "payload", "source"
+    )
+    feats = multimodal.extract_features(
+        payloads, decoder=multimodal.fake_decode
+    )
+    joined = feats.join(payloads.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+            F.round(F.avg("width"), 4).alias("avg_width"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+            F.round(F.avg(F.element_at("feature", 2)), 4).alias("avg_first_byte"),
+        )
+        .orderBy("source")
+    )

@@ -55,5 +55,16 @@ def get_spark(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one of the driver's testdata tables as a DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one of the driver's testdata tables as a DataFrame.
+
+    The ``events`` table stores nanosecond parquet timestamps, which Spark
+    only reads via the legacy long fallback; convert back to a (microsecond)
+    timestamp with exact integer division — matching DuckDB's own ns→µs
+    truncation when it reads the same file."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,132 @@
+"""Tests for the LLM-data-pipeline extension surface: oracle parity at the
+smoke SF plus library-function behavior the oracles can't express (LSH
+recall, multimodal stub contract)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE, register_duck_views
+
+PIPELINE_QUERIES = [
+    "dd_exact_dedup",
+    "dd_minhash_near_dups",
+    "dd_simhash_clusters",
+    "sim_cosine_topk",
+    "txt_quality_stats",
+    "ev_tumbling_windows",
+    "ev_sessionization",
+    "ev_json_props",
+    "mm_feature_extract",
+]
+
+
+@pytest.mark.parametrize("name", PIPELINE_QUERIES)
+def test_pipeline_query_matches_oracle(spark, name):
+    from entropy_balance_weighting_spark.queries import QUERIES
+
+    q = QUERIES[name]
+    con = duckdb.connect()
+    register_duck_views(con, SF_SMOKE)
+    srows = sorted(
+        tuple(f"{v:.9g}" if isinstance(v, float) else repr(v) for v in r)
+        for r in q.fn(spark, SF_SMOKE).collect()
+    )
+    orows = sorted(
+        tuple(f"{v:.9g}" if isinstance(v, float) else repr(v) for v in r)
+        for r in con.execute(q.oracle).fetchall()
+    )
+    assert srows == orows
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    """The synthetic corpus plants near-duplicates; LSH must surface pairs
+    with very high verified Jaccard."""
+    from entropy_balance_weighting_spark.functions.dedup import verified_near_dups
+    from entropy_balance_weighting_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = verified_near_dups(docs, "doc_id", "text", threshold=0.8).collect()
+    assert len(pairs) > 0
+    assert max(r["jaccard"] for r in pairs) > 0.95
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    """The LSH-bucketed ANN must retrieve most of the exact top-3 (recall
+    is the contract; exactness is the brute-force path's job)."""
+    from entropy_balance_weighting_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+    from entropy_balance_weighting_spark.session import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = list(range(10))
+    exact = cosine_topk(emb, probes, k=3).collect()
+    approx = cosine_topk_lsh(emb, probes, k=3, n_planes=16, band_bits=4).collect()
+    exact_set = {(r["probe_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["probe_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    """The real decode stage must fail loudly (no image libs here), and the
+    fake decoder must produce the exact deterministic contract."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_batch(pd.Series([b"abc"]))
+
+    out = multimodal.fake_decode(pd.Series([b"abc", b""]))
+    assert list(out["n_bytes"]) == [3, 0]
+    assert list(out["width"]) == [4, 1]
+    np.testing.assert_allclose(
+        out["feature"][0], [3.0, 97.0, 99.0, (97 + 98 + 99) % 256]
+    )
+
+
+def test_multimodal_plumbing_batches_and_schema(spark):
+    """extract_features: Arrow-batched, schema contract honored, row count
+    preserved, features exactly reproducible."""
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.functions import multimodal
+    from entropy_balance_weighting_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    payloads = multimodal.text_as_binary(docs)
+    feats = multimodal.extract_features(payloads, decoder=multimodal.fake_decode)
+    assert feats.schema.simpleString() == (
+        "struct<doc_id:bigint,n_bytes:int,width:int,height:int,"
+        "feature:array<double>>"
+    )
+    rows = feats.withColumn("f0", F.element_at("feature", 1)).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["f0"] == float(r["n_bytes"])  # feature[0] == payload length
+
+
+def test_portable_hash_matches_duckdb(spark):
+    """The md5-prefix hash primitive is identical across engines — the
+    foundation every fingerprint oracle rests on."""
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.functions.text import portable_hash32
+
+    words = ["spark", "duck", "entropy", "balance", ""]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {
+        r["w"]: r["h"]
+        for r in df.select("w", portable_hash32(F.col("w")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        (expect,) = con.execute(
+            "SELECT ('0x' || substr(md5(?),1,8))::BIGINT", [w]
+        ).fetchone()
+        assert got[w] == expect
