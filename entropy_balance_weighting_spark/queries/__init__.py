@@ -23,6 +23,7 @@ from entropy_balance_weighting_spark.queries.registry import (
 # Import for side effect: each module registers its queries.
 from entropy_balance_weighting_spark.queries import core  # noqa: E402,F401
 from entropy_balance_weighting_spark.queries import data_layer  # noqa: E402,F401
+from entropy_balance_weighting_spark.queries import ingest  # noqa: E402,F401
 from entropy_balance_weighting_spark.queries import pipeline  # noqa: E402,F401
 from entropy_balance_weighting_spark.queries import solver  # noqa: E402,F401
 

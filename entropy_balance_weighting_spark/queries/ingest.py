@@ -1,0 +1,57 @@
+"""Ingest-path queries (S4): CSV scan + vertical concat — the reference's
+actual examples ingest multiple CSV files and stacks them (ref:
+pums_example.py:85-87 ``pl.scan_csv`` + ``pl.concat(how='vertical')``).
+
+The engine side materializes a two-file CSV copy of the ``nation`` table
+under the repo-local scratch dir, reads it back with ``spark.read.csv``
+(header + explicit schema — schema inference is a full extra pass at
+100 TB, so production paths always declare schemas), stacks with
+``unionByName``, and aggregates; the oracle computes the same aggregate
+from the original parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.queries.registry import register
+from entropy_balance_weighting_spark.session import load_table
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+@register(
+    "s4_csv_union_scan",
+    survey="S4,U1,V5",
+    oracle="""
+SELECT n_regionkey, count(*) AS n_nations, sum(n_nationkey) AS key_sum
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+)
+def s4_csv_union_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source + vertical concat: split nation into two CSV files, read
+    both with an explicit schema, ``unionByName``, aggregate."""
+    nation = load_table(spark, sf_dir, "nation")
+    scratch = os.path.join(_SCRATCH, "s4_csv")
+    shutil.rmtree(scratch, ignore_errors=True)
+    half_a = nation.filter(F.col("n_nationkey") % 2 == 0)
+    half_b = nation.filter(F.col("n_nationkey") % 2 == 1)
+    pa, pb = os.path.join(scratch, "a"), os.path.join(scratch, "b")
+    half_a.write.mode("overwrite").option("header", True).csv(pa)
+    half_b.write.mode("overwrite").option("header", True).csv(pb)
+    schema = nation.schema
+    df_a = spark.read.csv(pa, header=True, schema=schema)
+    df_b = spark.read.csv(pb, header=True, schema=schema)
+    stacked = df_a.unionByName(df_b)
+    return (
+        stacked.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -78,6 +78,10 @@ def ebw_solver_moment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``force_distributed=True`` so the local fast path can't mask it).
     """
     pt, targets, res = solve_lineitem_problem(spark, sf_dir, force_distributed=True)
+    return _achieved_means(pt, res)
+
+
+def _achieved_means(pt, res) -> DataFrame:
     w = res.new_weights  # DataFrame (row_id, new_weight)
     achieved = (
         pt.x_long.join(w, "row_id")
@@ -92,6 +96,101 @@ def ebw_solver_moment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         achieved.select(
             "moment_name",
             F.round(F.col("total") / F.lit(sum_w0), 6).alias("achieved_wmean"),
+            F.lit(1 if res.converged else 0).alias("converged"),
+        )
+        .orderBy("moment_name")
+    )
+
+
+@register(
+    "ebw_bounded_solver_match",
+    survey="C4,L5,A6,A7 (elastic solver end-to-end)",
+    oracle="""
+WITH base AS (
+  SELECT * FROM lineitem WHERE l_quantity > 0
+), tot AS (
+  SELECT sum(l_quantity) AS s FROM base
+), long AS (
+  SELECT 'l_discount' AS moment_name, l_discount AS value, l_quantity AS w0 FROM base
+  UNION ALL SELECT 'l_tax', l_tax, l_quantity FROM base
+  UNION ALL SELECT 'l_returnflag=' || l_returnflag, 1.0, l_quantity FROM base
+)
+SELECT moment_name,
+       round(sum(value * w0) / (SELECT s FROM tot) * 1.02, 6) AS achieved_wmean,
+       1 AS converged
+FROM long GROUP BY moment_name ORDER BY moment_name
+""",
+)
+def ebw_bounded_solver_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded (elastic interior-point) solve end-to-end: with bounds wide
+    enough to admit the unbounded optimum, the converged elastic solution
+    reproduces the same targets — the elastic slacks shrink to
+    interior-point noise (≪ the 1e-6 rounding).  Exercises the full C4
+    loop: 9-block state, Schur condensation, fraction-to-boundary,
+    adaptive barriers."""
+    pt, targets, res = solve_lineitem_problem(spark, sf_dir, bounds=(0.25, 4.0))
+    return _achieved_means(pt, res)
+
+
+@register(
+    "ebw_penalty_gap_reduction",
+    survey="C5,L4 (penalty solver end-to-end)",
+    oracle="""
+WITH base AS (
+  SELECT * FROM lineitem WHERE l_quantity > 0
+), long AS (
+  SELECT 'l_discount' AS moment_name FROM base
+  UNION ALL SELECT 'l_tax' FROM base
+  UNION ALL SELECT 'l_returnflag=' || l_returnflag FROM base
+)
+SELECT DISTINCT moment_name, 1 AS gap_reduced, 1 AS converged
+FROM long ORDER BY moment_name
+""",
+)
+def ebw_penalty_gap_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Penalty solve end-to-end; the checkable invariant is the solver's
+    contract: EVERY moment's absolute aggregate gap |A^T r − b| shrinks
+    versus the unweighted start (r=1), and the solve converges.  The
+    oracle predicts gap_reduced=1 for every moment."""
+    from entropy_balance_weighting_spark import entropy_balance_penalty
+    from entropy_balance_weighting_spark.plans import build_problem_tables
+    from entropy_balance_weighting_spark.plans.moment_spec import (
+        targets_from_problem,
+    )
+    from entropy_balance_weighting_spark.session import load_table as _load
+
+    li = _load(spark, sf_dir, "lineitem")
+    pt = build_problem_tables(li, _SPEC)
+    targets = targets_from_problem(pt, perturb=0.02)
+    res = entropy_balance_penalty(
+        targets, pt, penalty_parameter=5.0
+    )
+    # start gap: r = 1 → A^T r = X^T w0; both sides vs b = target·Σw0
+    sum_w0 = pt.w0.agg(F.sum("w0")).first()[0]
+    base = (
+        pt.x_long.join(pt.w0, "row_id")
+        .groupBy("moment_id")
+        .agg(F.sum(F.col("value") * F.col("w0")).alias("base_total"))
+    )
+    ach = (
+        pt.x_long.join(res.new_weights, "row_id")
+        .groupBy("moment_id")
+        .agg(F.sum(F.col("value") * F.col("new_weight")).alias("ach_total"))
+    )
+    tgt = targets.join(F.broadcast(pt.moments), "moment_name").select(
+        "moment_id", "moment_name", (F.col("target") * F.lit(sum_w0)).alias("b")
+    )
+    return (
+        base.join(ach, "moment_id")
+        .join(F.broadcast(tgt), "moment_id")
+        .select(
+            "moment_name",
+            (
+                F.abs(F.col("ach_total") - F.col("b"))
+                < F.abs(F.col("base_total") - F.col("b"))
+            )
+            .cast("int")
+            .alias("gap_reduced"),
             F.lit(1 if res.converged else 0).alias("converged"),
         )
         .orderBy("moment_name")
