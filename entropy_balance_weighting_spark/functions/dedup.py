@@ -58,22 +58,37 @@ def exact_dup_stats(df: DataFrame, text_col: str, by: str) -> DataFrame:
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) — exploded distinct word n-grams."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    """(id, shingle) — exploded distinct word n-grams.
+
+    The token array is materialized as its own projection first, so the
+    per-gram ``element_at`` calls index a bound array column instead of
+    re-evaluating ``split()`` inside every lambda invocation (without this
+    the shingle build is O(tokens²) string splitting)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= n)
+    t = F.col("t")
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+        ),
     )
+    return toks.select("id", F.explode(F.array_distinct(grams)).alias("sh"))
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """(id, mh_1..mh_H) from a shingle table — ONE groupBy computing all H
-    min-hashes as parallel aggregates (no per-hash shuffle)."""
-    h = portable_hash32(F.col("sh")) % MINHASH_P
+    min-hashes as parallel aggregates (no per-hash shuffle).  The md5 hash
+    is projected ONCE per shingle; the H permutations are cheap integer
+    affine maps over that bound column."""
+    hashed = sh.select("id", (portable_hash32(F.col("sh")) % MINHASH_P).alias("h"))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_minhash_params(), start=1)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -126,8 +141,12 @@ def verified_near_dups(
 
     Returns ``(id_a, id_b, jaccard)``.
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    # The shingle table feeds the signature build AND both sides of the
+    # Jaccard intersection join; the banded signatures feed both sides of
+    # the bucket self-join.  Materialize each once — without this the whole
+    # split/explode/hash upstream re-executes per consumer (3-5×).
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    pairs = lsh_candidate_pairs(minhash_signatures(sh).cache())
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # |A ∩ B| per candidate pair: equi-join the two shingle sets on (id, sh)
     inter = (

@@ -56,14 +56,16 @@ FROM long GROUP BY moment ORDER BY moment
 """,
 )
 def a1_weighted_moment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship (A1): weighted moment means ``X^T w / Σw`` per moment key."""
+    """Flagship (A1): weighted moment means ``X^T w / Σw`` per moment key
+    (routed through the reusable :mod:`operators.weighted_moments` layer)."""
+    from entropy_balance_weighting_spark.operators.weighted_moments import (
+        weighted_means,
+    )
+
     long = lineitem_moments_long(_lineitem(spark, sf_dir))
     return (
-        long.groupBy("moment")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value") * F.col("w0")) / F.sum("w0"), 4).alias("wmean"),
-        )
+        weighted_means(long, ["value"], weight_col="w0", group_cols=["moment"])
+        .select("moment", "n", F.round("wmean_value", 4).alias("wmean"))
         .orderBy("moment")
     )
 
@@ -86,22 +88,30 @@ def a10_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``block_diag`` (ref: pums_example.py:226-231,289-296); in Spark the group
     key simply joins the moment key.
     """
-    li = _lineitem(spark, sf_dir)
+    from entropy_balance_weighting_spark.operators.weighted_moments import (
+        weighted_means,
+    )
+
+    li = _lineitem(spark, sf_dir).select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_linestatus").alias("var"),
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+    )
     return (
-        li.groupBy(
-            F.col("l_returnflag").alias("grp"), F.col("l_linestatus").alias("var")
+        weighted_means(
+            li,
+            ["l_extendedprice", "l_discount"],
+            weight_col="l_quantity",
+            group_cols=["grp", "var"],
         )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
-                / F.sum("l_quantity"),
-                4,
-            ).alias("wmean_price"),
-            F.round(
-                F.sum(F.col("l_discount") * F.col("l_quantity")) / F.sum("l_quantity"),
-                6,
-            ).alias("wmean_disc"),
+        .select(
+            "grp",
+            "var",
+            "n",
+            F.round("wmean_l_extendedprice", 4).alias("wmean_price"),
+            F.round("wmean_l_discount", 6).alias("wmean_disc"),
         )
         .orderBy("grp", "var")
     )

@@ -82,13 +82,14 @@ def ebw_solver_moment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _achieved_means(pt, res) -> DataFrame:
-    w = res.new_weights  # DataFrame (row_id, new_weight)
-    achieved = (
-        pt.x_long.join(w, "row_id")
-        .groupBy("moment_id")
-        .agg(F.sum(F.col("value") * F.col("new_weight")).alias("total"))
-        .join(F.broadcast(pt.moments), "moment_id")
+    from entropy_balance_weighting_spark.operators.weighted_moments import (
+        weighted_moment_totals,
     )
+
+    w = res.new_weights  # DataFrame (row_id, new_weight)
+    achieved = weighted_moment_totals(
+        pt.x_long, w, weight_col="new_weight"
+    ).join(F.broadcast(pt.moments), "moment_id")
     # invariant is X^T w_new = m·Σw0 — normalize by the ORIGINAL weight total
     # (Σw_new differs when no intercept moment pins it)
     sum_w0 = pt.w0.agg(F.sum("w0")).first()[0]
