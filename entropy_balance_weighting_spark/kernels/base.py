@@ -21,7 +21,8 @@ class IterStats:
     xt_w: np.ndarray  # X^T wstar                         (K,)
     cd_sq: float  # ‖Cd‖², Cd = log(wstar/q) − Xλ
     xt_wcd: np.ndarray  # X^T (wstar ∘ Cd)                  (K,)
-    gram: np.ndarray  # X^T Diag(wstar) X                 (K,K)
+    gram: "np.ndarray | object"  # X^T Diag(wstar) X: dense (K,K) ndarray, or
+    # a solvers.linalg.BlockGram on the block-diagonal large-K path
     min_w: float  # min wstar
     has_nan: bool
 

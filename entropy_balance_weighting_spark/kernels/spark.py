@@ -70,12 +70,50 @@ def _x_dot(flat_idx, flat_val, lens, lam) -> np.ndarray:
     return _segsum(flat_val * lam[flat_idx], lens)
 
 
+def _gram_accum_blocks(
+    flat_idx, flat_val, lens, d, block_of, local, sizes, flat_offsets, out: np.ndarray
+) -> None:
+    """out += per-block Gram contributions (flat Σk_b² layout).
+
+    The huge-K path: every row's nonzeros live in ONE block (group-specific
+    moments never co-occur, SURVEY A10/§7.2), so its outer product scatters
+    into that block's dense k_b×k_b tile.  Rows are processed grouped by
+    nnz-length so the pairwise products vectorize; accumulation is a single
+    bincount over flat tile coordinates.  Nothing K²-sized ever exists.
+    """
+    n = len(lens)
+    if flat_idx.size == 0 or n == 0:
+        return
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    for m in np.unique(lens):
+        if m == 0:
+            continue
+        sel = np.where(lens == m)[0]
+        gidx = starts[sel][:, None] + np.arange(m)[None, :]  # (nr, m)
+        idx = flat_idx[gidx]  # moment ids
+        val = flat_val[gidx]
+        loc = local[idx]
+        blk = block_of[idx[:, 0]]  # one block per row (structural invariant)
+        kb = sizes[blk]
+        off = flat_offsets[blk]
+        prods = val[:, :, None] * val[:, None, :] * d[sel][:, None, None]
+        keys = (
+            off[:, None, None]
+            + loc[:, :, None] * kb[:, None, None]
+            + loc[:, None, :]
+        )
+        out += np.bincount(
+            keys.ravel(), weights=prods.ravel(), minlength=len(out)
+        )
+
+
 def _gram_accum(flat_idx, flat_val, lens, d, k, out: np.ndarray) -> None:
     """out += X_batch^T Diag(d) X_batch via chunked densify + BLAS syrk-shape.
 
-    Chunk size adapts to K so the dense scratch stays ~32 MB; for the
-    block-diagonal huge-K regime (group moments) a per-block path is the
-    planned extension (SURVEY §7.2).
+    Chunk size adapts to K so the dense scratch stays ~32 MB; the
+    block-diagonal huge-K regime (group moments) takes
+    :func:`_gram_accum_blocks` instead.
     """
     n = len(lens)
     if flat_idx.size == 0 or n == 0:
@@ -129,14 +167,22 @@ def _pack(sums: list[float | np.ndarray], mins: list[float]) -> pd.DataFrame:
     return pd.DataFrame({"sums": [sbuf.tobytes()], "mins": [mbuf.tobytes()]})
 
 
-def _stats_pass(k: int, lam: np.ndarray) -> Callable:
+def _stats_pass(k: int, lam: np.ndarray, blocks=None) -> Callable:
+    """``blocks``: None → dense K×K Gram scratch; else the
+    (block_of, local, sizes, flat_offsets, total_flat) arrays → flat Σk_b²
+    per-block accumulation (the huge-K path)."""
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         f_val = 0.0
         cd_sq = 0.0
         nan_ct = 0.0
         xt_w = np.zeros(k)
         xt_wcd = np.zeros(k)
-        gram = np.zeros((k, k))
+        if blocks is None:
+            gram = np.zeros((k, k))
+        else:
+            block_of, local, sizes, flat_offsets, total_flat = blocks
+            gram = np.zeros(total_flat)
         min_w = np.inf
         for pdf in batches:
             if not len(pdf):
@@ -156,7 +202,13 @@ def _stats_pass(k: int, lam: np.ndarray) -> Callable:
             cd_sq += float(cdf @ cdf)
             xt_w += _xt_v(flat_idx, flat_val, lens, w, k)
             xt_wcd += _xt_v(flat_idx, flat_val, lens, w * cdf, k)
-            _gram_accum(flat_idx, flat_val, lens, w, k, gram)
+            if blocks is None:
+                _gram_accum(flat_idx, flat_val, lens, w, k, gram)
+            else:
+                _gram_accum_blocks(
+                    flat_idx, flat_val, lens, w, block_of, local, sizes,
+                    flat_offsets, gram,
+                )
             if len(w):
                 min_w = min(min_w, float(w.min()))
         yield _pack([f_val, cd_sq, nan_ct, xt_w, xt_wcd, gram], [min_w])
@@ -226,13 +278,21 @@ def _commit_pass(choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -
 
 
 class SparkKernel:
-    """Distributed kernel over the packed-row DataFrame."""
+    """Distributed kernel over the packed-row DataFrame.
 
-    def __init__(self, df: DataFrame, k: int, sum_w0: float, n: int) -> None:
+    With ``moment_groups`` metadata (every moment group-specific), the
+    per-iteration Gram is accumulated block-diagonally: Σk_b² floats per
+    task instead of K² — the path that reaches the reference's
+    'hundreds of thousands of constraints' regime (ref: README.md:8)."""
+
+    def __init__(
+        self, df: DataFrame, k: int, sum_w0: float, n: int, block_structure=None
+    ) -> None:
         self.df = df
         self.k = k
         self.sum_w0 = sum_w0
         self.n = n
+        self.block_structure = block_structure
 
     @classmethod
     def from_problem(
@@ -242,6 +302,7 @@ class SparkKernel:
         k: int,
         *,
         ratio_guess: DataFrame | None = None,
+        moment_groups: list[str] | None = None,
     ) -> "SparkKernel":
         """Pack the canonical long tables into per-row CSR — the one setup
         shuffle; every subsequent iteration is shuffle-free."""
@@ -259,7 +320,12 @@ class SparkKernel:
         else:
             df = df.withColumn("wstar", F.col("q"))
         df = df.localCheckpoint(eager=True)
-        return cls(df, k, sum_w0, n)
+        from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
+
+        bs = (
+            BlockStructure.from_groups(moment_groups) if moment_groups else None
+        )
+        return cls(df, k, sum_w0, n, block_structure=bs)
 
     def init_state(self, ratio_guess=None) -> None:
         if ratio_guess is not None:
@@ -280,11 +346,22 @@ class SparkKernel:
 
     def stats(self, lam: np.ndarray) -> IterStats:
         k = self.k
-        sums, mins = self._reduce(_stats_pass(k, lam))
+        bs = self.block_structure
+        blocks = (
+            (bs.block_of, bs.local, bs.sizes, bs.flat_offsets, bs.total_flat)
+            if bs is not None
+            else None
+        )
+        sums, mins = self._reduce(_stats_pass(k, lam, blocks))
         f_val, cd_sq, nan_ct = sums[0], sums[1], sums[2]
         xt_w = sums[3 : 3 + k]
         xt_wcd = sums[3 + k : 3 + 2 * k]
-        gram = sums[3 + 2 * k :].reshape(k, k)
+        if bs is not None:
+            from entropy_balance_weighting_spark.solvers.linalg import BlockGram
+
+            gram = BlockGram(structure=bs, flat=sums[3 + 2 * k :])
+        else:
+            gram = sums[3 + 2 * k :].reshape(k, k)
         return IterStats(
             f_val=float(f_val),
             xt_w=xt_w,

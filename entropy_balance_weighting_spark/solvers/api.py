@@ -229,7 +229,13 @@ def _build_kernel(x_sample, weights0, mean_population_moments, opts):
     pt, m, original = payload
     from entropy_balance_weighting_spark.kernels.spark import SparkKernel
 
-    kernel = SparkKernel.from_problem(pt.x_long, pt.w0, pt.k, ratio_guess=guess)
+    kernel = SparkKernel.from_problem(
+        pt.x_long,
+        pt.w0,
+        pt.k,
+        ratio_guess=guess,
+        moment_groups=pt.moment_groups,
+    )
     return kernel, m, original
 
 

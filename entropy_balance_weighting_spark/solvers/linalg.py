@@ -1,13 +1,76 @@
-"""Driver-local K×K linear algebra (SURVEY §2.10 L1-L3).
+"""Driver-local K×K linear algebra (SURVEY §2.10 L1-L3) and the
+block-diagonal large-K path.
 
 scipy/PARDISO are not assumed in this environment; ``numpy.linalg`` handles
-K up to a few thousand densely, which covers the collected Gram matrices
-(K² ≲ 10⁶ doubles — driver-scale by SURVEY §1.4).
+K up to a few thousand densely.  Beyond that, the reference's "hundreds of
+thousands of constraints" regime (ref: README.md:8) is reached through
+STRUCTURE, not a bigger factorization: group-specific moments never
+co-occur in a row, so the Gram matrix is block-diagonal by construction
+(SURVEY §7.2) — Σ k_b² storage instead of K², and B independent small
+solves instead of one K×K solve.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
+
+
+@dataclass
+class BlockStructure:
+    """Partition of the K moments into Gram-independent blocks.
+
+    Built from the data layer's ``moment_groups`` metadata (every moment
+    carries its group label; moments of different groups never share a
+    row).  Valid ONLY when every moment is grouped — one global moment
+    (e.g. an intercept) couples all blocks and forces the dense path.
+    """
+
+    block_of: np.ndarray  # (K,) block id per moment
+    members: list[np.ndarray]  # moment ids per block (id-ordered)
+    local: np.ndarray  # (K,) index of each moment within its block
+    sizes: np.ndarray  # (B,) block sizes
+    flat_offsets: np.ndarray  # (B,) offsets into the flat Σk_b² buffer
+    total_flat: int  # Σ k_b²
+
+    @classmethod
+    def from_groups(cls, moment_groups: list[str]) -> "BlockStructure | None":
+        """None when the partition does not yield >1 all-grouped blocks."""
+        if not moment_groups or any(g == "" for g in moment_groups):
+            return None
+        labels = sorted(set(moment_groups))
+        if len(labels) < 2:
+            return None
+        lab_id = {g: i for i, g in enumerate(labels)}
+        block_of = np.array([lab_id[g] for g in moment_groups], dtype=np.int64)
+        members = [np.where(block_of == b)[0] for b in range(len(labels))]
+        local = np.empty(len(moment_groups), dtype=np.int64)
+        for mem in members:
+            local[mem] = np.arange(len(mem))
+        sizes = np.array([len(m) for m in members], dtype=np.int64)
+        flat_offsets = np.concatenate([[0], np.cumsum(sizes**2)[:-1]])
+        return cls(
+            block_of=block_of,
+            members=members,
+            local=local,
+            sizes=sizes,
+            flat_offsets=flat_offsets,
+            total_flat=int(np.sum(sizes**2)),
+        )
+
+
+@dataclass
+class BlockGram:
+    """Block-diagonal Gram: the flat per-block buffer + its structure."""
+
+    structure: BlockStructure
+    flat: np.ndarray  # (Σ k_b²,)
+
+    def block(self, b: int) -> np.ndarray:
+        s = int(self.structure.sizes[b])
+        o = int(self.structure.flat_offsets[b])
+        return self.flat[o : o + s * s].reshape(s, s)
 
 
 def tikhonov_penalty(residual_norm: float) -> float:
@@ -29,6 +92,8 @@ def solve_regularized(
     check, the numpy analogue of ``assume_a='pos'``), escalate the
     Tikhonov term until the system factorizes and yields finite values.
     """
+    if isinstance(lhs, BlockGram):
+        return solve_regularized_blocks(lhs, rhs, penalty, max_escalations=max_escalations)
     k = lhs.shape[0]
     eye = np.eye(k)
     for _ in range(max_escalations):
@@ -42,3 +107,20 @@ def solve_regularized(
             pass
         penalty *= 10.0
     raise np.linalg.LinAlgError("K×K system unsolvable after escalating regularization")
+
+
+def solve_regularized_blocks(
+    gram: BlockGram, rhs: np.ndarray, penalty: float, *, max_escalations: int = 30
+) -> np.ndarray:
+    """Block-diagonal solve: B independent regularized solves, each k_b×k_b.
+
+    Exactly equivalent to the dense solve when the off-block entries are
+    structurally zero (group moments, SURVEY A10/§7.2) — parity-tested —
+    but costs Σ k_b³ instead of K³ and never materializes K²."""
+    st = gram.structure
+    out = np.empty_like(rhs)
+    for b, mem in enumerate(st.members):
+        out[mem] = solve_regularized(
+            gram.block(b), rhs[mem], penalty, max_escalations=max_escalations
+        )
+    return out
