@@ -1,0 +1,9 @@
+"""Structured Streaming layer: incremental entropy-balance reweighting
+over micro-batches (SURVEY §7.5 — extension surface; the reference is
+strictly batch, §2.12)."""
+
+from entropy_balance_weighting_spark.streaming.incremental import (
+    IncrementalReweighter,
+)
+
+__all__ = ["IncrementalReweighter"]

@@ -1,0 +1,147 @@
+"""Incremental reweighting over a stream of survey micro-batches.
+
+Pattern (SURVEY §7.5): ``readStream → foreachBatch → warm-started solve``.
+Each micro-batch appends rows to the accumulated sample; the solver re-runs
+on the grown problem seeded with the PREVIOUS solution's weight ratios
+(C7 warm start, ref: ebw_routines.py:75-78) — rows already seen start at
+their converged ratio, new rows start at 1.0, so late batches converge in
+a few Newton steps instead of a cold solve.
+
+This is the streaming-native rendering: `foreachBatch` is Spark's escape
+hatch for iterative algorithms inside a streaming query (per-batch full
+DataFrame API access + exactly-once sink semantics via batch_id), and the
+accumulated state is a plain DataFrame checkpointed per batch — on a real
+cluster you'd back it with a Delta/parquet upsert instead of ``cache``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.plans.moment_spec import (
+    MomentSpec,
+    build_problem_tables,
+)
+
+
+class IncrementalReweighter:
+    """Accumulates micro-batches and maintains a warm-started EBW solution.
+
+    Parameters
+    ----------
+    spec: the moment spec applied to every accumulated snapshot.
+    targets: ``(moment_name, target)`` DataFrame or a callable
+        ``(ProblemTables) -> DataFrame`` evaluated per batch (for targets
+        that depend on the accumulated data).
+    options: solver options; ``initial_ratio_guess`` is managed here.
+    """
+
+    def __init__(
+        self,
+        spec: MomentSpec,
+        targets: Any,
+        *,
+        options: dict | None = None,
+    ) -> None:
+        self.spec = spec
+        self.targets = targets
+        self.options = dict(options or {})
+        self.accumulated: DataFrame | None = None
+        self.last_weights: DataFrame | None = None  # (row_id, new_weight)
+        self.history: list[dict] = []
+
+    # -- foreachBatch hook --------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The ``foreachBatch`` body: append, rebuild, warm-start, re-solve."""
+        from entropy_balance_weighting_spark import entropy_balance
+
+        if self.accumulated is None:
+            acc = batch_df
+        else:
+            acc = self.accumulated.unionByName(batch_df)
+        # one materialization per batch: the accumulated snapshot is reused
+        # by the problem build and by the next batch's union
+        acc = acc.localCheckpoint(eager=True)
+        self.accumulated = acc
+
+        pt = build_problem_tables(acc, self.spec)
+        targets = (
+            self.targets(pt) if callable(self.targets) else self.targets
+        )
+        opts = dict(self.options)
+        opts["force_distributed"] = True  # ratio guess is a DataFrame
+        if self.last_weights is not None:
+            # ratio = previous weight / current w0 for rows already seen;
+            # unseen rows default to 1.0 inside the kernel packing
+            guess = (
+                pt.w0.join(self.last_weights, "row_id")
+                .select(
+                    "row_id",
+                    (F.col("new_weight") / F.col("w0")).alias("ratio"),
+                )
+            )
+            opts["initial_ratio_guess"] = guess
+        res = entropy_balance(
+            mean_population_moments=targets, x_sample=pt, options=opts
+        )
+        if res.converged:
+            self.last_weights = res.new_weights.localCheckpoint(eager=True)
+        self.history.append(
+            {
+                "batch_id": int(batch_id),
+                "converged": bool(res.converged),
+                "n_iterations": int(res.n_iterations),
+                "n_rows": acc.count(),
+            }
+        )
+
+    # -- stream wiring ------------------------------------------------------
+    def run_available(
+        self,
+        stream_df: DataFrame,
+        *,
+        checkpoint_dir: str,
+        query_name: str = "ebw_incremental",
+    ) -> None:
+        """Drain everything currently available from a streaming DataFrame
+        through :meth:`process_batch` (Trigger.AvailableNow semantics) and
+        block until done — the batch-test-friendly way to run the query;
+        call repeatedly as new data lands, or use :meth:`start` for a
+        continuously-running query."""
+        q = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        *,
+        checkpoint_dir: str,
+        processing_time: str = "10 seconds",
+    ):
+        """Continuously-running variant; returns the StreamingQuery."""
+        return (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+
+
+def weights_sink(reweighter: IncrementalReweighter) -> Callable[[str], None]:
+    """Convenience: writer that persists the current weights as parquet."""
+
+    def write(path: str) -> None:
+        if reweighter.last_weights is None:
+            raise ValueError("no converged solve yet")
+        reweighter.last_weights.write.mode("overwrite").parquet(path)
+
+    return write

@@ -1,0 +1,126 @@
+"""Structured-Streaming incremental reweighting test: a real
+``readStream`` file source drained with AvailableNow triggers through
+``foreachBatch``, warm-starting each re-solve from the previous solution
+(SURVEY §7.5; C7 warm start)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from entropy_balance_weighting_spark.plans import MomentSpec
+from entropy_balance_weighting_spark.streaming import IncrementalReweighter
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("rid", T.LongType()),
+        T.StructField("w", T.DoubleType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+    ]
+)
+
+
+def _chunk(rng, n, offset):
+    return pd.DataFrame(
+        {
+            "rid": np.arange(offset, offset + n),
+            "w": rng.uniform(0.5, 2.0, size=n),
+            "x0": rng.uniform(size=n),
+            "x1": rng.uniform(size=n),
+        }
+    )
+
+
+def test_incremental_stream_matches_batch_solve(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1"), row_key=("rid",))
+
+    def targets_fn(pt):
+        from entropy_balance_weighting_spark.plans.moment_spec import (
+            targets_from_problem,
+        )
+
+        return targets_from_problem(pt, perturb=0.01)
+
+    rw = IncrementalReweighter(spec, targets_fn)
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+
+    # batch 1 lands → drain
+    chunk1 = _chunk(rng, 400, 0)
+    spark.createDataFrame(chunk1).coalesce(1).write.mode("append").parquet(str(src))
+    rw.run_available(stream, checkpoint_dir=ckpt)
+    assert rw.history[-1]["converged"]
+    assert rw.history[-1]["n_rows"] == 400
+
+    # batch 2 lands → drain again; solve is warm-started
+    chunk2 = _chunk(rng, 200, 400)
+    spark.createDataFrame(chunk2).coalesce(1).write.mode("append").parquet(str(src))
+    rw.run_available(stream, checkpoint_dir=ckpt)
+    assert rw.history[-1]["converged"]
+    assert rw.history[-1]["n_rows"] == 600
+    assert len(rw.history) == 2
+
+    # the incremental result equals a cold batch solve over all data
+    from entropy_balance_weighting_spark import entropy_balance
+    from entropy_balance_weighting_spark.plans import build_problem_tables
+    from entropy_balance_weighting_spark.plans.moment_spec import (
+        targets_from_problem,
+    )
+
+    full = spark.createDataFrame(pd.concat([chunk1, chunk2]))
+    pt = build_problem_tables(full, spec)
+    res = entropy_balance(
+        mean_population_moments=targets_from_problem(pt, perturb=0.01),
+        x_sample=pt,
+    )
+    assert res.converged
+    w_batch = {
+        r["row_id"]: r["new_weight"] for r in res.new_weights.collect()
+    }
+    w_stream = {
+        r["row_id"]: r["new_weight"] for r in rw.last_weights.collect()
+    }
+    assert w_batch.keys() == w_stream.keys()
+    diffs = [abs(w_stream[k] - w_batch[k]) / abs(w_batch[k]) for k in w_batch]
+    assert max(diffs) < 1e-5
+
+
+def test_warm_start_uses_previous_ratios(spark, tmp_path):
+    """After the first solve, subsequent identical-data batches should
+    converge immediately (ratio guess already optimal)."""
+    rng = np.random.default_rng(9)
+    src = tmp_path / "src2"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1"), row_key=("rid",))
+
+    def targets_fn(pt):
+        from entropy_balance_weighting_spark.plans.moment_spec import (
+            targets_from_problem,
+        )
+
+        return targets_from_problem(pt, perturb=0.01)
+
+    rw = IncrementalReweighter(spec, targets_fn)
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    spark.createDataFrame(_chunk(rng, 300, 0)).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    rw.run_available(stream, checkpoint_dir=ckpt)
+    first_iters = rw.history[-1]["n_iterations"]
+
+    # tiny second batch: warm start should need no more iterations than
+    # the cold solve did
+    spark.createDataFrame(_chunk(rng, 10, 300)).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    rw.run_available(stream, checkpoint_dir=ckpt)
+    assert rw.history[-1]["n_iterations"] <= first_iters
