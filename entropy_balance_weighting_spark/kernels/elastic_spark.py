@@ -27,10 +27,12 @@ from entropy_balance_weighting_spark.kernels.penalty_spark import (
 )
 from entropy_balance_weighting_spark.kernels.spark import (
     _flatten,
-    _gram_accum,
     _pack,
     _x_dot,
     _xt_v,
+    blocks_tuple,
+    gram_from_sums,
+    make_gram_accum,
     pack_rows,
 )
 
@@ -88,12 +90,12 @@ def _steps_arrays(pieces, flat_idx, flat_val, lens, dlam, mu_s, has_ub):
     return r_step, li_lo, li_hi, ss_lo, ss_hi
 
 
-def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub) -> Callable:
+def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub, blocks) -> Callable:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         f_val = cd_sq = ci_sq = cs_sq = alt_sq = nan_ct = 0.0
         g1 = np.zeros(k)
         rhs_leg = np.zeros(k)
-        gram = np.zeros((k, k))
+        gram, gram_add = make_gram_accum(k, blocks)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -119,7 +121,7 @@ def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub) -> Callable:
             alt_sq += float(altf @ altf)
             g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
             rhs_leg += _xt_v(flat_idx, flat_val, lens, w0 * inv_ht * (cdf + zterm), k)
-            _gram_accum(flat_idx, flat_val, lens, w0**2 * inv_ht, k, gram)
+            gram_add(flat_idx, flat_val, lens, w0**2 * inv_ht)
         yield _pack(
             [f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct, g1, rhs_leg, gram],
             [np.inf],
@@ -231,7 +233,7 @@ def _g1_pass(k) -> Callable:
 class ElasticSparkKernel:
     def __init__(
         self, df: DataFrame, k: int, sum_w0: float, n: int, lb: float,
-        ub: float, has_ub: bool,
+        ub: float, has_ub: bool, block_structure=None,
     ) -> None:
         self.df = df
         self.k = k
@@ -240,6 +242,7 @@ class ElasticSparkKernel:
         self.lb = lb
         self.ub = ub
         self.has_ub = has_ub
+        self.block_structure = block_structure
 
     @classmethod
     def from_problem(
@@ -250,6 +253,7 @@ class ElasticSparkKernel:
         *,
         bounds: tuple[float, float | None],
         ratio_guess: DataFrame | None = None,
+        moment_groups: list[str] | None = None,
     ) -> "ElasticSparkKernel":
         df, sum_w0, n = pack_rows(x_long, w0)
         if ratio_guess is not None:
@@ -275,7 +279,10 @@ class ElasticSparkKernel:
         if bad:
             raise ValueError("bounds must strictly contain the initial ratio guess")
         df = df.localCheckpoint(eager=True)
-        return cls(df, k, sum_w0, n, lb, ub, has_ub)
+        from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
+
+        bs = BlockStructure.from_groups(moment_groups) if moment_groups else None
+        return cls(df, k, sum_w0, n, lb, ub, has_ub, block_structure=bs)
 
     def _reduce(self, fn):
         rows = self.df.mapInPandas(fn, _PAYLOAD_SCHEMA).collect()
@@ -290,12 +297,15 @@ class ElasticSparkKernel:
     def elastic_stats(self, lam, eta, mu_s) -> EStats:
         k = self.k
         sums, _ = self._reduce(
-            _estats_pass(k, lam, eta, mu_s, self.lb, self.ub, self.has_ub)
+            _estats_pass(
+                k, lam, eta, mu_s, self.lb, self.ub, self.has_ub,
+                blocks_tuple(self.block_structure),
+            )
         )
         f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct = sums[:6]
         g1 = sums[6 : 6 + k]
         rhs_leg = sums[6 + k : 6 + 2 * k]
-        gram = sums[6 + 2 * k :].reshape(k, k)
+        gram = gram_from_sums(sums[6 + 2 * k :], k, self.block_structure)
         return EStats(
             f_val=float(f_val),
             cd_sq=float(cd_sq),

@@ -27,10 +27,12 @@ from entropy_balance_weighting_spark.kernels.base import (
 from entropy_balance_weighting_spark.kernels.penalty_local import TAU
 from entropy_balance_weighting_spark.kernels.spark import (
     _flatten,
-    _gram_accum,
     _pack,
     _x_dot,
     _xt_v,
+    blocks_tuple,
+    gram_from_sums,
+    make_gram_accum,
     pack_rows,
 )
 
@@ -51,15 +53,15 @@ def _ftb_batch(point: np.ndarray, step: np.ndarray) -> float:
     return float(np.min(-TAU * point[blocked] / step[blocked]))
 
 
-def _gram_init_pass(k: int) -> Callable:
+def _gram_init_pass(k: int, blocks) -> Callable:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g2 = np.zeros((k, k))
+        g2, g2_add = make_gram_accum(k, blocks)
         for pdf in batches:
             if not len(pdf):
                 continue
             flat_idx, flat_val, lens = _flatten(pdf)
             w0 = pdf["w0"].to_numpy(np.float64)
-            _gram_accum(flat_idx, flat_val, lens, w0**2, k, g2)
+            g2_add(flat_idx, flat_val, lens, w0**2)
         yield _pack([g2], [np.inf])
 
     return fn
@@ -81,7 +83,7 @@ def _moment_totals_pass(k: int) -> Callable:
 
 
 # -- unbounded -------------------------------------------------------------
-def _pstats_pass(k: int) -> Callable:
+def _pstats_pass(k: int, blocks) -> Callable:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         f_val = 0.0
         s_ll = 0.0
@@ -89,7 +91,7 @@ def _pstats_pass(k: int) -> Callable:
         g1 = np.zeros(k)
         g2v = np.zeros(k)
         h = np.zeros(k)
-        gram = np.zeros((k, k))
+        gram, gram_add = make_gram_accum(k, blocks)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -106,7 +108,7 @@ def _pstats_pass(k: int) -> Callable:
             g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
             g2v += _xt_v(flat_idx, flat_val, lens, w0 * r * lrf, k)
             h += _xt_v(flat_idx, flat_val, lens, w0**2 * lrf, k)
-            _gram_accum(flat_idx, flat_val, lens, w0 * r, k, gram)
+            gram_add(flat_idx, flat_val, lens, w0 * r)
         yield _pack([f_val, s_ll, nan_ct, g1, g2v, h, gram], [np.inf])
 
     return fn
@@ -166,7 +168,7 @@ def _bounded_pieces(pdf: pd.DataFrame, has_ub: bool):
     return w0, r, s_lo, lm_lo, s_hi, lm_hi, lr, inv_hb
 
 
-def _pbstats_pass(k: int, has_ub: bool) -> Callable:
+def _pbstats_pass(k: int, has_ub: bool, blocks) -> Callable:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         f_val = 0.0
         sd0_sq = 0.0
@@ -178,7 +180,7 @@ def _pbstats_pass(k: int, has_ub: bool) -> Callable:
         hd = np.zeros(k)
         u1a = np.zeros(k)
         u1b = np.zeros(k)
-        gb = np.zeros((k, k))
+        gb, gb_add = make_gram_accum(k, blocks)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -199,7 +201,7 @@ def _pbstats_pass(k: int, has_ub: bool) -> Callable:
             u1a += _xt_v(flat_idx, flat_val, lens, w0 * inv_hb * w0 * lrf, k)
             sinv = 1.0 / s_lo - (1.0 / s_hi if has_ub else 0.0)
             u1b += _xt_v(flat_idx, flat_val, lens, w0 * inv_hb * sinv, k)
-            _gram_accum(flat_idx, flat_val, lens, w0**2 * inv_hb, k, gb)
+            gb_add(flat_idx, flat_val, lens, w0**2 * inv_hb)
             sl = s_lo * lm_lo
             if has_ub:
                 sl = np.concatenate([sl, s_hi * lm_hi])
@@ -280,7 +282,8 @@ class PenaltySparkKernel:
     """Distributed penalty kernel over the packed-row DataFrame."""
 
     def __init__(
-        self, df: DataFrame, k: int, sum_w0: float, n: int, has_ub: bool, bounded: bool
+        self, df: DataFrame, k: int, sum_w0: float, n: int, has_ub: bool,
+        bounded: bool, block_structure=None,
     ) -> None:
         self.df = df
         self.k = k
@@ -288,6 +291,7 @@ class PenaltySparkKernel:
         self.n = n
         self.has_ub = has_ub
         self.bounded = bounded
+        self.block_structure = block_structure
         self._schema = BOUNDED_SCHEMA if bounded else UNBOUNDED_SCHEMA
 
     @classmethod
@@ -299,6 +303,7 @@ class PenaltySparkKernel:
         *,
         bounds: tuple[float, float | None] | None = None,
         ratio_guess: DataFrame | None = None,
+        moment_groups: list[str] | None = None,
     ) -> "PenaltySparkKernel":
         df, sum_w0, n = pack_rows(x_long, w0)
         if ratio_guess is not None:
@@ -329,7 +334,10 @@ class PenaltySparkKernel:
                     "bounds must strictly contain the initial ratio guess"
                 )
         df = df.localCheckpoint(eager=True)
-        return cls(df, k, sum_w0, n, has_ub, bounded)
+        from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
+
+        bs = BlockStructure.from_groups(moment_groups) if moment_groups else None
+        return cls(df, k, sum_w0, n, has_ub, bounded, block_structure=bs)
 
     # -- plumbing ----------------------------------------------------------
     def _reduce(self, fn) -> tuple[np.ndarray, np.ndarray]:
@@ -345,9 +353,11 @@ class PenaltySparkKernel:
         old.unpersist()
 
     # -- shared ------------------------------------------------------------
-    def penalty_init(self) -> np.ndarray:
-        sums, _ = self._reduce(_gram_init_pass(self.k))
-        return sums.reshape(self.k, self.k)
+    def penalty_init(self):
+        sums, _ = self._reduce(
+            _gram_init_pass(self.k, blocks_tuple(self.block_structure))
+        )
+        return gram_from_sums(sums, self.k, self.block_structure)
 
     def moment_totals(self) -> np.ndarray:
         sums, _ = self._reduce(_moment_totals_pass(self.k))
@@ -364,12 +374,14 @@ class PenaltySparkKernel:
     # -- unbounded ---------------------------------------------------------
     def penalty_stats(self) -> PenaltyStats:
         k = self.k
-        sums, _ = self._reduce(_pstats_pass(k))
+        sums, _ = self._reduce(
+            _pstats_pass(k, blocks_tuple(self.block_structure))
+        )
         f_val, s_ll, nan_ct = sums[0], sums[1], sums[2]
         g1 = sums[3 : 3 + k]
         g2v = sums[3 + k : 3 + 2 * k]
         h = sums[3 + 2 * k : 3 + 3 * k]
-        gram = sums[3 + 3 * k :].reshape(k, k)
+        gram = gram_from_sums(sums[3 + 3 * k :], k, self.block_structure)
         return PenaltyStats(
             f_val=float(f_val),
             g1=g1,
@@ -388,14 +400,16 @@ class PenaltySparkKernel:
     # -- bounded -----------------------------------------------------------
     def pb_stats(self) -> PBStats:
         k = self.k
-        sums, mins = self._reduce(_pbstats_pass(k, self.has_ub))
+        sums, mins = self._reduce(
+            _pbstats_pass(k, self.has_ub, blocks_tuple(self.block_structure))
+        )
         f_val, sd0_sq, s_sum, s_sq, nan_ct = sums[:5]
         off = 5
         g1 = sums[off : off + k]
         hd = sums[off + k : off + 2 * k]
         u1a = sums[off + 2 * k : off + 3 * k]
         u1b = sums[off + 3 * k : off + 4 * k]
-        gb = sums[off + 4 * k :].reshape(k, k)
+        gb = gram_from_sums(sums[off + 4 * k :], k, self.block_structure)
         return PBStats(
             f_val=float(f_val),
             g1=g1,

@@ -108,6 +108,51 @@ def _gram_accum_blocks(
         )
 
 
+def make_gram_accum(k: int, blocks):
+    """(buffer, add_fn) pair for a pass: dense K×K scratch when ``blocks``
+    is None, else the flat Σk_b² block accumulator.  Shared by every
+    kernel's stats pass so all three solvers get the large-K path."""
+    if blocks is None:
+        buf = np.zeros((k, k))
+
+        def add(flat_idx, flat_val, lens, d):
+            _gram_accum(flat_idx, flat_val, lens, d, k, buf)
+
+    else:
+        block_of, local, sizes, flat_offsets, total_flat = blocks
+        buf = np.zeros(total_flat)
+
+        def add(flat_idx, flat_val, lens, d):
+            _gram_accum_blocks(
+                flat_idx, flat_val, lens, d, block_of, local, sizes,
+                flat_offsets, buf,
+            )
+
+    return buf, add
+
+
+def gram_from_sums(flat: np.ndarray, k: int, block_structure):
+    """Driver-side decode of a packed gram buffer: BlockGram or dense."""
+    if block_structure is not None:
+        from entropy_balance_weighting_spark.solvers.linalg import BlockGram
+
+        return BlockGram(structure=block_structure, flat=flat)
+    return flat.reshape(k, k)
+
+
+def blocks_tuple(block_structure):
+    """Closure-serializable view of a BlockStructure (or None)."""
+    if block_structure is None:
+        return None
+    return (
+        block_structure.block_of,
+        block_structure.local,
+        block_structure.sizes,
+        block_structure.flat_offsets,
+        block_structure.total_flat,
+    )
+
+
 def _gram_accum(flat_idx, flat_val, lens, d, k, out: np.ndarray) -> None:
     """out += X_batch^T Diag(d) X_batch via chunked densify + BLAS syrk-shape.
 
@@ -178,11 +223,7 @@ def _stats_pass(k: int, lam: np.ndarray, blocks=None) -> Callable:
         nan_ct = 0.0
         xt_w = np.zeros(k)
         xt_wcd = np.zeros(k)
-        if blocks is None:
-            gram = np.zeros((k, k))
-        else:
-            block_of, local, sizes, flat_offsets, total_flat = blocks
-            gram = np.zeros(total_flat)
+        gram, gram_add = make_gram_accum(k, blocks)
         min_w = np.inf
         for pdf in batches:
             if not len(pdf):
@@ -202,13 +243,7 @@ def _stats_pass(k: int, lam: np.ndarray, blocks=None) -> Callable:
             cd_sq += float(cdf @ cdf)
             xt_w += _xt_v(flat_idx, flat_val, lens, w, k)
             xt_wcd += _xt_v(flat_idx, flat_val, lens, w * cdf, k)
-            if blocks is None:
-                _gram_accum(flat_idx, flat_val, lens, w, k, gram)
-            else:
-                _gram_accum_blocks(
-                    flat_idx, flat_val, lens, w, block_of, local, sizes,
-                    flat_offsets, gram,
-                )
+            gram_add(flat_idx, flat_val, lens, w)
             if len(w):
                 min_w = min(min_w, float(w.min()))
         yield _pack([f_val, cd_sq, nan_ct, xt_w, xt_wcd, gram], [min_w])
@@ -346,22 +381,13 @@ class SparkKernel:
 
     def stats(self, lam: np.ndarray) -> IterStats:
         k = self.k
-        bs = self.block_structure
-        blocks = (
-            (bs.block_of, bs.local, bs.sizes, bs.flat_offsets, bs.total_flat)
-            if bs is not None
-            else None
+        sums, mins = self._reduce(
+            _stats_pass(k, lam, blocks_tuple(self.block_structure))
         )
-        sums, mins = self._reduce(_stats_pass(k, lam, blocks))
         f_val, cd_sq, nan_ct = sums[0], sums[1], sums[2]
         xt_w = sums[3 : 3 + k]
         xt_wcd = sums[3 + k : 3 + 2 * k]
-        if bs is not None:
-            from entropy_balance_weighting_spark.solvers.linalg import BlockGram
-
-            gram = BlockGram(structure=bs, flat=sums[3 + 2 * k :])
-        else:
-            gram = sums[3 + 2 * k :].reshape(k, k)
+        gram = gram_from_sums(sums[3 + 2 * k :], k, self.block_structure)
         return IterStats(
             f_val=float(f_val),
             xt_w=xt_w,

@@ -265,7 +265,12 @@ def _build_penalty_kernel(x_sample, weights0, mean_population_moments, opts, bou
     )
 
     kernel = PenaltySparkKernel.from_problem(
-        pt.x_long, pt.w0, pt.k, bounds=bounds, ratio_guess=guess
+        pt.x_long,
+        pt.w0,
+        pt.k,
+        bounds=bounds,
+        ratio_guess=guess,
+        moment_groups=pt.moment_groups,
     )
     return kernel, m, original
 
@@ -296,7 +301,12 @@ def _build_elastic_kernel(x_sample, weights0, mean_population_moments, opts, bou
     )
 
     kernel = ElasticSparkKernel.from_problem(
-        pt.x_long, pt.w0, pt.k, bounds=bounds, ratio_guess=guess
+        pt.x_long,
+        pt.w0,
+        pt.k,
+        bounds=bounds,
+        ratio_guess=guess,
+        moment_groups=pt.moment_groups,
     )
     return kernel, m, original
 

@@ -177,26 +177,37 @@ def solve_elastic(
             break
 
         # Condensed K×K Schur system (L5) with adaptive Tikhonov (L3) and
-        # ×10 escalation on failure (L2; ref: 448-455,497-506)
+        # ×10 escalation on failure (L2; ref: 448-455,497-506).  On the
+        # block-diagonal large-K path both lhs assembly and the solve stay
+        # per-block — nothing K²-sized on the driver either.
+        from entropy_balance_weighting_spark.solvers.linalg import (
+            BlockGram,
+            solve_regularized,
+        )
+
         delta = max(1e-8, 1e-5 * opt_viol**0.55)
-        lhs = st.gram + np.diag(u / lu + v / lv)
         rhs = (
             ce
             + (v / lv) * (cvv + clv / v)
             - (u / lu) * (cu + clu / u)
             - st.rhs_leg
         )
-        eye = np.eye(k)
-        while True:
-            try:
-                dlam = -np.linalg.solve(lhs + delta * eye, rhs)
-                break
-            except np.linalg.LinAlgError:
-                delta *= 10.0
-                if delta > 1e12:
-                    dlam = None
-                    break
-        if dlam is None:
+        try:
+            if isinstance(st.gram, BlockGram):
+                lhs = st.gram.with_added_diag(u / lu + v / lv)
+                dlam = -solve_regularized(lhs, rhs, delta)
+            else:
+                lhs = st.gram + np.diag(u / lu + v / lv)
+                eye = np.eye(k)
+                while True:
+                    try:
+                        dlam = -np.linalg.solve(lhs + delta * eye, rhs)
+                        break
+                    except np.linalg.LinAlgError:
+                        delta *= 10.0
+                        if delta > 1e12:
+                            raise
+        except np.linalg.LinAlgError:
             error_message = "Singular Schur system"
             break
 

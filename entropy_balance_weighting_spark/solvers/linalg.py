@@ -62,7 +62,11 @@ class BlockStructure:
 
 @dataclass
 class BlockGram:
-    """Block-diagonal Gram: the flat per-block buffer + its structure."""
+    """Block-diagonal Gram: the flat per-block buffer + its structure.
+
+    Carries the driver-side K×K algebra the solvers need (matvec, diagonal
+    shifts, and the two solve shapes) so no solver ever materializes the
+    dense K×K when the problem is block-structured."""
 
     structure: BlockStructure
     flat: np.ndarray  # (Σ k_b²,)
@@ -71,6 +75,30 @@ class BlockGram:
         s = int(self.structure.sizes[b])
         o = int(self.structure.flat_offsets[b])
         return self.flat[o : o + s * s].reshape(s, s)
+
+    def matvec(self, v: np.ndarray) -> np.ndarray:
+        out = np.empty_like(v)
+        for b, mem in enumerate(self.structure.members):
+            out[mem] = self.block(b) @ v[mem]
+        return out
+
+    def with_added_diag(self, d: np.ndarray) -> "BlockGram":
+        """G + Diag(d) — block-diagonal plus diagonal stays block-diagonal."""
+        out = BlockGram(structure=self.structure, flat=self.flat.copy())
+        for b, mem in enumerate(self.structure.members):
+            blk = out.block(b)
+            blk[np.diag_indices_from(blk)] += d[mem]
+        return out
+
+    def solve_i_plus_g_diag(self, p: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+        """Solve (I + G·Diag(p)) x = rhs block-wise (the penalty Woodbury
+        inner system — not symmetric, plain LU per block)."""
+        out = np.empty_like(rhs)
+        for b, mem in enumerate(self.structure.members):
+            sz = len(mem)
+            a = np.eye(sz) + self.block(b) * p[mem][None, :]
+            out[mem] = np.linalg.solve(a, rhs[mem])
+        return out
 
 
 def tikhonov_penalty(residual_norm: float) -> float:

@@ -34,6 +34,23 @@ from entropy_balance_weighting_spark.results import EntropyBalanceResults
 logger = logging.getLogger("entropy_balance_weighting_spark")
 
 
+def _gmatvec(g, v: np.ndarray) -> np.ndarray:
+    """G·v for dense ndarray or block-diagonal BlockGram."""
+    from entropy_balance_weighting_spark.solvers.linalg import BlockGram
+
+    return g.matvec(v) if isinstance(g, BlockGram) else g @ v
+
+
+def _solve_i_plus_gp(g, p: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+    """Solve (I + G·Diag(p)) x = rhs — the Woodbury inner system; block-wise
+    on the large-K path (never materializes K²)."""
+    from entropy_balance_weighting_spark.solvers.linalg import BlockGram
+
+    if isinstance(g, BlockGram):
+        return g.solve_i_plus_g_diag(p, rhs)
+    return np.linalg.solve(np.eye(len(rhs)) + g * p[None, :], rhs)
+
+
 def check_penalty_parameter(k: int, penalty_parameter) -> np.ndarray:
     """Scalar → K-vector fill; shape/positivity checks (C10, ref:
     ebw_penalty.py:493-503)."""
@@ -83,7 +100,6 @@ def solve_penalty(
 
     b = m * kernel.sum_w0
     g2 = kernel.penalty_init()  # X^T Diag(w0²) X, once
-    eye = np.eye(kernel.k)
     n_steps = 0
     converged = False
 
@@ -91,7 +107,7 @@ def solve_penalty(
         st = kernel.penalty_stats()
         ce = st.g1 - b
         c = p * ce
-        cd_sq = st.s_ll + 2.0 * float(c @ st.h) + float(c @ (g2 @ c))
+        cd_sq = st.s_ll + 2.0 * float(c @ st.h) + float(c @ _gmatvec(g2, c))
         cd_norm = math.sqrt(max(cd_sq, 0.0))
         logger.info(
             "penalty iter=%d f=%.6e |Ce|=%.3e |Cd|=%.3e",
@@ -104,9 +120,10 @@ def solve_penalty(
             logger.info("NaN in penalty criterion — failing")
             break
 
-        # Woodbury: t2 = (I + V invA U)^{-1} V invA x, all K×K on the driver
-        t1 = -(st.g2v + st.gram @ c)
-        t2 = np.linalg.solve(eye + st.gram * p[None, :], t1)
+        # Woodbury: t2 = (I + V invA U)^{-1} V invA x, all driver-side —
+        # block-wise on the large-K path
+        t1 = -(st.g2v + _gmatvec(st.gram, c))
+        t2 = _solve_i_plus_gp(st.gram, p, t1)
         z = c + p * t2
         step_sq, step_nan = kernel.penalty_commit(z)
         n_steps += 1
@@ -143,7 +160,6 @@ def solve_penalty_bounded(
 
     b = m * kernel.sum_w0
     g2 = kernel.penalty_init()
-    eye = np.eye(kernel.k)
     mu = 1.0
     n_steps = 0
     converged = False
@@ -152,7 +168,7 @@ def solve_penalty_bounded(
         st = kernel.pb_stats()
         ce = st.g1 - b
         c = p * ce
-        cd_sq = st.sd0_sq + 2.0 * float(c @ st.hd) + float(c @ (g2 @ c))
+        cd_sq = st.sd0_sq + 2.0 * float(c @ st.hd) + float(c @ _gmatvec(g2, c))
         cd_norm = math.sqrt(max(cd_sq, 0.0))
         cs_sq = st.s_sq - 2.0 * mu * st.s_sum + st.s_cnt * mu * mu
         cs_norm = math.sqrt(max(cs_sq, 0.0))
@@ -178,8 +194,8 @@ def solve_penalty_bounded(
             mu = sigma * mean_sl
 
         u1 = st.u1a - mu * st.u1b
-        t1 = -(u1 + st.gb @ c)
-        t2 = np.linalg.solve(eye + st.gb * p[None, :], t1)
+        t1 = -(u1 + _gmatvec(st.gb, c))
+        t2 = _solve_i_plus_gp(st.gb, p, t1)
         z = c + p * t2
 
         sp = kernel.pb_step(z, mu)

@@ -154,3 +154,61 @@ def test_block_and_dense_kernels_agree(spark):
     assert wb.keys() == wd.keys()
     for rid in wb:
         assert wb[rid] == pytest.approx(wd[rid], rel=1e-9)
+
+
+@pytest.mark.parametrize("solver", ["penalty", "elastic"])
+def test_block_path_parity_penalty_and_elastic(spark, solver):
+    """The penalty and elastic solvers also take the block-diagonal Gram
+    path on grouped problems; block vs dense must agree."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark import (
+        entropy_balance,
+        entropy_balance_penalty,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "g": rng.integers(0, 3, size=n).astype(str),
+            "w": rng.uniform(0.5, 2.0, size=n),
+            "x0": rng.uniform(size=n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    spec = MomentSpec(
+        weight_col="w", numeric=("x0",), group=("g",), row_key=("rid",)
+    )
+    pt = build_problem_tables(df, spec)
+    pt_dense = type(pt)(
+        x_long=pt.x_long,
+        w0=pt.w0,
+        moments=pt.moments,
+        moment_names=pt.moment_names,
+        n=pt.n,
+        nnz_per_row=pt.nnz_per_row,
+        moment_groups=None,
+    )
+    targets = targets_from_problem(pt, perturb=0.01)
+    opts = {"force_distributed": True}
+
+    def run(tables):
+        if solver == "penalty":
+            return entropy_balance_penalty(
+                targets, tables, penalty_parameter=3.0, options=opts
+            )
+        return entropy_balance(
+            mean_population_moments=targets,
+            x_sample=tables,
+            options={**opts, "bounds": (0.5, 2.0)},
+        )
+
+    res_b = run(pt)
+    res_d = run(pt_dense)
+    assert res_b.converged and res_d.converged
+    wb = {r["row_id"]: r["new_weight"] for r in res_b.new_weights.collect()}
+    wd = {r["row_id"]: r["new_weight"] for r in res_d.new_weights.collect()}
+    for rid in wb:
+        assert wb[rid] == pytest.approx(wd[rid], rel=1e-8)

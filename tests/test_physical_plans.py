@@ -1,0 +1,86 @@
+"""Physical-plan audits (the 100 TB lens, SURVEY §4): these assertions pin
+the plan shapes that matter at scale — broadcast joins for dim lookups,
+predicate pushdown + column pruning into the parquet scan, partial
+(map-side) aggregation, and no shuffle in the solver's per-iteration
+passes."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECTNESS
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_join_is_broadcast(spark):
+    from entropy_balance_weighting_spark.queries import QUERIES
+
+    df = QUERIES["j1_broadcast_dim_join"].fn(spark, SF_CORRECTNESS)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # a 25-row dim must never SMJ
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    li = spark.read.parquet(f"{SF_CORRECTNESS}/lineitem.parquet")
+    scan = li.filter(F.col("l_quantity") > 0).select("l_quantity", "l_discount")
+    plan = _plan(scan)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThan(l_quantity,0.0)" in m.group(1)
+    m2 = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m2 is not None
+    cols = {c.split(":")[0] for c in m2.group(1).split(",")}
+    # column pruning: only the two projected columns are read
+    assert cols == {"l_quantity", "l_discount"}
+
+
+def test_moment_totals_uses_partial_aggregation(spark):
+    from entropy_balance_weighting_spark.queries import QUERIES
+
+    df = QUERIES["a1_weighted_moment_totals"].fn(spark, SF_CORRECTNESS)
+    plan = _plan(df)
+    # partial_ markers show map-side combine before the shuffle
+    assert "partial_" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_solver_iteration_pass_has_no_shuffle(spark):
+    """The packed-kernel per-iteration jobs must be map-only: the packing
+    shuffle happens once at construction; stats/step/commit scans reuse
+    the checkpointed partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.kernels.spark import (
+        SparkKernel,
+        _stats_pass,
+    )
+    from entropy_balance_weighting_spark.plans import (
+        MomentSpec,
+        build_problem_tables,
+    )
+
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(200),
+            "w": rng.uniform(0.5, 2.0, 200),
+            "x0": rng.uniform(size=200),
+        }
+    )
+    pt = build_problem_tables(
+        spark.createDataFrame(pdf),
+        MomentSpec(weight_col="w", numeric=("x0",), row_key=("rid",)),
+    )
+    kern = SparkKernel.from_problem(pt.x_long, pt.w0, pt.k)
+    pass_df = kern.df.mapInPandas(
+        _stats_pass(kern.k, np.zeros(kern.k)), "sums binary, mins binary"
+    )
+    plan = _plan(pass_df)
+    assert "Exchange" not in plan  # no shuffle in the iteration hot path
+    kern.cleanup()
