@@ -1,0 +1,189 @@
+"""MLlib pipeline integration: the solver as an ``Estimator`` whose fitted
+``Model`` is a ``Transformer`` that appends the balanced weight column —
+the idiomatic Spark packaging of a sample-weighting algorithm (the repo's
+north star: survey weighting as a pipeline stage among other stages).
+
+Maps the reference's function-call surface (ref: ebw_routines.py:18-24 and
+its options dict, ebw_routines.py:62-99) onto MLlib ``Params``:
+
+    est = EntropyBalanceEstimator(
+        weightCol="wgtp", numericCols=["bdsp"], onehotCols=["hht2"],
+        rowKeyCols=["serialno"], lowerBound=0.2, upperBound=5.0,
+    ).setTargets(targets_df)
+    model = est.fit(households)          # runs the solver
+    reweighted = model.transform(households)  # + 'new_weight' column
+
+``rowKeyCols`` must identify rows uniquely: the fitted weights join back by
+the deterministic key hash, so ``transform`` works on any DataFrame
+carrying the same key columns (including the original input).  Targets are
+a ``(moment_name, target)`` DataFrame (plain attribute, not a Param —
+DataFrames aren't Param-serializable); when unset, the model calibrates to
+the sample's own weighted means scaled by ``targetScale``.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Estimator, Model
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class _EBParams(Params):
+    weightCol = Param(
+        Params._dummy(), "weightCol", "survey weight column",
+        typeConverter=TypeConverters.toString,
+    )
+    numericCols = Param(
+        Params._dummy(), "numericCols", "numeric moment columns",
+        typeConverter=TypeConverters.toListString,
+    )
+    onehotCols = Param(
+        Params._dummy(), "onehotCols", "categorical one-hot moment columns",
+        typeConverter=TypeConverters.toListString,
+    )
+    groupCols = Param(
+        Params._dummy(), "groupCols", "group columns (block-diagonal moments)",
+        typeConverter=TypeConverters.toListString,
+    )
+    rowKeyCols = Param(
+        Params._dummy(), "rowKeyCols", "unique row key columns",
+        typeConverter=TypeConverters.toListString,
+    )
+    intercept = Param(
+        Params._dummy(), "intercept", "add a constant count moment",
+        typeConverter=TypeConverters.toBoolean,
+    )
+    maxSteps = Param(
+        Params._dummy(), "maxSteps", "iteration budget",
+        typeConverter=TypeConverters.toInt,
+    )
+    optimalityTol = Param(
+        Params._dummy(), "optimalityTol", "optimality violation tolerance",
+        typeConverter=TypeConverters.toFloat,
+    )
+    lowerBound = Param(
+        Params._dummy(), "lowerBound", "ratio lower bound (elastic mode)",
+        typeConverter=TypeConverters.toFloat,
+    )
+    upperBound = Param(
+        Params._dummy(), "upperBound", "ratio upper bound (elastic mode)",
+        typeConverter=TypeConverters.toFloat,
+    )
+    targetScale = Param(
+        Params._dummy(), "targetScale",
+        "scale applied to self-calibrated targets when none are supplied",
+        typeConverter=TypeConverters.toFloat,
+    )
+    outputCol = Param(
+        Params._dummy(), "outputCol", "name of the appended weight column",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def _spec(self):
+        from entropy_balance_weighting_spark.plans.moment_spec import MomentSpec
+
+        return MomentSpec(
+            weight_col=self.getOrDefault(self.weightCol),
+            numeric=tuple(self.getOrDefault(self.numericCols)),
+            onehot=tuple(self.getOrDefault(self.onehotCols)),
+            group=tuple(self.getOrDefault(self.groupCols)),
+            intercept=self.getOrDefault(self.intercept),
+            row_key=tuple(self.getOrDefault(self.rowKeyCols)),
+        )
+
+
+class EntropyBalanceEstimator(Estimator, _EBParams):
+    """Fits entropy-balance weights; returns :class:`EntropyBalanceModel`."""
+
+    def __init__(self, **kwargs) -> None:
+        super().__init__()
+        self._setDefault(
+            numericCols=[],
+            onehotCols=[],
+            groupCols=[],
+            intercept=False,
+            maxSteps=100,
+            optimalityTol=1e-5,
+            targetScale=1.0,
+            outputCol="new_weight",
+        )
+        self._targets: DataFrame | None = None
+        bad = set(kwargs) - {p.name for p in self.params}
+        if bad:
+            raise ValueError(f"unknown params: {sorted(bad)}")
+        self._set(**kwargs)
+        if not self.isSet(self.rowKeyCols):
+            raise ValueError("rowKeyCols is required (weights join back by key)")
+
+    def setTargets(self, targets: DataFrame) -> "EntropyBalanceEstimator":
+        """``(moment_name, target)`` population targets."""
+        self._targets = targets
+        return self
+
+    def _fit(self, dataset: DataFrame) -> "EntropyBalanceModel":
+        from entropy_balance_weighting_spark import entropy_balance
+        from entropy_balance_weighting_spark.plans.moment_spec import (
+            build_problem_tables,
+            targets_from_problem,
+        )
+
+        spec = self._spec()
+        pt = build_problem_tables(dataset, spec)
+        targets = self._targets
+        if targets is None:
+            targets = targets_from_problem(
+                pt, perturb=self.getOrDefault(self.targetScale) - 1.0
+            )
+        opts: dict = {
+            "max_steps": self.getOrDefault(self.maxSteps),
+            "optimality_violation": self.getOrDefault(self.optimalityTol),
+        }
+        if self.isSet(self.lowerBound) or self.isSet(self.upperBound):
+            lb = (
+                self.getOrDefault(self.lowerBound)
+                if self.isSet(self.lowerBound)
+                else 0.0
+            )
+            ub = (
+                self.getOrDefault(self.upperBound)
+                if self.isSet(self.upperBound)
+                else None
+            )
+            opts["bounds"] = (lb, ub)
+        res = entropy_balance(
+            mean_population_moments=targets, x_sample=pt, options=opts
+        )
+        if not res.converged:
+            raise RuntimeError(
+                f"entropy balance did not converge: {res.error_message}"
+            )
+        weights = res.new_weights
+        if not isinstance(weights, DataFrame):  # local kernel path
+            raise AssertionError("ProblemTables input always yields a DataFrame")
+        model = EntropyBalanceModel(
+            weights=weights.localCheckpoint(eager=True), results=res
+        )
+        model._resetUid(self.uid)
+        self._copyValues(model)
+        return model
+
+
+class EntropyBalanceModel(Model, _EBParams):
+    """Transformer: left-joins the fitted weight onto any DataFrame carrying
+    the row-key columns (rows unseen at fit time get a null weight)."""
+
+    def __init__(self, weights: DataFrame | None = None, results=None) -> None:
+        super().__init__()
+        self.weights = weights  # (row_id, new_weight)
+        self.results = results  # full EntropyBalanceResults
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        keys = self.getOrDefault(self.rowKeyCols)
+        out_col = self.getOrDefault(self.outputCol)
+        keyed = dataset.withColumn("__ebw_row_id", F.xxhash64(*keys))
+        w = self.weights.select(
+            F.col("row_id").alias("__ebw_row_id"),
+            F.col("new_weight").alias(out_col),
+        )
+        return keyed.join(w, "__ebw_row_id", "left").drop("__ebw_row_id")

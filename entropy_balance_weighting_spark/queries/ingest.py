@@ -55,3 +55,36 @@ def s4_csv_union_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "e9_string_prep",
+    survey="E9,V4",
+    oracle="""
+SELECT substr(p_type, 1, strpos(p_type, ' ') - 1) AS type_head,
+       count(*) AS n,
+       sum(CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END) AS n_a_prefix
+FROM part
+WHERE strpos(p_type, ' ') > 0
+GROUP BY type_head ORDER BY type_head
+""",
+)
+def e9_string_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function data prep (E9): prefix tests + substring extraction —
+    the reference's label-cleaning pattern (``str.starts_with``/``str.slice``,
+    ref: pums_example.py:199-205) as Column expressions."""
+    part = load_table(spark, sf_dir, "part")
+    head = F.expr("substr(p_type, 1, instr(p_type, ' ') - 1)")
+    return (
+        part.filter(F.instr("p_type", " ") > 0)
+        .select(
+            head.alias("type_head"),
+            F.col("p_name").startswith("a").cast("int").alias("is_a"),
+        )
+        .groupBy("type_head")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_a").alias("n_a_prefix"),
+        )
+        .orderBy("type_head")
+    )

@@ -1,0 +1,112 @@
+"""MLlib pipeline-stage tests: the solver as Estimator/Model inside a real
+``pyspark.ml.Pipeline`` (the repo's north-star packaging)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.ml import Pipeline
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.ml import (
+    EntropyBalanceEstimator,
+    EntropyBalanceModel,
+)
+
+
+@pytest.fixture(scope="module")
+def households(spark):
+    rng = np.random.default_rng(21)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "serialno": np.arange(n),
+            "wgtp": rng.uniform(0.5, 2.0, size=n),
+            "bdsp": rng.uniform(1, 5, size=n),
+            "hht": rng.integers(0, 3, size=n).astype(str),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_estimator_fit_transform_appends_weights(spark, households):
+    est = EntropyBalanceEstimator(
+        weightCol="wgtp",
+        numericCols=["bdsp"],
+        onehotCols=["hht"],
+        rowKeyCols=["serialno"],
+        targetScale=1.02,
+    )
+    model = est.fit(households)
+    assert isinstance(model, EntropyBalanceModel)
+    assert model.results.converged
+
+    out = model.transform(households)
+    assert "new_weight" in out.columns
+    assert out.filter(F.col("new_weight").isNull()).count() == 0
+
+    # the defining postcondition: weighted means hit the 1.02-scaled targets
+    row = out.agg(
+        (F.sum(F.col("bdsp") * F.col("new_weight")) / F.sum("wgtp")).alias("a"),
+        (F.sum(F.col("bdsp") * F.col("wgtp")) / F.sum("wgtp")).alias("b"),
+    ).first()
+    assert row["a"] == pytest.approx(row["b"] * 1.02, rel=1e-6)
+
+
+def test_model_transform_unseen_rows_get_null(spark, households):
+    est = EntropyBalanceEstimator(
+        weightCol="wgtp",
+        numericCols=["bdsp"],
+        rowKeyCols=["serialno"],
+        targetScale=1.01,
+    )
+    model = est.fit(households)
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {"serialno": [100000], "wgtp": [1.0], "bdsp": [2.0], "hht": ["0"]}
+        )
+    )
+    out = model.transform(households.unionByName(extra))
+    assert out.filter(F.col("new_weight").isNull()).count() == 1
+
+
+def test_estimator_inside_pipeline(spark, households):
+    """Composes with other stages in a plain pyspark.ml Pipeline."""
+    est = EntropyBalanceEstimator(
+        weightCol="wgtp",
+        numericCols=["bdsp"],
+        rowKeyCols=["serialno"],
+        targetScale=1.01,
+        outputCol="w_balanced",
+    )
+    pipe = Pipeline(stages=[est])
+    pmodel = pipe.fit(households)
+    out = pmodel.transform(households)
+    assert "w_balanced" in out.columns
+
+
+def test_estimator_bounded_mode(spark, households):
+    est = EntropyBalanceEstimator(
+        weightCol="wgtp",
+        numericCols=["bdsp"],
+        rowKeyCols=["serialno"],
+        targetScale=1.05,
+        lowerBound=0.8,
+        upperBound=1.3,
+    )
+    model = est.fit(households)
+    ratio = model.transform(households).select(
+        (F.col("new_weight") / F.col("wgtp")).alias("r")
+    )
+    lo, hi = ratio.agg(F.min("r"), F.max("r")).first()
+    assert lo >= 0.8 - 1e-6 and hi <= 1.3 + 1e-6
+
+
+def test_estimator_validates_params(households):
+    with pytest.raises(ValueError):
+        EntropyBalanceEstimator(weightCol="wgtp", numericCols=["bdsp"])  # no key
+    with pytest.raises(ValueError):
+        EntropyBalanceEstimator(
+            weightCol="wgtp", rowKeyCols=["serialno"], bogus=1
+        )
