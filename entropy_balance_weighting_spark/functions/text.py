@@ -82,6 +82,42 @@ def langid_en_score(text: Column | str) -> Column:
     return (stopword_ratio(text) > 0.02).cast("int")
 
 
+def annotate_token_stats(df, text_col: str = "text"):
+    """Append per-doc text-analysis columns (``n_tok``, ``swr``, ``mtl``,
+    ``q``, ``is_en``) computed from ONE materialized token array — the
+    composable per-column functions above re-evaluate ``split()`` inside
+    every expression, which matters when several stats stack (each bound
+    ``__toks`` reference here is a plain array-column access)."""
+    out = df.withColumn("__toks", tokens(F.col(text_col)))
+    tk = F.col("__toks")
+    n = F.size(tk).cast("double")
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    swr = F.size(F.filter(tk, lambda x: F.array_contains(sw, x))) / n
+    mtl = (
+        F.aggregate(
+            F.transform(tk, lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / n
+    )
+    out = (
+        out.withColumn("n_tok", n)
+        .withColumn("swr", swr)
+        .withColumn("mtl", mtl)
+    )
+    q = (
+        0.4 * F.least(F.col("n_tok") / F.lit(100.0), F.lit(1.0))
+        + 0.3 * F.least(F.col("swr") / F.lit(0.3), F.lit(1.0))
+        + 0.3 * F.least(F.col("mtl") / F.lit(8.0), F.lit(1.0))
+    )
+    return (
+        out.withColumn("q", q)
+        .withColumn("is_en", (F.col("swr") > 0.02).cast("int"))
+        .drop("__toks")
+    )
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-sensitive 32-bit document fingerprint: hash of the first 64
     tokens re-joined — a cheap rolling-hash-style content id."""

@@ -207,15 +207,15 @@ def txt_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE-ish regex), composite quality score, language-ID heuristic — all
     pure Column expressions inside one codegen'd projection."""
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select(
+    per_doc = text.annotate_token_stats(docs).select(
         "source",
         "lang",
-        text.token_count("text").alias("n_tok"),
+        "n_tok",
         F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")).alias(
             "n_retok"
         ),
-        text.quality_score(F.col("text")).alias("q"),
-        text.langid_en_score(F.col("text")).alias("is_en"),
+        "q",
+        "is_en",
     )
     return (
         per_doc.groupBy("source", "lang")

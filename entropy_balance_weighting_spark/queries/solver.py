@@ -104,6 +104,57 @@ def _achieved_means(pt, res) -> DataFrame:
 
 
 @register(
+    "a3_gram_selfjoin",
+    survey="A3,J3",
+    oracle="""
+WITH base AS (
+  SELECT md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             l_quantity, l_extendedprice, l_discount, l_tax)) AS rid,
+         l_discount, l_tax, l_returnflag, l_quantity
+  FROM lineitem WHERE l_quantity > 0
+), long AS (
+  SELECT rid, 'l_discount' AS moment_name, l_discount AS value,
+         l_quantity AS w0 FROM base
+  UNION ALL SELECT rid, 'l_tax', l_tax, l_quantity FROM base
+  UNION ALL SELECT rid, 'l_returnflag=' || l_returnflag, 1.0, l_quantity
+  FROM base
+)
+SELECT a.moment_name AS moment_a, b.moment_name AS moment_b,
+       round(sum(a.value * b.value * a.w0), 4) AS gram
+FROM long a JOIN long b
+  ON a.rid = b.rid AND a.moment_name <= b.moment_name
+GROUP BY a.moment_name, b.moment_name
+ORDER BY moment_a, moment_b
+""",
+)
+def a3_gram_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Gram matrix ``X^T Diag(w0) X`` as the relational self-join
+    on ``row_id`` with triangle pruning (J3) — the SQL-checkable rendering
+    of the in-kernel Gram accumulation (the solver computes the same
+    reduction fused inside its stats pass; this query pins the semantics
+    against DuckDB).  Mirrors the reference's lower-triangle
+    ``gram_matrix_mkl`` + symmetrize (ref: ebw_routines.py:226-233)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = build_problem_tables(li, _SPEC)
+    x = pt.x_long.join(pt.w0, "row_id").join(F.broadcast(pt.moments), "moment_id")
+    a = x.select(
+        F.col("row_id"), F.col("moment_name").alias("moment_a"),
+        F.col("value").alias("va"), "w0",
+    )
+    b = x.select(
+        F.col("row_id"), F.col("moment_name").alias("moment_b"),
+        F.col("value").alias("vb"),
+    )
+    return (
+        a.join(b, "row_id")
+        .filter(F.col("moment_a") <= F.col("moment_b"))
+        .groupBy("moment_a", "moment_b")
+        .agg(F.round(F.sum(F.col("va") * F.col("vb") * F.col("w0")), 4).alias("gram"))
+        .orderBy("moment_a", "moment_b")
+    )
+
+
+@register(
     "ebw_bounded_solver_match",
     survey="C4,L5,A6,A7 (elastic solver end-to-end)",
     oracle="""
