@@ -118,9 +118,11 @@ WITH base AS (
   UNION ALL SELECT rid, 'l_tax', l_tax, l_quantity FROM base
   UNION ALL SELECT rid, 'l_returnflag=' || l_returnflag, 1.0, l_quantity
   FROM base
+), tot AS (
+  SELECT sum(l_quantity) AS s FROM base
 )
 SELECT a.moment_name AS moment_a, b.moment_name AS moment_b,
-       round(sum(a.value * b.value * a.w0), 4) AS gram
+       round(sum(a.value * b.value * a.w0) / (SELECT s FROM tot), 6) AS gram
 FROM long a JOIN long b
   ON a.rid = b.rid AND a.moment_name <= b.moment_name
 GROUP BY a.moment_name, b.moment_name
@@ -136,6 +138,10 @@ def a3_gram_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``gram_matrix_mkl`` + symmetrize (ref: ebw_routines.py:226-233)."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = build_problem_tables(li, _SPEC)
+    # normalize by Σw0 so the rounded values are O(1): a raw sum of ~1e6
+    # rounded to 4 decimals sits inside distributed-reorder float noise,
+    # the normalized form is 5+ orders of margin away from any boundary
+    sum_w0 = pt.w0.agg(F.sum("w0")).first()[0]
     x = pt.x_long.join(pt.w0, "row_id").join(F.broadcast(pt.moments), "moment_id")
     a = x.select(
         F.col("row_id"), F.col("moment_name").alias("moment_a"),
@@ -149,7 +155,11 @@ def a3_gram_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "row_id")
         .filter(F.col("moment_a") <= F.col("moment_b"))
         .groupBy("moment_a", "moment_b")
-        .agg(F.round(F.sum(F.col("va") * F.col("vb") * F.col("w0")), 4).alias("gram"))
+        .agg(
+            F.round(
+                F.sum(F.col("va") * F.col("vb") * F.col("w0")) / F.lit(sum_w0), 6
+            ).alias("gram")
+        )
         .orderBy("moment_a", "moment_b")
     )
 
