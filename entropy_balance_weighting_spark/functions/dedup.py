@@ -146,7 +146,8 @@ def verified_near_dups(
     # the bucket self-join.  Materialize each once — without this the whole
     # split/explode/hash upstream re-executes per consumer (3-5×).
     sh = shingle_table(df, id_col, text_col, n).cache()
-    pairs = lsh_candidate_pairs(minhash_signatures(sh).cache())
+    sig = minhash_signatures(sh).cache()
+    pairs = lsh_candidate_pairs(sig)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # |A ∩ B| per candidate pair: equi-join the two shingle sets on (id, sh)
     inter = (
@@ -155,7 +156,7 @@ def verified_near_dups(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    out = (
         inter.join(counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .select(
@@ -168,6 +169,13 @@ def verified_near_dups(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # the result is duplicate-pair-sized (tiny); materialize it eagerly so
+    # the intermediate caches can be dropped instead of lingering in
+    # executor memory after the query returns
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    sig.unpersist()
+    return out
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -87,6 +87,11 @@ class ProblemTables:
     # ('' when ungrouped); group-specific moments never co-occur in a row, so
     # the Gram matrix is block-diagonal by group (SURVEY A10) — the large-K
     # solve path exploits this.
+    x_long_w0: DataFrame | None = None  # (row_id, moment_id, value, w0) —
+    # the long table with the weight still inline, before the w0 split-off.
+    # Weighted per-moment aggregations read this directly and skip the
+    # row_id re-join shuffle (one column of redundancy for one fewer
+    # shuffle — the right trade at scale).
 
     @property
     def k(self) -> int:
@@ -248,10 +253,10 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
             ]
         ),
     )
-    x_long = (
-        long.join(F.broadcast(moments), "moment_name")
-        .select("row_id", "moment_id", "value")
+    x_long_w0 = long.join(F.broadcast(moments), "moment_name").select(
+        "row_id", "moment_id", "value", "w0"
     )
+    x_long = x_long_w0.select("row_id", "moment_id", "value")
     w0 = rows.select("row_id", "w0")
     groups = [
         nm.split("|", 1)[0] if nm.startswith("grp=") else "" for nm in names
@@ -264,6 +269,7 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
         n=n,
         nnz_per_row=len(spec.numeric) + int(spec.intercept) + len(spec.onehot),
         moment_groups=groups,
+        x_long_w0=x_long_w0,
     )
 
 
@@ -308,9 +314,13 @@ def targets_from_problem(
     problem tables — reuses the materialized x_long/w0 instead of re-running
     the prep plan.  Returns ``(moment_name, target)``."""
     total = pt.w0.agg(F.sum("w0").alias("__sum_w0"))
+    long_w = (
+        pt.x_long_w0
+        if pt.x_long_w0 is not None
+        else pt.x_long.join(pt.w0, "row_id")
+    )
     t = (
-        pt.x_long.join(pt.w0, "row_id")
-        .groupBy("moment_id")
+        long_w.groupBy("moment_id")
         .agg(F.sum(F.col("value") * F.col("w0")).alias("__wtotal"))
         .crossJoin(F.broadcast(total))
         .join(F.broadcast(pt.moments), "moment_id")

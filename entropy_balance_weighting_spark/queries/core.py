@@ -118,6 +118,64 @@ def a10_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a2_broadcast_matvec",
+    survey="A2",
+    oracle="""
+WITH base AS (
+  SELECT md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             l_quantity, l_extendedprice, l_discount, l_tax)) AS rid,
+         l_discount, l_tax, l_returnflag, l_quantity
+  FROM lineitem WHERE l_quantity > 0
+), long AS (
+  SELECT rid, 'l_discount' AS moment_name, l_discount AS value FROM base
+  UNION ALL SELECT rid, 'l_tax', l_tax FROM base
+  UNION ALL SELECT rid, 'l_returnflag=' || l_returnflag, 1.0 FROM base
+), dict AS (
+  SELECT moment_name,
+         CAST(dense_rank() OVER (ORDER BY moment_name) - 1 AS INT) AS moment_id
+  FROM (SELECT DISTINCT moment_name FROM long)
+), lam AS (
+  SELECT moment_id, 0.1 * (moment_id + 1) AS lam FROM dict
+), per_row AS (
+  SELECT l.rid, sum(l.value * lam.lam ORDER BY d.moment_id) AS xlam
+  FROM long l JOIN dict d USING (moment_name) JOIN lam USING (moment_id)
+  GROUP BY l.rid
+)
+SELECT count(*) AS n,
+       round(sum(xlam), 4) AS xlam_sum,
+       round(min(xlam), 6) AS xlam_min,
+       round(max(xlam), 6) AS xlam_max
+FROM per_row
+""",
+)
+def a2_broadcast_matvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 ``X·λ``: broadcast a K-row multiplier table against the long
+    encoding, reduce per row — the K→N map every solver iteration performs
+    (routed through :func:`operators.weighted_moments.broadcast_matvec`).
+    λ is a fixed deterministic vector (0.1·(id+1)); per-row dots sum ≤3
+    terms in id order, so min/max compare exactly."""
+    from entropy_balance_weighting_spark.operators.weighted_moments import (
+        broadcast_matvec,
+    )
+    from entropy_balance_weighting_spark.plans import build_problem_tables
+
+    from entropy_balance_weighting_spark.queries.solver import _SPEC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = build_problem_tables(li, _SPEC)
+    lam = pt.moments.select(
+        "moment_id", (0.1 * (F.col("moment_id") + 1)).alias("lam")
+    )
+    xlam = broadcast_matvec(pt.x_long, lam)
+    return xlam.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("xlam"), 4).alias("xlam_sum"),
+        F.round(F.min("xlam"), 6).alias("xlam_min"),
+        F.round(F.max("xlam"), 6).alias("xlam_max"),
+    )
+
+
+@register(
     "j1_broadcast_dim_join",
     survey="J1",
     bench=True,

@@ -55,9 +55,9 @@ def m1_problem_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle-free monotonic id (safe: rows are checkpointed before fan-out)
     )
     pt = build_problem_tables(li, spec)
-    joined = pt.x_long.join(pt.w0, "row_id").join(
-        F.broadcast(pt.moments), "moment_id"
-    )
+    # weight travels inline with the long table — per-moment weighted stats
+    # need only the broadcast dictionary join, no row_id re-join shuffle
+    joined = pt.x_long_w0.join(F.broadcast(pt.moments), "moment_id")
     return (
         joined.groupBy("moment_id", "moment_name")
         .agg(
