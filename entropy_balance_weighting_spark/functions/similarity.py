@@ -44,11 +44,14 @@ def cosine_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe id.
 
     Returns ``(probe_id, neighbor_id, cos)``, k rows per probe, ordered by
-    (probe_id, cos desc, neighbor_id).
+    (probe_id, cos desc, neighbor_id).  ``round_digits`` rounds the cosine
+    BEFORE ranking — set it when comparing against an oracle that ranks
+    rounded values, so boundary candidates cannot order differently.
     """
     base = emb.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
@@ -59,13 +62,10 @@ def cosine_topk(
     joined = base.crossJoin(F.broadcast(probes)).filter(
         F.col("neighbor_id") != F.col("probe_id")
     )
-    scored = joined.select(
-        "probe_id",
-        "neighbor_id",
-        (_dot(F.col("p"), F.col("v")) / (_norm(F.col("p")) * _norm(F.col("v")))).alias(
-            "cos"
-        ),
-    )
+    cos = _dot(F.col("p"), F.col("v")) / (_norm(F.col("p")) * _norm(F.col("v")))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = joined.select("probe_id", "neighbor_id", cos.alias("cos"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )

@@ -166,10 +166,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is :func:`functions.similarity.cosine_topk_lsh` — same output
     contract, measured recall in tests.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=3)
-    return out.select(
-        "probe_id", "neighbor_id", F.round("cos", 5).alias("cos")
-    ).orderBy("probe_id", F.col("cos").desc(), "neighbor_id")
+    # round BEFORE ranking, exactly as the oracle does — a boundary
+    # candidate must not be able to rank differently across engines
+    out = similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=3, round_digits=5)
+    return out.orderBy("probe_id", F.col("cos").desc(), "neighbor_id")
 
 
 @register(
