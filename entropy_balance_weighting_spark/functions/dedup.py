@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, functions as F
 from entropy_balance_weighting_spark.functions.text import (
     portable_hash32,
     tokens,
-    word_shingles,
 )
 
 # MinHash parameters — fixed, deterministic, engine-portable (mirrored

@@ -33,19 +33,6 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Array of distinct word n-gram shingles (the MinHash input units)."""
-    t = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(t) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(grams)
-
-
 def stopword_ratio(text: Column | str) -> Column:
     """Fraction of tokens that are english function words — a classic
     fast quality / language signal."""

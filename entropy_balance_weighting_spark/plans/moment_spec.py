@@ -161,52 +161,44 @@ def _moment_name_expr(spec: MomentSpec, base: "F.Column") -> "F.Column":
 
 
 def long_moments(rows: DataFrame, spec: MomentSpec) -> DataFrame:
-    """(row_id, w0, moment_name, value) — numeric + intercept + one-hot stacked.
-
-    Union of three shapes (U1); zero-value numeric entries are kept (they
-    carry information for dense parity) but one-hot rows only exist where the
-    indicator fires — the long table IS the sparse encoding.
+    """(row_id, w0, moment_name, value) — numeric + intercept + one-hot
+    entries, emitted by ONE ``explode`` over a per-row entry array (a
+    single scan of the prepared rows; the equivalent 3-branch union re-scans
+    the input once per shape).  Zero-value numeric entries are kept (they
+    carry information for dense parity) but a one-hot entry only exists for
+    the category the row is in — the long table IS the sparse encoding.
     """
-    parts: list[DataFrame] = []
-    if spec.numeric or spec.intercept:
-        stack_items: list[str] = []
-        for c in spec.numeric:
-            stack_items += [f"'{c}'", c]
-        if spec.intercept:
-            stack_items += ["'_count'", "CAST(1.0 AS DOUBLE)"]
-        n = len(stack_items) // 2
-        stacked = rows.selectExpr(
-            "row_id",
-            "w0",
-            *spec.group,
-            f"stack({n}, {', '.join(stack_items)}) AS (__base, value)",
-        )
-        parts.append(
-            stacked.select(
-                "row_id",
-                "w0",
-                _moment_name_expr(spec, F.col("__base")).alias("moment_name"),
-                F.col("value").cast("double").alias("value"),
+    entries = []
+    for c in spec.numeric:
+        entries.append(
+            F.struct(
+                F.lit(c).alias("n"), F.col(c).cast("double").alias("v")
             )
+        )
+    if spec.intercept:
+        entries.append(
+            F.struct(F.lit("_count").alias("n"), F.lit(1.0).alias("v"))
         )
     for c in spec.onehot:
-        name = _moment_name_expr(
-            spec, F.concat(F.lit(c), F.lit("="), F.col(c).cast("string"))
-        )
-        parts.append(
-            rows.select(
-                "row_id",
-                "w0",
-                name.alias("moment_name"),
-                F.lit(1.0).alias("value"),
+        entries.append(
+            F.struct(
+                F.concat(F.lit(c), F.lit("="), F.col(c).cast("string")).alias(
+                    "n"
+                ),
+                F.lit(1.0).alias("v"),
             )
         )
-    if not parts:
+    if not entries:
         raise ValueError("MomentSpec declares no moments")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    exploded = rows.select(
+        "row_id", "w0", *spec.group, F.explode(F.array(*entries)).alias("e")
+    )
+    return exploded.select(
+        "row_id",
+        "w0",
+        _moment_name_expr(spec, F.col("e.n")).alias("moment_name"),
+        F.col("e.v").alias("value"),
+    )
 
 
 def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
@@ -239,10 +231,34 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
         n = int(rows.count())
 
     long = long_moments(rows, spec)
-    names = [
-        r[0]
-        for r in long.select("moment_name").distinct().orderBy("moment_name").collect()
-    ]
+    # The moment dictionary needs only the DISTINCT names: numeric and
+    # intercept names are static, so the data-dependent part is the
+    # (group, one-hot value) combinations — a narrow distinct over those
+    # few columns, not a scan of the exploded long table.  The names are
+    # rendered by the same Spark expressions long_moments uses, so string
+    # casts agree exactly.
+    static_bases = list(spec.numeric) + (["_count"] if spec.intercept else [])
+    if spec.group or spec.onehot:
+        combos = rows.select(*spec.group, *spec.onehot).distinct()
+        name_exprs = [
+            _moment_name_expr(spec, F.lit(b)) for b in static_bases
+        ] + [
+            _moment_name_expr(
+                spec, F.concat(F.lit(c), F.lit("="), F.col(c).cast("string"))
+            )
+            for c in spec.onehot
+        ]
+        names = [
+            r[0]
+            for r in combos.select(
+                F.explode(F.array(*name_exprs)).alias("mn")
+            )
+            .distinct()
+            .orderBy("mn")
+            .collect()
+        ]
+    else:
+        names = sorted(static_bases)
     spark = df.sparkSession
     moments = spark.createDataFrame(
         [(i, nm) for i, nm in enumerate(names)],

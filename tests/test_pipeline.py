@@ -111,6 +111,44 @@ def test_multimodal_plumbing_batches_and_schema(spark):
         assert r["f0"] == float(r["n_bytes"])  # feature[0] == payload length
 
 
+def test_per_column_text_functions_match_annotate(spark):
+    """The composable per-column text functions and the fused
+    annotate_token_stats must compute identical values (drift guard)."""
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.functions import text
+    from entropy_balance_weighting_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    a = text.annotate_token_stats(docs).select("doc_id", "n_tok", "swr", "q", "is_en")
+    b = docs.select(
+        "doc_id",
+        text.token_count("text").cast("double").alias("n_tok"),
+        text.stopword_ratio(F.col("text")).alias("swr"),
+        text.quality_score(F.col("text")).alias("q"),
+        text.langid_en_score(F.col("text")).alias("is_en"),
+    )
+    ra = {r["doc_id"]: r for r in a.collect()}
+    rb = {r["doc_id"]: r for r in b.collect()}
+    assert ra.keys() == rb.keys()
+    for d in ra:
+        for c in ("n_tok", "swr", "q", "is_en"):
+            assert ra[d][c] == pytest.approx(rb[d][c], rel=1e-12)
+
+
+def test_doc_fingerprint_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.functions.text import doc_fingerprint
+    from entropy_balance_weighting_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    f1 = docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp")).collect()
+    f2 = docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp")).collect()
+    assert {(r["doc_id"], r["fp"]) for r in f1} == {(r["doc_id"], r["fp"]) for r in f2}
+    assert all(0 <= r["fp"] < 2**32 for r in f1)
+
+
 def test_portable_hash_matches_duckdb(spark):
     """The md5-prefix hash primitive is identical across engines — the
     foundation every fingerprint oracle rests on."""
