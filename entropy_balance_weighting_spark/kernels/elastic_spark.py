@@ -254,8 +254,9 @@ class ElasticSparkKernel:
         bounds: tuple[float, float | None],
         ratio_guess: DataFrame | None = None,
         moment_groups: list[str] | None = None,
+        known_sums: tuple[float, int] | None = None,
     ) -> "ElasticSparkKernel":
-        df, sum_w0, n = pack_rows(x_long, w0)
+        df, sum_w0, n = pack_rows(x_long, w0, known_sums)
         if ratio_guess is not None:
             df = df.join(
                 ratio_guess.select("row_id", "ratio"), "row_id", "left"

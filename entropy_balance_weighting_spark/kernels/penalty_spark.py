@@ -304,8 +304,9 @@ class PenaltySparkKernel:
         bounds: tuple[float, float | None] | None = None,
         ratio_guess: DataFrame | None = None,
         moment_groups: list[str] | None = None,
+        known_sums: tuple[float, int] | None = None,
     ) -> "PenaltySparkKernel":
-        df, sum_w0, n = pack_rows(x_long, w0)
+        df, sum_w0, n = pack_rows(x_long, w0, known_sums)
         if ratio_guess is not None:
             df = df.join(
                 ratio_guess.select("row_id", "ratio"), "row_id", "left"

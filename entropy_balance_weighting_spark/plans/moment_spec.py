@@ -81,6 +81,8 @@ class ProblemTables:
     moments: DataFrame  # (moment_id, moment_name)
     moment_names: list[str] = field(default_factory=list)  # id-ordered
     n: int | None = None  # row count, when known at build time
+    sum_w0: float | None = None  # Σw0, when known at build time (saves the
+    # packing/targets layers their own aggregation jobs)
     nnz_per_row: int | None = None  # exact long entries per row (data layer
     # emits a fixed count: numeric + intercept + one indicator per onehot col)
     moment_groups: list[str] | None = None  # id-ordered group label per moment
@@ -216,10 +218,11 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
 
     if spec.row_key and not spec.dedupe_row_key:
         # Uniqueness guard for the shuffle-free hashed row ids: one cheap
-        # aggregate over the materialized rows (also yields n for free).
+        # aggregate over the materialized rows (also yields n and Σw0 free).
         counts = rows.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("row_id").alias("nd"),
+            F.sum("w0").alias("s"),
         ).first()
         n, nd = int(counts["n"]), int(counts["nd"])
         if n != nd:
@@ -227,8 +230,13 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
                 f"row_key {spec.row_key} is not unique ({n} rows, {nd} distinct "
                 "ids) — pass dedupe_row_key=True or supply a unique key"
             )
+        sum_w0 = float(counts["s"]) if counts["s"] is not None else None
     else:
-        n = int(rows.count())
+        counts = rows.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("w0").alias("s")
+        ).first()
+        n = int(counts["n"])
+        sum_w0 = float(counts["s"]) if counts["s"] is not None else None
 
     long = long_moments(rows, spec)
     # The moment dictionary needs only the DISTINCT names: numeric and
@@ -285,6 +293,7 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
         n=n,
         nnz_per_row=len(spec.numeric) + int(spec.intercept) + len(spec.onehot),
         moment_groups=groups,
+        sum_w0=sum_w0,
         x_long_w0=x_long_w0,
     )
 
@@ -329,21 +338,23 @@ def targets_from_problem(
     """Same as :func:`targets_from_weighted_means` but over already-built
     problem tables — reuses the materialized x_long/w0 instead of re-running
     the prep plan.  Returns ``(moment_name, target)``."""
-    total = pt.w0.agg(F.sum("w0").alias("__sum_w0"))
     long_w = (
         pt.x_long_w0
         if pt.x_long_w0 is not None
         else pt.x_long.join(pt.w0, "row_id")
     )
-    t = (
-        long_w.groupBy("moment_id")
-        .agg(F.sum(F.col("value") * F.col("w0")).alias("__wtotal"))
-        .crossJoin(F.broadcast(total))
-        .join(F.broadcast(pt.moments), "moment_id")
-        .select(
-            "moment_name",
-            (F.col("__wtotal") / F.col("__sum_w0")).alias("target"),
+    t = long_w.groupBy("moment_id").agg(
+        F.sum(F.col("value") * F.col("w0")).alias("__wtotal")
+    )
+    if pt.sum_w0 is not None:
+        t = t.withColumn("__sum_w0", F.lit(pt.sum_w0))
+    else:
+        t = t.crossJoin(
+            F.broadcast(pt.w0.agg(F.sum("w0").alias("__sum_w0")))
         )
+    t = t.join(F.broadcast(pt.moments), "moment_id").select(
+        "moment_name",
+        (F.col("__wtotal") / F.col("__sum_w0")).alias("target"),
     )
     if perturb:
         t = t.withColumn("target", F.col("target") * (1.0 + F.lit(perturb)))

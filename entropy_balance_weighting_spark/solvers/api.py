@@ -235,6 +235,9 @@ def _build_kernel(x_sample, weights0, mean_population_moments, opts):
         pt.k,
         ratio_guess=guess,
         moment_groups=pt.moment_groups,
+        known_sums=(
+            (pt.sum_w0, pt.n) if pt.sum_w0 is not None and pt.n is not None else None
+        ),
     )
     return kernel, m, original
 
@@ -271,6 +274,9 @@ def _build_penalty_kernel(x_sample, weights0, mean_population_moments, opts, bou
         bounds=bounds,
         ratio_guess=guess,
         moment_groups=pt.moment_groups,
+        known_sums=(
+            (pt.sum_w0, pt.n) if pt.sum_w0 is not None and pt.n is not None else None
+        ),
     )
     return kernel, m, original
 
@@ -307,6 +313,9 @@ def _build_elastic_kernel(x_sample, weights0, mean_population_moments, opts, bou
         bounds=bounds,
         ratio_guess=guess,
         moment_groups=pt.moment_groups,
+        known_sums=(
+            (pt.sum_w0, pt.n) if pt.sum_w0 is not None and pt.n is not None else None
+        ),
     )
     return kernel, m, original
 
