@@ -53,16 +53,20 @@ def cosine_topk(
     BEFORE ranking — set it when comparing against an oracle that ranks
     rounded values, so boundary candidates cannot order differently.
     """
+    # norms are per-vector, not per-pair: materialize them once on each
+    # side so the O(P·N) pair stage folds only the dot product
     base = emb.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("v_norm", _norm(F.col("v")))
     probes = base.filter(F.col("neighbor_id").isin(probe_ids)).select(
-        F.col("neighbor_id").alias("probe_id"), F.col("v").alias("p")
+        F.col("neighbor_id").alias("probe_id"),
+        F.col("v").alias("p"),
+        F.col("v_norm").alias("p_norm"),
     )
     joined = base.crossJoin(F.broadcast(probes)).filter(
         F.col("neighbor_id") != F.col("probe_id")
     )
-    cos = _dot(F.col("p"), F.col("v")) / (_norm(F.col("p")) * _norm(F.col("v")))
+    cos = _dot(F.col("p"), F.col("v")) / (F.col("p_norm") * F.col("v_norm"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     scored = joined.select("probe_id", "neighbor_id", cos.alias("cos"))
@@ -128,10 +132,14 @@ def cosine_topk_lsh(
     """Approximate top-k: random-hyperplane signatures, banded buckets,
     exact re-rank of candidates only.  Same output schema as
     :func:`cosine_topk`; recall < 1 by design (measured in tests)."""
-    base = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("sig", signature_bits(F.col("v"), n_planes))
+    base = (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("v_norm", _norm(F.col("v")))
+        .withColumn("sig", signature_bits(F.col("v"), n_planes))
+    )
     n_bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
     bands = []
@@ -140,6 +148,7 @@ def cosine_topk_lsh(
             base.select(
                 "neighbor_id",
                 "v",
+                "v_norm",
                 F.lit(b).alias("band"),
                 F.shiftright(F.col("sig"), b * band_bits)
                 .bitwiseAND(mask)
@@ -152,19 +161,20 @@ def cosine_topk_lsh(
     probes = banded.filter(F.col("neighbor_id").isin(probe_ids)).select(
         F.col("neighbor_id").alias("probe_id"),
         F.col("v").alias("p"),
+        F.col("v_norm").alias("p_norm"),
         "band",
         "bsig",
     )
     cands = (
         banded.join(F.broadcast(probes), ["band", "bsig"])
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .select("probe_id", "p", "neighbor_id", "v")
+        .select("probe_id", "p", "p_norm", "neighbor_id", "v", "v_norm")
         .distinct()
     )
     scored = cands.select(
         "probe_id",
         "neighbor_id",
-        (_dot(F.col("p"), F.col("v")) / (_norm(F.col("p")) * _norm(F.col("v")))).alias(
+        (_dot(F.col("p"), F.col("v")) / (F.col("p_norm") * F.col("v_norm"))).alias(
             "cos"
         ),
     )
