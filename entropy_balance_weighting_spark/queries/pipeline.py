@@ -263,7 +263,8 @@ WITH g AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 )
-SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM g GROUP BY user_id ORDER BY user_id
 """,
 )
@@ -273,9 +274,7 @@ def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands SQL."""
     ev = load_table(spark, sf_dir, "events")
     out = events.session_window_agg(ev, gap="30 minutes")
-    return out.select(
-        "user_id", F.col("n_sessions").cast("double"), "n_events"
-    ).orderBy("user_id")
+    return out.select("user_id", "n_sessions", "n_events").orderBy("user_id")
 
 
 @register(
