@@ -35,10 +35,18 @@ _KNOWN_OPTIONS = {
     "force_distributed",
     "local_threshold",
     "validate",
+    # accepted for drop-in compatibility with reference scripts (the
+    # reference reads options via .get and silently ignores these; its own
+    # examples pass them — ref: examples/simple_examples.py:24,30).  They
+    # select kernel internals that have no analogue here and are no-ops.
+    "dual_only",
+    "force_dense",
 }
 
 
 def _validate_options(options: dict | None) -> dict:
+    """Unlike the reference (which silently ignores unknown keys), reject
+    typos loudly — but accept the reference's documented/vestigial names."""
     opts = dict(options or {})
     unknown = set(opts) - _KNOWN_OPTIONS
     if unknown:
