@@ -33,6 +33,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Shuffle map outputs and localCheckpoint blocks always touch
+    # spark.local.dir; on this single-node setup the disk is far slower
+    # than RAM and iowait dominates run-to-run variance, so prefer tmpfs
+    # when present.  (On a real cluster you'd leave this to the cluster
+    # manager's fast local volumes.)
+    local_dir = None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -47,6 +56,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir is not None:
+        builder = builder.config("spark.local.dir", local_dir)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
