@@ -119,6 +119,82 @@ def signature_bits(vec, n_planes: int = 16) -> "F.Column":
     return out
 
 
+def cosine_topk_ivf(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: an MLlib KMeans coarse quantizer
+    partitions the corpus into ``n_cells`` inverted lists; each probe
+    searches only its ``n_probe`` nearest cells and re-ranks those
+    candidates exactly.
+
+    The 100 TB shape: the corpus is scanned once to assign cells (a
+    narrow transform once the tiny centroid model is fit on a sample),
+    candidate volume per probe is ~``n_probe/n_cells`` of the corpus, and
+    everything after assignment is plain joins/aggregations.  Recall is
+    tunable via ``n_probe`` (measured in tests).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("v_norm", _norm(F.col("v")))
+    feat = base.withColumn("features", array_to_vector(F.col("v")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(
+        "neighbor_id", "v", "v_norm", "cell"
+    )
+
+    centers = np.vstack([c for c in model.clusterCenters()])
+    probes = assigned.filter(F.col("neighbor_id").isin(probe_ids)).select(
+        F.col("neighbor_id").alias("probe_id"),
+        F.col("v").alias("p"),
+        F.col("v_norm").alias("p_norm"),
+    )
+    # driver-side cell shortlist per probe (P × n_cells is tiny)
+    probe_rows = probes.collect()
+    spark = emb.sparkSession
+    shortlist = []
+    for r in probe_rows:
+        p = np.array(r["p"])
+        d = ((centers - p[None, :]) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:n_probe]:
+            shortlist.append((r["probe_id"], int(c)))
+    cells = spark.createDataFrame(shortlist, "probe_id long, cell int")
+
+    cands = (
+        assigned.join(F.broadcast(cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .join(F.broadcast(probes), "probe_id")
+    )
+    scored = cands.select(
+        "probe_id",
+        "neighbor_id",
+        (_dot(F.col("p"), F.col("v")) / (F.col("p_norm") * F.col("v_norm"))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "cos")
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     probe_ids: list[int],

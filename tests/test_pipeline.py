@@ -72,6 +72,37 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF (KMeans coarse quantizer + exact re-rank) recall against the
+    brute-force baseline; probing more cells must not lower recall."""
+    from entropy_balance_weighting_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+    from entropy_balance_weighting_spark.session import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = list(range(10))
+    exact_set = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, probes, k=3).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in cosine_topk_ivf(
+                emb, probes, k=3, n_cells=8, n_probe=n_probe
+            ).collect()
+        }
+        return len(exact_set & got) / len(exact_set)
+
+    r2 = recall(2)
+    r8 = recall(8)  # probing every cell == exhaustive → full recall
+    assert r8 == 1.0
+    assert r2 <= r8 and r2 >= 0.3
+
+
 def test_multimodal_real_decoder_is_stubbed(spark):
     """The real decode stage must fail loudly (no image libs here), and the
     fake decoder must produce the exact deterministic contract."""
