@@ -91,12 +91,6 @@ def moment_gap(totals: DataFrame, targets: DataFrame, sum_w0: float) -> DataFram
     (ref: pums_example.py:225-247) with a keyed inner join of two K-row
     frames — both tiny, so Catalyst broadcasts.
     """
-    return (
-        totals.join(targets, "moment_id")
-        .select(
-            "moment_id",
-            "total",
-            "target",
-            (F.col("total") - F.col("target") * F.lit(sum_w0)).alias("gap"),
-        )
+    return totals.join(targets, "moment_id").withColumn(
+        "gap", F.col("total") - F.col("target") * F.lit(sum_w0)
     )

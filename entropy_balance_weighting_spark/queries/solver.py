@@ -227,32 +227,30 @@ def ebw_penalty_gap_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = entropy_balance_penalty(
         targets, pt, penalty_parameter=5.0
     )
-    # start gap: r = 1 → A^T r = X^T w0; both sides vs b = target·Σw0
-    sum_w0 = pt.w0.agg(F.sum("w0")).first()[0]
-    base = (
-        pt.x_long.join(pt.w0, "row_id")
-        .groupBy("moment_id")
-        .agg(F.sum(F.col("value") * F.col("w0")).alias("base_total"))
+    # start gap: r = 1 → A^T r = X^T w0; both sides vs b = target·Σw0,
+    # computed through the reusable weighted-totals + moment-gap operators
+    from entropy_balance_weighting_spark.operators.weighted_moments import (
+        moment_gap,
+        weighted_moment_totals,
     )
-    ach = (
-        pt.x_long.join(res.new_weights, "row_id")
-        .groupBy("moment_id")
-        .agg(F.sum(F.col("value") * F.col("new_weight")).alias("ach_total"))
-    )
+
+    sum_w0 = pt.sum_w0
     tgt = targets.join(F.broadcast(pt.moments), "moment_name").select(
-        "moment_id", "moment_name", (F.col("target") * F.lit(sum_w0)).alias("b")
+        "moment_id", "moment_name", "target"
     )
+    base_gap = moment_gap(
+        weighted_moment_totals(pt.x_long, pt.w0), tgt, sum_w0
+    ).select("moment_id", F.abs("gap").alias("base_gap"))
+    ach_gap = moment_gap(
+        weighted_moment_totals(pt.x_long, res.new_weights, weight_col="new_weight"),
+        tgt,
+        sum_w0,
+    ).select("moment_id", "moment_name", F.abs("gap").alias("ach_gap"))
     return (
-        base.join(ach, "moment_id")
-        .join(F.broadcast(tgt), "moment_id")
+        ach_gap.join(base_gap, "moment_id")
         .select(
             "moment_name",
-            (
-                F.abs(F.col("ach_total") - F.col("b"))
-                < F.abs(F.col("base_total") - F.col("b"))
-            )
-            .cast("int")
-            .alias("gap_reduced"),
+            (F.col("ach_gap") < F.col("base_gap")).cast("int").alias("gap_reduced"),
             F.lit(1 if res.converged else 0).alias("converged"),
         )
         .orderBy("moment_name")

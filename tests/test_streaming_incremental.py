@@ -92,6 +92,17 @@ def test_incremental_stream_matches_batch_solve(spark, tmp_path):
     diffs = [abs(w_stream[k] - w_batch[k]) / abs(w_batch[k]) for k in w_batch]
     assert max(diffs) < 1e-5
 
+    # the weights sink persists the current solution as parquet
+    from entropy_balance_weighting_spark.streaming.incremental import weights_sink
+
+    out_dir = str(tmp_path / "weights_out")
+    weights_sink(rw)(out_dir)
+    reread = {
+        r["row_id"]: r["new_weight"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert reread == w_stream
+
 
 def test_warm_start_uses_previous_ratios(spark, tmp_path):
     """After the first solve, subsequent identical-data batches should
