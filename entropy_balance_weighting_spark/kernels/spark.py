@@ -16,9 +16,10 @@ arrays back to long form would shuffle N·nnz rows per iteration, while this
 design shuffles nothing after setup — partials are partition-local and only
 K²-sized buffers cross the driver boundary (SURVEY §3.4).
 
-State update uses ``localCheckpoint(eager=True)`` per commit: the iterate's
-lineage is truncated so 30-100 iterations don't grow an unbounded plan —
-the classic iterative-MLlib pitfall (SURVEY §4 caching note).
+State updates are lazy-persisted and materialized by the NEXT stats scan
+(2 jobs per iteration); a real ``localCheckpoint`` every few commits
+truncates lineage so 30-100 iterations never grow an unbounded plan — the
+classic iterative-MLlib pitfall (SURVEY §4 caching note).
 """
 
 from __future__ import annotations
@@ -325,7 +326,16 @@ class SparkKernel:
     With ``moment_groups`` metadata (every moment group-specific), the
     per-iteration Gram is accumulated block-diagonally: Σk_b² floats per
     task instead of K² — the path that reaches the reference's
-    'hundreds of thousands of constraints' regime (ref: README.md:8)."""
+    'hundreds of thousands of constraints' regime (ref: README.md:8).
+
+    Iteration job fusion: ``commit`` only DECLARES the state transition
+    (lazy ``mapInPandas`` + persist); the very next ``stats`` job both
+    materializes the new state into the cache and computes its reductions
+    in a single scan — 2 jobs per iteration instead of 3.  Lineage is
+    truncated with a real ``localCheckpoint`` every few commits so a cache
+    eviction can never cascade a long recompute chain."""
+
+    _CKPT_EVERY = 8  # commits between lineage truncations
 
     def __init__(
         self, df: DataFrame, k: int, sum_w0: float, n: int, block_structure=None
@@ -335,6 +345,8 @@ class SparkKernel:
         self.sum_w0 = sum_w0
         self.n = n
         self.block_structure = block_structure
+        self._prev: DataFrame | None = None
+        self._commits_since_ckpt = 0
 
     @classmethod
     def from_problem(
@@ -392,6 +404,16 @@ class SparkKernel:
         sums, mins = self._reduce(
             _stats_pass(k, lam, blocks_tuple(self.block_structure))
         )
+        # the reduce materialized any pending lazy commit into its cache —
+        # the superseded state can go, and periodically cut the lineage
+        if self._prev is not None:
+            self._prev.unpersist()
+            self._prev = None
+        if self._commits_since_ckpt >= self._CKPT_EVERY:
+            old = self.df
+            self.df = self.df.localCheckpoint(eager=True)
+            old.unpersist()
+            self._commits_since_ckpt = 0
         f_val, cd_sq, nan_ct = sums[0], sums[1], sums[2]
         xt_w = sums[3 : 3 + k]
         xt_wcd = sums[3 + k : 3 + 2 * k]
@@ -419,18 +441,19 @@ class SparkKernel:
         )
 
     def commit(self, choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -> None:
-        """Advance the iterate — one materializing pass, lineage truncated.
+        """Advance the iterate — LAZY: the transition is declared and
+        persisted; the next ``stats`` reduce materializes it in the same
+        scan that computes its reductions (no standalone commit job).
 
-        No extra min-job here: zero-weight detection uses the step pass's
-        ``min_wdual`` (dual candidate) and the next stats pass's ``min_w``
-        (primal underflow), keeping commits at exactly one Spark job.
-        """
+        No extra min-job either: zero-weight detection uses the step
+        pass's ``min_wdual`` (dual candidate) and the next stats pass's
+        ``min_w`` (primal underflow)."""
         new_df = self.df.mapInPandas(
             _commit_pass(choice, lam, dlam, alpha), PACKED_SCHEMA
-        ).localCheckpoint(eager=True)
-        old = self.df
+        ).persist()
+        self._prev = self.df
         self.df = new_df
-        old.unpersist()
+        self._commits_since_ckpt += 1
 
     def new_weights(self) -> DataFrame:
         return self.df.select(
@@ -439,3 +462,6 @@ class SparkKernel:
 
     def cleanup(self) -> None:
         self.df.unpersist()
+        if self._prev is not None:
+            self._prev.unpersist()
+            self._prev = None
