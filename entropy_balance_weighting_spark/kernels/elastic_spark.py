@@ -231,6 +231,8 @@ def _g1_pass(k) -> Callable:
 
 
 class ElasticSparkKernel:
+    _CKPT_EVERY = 8
+
     def __init__(
         self, df: DataFrame, k: int, sum_w0: float, n: int, lb: float,
         ub: float, has_ub: bool, block_structure=None,
@@ -243,6 +245,8 @@ class ElasticSparkKernel:
         self.ub = ub
         self.has_ub = has_ub
         self.block_structure = block_structure
+        self._prev: DataFrame | None = None
+        self._commits_since_ckpt = 0
 
     @classmethod
     def from_problem(
@@ -289,6 +293,15 @@ class ElasticSparkKernel:
         rows = self.df.mapInPandas(fn, _PAYLOAD_SCHEMA).collect()
         sums = np.sum([np.frombuffer(r.sums, dtype=np.float64) for r in rows], axis=0)
         mins = np.min([np.frombuffer(r.mins, dtype=np.float64) for r in rows], axis=0)
+        # a reduce materializes any pending lazy commit into its cache
+        if self._prev is not None:
+            self._prev.unpersist()
+            self._prev = None
+            if self._commits_since_ckpt >= self._CKPT_EVERY:
+                old = self.df
+                self.df = self.df.localCheckpoint(eager=True)
+                old.unpersist()
+                self._commits_since_ckpt = 0
         return sums, mins
 
     def elastic_g1(self) -> np.ndarray:
@@ -336,16 +349,19 @@ class ElasticSparkKernel:
     def elastic_commit(
         self, lam, dlam, eta, mu_s, alpha_p, alpha_d
     ) -> ECommitStats:
+        """Lazy transition + fused aggregation: the post-commit aggregate
+        reduce materializes the new state into the cache in the same scan
+        (one job for commit + aggregates together)."""
         new_df = self.df.mapInPandas(
             _ecommit_pass(
                 lam, dlam, eta, mu_s, alpha_p, alpha_d, self.lb, self.ub,
                 self.has_ub,
             ),
             BOUNDED_SCHEMA,
-        ).localCheckpoint(eager=True)
-        old = self.df
+        ).persist()
+        self._prev = self.df
         self.df = new_df
-        old.unpersist()
+        self._commits_since_ckpt += 1
         sums, mins = self._reduce(_ecommit_agg_pass(self.has_ub))
         return ECommitStats(
             sl_sum=float(sums[0]),
@@ -361,3 +377,6 @@ class ElasticSparkKernel:
 
     def cleanup(self) -> None:
         self.df.unpersist()
+        if self._prev is not None:
+            self._prev.unpersist()
+            self._prev = None

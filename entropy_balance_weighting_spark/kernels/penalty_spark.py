@@ -281,6 +281,8 @@ def _pbcommit_pass(
 class PenaltySparkKernel:
     """Distributed penalty kernel over the packed-row DataFrame."""
 
+    _CKPT_EVERY = 8
+
     def __init__(
         self, df: DataFrame, k: int, sum_w0: float, n: int, has_ub: bool,
         bounded: bool, block_structure=None,
@@ -293,6 +295,8 @@ class PenaltySparkKernel:
         self.bounded = bounded
         self.block_structure = block_structure
         self._schema = BOUNDED_SCHEMA if bounded else UNBOUNDED_SCHEMA
+        self._prev: DataFrame | None = None
+        self._commits_since_ckpt = 0
 
     @classmethod
     def from_problem(
@@ -345,13 +349,24 @@ class PenaltySparkKernel:
         rows = self.df.mapInPandas(fn, _PAYLOAD_SCHEMA).collect()
         sums = np.sum([np.frombuffer(r.sums, dtype=np.float64) for r in rows], axis=0)
         mins = np.min([np.frombuffer(r.mins, dtype=np.float64) for r in rows], axis=0)
+        # a reduce materializes any pending lazy commit into its cache
+        if self._prev is not None:
+            self._prev.unpersist()
+            self._prev = None
+            if self._commits_since_ckpt >= self._CKPT_EVERY:
+                old = self.df
+                self.df = self.df.localCheckpoint(eager=True)
+                old.unpersist()
+                self._commits_since_ckpt = 0
         return sums, mins
 
     def _commit(self, fn) -> None:
-        new_df = self.df.mapInPandas(fn, self._schema).localCheckpoint(eager=True)
-        old = self.df
+        """Lazy state transition: persisted, materialized by the next
+        reduce in the same scan (no standalone commit job)."""
+        new_df = self.df.mapInPandas(fn, self._schema).persist()
+        self._prev = self.df
         self.df = new_df
-        old.unpersist()
+        self._commits_since_ckpt += 1
 
     # -- shared ------------------------------------------------------------
     def penalty_init(self):
@@ -371,6 +386,9 @@ class PenaltySparkKernel:
 
     def cleanup(self) -> None:
         self.df.unpersist()
+        if self._prev is not None:
+            self._prev.unpersist()
+            self._prev = None
 
     # -- unbounded ---------------------------------------------------------
     def penalty_stats(self) -> PenaltyStats:
