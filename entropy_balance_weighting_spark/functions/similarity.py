@@ -119,6 +119,45 @@ def signature_bits(vec, n_planes: int = 16) -> "F.Column":
     return out
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, cos)`` with
+    cosine ≥ threshold, id_a < id_b.
+
+    This is the EXACT all-pairs baseline (norms precomputed per vector, the
+    pair stage folds only dot products) — correct at any threshold, O(N²)
+    compute.  At corpus scale, bucket first (``cosine_topk_lsh``'s
+    hyperplane bands or ``cosine_topk_ivf``'s inverted lists) and run this
+    verification only within buckets, exactly as MinHash-LSH verifies
+    Jaccard on candidates only.
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     probe_ids: list[int],

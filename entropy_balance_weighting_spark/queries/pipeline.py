@@ -173,6 +173,33 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_embedding_near_dups",
+    survey="ext:dedup-embedding-cosine",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+ORDER BY id_a, id_b
+""",
+)
+def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline at test
+    scale; the bucketed LSH/IVF variants are the corpus-scale candidate
+    generators — see :mod:`functions.similarity`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(emb, 0.45)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos", 5).alias("cos")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "txt_quality_stats",
     survey="ext:text-analysis",
     bench=True,
