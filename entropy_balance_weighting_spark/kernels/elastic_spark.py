@@ -259,8 +259,9 @@ class ElasticSparkKernel:
         ratio_guess: DataFrame | None = None,
         moment_groups: list[str] | None = None,
         known_sums: tuple[float, int] | None = None,
+        prepacked: DataFrame | None = None,
     ) -> "ElasticSparkKernel":
-        df, sum_w0, n = pack_rows(x_long, w0, known_sums)
+        df, sum_w0, n = pack_rows(x_long, w0, known_sums, prepacked)
         if ratio_guess is not None:
             df = df.join(
                 ratio_guess.select("row_id", "ratio"), "row_id", "left"

@@ -178,18 +178,33 @@ def _gram_accum(flat_idx, flat_val, lens, d, k, out: np.ndarray) -> None:
 
 
 def pack_rows(
-    x_long: DataFrame, w0: DataFrame, known_sums: tuple[float, int] | None = None
+    x_long: DataFrame,
+    w0: DataFrame,
+    known_sums: tuple[float, int] | None = None,
+    prepacked: DataFrame | None = None,
 ) -> tuple[DataFrame, float, int]:
-    """Pack the canonical long tables into per-row CSR — the one setup
-    shuffle shared by every distributed kernel; returns (packed, Σw0, n).
-    Rows absent from x_long get empty arrays (all-zero X rows).
+    """Pack the canonical long tables into per-row CSR; returns
+    (packed, Σw0, n).
+
+    With ``prepacked`` (the data layer's projection-derived
+    ``(row_id, w0, idx, val)``) this is a pure narrow plan — the solver
+    runs ZERO shuffles end-to-end.  Otherwise the generic explode+groupBy
+    path performs the one co-partitioning shuffle (any x_long source, e.g.
+    a loaded bundle).  Rows absent from x_long get empty arrays.
     ``known_sums=(Σw0, n)`` skips the aggregation job when the data layer
     already computed them at build time."""
     if known_sums is not None:
         sum_w0, n = float(known_sums[0]), int(known_sums[1])
+    elif prepacked is not None:
+        sums = prepacked.agg(
+            F.sum("w0").alias("s"), F.count(F.lit(1)).alias("n")
+        ).first()
+        sum_w0, n = float(sums["s"]), int(sums["n"])
     else:
         sums = w0.agg(F.sum("w0").alias("s"), F.count(F.lit(1)).alias("n")).first()
         sum_w0, n = float(sums["s"]), int(sums["n"])
+    if prepacked is not None:
+        return prepacked.select("row_id", "w0", "idx", "val"), sum_w0, n
     packed_x = (
         x_long.groupBy("row_id")
         .agg(
@@ -358,10 +373,11 @@ class SparkKernel:
         ratio_guess: DataFrame | None = None,
         moment_groups: list[str] | None = None,
         known_sums: tuple[float, int] | None = None,
+        prepacked: DataFrame | None = None,
     ) -> "SparkKernel":
         """Pack the canonical long tables into per-row CSR — the one setup
         shuffle; every subsequent iteration is shuffle-free."""
-        df, sum_w0, n = pack_rows(x_long, w0, known_sums)
+        df, sum_w0, n = pack_rows(x_long, w0, known_sums, prepacked)
         df = df.withColumn("q", F.col("w0") / F.lit(sum_w0))
         if ratio_guess is not None:
             df = df.join(ratio_guess.select("row_id", "ratio"), "row_id", "left").select(

@@ -94,6 +94,11 @@ class ProblemTables:
     # Weighted per-moment aggregations read this directly and skip the
     # row_id re-join shuffle (one column of redundancy for one fewer
     # shuffle — the right trade at scale).
+    packed_arrays: DataFrame | None = None  # (row_id, w0, idx, val) — the
+    # per-row CSR arrays derived by PURE PROJECTION from the prepared rows
+    # (each row's moment ids come from literals / tiny category maps, no
+    # explode + groupBy round trip).  When present, the solver kernels pack
+    # with ZERO shuffles end-to-end.
 
     @property
     def k(self) -> int:
@@ -214,7 +219,17 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
     is collected to the driver (K rows — driver-scale by §1.4) and broadcast
     back to key the long table.
     """
-    rows = prepared_rows(df, spec).localCheckpoint(eager=True)
+    rows = prepared_rows(df, spec)
+    # A small local input (few parquet splits) would pin every downstream
+    # narrow plan — including the zero-shuffle packed kernel — to that
+    # partition count.  Spread once before materializing when the scan
+    # under-utilizes the cluster; at real scale input splits >> cores and
+    # this branch never fires.
+    spark_ctx = df.sparkSession.sparkContext
+    target = spark_ctx.defaultParallelism
+    if rows.rdd.getNumPartitions() < max(2, target // 2):
+        rows = rows.repartition(target)
+    rows = rows.localCheckpoint(eager=True)
 
     if spec.row_key and not spec.dedupe_row_key:
         # Uniqueness guard for the shuffle-free hashed row ids: one cheap
@@ -282,6 +297,7 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
     )
     x_long = x_long_w0.select("row_id", "moment_id", "value")
     w0 = rows.select("row_id", "w0")
+    packed = _packed_arrays(rows, spec, names)
     groups = [
         nm.split("|", 1)[0] if nm.startswith("grp=") else "" for nm in names
     ]
@@ -295,6 +311,61 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
         moment_groups=groups,
         sum_w0=sum_w0,
         x_long_w0=x_long_w0,
+        packed_arrays=packed,
+    )
+
+
+_PACK_PROJECTION_MAX_K = 4096  # map-literal size guard for the grouped path
+
+
+def _packed_arrays(
+    rows: DataFrame, spec: MomentSpec, names: list[str]
+) -> DataFrame | None:
+    """(row_id, w0, idx, val) by pure projection — the zero-shuffle packing.
+
+    Every prepared row emits a FIXED set of entries (numeric + intercept +
+    one indicator per one-hot column); its moment ids are either literal
+    constants (ungrouped numeric/intercept) or lookups into a driver-built
+    name→id map rendered as a Spark map literal.  The map literal is
+    K-sized for grouped specs, so the projection path is gated at
+    ``_PACK_PROJECTION_MAX_K`` — beyond it the kernels fall back to the
+    generic explode + groupBy packing (one co-partitioning shuffle).
+    """
+    if (spec.group or spec.onehot) and len(names) > _PACK_PROJECTION_MAX_K:
+        return None
+    name_to_id = {nm: i for i, nm in enumerate(names)}
+
+    def lookup(name_expr: "F.Column") -> "F.Column":
+        pairs: list[F.Column] = []
+        for nm, i in name_to_id.items():
+            pairs += [F.lit(nm), F.lit(i)]
+        return F.element_at(F.create_map(*pairs), name_expr).cast("int")
+
+    id_exprs: list[F.Column] = []
+    val_exprs: list[F.Column] = []
+    for c in spec.numeric:
+        base = F.lit(c)
+        if spec.group:
+            id_exprs.append(lookup(_moment_name_expr(spec, base)))
+        else:
+            id_exprs.append(F.lit(name_to_id[c]).cast("int"))
+        val_exprs.append(F.col(c).cast("double"))
+    if spec.intercept:
+        base = F.lit("_count")
+        if spec.group:
+            id_exprs.append(lookup(_moment_name_expr(spec, base)))
+        else:
+            id_exprs.append(F.lit(name_to_id["_count"]).cast("int"))
+        val_exprs.append(F.lit(1.0))
+    for c in spec.onehot:
+        base = F.concat(F.lit(c), F.lit("="), F.col(c).cast("string"))
+        id_exprs.append(lookup(_moment_name_expr(spec, base)))
+        val_exprs.append(F.lit(1.0))
+    return rows.select(
+        "row_id",
+        "w0",
+        F.array(*id_exprs).alias("idx"),
+        F.array(*val_exprs).alias("val"),
     )
 
 

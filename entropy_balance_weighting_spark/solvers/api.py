@@ -246,6 +246,7 @@ def _build_kernel(x_sample, weights0, mean_population_moments, opts):
         known_sums=(
             (pt.sum_w0, pt.n) if pt.sum_w0 is not None and pt.n is not None else None
         ),
+        prepacked=pt.packed_arrays,
     )
     return kernel, m, original
 
@@ -285,6 +286,7 @@ def _build_penalty_kernel(x_sample, weights0, mean_population_moments, opts, bou
         known_sums=(
             (pt.sum_w0, pt.n) if pt.sum_w0 is not None and pt.n is not None else None
         ),
+        prepacked=pt.packed_arrays,
     )
     return kernel, m, original
 
@@ -324,6 +326,7 @@ def _build_elastic_kernel(x_sample, weights0, mean_population_moments, opts, bou
         known_sums=(
             (pt.sum_w0, pt.n) if pt.sum_w0 is not None and pt.n is not None else None
         ),
+        prepacked=pt.packed_arrays,
     )
     return kernel, m, original
 

@@ -49,6 +49,53 @@ def test_moment_totals_uses_partial_aggregation(spark):
     assert "partial_" in plan or plan.count("HashAggregate") >= 2
 
 
+def test_builder_prepacked_arrays_have_no_shuffle(spark):
+    """The data layer's projection-derived packed arrays give the solver a
+    ZERO-shuffle plan end-to-end (generic x_long packing needs one
+    co-partitioning shuffle; builder-made problems skip even that)."""
+    import numpy as np
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.plans import (
+        MomentSpec,
+        build_problem_tables,
+    )
+
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(300),
+            "w": rng.uniform(0.5, 2.0, 300),
+            "x0": rng.uniform(size=300),
+            "cat": rng.integers(0, 3, 300).astype(str),
+        }
+    )
+    pt = build_problem_tables(
+        spark.createDataFrame(pdf),
+        MomentSpec(
+            weight_col="w", numeric=("x0",), onehot=("cat",), row_key=("rid",)
+        ),
+    )
+    assert pt.packed_arrays is not None
+    assert "Exchange" not in _plan(pt.packed_arrays)
+    # and the packed rows decode to the exact x_long content
+    from pyspark.sql import functions as F
+
+    exploded = pt.packed_arrays.select(
+        "row_id", F.explode(F.arrays_zip("idx", "val")).alias("e")
+    ).select(
+        "row_id",
+        F.col("e.idx").alias("moment_id"),
+        F.col("e.val").alias("value"),
+    )
+    a = {(r["row_id"], r["moment_id"], r["value"]) for r in exploded.collect()}
+    b = {
+        (r["row_id"], r["moment_id"], r["value"])
+        for r in pt.x_long.collect()
+    }
+    assert a == b
+
+
 def test_solver_iteration_pass_has_no_shuffle(spark):
     """The packed-kernel per-iteration jobs must be map-only: the packing
     shuffle happens once at construction; stats/step/commit scans reuse
