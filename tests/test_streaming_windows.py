@@ -43,3 +43,64 @@ def test_streamed_tumbling_windows_match_batch(spark, tmp_path):
     }
     assert streamed == batch
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_running_stats_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    after draining two file drops, the cumulative stats equal the batch
+    aggregate over all data."""
+    import pandas as pd
+
+    src = tmp_path / "ev_state_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ev_state_ckpt")
+
+    full = load_table(spark, SF_SMOKE, "events")
+    part1 = full.filter(F.col("event_id") % 2 == 0)
+    part2 = full.filter(F.col("event_id") % 2 == 1)
+    # two separate files → maxFilesPerTrigger=1 forces two micro-batches
+    # within one AvailableNow run; the state store carries stats across them
+    part1.coalesce(1).write.mode("append").parquet(str(src))
+    part2.coalesce(1).write.mode("append").parquet(str(src))
+
+    from entropy_balance_weighting_spark.streaming.stateful import (
+        running_key_stats,
+    )
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = running_key_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("key_stats")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(
+        [p for p in q.recentProgress if p["numInputRows"] > 0]
+    )
+    assert n_batches >= 2  # the state genuinely crossed micro-batches
+
+    # last emitted row per key = cumulative stats
+    mem = spark.sql("SELECT * FROM key_stats").toPandas()
+    last = mem.groupby("key").apply(lambda g: g.iloc[-1], include_groups=False)
+    batch = (
+        full.groupBy(F.col("event_type").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+            F.max("ts").alias("max_ts"),
+        )
+        .toPandas()
+        .set_index("key")
+    )
+    assert set(last.index) == set(batch.index)
+    for key in batch.index:
+        assert last.loc[key, "n_events"] == batch.loc[key, "n_events"]
+        assert abs(last.loc[key, "value_sum"] - batch.loc[key, "value_sum"]) < 1e-6
