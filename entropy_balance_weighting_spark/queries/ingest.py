@@ -61,30 +61,34 @@ def s4_csv_union_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e9_string_prep",
     survey="E9,V4",
     oracle="""
-SELECT substr(p_type, 1, strpos(p_type, ' ') - 1) AS type_head,
+SELECT substr(p_name, 1, strpos(p_name, ' ') - 1) AS adjective,
        count(*) AS n,
-       sum(CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END) AS n_a_prefix
+       sum(CASE WHEN substr(p_name, strpos(p_name, ' ') + 1) LIKE 'g%'
+                THEN 1 ELSE 0 END) AS n_g_noun
 FROM part
-WHERE strpos(p_type, ' ') > 0
-GROUP BY type_head ORDER BY type_head
+WHERE strpos(p_name, ' ') > 0
+GROUP BY adjective ORDER BY adjective
 """,
 )
 def e9_string_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function data prep (E9): prefix tests + substring extraction —
     the reference's label-cleaning pattern (``str.starts_with``/``str.slice``,
-    ref: pums_example.py:199-205) as Column expressions."""
+    ref: pums_example.py:199-205) as Column expressions.  Splits the
+    two-word ``p_name`` into adjective/noun via instr+substr and counts
+    g-prefixed nouns per adjective."""
     part = load_table(spark, sf_dir, "part")
-    head = F.expr("substr(p_type, 1, instr(p_type, ' ') - 1)")
+    head = F.expr("substr(p_name, 1, instr(p_name, ' ') - 1)")
+    tail = F.expr("substr(p_name, instr(p_name, ' ') + 1)")
     return (
-        part.filter(F.instr("p_type", " ") > 0)
+        part.filter(F.instr("p_name", " ") > 0)
         .select(
-            head.alias("type_head"),
-            F.col("p_name").startswith("a").cast("int").alias("is_a"),
+            head.alias("adjective"),
+            tail.startswith("g").cast("int").alias("is_g"),
         )
-        .groupBy("type_head")
+        .groupBy("adjective")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("is_a").alias("n_a_prefix"),
+            F.sum("is_g").alias("n_g_noun"),
         )
-        .orderBy("type_head")
+        .orderBy("adjective")
     )
