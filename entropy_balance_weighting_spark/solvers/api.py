@@ -69,20 +69,39 @@ def _validate_local_inputs(x: np.ndarray, w0: np.ndarray, m: np.ndarray) -> None
 
 
 def _validate_distributed_inputs(pt: ProblemTables) -> None:
-    """V1 as one counting scan over the long tables."""
+    """V1 as ONE job: the two bad-entry counts are unioned single-row
+    aggregates, so both scans run inside a single collect."""
     from pyspark.sql import functions as F
 
     inf = float("inf")
-    bad_x = pt.x_long.filter(
-        F.isnan("value") | F.col("value").isin(inf, -inf)
-    ).count()
-    bad_w = pt.w0.filter(
-        F.isnan("w0") | F.col("w0").isin(inf, -inf) | (F.col("w0") <= 0)
-    ).count()
-    if bad_x or bad_w:
+    bad_x_agg = pt.x_long.agg(
+        F.count(
+            F.when(
+                F.col("value").isNull()  # NULL ≙ NaN after Arrow transfer
+                | F.isnan("value")
+                | F.col("value").isin(inf, -inf),
+                1,
+            )
+        ).alias("bad"),
+        F.lit("x").alias("side"),
+    )
+    bad_w_agg = pt.w0.agg(
+        F.count(
+            F.when(
+                F.col("w0").isNull()
+                | F.isnan("w0")
+                | F.col("w0").isin(inf, -inf)
+                | (F.col("w0") <= 0),
+                1,
+            )
+        ).alias("bad"),
+        F.lit("w").alias("side"),
+    )
+    counts = {r["side"]: r["bad"] for r in bad_x_agg.unionByName(bad_w_agg).collect()}
+    if counts.get("x") or counts.get("w"):
         raise ValueError(
-            f"Inputs include invalid values ({bad_x} bad X entries, "
-            f"{bad_w} bad weights)"
+            f"Inputs include invalid values ({counts.get('x', 0)} bad X "
+            f"entries, {counts.get('w', 0)} bad weights)"
         )
 
 
