@@ -71,6 +71,29 @@ def test_failure_dump_only_on_failure(tmp_path):
     np.testing.assert_allclose(res_bad.new_weights, w0)
 
 
+def test_loaded_bundle_solves_distributed(spark, tmp_path):
+    """A bundle-loaded ProblemTables has NO builder metadata (no known
+    sums, no prepacked arrays, no nnz accounting) — the distributed kernel
+    must fall back to the generic aggregation + groupBy packing and still
+    match the local solve."""
+    x, w0, m = _problem(n=150, seed=21)
+    path = str(tmp_path / "generic")
+    bundle.dump_problem(path, x, w0, m)
+    pt, targets = bundle.load_problem(spark, path)
+    assert pt.sum_w0 is None and pt.packed_arrays is None
+    res_d = entropy_balance(
+        mean_population_moments=targets,
+        x_sample=pt,
+        options={"force_distributed": True},
+    )
+    res_l = entropy_balance(mean_population_moments=m, x_sample=x, weights0=w0)
+    assert res_d.converged and res_l.converged
+    got = {r["row_id"]: r["new_weight"] for r in res_d.new_weights.collect()}
+    np.testing.assert_allclose(
+        [got[i] for i in range(len(w0))], res_l.new_weights, rtol=1e-6
+    )
+
+
 def test_roundtrip_problem_tables(spark, tmp_path):
     """Distributed dump path: ProblemTables → parquet bundle → reload."""
     import pandas as pd

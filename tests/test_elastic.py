@@ -205,3 +205,44 @@ def test_elastic_distributed_matches_local(spark):
     got = {r["row_id"]: r["new_weight"] for r in res_dist.new_weights.collect()}
     w_dist = np.array([got[by_rid[rid]] for rid in pdf["rid"]])
     np.testing.assert_allclose(w_dist, res_local.new_weights, rtol=1e-5)
+
+
+def test_reference_readme_golden_bounded_case():
+    """The reference README's own worked example (ref: README.md:68-109):
+    unbounded weights [1.75, .75, .75, .825, .825]; with bounds (0.5, 1.5)
+    the problem turns infeasible, elastic clips the first weight to 1.5
+    and certifies violation ≈ −0.25 on moment 0 while the other moments
+    stay matched."""
+    x = np.array(
+        [
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    m = np.array([0.35, 0.30, 0.33])
+    w0 = np.ones(5)
+
+    res = entropy_balance(
+        x_sample=x, weights0=w0, mean_population_moments=m
+    )
+    assert res.converged
+    np.testing.assert_allclose(
+        res.new_weights, [1.75, 0.75, 0.75, 0.825, 0.825], atol=1e-4
+    )
+
+    res_b = entropy_balance(
+        x_sample=x,
+        weights0=w0,
+        mean_population_moments=m,
+        options={"bounds": (0.5, 1.5)},
+    )
+    assert res_b.converged
+    np.testing.assert_allclose(
+        res_b.new_weights, [1.5, 0.75, 0.75, 0.825, 0.825], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        res_b.constraint_violations, [-0.25, 0.0, 0.0], atol=1e-4
+    )
