@@ -25,14 +25,11 @@ def spark():
 
 @pytest.fixture(scope="session")
 def duck():
-    """DuckDB connection with the testdata tables registered as views,
-    mirroring the driver's oracle harness."""
+    """Bare DuckDB connection; tests register the views they need via
+    :func:`register_duck_views` (mirroring the driver's oracle harness)."""
     import duckdb
 
-    con = duckdb.connect()
-    for sf_dir in (SF_SMOKE, SF_CORRECTNESS):
-        pass
-    return con
+    return duckdb.connect()
 
 
 def register_duck_views(con, sf_dir: str) -> None:
