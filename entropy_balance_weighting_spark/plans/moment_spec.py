@@ -369,6 +369,82 @@ def _packed_arrays(
     )
 
 
+def vector_to_problem_tables(
+    df: DataFrame,
+    *,
+    features_col: str = "features",
+    weight_col: str,
+    row_key: tuple[str, ...],
+    feature_names: list[str] | None = None,
+) -> ProblemTables:
+    """Wide/Vector encoding adapter (SURVEY §1.1 dual encodings): turn an
+    MLlib ``VectorUDT`` features column — e.g. a ``VectorAssembler``
+    output — into the canonical long problem tables.
+
+    The sparse/dense ``Vector`` duality maps directly: ``vector_to_array``
+    + ``posexplode`` emits only the entries present after a zero filter,
+    so a ``SparseVector`` pipeline stays sparse in the long encoding.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    first = df.select(features_col).first()
+    if first is None:
+        raise ValueError("empty input")
+    k = len(first[0])
+    names = feature_names or [f"f{j}" for j in range(k)]
+    if len(names) != k:
+        raise ValueError(f"{len(names)} feature names for {k} features")
+
+    w = F.col(weight_col).cast("double")
+    rows = (
+        df.filter(w > 0)
+        .withColumn("row_id", F.xxhash64(*row_key))
+        .withColumn("__arr", vector_to_array(F.col(features_col)))
+        .select("row_id", w.alias("w0"), "__arr")
+    )
+    spark_ctx = df.sparkSession.sparkContext
+    target = spark_ctx.defaultParallelism
+    if rows.rdd.getNumPartitions() < max(2, target // 2):
+        rows = rows.repartition(target)
+    rows = rows.localCheckpoint(eager=True)
+    counts = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("row_id").alias("nd"),
+        F.sum("w0").alias("s"),
+    ).first()
+    if counts["n"] != counts["nd"]:
+        raise ValueError(f"row_key {row_key} is not unique")
+
+    spark = df.sparkSession
+    moments = spark.createDataFrame(
+        [(j, names[j]) for j in range(k)], "moment_id int, moment_name string"
+    )
+    x_long_w0 = (
+        rows.select("row_id", "w0", F.posexplode("__arr").alias("moment_id", "value"))
+        .filter(F.col("value") != 0.0)
+        .select("row_id", F.col("moment_id").cast("int"), "value", "w0")
+    )
+    packed = rows.select(
+        "row_id",
+        "w0",
+        F.expr(
+            "filter(transform(__arr, (v, i) -> IF(v != 0.0D, i, -1)), i -> i >= 0)"
+        ).cast("array<int>").alias("idx"),
+        F.expr("filter(__arr, v -> v != 0.0D)").alias("val"),
+    )
+    return ProblemTables(
+        x_long=x_long_w0.select("row_id", "moment_id", "value"),
+        w0=rows.select("row_id", "w0"),
+        moments=moments,
+        moment_names=list(names),
+        n=int(counts["n"]),
+        sum_w0=float(counts["s"]),
+        moment_groups=["" for _ in names],
+        x_long_w0=x_long_w0,
+        packed_arrays=packed,
+    )
+
+
 def targets_from_weighted_means(
     df: DataFrame, spec: MomentSpec, *, perturb: float = 0.0
 ) -> DataFrame:
