@@ -111,7 +111,12 @@ def tikhonov_penalty(residual_norm: float) -> float:
 
 
 def solve_regularized(
-    lhs: np.ndarray, rhs: np.ndarray, penalty: float, *, max_escalations: int = 30
+    lhs: np.ndarray,
+    rhs: np.ndarray,
+    penalty: float,
+    *,
+    max_escalations: int = 30,
+    relative: bool = True,
 ) -> np.ndarray:
     """Solve (lhs + δI)x = rhs, escalating δ ×10 on numerical failure.
 
@@ -119,11 +124,27 @@ def solve_regularized(
     ebw_routines.py:247-257): require positive-definiteness (Cholesky
     check, the numpy analogue of ``assume_a='pos'``), escalate the
     Tikhonov term until the system factorizes and yields finite values.
+
+    Documented deviation: with ``relative=True`` (default) the Tikhonov
+    term is scaled by the mean Gram diagonal, making the damping
+    SCALE-INVARIANT.  The reference's absolute δ silently over-damps
+    problems whose Gram entries are far below 1 (e.g. thousands of group
+    blocks over small-magnitude columns: entries ~1e-6 vs δ ~1e-4 turn
+    quadratic Newton into a slow linear crawl).  On unit-scale problems —
+    the reference's own regime — the behavior is essentially identical,
+    and the collinearity defense is preserved exactly (a rank-deficient
+    Gram still receives a strictly positive relative shift).
     """
     if isinstance(lhs, BlockGram):
-        return solve_regularized_blocks(lhs, rhs, penalty, max_escalations=max_escalations)
+        return solve_regularized_blocks(
+            lhs, rhs, penalty, max_escalations=max_escalations, relative=relative
+        )
     k = lhs.shape[0]
     eye = np.eye(k)
+    if relative:
+        scale = float(np.trace(lhs)) / max(k, 1)
+        if scale > 0 and np.isfinite(scale):
+            penalty = penalty * scale
     for _ in range(max_escalations):
         a = lhs + penalty * eye
         try:
@@ -138,17 +159,28 @@ def solve_regularized(
 
 
 def solve_regularized_blocks(
-    gram: BlockGram, rhs: np.ndarray, penalty: float, *, max_escalations: int = 30
+    gram: BlockGram,
+    rhs: np.ndarray,
+    penalty: float,
+    *,
+    max_escalations: int = 30,
+    relative: bool = True,
 ) -> np.ndarray:
     """Block-diagonal solve: B independent regularized solves, each k_b×k_b.
 
     Exactly equivalent to the dense solve when the off-block entries are
     structurally zero (group moments, SURVEY A10/§7.2) — parity-tested —
-    but costs Σ k_b³ instead of K³ and never materializes K²."""
+    but costs Σ k_b³ instead of K³ and never materializes K².  The
+    relative Tikhonov scaling applies PER BLOCK, so heterogeneous block
+    magnitudes each get appropriately-sized damping."""
     st = gram.structure
     out = np.empty_like(rhs)
     for b, mem in enumerate(st.members):
         out[mem] = solve_regularized(
-            gram.block(b), rhs[mem], penalty, max_escalations=max_escalations
+            gram.block(b),
+            rhs[mem],
+            penalty,
+            max_escalations=max_escalations,
+            relative=relative,
         )
     return out

@@ -45,8 +45,12 @@ def test_block_solve_matches_dense_solve():
         o = int(bs.flat_offsets[b])
         flat[o : o + sz * sz] = blockmat.ravel()
     rhs = rng.uniform(size=k)
-    x_dense = solve_regularized(dense, rhs, 1e-8)
-    x_block = solve_regularized(BlockGram(structure=bs, flat=flat), rhs, 1e-8)
+    # relative=False: exact machinery equivalence (the relative Tikhonov
+    # scaling intentionally differs per block vs globally)
+    x_dense = solve_regularized(dense, rhs, 1e-8, relative=False)
+    x_block = solve_regularized(
+        BlockGram(structure=bs, flat=flat), rhs, 1e-8, relative=False
+    )
     np.testing.assert_allclose(x_block, x_dense, rtol=1e-10)
 
 
@@ -153,7 +157,10 @@ def test_block_and_dense_kernels_agree(spark):
     wd = {r["row_id"]: r["new_weight"] for r in res_dense.new_weights.collect()}
     assert wb.keys() == wd.keys()
     for rid in wb:
-        assert wb[rid] == pytest.approx(wd[rid], rel=1e-9)
+        # both paths converge to the same optimum; iteration sequences
+        # differ (per-block vs global relative damping), so compare at
+        # solver-tolerance level
+        assert wb[rid] == pytest.approx(wd[rid], rel=1e-6)
 
 
 @pytest.mark.parametrize("solver", ["penalty", "elastic"])
@@ -211,4 +218,4 @@ def test_block_path_parity_penalty_and_elastic(spark, solver):
     wb = {r["row_id"]: r["new_weight"] for r in res_b.new_weights.collect()}
     wd = {r["row_id"]: r["new_weight"] for r in res_d.new_weights.collect()}
     for rid in wb:
-        assert wb[rid] == pytest.approx(wd[rid], rel=1e-8)
+        assert wb[rid] == pytest.approx(wd[rid], rel=1e-6)
