@@ -53,7 +53,12 @@ def main() -> None:
     extra = _solver_bench(spark, sf_dir)
     timings.update(extra)
 
-    total = round(sum(timings.values()), 4)
+    # metadata entries (iteration counts, K sizes, converged flags) are
+    # reported per query but are not wall-clock — exclude from the total
+    meta_suffixes = ("_iterations", "_converged", "_k")
+    total = round(
+        sum(v for k, v in timings.items() if not k.endswith(meta_suffixes)), 4
+    )
     print(
         json.dumps(
             {

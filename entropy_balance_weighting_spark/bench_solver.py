@@ -33,9 +33,42 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     timings["ebw_solve_localpath"] = round(time.perf_counter() - t0, 4)
     timings["ebw_solve_localpath_converged"] = float(res_local.converged)
 
-    if not (res.converged and res_local.converged):
+    # Large-K group-moment solve (the reference's 'hundreds of thousands of
+    # constraints' regime, ref README.md:8): per-supplier moments make K ≈
+    # 2·|suppliers| with a block-diagonal Gram — distributed end-to-end,
+    # nothing K²-sized anywhere.
+    import numpy as np
+
+    from entropy_balance_weighting_spark import entropy_balance
+    from entropy_balance_weighting_spark.plans import (
+        MomentSpec,
+        build_problem_tables,
+        targets_from_problem,
+    )
+    from entropy_balance_weighting_spark.session import load_table
+
+    t0 = time.perf_counter()
+    li = load_table(spark, sf_dir, "lineitem")
+    spec = MomentSpec(
+        weight_col="l_quantity",
+        numeric=("l_discount", "l_tax"),
+        group=("l_suppkey",),
+    )
+    pt = build_problem_tables(li, spec)
+    res_g = entropy_balance(
+        mean_population_moments=targets_from_problem(pt, perturb=0.01),
+        x_sample=pt,
+        options={"force_distributed": True},
+    )
+    timings["ebw_solve_grouped"] = round(time.perf_counter() - t0, 4)
+    timings["ebw_solve_grouped_k"] = float(pt.k)
+    timings["ebw_solve_grouped_converged"] = float(res_g.converged)
+    max_viol = float(np.abs(res_g.constraint_violations).max())
+
+    if not (res.converged and res_local.converged and res_g.converged):
         raise RuntimeError(
             f"solver bench did not converge (distributed={res.converged}, "
-            f"local={res_local.converged}) — invalid measurement"
+            f"local={res_local.converged}, grouped={res_g.converged}, "
+            f"grouped max|viol|={max_viol:.3e}) — invalid measurement"
         )
     return timings
