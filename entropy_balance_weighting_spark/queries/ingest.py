@@ -28,7 +28,8 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__
     "s4_csv_union_scan",
     survey="S4,U1,V5",
     oracle="""
-SELECT n_regionkey, count(*) AS n_nations, sum(n_nationkey) AS key_sum
+SELECT n_regionkey, count(*) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """,
 )
@@ -63,8 +64,8 @@ def s4_csv_union_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT substr(p_name, 1, strpos(p_name, ' ') - 1) AS adjective,
        count(*) AS n,
-       sum(CASE WHEN substr(p_name, strpos(p_name, ' ') + 1) LIKE 'g%'
-                THEN 1 ELSE 0 END) AS n_g_noun
+       CAST(sum(CASE WHEN substr(p_name, strpos(p_name, ' ') + 1) LIKE 'g%'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_g_noun
 FROM part
 WHERE strpos(p_name, ' ') > 0
 GROUP BY adjective ORDER BY adjective

@@ -116,7 +116,8 @@ WITH toks AS (
   FROM th, unnest(range(0,16)) AS b(i) GROUP BY doc_id, b.i
 ), sh AS (
   SELECT doc_id,
-         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)
+              AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 )
 SELECT simhash, count(*) AS n_docs FROM sh
@@ -225,7 +226,7 @@ SELECT source, lang, count(*) AS n_docs,
        round(avg(n_tok), 4) AS avg_tokens,
        round(avg(n_retok), 4) AS avg_regex_tokens,
        round(avg(q), 4) AS avg_quality,
-       sum(is_en) AS n_pred_en
+       CAST(sum(is_en) AS BIGINT) AS n_pred_en
 FROM scored GROUP BY source, lang ORDER BY source, lang
 """,
 )

@@ -23,23 +23,28 @@ def _queries():
     return QUERIES
 
 
+def _token(v):
+    """Map one value to a comparison token, driver-hash style: int and float
+    are DISTINCT types (the driver fetches the oracle through pandas, where a
+    DuckDB HUGEINT ``sum(int)`` becomes float64 and stringifies ``5.0`` vs
+    Spark's long ``5`` — an untyped oracle sum must fail here, locally)."""
+    if hasattr(v, "to_pydatetime"):  # pandas.Timestamp -> datetime
+        v = v.to_pydatetime()
+    elif type(v).__module__ == "numpy":  # numpy scalar -> python scalar
+        v = v.item()
+    if isinstance(v, bool):
+        return repr(v)
+    if isinstance(v, float):
+        return "f:nan" if math.isnan(v) else f"f:{v:.9g}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    return repr(v)
+
+
 def _normalize(rows, columns):
-    """Sort columns by name, then rows, mapping values to comparable tokens."""
+    """Sort columns by name, then rows, mapping values to typed tokens."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("nan")
-                else:
-                    vals.append(f"{v:.9g}")
-            else:
-                vals.append(repr(v))
-        out.append(tuple(vals))
-    out.sort()
+    out = sorted(tuple(_token(row[i]) for i in order) for row in rows)
     return [columns[i] for i in order], out
 
 
@@ -56,9 +61,12 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
 
+    # fetch through pandas, as the driver does — this is what turns an
+    # untyped HUGEINT sum into float64 and exposes oracle typing bugs
     oracle_res = duck.execute(q.oracle)
     oracle_cols = [d[0] for d in oracle_res.description]
-    oracle_rows = [tuple(r) for r in oracle_res.fetchall()]
+    oracle_pdf = oracle_res.df()
+    oracle_rows = list(oracle_pdf.itertuples(index=False, name=None))
 
     assert sorted(spark_cols) == sorted(oracle_cols), f"{name}: column names differ"
     assert len(spark_rows) == len(oracle_rows), f"{name}: row count differs"
