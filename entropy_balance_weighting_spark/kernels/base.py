@@ -148,6 +148,9 @@ class Kernel(Protocol):
     def commit(self, choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -> None:
         """Advance wstar by the chosen candidate ('primal'|'dual')."""
 
+    def rollback(self) -> None:
+        """Undo the last commit (zero-weight guard failure path)."""
+
     def new_weights(self):
         """Final weights in original scale: wstar·Σw0 (ndarray or DataFrame)."""
 

@@ -96,7 +96,11 @@ class ElasticLocalKernel:
         lrf = np.where(np.isfinite(lr), lr, 0.0)
         with np.errstate(over="ignore"):
             alt = np.exp(eta * (xlam + lm_net / w0)) - r
-        altf = np.where(np.isfinite(alt), alt, 0.0)
+        # An overflowing alternate-optimality exponential is NOT a failure:
+        # the reference lets this residual go to inf and keeps iterating
+        # (ref: ebw_routines.py:586-600) — only Cd/ht non-finiteness aborts.
+        alt_bad = ~np.isfinite(alt)
+        altf = np.where(alt_bad, 0.0, alt)
         inv_ht = np.where(bad, 0.0, 1.0 / ht)
         ci_sq = float(ci_lo @ ci_lo) + (
             float(ci_hi @ ci_hi) if self.has_ub else 0.0
@@ -109,11 +113,11 @@ class ElasticLocalKernel:
             cd_sq=float(cdf @ cdf),
             ci_sq=ci_sq,
             cs_sq=cs_sq,
-            alt_sq=float(altf @ altf),
+            alt_sq=float("inf") if alt_bad.any() else float(altf @ altf),
             g1=self.x.T @ (w0 * r),
             rhs_leg=self.x.T @ (w0 * inv_ht * (cdf + zterm)),
             gram=(self.x * (w0**2 * inv_ht)[:, None]).T @ self.x,
-            has_nan=bool(bad.any() | (~np.isfinite(alt)).any()),
+            has_nan=bool(bad.any()),
         )
 
     def _steps(self, lam: np.ndarray, dlam: np.ndarray, eta: float, mu_s: float):

@@ -110,15 +110,18 @@ def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub, blocks) -> Callable:
             lrf = np.where(np.isfinite(lr), lr, 0.0)
             with np.errstate(over="ignore"):
                 alt = np.exp(eta * (xlam + lm_net / w0)) - r
+            # Overflowing alt residual -> alt_sq=inf, NOT an abort (the
+            # reference keeps iterating, ebw_routines.py:586-600); only
+            # Cd/ht non-finiteness counts toward nan_ct.
             alt_bad = ~np.isfinite(alt)
-            nan_ct += float(bad.sum() + alt_bad.sum())
+            nan_ct += float(bad.sum())
             altf = np.where(alt_bad, 0.0, alt)
             inv_ht = np.where(bad, 0.0, 1.0 / ht)
             f_val += float(np.sum(w0 * (r * lrf - r + 1.0)))
             cd_sq += float(cdf @ cdf)
             ci_sq += float(ci_lo @ ci_lo) + (float(ci_hi @ ci_hi) if has_ub else 0.0)
             cs_sq += float(cs_lo @ cs_lo) + (float(cs_hi @ cs_hi) if has_ub else 0.0)
-            alt_sq += float(altf @ altf)
+            alt_sq += np.inf if alt_bad.any() else float(altf @ altf)
             g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
             rhs_leg += _xt_v(flat_idx, flat_val, lens, w0 * inv_ht * (cdf + zterm), k)
             gram_add(flat_idx, flat_val, lens, w0**2 * inv_ht)

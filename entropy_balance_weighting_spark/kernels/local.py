@@ -22,6 +22,7 @@ class LocalKernel:
         self._cd: np.ndarray | None = None
         self._dw: np.ndarray | None = None
         self._wdual: np.ndarray | None = None
+        self._prev_wstar: np.ndarray | None = None
 
     def init_state(self, ratio_guess: np.ndarray | None) -> None:
         if ratio_guess is None:
@@ -69,10 +70,20 @@ class LocalKernel:
         )
 
     def commit(self, choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -> None:
+        self._prev_wstar = self.wstar
         if choice == "primal":
             self.wstar = self.wstar + alpha * self._dw
         else:
             self.wstar = self._wdual
+
+    def rollback(self) -> None:
+        """Undo the last commit (zero-weight guard: the reference fails
+        BEFORE committing, ebw_routines.py:274-282, so failure state must
+        hold the last good iterate)."""
+        if self._prev_wstar is None:
+            raise RuntimeError("no committed step to roll back")
+        self.wstar = self._prev_wstar
+        self._prev_wstar = None
 
     def new_weights(self) -> np.ndarray:
         return self.wstar * self.sum_w0

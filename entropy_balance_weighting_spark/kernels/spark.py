@@ -361,6 +361,7 @@ class SparkKernel:
         self.n = n
         self.block_structure = block_structure
         self._prev: DataFrame | None = None
+        self._rollback_src: DataFrame | None = None
         self._commits_since_ckpt = 0
 
     @classmethod
@@ -421,9 +422,12 @@ class SparkKernel:
             _stats_pass(k, lam, blocks_tuple(self.block_structure))
         )
         # the reduce materialized any pending lazy commit into its cache —
-        # the superseded state can go, and periodically cut the lineage
+        # the superseded state's CACHE can go; the plan handle is kept so a
+        # zero-weight guard can roll back via lineage recompute (bounded by
+        # _CKPT_EVERY passes since the last checkpoint, failure path only)
         if self._prev is not None:
             self._prev.unpersist()
+            self._rollback_src = self._prev
             self._prev = None
         if self._commits_since_ckpt >= self._CKPT_EVERY:
             old = self.df
@@ -470,6 +474,21 @@ class SparkKernel:
         self._prev = self.df
         self.df = new_df
         self._commits_since_ckpt += 1
+
+    def rollback(self) -> None:
+        """Undo the last commit: restore the pre-commit state (reference
+        semantics — a zero-weight step fails BEFORE committing,
+        ebw_routines.py:274-282).  The pre-commit cache was released by the
+        stats reduce, so this recomputes via lineage — paid only on the
+        failure path."""
+        src = self._prev if self._prev is not None else self._rollback_src
+        if src is None:
+            raise RuntimeError("no committed step to roll back")
+        self.df.unpersist()
+        self.df = src.persist()
+        self._prev = None
+        self._rollback_src = None
+        self._commits_since_ckpt = max(0, self._commits_since_ckpt - 1)
 
     def new_weights(self) -> DataFrame:
         return self.df.select(

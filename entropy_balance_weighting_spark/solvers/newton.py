@@ -70,6 +70,7 @@ def solve_unbounded(
     converged = False
     error_message = ""
     ce = np.full(k, np.inf)
+    prev_iterate: tuple[np.ndarray, object] | None = None  # (λ, stats) pre-commit
 
     stats = kernel.stats(lam)
     while True:
@@ -93,6 +94,14 @@ def solve_unbounded(
                 "Zero weights reached; feasibility in doubt — "
                 "run with bounds=(0.0, None) for an infeasibility certificate"
             )
+            if prev_iterate is not None:
+                # Primal-candidate underflow is only measurable after the
+                # (lazy) commit landed; the reference fails BEFORE committing
+                # (ebw_routines.py:274-282), so roll the bad step back —
+                # failure_weights must hold the last good iterate.
+                lam, stats = prev_iterate
+                kernel.rollback()
+                n_steps -= 1
             break
         if violation < opt_tol:
             converged = True
@@ -141,6 +150,7 @@ def solve_unbounded(
             )
             break
 
+        prev_iterate = (lam, stats)
         kernel.commit("dual" if use_dual else "primal", lam, dlam, alpha)
         lam = lam + dlam
         n_steps += 1

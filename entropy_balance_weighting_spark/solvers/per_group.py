@@ -54,15 +54,19 @@ def solve_per_group(
 
     tgt_cols = group_cols + ["moment_name", "target"]
     tgt = targets.select(*tgt_cols)
+    # Row keys keep their NATIVE type: an unconditional cast-to-long turns a
+    # string key (e.g. PUMS SERIALNO) into NULL for every row, silently
+    # collapsing row identity in the returned weights.
+    key_types = {c: df.schema[c].dataType.simpleString() for c in key_cols}
     joined_schema = ", ".join(
         [f"`{c}` string" for c in group_cols]
-        + [f"`{c}` long" for c in key_cols]
+        + [f"`{c}` {key_types[c]}" for c in key_cols]
         + ["new_weight double", "converged boolean", "n_iterations int"]
     )
 
     prepared = df.select(
         *[F.col(c).cast("string").alias(c) for c in group_cols],
-        *[F.col(c).cast("long").alias(c) for c in key_cols],
+        *key_cols,
         F.col(w_col).cast("double").alias("__w"),
         *[F.col(c).cast("double").alias(c) for c in numeric],
         *[F.col(c).cast("string").alias(c) for c in onehot],

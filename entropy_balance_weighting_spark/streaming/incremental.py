@@ -46,6 +46,14 @@ class IncrementalReweighter:
         *,
         options: dict | None = None,
     ) -> None:
+        if not spec.row_key:
+            raise ValueError(
+                "IncrementalReweighter requires spec.row_key: without a "
+                "declared key, row_ids are re-assigned on every batch "
+                "rebuild (monotonically_increasing_id), so previous ratios "
+                "would pair with arbitrary rows and the warm start would be "
+                "silently ineffective"
+            )
         self.spec = spec
         self.targets = targets
         self.options = dict(options or {})

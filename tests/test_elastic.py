@@ -246,3 +246,22 @@ def test_reference_readme_golden_bounded_case():
     np.testing.assert_allclose(
         res_b.constraint_violations, [-0.25, 0.0, 0.0], atol=1e-4
     )
+
+
+def test_elastic_tiny_weights_large_eta_overflow_is_not_fatal():
+    """Overflow in the alternate-optimality exponential
+    exp(η·(Xλ + λ_net/w0)) must NOT abort the solve: the reference lets
+    that residual become inf and keeps iterating (ebw_routines.py:586-600).
+    Repro: w0 ~ 1e-3 with a forced η=20 overflows at iteration 0."""
+    x, w0, m = _problem(seed=47)
+    w0 = np.full_like(w0, 1e-3)
+    m = x.T @ w0 / w0.sum() * 1.03
+    res = entropy_balance(
+        mean_population_moments=m,
+        x_sample=x,
+        weights0=w0,
+        options={"bounds": (0.0, None), "eta": 20.0},
+    )
+    assert res.converged, res.error_message
+    achieved = x.T @ res.new_weights / w0.sum()
+    np.testing.assert_allclose(achieved, m, rtol=1e-4)

@@ -94,3 +94,23 @@ def test_per_group_postcondition_per_state(spark, grouped_data):
         expect = tmap[r["state"]] * float(w0_sums[r["state"]])
         assert r["t"] == pytest.approx(expect, rel=1e-8)
     assert set(ach) == {"0", "1", "2"}
+
+
+def test_per_group_preserves_string_row_keys(spark, grouped_data):
+    """A non-numeric row key (e.g. PUMS SERIALNO) must survive with its
+    native type — an unconditional cast-to-long would NULL every key and
+    collapse row identity in the returned weights."""
+    pdf = grouped_data.copy()
+    pdf["serial"] = ["sn-" + str(i) for i in pdf["rid"]]
+    pdf = pdf.drop(columns=["rid"])
+    spec = MomentSpec(
+        weight_col="w", numeric=("x0",), group=("state",), row_key=("serial",)
+    )
+    targets = spark.createDataFrame(_targets(grouped_data))
+    out = solve_per_group(
+        spark.createDataFrame(pdf), spec, targets
+    ).toPandas()
+    assert out["serial"].notna().all()
+    assert set(out["serial"]) == set(pdf["serial"])
+    assert str(out["serial"].dtype) == "object"  # still strings
+    assert out["converged"].all()

@@ -263,3 +263,56 @@ def test_reference_largest_workload_shape_converges():
     )
     assert res.converged
     assert np.allclose(x.T @ res.new_weights, m * w0.sum())
+
+
+def test_local_kernel_rollback_restores_state():
+    """rollback() undoes the last commit — the zero-weight guard needs the
+    pre-commit iterate as the failure state (ref: ebw_routines.py:274-282)."""
+    import numpy as np
+
+    from entropy_balance_weighting_spark.kernels.local import LocalKernel
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(size=(50, 2))
+    w0 = rng.uniform(0.5, 2.0, size=50)
+    kern = LocalKernel(x, w0)
+    kern.init_state(None)
+    before = kern.wstar.copy()
+    lam = np.zeros(2)
+    dlam = np.array([0.1, -0.05])
+    kern.stats(lam)
+    kern.step_stats(lam, dlam)
+    kern.commit("primal", lam, dlam, 0.5)
+    assert not np.allclose(kern.wstar, before)
+    kern.rollback()
+    np.testing.assert_array_equal(kern.wstar, before)
+    with pytest.raises(RuntimeError):
+        kern.rollback()
+
+
+def test_spark_kernel_rollback_restores_state(spark, small_problem_tables):
+    """Distributed rollback recomputes the pre-commit state via lineage
+    (cache released by the stats reduce) — exact restore required."""
+    import numpy as np
+
+    from entropy_balance_weighting_spark.kernels.spark import SparkKernel
+
+    pt = small_problem_tables
+    k = pt.moments.count()
+    kern = SparkKernel.from_problem(pt.x_long, pt.w0, k)
+    lam = np.zeros(k)
+    before = {
+        r["row_id"]: r["wstar"] for r in kern.df.select("row_id", "wstar").collect()
+    }
+    stats = kern.stats(lam)
+    dlam = np.full(k, 0.01)
+    kern.step_stats(lam, dlam)
+    kern.commit("primal", lam, dlam, 0.5)
+    kern.stats(lam + dlam)  # materializes the commit, releases pre-commit cache
+    kern.rollback()
+    after = {
+        r["row_id"]: r["wstar"] for r in kern.df.select("row_id", "wstar").collect()
+    }
+    assert after == pytest.approx(before)
+    assert stats is not None
+    kern.cleanup()

@@ -135,3 +135,12 @@ def test_warm_start_uses_previous_ratios(spark, tmp_path):
     ).parquet(str(src))
     rw.run_available(stream, checkpoint_dir=ckpt)
     assert rw.history[-1]["n_iterations"] <= first_iters
+
+
+def test_incremental_requires_row_key():
+    """Without a declared row key, row_ids are re-assigned per batch
+    rebuild and warm starts would silently pair ratios with arbitrary
+    rows — constructing the reweighter must fail loudly."""
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1"))
+    with pytest.raises(ValueError, match="row_key"):
+        IncrementalReweighter(spec, targets=None)
