@@ -42,6 +42,15 @@ class MomentSpec:
     weight_col: survey-weight column (must be > 0 after filtering; V2).
     numeric: numeric moment columns (cast to double; V5).
     onehot: categorical columns expanded to indicator moments (E10).
+    interactions: ``(a, b)`` pairs of cross-term moments — the R-formula
+        ``a:b`` (the reference's collinearity tests build these via
+        ``formulaic.model_matrix``, ref: test_colinear.py:66-78).  A side
+        listed in ``onehot`` is treated as categorical; any other side is
+        cast to double.  numeric×numeric → one moment ``'a:b'`` with value
+        ``a·b``; numeric×categorical → per-category moments ``'a:b=<v>'``
+        with value ``a``; categorical×categorical → indicator moments
+        ``'a=<u>:b=<v>'``.  Encoded as long rows like every other moment,
+        so K grows without widening the table.
     group: grouping columns making every moment group-specific (A10).
     intercept: add a constant ``1.0`` "count" moment (V6,
         ref: pums_example.py:223,277-278).
@@ -63,6 +72,7 @@ class MomentSpec:
     weight_col: str
     numeric: tuple[str, ...] = ()
     onehot: tuple[str, ...] = ()
+    interactions: tuple[tuple[str, str], ...] = ()
     group: tuple[str, ...] = ()
     intercept: bool = False
     drop_nonpositive_weights: bool = True
@@ -105,6 +115,21 @@ class ProblemTables:
         return len(self.moment_names)
 
 
+def _interaction_cols(spec: MomentSpec) -> tuple[list[str], list[str]]:
+    """(extra numeric-side, extra categorical-side) interaction columns not
+    already covered by ``numeric``/``onehot``.  A side is categorical iff
+    it is listed in ``onehot``."""
+    extra_num: list[str] = []
+    extra_cat: list[str] = []
+    for a, b in spec.interactions:
+        for s in (a, b):
+            if s in spec.onehot:
+                continue  # categorical side, already kept native
+            if s not in spec.numeric and s not in extra_num:
+                extra_num.append(s)
+    return extra_num, extra_cat
+
+
 def prepared_rows(df: DataFrame, spec: MomentSpec) -> DataFrame:
     """Filter/cast/project the input down to (row_id, w0, group, moment cols).
 
@@ -112,7 +137,8 @@ def prepared_rows(df: DataFrame, spec: MomentSpec) -> DataFrame:
     V5 (double casts) and the W1 within-group weight normalization in one
     declarative plan — Catalyst pushes the filters and pruning into the scan.
     """
-    used = [spec.weight_col, *spec.numeric, *spec.onehot, *spec.group]
+    extra_num, _ = _interaction_cols(spec)
+    used = [spec.weight_col, *spec.numeric, *spec.onehot, *spec.group, *extra_num]
     if spec.row_key:
         used += [c for c in spec.row_key if c not in used]
     df = df.select(*dict.fromkeys(used))
@@ -149,7 +175,9 @@ def prepared_rows(df: DataFrame, spec: MomentSpec) -> DataFrame:
         df = df.withColumn(
             "row_id", F.monotonically_increasing_id()
         )  # stable once cached/materialized
-    casted = [F.col(c).cast("double").alias(c) for c in spec.numeric]
+    casted = [
+        F.col(c).cast("double").alias(c) for c in (*spec.numeric, *extra_num)
+    ]
     keep = (
         [F.col("row_id"), F.col("__w0").alias("w0")]
         + casted
@@ -165,6 +193,27 @@ def _moment_name_expr(spec: MomentSpec, base: "F.Column") -> "F.Column":
         return base
     grp = F.concat_ws("/", *[F.col(c).cast("string") for c in spec.group])
     return F.concat(F.lit("grp="), grp, F.lit("|"), base)
+
+
+def _interaction_entry(spec: MomentSpec, a: str, b: str):
+    """(name Column, value Column) for one ``a:b`` cross term."""
+    a_cat, b_cat = a in spec.onehot, b in spec.onehot
+    if a_cat and b_cat:
+        name = F.concat(
+            F.lit(f"{a}="), F.col(a).cast("string"),
+            F.lit(f":{b}="), F.col(b).cast("string"),
+        )
+        val = F.lit(1.0)
+    elif a_cat:
+        name = F.concat(F.lit(f"{a}="), F.col(a).cast("string"), F.lit(f":{b}"))
+        val = F.col(b).cast("double")
+    elif b_cat:
+        name = F.concat(F.lit(f"{a}:{b}="), F.col(b).cast("string"))
+        val = F.col(a).cast("double")
+    else:
+        name = F.lit(f"{a}:{b}")
+        val = (F.col(a) * F.col(b)).cast("double")
+    return name, val
 
 
 def long_moments(rows: DataFrame, spec: MomentSpec) -> DataFrame:
@@ -195,6 +244,9 @@ def long_moments(rows: DataFrame, spec: MomentSpec) -> DataFrame:
                 F.lit(1.0).alias("v"),
             )
         )
+    for a, b in spec.interactions:
+        name, val = _interaction_entry(spec, a, b)
+        entries.append(F.struct(name.alias("n"), val.alias("v")))
     if not entries:
         raise ValueError("MomentSpec declares no moments")
     exploded = rows.select(
@@ -206,6 +258,50 @@ def long_moments(rows: DataFrame, spec: MomentSpec) -> DataFrame:
         _moment_name_expr(spec, F.col("e.n")).alias("moment_name"),
         F.col("e.v").alias("value"),
     )
+
+
+def _moment_names(spec: MomentSpec, combos: list[dict]) -> list[str]:
+    """Render the distinct moment names from the collected (group, one-hot)
+    combinations — Python mirror of the Spark name expressions (values are
+    already Spark-cast strings; ``None`` mirrors concat-null semantics:
+    ``concat_ws`` skips null group parts, ``concat`` nulls the whole name,
+    and null names never join into the long table)."""
+
+    def grouped(base: str, cd: dict) -> str:
+        if not spec.group:
+            return base
+        grp = "/".join(
+            s for s in (cd[c] for c in spec.group) if s is not None
+        )
+        return f"grp={grp}|{base}"
+
+    static_bases = list(spec.numeric) + (["_count"] if spec.intercept else [])
+    static_bases += [
+        f"{a}:{b}"
+        for a, b in spec.interactions
+        if a not in spec.onehot and b not in spec.onehot
+    ]
+    if not combos:
+        return sorted(static_bases) if not spec.group else []
+    names: set[str] = set()
+    for cd in combos:
+        for b in static_bases:
+            names.add(grouped(b, cd))
+        for c in spec.onehot:
+            if cd[c] is not None:
+                names.add(grouped(f"{c}={cd[c]}", cd))
+        for a, b in spec.interactions:
+            a_cat, b_cat = a in spec.onehot, b in spec.onehot
+            if a_cat and b_cat:
+                if cd[a] is not None and cd[b] is not None:
+                    names.add(grouped(f"{a}={cd[a]}:{b}={cd[b]}", cd))
+            elif a_cat:
+                if cd[a] is not None:
+                    names.add(grouped(f"{a}={cd[a]}:{b}", cd))
+            elif b_cat:
+                if cd[b] is not None:
+                    names.add(grouped(f"{a}:{b}={cd[b]}", cd))
+    return sorted(names)
 
 
 def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
@@ -231,57 +327,38 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
         rows = rows.repartition(target)
     rows = rows.localCheckpoint(eager=True)
 
-    if spec.row_key and not spec.dedupe_row_key:
-        # Uniqueness guard for the shuffle-free hashed row ids: one cheap
-        # aggregate over the materialized rows (also yields n and Σw0 free).
-        counts = rows.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("row_id").alias("nd"),
-            F.sum("w0").alias("s"),
-        ).first()
-        n, nd = int(counts["n"]), int(counts["nd"])
-        if n != nd:
-            raise ValueError(
-                f"row_key {spec.row_key} is not unique ({n} rows, {nd} distinct "
-                "ids) — pass dedupe_row_key=True or supply a unique key"
-            )
-        sum_w0 = float(counts["s"]) if counts["s"] is not None else None
-    else:
-        counts = rows.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("w0").alias("s")
-        ).first()
-        n = int(counts["n"])
-        sum_w0 = float(counts["s"]) if counts["s"] is not None else None
+    # ONE aggregate job yields everything the dictionary build needs: n, Σw0,
+    # the hashed-id uniqueness guard, AND the distinct (group, one-hot value)
+    # combinations — collected as Spark-cast strings so the Python-side name
+    # rendering below agrees exactly with the Spark expressions long_moments
+    # uses (the cast happens executor-side either way).
+    combo_cols = [*spec.group, *spec.onehot]
+    agg_exprs = [F.count(F.lit(1)).alias("n"), F.sum("w0").alias("s")]
+    check_unique = bool(spec.row_key) and not spec.dedupe_row_key
+    if check_unique:
+        agg_exprs.append(F.countDistinct("row_id").alias("nd"))
+    if combo_cols:
+        agg_exprs.append(
+            F.collect_set(
+                F.struct(
+                    *[F.col(c).cast("string").alias(c) for c in combo_cols]
+                )
+            ).alias("combos")
+        )
+    counts = rows.agg(*agg_exprs).first()
+    n = int(counts["n"])
+    sum_w0 = float(counts["s"]) if counts["s"] is not None else None
+    if check_unique and n != int(counts["nd"]):
+        raise ValueError(
+            f"row_key {spec.row_key} is not unique ({n} rows, "
+            f"{int(counts['nd'])} distinct ids) — pass dedupe_row_key=True "
+            "or supply a unique key"
+        )
 
     long = long_moments(rows, spec)
-    # The moment dictionary needs only the DISTINCT names: numeric and
-    # intercept names are static, so the data-dependent part is the
-    # (group, one-hot value) combinations — a narrow distinct over those
-    # few columns, not a scan of the exploded long table.  The names are
-    # rendered by the same Spark expressions long_moments uses, so string
-    # casts agree exactly.
-    static_bases = list(spec.numeric) + (["_count"] if spec.intercept else [])
-    if spec.group or spec.onehot:
-        combos = rows.select(*spec.group, *spec.onehot).distinct()
-        name_exprs = [
-            _moment_name_expr(spec, F.lit(b)) for b in static_bases
-        ] + [
-            _moment_name_expr(
-                spec, F.concat(F.lit(c), F.lit("="), F.col(c).cast("string"))
-            )
-            for c in spec.onehot
-        ]
-        names = [
-            r[0]
-            for r in combos.select(
-                F.explode(F.array(*name_exprs)).alias("mn")
-            )
-            .distinct()
-            .orderBy("mn")
-            .collect()
-        ]
-    else:
-        names = sorted(static_bases)
+    names = _moment_names(
+        spec, [r.asDict() for r in counts["combos"]] if combo_cols else []
+    )
     spark = df.sparkSession
     moments = spark.createDataFrame(
         [(i, nm) for i, nm in enumerate(names)],
@@ -307,7 +384,10 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
         moments=moments,
         moment_names=names,
         n=n,
-        nnz_per_row=len(spec.numeric) + int(spec.intercept) + len(spec.onehot),
+        nnz_per_row=len(spec.numeric)
+        + int(spec.intercept)
+        + len(spec.onehot)
+        + len(spec.interactions),
         moment_groups=groups,
         sum_w0=sum_w0,
         x_long_w0=x_long_w0,
@@ -361,6 +441,13 @@ def _packed_arrays(
         base = F.concat(F.lit(c), F.lit("="), F.col(c).cast("string"))
         id_exprs.append(lookup(_moment_name_expr(spec, base)))
         val_exprs.append(F.lit(1.0))
+    for a, b in spec.interactions:
+        name, val = _interaction_entry(spec, a, b)
+        if spec.group or a in spec.onehot or b in spec.onehot:
+            id_exprs.append(lookup(_moment_name_expr(spec, name)))
+        else:
+            id_exprs.append(F.lit(name_to_id[f"{a}:{b}"]).cast("int"))
+        val_exprs.append(val)
     return rows.select(
         "row_id",
         "w0",

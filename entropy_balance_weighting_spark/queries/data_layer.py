@@ -71,6 +71,54 @@ def m1_problem_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m1_interaction_moments",
+    survey="E10,V5,A1 (interactions)",
+    oracle="""
+WITH long AS (
+  SELECT 'l_extendedprice' AS moment_name, l_extendedprice AS value, l_quantity AS w0
+  FROM lineitem WHERE l_quantity > 0
+  UNION ALL SELECT 'l_returnflag=' || l_returnflag, 1.0, l_quantity
+  FROM lineitem WHERE l_quantity > 0
+  UNION ALL SELECT 'l_extendedprice:l_returnflag=' || l_returnflag, l_extendedprice, l_quantity
+  FROM lineitem WHERE l_quantity > 0
+  UNION ALL SELECT 'l_discount:l_tax', l_discount * l_tax, l_quantity
+  FROM lineitem WHERE l_quantity > 0
+)
+SELECT moment_name, count(*) AS nnz,
+       round(sum(value * w0) / sum(w0), 6) AS wmean
+FROM long GROUP BY moment_name ORDER BY moment_name
+""",
+)
+def m1_interaction_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interaction (cross-term) moments — the R-formula ``a:b`` the
+    reference's collinearity tests build via ``formulaic.model_matrix``
+    (ref: test_colinear.py:66-78): numeric×one-hot per-category copies and
+    a numeric×numeric product, encoded as long rows by the data layer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    spec = MomentSpec(
+        weight_col="l_quantity",
+        numeric=("l_extendedprice",),
+        onehot=("l_returnflag",),
+        interactions=(
+            ("l_extendedprice", "l_returnflag"),
+            ("l_discount", "l_tax"),
+        ),
+    )
+    pt = build_problem_tables(li, spec)
+    joined = pt.x_long_w0.join(F.broadcast(pt.moments), "moment_id")
+    return (
+        joined.groupBy("moment_name")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.round(F.sum(F.col("value") * F.col("w0")) / F.sum("w0"), 6).alias(
+                "wmean"
+            ),
+        )
+        .orderBy("moment_name")
+    )
+
+
+@register(
     "m1_group_block_moments",
     survey="A10,W1,G1,V2",
     oracle="""

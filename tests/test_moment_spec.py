@@ -76,3 +76,123 @@ def test_group_normalized_weights_sum_to_one(tiny):
 def test_no_moments_raises(tiny):
     with pytest.raises(ValueError):
         build_problem_tables(tiny, MomentSpec(weight_col="w", row_key=("id",)))
+
+
+def test_interaction_moments_exact(tiny):
+    """R-formula ``a:b`` cross terms (ref: test_colinear.py:66-78 builds
+    these via formulaic): numeric×numeric is a product moment,
+    numeric×categorical is a per-category copy of the numeric value,
+    categorical×categorical is a joint indicator."""
+    spec = MomentSpec(
+        weight_col="w",
+        numeric=("x",),
+        onehot=("cat",),
+        interactions=(("x", "cat"), ("x", "x")),
+        row_key=("id",),
+    )
+    pt = build_problem_tables(tiny, spec)
+    assert pt.moment_names == ["cat=a", "cat=b", "x", "x:cat=a", "x:cat=b", "x:x"]
+    totals = {
+        r["moment_name"]: r["total"]
+        for r in pt.x_long.join(pt.w0, "row_id")
+        .join(F.broadcast(pt.moments), "moment_id")
+        .groupBy("moment_name")
+        .agg(F.sum(F.col("value") * F.col("w0")).alias("total"))
+        .collect()
+    }
+    # rows kept: (w=2,x=10,a) (w=3,x=20,b) (w=5,x=30,a) (w=1,x=50,b)
+    assert totals["x:cat=a"] == pytest.approx(2 * 10 + 5 * 30)
+    assert totals["x:cat=b"] == pytest.approx(3 * 20 + 1 * 50)
+    assert totals["x:x"] == pytest.approx(2 * 100 + 3 * 400 + 5 * 900 + 1 * 2500)
+
+    # packed arrays agree with the long encoding per row
+    packed = {
+        r["row_id"]: dict(zip(r["idx"], r["val"]))
+        for r in pt.packed_arrays.collect()
+    }
+    long_rows = {}
+    for r in pt.x_long.collect():
+        long_rows.setdefault(r["row_id"], {})[r["moment_id"]] = r["value"]
+    assert packed == long_rows
+
+
+def test_interaction_cat_cat_and_grouped(spark):
+    rows = [(1, "CA", "a", "hi", 2.0), (2, "CA", "b", "lo", 3.0),
+            (3, "NY", "a", "lo", 5.0)]
+    df = spark.createDataFrame(rows, ["id", "state", "cat", "lvl", "w"])
+    spec = MomentSpec(
+        weight_col="w",
+        onehot=("cat", "lvl"),
+        interactions=(("cat", "lvl"),),
+        group=("state",),
+        row_key=("id",),
+    )
+    pt = build_problem_tables(df, spec)
+    assert "grp=CA|cat=a:lvl=hi" in pt.moment_names
+    assert "grp=NY|cat=a:lvl=lo" in pt.moment_names
+    # joint indicator only for observed combos within each group
+    assert "grp=CA|cat=a:lvl=lo" not in pt.moment_names
+    totals = {
+        r["moment_name"]: r["t"]
+        for r in pt.x_long.join(pt.w0, "row_id")
+        .join(F.broadcast(pt.moments), "moment_id")
+        .groupBy("moment_name")
+        .agg(F.sum(F.col("value") * F.col("w0")).alias("t"))
+        .collect()
+    }
+    assert totals["grp=CA|cat=a:lvl=hi"] == pytest.approx(2.0)
+    assert totals["grp=CA|cat=b:lvl=lo"] == pytest.approx(3.0)
+
+
+def test_interaction_collinear_problem_solves(spark):
+    """A deliberately collinear interaction design (x:cat duplicates x when
+    cat has one level... built with redundant cross terms) still converges —
+    the Tikhonov defense covers interaction-induced rank deficiency
+    (ref: test_colinear.py semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    from entropy_balance_weighting_spark import entropy_balance
+    from entropy_balance_weighting_spark.plans.moment_spec import (
+        targets_from_problem,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "w": rng.uniform(0.5, 2.0, size=n),
+            "x0": rng.uniform(size=n),
+            "cat": rng.choice(["a", "b"], size=n),
+        }
+    )
+    spec = MomentSpec(
+        weight_col="w",
+        numeric=("x0",),
+        onehot=("cat",),
+        # x0:cat spans x0 exactly (x0 = x0:cat=a + x0:cat=b) → collinear
+        interactions=(("x0", "cat"),),
+        row_key=("rid",),
+    )
+    pt = build_problem_tables(spark.createDataFrame(pdf), spec)
+    targets = targets_from_problem(pt, perturb=0.01)
+    res = entropy_balance(
+        mean_population_moments=targets,
+        x_sample=pt,
+        options={"force_distributed": True},
+    )
+    assert res.converged, res.error_message
+    ach = {
+        r["moment_id"]: r["a"]
+        for r in pt.x_long.join(res.new_weights, "row_id")
+        .groupBy("moment_id")
+        .agg((F.sum(F.col("value") * F.col("new_weight")) / pt.sum_w0).alias("a"))
+        .collect()
+    }
+    tgt = {
+        r["moment_id"]: r["target"]
+        for r in targets.join(pt.moments, "moment_name").collect()
+    }
+    for mid, t in tgt.items():
+        assert ach[mid] == pytest.approx(t, rel=1e-5)
