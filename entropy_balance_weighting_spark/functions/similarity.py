@@ -158,6 +158,138 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_bucketed(
+    emb: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs via IVF cell-pair pruning —
+    same output as :func:`cosine_near_dup_pairs`, no corpus×corpus
+    theta-join in the plan.
+
+    Completeness is guaranteed by the angular triangle inequality: with
+    each vector assigned to a KMeans cell and ``r_c`` the cell's angular
+    radius (max angle member↔centroid),
+
+        θ(a, b) ≥ θ(c_a, c_b) − r_a − r_b
+
+    so a cell PAIR can contain a qualifying vector pair only when
+    ``θ(c_a, c_b) ≤ arccos(threshold) + r_a + r_b``.  The driver prunes the
+    C² cell pairs (C is tiny), and the corpus joins only through the
+    surviving ``(cell_a, cell_b)`` list — two equi-joins, candidate volume
+    shrinks with how clusterable the corpus is, worst case degrades to the
+    all-pairs volume but never loses a pair.  Exact cosine is then
+    verified within candidates, mirroring ``verified_near_dups``'s
+    bucket-then-verify shape.  The quantizer fits on a bounded sample —
+    the fit never becomes the job at corpus scale.
+    """
+    import math
+
+    import numpy as np
+
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    model = _fit_quantizer(base, n_cells, seed)
+    centers = np.vstack([c for c in model.clusterCenters()])
+    c_unit = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+
+    from pyspark.ml.functions import array_to_vector
+
+    assigned = model.transform(
+        base.withColumn(
+            "features",
+            array_to_vector(F.transform("v", lambda x: x / F.col("nrm"))),
+        )
+    ).select("id", "v", "nrm", "cell")
+
+    # per-cell angular radius: broadcast the C unit centroids back and take
+    # one small max-angle aggregate (C rows to the driver)
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, [float(x) for x in c_unit[c]]) for c in range(len(c_unit))],
+        "cell int, cvec array<double>",
+    )
+    cos_to_center = _dot(F.col("v"), F.col("cvec")) / F.col("nrm")
+    radii_rows = (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .withColumn(
+            "ang",
+            F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cos_to_center))),
+        )
+        .groupBy("cell")
+        .agg(F.max("ang").alias("r"))
+        .collect()
+    )
+    radius = {r["cell"]: float(r["r"]) for r in radii_rows}
+
+    # driver-side cell-pair pruning (C² is tiny)
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    eps = 1e-9
+    pairs = []
+    ncell = len(c_unit)
+    for ca in range(ncell):
+        if ca not in radius:
+            continue
+        for cb in range(ncell):
+            if cb not in radius:
+                continue
+            cc = float(np.clip(c_unit[ca] @ c_unit[cb], -1.0, 1.0))
+            if math.acos(cc) <= theta_t + radius[ca] + radius[cb] + eps:
+                pairs.append((ca, cb))
+    qual = spark.createDataFrame(pairs, "cell_a int, cell_b int")
+
+    a = assigned.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("cell").alias("cell_a"),
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("cell").alias("cell_b"),
+    )
+    return (
+        a.join(F.broadcast(qual), "cell_a")
+        .join(b, "cell_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _fit_quantizer(base: DataFrame, n_cells: int, seed: int):
+    """Fit the KMeans coarse quantizer on a BOUNDED sample of unit vectors
+    (docstring contract: at corpus scale the fit must not become the job).
+    ``base`` has columns (id, v, nrm)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = base.withColumn(
+        "features", array_to_vector(F.transform("v", lambda x: x / F.col("nrm")))
+    )
+    target = max(256 * n_cells, 8192)
+    n = unit.count()
+    frac = min(1.0, target / max(n, 1))
+    fit_df = unit if frac >= 1.0 else unit.sample(False, frac, seed)
+    km = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    )
+    return km.fit(fit_df)
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     probe_ids: list[int],
@@ -181,16 +313,21 @@ def cosine_topk_ivf(
     tunable via ``n_probe`` (measured in tests).
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     base = emb.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("v"),
     ).withColumn("v_norm", _norm(F.col("v")))
-    feat = base.withColumn("features", array_to_vector(F.col("v")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(feat)
+    # quantizer fits on a bounded SAMPLE of unit vectors (the fit must not
+    # become the job at corpus scale); assignment transforms the full corpus
+    model = _fit_quantizer(
+        base.select(F.col("v"), F.col("v_norm").alias("nrm")), n_cells, seed
+    )
+    feat = base.withColumn(
+        "features",
+        array_to_vector(F.transform("v", lambda x: x / F.col("v_norm"))),
+    )
     assigned = model.transform(feat).select(
         "neighbor_id", "v", "v_norm", "cell"
     )
@@ -207,6 +344,7 @@ def cosine_topk_ivf(
     shortlist = []
     for r in probe_rows:
         p = np.array(r["p"])
+        p = p / np.linalg.norm(p)
         d = ((centers - p[None, :]) ** 2).sum(axis=1)
         for c in np.argsort(d)[:n_probe]:
             shortlist.append((r["probe_id"], int(c)))

@@ -190,11 +190,13 @@ ORDER BY id_a, id_b
 """,
 )
 def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline at test
-    scale; the bucketed LSH/IVF variants are the corpus-scale candidate
-    generators — see :mod:`functions.similarity`)."""
+    """Embedding-cosine near-dup pairs via IVF cell-pair pruning: EXACT
+    output (angular-triangle-inequality completeness bound prunes cell
+    pairs, exact cosine verifies within candidates) with no corpus×corpus
+    theta-join in the plan.  The all-pairs form stays as the test-side
+    oracle (:func:`functions.similarity.cosine_near_dup_pairs`)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_near_dup_pairs(emb, 0.45)
+    pairs = similarity.cosine_near_dup_pairs_bucketed(emb, 0.45)
     return pairs.select(
         "id_a", "id_b", F.round("cos", 5).alias("cos")
     ).orderBy("id_a", "id_b")

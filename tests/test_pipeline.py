@@ -199,3 +199,42 @@ def test_portable_hash_matches_duckdb(spark):
             "SELECT ('0x' || substr(md5(?),1,8))::BIGINT", [w]
         ).fetchone()
         assert got[w] == expect
+
+
+def test_bucketed_near_dups_exactly_match_all_pairs(spark):
+    """The IVF cell-pair-pruned near-dup generator is EXACT, not
+    approximate: the angular triangle inequality guarantees no qualifying
+    pair is pruned, so its output must equal the all-pairs baseline —
+    including borderline pairs at the threshold."""
+    from entropy_balance_weighting_spark.functions.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    for thresh in (0.45, 0.40):
+        exact = {
+            (r["id_a"], r["id_b"]): round(r["cos"], 9)
+            for r in cosine_near_dup_pairs(emb, thresh).collect()
+        }
+        bucketed = {
+            (r["id_a"], r["id_b"]): round(r["cos"], 9)
+            for r in cosine_near_dup_pairs_bucketed(emb, thresh).collect()
+        }
+        assert bucketed == exact
+        assert len(exact) > 0  # the fixture must actually exercise pairs
+
+
+def test_bucketed_near_dups_plan_has_no_theta_join(spark):
+    """100 TB shape: the bucketed generator must contain no cartesian /
+    nested-loop corpus self-join — candidates flow through equi-joins on
+    the pruned (cell_a, cell_b) list only."""
+    from entropy_balance_weighting_spark.functions.similarity import (
+        cosine_near_dup_pairs_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    df = cosine_near_dup_pairs_bucketed(emb, 0.45)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
