@@ -23,8 +23,20 @@ the sample's own weighted means scaled by ``targetScale``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.ml import Estimator, Model
 from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import (
+    DefaultParamsReadable,
+    DefaultParamsReader,
+    DefaultParamsWritable,
+    DefaultParamsWriter,
+    MLReadable,
+    MLReader,
+    MLWritable,
+    MLWriter,
+)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -93,8 +105,14 @@ class _EBParams(Params):
         )
 
 
-class EntropyBalanceEstimator(Estimator, _EBParams):
-    """Fits entropy-balance weights; returns :class:`EntropyBalanceModel`."""
+class EntropyBalanceEstimator(
+    Estimator, _EBParams, DefaultParamsWritable, DefaultParamsReadable
+):
+    """Fits entropy-balance weights; returns :class:`EntropyBalanceModel`.
+
+    Persistence: ``est.save(path)`` / ``EntropyBalanceEstimator.load(path)``
+    round-trips every Param (the targets DataFrame is NOT persisted — call
+    ``setTargets`` again after loading, or rely on self-calibration)."""
 
     def __init__(self, **kwargs) -> None:
         super().__init__()
@@ -113,8 +131,8 @@ class EntropyBalanceEstimator(Estimator, _EBParams):
         if bad:
             raise ValueError(f"unknown params: {sorted(bad)}")
         self._set(**kwargs)
-        if not self.isSet(self.rowKeyCols):
-            raise ValueError("rowKeyCols is required (weights join back by key)")
+        # rowKeyCols is validated in _fit, not here: the persistence reader
+        # constructs a bare instance before restoring params
 
     def setTargets(self, targets: DataFrame) -> "EntropyBalanceEstimator":
         """``(moment_name, target)`` population targets."""
@@ -128,6 +146,8 @@ class EntropyBalanceEstimator(Estimator, _EBParams):
             targets_from_problem,
         )
 
+        if not self.isSet(self.rowKeyCols):
+            raise ValueError("rowKeyCols is required (weights join back by key)")
         spec = self._spec()
         pt = build_problem_tables(dataset, spec)
         targets = self._targets
@@ -169,9 +189,16 @@ class EntropyBalanceEstimator(Estimator, _EBParams):
         return model
 
 
-class EntropyBalanceModel(Model, _EBParams):
+class EntropyBalanceModel(Model, _EBParams, MLWritable, MLReadable):
     """Transformer: left-joins the fitted weight onto any DataFrame carrying
-    the row-key columns (rows unseen at fit time get a null weight)."""
+    the row-key columns (rows unseen at fit time get a null weight).
+
+    Persistence: ``model.save(path)`` writes the Params as MLlib metadata
+    plus the fitted ``(row_id, new_weight)`` table as parquet (the same
+    layout family as the S2/S3 problem bundle);
+    ``EntropyBalanceModel.load(path).transform(df)`` reproduces the
+    weights in a fresh session.  The in-memory ``results`` diagnostics are
+    fit-time artifacts and are not persisted."""
 
     def __init__(self, weights: DataFrame | None = None, results=None) -> None:
         super().__init__()
@@ -187,3 +214,34 @@ class EntropyBalanceModel(Model, _EBParams):
             F.col("new_weight").alias(out_col),
         )
         return keyed.join(w, "__ebw_row_id", "left").drop("__ebw_row_id")
+
+    def write(self) -> "MLWriter":
+        return _EntropyBalanceModelWriter(self)
+
+    @classmethod
+    def read(cls) -> "MLReader":
+        return _EntropyBalanceModelReader()
+
+
+class _EntropyBalanceModelWriter(MLWriter):
+    def __init__(self, instance: EntropyBalanceModel) -> None:
+        super().__init__()
+        self.instance = instance
+
+    def saveImpl(self, path: str) -> None:
+        if self.instance.weights is None:
+            raise ValueError("model has no fitted weights to save")
+        DefaultParamsWriter.saveMetadata(self.instance, path, self.sc)
+        mode = "overwrite" if self.shouldOverwrite else "errorifexists"
+        self.instance.weights.write.mode(mode).parquet(
+            os.path.join(path, "weights")
+        )
+
+
+class _EntropyBalanceModelReader(MLReader):
+    def load(self, path: str) -> EntropyBalanceModel:
+        metadata = DefaultParamsReader.loadMetadata(path, self.sc)
+        weights = self.sparkSession.read.parquet(os.path.join(path, "weights"))
+        model = EntropyBalanceModel(weights=weights)
+        DefaultParamsReader.getAndSetParams(model, metadata)
+        return model

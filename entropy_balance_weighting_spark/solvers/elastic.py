@@ -114,6 +114,7 @@ def solve_elastic(
     error_message = ""
     prev_step: tuple[float, float] | None = None
     commit_agg = None
+    history: list[dict] = []  # per-iteration trace (reference logging parity)
 
     while True:
         if commit_agg is not None:
@@ -157,6 +158,17 @@ def solve_elastic(
             opt_viol,
             alt_viol,
             eta,
+        )
+        history.append(
+            {
+                "iter": n_steps,
+                "criterion": st.f_val,
+                "ce_norm": float(np.linalg.norm(ce)),
+                "violation": opt_viol,
+                "alt_violation": alt_viol,
+                "eta": eta,
+                "mu_s": mu_s,
+            }
         )
         if st.has_nan or not math.isfinite(opt_viol):
             error_message = "NaN in elastic optimality conditions"
@@ -253,5 +265,8 @@ def solve_elastic(
         moment_slack_multipliers_estimate=np.concatenate([lu, lv]),
         eta=eta,
         error_message=error_message,
-        diagnostics={"optimality_violation": float(np.linalg.norm(final_cv))},
+        diagnostics={
+            "optimality_violation": float(np.linalg.norm(final_cv)),
+            "history": history,
+        },
     )

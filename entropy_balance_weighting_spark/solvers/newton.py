@@ -71,6 +71,7 @@ def solve_unbounded(
     error_message = ""
     ce = np.full(k, np.inf)
     prev_iterate: tuple[np.ndarray, object] | None = None  # (λ, stats) pre-commit
+    history: list[dict] = []  # per-iteration trace (reference logging parity)
 
     stats = kernel.stats(lam)
     while True:
@@ -84,6 +85,16 @@ def solve_unbounded(
             math.sqrt(max(stats.cd_sq, 0.0)),
             violation,
             stats.min_w,
+        )
+        history.append(
+            {
+                "iter": n_steps,
+                "criterion": stats.f_val,
+                "ce_norm": float(np.linalg.norm(ce)),
+                "cd_norm": math.sqrt(max(stats.cd_sq, 0.0)),
+                "violation": violation,
+                "min_w": stats.min_w,
+            }
         )
 
         if stats.has_nan or not math.isfinite(violation):
@@ -176,5 +187,8 @@ def solve_unbounded(
         failure_weights=attempt,
         equality_multipliers_estimate=lam,
         error_message=error_message,
-        diagnostics={"optimality_violation": float(np.linalg.norm(final_ce))},
+        diagnostics={
+            "optimality_violation": float(np.linalg.norm(final_ce)),
+            "history": history,
+        },
     )

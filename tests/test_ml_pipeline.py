@@ -104,9 +104,62 @@ def test_estimator_bounded_mode(spark, households):
 
 
 def test_estimator_validates_params(households):
-    with pytest.raises(ValueError):
-        EntropyBalanceEstimator(weightCol="wgtp", numericCols=["bdsp"])  # no key
+    # a key-less estimator constructs (the persistence reader needs a bare
+    # instance) but must fail loudly at fit time
+    est = EntropyBalanceEstimator(weightCol="wgtp", numericCols=["bdsp"])
+    with pytest.raises(ValueError, match="rowKeyCols"):
+        est.fit(households)
     with pytest.raises(ValueError):
         EntropyBalanceEstimator(
             weightCol="wgtp", rowKeyCols=["serialno"], bogus=1
         )
+
+
+def test_model_save_load_roundtrip(spark, households, tmp_path):
+    """MLlib persistence: save the fitted model, load it in the same
+    session (fresh object graph), and the loaded transformer must
+    reproduce the weights exactly — the production Pipeline-shipping
+    contract."""
+    est = EntropyBalanceEstimator(
+        weightCol="wgtp",
+        numericCols=["bdsp"],
+        rowKeyCols=["serialno"],
+        targetScale=1.01,
+        outputCol="w_star",
+    )
+    model = est.fit(households)
+    path = str(tmp_path / "ebw_model")
+    model.save(path)
+
+    loaded = EntropyBalanceModel.load(path)
+    assert loaded.getOrDefault(loaded.rowKeyCols) == ["serialno"]
+    assert loaded.getOrDefault(loaded.outputCol) == "w_star"
+
+    orig = {
+        r["serialno"]: r["w_star"]
+        for r in model.transform(households).select("serialno", "w_star").collect()
+    }
+    got = {
+        r["serialno"]: r["w_star"]
+        for r in loaded.transform(households).select("serialno", "w_star").collect()
+    }
+    assert got == pytest.approx(orig)
+
+    # overwrite support via the MLWriter option surface
+    model.write().overwrite().save(path)
+
+
+def test_estimator_save_load_roundtrip(tmp_path):
+    est = EntropyBalanceEstimator(
+        weightCol="wgtp",
+        numericCols=["bdsp"],
+        onehotCols=["hht"],
+        rowKeyCols=["serialno"],
+        maxSteps=17,
+    )
+    path = str(tmp_path / "ebw_est")
+    est.save(path)
+    loaded = EntropyBalanceEstimator.load(path)
+    assert loaded.getOrDefault(loaded.maxSteps) == 17
+    assert loaded.getOrDefault(loaded.numericCols) == ["bdsp"]
+    assert loaded.getOrDefault(loaded.rowKeyCols) == ["serialno"]
