@@ -15,22 +15,36 @@ import time
 from pyspark.sql import SparkSession
 
 
+def _best_of(n: int, fn):
+    """min wall-clock over ``n`` full runs (same steady-state discipline as
+    the query bench: the first run absorbs session-wide one-time costs —
+    codegen, shuffle-service init, page cache — that are not the solve)."""
+    best, out = float("inf"), None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4), out
+
+
 def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     from entropy_balance_weighting_spark.queries.solver import solve_lineitem_problem
 
     timings: dict[str, float] = {}
 
-    t0 = time.perf_counter()
-    _, _, res = solve_lineitem_problem(spark, sf_dir, force_distributed=True)
-    if res.converged:
-        res.new_weights.count()
-    timings["ebw_solve_distributed"] = round(time.perf_counter() - t0, 4)
+    def run_dist():
+        _, _, r = solve_lineitem_problem(spark, sf_dir, force_distributed=True)
+        if r.converged:
+            r.new_weights.count()
+        return r
+
+    timings["ebw_solve_distributed"], res = _best_of(2, run_dist)
     timings["ebw_solve_iterations"] = float(res.n_iterations)
     timings["ebw_solve_converged"] = float(res.converged)
 
-    t0 = time.perf_counter()
-    _, _, res_local = solve_lineitem_problem(spark, sf_dir, local_threshold=10**10)
-    timings["ebw_solve_localpath"] = round(time.perf_counter() - t0, 4)
+    timings["ebw_solve_localpath"], res_local = _best_of(
+        2, lambda: solve_lineitem_problem(spark, sf_dir, local_threshold=10**10)[2]
+    )
     timings["ebw_solve_localpath_converged"] = float(res_local.converged)
 
     # Large-K group-moment solve (the reference's 'hundreds of thousands of
@@ -47,21 +61,23 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     )
     from entropy_balance_weighting_spark.session import load_table
 
-    t0 = time.perf_counter()
-    li = load_table(spark, sf_dir, "lineitem")
-    spec = MomentSpec(
-        weight_col="l_quantity",
-        numeric=("l_discount", "l_tax"),
-        group=("l_suppkey",),
-    )
-    pt = build_problem_tables(li, spec)
-    res_g = entropy_balance(
-        mean_population_moments=targets_from_problem(pt, perturb=0.01),
-        x_sample=pt,
-        options={"force_distributed": True},
-    )
-    timings["ebw_solve_grouped"] = round(time.perf_counter() - t0, 4)
-    timings["ebw_solve_grouped_k"] = float(pt.k)
+    def run_grouped():
+        li = load_table(spark, sf_dir, "lineitem")
+        spec = MomentSpec(
+            weight_col="l_quantity",
+            numeric=("l_discount", "l_tax"),
+            group=("l_suppkey",),
+        )
+        pt = build_problem_tables(li, spec)
+        res = entropy_balance(
+            mean_population_moments=targets_from_problem(pt, perturb=0.01),
+            x_sample=pt,
+            options={"force_distributed": True},
+        )
+        return pt, res
+
+    timings["ebw_solve_grouped"], (pt_g, res_g) = _best_of(2, run_grouped)
+    timings["ebw_solve_grouped_k"] = float(pt_g.k)
     timings["ebw_solve_grouped_converged"] = float(res_g.converged)
     max_viol = float(np.abs(res_g.constraint_violations).max())
 
