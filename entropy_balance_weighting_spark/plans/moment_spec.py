@@ -374,7 +374,8 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
     )
     x_long = x_long_w0.select("row_id", "moment_id", "value")
     w0 = rows.select("row_id", "w0")
-    packed = _packed_arrays(rows, spec, names)
+    combos = [r.asDict() for r in counts["combos"]] if combo_cols else []
+    packed = _packed_arrays(rows, spec, names, combos)
     groups = [
         nm.split("|", 1)[0] if nm.startswith("grp=") else "" for nm in names
     ]
@@ -395,65 +396,116 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
     )
 
 
-_PACK_PROJECTION_MAX_K = 4096  # map-literal size guard for the grouped path
+_PACK_COMBO_MAX = 200_000  # broadcast-size guard for the combo dim table
+
+
+def _combo_entry_names(spec: MomentSpec, cd: dict) -> list[str | None]:
+    """Moment names one row of combo ``cd`` emits, in packed-entry order
+    (numeric..., intercept, onehot..., interactions...).  ``None`` marks an
+    entry whose name is null for this combo (null category under
+    dropna=False) — no packed encoding exists for it."""
+
+    def grouped(base: str) -> str:
+        if not spec.group:
+            return base
+        grp = "/".join(s for s in (cd[c] for c in spec.group) if s is not None)
+        return f"grp={grp}|{base}"
+
+    out: list[str | None] = [grouped(c) for c in spec.numeric]
+    if spec.intercept:
+        out.append(grouped("_count"))
+    for c in spec.onehot:
+        out.append(grouped(f"{c}={cd[c]}") if cd[c] is not None else None)
+    for a, b in spec.interactions:
+        a_cat, b_cat = a in spec.onehot, b in spec.onehot
+        if a_cat and b_cat:
+            ok = cd[a] is not None and cd[b] is not None
+            out.append(grouped(f"{a}={cd[a]}:{b}={cd[b]}") if ok else None)
+        elif a_cat:
+            out.append(grouped(f"{a}={cd[a]}:{b}") if cd[a] is not None else None)
+        elif b_cat:
+            out.append(grouped(f"{a}:{b}={cd[b]}") if cd[b] is not None else None)
+        else:
+            out.append(grouped(f"{a}:{b}"))
+    return out
 
 
 def _packed_arrays(
-    rows: DataFrame, spec: MomentSpec, names: list[str]
+    rows: DataFrame, spec: MomentSpec, names: list[str], combos: list[dict]
 ) -> DataFrame | None:
     """(row_id, w0, idx, val) by pure projection — the zero-shuffle packing.
 
     Every prepared row emits a FIXED set of entries (numeric + intercept +
-    one indicator per one-hot column); its moment ids are either literal
-    constants (ungrouped numeric/intercept) or lookups into a driver-built
-    name→id map rendered as a Spark map literal.  The map literal is
-    K-sized for grouped specs, so the projection path is gated at
-    ``_PACK_PROJECTION_MAX_K`` — beyond it the kernels fall back to the
-    generic explode + groupBy packing (one co-partitioning shuffle).
+    one indicator per one-hot column + one per interaction).  Ungrouped
+    numeric-only specs take literal constant ids.  Grouped/one-hot specs
+    join a tiny driver-built dim table — one row per observed (group,
+    one-hot value) combination carrying that combination's precomputed
+    ``idx`` array — through a broadcast hash join (JVM-side, O(1) per row;
+    a K-sized ``create_map`` literal would be a linear scan per lookup).
+    Gated only by the combo count (broadcast size), so the projection path
+    holds into the 10⁵-moment group-specific regime.
     """
-    if (spec.group or spec.onehot) and len(names) > _PACK_PROJECTION_MAX_K:
+    combo_src = [*spec.group, *spec.onehot]
+    if not combo_src:
+        # static ids: every row emits the same moment set
+        name_to_id = {nm: i for i, nm in enumerate(names)}
+        id_exprs = [
+            F.lit(name_to_id[nm]).cast("int")
+            for nm in _combo_entry_names(spec, {})
+        ]
+        val_exprs = _packed_val_exprs(spec)
+        return rows.select(
+            "row_id",
+            "w0",
+            F.array(*id_exprs).alias("idx"),
+            F.array(*val_exprs).alias("val"),
+        )
+    if len(combos) > _PACK_COMBO_MAX:
         return None
     name_to_id = {nm: i for i, nm in enumerate(names)}
+    dim_rows = []
+    for cd in combos:
+        entry_names = _combo_entry_names(spec, cd)
+        if any(nm is None for nm in entry_names):
+            return None  # null category (dropna=False): no fixed-width packing
+        dim_rows.append(
+            tuple(cd[c] for c in combo_src)
+            + ([name_to_id[nm] for nm in entry_names],)
+        )
+    spark = rows.sparkSession
+    dim_schema = T.StructType(
+        [T.StructField(f"__cmb_{c}", T.StringType(), True) for c in combo_src]
+        + [T.StructField("idx", T.ArrayType(T.IntegerType(), False), False)]
+    )
+    dim = spark.createDataFrame(dim_rows, dim_schema)
+    cond = None
+    for c in combo_src:
+        eq = F.col(c).cast("string").eqNullSafe(F.col(f"__cmb_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    val_exprs = _packed_val_exprs(spec)
+    return (
+        rows.join(F.broadcast(dim), cond)
+        .select(
+            "row_id",
+            "w0",
+            "idx",
+            F.array(*val_exprs).alias("val"),
+        )
+    )
 
-    def lookup(name_expr: "F.Column") -> "F.Column":
-        pairs: list[F.Column] = []
-        for nm, i in name_to_id.items():
-            pairs += [F.lit(nm), F.lit(i)]
-        return F.element_at(F.create_map(*pairs), name_expr).cast("int")
 
-    id_exprs: list[F.Column] = []
-    val_exprs: list[F.Column] = []
-    for c in spec.numeric:
-        base = F.lit(c)
-        if spec.group:
-            id_exprs.append(lookup(_moment_name_expr(spec, base)))
-        else:
-            id_exprs.append(F.lit(name_to_id[c]).cast("int"))
-        val_exprs.append(F.col(c).cast("double"))
+def _packed_val_exprs(spec: MomentSpec) -> list["F.Column"]:
+    """Packed-entry value expressions, in the same order as
+    :func:`_combo_entry_names`."""
+    val_exprs = [F.col(c).cast("double") for c in spec.numeric]
     if spec.intercept:
-        base = F.lit("_count")
-        if spec.group:
-            id_exprs.append(lookup(_moment_name_expr(spec, base)))
-        else:
-            id_exprs.append(F.lit(name_to_id["_count"]).cast("int"))
         val_exprs.append(F.lit(1.0))
-    for c in spec.onehot:
-        base = F.concat(F.lit(c), F.lit("="), F.col(c).cast("string"))
-        id_exprs.append(lookup(_moment_name_expr(spec, base)))
+    for _c in spec.onehot:
         val_exprs.append(F.lit(1.0))
     for a, b in spec.interactions:
-        name, val = _interaction_entry(spec, a, b)
-        if spec.group or a in spec.onehot or b in spec.onehot:
-            id_exprs.append(lookup(_moment_name_expr(spec, name)))
-        else:
-            id_exprs.append(F.lit(name_to_id[f"{a}:{b}"]).cast("int"))
+        _, val = _interaction_entry(spec, a, b)
         val_exprs.append(val)
-    return rows.select(
-        "row_id",
-        "w0",
-        F.array(*id_exprs).alias("idx"),
-        F.array(*val_exprs).alias("val"),
-    )
+    return val_exprs
 
 
 def vector_to_problem_tables(

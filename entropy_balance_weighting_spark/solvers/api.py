@@ -69,11 +69,34 @@ def _validate_local_inputs(x: np.ndarray, w0: np.ndarray, m: np.ndarray) -> None
 
 
 def _validate_distributed_inputs(pt: ProblemTables) -> None:
-    """V1 as ONE job: the two bad-entry counts are unioned single-row
-    aggregates, so both scans run inside a single collect."""
+    """V1 as ONE job.  With builder-packed arrays, a single scan of the
+    packed rows checks both X entries and weights (no explode lineage, no
+    second table); otherwise the two bad-entry counts are unioned
+    single-row aggregates inside one collect."""
     from pyspark.sql import functions as F
 
     inf = float("inf")
+    if pt.packed_arrays is not None:
+        bad_val = F.exists(
+            "val",
+            lambda v: v.isNull() | F.isnan(v) | v.isin(inf, -inf),
+        )
+        bad_w = (
+            F.col("w0").isNull()
+            | F.isnan("w0")
+            | F.col("w0").isin(inf, -inf)
+            | (F.col("w0") <= 0)
+        )
+        row = pt.packed_arrays.agg(
+            F.count(F.when(bad_val, 1)).alias("bad_x"),
+            F.count(F.when(bad_w, 1)).alias("bad_w"),
+        ).first()
+        if row["bad_x"] or row["bad_w"]:
+            raise ValueError(
+                f"Inputs include invalid values ({row['bad_x']} bad X "
+                f"rows, {row['bad_w']} bad weights)"
+            )
+        return
     bad_x_agg = pt.x_long.agg(
         F.count(
             F.when(
