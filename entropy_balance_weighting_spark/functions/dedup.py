@@ -177,6 +177,59 @@ def verified_near_dups(
     return out
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via the inverted-index bucket
+    join: candidates are pairs sharing ≥1 shingle (complete for any
+    threshold > 0 — a pair with zero shared shingles has Jaccard 0), then
+    exact Jaccard on candidates only.  Returns ``(id_a, id_b, jaccard)``.
+
+    The candidate self-join keys on the shingle value, so its volume is
+    Σ_shingle df² — driven by real textual overlap, not N².  Contrast with
+    :func:`verified_near_dups` (MinHash banding): that prunes harder at
+    corpus scale but is probabilistic-recall; this one is exact, the right
+    tool when the threshold is low or recall must be 1.
+    """
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # |A ∩ B| directly from the inverted index: self-join on the shingle
+    inter = (
+        sh.select(F.col("id").alias("id_a"), "sh")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document from token-frequency-weighted bit votes.
 

@@ -109,3 +109,23 @@ def doc_fingerprint(text: Column | str) -> Column:
     """Order-sensitive 32-bit document fingerprint: hash of the first 64
     tokens re-joined — a cheap rolling-hash-style content id."""
     return portable_hash32(F.concat_ws(" ", F.slice(tokens(text), 1, 64)))
+
+
+_FP_BASE = 31
+_FP_MOD = 2147483647  # 2^31−1: acc·31 + h < 2^36, int64-safe before the mod
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """True polynomial rolling hash (Rabin–Karp) over the token-hash
+    stream: ``fp = Σ h_i·B^(n−1−i) mod M`` folded as ``acc·B + h_i mod M``
+    — order-sensitive, whole-document, O(tokens) per row, zero Python.
+    Engine-portable: the per-token hash is the md5-prefix hash, so DuckDB
+    replicates the fingerprint bit-for-bit."""
+    hashes = F.transform(
+        tokens(text), lambda t: portable_hash32(t) % F.lit(_FP_MOD)
+    )
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * _FP_BASE + h) % _FP_MOD,
+    )

@@ -101,6 +101,86 @@ def dd_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_ngram_jaccard",
+    survey="ext:dedup-ngram-jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles sa JOIN shingles sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+)
+SELECT i.id_a, i.id_b,
+       round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.id_a
+JOIN counts cb ON cb.doc_id = i.id_b
+WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.6
+ORDER BY id_a, id_b
+""",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard near-dup pairs (threshold 0.6) via the
+    inverted-index bucket join — candidates are pairs sharing a shingle,
+    complete at any threshold; the exact counterpart to the MinHash
+    pipeline for when recall must be 1 or the threshold sits below LSH's
+    useful selectivity range."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "txt_fingerprint_dups",
+    survey="ext:text-fingerprint",
+    oracle="""
+WITH fp AS (
+  SELECT source,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(string_split(text, ' '),
+        t -> (('0x' || substr(md5(t),1,8))::BIGINT % 2147483647))),
+      (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT fp) AS n_fp,
+       count(*) - count(DISTINCT fp) AS n_dup,
+       CAST(sum(fp) AS BIGINT) AS fp_sum
+FROM fp GROUP BY source ORDER BY source
+""",
+)
+def txt_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash (Rabin–Karp) over
+    the token-hash stream, folded JVM-side by ``F.aggregate`` — per-source
+    duplicate detection by whole-content fingerprint.  ``fp_sum`` pins the
+    fingerprint values bit-for-bit against the DuckDB replica."""
+    from entropy_balance_weighting_spark.functions.text import (
+        rolling_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", rolling_fingerprint("text").alias("fp"))
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_fp"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup"),
+            F.sum("fp").cast("long").alias("fp_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "dd_simhash_clusters",
     survey="ext:dedup-simhash",
     oracle="""
