@@ -94,3 +94,124 @@ def text_as_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``payload`` column, giving the multimodal path a real opaque-bytes
     input at every scale factor."""
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+# -- resize ----------------------------------------------------------------
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, payload binary"
+
+
+def resize_image_batch(
+    payloads: pd.Series, width: int, height: int
+) -> pd.Series:
+    """Resize a batch of image payloads to (width, height).
+
+    STUB: real resizing needs an image library not present in this
+    environment; swap for a Pillow/torchvision implementation in
+    production.  The plumbing that calls it is real.
+    """
+    raise NotImplementedError(
+        "image resizing requires an image library; use fake_resize for tests"
+    )
+
+
+def fake_resize(payloads: pd.Series, width: int, height: int) -> pd.Series:
+    """Deterministic stand-in resizer: cycles the payload bytes to exactly
+    ``width·height`` bytes (a 1-byte-per-pixel 'image') — exact,
+    reproducible, and shaped like a real resizer's output."""
+    target = width * height
+    out = []
+    for b in payloads:
+        if not len(b):
+            out.append(bytes(target))
+        else:
+            reps = -(-target // len(b))
+            out.append((bytes(b) * reps)[:target])
+    return pd.Series(out)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    resizer: Callable[[pd.Series, int, int], pd.Series] = resize_image_batch,
+) -> DataFrame:
+    """Arrow-batched resize stage: one ``mapInPandas`` pass, partitioning
+    preserved, fixed RESIZED_SCHEMA output contract (every output payload
+    is exactly ``width·height`` bytes)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": np.full(len(pdf), width, dtype="int32"),
+                    "height": np.full(len(pdf), height, dtype="int32"),
+                    "payload": resizer(pdf[payload_col], width, height).values,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, RESIZED_SCHEMA)
+
+
+# -- frame sampling --------------------------------------------------------
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def decode_video_frames(payload: bytes, frame_bytes: int) -> list[bytes]:
+    """Split a video payload into frames.
+
+    STUB for a real container/codec demuxer (no video libraries in this
+    environment).  The deterministic fallback used by
+    :func:`sample_frames` treats the payload as fixed-size byte frames —
+    the Spark-side plumbing (fan-out row cardinality, batch shapes,
+    schema) is identical either way.
+    """
+    raise NotImplementedError(
+        "video decoding requires a codec library; use fixed-size byte "
+        "frames (the sample_frames default) for tests"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 64,
+    every_n: int = 3,
+) -> DataFrame:
+    """Frame sampling over opaque 'video' payloads: emit every
+    ``every_n``-th fixed-size frame as its own row — the fan-out-shaped
+    ``mapInPandas`` stage (output cardinality ≠ input cardinality), the
+    pattern a real demuxer-based sampler would use unchanged."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for did, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                b = bytes(b)
+                n_frames = -(-len(b) // frame_bytes) if len(b) else 0
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, FRAME_SCHEMA)

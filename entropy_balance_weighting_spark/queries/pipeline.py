@@ -412,6 +412,53 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.text_as_binary(docs).select("doc_id", "payload", "source")
+
+
+@register(
+    "mm_frame_sample",
+    survey="ext:multimodal-frames",
+    oracle="""
+WITH f AS (
+  SELECT d.source, d.doc_id, r.i,
+         substr(d.text, CAST(r.i * 64 + 1 AS BIGINT), 64) AS frame
+  FROM documents d,
+       unnest(range(0, CAST(ceil(strlen(d.text) / 64.0) AS BIGINT), 3)) AS r(i)
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_frames,
+       round(avg(strlen(frame)), 4) AS avg_frame_bytes,
+       CAST(sum(ascii(substr(frame, 1, 1))) AS BIGINT) AS first_byte_sum
+FROM f GROUP BY source ORDER BY source
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over opaque binary payloads: every 3rd
+    64-byte frame becomes its own row through the fan-out ``mapInPandas``
+    stage (real demuxer stubbed — deterministic byte frames exercise the
+    identical plumbing), then typed aggregation of the sampled frames."""
+    payloads = _mm_payloads(spark, sf_dir)
+    frames = multimodal.sample_frames(
+        payloads.select("doc_id", "payload"), frame_bytes=64, every_n=3
+    )
+    joined = frames.join(payloads.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(F.avg(F.length("frame")), 4).alias("avg_frame_bytes"),
+            F.sum(F.ascii(F.substring(F.col("frame").cast("string"), 1, 1)))
+            .cast("long")
+            .alias("first_byte_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "mm_feature_extract",
     survey="ext:multimodal",

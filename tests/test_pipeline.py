@@ -238,3 +238,42 @@ def test_bucketed_near_dups_plan_has_no_theta_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resize_and_frame_sample_contracts(spark):
+    """Resize: every output payload is exactly width*height bytes.  Frame
+    sampling: fan-out matches the deterministic expectation computed in
+    plain Python over the same bytes."""
+    from entropy_balance_weighting_spark.functions import multimodal
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(25)
+    payloads = multimodal.text_as_binary(docs).select("doc_id", "payload")
+
+    resized = multimodal.resize_images(
+        payloads, 8, 6, resizer=multimodal.fake_resize
+    ).collect()
+    assert len(resized) == 25
+    for r in resized:
+        assert (r["width"], r["height"]) == (8, 6)
+        assert len(r["payload"]) == 48
+
+    frames = multimodal.sample_frames(
+        payloads, frame_bytes=64, every_n=3
+    ).collect()
+    texts = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    expected = {}
+    for did, b in texts.items():
+        n_frames = -(-len(b) // 64) if len(b) else 0
+        for i in range(0, n_frames, 3):
+            expected[(did, i)] = b[i * 64 : (i + 1) * 64]
+    got = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in frames}
+    assert got == expected
+
+    # the stubs stay loud
+    import pandas as pd
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_image_batch(pd.Series([b"x"]), 2, 2)
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_video_frames(b"x", 64)
