@@ -184,6 +184,7 @@ def ngram_jaccard_pairs(
     *,
     threshold: float = 0.8,
     n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via the inverted-index bucket
     join: candidates are pairs sharing ≥1 shingle (complete for any
@@ -195,17 +196,51 @@ def ngram_jaccard_pairs(
     :func:`verified_near_dups` (MinHash banding): that prunes harder at
     corpus scale but is probabilistic-recall; this one is exact, the right
     tool when the threshold is low or recall must be 1.
+
+    ``max_shingle_df``: skew defense for corpus scale — shingles occurring
+    in more than this many documents are excluded from CANDIDATE
+    GENERATION only (Jaccard is still computed over the full shingle
+    sets).  A boilerplate shingle shared by 10⁶ docs would otherwise
+    produce a 10¹²-row hot key.  This trades exactness for bounded join
+    volume: a pair whose shared shingles are ALL ubiquitous is missed;
+    leave ``None`` (default, used by the registered query) for the exact
+    guarantee.
     """
     sh = shingle_table(df, id_col, text_col, n).cache()
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # |A ∩ B| directly from the inverted index: self-join on the shingle
-    inter = (
-        sh.select(F.col("id").alias("id_a"), "sh")
-        .join(sh.select(F.col("id").alias("id_b"), "sh"), "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if max_shingle_df is None:
+        # exact mode: |A ∩ B| directly from the inverted-index self-join
+        inter = (
+            sh.select(F.col("id").alias("id_a"), "sh")
+            .join(sh.select(F.col("id").alias("id_b"), "sh"), "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # skewed mode: candidates from rare shingles only; the
+        # intersection count joins the FULL shingle table back so the
+        # Jaccard value itself stays exact for every surviving pair
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("sh")
+        )
+        cand_src = sh.join(rare, "sh")
+        pairs = (
+            cand_src.select(F.col("id").alias("id_a"), "sh")
+            .join(cand_src.select(F.col("id").alias("id_b"), "sh"), "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = (
+            pairs.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     out = (
         inter.join(
             counts.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),

@@ -111,3 +111,69 @@ def test_dedupe_row_key_path(spark):
         build_problem_tables(
             df, MomentSpec(weight_col="w", numeric=("x0",), row_key=("k",))
         )
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(5, 50),
+    n_cat=st.integers(1, 3),
+)
+def test_interaction_encoding_matches_dense_construction(spark, seed, n, n_cat):
+    """Property (SURVEY §5 layer 4 style): for random frames, the long
+    encoding of interaction moments must reproduce the design matrix a
+    user would build densely (formulaic-style ``a:b`` columns), totals
+    verified against plain numpy — and the packed arrays must decode to
+    exactly the long rows."""
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "w": rng.uniform(0.1, 3.0, size=n),
+            "x0": rng.normal(size=n),
+            "x1": rng.uniform(size=n),
+            "cat": rng.integers(0, n_cat, size=n).astype(str),
+        }
+    )
+    spec = MomentSpec(
+        weight_col="w",
+        numeric=("x0",),
+        onehot=("cat",),
+        interactions=(("x0", "x1"), ("x1", "cat"), ("cat", "cat")),
+        row_key=("rid",),
+    )
+    pt = build_problem_tables(spark.createDataFrame(pdf), spec)
+
+    # numpy-side expected totals per moment name
+    expected = {"x0": float((pdf.x0 * pdf.w).sum())}
+    expected["x0:x1"] = float((pdf.x0 * pdf.x1 * pdf.w).sum())
+    for v in sorted(pdf.cat.unique()):
+        mask = pdf.cat == v
+        expected[f"cat={v}"] = float(pdf.w[mask].sum())
+        expected[f"x1:cat={v}"] = float((pdf.x1 * pdf.w)[mask].sum())
+        expected[f"cat={v}:cat={v}"] = float(pdf.w[mask].sum())
+
+    got = {
+        r["moment_name"]: r["t"]
+        for r in pt.x_long.join(pt.w0, "row_id")
+        .join(F.broadcast(pt.moments), "moment_id")
+        .groupBy("moment_name")
+        .agg(F.sum(F.col("value") * F.col("w0")).alias("t"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert got[k] == pytest.approx(v), k
+
+    # packed arrays decode to exactly the long rows
+    packed = {
+        (r["row_id"], i): v
+        for r in pt.packed_arrays.collect()
+        for i, v in zip(r["idx"], r["val"])
+    }
+    long_rows = {
+        (r["row_id"], r["moment_id"]): r["value"] for r in pt.x_long.collect()
+    }
+    assert packed == long_rows

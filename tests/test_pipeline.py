@@ -277,3 +277,35 @@ def test_resize_and_frame_sample_contracts(spark):
         multimodal.resize_image_batch(pd.Series([b"x"]), 2, 2)
     with _pytest.raises(NotImplementedError):
         multimodal.decode_video_frames(b"x", 64)
+
+
+def test_ngram_jaccard_skew_defense_keeps_values_exact(spark):
+    """max_shingle_df excludes ubiquitous shingles from candidate
+    generation only: every returned pair carries the EXACT full-set
+    Jaccard, and with a permissive cap the output equals exact mode."""
+    from entropy_balance_weighting_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6, max_shingle_df=10**6
+        ).collect()
+    }
+    assert capped == exact and len(exact) > 0
+    # an aggressive cap returns a subset with identical values
+    tight = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6, max_shingle_df=2
+        ).collect()
+    }
+    assert set(tight) <= set(exact)
+    for k, v in tight.items():
+        assert v == exact[k]
