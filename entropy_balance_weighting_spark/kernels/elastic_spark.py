@@ -1,5 +1,5 @@
 """Distributed kernel for the elastic interior-point solver — packed-row
-DataFrame + Arrow-batched ``mapInPandas`` passes (same execution design as
+DataFrame + Arrow-native ``mapInArrow`` passes (same execution design as
 the other distributed kernels: one fused scan per stage, zero per-iteration
 shuffles, K/K²-sized partials only, lineage truncated per commit).
 
@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -26,8 +26,10 @@ from entropy_balance_weighting_spark.kernels.penalty_spark import (
     _ftb_batch,
 )
 from entropy_balance_weighting_spark.kernels.spark import (
-    _flatten,
-    _pack,
+    _flatten_rb,
+    _pack_rb,
+    _rb_col,
+    _rb_with,
     _x_dot,
     _xt_v,
     blocks_tuple,
@@ -39,20 +41,20 @@ from entropy_balance_weighting_spark.kernels.spark import (
 _PAYLOAD_SCHEMA = "sums binary, mins binary"
 
 
-def _cols(pdf: pd.DataFrame):
+def _cols(rb: pa.RecordBatch):
     return (
-        pdf["w0"].to_numpy(np.float64),
-        pdf["ratio"].to_numpy(np.float64),
-        pdf["s_lo"].to_numpy(np.float64),
-        pdf["s_hi"].to_numpy(np.float64),
-        pdf["lm_lo"].to_numpy(np.float64),
-        pdf["lm_hi"].to_numpy(np.float64),
+        _rb_col(rb, "w0"),
+        _rb_col(rb, "ratio"),
+        _rb_col(rb, "s_lo"),
+        _rb_col(rb, "s_hi"),
+        _rb_col(rb, "lm_lo"),
+        _rb_col(rb, "lm_hi"),
     )
 
 
-def _pieces(pdf, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub):
+def _pieces(rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub):
     """Batch rendering of ElasticLocalKernel._pieces (kept in lockstep)."""
-    w0, r, s_lo, s_hi, lm_lo, lm_hi = _cols(pdf)
+    w0, r, s_lo, s_hi, lm_lo, lm_hi = _cols(rb)
     with np.errstate(divide="ignore", invalid="ignore"):
         lr = np.log(r)
     xlam = _x_dot(flat_idx, flat_val, lens, lam)
@@ -91,17 +93,17 @@ def _steps_arrays(pieces, flat_idx, flat_val, lens, dlam, mu_s, has_ub):
 
 
 def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub, blocks) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         f_val = cd_sq = ci_sq = cs_sq = alt_sq = nan_ct = 0.0
         g1 = np.zeros(k)
         rhs_leg = np.zeros(k)
         gram, gram_add = make_gram_accum(k, blocks)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
             pieces = _pieces(
-                pdf, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
+                rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
             )
             (w0, r, s_lo, s_hi, lm_lo, lm_hi, lr, xlam, lm_net, cd,
              ci_lo, ci_hi, cs_lo, cs_hi, ht, zterm) = pieces
@@ -125,7 +127,7 @@ def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub, blocks) -> Callable:
             g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
             rhs_leg += _xt_v(flat_idx, flat_val, lens, w0 * inv_ht * (cdf + zterm), k)
             gram_add(flat_idx, flat_val, lens, w0**2 * inv_ht)
-        yield _pack(
+        yield _pack_rb(
             [f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct, g1, rhs_leg, gram],
             [np.inf],
         )
@@ -134,17 +136,17 @@ def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub, blocks) -> Callable:
 
 
 def _estep_pass(k, lam, dlam, eta, mu_s, lb, ub, has_ub) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         rstep_sq = nan_ct = 0.0
         xt_rstep = np.zeros(k)
         ftb_s = np.inf
         ftb_l = np.inf
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
             pieces = _pieces(
-                pdf, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
+                rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
             )
             r_step, li_lo, li_hi, ss_lo, ss_hi = _steps_arrays(
                 pieces, flat_idx, flat_val, lens, dlam, mu_s, has_ub
@@ -160,7 +162,7 @@ def _estep_pass(k, lam, dlam, eta, mu_s, lb, ub, has_ub) -> Callable:
             if has_ub:
                 ftb_s = min(ftb_s, _ftb_batch(s_hi, ss_hi))
                 ftb_l = min(ftb_l, _ftb_batch(lm_hi, li_hi))
-        yield _pack([rstep_sq, nan_ct, xt_rstep], [ftb_s, ftb_l])
+        yield _pack_rb([rstep_sq, nan_ct, xt_rstep], [ftb_s, ftb_l])
 
     return fn
 
@@ -168,27 +170,28 @@ def _estep_pass(k, lam, dlam, eta, mu_s, lb, ub, has_ub) -> Callable:
 def _ecommit_pass(
     lam, dlam, eta, mu_s, alpha_p, alpha_d, lb, ub, has_ub
 ) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                yield pdf
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if not rb.num_rows:
+                yield rb
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
             pieces = _pieces(
-                pdf, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
+                rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
             )
             r_step, li_lo, li_hi, ss_lo, ss_hi = _steps_arrays(
                 pieces, flat_idx, flat_val, lens, dlam, mu_s, has_ub
             )
-            _, r, s_lo, s_hi, lm_lo, lm_hi = _cols(pdf)
-            out = pdf.copy()
-            out["ratio"] = r + alpha_p * r_step
-            out["s_lo"] = s_lo + alpha_p * ss_lo
-            out["lm_lo"] = lm_lo + alpha_d * li_lo
+            _, r, s_lo, s_hi, lm_lo, lm_hi = _cols(rb)
+            new_cols = {
+                "ratio": r + alpha_p * r_step,
+                "s_lo": s_lo + alpha_p * ss_lo,
+                "lm_lo": lm_lo + alpha_d * li_lo,
+            }
             if has_ub:
-                out["s_hi"] = s_hi + alpha_p * ss_hi
-                out["lm_hi"] = lm_hi + alpha_d * li_hi
-            yield out
+                new_cols["s_hi"] = s_hi + alpha_p * ss_hi
+                new_cols["lm_hi"] = lm_hi + alpha_d * li_hi
+            yield _rb_with(rb, **new_cols)
 
     return fn
 
@@ -196,14 +199,14 @@ def _ecommit_pass(
 def _ecommit_agg_pass(has_ub) -> Callable:
     """Post-commit aggregates over the NEW state (run on the committed df)."""
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         sl_sum = 0.0
         sl_min = np.inf
         neg_lm_max = np.inf  # min(−λ) = −max(λ)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            _, _, s_lo, s_hi, lm_lo, lm_hi = _cols(pdf)
+            _, _, s_lo, s_hi, lm_lo, lm_hi = _cols(rb)
             sl = s_lo * lm_lo
             lm_mx = float(lm_lo.max()) if len(lm_lo) else -np.inf
             if has_ub:
@@ -213,22 +216,22 @@ def _ecommit_agg_pass(has_ub) -> Callable:
             if len(sl):
                 sl_min = min(sl_min, float(sl.min()))
             neg_lm_max = min(neg_lm_max, -lm_mx)
-        yield _pack([sl_sum], [sl_min, neg_lm_max])
+        yield _pack_rb([sl_sum], [sl_min, neg_lm_max])
 
     return fn
 
 
 def _g1_pass(k) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         g1 = np.zeros(k)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
-            w0 = pdf["w0"].to_numpy(np.float64)
-            r = pdf["ratio"].to_numpy(np.float64)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
+            w0 = _rb_col(rb, "w0")
+            r = _rb_col(rb, "ratio")
             g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
-        yield _pack([g1], [np.inf])
+        yield _pack_rb([g1], [np.inf])
 
     return fn
 
@@ -294,7 +297,7 @@ class ElasticSparkKernel:
         return cls(df, k, sum_w0, n, lb, ub, has_ub, block_structure=bs)
 
     def _reduce(self, fn):
-        rows = self.df.mapInPandas(fn, _PAYLOAD_SCHEMA).collect()
+        rows = self.df.mapInArrow(fn, _PAYLOAD_SCHEMA).collect()
         sums = np.sum([np.frombuffer(r.sums, dtype=np.float64) for r in rows], axis=0)
         mins = np.min([np.frombuffer(r.mins, dtype=np.float64) for r in rows], axis=0)
         # a reduce materializes any pending lazy commit into its cache
@@ -356,7 +359,7 @@ class ElasticSparkKernel:
         """Lazy transition + fused aggregation: the post-commit aggregate
         reduce materializes the new state into the cache in the same scan
         (one job for commit + aggregates together)."""
-        new_df = self.df.mapInPandas(
+        new_df = self.df.mapInArrow(
             _ecommit_pass(
                 lam, dlam, eta, mu_s, alpha_p, alpha_d, self.lb, self.ub,
                 self.has_ub,

@@ -1,5 +1,5 @@
 """Distributed kernel for the penalty solver — packed-row DataFrame +
-Arrow-batched ``mapInPandas`` passes, same execution design as
+Arrow-native ``mapInArrow`` passes, same execution design as
 :class:`kernels.spark.SparkKernel` (one fused scan per stage, zero
 per-iteration shuffles, only K/K²-sized partials cross the driver
 boundary; lineage truncated per commit).
@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -26,8 +26,10 @@ from entropy_balance_weighting_spark.kernels.base import (
 )
 from entropy_balance_weighting_spark.kernels.penalty_local import TAU
 from entropy_balance_weighting_spark.kernels.spark import (
-    _flatten,
-    _pack,
+    _flatten_rb,
+    _pack_rb,
+    _rb_col,
+    _rb_with,
     _x_dot,
     _xt_v,
     blocks_tuple,
@@ -41,8 +43,11 @@ _PAYLOAD_SCHEMA = "sums binary, mins binary"
 UNBOUNDED_SCHEMA = (
     "row_id long, w0 double, idx array<int>, val array<double>, ratio double"
 )
+# mapInArrow matches yielded batches to the schema BY POSITION — this order
+# must equal the working DataFrame's column order (s_lo/lm_lo added before
+# s_hi/lm_hi in from_problem).
 BOUNDED_SCHEMA = UNBOUNDED_SCHEMA + (
-    ", s_lo double, s_hi double, lm_lo double, lm_hi double"
+    ", s_lo double, lm_lo double, s_hi double, lm_hi double"
 )
 
 
@@ -54,37 +59,37 @@ def _ftb_batch(point: np.ndarray, step: np.ndarray) -> float:
 
 
 def _gram_init_pass(k: int, blocks) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         g2, g2_add = make_gram_accum(k, blocks)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
-            w0 = pdf["w0"].to_numpy(np.float64)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
+            w0 = _rb_col(rb, "w0")
             g2_add(flat_idx, flat_val, lens, w0**2)
-        yield _pack([g2], [np.inf])
+        yield _pack_rb([g2], [np.inf])
 
     return fn
 
 
 def _moment_totals_pass(k: int) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         g1 = np.zeros(k)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
-            w0 = pdf["w0"].to_numpy(np.float64)
-            r = pdf["ratio"].to_numpy(np.float64)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
+            w0 = _rb_col(rb, "w0")
+            r = _rb_col(rb, "ratio")
             g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
-        yield _pack([g1], [np.inf])
+        yield _pack_rb([g1], [np.inf])
 
     return fn
 
 
 # -- unbounded -------------------------------------------------------------
 def _pstats_pass(k: int, blocks) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         f_val = 0.0
         s_ll = 0.0
         nan_ct = 0.0
@@ -92,12 +97,12 @@ def _pstats_pass(k: int, blocks) -> Callable:
         g2v = np.zeros(k)
         h = np.zeros(k)
         gram, gram_add = make_gram_accum(k, blocks)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
-            w0 = pdf["w0"].to_numpy(np.float64)
-            r = pdf["ratio"].to_numpy(np.float64)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
+            w0 = _rb_col(rb, "w0")
+            r = _rb_col(rb, "ratio")
             with np.errstate(divide="ignore", invalid="ignore"):
                 lr = np.log(r)
             bad = ~np.isfinite(lr)
@@ -109,24 +114,22 @@ def _pstats_pass(k: int, blocks) -> Callable:
             g2v += _xt_v(flat_idx, flat_val, lens, w0 * r * lrf, k)
             h += _xt_v(flat_idx, flat_val, lens, w0**2 * lrf, k)
             gram_add(flat_idx, flat_val, lens, w0 * r)
-        yield _pack([f_val, s_ll, nan_ct, g1, g2v, h, gram], [np.inf])
+        yield _pack_rb([f_val, s_ll, nan_ct, g1, g2v, h, gram], [np.inf])
 
     return fn
 
 
 def _pcommit_pass(z: np.ndarray) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                yield pdf
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if not rb.num_rows:
+                yield rb
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
-            r = pdf["ratio"].to_numpy(np.float64)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
+            r = _rb_col(rb, "ratio")
             with np.errstate(divide="ignore", invalid="ignore"):
                 p = -r * (np.log(r) + _x_dot(flat_idx, flat_val, lens, z))
-            out = pdf.copy()
-            out["ratio"] = r + np.where(np.isfinite(p), p, 0.0)
-            yield out
+            yield _rb_with(rb, ratio=r + np.where(np.isfinite(p), p, 0.0))
 
     return fn
 
@@ -134,33 +137,33 @@ def _pcommit_pass(z: np.ndarray) -> Callable:
 def _pstep_sq_pass(z: np.ndarray) -> Callable:
     """Σp² + NaN count for the step just about to be committed."""
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         p_sq = 0.0
         nan_ct = 0.0
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
-            r = pdf["ratio"].to_numpy(np.float64)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
+            r = _rb_col(rb, "ratio")
             with np.errstate(divide="ignore", invalid="ignore"):
                 p = -r * (np.log(r) + _x_dot(flat_idx, flat_val, lens, z))
             bad = ~np.isfinite(p)
             nan_ct += float(bad.sum())
             pf = np.where(bad, 0.0, p)
             p_sq += float(pf @ pf)
-        yield _pack([p_sq, nan_ct], [np.inf])
+        yield _pack_rb([p_sq, nan_ct], [np.inf])
 
     return fn
 
 
 # -- bounded ---------------------------------------------------------------
-def _bounded_pieces(pdf: pd.DataFrame, has_ub: bool):
-    w0 = pdf["w0"].to_numpy(np.float64)
-    r = pdf["ratio"].to_numpy(np.float64)
-    s_lo = pdf["s_lo"].to_numpy(np.float64)
-    lm_lo = pdf["lm_lo"].to_numpy(np.float64)
-    s_hi = pdf["s_hi"].to_numpy(np.float64)
-    lm_hi = pdf["lm_hi"].to_numpy(np.float64)
+def _bounded_pieces(rb: pa.RecordBatch, has_ub: bool):
+    w0 = _rb_col(rb, "w0")
+    r = _rb_col(rb, "ratio")
+    s_lo = _rb_col(rb, "s_lo")
+    lm_lo = _rb_col(rb, "lm_lo")
+    s_hi = _rb_col(rb, "s_hi")
+    lm_hi = _rb_col(rb, "lm_hi")
     with np.errstate(divide="ignore", invalid="ignore"):
         lr = np.log(r)
         hb = w0 / r + lm_lo / s_lo + (lm_hi / s_hi if has_ub else 0.0)
@@ -169,7 +172,7 @@ def _bounded_pieces(pdf: pd.DataFrame, has_ub: bool):
 
 
 def _pbstats_pass(k: int, has_ub: bool, blocks) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         f_val = 0.0
         sd0_sq = 0.0
         s_sum = 0.0
@@ -181,12 +184,12 @@ def _pbstats_pass(k: int, has_ub: bool, blocks) -> Callable:
         u1a = np.zeros(k)
         u1b = np.zeros(k)
         gb, gb_add = make_gram_accum(k, blocks)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
             w0, r, s_lo, lm_lo, s_hi, lm_hi, lr, inv_hb = _bounded_pieces(
-                pdf, has_ub
+                rb, has_ub
             )
             d0 = w0 * lr - lm_lo + (lm_hi if has_ub else 0.0)
             bad = ~np.isfinite(d0) | ~np.isfinite(inv_hb)
@@ -209,15 +212,15 @@ def _pbstats_pass(k: int, has_ub: bool, blocks) -> Callable:
             s_sq += float(sl @ sl)
             if len(sl):
                 s_min = min(s_min, float(sl.min()))
-        yield _pack(
+        yield _pack_rb(
             [f_val, sd0_sq, s_sum, s_sq, nan_ct, g1, hd, u1a, u1b, gb], [s_min]
         )
 
     return fn
 
 
-def _pb_step_arrays(pdf, flat_idx, flat_val, lens, z, mu, has_ub):
-    w0, r, s_lo, lm_lo, s_hi, lm_hi, lr, inv_hb = _bounded_pieces(pdf, has_ub)
+def _pb_step_arrays(rb, flat_idx, flat_val, lens, z, mu, has_ub):
+    w0, r, s_lo, lm_lo, s_hi, lm_hi, lr, inv_hb = _bounded_pieces(rb, has_ub)
     e = w0 * lr - mu / s_lo + (mu / s_hi if has_ub else 0.0)
     p = -inv_hb * (e + w0 * _x_dot(flat_idx, flat_val, lens, z))
     dl_lo = lm_lo / s_lo * (-p - s_lo + mu / lm_lo)
@@ -228,17 +231,17 @@ def _pb_step_arrays(pdf, flat_idx, flat_val, lens, z, mu, has_ub):
 
 
 def _pbstep_pass(z: np.ndarray, mu: float, has_ub: bool) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         p_sq = 0.0
         nan_ct = 0.0
         ftb_s = np.inf
         ftb_l = np.inf
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
             p, dl_lo, dl_hi, s_lo, lm_lo, s_hi, lm_hi = _pb_step_arrays(
-                pdf, flat_idx, flat_val, lens, z, mu, has_ub
+                rb, flat_idx, flat_val, lens, z, mu, has_ub
             )
             bad = ~np.isfinite(p)
             nan_ct += float(bad.sum())
@@ -249,7 +252,7 @@ def _pbstep_pass(z: np.ndarray, mu: float, has_ub: bool) -> Callable:
             if has_ub:
                 ftb_s = min(ftb_s, _ftb_batch(s_hi, -pf))
                 ftb_l = min(ftb_l, _ftb_batch(lm_hi, dl_hi))
-        yield _pack([p_sq, nan_ct], [ftb_s, ftb_l])
+        yield _pack_rb([p_sq, nan_ct], [ftb_s, ftb_l])
 
     return fn
 
@@ -257,23 +260,24 @@ def _pbstep_pass(z: np.ndarray, mu: float, has_ub: bool) -> Callable:
 def _pbcommit_pass(
     z: np.ndarray, mu: float, bp: float, bd: float, has_ub: bool
 ) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                yield pdf
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if not rb.num_rows:
+                yield rb
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
             p, dl_lo, dl_hi, s_lo, lm_lo, s_hi, lm_hi = _pb_step_arrays(
-                pdf, flat_idx, flat_val, lens, z, mu, has_ub
+                rb, flat_idx, flat_val, lens, z, mu, has_ub
             )
-            out = pdf.copy()
-            out["ratio"] = pdf["ratio"].to_numpy(np.float64) + bp * p
-            out["s_lo"] = s_lo + bp * p
-            out["lm_lo"] = lm_lo + bd * dl_lo
+            new_cols = {
+                "ratio": _rb_col(rb, "ratio") + bp * p,
+                "s_lo": s_lo + bp * p,
+                "lm_lo": lm_lo + bd * dl_lo,
+            }
             if has_ub:
-                out["s_hi"] = s_hi - bp * p
-                out["lm_hi"] = lm_hi + bd * dl_hi
-            yield out
+                new_cols["s_hi"] = s_hi - bp * p
+                new_cols["lm_hi"] = lm_hi + bd * dl_hi
+            yield _rb_with(rb, **new_cols)
 
     return fn
 
@@ -347,7 +351,7 @@ class PenaltySparkKernel:
 
     # -- plumbing ----------------------------------------------------------
     def _reduce(self, fn) -> tuple[np.ndarray, np.ndarray]:
-        rows = self.df.mapInPandas(fn, _PAYLOAD_SCHEMA).collect()
+        rows = self.df.mapInArrow(fn, _PAYLOAD_SCHEMA).collect()
         sums = np.sum([np.frombuffer(r.sums, dtype=np.float64) for r in rows], axis=0)
         mins = np.min([np.frombuffer(r.mins, dtype=np.float64) for r in rows], axis=0)
         # a reduce materializes any pending lazy commit into its cache
@@ -364,7 +368,7 @@ class PenaltySparkKernel:
     def _commit(self, fn) -> None:
         """Lazy state transition: persisted, materialized by the next
         reduce in the same scan (no standalone commit job)."""
-        new_df = self.df.mapInPandas(fn, self._schema).persist()
+        new_df = self.df.mapInArrow(fn, self._schema).persist()
         self._prev = self.df
         self.df = new_df
         self._commits_since_ckpt += 1

@@ -28,13 +28,18 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entropy_balance_weighting_spark.kernels.base import IterStats, StepStats
 
+# NOTE: mapInArrow matches yielded batches to this schema BY POSITION (unlike
+# mapInPandas' by-name matching) — the order below must equal the working
+# DataFrame's column order exactly.
 PACKED_SCHEMA = (
-    "row_id long, w0 double, q double, idx array<int>, val array<double>, wstar double"
+    "row_id long, w0 double, idx array<int>, val array<double>, q double, wstar double"
 )
 _PAYLOAD_SCHEMA = "sums binary, mins binary"
 
@@ -48,6 +53,40 @@ def _flatten(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     flat_idx = np.concatenate(idx_list).astype(np.int64, copy=False)
     flat_val = np.concatenate(pdf["val"].to_list()).astype(np.float64, copy=False)
     return flat_idx, flat_val, lens
+
+
+def _flatten_rb(rb: pa.RecordBatch) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow-native CSR pieces — zero-copy flat buffers straight from the
+    list arrays' offsets.  The pandas route materializes one Python
+    ndarray object PER ROW for each array column; at millions of rows that
+    conversion dominates the whole pass, so every kernel pass runs on
+    ``mapInArrow`` and reads the batch columns directly."""
+    idx = rb.column(rb.schema.get_field_index("idx"))
+    val = rb.column(rb.schema.get_field_index("val"))
+    lens = pc.list_value_length(idx).to_numpy().astype(np.int64, copy=False)
+    flat_idx = idx.flatten().to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False
+    )
+    flat_val = val.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    return flat_idx, flat_val, lens
+
+
+def _rb_col(rb: pa.RecordBatch, name: str) -> np.ndarray:
+    return rb.column(rb.schema.get_field_index(name)).to_numpy(
+        zero_copy_only=False
+    )
+
+
+def _rb_with(rb: pa.RecordBatch, **cols: np.ndarray) -> pa.RecordBatch:
+    """Copy of the batch with the named double columns replaced."""
+    arrays = [rb.column(i) for i in range(rb.num_columns)]
+    for name, arr in cols.items():
+        arrays[rb.schema.get_field_index(name)] = pa.array(
+            np.asarray(arr, dtype=np.float64), type=pa.float64()
+        )
+    return pa.RecordBatch.from_arrays(arrays, schema=rb.schema)
 
 
 def _segsum(prod: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -235,12 +274,26 @@ def _pack(sums: list[float | np.ndarray], mins: list[float]) -> pd.DataFrame:
     return pd.DataFrame({"sums": [sbuf.tobytes()], "mins": [mbuf.tobytes()]})
 
 
+def _pack_rb(sums: list[float | np.ndarray], mins: list[float]) -> pa.RecordBatch:
+    sbuf = np.concatenate(
+        [np.atleast_1d(np.asarray(x, dtype=np.float64)).ravel() for x in sums]
+    )
+    mbuf = np.asarray(mins, dtype=np.float64)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([sbuf.tobytes()], type=pa.binary()),
+            pa.array([mbuf.tobytes()], type=pa.binary()),
+        ],
+        ["sums", "mins"],
+    )
+
+
 def _stats_pass(k: int, lam: np.ndarray, blocks=None) -> Callable:
     """``blocks``: None → dense K×K Gram scratch; else the
     (block_of, local, sizes, flat_offsets, total_flat) arrays → flat Σk_b²
     per-block accumulation (the huge-K path)."""
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         f_val = 0.0
         cd_sq = 0.0
         nan_ct = 0.0
@@ -248,13 +301,13 @@ def _stats_pass(k: int, lam: np.ndarray, blocks=None) -> Callable:
         xt_wcd = np.zeros(k)
         gram, gram_add = make_gram_accum(k, blocks)
         min_w = np.inf
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
-            w0 = pdf["w0"].to_numpy(np.float64)
-            q = pdf["q"].to_numpy(np.float64)
-            w = pdf["wstar"].to_numpy(np.float64)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
+            w0 = _rb_col(rb, "w0")
+            q = _rb_col(rb, "q")
+            w = _rb_col(rb, "wstar")
             r = w / q
             with np.errstate(divide="ignore", invalid="ignore"):
                 lr = np.log(r)
@@ -269,25 +322,25 @@ def _stats_pass(k: int, lam: np.ndarray, blocks=None) -> Callable:
             gram_add(flat_idx, flat_val, lens, w)
             if len(w):
                 min_w = min(min_w, float(w.min()))
-        yield _pack([f_val, cd_sq, nan_ct, xt_w, xt_wcd, gram], [min_w])
+        yield _pack_rb([f_val, cd_sq, nan_ct, xt_w, xt_wcd, gram], [min_w])
 
     return fn
 
 
 def _step_pass(k: int, lam: np.ndarray, dlam: np.ndarray) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         dw_sq = 0.0
         nan_ct = 0.0
         xt_dw = np.zeros(k)
         xt_wdual = np.zeros(k)
         alpha_raw = np.inf
         min_wdual = np.inf
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
-            q = pdf["q"].to_numpy(np.float64)
-            w = pdf["wstar"].to_numpy(np.float64)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
+            q = _rb_col(rb, "q")
+            w = _rb_col(rb, "wstar")
             xlam = _x_dot(flat_idx, flat_val, lens, lam)
             xdl = _x_dot(flat_idx, flat_val, lens, dlam)
             with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
@@ -306,20 +359,20 @@ def _step_pass(k: int, lam: np.ndarray, dlam: np.ndarray) -> Callable:
             xt_wdual += _xt_v(flat_idx, flat_val, lens, wdf, k)
             if len(wdf):
                 min_wdual = min(min_wdual, float(wdf.min()))
-        yield _pack([dw_sq, nan_ct, xt_dw, xt_wdual], [alpha_raw, min_wdual])
+        yield _pack_rb([dw_sq, nan_ct, xt_dw, xt_wdual], [alpha_raw, min_wdual])
 
     return fn
 
 
 def _commit_pass(choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -> Callable:
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                yield pdf
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if not rb.num_rows:
+                yield rb
                 continue
-            flat_idx, flat_val, lens = _flatten(pdf)
-            q = pdf["q"].to_numpy(np.float64)
-            w = pdf["wstar"].to_numpy(np.float64)
+            flat_idx, flat_val, lens = _flatten_rb(rb)
+            q = _rb_col(rb, "q")
+            w = _rb_col(rb, "wstar")
             xlam = _x_dot(flat_idx, flat_val, lens, lam)
             if choice == "primal":
                 xdl = _x_dot(flat_idx, flat_val, lens, dlam)
@@ -328,9 +381,11 @@ def _commit_pass(choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -
             else:
                 xdl = _x_dot(flat_idx, flat_val, lens, dlam)
                 new_w = q * np.exp(xlam + xdl)
-            out = pdf.copy()
-            out["wstar"] = new_w
-            yield out
+            arrays = [rb.column(i) for i in range(rb.num_columns)]
+            arrays[rb.schema.get_field_index("wstar")] = pa.array(
+                new_w, type=pa.float64()
+            )
+            yield pa.RecordBatch.from_arrays(arrays, schema=rb.schema)
 
     return fn
 
@@ -407,7 +462,7 @@ class SparkKernel:
 
     # -- passes ------------------------------------------------------------
     def _reduce(self, fn) -> tuple[np.ndarray, np.ndarray]:
-        rows = self.df.mapInPandas(fn, _PAYLOAD_SCHEMA).collect()
+        rows = self.df.mapInArrow(fn, _PAYLOAD_SCHEMA).collect()
         sums = np.sum(
             [np.frombuffer(r.sums, dtype=np.float64) for r in rows], axis=0
         )
@@ -468,7 +523,7 @@ class SparkKernel:
         No extra min-job either: zero-weight detection uses the step
         pass's ``min_wdual`` (dual candidate) and the next stats pass's
         ``min_w`` (primal underflow)."""
-        new_df = self.df.mapInPandas(
+        new_df = self.df.mapInArrow(
             _commit_pass(choice, lam, dlam, alpha), PACKED_SCHEMA
         ).persist()
         self._prev = self.df
