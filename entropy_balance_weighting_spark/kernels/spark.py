@@ -1,16 +1,20 @@
-"""Distributed kernel: packed-row DataFrame + Arrow-batched mapInPandas passes.
+"""Distributed kernel: packed-row DataFrame + Arrow-native mapInArrow passes.
 
 Layout: one DataFrame row per observation —
-``(row_id BIGINT, w0 DOUBLE, q DOUBLE, idx ARRAY<INT>, val ARRAY<DOUBLE>,
+``(row_id BIGINT, w0 DOUBLE, idx ARRAY<INT>, val ARRAY<DOUBLE>, q DOUBLE,
 wstar DOUBLE)`` — i.e. per-row CSR (the Spark rendering of the reference's
 package-wide CSR canonicalization, ref: shared.py:11-12).  Packing happens
-once; every solver iteration then runs whole-pass ``mapInPandas`` jobs that
+once; every solver iteration then runs whole-pass ``mapInArrow`` jobs that
 compute ALL of the iteration's N→{scalar,K,K×K} reductions in a single scan
 (the same fusion the reference gets from numexpr + MKL, ref:
 ebw_routines.py:210-233), shipping only K- and K²-sized partials to the
-driver.
+driver.  ``mapInArrow`` (not ``mapInPandas``): pandas conversion
+materializes one Python ndarray object PER ROW for each list column — at
+millions of rows that conversion dominates the pass — whereas the Arrow
+list arrays' offset buffers ARE the CSR encoding, read zero-copy by
+``_flatten_rb``.
 
-Why mapInPandas and not joins/explodes: the per-iteration primitives
+Why whole-pass batch jobs and not joins/explodes: the per-iteration primitives
 (segment dot products, Gram accumulation) are BLAS-shaped; exploding the
 arrays back to long form would shuffle N·nnz rows per iteration, while this
 design shuffles nothing after setup — partials are partition-local and only
@@ -399,7 +403,7 @@ class SparkKernel:
     'hundreds of thousands of constraints' regime (ref: README.md:8).
 
     Iteration job fusion: ``commit`` only DECLARES the state transition
-    (lazy ``mapInPandas`` + persist); the very next ``stats`` job both
+    (lazy ``mapInArrow`` + persist); the very next ``stats`` job both
     materializes the new state into the cache and computes its reductions
     in a single scan — 2 jobs per iteration instead of 3.  Lineage is
     truncated with a real ``localCheckpoint`` every few commits so a cache

@@ -129,9 +129,12 @@ def test_solver_iteration_pass_has_no_shuffle(spark):
         MomentSpec(weight_col="w", numeric=("x0",), row_key=("rid",)),
     )
     kern = SparkKernel.from_problem(pt.x_long, pt.w0, pt.k)
-    pass_df = kern.df.mapInPandas(
+    pass_df = kern.df.mapInArrow(
         _stats_pass(kern.k, np.zeros(kern.k)), "sums binary, mins binary"
     )
     plan = _plan(pass_df)
     assert "Exchange" not in plan  # no shuffle in the iteration hot path
+    # the collected payload must also be executable (schema/order contract)
+    row = pass_df.collect()[0]
+    assert len(row.sums) > 0 and len(row.mins) == 8
     kern.cleanup()
