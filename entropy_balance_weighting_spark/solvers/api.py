@@ -404,9 +404,13 @@ def _collect_dense(pt: ProblemTables):
     row_ids = wpd["row_id"].to_numpy(np.int64)
     w0 = wpd["w0"].to_numpy(np.float64)
     n = len(row_ids)
-    pos = {int(rid): i for i, rid in enumerate(row_ids)}
     xpd = pt.x_long.toPandas()
-    ridx = xpd["row_id"].map(pos).to_numpy(np.int64)
+    # row_id -> dense position, fully vectorized (a Python dict + .map is
+    # a per-long-row interpreter loop — N·nnz lookups)
+    order = np.argsort(row_ids, kind="stable")
+    ridx = order[
+        np.searchsorted(row_ids[order], xpd["row_id"].to_numpy(np.int64))
+    ]
     x = np.zeros((n, pt.k))
     x[ridx, xpd["moment_id"].to_numpy(np.int64)] = xpd["value"].to_numpy(np.float64)
     return x, w0, row_ids, pt.w0.sparkSession
