@@ -20,10 +20,15 @@ arrays back to long form would shuffle N·nnz rows per iteration, while this
 design shuffles nothing after setup — partials are partition-local and only
 K²-sized buffers cross the driver boundary (SURVEY §3.4).
 
-State updates are lazy-persisted and materialized by the NEXT stats scan
-(2 jobs per iteration); a real ``localCheckpoint`` every few commits
-truncates lineage so 30-100 iterations never grow an unbounded plan — the
-classic iterative-MLlib pitfall (SURVEY §4 caching note).
+State commits are a DRIVER-SIDE program update in the common case: the
+iterate is a short op-chain (``exp`` for dual steps, ``lin`` for primal
+steps) replayed against the immutable once-checkpointed base by every
+pass, so no N-row cache is ever rewritten mid-solve (2 map-only jobs per
+iteration, zero cache churn).  Only a long primal chain (or a warm-start
+state) falls back to a lazy persisted rewrite, materialized by the NEXT
+stats scan; a real ``localCheckpoint`` every few such commits truncates
+lineage so long solves never grow an unbounded plan — the classic
+iterative-MLlib pitfall (SURVEY §4 caching note).
 """
 
 from __future__ import annotations
@@ -292,7 +297,31 @@ def _pack_rb(sums: list[float | np.ndarray], mins: list[float]) -> pa.RecordBatc
     )
 
 
-def _stats_pass(k: int, lam: np.ndarray, blocks=None) -> Callable:
+def _w_state(rb, q, flat_idx, flat_val, lens, wprog):
+    """Current weight-state vector for a batch.
+
+    ``wprog`` is the kernel's analytic weight program (see
+    SparkKernel.commit): a short driver-side list of ops replayed against
+    the immutable base, so commits never rewrite the N-row cache —
+    ``("exp", λ)`` renders the dual iterate ``q·exp(X·λ)``;
+    ``("lin", α, λ, Δλ)`` applies a primal update
+    ``w·(1 + α·(X·Δλ − cd))`` with ``cd = log(w/q) − X·λ``.
+    ``wprog=None`` → the state is the materialized ``wstar`` column."""
+    if wprog is None:
+        return _rb_col(rb, "wstar")
+    w = None
+    with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
+        for op in wprog:
+            if op[0] == "exp":
+                w = q * np.exp(_x_dot(flat_idx, flat_val, lens, op[1]))
+            else:
+                _, alpha, lam_v, dlam_v = op
+                cd = np.log(w / q) - _x_dot(flat_idx, flat_val, lens, lam_v)
+                w = w + alpha * (_x_dot(flat_idx, flat_val, lens, dlam_v) - cd) * w
+    return w
+
+
+def _stats_pass(k: int, lam: np.ndarray, blocks=None, wprog=None) -> Callable:
     """``blocks``: None → dense K×K Gram scratch; else the
     (block_of, local, sizes, flat_offsets, total_flat) arrays → flat Σk_b²
     per-block accumulation (the huge-K path)."""
@@ -311,7 +340,7 @@ def _stats_pass(k: int, lam: np.ndarray, blocks=None) -> Callable:
             flat_idx, flat_val, lens = _flatten_rb(rb)
             w0 = _rb_col(rb, "w0")
             q = _rb_col(rb, "q")
-            w = _rb_col(rb, "wstar")
+            w = _w_state(rb, q, flat_idx, flat_val, lens, wprog)
             r = w / q
             with np.errstate(divide="ignore", invalid="ignore"):
                 lr = np.log(r)
@@ -331,7 +360,7 @@ def _stats_pass(k: int, lam: np.ndarray, blocks=None) -> Callable:
     return fn
 
 
-def _step_pass(k: int, lam: np.ndarray, dlam: np.ndarray) -> Callable:
+def _step_pass(k: int, lam: np.ndarray, dlam: np.ndarray, wprog=None) -> Callable:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         dw_sq = 0.0
         nan_ct = 0.0
@@ -344,7 +373,7 @@ def _step_pass(k: int, lam: np.ndarray, dlam: np.ndarray) -> Callable:
                 continue
             flat_idx, flat_val, lens = _flatten_rb(rb)
             q = _rb_col(rb, "q")
-            w = _rb_col(rb, "wstar")
+            w = _w_state(rb, q, flat_idx, flat_val, lens, wprog)
             xlam = _x_dot(flat_idx, flat_val, lens, lam)
             xdl = _x_dot(flat_idx, flat_val, lens, dlam)
             with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
@@ -368,7 +397,9 @@ def _step_pass(k: int, lam: np.ndarray, dlam: np.ndarray) -> Callable:
     return fn
 
 
-def _commit_pass(choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -> Callable:
+def _render_pass(wprog: list) -> Callable:
+    """Evaluate the analytic weight program into the ``wstar`` column."""
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             if not rb.num_rows:
@@ -376,9 +407,25 @@ def _commit_pass(choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -
                 continue
             flat_idx, flat_val, lens = _flatten_rb(rb)
             q = _rb_col(rb, "q")
-            w = _rb_col(rb, "wstar")
+            w = _w_state(rb, q, flat_idx, flat_val, lens, wprog)
+            yield _rb_with(rb, wstar=w)
+
+    return fn
+
+
+def _commit_pass(
+    choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float, wprog=None
+) -> Callable:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if not rb.num_rows:
+                yield rb
+                continue
+            flat_idx, flat_val, lens = _flatten_rb(rb)
+            q = _rb_col(rb, "q")
             xlam = _x_dot(flat_idx, flat_val, lens, lam)
             if choice == "primal":
+                w = _w_state(rb, q, flat_idx, flat_val, lens, wprog)
                 xdl = _x_dot(flat_idx, flat_val, lens, dlam)
                 cd = np.log(w / q) - xlam
                 new_w = w + alpha * (xdl - cd) * w
@@ -422,6 +469,13 @@ class SparkKernel:
         self._prev: DataFrame | None = None
         self._rollback_src: DataFrame | None = None
         self._commits_since_ckpt = 0
+        # Analytic weight state: when set, the TRUE iterate is the replay
+        # of this short op-program against the immutable base (see
+        # ``_w_state``) and the cached wstar column may be stale — commits
+        # are then a driver-side list update, never a cache rewrite.
+        self._wprog: list | None = None
+        self._prev_wprog: list | None = None
+        self._last_commit: str | None = None
 
     @classmethod
     def from_problem(
@@ -456,7 +510,11 @@ class SparkKernel:
         bs = (
             BlockStructure.from_groups(moment_groups) if moment_groups else None
         )
-        return cls(df, k, sum_w0, n, block_structure=bs)
+        kern = cls(df, k, sum_w0, n, block_structure=bs)
+        if ratio_guess is None:
+            # wstar = q = q·exp(X·0): the start point is analytic
+            kern._wprog = [("exp", np.zeros(k))]
+        return kern
 
     def init_state(self, ratio_guess=None) -> None:
         if ratio_guess is not None:
@@ -478,7 +536,7 @@ class SparkKernel:
     def stats(self, lam: np.ndarray) -> IterStats:
         k = self.k
         sums, mins = self._reduce(
-            _stats_pass(k, lam, blocks_tuple(self.block_structure))
+            _stats_pass(k, lam, blocks_tuple(self.block_structure), self._wprog)
         )
         # the reduce materialized any pending lazy commit into its cache —
         # the superseded state's CACHE can go; the plan handle is kept so a
@@ -509,7 +567,7 @@ class SparkKernel:
 
     def step_stats(self, lam: np.ndarray, dlam: np.ndarray) -> StepStats:
         k = self.k
-        sums, mins = self._reduce(_step_pass(k, lam, dlam))
+        sums, mins = self._reduce(_step_pass(k, lam, dlam, self._wprog))
         return StepStats(
             alpha_raw=float(mins[0]),
             xt_dw=sums[2 : 2 + k],
@@ -519,27 +577,68 @@ class SparkKernel:
             has_nan=sums[1] > 0,
         )
 
-    def commit(self, choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -> None:
-        """Advance the iterate — LAZY: the transition is declared and
-        persisted; the next ``stats`` reduce materializes it in the same
-        scan that computes its reductions (no standalone commit job).
+    _MAX_PROG = 4  # analytic ops before a primal chain is materialized
 
-        No extra min-job either: zero-weight detection uses the step
+    def commit(self, choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -> None:
+        """Advance the iterate — a driver-side program update, NOT a cache
+        rewrite, in the common case.
+
+        ``dual``: the new state is ``q·exp(X·(λ+Δλ))`` — a pure function
+        of a driver-side vector, so the commit resets the analytic program
+        to a single ``exp`` op with ZERO Spark work.
+
+        ``primal``: ``w·(1 + α·(X·Δλ − cd))`` depends on the current
+        weights; while the state is analytic, the update is appended to the
+        program (one extra dot-product replayed per pass).  Only when the
+        primal chain outgrows ``_MAX_PROG`` — or the state was already
+        materialized (warm start) — is a LAZY cache rewrite declared
+        (``mapInArrow`` + persist), which the next ``stats`` reduce
+        materializes in the same scan that computes its reductions.
+
+        Either way the packed base stays immutable and checkpointed once;
+        passes recompute the iterate from it in the same scan as their
+        reductions.  No extra min-job: zero-weight detection uses the step
         pass's ``min_wdual`` (dual candidate) and the next stats pass's
         ``min_w`` (primal underflow)."""
+        self._prev_wprog = self._wprog
+        if choice == "dual":
+            self._last_commit = "analytic"
+            self._wprog = [("exp", np.asarray(lam + dlam, dtype=np.float64))]
+            return
+        if self._wprog is not None and len(self._wprog) < self._MAX_PROG:
+            self._last_commit = "analytic"
+            self._wprog = [
+                *self._wprog,
+                (
+                    "lin",
+                    float(alpha),
+                    np.asarray(lam, dtype=np.float64),
+                    np.asarray(dlam, dtype=np.float64),
+                ),
+            ]
+            return
+        self._last_commit = "materialized"
         new_df = self.df.mapInArrow(
-            _commit_pass(choice, lam, dlam, alpha), PACKED_SCHEMA
+            _commit_pass(choice, lam, dlam, alpha, self._wprog), PACKED_SCHEMA
         ).persist()
         self._prev = self.df
         self.df = new_df
+        self._wprog = None
         self._commits_since_ckpt += 1
 
     def rollback(self) -> None:
         """Undo the last commit: restore the pre-commit state (reference
         semantics — a zero-weight step fails BEFORE committing,
-        ebw_routines.py:274-282).  The pre-commit cache was released by the
-        stats reduce, so this recomputes via lineage — paid only on the
-        failure path."""
+        ebw_routines.py:274-282).  An analytic commit is undone by
+        restoring the previous program; a materialized commit's pre-commit
+        cache was released by the stats reduce, so that path recomputes via
+        lineage — paid only on the failure path."""
+        if self._last_commit is None:
+            raise RuntimeError("no committed step to roll back")
+        if self._last_commit == "analytic":
+            self._wprog = self._prev_wprog
+            self._last_commit = None
+            return
         src = self._prev if self._prev is not None else self._rollback_src
         if src is None:
             raise RuntimeError("no committed step to roll back")
@@ -547,10 +646,19 @@ class SparkKernel:
         self.df = src.persist()
         self._prev = None
         self._rollback_src = None
+        self._wprog = self._prev_wprog
+        self._last_commit = None
         self._commits_since_ckpt = max(0, self._commits_since_ckpt - 1)
 
     def new_weights(self) -> DataFrame:
-        return self.df.select(
+        if self._wprog is not None:
+            # analytic state: render wstar from the immutable base in one
+            # map-only pass (no persist — terminal consumers write/collect
+            # once; the base stays cached for lineage recompute)
+            src = self.df.mapInArrow(_render_pass(self._wprog), PACKED_SCHEMA)
+        else:
+            src = self.df
+        return src.select(
             "row_id", (F.col("wstar") * F.lit(self.sum_w0)).alias("new_weight")
         )
 
