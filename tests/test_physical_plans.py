@@ -100,6 +100,18 @@ def test_builder_prepacked_arrays_have_no_shuffle(spark):
     assert a == b
 
 
+def test_embedding_near_dups_has_no_cartesian(spark):
+    """The registered near-dup query must candidate-generate via bucketed
+    (equi-join) cell pairs — a corpus×corpus theta-join (cartesian /
+    nested-loop) is the r2 scale-killer this pins against."""
+    from entropy_balance_weighting_spark.queries import QUERIES
+
+    df = QUERIES["dd_embedding_near_dups"].fn(spark, SF_CORRECTNESS)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_solver_iteration_pass_has_no_shuffle(spark):
     """The packed-kernel per-iteration jobs must be map-only: the packing
     shuffle happens once at construction; stats/step/commit scans reuse
