@@ -31,6 +31,39 @@ def tumbling_window_agg(
     )
 
 
+def sliding_window_agg(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    by: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    ``width/slide`` overlapping windows.  ``F.window(ts, width, slide)``
+    is the streaming-native operator — the fan-out happens inside the
+    JVM generator, not as a Python explode.
+
+    ``window_start`` is surfaced as epoch SECONDS (BIGINT): the slide
+    grid is epoch-aligned on both engines, and an integer key sidesteps
+    timestamp-zone stringification drift in cross-engine comparisons.
+    """
+    win = F.window(F.col(ts_col), width, slide)
+    return (
+        events.groupBy(win.alias("w"), *by)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            *by,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def session_window_agg(
     events: DataFrame,
     *,

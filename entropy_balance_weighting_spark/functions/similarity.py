@@ -300,6 +300,7 @@ def cosine_topk_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: an MLlib KMeans coarse quantizer
     partitions the corpus into ``n_cells`` inverted lists; each probe
@@ -355,13 +356,12 @@ def cosine_topk_ivf(
         .filter(F.col("neighbor_id") != F.col("probe_id"))
         .join(F.broadcast(probes), "probe_id")
     )
-    scored = cands.select(
-        "probe_id",
-        "neighbor_id",
-        (_dot(F.col("p"), F.col("v")) / (F.col("p_norm") * F.col("v_norm"))).alias(
-            "cos"
-        ),
-    )
+    cos = _dot(F.col("p"), F.col("v")) / (F.col("p_norm") * F.col("v_norm"))
+    if round_digits is not None:
+        # round BEFORE ranking so a boundary candidate cannot rank
+        # differently across engines (same discipline as cosine_topk)
+        cos = F.round(cos, round_digits)
+    scored = cands.select("probe_id", "neighbor_id", cos.alias("cos"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )

@@ -129,3 +129,52 @@ def rolling_fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * _FP_BASE + h) % _FP_MOD,
     )
+
+
+def tfidf_top_terms(
+    df,
+    *,
+    text_col: str = "text",
+    by: str = "source",
+    top_k: int = 5,
+    round_digits: int = 4,
+):
+    """Corpus TF-IDF with per-group top terms — the classic
+    shuffle-then-rank pipeline, entirely JVM-side.
+
+    tf(doc, term) = term count within the document (one explode + one
+    groupBy); df(term) = number of documents containing the term — counted
+    from the tf table itself (it is already distinct per (doc, term)), so
+    NO ``countDistinct`` pass over the corpus; idf = ln(N/df).  The
+    per-group score is Σ_docs tf·idf, rounded BEFORE ranking so boundary
+    terms cannot rank differently across engines.
+
+    Scale shape: two hash-shuffles on the term key (tf, then df join) —
+    both partial-aggregated map-side; the vocabulary table is the join's
+    build side only if small, otherwise a plain shuffle join; the rank is
+    a per-group window over ≤|vocab| rows.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        "doc_id", by, F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", by, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .groupBy(by, "tok")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))),
+                round_digits,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy(by).orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(by, "tok", "score", "rk")
+    )

@@ -283,6 +283,80 @@ def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_cosine_topk_ivf",
+    survey="ext:similarity-ann-ivf",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 5
+), scored AS (
+  SELECT probe_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(p, v) /
+               (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v))),
+               5) AS cos
+  FROM probes, e WHERE e.vec_id != probe_id
+), ranked AS (
+  SELECT *, row_number() OVER
+      (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos FROM ranked WHERE rk <= 3
+ORDER BY probe_id, cos DESC, neighbor_id
+""",
+)
+def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 run in EXACT mode (``n_probe = n_cells``, every inverted
+    list probed) so the full KMeans-quantizer → cell-shortlist →
+    bucket-join → re-rank plan is exercised while the output stays
+    oracle-checkable against the brute-force SQL.  The scale path is the
+    same code with ``n_probe < n_cells`` (recall measured in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk_ivf(
+        emb, [0, 1, 2, 3, 4], k=3, n_cells=8, n_probe=8, round_digits=5
+    )
+    return out.orderBy("probe_id", F.col("cos").desc(), "neighbor_id")
+
+
+@register(
+    "txt_tfidf_topterms",
+    survey="ext:text-tfidf",
+    bench=True,
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, source, tok, count(*) AS tf
+  FROM toks WHERE tok <> '' GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT f.source, f.tok,
+         round(sum(f.tf * ln(n.n_docs / d.df)), 4) AS score
+  FROM tf f JOIN dfreq d USING (tok) CROSS JOIN n
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, CAST(row_number() OVER
+      (PARTITION BY source ORDER BY score DESC, tok) AS INT) AS rk
+  FROM scored
+)
+SELECT source, tok, score, rk FROM ranked WHERE rk <= 5
+ORDER BY source, rk
+""",
+)
+def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF, top-5 terms per source: tf from one explode+groupBy,
+    document frequency counted off the tf table (no ``countDistinct``
+    corpus pass), idf = ln(N/df), score rounded BEFORE the per-group
+    rank — all JVM-side (:func:`functions.text.tfidf_top_terms`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(docs, top_k=5, round_digits=4)
+    return out.orderBy("source", "rk")
+
+
+@register(
     "txt_quality_stats",
     survey="ext:text-analysis",
     bench=True,
@@ -354,6 +428,36 @@ def ev_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling event-time windows (streaming-native ``F.window``)."""
     ev = load_table(spark, sf_dir, "events")
     out = events.tumbling_window_agg(ev, width="1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "ev_sliding_windows",
+    survey="ext:events-window",
+    oracle="""
+WITH w AS (
+  SELECT event_type, value,
+         (CAST(floor(epoch(ts) / 1800) AS BIGINT) - r.i) * 1800 AS window_start
+  FROM events, unnest(range(0, 2)) AS r(i)
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def ev_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 30 min (``F.window(ts, width, slide)``,
+    the streaming-native sliding operator): each event fans out to two
+    overlapping windows inside the JVM generator.  The oracle derives the
+    same fan-out with an epoch-grid unnest; ``window_start`` is epoch
+    seconds on both sides (integer key — no timestamp-zone drift)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = events.sliding_window_agg(ev, width="1 hour", slide="30 minutes")
     return out.select(
         "window_start",
         "event_type",
