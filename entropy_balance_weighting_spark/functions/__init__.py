@@ -5,7 +5,11 @@ pipeline needs, built Spark-first as first-class engine components):
 - :mod:`functions.text` — tokenization, shingling, engine-portable hashing,
   quality scoring, language-ID heuristics, fingerprinting.
 - :mod:`functions.dedup` — exact dedup, MinHash+LSH banded near-dup
-  detection (never all-pairs), SimHash clustering, n-gram Jaccard verify.
+  detection (never all-pairs), SimHash clustering, n-gram Jaccard verify,
+  connected-components dup clustering (iterative min-label propagation).
+- :mod:`functions.sampling` — deterministic hash-based Bernoulli and
+  stratified sampling (reproducible at 100 TB; zero-shuffle map-side
+  filters; disjoint salts → independent train/val/test splits).
 - :mod:`functions.similarity` — brute-force cosine top-k baseline and the
   LSH-bucketed approximate variant (the scale path).
 - :mod:`functions.events` — event-time tumbling windows, gap-based

@@ -265,6 +265,60 @@ def ngram_jaccard_pairs(
     return out
 
 
+def connected_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected duplicate-pair edge list
+    ``(id_a, id_b)`` → ``(id, cluster_id)`` — the dedup endgame: near-dup
+    PAIRS become disjoint CLUSTERS, and min-id-per-cluster gives the
+    canonical representative to keep.
+
+    Min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors; at fixpoint each component
+    carries its smallest member id.  Each round is one shuffle join
+    (edges ⋈ labels on the src key) plus one groupBy-min, both
+    map-side-combinable; rounds needed = component diameter, which for
+    near-dup clusters is tiny (they are cliques-of-cliques — LSH emits
+    most intra-cluster pairs directly).  A worst-case chain graph would
+    call for alternating large-star/small-star (Kiveris et al., same
+    join+min primitives, O(log²) rounds) — same loop skeleton, no API
+    change.
+
+    Per-round lineage is truncated with ``localCheckpoint`` so the plan
+    does not grow with iterations.  Convergence uses the monotone
+    Σ-labels signal: labels only ever decrease, so an unchanged sum is a
+    fixpoint — one scalar agg per round instead of a change-count join.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "lbl"
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document from token-frequency-weighted bit votes.
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entropy_balance_weighting_spark.functions import dedup, events, similarity
-from entropy_balance_weighting_spark.functions import multimodal, text
+from entropy_balance_weighting_spark.functions import multimodal, sampling, text
 from entropy_balance_weighting_spark.queries.registry import register
 from entropy_balance_weighting_spark.session import load_table
 
@@ -37,8 +37,9 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_stats(docs, "text", "source").orderBy("source")
 
 
-_MINHASH_ORACLE = """
-WITH toks AS (
+# CTE chain shared by the minhash-pair and dup-cluster oracles: everything
+# up to the jaccard-verified duplicate pairs.
+_MINHASH_PAIR_CTES = """toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), shingles AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
@@ -69,14 +70,33 @@ WITH toks AS (
   JOIN shingles sa ON sa.doc_id = p.id_a
   JOIN shingles sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
   GROUP BY p.id_a, p.id_b
+), dups AS (
+  SELECT i.id_a, i.id_b,
+         round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.id_a
+  JOIN counts cb ON cb.doc_id = i.id_b
+  WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_PAIR_CTES}
+SELECT id_a, id_b, jaccard FROM dups ORDER BY id_a, id_b
+"""
+
+_DUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dups
+  UNION
+  SELECT id_b, id_a FROM dups
+), reach AS (
+  SELECT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
 )
-SELECT i.id_a, i.id_b,
-       round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
-FROM inter i
-JOIN counts ca ON ca.doc_id = i.id_a
-JOIN counts cb ON cb.doc_id = i.id_b
-WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
-ORDER BY id_a, id_b
+SELECT id AS doc_id, min(lbl) AS cluster_id,
+       CAST(CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS INT) AS is_keep
+FROM reach GROUP BY id ORDER BY cluster_id, doc_id
 """
 
 
@@ -98,6 +118,27 @@ def dd_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dd_dup_clusters",
+    survey="ext:dedup-clusters",
+    oracle=_DUP_CLUSTER_ORACLE,
+)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the MinHash pair graph: iterative min-label
+    propagation (:func:`functions.dedup.connected_components`) collapses
+    verified pairs into disjoint components; the min doc_id is the kept
+    canonical representative (``is_keep``).  The oracle computes the same
+    transitive closure with a recursive CTE over the identical pair SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.verified_near_dups(docs, "doc_id", "text", threshold=0.8)
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).cast("int").alias("is_keep"),
+    ).orderBy("cluster_id", "doc_id")
 
 
 @register(
@@ -354,6 +395,150 @@ def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = text.tfidf_top_terms(docs, top_k=5, round_digits=4)
     return out.orderBy("source", "rk")
+
+
+@register(
+    "samp_stratified",
+    survey="ext:sampling-stratified",
+    oracle="""
+WITH s AS (
+  SELECT source, n_chars,
+         ('0x'||substr(md5('s3' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+           % 1000000 AS b
+  FROM documents
+)
+SELECT source, count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM s
+WHERE b < CASE source WHEN 'src0' THEN 500000
+                      WHEN 'src1' THEN 250000
+                      ELSE 100000 END
+GROUP BY source ORDER BY source
+""",
+)
+def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (reproducible ``sampleBy``):
+    keep-rate 50% for src0, 25% for src1, 10% elsewhere, with membership a
+    pure function of (salt, doc_id) via the portable hash — stable under
+    repartitioning and re-runs, zero-shuffle map-side filter
+    (:func:`functions.sampling.stratified_sample`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = sampling.stratified_sample(
+        docs,
+        key="doc_id",
+        strata_col="source",
+        rates={"src0": 0.5, "src1": 0.25},
+        default_rate=0.1,
+        salt="s3",
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_len_percentiles",
+    survey="ext:text-stats,A8",
+    oracle="""
+WITH agg AS (
+  SELECT source, quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
+  FROM documents GROUP BY source
+), ps AS (
+  SELECT * FROM (VALUES (1, 0.25::DOUBLE), (2, 0.5::DOUBLE),
+                        (3, 0.75::DOUBLE)) AS t(i, p)
+)
+SELECT source, p, round(qs[i], 4) AS q
+FROM agg, ps ORDER BY source, p
+""",
+)
+def txt_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length quantiles (25/50/75) via Spark's
+    ``percentile`` — identical C=1 linear interpolation to DuckDB's
+    ``quantile_cont``.  Exact percentile sorts within each group; the
+    100 TB path swaps in ``approx_percentile`` (a mergeable KLL-style
+    sketch, map-side combinable) with the same query shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    agg = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").alias("qs")
+    )
+    return (
+        agg.select("source", F.posexplode("qs").alias("i", "q"))
+        .select(
+            "source",
+            F.element_at(ps, F.col("i") + 1).alias("p"),
+            F.round("q", 4).alias("q"),
+        )
+        .orderBy("source", "p")
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    survey="ext:embedding-quantize",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(list_transform(v, x -> round(x / scale))) AS BIGINT)
+         AS q_sum,
+       CAST(list_sum(list_transform(v, x -> abs(round(x / scale)))) AS BIGINT)
+         AS q_l1
+FROM s ORDER BY vec_id
+""",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the standard storage/ANN
+    compression): per-vector scale = max|x|/127, q_i = round(x_i/scale).
+    Pure JVM array expressions — ``transform``/``aggregate`` — no Python,
+    no shuffle; the checksums (q_sum, q_l1) pin every quantized value
+    against the DuckDB replica."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    row = emb.select("vec_id", v.alias("v"))
+    # the raw scale keeps an internal name: the output column is the ROUNDED
+    # scale aliased "scale", and Spark's lateral-column-alias resolution
+    # would otherwise bind the quantization lambdas to the rounded value
+    raw_scale = (
+        F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
+    ).alias("__scale")
+    fold0 = F.lit(0.0)
+    return (
+        row.select("vec_id", raw_scale, "v")
+        .select(
+            "vec_id",
+            F.round("__scale", 6).alias("scale"),
+            F.aggregate(
+                F.transform(
+                    F.col("v"), lambda x: F.round(x / F.col("__scale"))
+                ),
+                fold0,
+                lambda acc, x: acc + x,
+            )
+            .cast("long")
+            .alias("q_sum"),
+            F.aggregate(
+                F.transform(
+                    F.col("v"), lambda x: F.abs(F.round(x / F.col("__scale")))
+                ),
+                fold0,
+                lambda acc, x: acc + x,
+            )
+            .cast("long")
+            .alias("q_l1"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 @register(

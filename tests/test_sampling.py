@@ -1,0 +1,62 @@
+"""Deterministic sampling: the properties the oracle query can't check —
+stability under repartitioning, salt independence, split disjointness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.functions.sampling import (
+    deterministic_sample,
+    sample_bucket,
+    stratified_sample,
+)
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_membership_stable_under_repartition(spark):
+    df = spark.range(2000).select(F.col("id"))
+    a = _ids(deterministic_sample(df, "id", 0.2, salt="x"))
+    b = _ids(deterministic_sample(df.repartition(13), "id", 0.2, salt="x"))
+    assert a == b
+    assert 0.1 < len(a) / 2000 < 0.3
+
+
+def test_nested_rates_are_supersets(spark):
+    # the same (key, salt) bucket serves every rate: a 10% sample is a
+    # strict subset of the 20% sample — critical for reproducible scaling
+    df = spark.range(2000)
+    s10 = set(_ids(deterministic_sample(df, "id", 0.1, salt="x")))
+    s20 = set(_ids(deterministic_sample(df, "id", 0.2, salt="x")))
+    assert s10 <= s20
+
+
+def test_disjoint_salts_give_independent_samples(spark):
+    df = spark.range(2000)
+    a = set(_ids(deterministic_sample(df, "id", 0.2, salt="train")))
+    b = set(_ids(deterministic_sample(df, "id", 0.2, salt="val")))
+    # independence, not disjointness: overlap ≈ rate² (4%), far below 20%
+    assert len(a & b) < 0.1 * 2000
+
+
+def test_train_val_split_from_one_bucket_column(spark):
+    # disjoint threshold RANGES on one bucket column → exact disjoint splits
+    df = spark.range(2000).withColumn("b", sample_bucket("id", "split"))
+    train = set(r.id for r in df.filter(F.col("b") < 800_000).collect())
+    val = set(r.id for r in df.filter(F.col("b") >= 800_000).collect())
+    assert train.isdisjoint(val)
+    assert len(train) + len(val) == 2000
+
+
+def test_stratified_rates_apply_per_stratum(spark):
+    df = spark.range(3000).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+    )
+    out = stratified_sample(
+        df, key="id", strata_col="grp", rates={"a": 0.5}, default_rate=0.05
+    )
+    counts = {r.grp: r.c for r in out.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+    assert 0.4 < counts["a"] / 1500 < 0.6
+    assert counts.get("b", 0) / 1500 < 0.15
