@@ -47,6 +47,10 @@ def sliding_window_agg(
     ``window_start`` is surfaced as epoch SECONDS (BIGINT): the slide
     grid is epoch-aligned on both engines, and an integer key sidesteps
     timestamp-zone stringification drift in cross-engine comparisons.
+    The intermediate cast to TIMESTAMP handles TIMESTAMP_NTZ inputs
+    (naive parquet timestamps) — NTZ has no direct cast to BIGINT, and
+    the session timezone is pinned UTC so the epoch matches DuckDB's
+    ``epoch()`` of the same naive value.
     """
     win = F.window(F.col(ts_col), width, slide)
     return (
@@ -56,7 +60,7 @@ def sliding_window_agg(
             F.sum("value").alias("value_sum"),
         )
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
             *by,
             "n_events",
             "value_sum",

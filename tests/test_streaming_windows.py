@@ -19,8 +19,13 @@ def test_streamed_tumbling_windows_match_batch(spark, tmp_path):
     src = str(tmp_path / "events_src")
     ev.coalesce(2).write.mode("overwrite").parquet(src)
 
-    stream = spark.readStream.schema(ev.schema).parquet(src).withWatermark(
-        "ts", "1 hour"
+    # watermarks require TIMESTAMP (not TIMESTAMP_NTZ); the session tz is
+    # pinned UTC so the cast is value-preserving
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
     )
     agg = tumbling_window_agg(stream, width="1 hour")
     q = (
