@@ -600,6 +600,78 @@ def txt_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_curation_funnel",
+    survey="ext:text-analysis (curation funnel)",
+    oracle="""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks, text FROM documents
+), per_doc AS (
+  SELECT len(toks) AS n_tok,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
+        * 1.0 / len(toks) AS swr,
+    list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) AS mtl
+  FROM t
+), g AS (
+  SELECT n_tok, mtl,
+    0.4 * least(n_tok / 100.0, 1.0) + 0.3 * least(swr / 0.3, 1.0)
+      + 0.3 * least(mtl / 8.0, 1.0) AS q,
+    (swr > 0.02) AS is_en
+  FROM per_doc
+), gates AS (
+  SELECT q,
+    (n_tok >= 20) AS g1,
+    (n_tok >= 20 AND is_en) AS g2,
+    (n_tok >= 20 AND is_en AND mtl BETWEEN 3.0 AND 12.0) AS g3,
+    (n_tok >= 20 AND is_en AND mtl BETWEEN 3.0 AND 12.0 AND q >= 0.5) AS g4
+  FROM g
+)
+SELECT 0 AS stage_id, 'raw' AS stage, count(*) AS n_docs,
+       round(avg(q), 4) AS avg_quality FROM gates
+UNION ALL SELECT 1, 'min_length', CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN g1 THEN q END), 4) FROM gates
+UNION ALL SELECT 2, 'lang_en', CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN g2 THEN q END), 4) FROM gates
+UNION ALL SELECT 3, 'token_shape', CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN g3 THEN q END), 4) FROM gates
+UNION ALL SELECT 4, 'quality', CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN g4 THEN q END), 4) FROM gates
+ORDER BY stage_id
+""",
+)
+def txt_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation funnel: survivors + mean quality after each
+    cumulative filter gate (length → language → token shape → quality
+    score).  ONE scan of the corpus — every stage is a conditional
+    aggregate over the same annotated projection (map-side partials, no
+    per-stage re-filtering), then a 5-row ``stack`` unpivot.  At 100 TB
+    this is the curation dashboard query: cost is one pass regardless of
+    how many gates stack."""
+    docs = text.annotate_token_stats(load_table(spark, sf_dir, "documents"))
+    g1 = F.col("n_tok") >= 20
+    g2 = g1 & (F.col("is_en") == 1)
+    g3 = g2 & F.col("mtl").between(3.0, 12.0)
+    g4 = g3 & (F.col("q") >= 0.5)
+    q = F.col("q")
+    aggs = [
+        F.count(F.lit(1)).alias("n0"),
+        F.round(F.avg(q), 4).alias("q0"),
+    ]
+    for i, gate in enumerate((g1, g2, g3, g4), start=1):
+        aggs.append(F.sum(gate.cast("long")).alias(f"n{i}"))
+        aggs.append(F.round(F.avg(F.when(gate, q)), 4).alias(f"q{i}"))
+    wide = docs.agg(*aggs)
+    stages = ["raw", "min_length", "lang_en", "token_shape", "quality"]
+    stack_args = ", ".join(
+        f"{i}, '{nm}', n{i}, q{i}" for i, nm in enumerate(stages)
+    )
+    return wide.select(
+        F.expr(
+            f"stack(5, {stack_args}) AS (stage_id, stage, n_docs, avg_quality)"
+        )
+    ).orderBy("stage_id")
+
+
+@register(
     "ev_tumbling_windows",
     survey="ext:events-window",
     bench=True,
