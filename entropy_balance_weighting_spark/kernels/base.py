@@ -97,16 +97,28 @@ class EStats:
     residual square-norms, the Schur legs, and the alternate-optimality
     exponential residual (computed against the SAME state, a documented
     deviation from the reference which mixes pre-/post-update quantities).
+
+    μ_s-dependent quantities additionally carry their decomposition pieces
+    (same design as :class:`PBStats`): ``rhs_leg(μ') = rhs_leg(μ) +
+    (μ−μ')·rhs_mu_leg`` and ``cs_sq(μ') = sl_sq − 2μ'·sl_sum +
+    sl_cnt·μ'²`` — so the driver can update μ_s from THIS scan's slack
+    statistics and re-derive the system exactly, with no second pass.
     """
 
     f_val: float  # Σ w0·(r·log r − r + 1)
     cd_sq: float  # ‖Cd‖², Cd = (1/η)·w0·log r − w0·Xλ − (λ_lo − λ_hi)
     ci_sq: float  # ‖Ci‖² over present slack blocks
-    cs_sq: float  # ‖Cs‖² over present slack blocks
+    cs_sq: float  # ‖Cs‖² over present slack blocks (at the passed μ_s)
     alt_sq: float  # Σ(exp(η·(Xλ + (λ_lo−λ_hi)/w0)) − r)²
     g1: np.ndarray  # X^T (w0∘r) = A^T r                          (K,)
-    rhs_leg: np.ndarray  # X^T (w0/h̃ ∘ (Cd + zterm))             (K,)
+    rhs_leg: np.ndarray  # X^T (w0/h̃ ∘ (Cd + zterm)), at passed μ_s (K,)
+    rhs_mu_leg: np.ndarray  # X^T (w0/h̃ ∘ (1/s_lo − 1/s_hi))     (K,)
     gram: np.ndarray  # X^T Diag(w0²/h̃) X                        (K,K)
+    sl_sum: float  # Σ s·λ_ineq over present slack blocks
+    sl_sq: float  # Σ (s·λ_ineq)²
+    sl_min: float  # min s·λ_ineq
+    sl_cnt: float  # number of slack entries (n or 2n)
+    lm_max: float  # max λ_ineq over present blocks
     has_nan: bool
 
 
@@ -119,16 +131,6 @@ class EStepStats:
     ftb_slack: float  # min(−τ·s/ds over ds<0) across slack blocks
     ftb_dual: float  # min(−τ·λ/dλ over dλ<0) across λ_ineq blocks
     has_nan: bool
-
-
-@dataclass
-class ECommitStats:
-    """Post-update aggregates the next iteration's μ/η rules need."""
-
-    sl_sum: float  # Σ s·λ_ineq over present blocks (post-update)
-    sl_min: float  # min s·λ_ineq
-    sl_cnt: float  # number of slack entries
-    lm_max: float  # max λ_ineq (post-update)
 
 
 class Kernel(Protocol):

@@ -12,11 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from entropy_balance_weighting_spark.kernels.base import (
-    ECommitStats,
-    EStats,
-    EStepStats,
-)
+from entropy_balance_weighting_spark.kernels.base import EStats, EStepStats
 from entropy_balance_weighting_spark.kernels.penalty_local import _ftb_raw
 
 
@@ -108,6 +104,14 @@ class ElasticLocalKernel:
         cs_sq = float(cs_lo @ cs_lo) + (
             float(cs_hi @ cs_hi) if self.has_ub else 0.0
         )
+        # μ_s decomposition legs + slack/multiplier stats of THIS state, so
+        # the driver can update μ_s/η from the same scan (see EStats docs)
+        z1 = 1.0 / self.s_lo - (1.0 / self.s_hi if self.has_ub else 0.0)
+        sl = self.s_lo * self.lm_lo
+        lm_max = float(self.lm_lo.max())
+        if self.has_ub:
+            sl = np.concatenate([sl, self.s_hi * self.lm_hi])
+            lm_max = max(lm_max, float(self.lm_hi.max()))
         return EStats(
             f_val=float(np.sum(w0 * (r * lrf - r + 1.0))),
             cd_sq=float(cdf @ cdf),
@@ -116,7 +120,13 @@ class ElasticLocalKernel:
             alt_sq=float("inf") if alt_bad.any() else float(altf @ altf),
             g1=self.x.T @ (w0 * r),
             rhs_leg=self.x.T @ (w0 * inv_ht * (cdf + zterm)),
+            rhs_mu_leg=self.x.T @ (w0 * inv_ht * z1),
             gram=(self.x * (w0**2 * inv_ht)[:, None]).T @ self.x,
+            sl_sum=float(np.sum(sl)),
+            sl_sq=float(sl @ sl),
+            sl_min=float(np.min(sl)),
+            sl_cnt=float(len(sl)),
+            lm_max=lm_max,
             has_nan=bool(bad.any()),
         )
 
@@ -177,7 +187,10 @@ class ElasticLocalKernel:
         mu_s: float,
         alpha_p: float,
         alpha_d: float,
-    ) -> ECommitStats:
+    ) -> None:
+        """Advance the N-dim state blocks.  Post-commit slack/multiplier
+        aggregates arrive with the NEXT ``elastic_stats`` scan (fused —
+        no separate aggregation pass)."""
         r_step, li_lo, li_hi, ss_lo, ss_hi = self._steps(lam, dlam, eta, mu_s)
         self.ratio = self.ratio + alpha_p * r_step
         self.s_lo = self.s_lo + alpha_p * ss_lo
@@ -185,14 +198,3 @@ class ElasticLocalKernel:
         if self.has_ub:
             self.s_hi = self.s_hi + alpha_p * ss_hi
             self.lm_hi = self.lm_hi + alpha_d * li_hi
-        sl = self.s_lo * self.lm_lo
-        lm_max = float(self.lm_lo.max())
-        if self.has_ub:
-            sl = np.concatenate([sl, self.s_hi * self.lm_hi])
-            lm_max = max(lm_max, float(self.lm_hi.max()))
-        return ECommitStats(
-            sl_sum=float(np.sum(sl)),
-            sl_min=float(np.min(sl)),
-            sl_cnt=float(len(sl)),
-            lm_max=lm_max,
-        )

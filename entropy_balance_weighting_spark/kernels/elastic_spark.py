@@ -16,11 +16,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from entropy_balance_weighting_spark.kernels.base import (
-    ECommitStats,
-    EStats,
-    EStepStats,
-)
+from entropy_balance_weighting_spark.kernels.base import EStats, EStepStats
 from entropy_balance_weighting_spark.kernels.penalty_spark import (
     BOUNDED_SCHEMA,
     _ftb_batch,
@@ -95,8 +91,12 @@ def _steps_arrays(pieces, flat_idx, flat_val, lens, dlam, mu_s, has_ub):
 def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub, blocks) -> Callable:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         f_val = cd_sq = ci_sq = cs_sq = alt_sq = nan_ct = 0.0
+        sl_sum = sl_sq = sl_cnt = 0.0
+        sl_min = np.inf
+        neg_lm_max = np.inf  # min(−λ) = −max(λ)
         g1 = np.zeros(k)
         rhs_leg = np.zeros(k)
+        rhs_mu_leg = np.zeros(k)
         gram, gram_add = make_gram_accum(k, blocks)
         for rb in batches:
             if not rb.num_rows:
@@ -124,12 +124,28 @@ def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub, blocks) -> Callable:
             ci_sq += float(ci_lo @ ci_lo) + (float(ci_hi @ ci_hi) if has_ub else 0.0)
             cs_sq += float(cs_lo @ cs_lo) + (float(cs_hi @ cs_hi) if has_ub else 0.0)
             alt_sq += np.inf if alt_bad.any() else float(altf @ altf)
+            # μ_s decomposition legs + slack/multiplier stats of THIS state
+            # (post-commit when a lazy commit is pending — this scan applies
+            # it), so the driver updates μ_s/η with no separate pass
+            z1 = 1.0 / s_lo - (1.0 / s_hi if has_ub else 0.0)
+            sl = s_lo * lm_lo
+            lm_mx = float(lm_lo.max())
+            if has_ub:
+                sl = np.concatenate([sl, s_hi * lm_hi])
+                lm_mx = max(lm_mx, float(lm_hi.max()))
+            sl_sum += float(np.sum(sl))
+            sl_sq += float(sl @ sl)
+            sl_cnt += float(len(sl))
+            sl_min = min(sl_min, float(sl.min()))
+            neg_lm_max = min(neg_lm_max, -lm_mx)
             g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
             rhs_leg += _xt_v(flat_idx, flat_val, lens, w0 * inv_ht * (cdf + zterm), k)
+            rhs_mu_leg += _xt_v(flat_idx, flat_val, lens, w0 * inv_ht * z1, k)
             gram_add(flat_idx, flat_val, lens, w0**2 * inv_ht)
         yield _pack_rb(
-            [f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct, g1, rhs_leg, gram],
-            [np.inf],
+            [f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct,
+             sl_sum, sl_sq, sl_cnt, g1, rhs_leg, rhs_mu_leg, gram],
+            [sl_min, neg_lm_max],
         )
 
     return fn
@@ -192,31 +208,6 @@ def _ecommit_pass(
                 new_cols["s_hi"] = s_hi + alpha_p * ss_hi
                 new_cols["lm_hi"] = lm_hi + alpha_d * li_hi
             yield _rb_with(rb, **new_cols)
-
-    return fn
-
-
-def _ecommit_agg_pass(has_ub) -> Callable:
-    """Post-commit aggregates over the NEW state (run on the committed df)."""
-
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        sl_sum = 0.0
-        sl_min = np.inf
-        neg_lm_max = np.inf  # min(−λ) = −max(λ)
-        for rb in batches:
-            if not rb.num_rows:
-                continue
-            _, _, s_lo, s_hi, lm_lo, lm_hi = _cols(rb)
-            sl = s_lo * lm_lo
-            lm_mx = float(lm_lo.max()) if len(lm_lo) else -np.inf
-            if has_ub:
-                sl = np.concatenate([sl, s_hi * lm_hi])
-                lm_mx = max(lm_mx, float(lm_hi.max()))
-            sl_sum += float(np.sum(sl))
-            if len(sl):
-                sl_min = min(sl_min, float(sl.min()))
-            neg_lm_max = min(neg_lm_max, -lm_mx)
-        yield _pack_rb([sl_sum], [sl_min, neg_lm_max])
 
     return fn
 
@@ -317,16 +308,18 @@ class ElasticSparkKernel:
 
     def elastic_stats(self, lam, eta, mu_s) -> EStats:
         k = self.k
-        sums, _ = self._reduce(
+        sums, mins = self._reduce(
             _estats_pass(
                 k, lam, eta, mu_s, self.lb, self.ub, self.has_ub,
                 blocks_tuple(self.block_structure),
             )
         )
-        f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct = sums[:6]
-        g1 = sums[6 : 6 + k]
-        rhs_leg = sums[6 + k : 6 + 2 * k]
-        gram = gram_from_sums(sums[6 + 2 * k :], k, self.block_structure)
+        (f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct,
+         sl_sum, sl_sq, sl_cnt) = sums[:9]
+        g1 = sums[9 : 9 + k]
+        rhs_leg = sums[9 + k : 9 + 2 * k]
+        rhs_mu_leg = sums[9 + 2 * k : 9 + 3 * k]
+        gram = gram_from_sums(sums[9 + 3 * k :], k, self.block_structure)
         return EStats(
             f_val=float(f_val),
             cd_sq=float(cd_sq),
@@ -335,7 +328,13 @@ class ElasticSparkKernel:
             alt_sq=float(alt_sq),
             g1=g1,
             rhs_leg=rhs_leg,
+            rhs_mu_leg=rhs_mu_leg,
             gram=gram,
+            sl_sum=float(sl_sum),
+            sl_sq=float(sl_sq),
+            sl_min=float(mins[0]),
+            sl_cnt=float(sl_cnt),
+            lm_max=float(-mins[1]),
             has_nan=nan_ct > 0,
         )
 
@@ -355,10 +354,12 @@ class ElasticSparkKernel:
 
     def elastic_commit(
         self, lam, dlam, eta, mu_s, alpha_p, alpha_d
-    ) -> ECommitStats:
-        """Lazy transition + fused aggregation: the post-commit aggregate
-        reduce materializes the new state into the cache in the same scan
-        (one job for commit + aggregates together)."""
+    ) -> None:
+        """Lazy transition — ZERO jobs here: the swapped-in DataFrame
+        materializes (commit transform + cache write) inside the NEXT
+        ``elastic_stats`` reduce, which also returns the post-commit
+        slack/multiplier aggregates the μ/η rules need.  2 jobs per
+        iteration total (stats, step), same shape as the Newton solver."""
         new_df = self.df.mapInArrow(
             _ecommit_pass(
                 lam, dlam, eta, mu_s, alpha_p, alpha_d, self.lb, self.ub,
@@ -369,13 +370,6 @@ class ElasticSparkKernel:
         self._prev = self.df
         self.df = new_df
         self._commits_since_ckpt += 1
-        sums, mins = self._reduce(_ecommit_agg_pass(self.has_ub))
-        return ECommitStats(
-            sl_sum=float(sums[0]),
-            sl_min=float(mins[0]),
-            sl_cnt=float(self.n * (2 if self.has_ub else 1)),
-            lm_max=float(-mins[1]),
-        )
 
     def new_weights(self) -> DataFrame:
         return self.df.select(

@@ -18,16 +18,26 @@ all other step blocks recover in closed form (ref: 507-535).  N-dim state
 lives in the kernel; K-dim blocks (λ_eq, u, v, λ_u, λ_v) and scalars
 (μ_s, μ_u, μ_v, η) live here.
 
-Per iteration: 1 stats pass → driver K×K solve → 1 step pass → driver
-fraction-to-boundary + K-block steps → 1 commit pass.  Only K/K²-sized
-partials ever cross the driver boundary (SURVEY §1.4, §3.4).
+Per iteration: 1 stats pass (which also materializes the previous lazy
+commit AND returns the post-commit slack statistics the barrier rules
+need — μ_s-dependent reductions decompose linearly/quadratically in μ_s,
+so the driver re-derives them exactly at the updated value) → driver K×K
+solve → 1 step pass → driver fraction-to-boundary + K-block steps → lazy
+commit (zero jobs).  TWO jobs per iteration, the same shape as the
+unbounded Newton solver; only K/K²-sized partials ever cross the driver
+boundary (SURVEY §1.4, §3.4).
 
-Documented deviations from the reference (both conservative):
+Documented deviations from the reference (all conservative):
 - the alternate-optimality residual is evaluated against one consistent
   state (the reference mixes pre-update residuals with the post-update
   exponential term, ebw_routines.py:586-600);
 - convergence breaks at the measured state instead of taking one extra
-  committed step past it (ebw_routines.py:602-616).
+  committed step past it (ebw_routines.py:602-616);
+- η growth (ebw_routines.py:576-584) takes effect one scan later than in
+  the reference: η enters the residuals non-linearly, so the iteration
+  whose scan detected the growth condition finishes consistently at the
+  pre-growth η (μ_s updates are NOT lagged — they are re-derived exactly
+  from the same scan).
 """
 
 from __future__ import annotations
@@ -113,29 +123,52 @@ def solve_elastic(
     converged = False
     error_message = ""
     prev_step: tuple[float, float] | None = None
-    commit_agg = None
+    commit_pending = False
     history: list[dict] = []  # per-iteration trace (reference logging parity)
 
     while True:
-        if commit_agg is not None:
-            # Barrier + η updates read the post-commit state, which the
-            # commit pass aggregated for free (no extra job).
-            mean_sl = commit_agg.sl_sum / commit_agg.sl_cnt
-            zeta = commit_agg.sl_min / mean_sl
+        # ONE scan per iteration start: materializes any pending lazy commit
+        # AND returns the post-commit slack/multiplier aggregates plus the
+        # μ_s-decomposition legs (EStats), so the barrier update needs no
+        # separate pass.
+        st = kernel.elastic_stats(lam, eta, mu_s)
+        rhs_leg = st.rhs_leg
+        cs_sq = st.cs_sq
+        if commit_pending:
+            # Barrier updates from THIS scan's post-commit state; the
+            # μ_s-dependent reductions are re-derived EXACTLY (linear /
+            # quadratic in μ_s — see EStats) at the new value.
+            mean_sl = st.sl_sum / st.sl_cnt
+            zeta = st.sl_min / mean_sl
             sigma = 0.1 * min(0.05 * (1.0 - zeta) / zeta, 2.0) ** 3
-            mu_s = sigma * mean_sl
+            new_mu_s = sigma * mean_sl
             mu_u = _mu_update(u * lu)
             mu_v = _mu_update(v * lv)
+            rhs_leg = st.rhs_leg + (mu_s - new_mu_s) * st.rhs_mu_leg
+            cs_sq = (
+                st.sl_sq
+                - 2.0 * new_mu_s * st.sl_sum
+                + st.sl_cnt * new_mu_s**2
+            )
+            mu_s = new_mu_s
             max_lm = max(
                 float(np.abs(lam).max()),
-                commit_agg.lm_max,
+                st.lm_max,
                 float(lu.max()),
                 float(lv.max()),
             )
             if eta < max_lm:
-                eta = 2.0 * max_lm  # grow the L¹ price (ref: 576-584)
+                # Grow the L¹ price (ref: 576-584).  Documented deviation:
+                # the growth takes effect from the NEXT scan (η enters the
+                # residuals non-linearly, so this iteration's system — built
+                # by the same scan — uses the pre-growth η consistently);
+                # the reference applies it one pass earlier.
+                eta_next = 2.0 * max_lm
+            else:
+                eta_next = eta
+        else:
+            eta_next = eta
 
-        st = kernel.elastic_stats(lam, eta, mu_s)
         ce = st.g1 - b + u - v
         cu = 1.0 - lam - lu
         cvv = 1.0 + lam - lv
@@ -148,8 +181,8 @@ def solve_elastic(
             + float(clu @ clu)
             + float(clv @ clv)
         )
-        opt_viol = math.sqrt(st.cd_sq + st.ci_sq + st.cs_sq + k_sq)
-        alt_viol = math.sqrt(st.alt_sq + st.ci_sq + st.cs_sq + k_sq)
+        opt_viol = math.sqrt(st.cd_sq + st.ci_sq + cs_sq + k_sq)
+        alt_viol = math.sqrt(st.alt_sq + st.ci_sq + cs_sq + k_sq)
         logger.info(
             "elastic iter=%d f=%.6e |Ce|=%.3e viol=%.3e alt=%.3e eta=%.3e",
             n_steps,
@@ -202,7 +235,7 @@ def solve_elastic(
             ce
             + (v / lv) * (cvv + clv / v)
             - (u / lu) * (cu + clu / u)
-            - st.rhs_leg
+            - rhs_leg
         )
         try:
             if isinstance(st.gram, BlockGram):
@@ -241,7 +274,9 @@ def solve_elastic(
             min(1.0, sp.ftb_dual), _ftb_k(lu, lu_step), _ftb_k(lv, lv_step)
         )
 
-        commit_agg = kernel.elastic_commit(lam, dlam, eta, mu_s, alpha_p, alpha_d)
+        kernel.elastic_commit(lam, dlam, eta, mu_s, alpha_p, alpha_d)
+        commit_pending = True
+        eta = eta_next  # η growth applies from the next scan (see above)
         lam = lam + alpha_d * dlam
         u = u + alpha_p * u_step
         v = v + alpha_p * v_step
