@@ -47,6 +47,20 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     )
     timings["ebw_solve_localpath_converged"] = float(res_local.converged)
 
+    # Bounded elastic interior-point solve (the production survey-weighting
+    # path, ref README.md:92-99): 2 fused mapInArrow jobs per IP iteration.
+    def run_bounded():
+        _, _, r = solve_lineitem_problem(
+            spark, sf_dir, force_distributed=True, bounds=(0.2, 5.0)
+        )
+        if r.converged:
+            r.new_weights.count()
+        return r
+
+    timings["ebw_solve_bounded"], res_b = _best_of(2, run_bounded)
+    timings["ebw_solve_bounded_iterations"] = float(res_b.n_iterations)
+    timings["ebw_solve_bounded_converged"] = float(res_b.converged)
+
     # Large-K group-moment solve (the reference's 'hundreds of thousands of
     # constraints' regime, ref README.md:8): per-supplier moments make K ≈
     # 2·|suppliers| with a block-diagonal Gram — distributed end-to-end,
@@ -81,10 +95,16 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     timings["ebw_solve_grouped_converged"] = float(res_g.converged)
     max_viol = float(np.abs(res_g.constraint_violations).max())
 
-    if not (res.converged and res_local.converged and res_g.converged):
+    if not (
+        res.converged
+        and res_local.converged
+        and res_b.converged
+        and res_g.converged
+    ):
         raise RuntimeError(
             f"solver bench did not converge (distributed={res.converged}, "
-            f"local={res_local.converged}, grouped={res_g.converged}, "
+            f"local={res_local.converged}, bounded={res_b.converged}, "
+            f"grouped={res_g.converged}, "
             f"grouped max|viol|={max_viol:.3e}) — invalid measurement"
         )
     return timings

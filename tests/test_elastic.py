@@ -265,3 +265,33 @@ def test_elastic_tiny_weights_large_eta_overflow_is_not_fatal():
     assert res.converged, res.error_message
     achieved = x.T @ res.new_weights / w0.sum()
     np.testing.assert_allclose(achieved, m, rtol=1e-4)
+
+
+@pytest.mark.parametrize("bounds", [(0.3, 2.0), (0.2, None)])
+def test_estats_mu_decomposition_identities(bounds):
+    """The EStats μ_s-decomposition must be exact: reductions re-derived at
+    μ₂ from a μ₁ scan (rhs_leg shift by rhs_mu_leg; cs_sq from the sl
+    partials) equal a direct scan at μ₂ — this is what lets the driver
+    update the barrier parameter from the same scan with no extra pass."""
+    from entropy_balance_weighting_spark.kernels.elastic_local import (
+        ElasticLocalKernel,
+    )
+
+    x, w0, _ = _problem(n=200, k=3, seed=11)
+    kern = ElasticLocalKernel(x, w0, bounds=bounds)
+    rng = np.random.default_rng(5)
+    lam = rng.normal(scale=0.1, size=3)
+    eta, mu1, mu2 = 5.0, 0.05, 0.012
+    st1 = kern.elastic_stats(lam, eta, mu1)
+    st2 = kern.elastic_stats(lam, eta, mu2)
+    np.testing.assert_allclose(
+        st1.rhs_leg + (mu1 - mu2) * st1.rhs_mu_leg, st2.rhs_leg, rtol=1e-12
+    )
+    assert np.isclose(
+        st1.sl_sq - 2.0 * mu2 * st1.sl_sum + st1.sl_cnt * mu2**2,
+        st2.cs_sq,
+        rtol=1e-12,
+    )
+    # μ-free pieces must agree between the two scans
+    assert np.isclose(st1.cd_sq, st2.cd_sq)
+    np.testing.assert_allclose(st1.gram, st2.gram)
