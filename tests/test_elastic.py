@@ -295,3 +295,50 @@ def test_estats_mu_decomposition_identities(bounds):
     # μ-free pieces must agree between the two scans
     assert np.isclose(st1.cd_sq, st2.cd_sq)
     np.testing.assert_allclose(st1.gram, st2.gram)
+
+
+def test_elastic_distributed_two_jobs_per_iteration(spark):
+    """Structural pin of the 2-jobs-per-iteration claim: a distributed
+    elastic solve issues exactly one kernel reduce for the init gap, one
+    per stats scan (iters+1), one per step scan (iters), and one for the
+    final violations — commits must contribute ZERO reduces (they ride the
+    next stats scan)."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.kernels.elastic_spark import (
+        ElasticSparkKernel,
+    )
+    from entropy_balance_weighting_spark.plans import (
+        MomentSpec,
+        build_problem_tables,
+    )
+
+    x, w0, m = _problem(n=250, seed=37)
+    pdf = pd.DataFrame(
+        {"rid": np.arange(250), "w": w0, "x0": x[:, 0], "x1": x[:, 1], "x2": x[:, 2]}
+    )
+    df = spark.createDataFrame(pdf)
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1", "x2"), row_key=("rid",))
+    pt = build_problem_tables(df, spec)
+
+    n_reduces = 0
+    orig_reduce = ElasticSparkKernel._reduce
+
+    def counting_reduce(self, fn):
+        nonlocal n_reduces
+        n_reduces += 1
+        return orig_reduce(self, fn)
+
+    ElasticSparkKernel._reduce = counting_reduce
+    try:
+        res = entropy_balance(
+            mean_population_moments=m,
+            x_sample=pt,
+            options={"bounds": (0.5, 1.8), "force_distributed": True},
+        )
+    finally:
+        ElasticSparkKernel._reduce = orig_reduce
+    assert res.converged
+    t = res.n_iterations
+    # init g1 + (t+1) stats + t steps + final g1
+    assert n_reduces == 2 * t + 3, (n_reduces, t)
