@@ -126,10 +126,11 @@ def dd_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_DUP_CLUSTER_ORACLE,
 )
 def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS from the MinHash pair graph: iterative min-label
-    propagation (:func:`functions.dedup.connected_components`) collapses
-    verified pairs into disjoint components; the min doc_id is the kept
-    canonical representative (``is_keep``).  The oracle computes the same
+    """Near-dup CLUSTERS from the MinHash pair graph: alternating
+    large-star/small-star components (:func:`functions.dedup.
+    connected_components`, O(log²) rounds worst-case) collapse verified
+    pairs into disjoint components; the min doc_id is the kept canonical
+    representative (``is_keep``).  The oracle computes the same
     transitive closure with a recursive CTE over the identical pair SQL."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.verified_near_dups(docs, "doc_id", "text", threshold=0.8)

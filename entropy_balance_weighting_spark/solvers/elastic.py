@@ -206,7 +206,11 @@ def solve_elastic(
         if st.has_nan or not math.isfinite(opt_viol):
             error_message = "NaN in elastic optimality conditions"
             break
-        if min(opt_viol, alt_viol) < opt_tol:
+        if eta_next <= eta and min(opt_viol, alt_viol) < opt_tol:
+            # When η grew this iteration the residuals above were evaluated
+            # at the pre-growth η, so declaring convergence here could stop
+            # with the L¹ price still below the max multiplier; take one
+            # more pass so the check sees the grown η.
             converged = True
             break
         if (

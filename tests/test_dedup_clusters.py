@@ -3,7 +3,13 @@ query (dense LSH cliques) does not exercise."""
 
 from __future__ import annotations
 
-from entropy_balance_weighting_spark.functions.dedup import connected_components
+import random
+
+from entropy_balance_weighting_spark.functions.dedup import (
+    connected_components,
+    label_propagation_components,
+    star_components,
+)
 
 
 def _clusters(spark, pairs):
@@ -40,3 +46,35 @@ def test_long_chain_converges(spark):
 def test_only_paired_nodes_appear(spark):
     got = _clusters(spark, [(3, 7)])
     assert got == {3: 3, 7: 3}
+
+
+def test_chain_diameter_much_larger_than_rounds(spark):
+    # The worst case for label propagation: a 64-node chain (diameter 63)
+    # shuffled so edge order carries no signal.  Large-star/small-star must
+    # close it in O(log² n) rounds — far fewer than the diameter.
+    n = 64
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    random.Random(7).shuffle(pairs)
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    labels, rounds = star_components(df, max_rounds=25)
+    got = {r.id: r.cluster_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # 63 propagation rounds would be needed; the star alternation takes ~log n
+    assert rounds <= 10, f"expected O(log² n) rounds, took {rounds}"
+
+
+def test_star_matches_label_propagation_random_graph(spark):
+    # Independent-implementation parity on a random multi-component graph.
+    rng = random.Random(42)
+    nodes = list(range(200))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(150)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    star = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    prop = {
+        r.id: r.cluster_id for r in label_propagation_components(df).collect()
+    }
+    assert star == prop
