@@ -95,16 +95,47 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     timings["ebw_solve_grouped_converged"] = float(res_g.converged)
     max_viol = float(np.abs(res_g.constraint_violations).max())
 
+    # THE production regime (ref README.md:8,92-99 headline): bounded
+    # weights AND per-group moments together — elastic interior point over
+    # a block-diagonal Gram (Σk_b² tiles, never K²), K ≈ 2·|suppliers|
+    # (2000 at sf0.1).  The block-tile shape is pinned by
+    # tests/test_block_gram.py::test_elastic_block_gram_tiles_never_k2.
+    def run_bounded_grouped():
+        li = load_table(spark, sf_dir, "lineitem")
+        spec = MomentSpec(
+            weight_col="l_quantity",
+            numeric=("l_discount", "l_tax"),
+            group=("l_suppkey",),
+        )
+        pt = build_problem_tables(li, spec)
+        res = entropy_balance(
+            mean_population_moments=targets_from_problem(pt, perturb=0.01),
+            x_sample=pt,
+            options={"force_distributed": True, "bounds": (0.2, 5.0)},
+        )
+        if res.converged:
+            res.new_weights.count()
+        return pt, res
+
+    timings["ebw_solve_bounded_grouped"], (pt_bg, res_bg) = _best_of(
+        2, run_bounded_grouped
+    )
+    timings["ebw_solve_bounded_grouped_k"] = float(pt_bg.k)
+    timings["ebw_solve_bounded_grouped_iterations"] = float(res_bg.n_iterations)
+    timings["ebw_solve_bounded_grouped_converged"] = float(res_bg.converged)
+
     if not (
         res.converged
         and res_local.converged
         and res_b.converged
         and res_g.converged
+        and res_bg.converged
     ):
         raise RuntimeError(
             f"solver bench did not converge (distributed={res.converged}, "
             f"local={res_local.converged}, bounded={res_b.converged}, "
             f"grouped={res_g.converged}, "
+            f"bounded_grouped={res_bg.converged}, "
             f"grouped max|viol|={max_viol:.3e}) — invalid measurement"
         )
     return timings

@@ -163,6 +163,56 @@ def test_block_and_dense_kernels_agree(spark):
         assert wb[rid] == pytest.approx(wd[rid], rel=1e-6)
 
 
+def test_elastic_block_gram_tiles_never_k2(spark):
+    """The production regime is bounded (elastic) × grouped moments: the
+    elastic stats pass must accumulate BLOCK Gram tiles (Σ k_b² floats),
+    never a dense K×K — pinned here so the bounded_grouped bench entry can
+    never silently regress to the quadratic allocation."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.kernels.elastic_spark import (
+        ElasticSparkKernel,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    n_groups = 40
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "g": rng.integers(0, n_groups, size=n).astype(str),
+            "w": rng.uniform(0.5, 2.0, size=n),
+            "x0": rng.uniform(size=n),
+            "x1": rng.uniform(size=n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    spec = MomentSpec(
+        weight_col="w", numeric=("x0", "x1"), group=("g",), row_key=("rid",)
+    )
+    pt = build_problem_tables(df, spec)
+    assert pt.k == 2 * n_groups
+
+    kern = ElasticSparkKernel.from_problem(
+        pt.x_long,
+        pt.w0,
+        pt.k,
+        bounds=(0.2, 5.0),
+        moment_groups=pt.moment_groups,
+    )
+    try:
+        assert kern.block_structure is not None
+        st = kern.elastic_stats(np.zeros(pt.k), eta=10.0, mu_s=0.05)
+        assert isinstance(st.gram, BlockGram)
+        # flat tile storage is Σ k_b² = n_groups·2² — quadratic in the
+        # BLOCK size only, not in K
+        assert st.gram.flat.size == kern.block_structure.total_flat
+        assert st.gram.flat.size == n_groups * 4
+        assert st.gram.flat.size < pt.k**2
+    finally:
+        kern.cleanup()
+
+
 @pytest.mark.parametrize("solver", ["penalty", "elastic"])
 def test_block_path_parity_penalty_and_elastic(spark, solver):
     """The penalty and elastic solvers also take the block-diagonal Gram
