@@ -158,47 +158,94 @@ def cosine_near_dup_pairs(
     )
 
 
-def cosine_near_dup_pairs_bucketed(
+def adaptive_n_cells(
+    n_rows: int,
+    *,
+    rows_per_cell: int = 1024,
+    min_cells: int = 4,
+    max_cells: int = 65_536,
+) -> int:
+    """IVF cell count derived from a rows-per-cell TARGET, not a constant:
+    C = ⌈N / rows_per_cell⌉ clamped to [min_cells, max_cells].
+
+    Holding the per-cell population fixed makes the bucketed near-dup
+    candidate volume grow ~linearly with N (qualifying cell pairs ×
+    rows_per_cell²) instead of quadratically, which is what lets the same
+    query run at 100 TB.  The C² driver-side cell-pair pruning is a
+    vectorized numpy matrix op, so even max_cells=65k (4.3G-entry angle
+    matrix would be too big — in practice the clamp keeps C ≪ that; at C
+    = 10⁴ the matrix is 800 MB, the practical driver ceiling)."""
+    import math
+
+    return int(
+        max(min_cells, min(max_cells, math.ceil(max(n_rows, 1) / rows_per_cell)))
+    )
+
+
+def _qualifying_cell_pairs(c_unit, radius: dict, threshold: float):
+    """Vectorized driver-side IVF cell-pair pruning: pairs (ca, cb) whose
+    centroid angle can possibly contain a vector pair with cosine ≥
+    threshold (angular triangle inequality).  O(C²) numpy, no Python loop."""
+    import math
+
+    import numpy as np
+
+    ncell = len(c_unit)
+    present = np.array([c in radius for c in range(ncell)])
+    r = np.array([radius.get(c, 0.0) for c in range(ncell)])
+    ang = np.arccos(np.clip(c_unit @ c_unit.T, -1.0, 1.0))
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+    ok = ang <= theta_t + r[:, None] + r[None, :] + 1e-9
+    ok &= present[:, None] & present[None, :]
+    ca, cb = np.nonzero(ok)
+    return [(int(a), int(b)) for a, b in zip(ca, cb)]
+
+
+def ivf_candidate_stats(
     emb: DataFrame,
     threshold: float,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
+    rows_per_cell: int = 1024,
     seed: int = 42,
-) -> DataFrame:
-    """EXACT embedding-cosine near-dup pairs via IVF cell-pair pruning —
-    same output as :func:`cosine_near_dup_pairs`, no corpus×corpus
-    theta-join in the plan.
-
-    Completeness is guaranteed by the angular triangle inequality: with
-    each vector assigned to a KMeans cell and ``r_c`` the cell's angular
-    radius (max angle member↔centroid),
-
-        θ(a, b) ≥ θ(c_a, c_b) − r_a − r_b
-
-    so a cell PAIR can contain a qualifying vector pair only when
-    ``θ(c_a, c_b) ≤ arccos(threshold) + r_a + r_b``.  The driver prunes the
-    C² cell pairs (C is tiny), and the corpus joins only through the
-    surviving ``(cell_a, cell_b)`` list — two equi-joins, candidate volume
-    shrinks with how clusterable the corpus is, worst case degrades to the
-    all-pairs volume but never loses a pair.  Exact cosine is then
-    verified within candidates, mirroring ``verified_near_dups``'s
-    bucket-then-verify shape.  The quantizer fits on a bounded sample —
-    the fit never becomes the job at corpus scale.
-    """
-    import math
-
-    import numpy as np
-
+) -> dict:
+    """Diagnostics for the bucketed near-dup plan: cell count, qualifying
+    cell-pair count, and the candidate join volume Σ|cell_a|·|cell_b| the
+    verify stage would scan.  Used by the scale tests to assert
+    sub-quadratic candidate growth under :func:`adaptive_n_cells`."""
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
-    model = _fit_quantizer(base, n_cells, seed)
+    n = base.count()
+    if n_cells is None:
+        n_cells = adaptive_n_cells(n, rows_per_cell=rows_per_cell)
+    assigned, c_unit, radius = _assign_cells(base, n_cells, seed, n=n)
+    qual = _qualifying_cell_pairs(c_unit, radius, threshold)
+    sizes = {
+        r["cell"]: r["cnt"]
+        for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    volume = sum(sizes.get(a, 0) * sizes.get(b, 0) for a, b in qual if a <= b)
+    return {
+        "n_rows": n,
+        "n_cells": n_cells,
+        "n_qual_pairs": len(qual),
+        "candidate_volume": volume,
+    }
+
+
+def _assign_cells(base: DataFrame, n_cells: int, seed: int, *, n: int | None = None):
+    """Shared IVF assignment stage: fit the bounded-sample quantizer,
+    assign every vector to a cell, and measure per-cell angular radii.
+    Returns (assigned(id, v, nrm, cell), unit centroids, {cell: radius})."""
+    import numpy as np
+    from pyspark.ml.functions import array_to_vector
+
+    model = _fit_quantizer(base, n_cells, seed, n=n)
     centers = np.vstack([c for c in model.clusterCenters()])
     c_unit = centers / np.linalg.norm(centers, axis=1, keepdims=True)
-
-    from pyspark.ml.functions import array_to_vector
 
     assigned = model.transform(
         base.withColumn(
@@ -209,7 +256,7 @@ def cosine_near_dup_pairs_bucketed(
 
     # per-cell angular radius: broadcast the C unit centroids back and take
     # one small max-angle aggregate (C rows to the driver)
-    spark = emb.sparkSession
+    spark = base.sparkSession
     cent_df = spark.createDataFrame(
         [(c, [float(x) for x in c_unit[c]]) for c in range(len(c_unit))],
         "cell int, cvec array<double>",
@@ -226,21 +273,53 @@ def cosine_near_dup_pairs_bucketed(
         .collect()
     )
     radius = {r["cell"]: float(r["r"]) for r in radii_rows}
+    return assigned, c_unit, radius
 
-    # driver-side cell-pair pruning (C² is tiny)
-    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
-    eps = 1e-9
-    pairs = []
-    ncell = len(c_unit)
-    for ca in range(ncell):
-        if ca not in radius:
-            continue
-        for cb in range(ncell):
-            if cb not in radius:
-                continue
-            cc = float(np.clip(c_unit[ca] @ c_unit[cb], -1.0, 1.0))
-            if math.acos(cc) <= theta_t + radius[ca] + radius[cb] + eps:
-                pairs.append((ca, cb))
+
+def cosine_near_dup_pairs_bucketed(
+    emb: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    rows_per_cell: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs via IVF cell-pair pruning —
+    same output as :func:`cosine_near_dup_pairs`, no corpus×corpus
+    theta-join in the plan.
+
+    Completeness is guaranteed by the angular triangle inequality: with
+    each vector assigned to a KMeans cell and ``r_c`` the cell's angular
+    radius (max angle member↔centroid),
+
+        θ(a, b) ≥ θ(c_a, c_b) − r_a − r_b
+
+    so a cell PAIR can contain a qualifying vector pair only when
+    ``θ(c_a, c_b) ≤ arccos(threshold) + r_a + r_b``.  The driver prunes the
+    C² cell pairs (vectorized numpy), and the corpus joins only through
+    the surviving ``(cell_a, cell_b)`` list — two equi-joins, candidate
+    volume shrinks with how clusterable the corpus is, worst case degrades
+    to the all-pairs volume but never loses a pair.  Exact cosine is then
+    verified within candidates, mirroring ``verified_near_dups``'s
+    bucket-then-verify shape.  The quantizer fits on a bounded sample —
+    the fit never becomes the job at corpus scale.
+
+    ``n_cells=None`` (default) derives the cell count from the corpus via
+    :func:`adaptive_n_cells` (a rows-per-cell target), so the candidate
+    volume grows ~linearly with N; a sub-quadratic-growth test pins this.
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    n = None
+    if n_cells is None:
+        n = base.count()
+        n_cells = adaptive_n_cells(n, rows_per_cell=rows_per_cell)
+    assigned, c_unit, radius = _assign_cells(base, n_cells, seed, n=n)
+    pairs = _qualifying_cell_pairs(c_unit, radius, threshold)
+    spark = emb.sparkSession
     qual = spark.createDataFrame(pairs, "cell_a int, cell_b int")
 
     a = assigned.select(
@@ -270,10 +349,11 @@ def cosine_near_dup_pairs_bucketed(
     )
 
 
-def _fit_quantizer(base: DataFrame, n_cells: int, seed: int):
+def _fit_quantizer(base: DataFrame, n_cells: int, seed: int, *, n: int | None = None):
     """Fit the KMeans coarse quantizer on a BOUNDED sample of unit vectors
     (docstring contract: at corpus scale the fit must not become the job).
-    ``base`` has columns (id, v, nrm)."""
+    ``base`` has columns (id, v, nrm); pass ``n`` when the caller already
+    counted the corpus so the fit does not re-count."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -281,7 +361,8 @@ def _fit_quantizer(base: DataFrame, n_cells: int, seed: int):
         "features", array_to_vector(F.transform("v", lambda x: x / F.col("nrm")))
     )
     target = max(256 * n_cells, 8192)
-    n = unit.count()
+    if n is None:
+        n = unit.count()
     frac = min(1.0, target / max(n, 1))
     fit_df = unit if frac >= 1.0 else unit.sample(False, frac, seed)
     km = KMeans(
@@ -297,7 +378,7 @@ def cosine_topk_ivf(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 4,
     seed: int = 42,
     round_digits: int | None = None,
@@ -305,7 +386,8 @@ def cosine_topk_ivf(
     """IVF-style approximate top-k: an MLlib KMeans coarse quantizer
     partitions the corpus into ``n_cells`` inverted lists; each probe
     searches only its ``n_probe`` nearest cells and re-ranks those
-    candidates exactly.
+    candidates exactly.  ``n_cells=None`` derives the cell count from the
+    corpus size (:func:`adaptive_n_cells`).
 
     The 100 TB shape: the corpus is scanned once to assign cells (a
     narrow transform once the tiny centroid model is fit on a sample),
@@ -320,10 +402,14 @@ def cosine_topk_ivf(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("v"),
     ).withColumn("v_norm", _norm(F.col("v")))
+    n = None
+    if n_cells is None:
+        n = base.count()
+        n_cells = adaptive_n_cells(n)
     # quantizer fits on a bounded SAMPLE of unit vectors (the fit must not
     # become the job at corpus scale); assignment transforms the full corpus
     model = _fit_quantizer(
-        base.select(F.col("v"), F.col("v_norm").alias("nrm")), n_cells, seed
+        base.select(F.col("v"), F.col("v_norm").alias("nrm")), n_cells, seed, n=n
     )
     feat = base.withColumn(
         "features",

@@ -480,6 +480,65 @@ def txt_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_len_percentiles_approx",
+    survey="ext:text-stats,A8",
+    oracle="""
+SELECT s.source, t.p, 1 AS ok
+FROM (SELECT DISTINCT source FROM documents) s,
+     (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.75::DOUBLE)) t(p)
+ORDER BY s.source, t.p
+""",
+)
+def txt_len_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE percentile path: ``approx_percentile`` — a mergeable
+    KLL-style sketch, map-side combinable, no per-group sort — with its
+    rank-error contract VERIFIED IN-ENGINE (the driver's hash gate is
+    exact-match, so the tolerance oracle is expressed as a property: the
+    query emits ``ok`` per (source, p) and the SQL oracle expects all 1s).
+
+    The property is the tie-robust rank bound: for returned quantile q,
+    ``|{x < q}|/n ≤ p + tol`` and ``|{x ≤ q}|/n ≥ p − tol`` with tol =
+    0.05 ≫ the sketch's 1/accuracy = 1e-4 rank error plus 1/n grid error
+    at this SF.  ``txt_len_percentiles`` keeps the exact form (the oracle
+    side of the swap the r3 verdict prescribed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    agg = docs.groupBy("source").agg(
+        F.expr(
+            "approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), 10000)"
+        ).alias("qs")
+    )
+    quantiles = agg.select("source", F.posexplode("qs").alias("i", "q")).select(
+        "source", F.element_at(ps, F.col("i") + 1).alias("p"), "q"
+    )
+    ranks = (
+        docs.join(F.broadcast(quantiles), "source")
+        .groupBy("source", "p")
+        .agg(
+            (
+                F.count(F.when(F.col("n_chars") < F.col("q"), 1))
+                / F.count(F.lit(1))
+            ).alias("frac_lt"),
+            (
+                F.count(F.when(F.col("n_chars") <= F.col("q"), 1))
+                / F.count(F.lit(1))
+            ).alias("frac_le"),
+        )
+    )
+    tol = 0.05
+    return ranks.select(
+        "source",
+        "p",
+        (
+            (F.col("frac_lt") <= F.col("p") + tol)
+            & (F.col("frac_le") >= F.col("p") - tol)
+        )
+        .cast("int")
+        .alias("ok"),
+    ).orderBy("source", "p")
+
+
+@register(
     "emb_quantize_int8",
     survey="ext:embedding-quantize",
     oracle="""

@@ -1,0 +1,81 @@
+"""Scale behavior of the IVF-bucketed embedding near-dup path (VERDICT r3
+what's-wrong #2): the cell count must derive from corpus size, and the
+candidate join volume must grow SUB-QUADRATICALLY when the corpus grows the
+realistic way — new content (more clusters), near-dup density constant.
+
+For an unclusterable (uniform random) corpus no bucketing can beat all-pairs
+candidates — the function docstring documents that worst case; these tests
+pin the scaling on the clusterable case the design targets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from entropy_balance_weighting_spark.functions.similarity import (
+    adaptive_n_cells,
+    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_bucketed,
+    ivf_candidate_stats,
+)
+
+
+def _clustered_emb(spark, n_clusters: int, per_cluster: int, dim: int = 16, seed: int = 3):
+    """Corpus of ``n_clusters`` tight angular clusters, ``per_cluster`` rows
+    each — growing the corpus = adding clusters, the 100 TB shape."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    idx = np.repeat(np.arange(n_clusters), per_cluster)
+    pts = centers[idx] + 0.05 * rng.normal(size=(len(idx), dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(idx)),
+            "embedding": [row.astype(float).tolist() for row in pts],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_adaptive_n_cells_targets_rows_per_cell():
+    assert adaptive_n_cells(100) == 4  # min clamp
+    assert adaptive_n_cells(0) == 4
+    assert adaptive_n_cells(1024 * 100) == 100
+    assert adaptive_n_cells(1024 * 100 + 1) == 101
+    assert adaptive_n_cells(10**12) == 65_536  # max clamp (driver ceiling)
+    assert adaptive_n_cells(4096, rows_per_cell=256) == 16
+
+
+def test_candidate_volume_subquadratic_as_corpus_grows(spark):
+    # 4x the corpus by adding clusters; rows-per-cell targeting must keep
+    # the candidate volume ~linear (quadratic would be 16x).
+    small = _clustered_emb(spark, n_clusters=40, per_cluster=30)
+    large = _clustered_emb(spark, n_clusters=160, per_cluster=30)
+    st_s = ivf_candidate_stats(small, 0.9, rows_per_cell=16)
+    st_l = ivf_candidate_stats(large, 0.9, rows_per_cell=16)
+    assert st_l["n_rows"] == 4 * st_s["n_rows"]
+    assert st_l["n_cells"] == 4 * st_s["n_cells"]  # derived, not constant
+    ratio = st_l["candidate_volume"] / max(st_s["candidate_volume"], 1)
+    assert ratio < 8, f"candidate volume grew {ratio:.1f}x for 4x rows"
+    # and the large corpus is nowhere near all-pairs
+    all_pairs = st_l["n_rows"] ** 2 / 2
+    assert st_l["candidate_volume"] < 0.1 * all_pairs
+
+
+def test_bucketed_adaptive_matches_allpairs_exactly(spark):
+    # completeness of the pruning under the ADAPTIVE cell count: the
+    # bucketed result must equal the exact all-pairs result bit-for-bit
+    emb = _clustered_emb(spark, n_clusters=10, per_cluster=40, seed=11)
+    exact = sorted(
+        (r.id_a, r.id_b, round(r.cos, 9))
+        for r in cosine_near_dup_pairs(emb, 0.9).collect()
+    )
+    bucketed = sorted(
+        (r.id_a, r.id_b, round(r.cos, 9))
+        for r in cosine_near_dup_pairs_bucketed(
+            emb, 0.9, rows_per_cell=32
+        ).collect()
+    )
+    assert exact == bucketed
+    assert len(exact) > 0
