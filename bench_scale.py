@@ -1,7 +1,7 @@
 """Kernel-throughput benchmark at parameterized N — the scale evidence.
 
 ``bench.py`` measures sf-scale end-to-end wall time; this script measures
-the distributed solver kernel's per-iteration scan throughput on a
+every distributed solver kernel's per-iteration scan throughput on a
 synthetic problem whose size is an environment parameter, so the scale
 claim behind the design (map-only iterations, K/K²-sized partials, zero
 per-iteration shuffle) is reproducible at any N the machine can hold —
@@ -11,18 +11,21 @@ The synthetic problem is generated entirely inside Spark (``spark.range``
 + hash-derived columns): no driver-side data, no parquet dependency, so
 N is bounded only by executor memory.  Moment 0 is an intercept; the rest
 are hash-uniform values in [0, 1).  Targets are the start-point moments
-perturbed by 1% — feasible by construction, converges in a few Newton
-iterations.
+perturbed by 1% — feasible by construction, converges in a few
+iterations for all three solvers.
 
 Environment:
-- ``SPARK_GRAFT_SCALE_N``  rows (default 2_000_000)
-- ``SPARK_GRAFT_SCALE_K``  moments (default 8)
-- ``SPARK_GRAFT_CPUS``     local parallelism (session default)
+- ``SPARK_GRAFT_SCALE_N``        rows (default 2_000_000)
+- ``SPARK_GRAFT_SCALE_K``        moments (default 8)
+- ``SPARK_GRAFT_SCALE_SOLVERS``  comma list of newton,elastic,penalty
+                                 (default all three)
+- ``SPARK_GRAFT_CPUS``           local parallelism (session default)
 
 Prints ONE JSON line:
 ``{"metric": "kernel_scan_throughput", "n": ..., "k": ...,
-   "queries": {"pack": s, "stats_pass": s, "step_pass": s,
-               "solve": s, "solve_iterations": i}, ...}``
+   "queries": {"pack": s, "stats_pass": s, "step_pass": s, "solve": s,
+               "solve_iterations": i, "elastic_stats_pass": s, ...},
+   "throughput_rows_per_sec": {"newton": r, "elastic": r, "penalty": r}}``
 """
 
 from __future__ import annotations
@@ -38,15 +41,31 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _min3(fn) -> float:
+    fn()  # warm codegen / worker pool outside the timed region
+    return min(_timed(fn) for _ in range(3))
+
+
 def main() -> None:
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", 2_000_000))
     k = int(os.environ.get("SPARK_GRAFT_SCALE_K", 8))
+    solvers = [
+        s.strip()
+        for s in os.environ.get(
+            "SPARK_GRAFT_SCALE_SOLVERS", "newton,elastic,penalty"
+        ).split(",")
+        if s.strip()
+    ]
 
     from pyspark.sql import functions as F
 
-    from entropy_balance_weighting_spark.kernels.spark import SparkKernel
     from entropy_balance_weighting_spark.session import get_spark
-    from entropy_balance_weighting_spark.solvers.newton import solve_unbounded
 
     spark = get_spark(app_name="ebw_bench_scale")
     cpus = spark.sparkContext.defaultParallelism
@@ -67,56 +86,123 @@ def main() -> None:
         ).alias("val"),
     )
 
-    t0 = time.perf_counter()
-    kern = SparkKernel.from_problem(None, None, k, prepacked=base)
-    t_pack = time.perf_counter() - t0
+    timings: dict[str, float] = {}
+    throughput: dict[str, float] = {}
 
-    # steady-state per-pass timings (first pass warms codegen + worker pool)
-    lam = np.zeros(k)
-    kern.stats(lam)
-    t_stats = min(_timed(lambda: kern.stats(lam)) for _ in range(3))
-    stats0 = kern.stats(lam)
-    dlam = np.full(k, 1e-3)
-    kern.step_stats(lam, dlam)
-    t_step = min(_timed(lambda: kern.step_stats(lam, dlam)) for _ in range(3))
+    if "newton" in solvers:
+        _bench_newton(base, k, n, timings, throughput)
+    if "elastic" in solvers:
+        _bench_elastic(base, k, n, timings, throughput)
+    if "penalty" in solvers:
+        _bench_penalty(base, k, n, timings, throughput)
 
-    m = stats0.xt_w * 1.01
-    t0 = time.perf_counter()
-    res = solve_unbounded(
-        kern, m, {"max_steps": 20}, original_weights=kern.new_weights()
-    )
-    t_solve = time.perf_counter() - t0
-    if not res.converged:
-        raise RuntimeError("scale solve did not converge — invalid measurement")
-    kern.cleanup()
-
-    per_pass = min(t_stats, t_step)
     print(
         json.dumps(
             {
                 "metric": "kernel_scan_throughput",
-                "value": round(n / per_pass, 1),
+                "value": max(throughput.values()),
                 "unit": "rows/sec",
                 "n": n,
                 "k": k,
                 "partitions": n_parts,
-                "queries": {
-                    "pack": round(t_pack, 4),
-                    "stats_pass": round(t_stats, 4),
-                    "step_pass": round(t_step, 4),
-                    "solve": round(t_solve, 4),
-                    "solve_iterations": float(res.n_iterations),
-                },
+                "queries": timings,
+                "throughput_rows_per_sec": throughput,
             }
         )
     )
     spark.stop()
 
 
-def _timed(fn) -> float:
+def _bench_newton(base, k, n, timings, throughput) -> None:
+    from entropy_balance_weighting_spark.kernels.spark import SparkKernel
+    from entropy_balance_weighting_spark.solvers.newton import solve_unbounded
+
     t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
+    kern = SparkKernel.from_problem(None, None, k, prepacked=base)
+    timings["pack"] = round(time.perf_counter() - t0, 4)
+
+    lam = np.zeros(k)
+    dlam = np.full(k, 1e-3)
+    t_stats = _min3(lambda: kern.stats(lam))
+    t_step = _min3(lambda: kern.step_stats(lam, dlam))
+    stats0 = kern.stats(lam)
+
+    m = stats0.xt_w * 1.01
+    t0 = time.perf_counter()
+    res = solve_unbounded(
+        kern, m, {"max_steps": 20}, original_weights=kern.new_weights()
+    )
+    timings["solve"] = round(time.perf_counter() - t0, 4)
+    if not res.converged:
+        raise RuntimeError("newton scale solve did not converge")
+    kern.cleanup()
+
+    timings["stats_pass"] = round(t_stats, 4)
+    timings["step_pass"] = round(t_step, 4)
+    timings["solve_iterations"] = float(res.n_iterations)
+    throughput["newton"] = round(n / min(t_stats, t_step), 1)
+
+
+def _bench_elastic(base, k, n, timings, throughput) -> None:
+    from entropy_balance_weighting_spark.kernels.elastic_spark import (
+        ElasticSparkKernel,
+    )
+    from entropy_balance_weighting_spark.solvers.elastic import solve_elastic
+
+    t0 = time.perf_counter()
+    kern = ElasticSparkKernel.from_problem(
+        None, None, k, bounds=(0.2, 5.0), prepacked=base
+    )
+    timings["elastic_pack"] = round(time.perf_counter() - t0, 4)
+
+    lam = np.zeros(k)
+    dlam = np.full(k, 1e-3)
+    eta, mu_s = 10.0, 0.05
+    t_stats = _min3(lambda: kern.elastic_stats(lam, eta, mu_s))
+    t_step = _min3(lambda: kern.elastic_step(lam, dlam, eta, mu_s))
+
+    m = kern.elastic_g1() / kern.sum_w0 * 1.01
+    t0 = time.perf_counter()
+    res = solve_elastic(
+        kern, m, {"max_steps": 40}, original_weights=kern.new_weights()
+    )
+    timings["elastic_solve"] = round(time.perf_counter() - t0, 4)
+    if not res.converged:
+        raise RuntimeError("elastic scale solve did not converge")
+    kern.cleanup()
+
+    timings["elastic_stats_pass"] = round(t_stats, 4)
+    timings["elastic_step_pass"] = round(t_step, 4)
+    timings["elastic_solve_iterations"] = float(res.n_iterations)
+    throughput["elastic"] = round(n / min(t_stats, t_step), 1)
+
+
+def _bench_penalty(base, k, n, timings, throughput) -> None:
+    from entropy_balance_weighting_spark.kernels.penalty_spark import (
+        PenaltySparkKernel,
+    )
+    from entropy_balance_weighting_spark.solvers.penalty import solve_penalty
+
+    t0 = time.perf_counter()
+    kern = PenaltySparkKernel.from_problem(None, None, k, prepacked=base)
+    timings["penalty_pack"] = round(time.perf_counter() - t0, 4)
+
+    kern.penalty_init()
+    t_stats = _min3(lambda: kern.penalty_stats())
+
+    m = kern.moment_totals() / kern.sum_w0 * 1.01
+    t0 = time.perf_counter()
+    res = solve_penalty(
+        kern, m, 3.0, {"max_steps": 30}, original_weights=kern.new_weights()
+    )
+    timings["penalty_solve"] = round(time.perf_counter() - t0, 4)
+    if not res.converged:
+        raise RuntimeError("penalty scale solve did not converge")
+    kern.cleanup()
+
+    timings["penalty_stats_pass"] = round(t_stats, 4)
+    timings["penalty_solve_iterations"] = float(res.n_iterations)
+    throughput["penalty"] = round(n / t_stats, 1)
 
 
 if __name__ == "__main__":
