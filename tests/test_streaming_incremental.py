@@ -137,6 +137,64 @@ def test_warm_start_uses_previous_ratios(spark, tmp_path):
     assert rw.history[-1]["n_iterations"] <= first_iters
 
 
+def test_many_batches_match_batch_solve_no_drift(spark, tmp_path):
+    """The documented drift bound (incremental.py module docstring): after
+    N micro-batches the streamed weights equal a from-scratch solve on the
+    union to within the solver optimality tolerance — deviation must NOT
+    accumulate with N, because every batch re-solves the full accumulated
+    problem and the warm start only seeds iterations."""
+    rng = np.random.default_rng(21)
+    src = tmp_path / "src_many"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_many")
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1"), row_key=("rid",))
+
+    def targets_fn(pt):
+        from entropy_balance_weighting_spark.plans.moment_spec import (
+            targets_from_problem,
+        )
+
+        return targets_from_problem(pt, perturb=0.01)
+
+    rw = IncrementalReweighter(spec, targets_fn)
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+
+    n_batches = 5
+    chunks = []
+    for b in range(n_batches):
+        chunk = _chunk(rng, 150, 150 * b)
+        chunks.append(chunk)
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        rw.run_available(stream, checkpoint_dir=ckpt)
+        assert rw.history[-1]["converged"]
+        assert rw.history[-1]["n_rows"] == 150 * (b + 1)
+    assert len(rw.history) == n_batches
+
+    from entropy_balance_weighting_spark import entropy_balance
+    from entropy_balance_weighting_spark.plans import build_problem_tables
+    from entropy_balance_weighting_spark.plans.moment_spec import (
+        targets_from_problem,
+    )
+
+    full = spark.createDataFrame(pd.concat(chunks))
+    pt = build_problem_tables(full, spec)
+    res = entropy_balance(
+        mean_population_moments=targets_from_problem(pt, perturb=0.01),
+        x_sample=pt,
+    )
+    assert res.converged
+    w_batch = {r["row_id"]: r["new_weight"] for r in res.new_weights.collect()}
+    w_stream = {r["row_id"]: r["new_weight"] for r in rw.last_weights.collect()}
+    assert w_batch.keys() == w_stream.keys()
+    drift = max(
+        abs(w_stream[k] - w_batch[k]) / abs(w_batch[k]) for k in w_batch
+    )
+    # the documented bound: optimality-tolerance-scale, independent of N
+    assert drift < 1e-5, f"drift {drift:.2e} exceeds the tolerance bound"
+
+
 def test_incremental_requires_row_key():
     """Without a declared row key, row_ids are re-assigned per batch
     rebuild and warm starts would silently pair ratios with arbitrary
