@@ -756,6 +756,7 @@ def ev_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_sliding_windows",
     survey="ext:events-window",
+    bench=True,
     oracle="""
 WITH w AS (
   SELECT event_type, value,
@@ -786,6 +787,7 @@ def ev_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_sessionization",
     survey="ext:events-session",
+    bench=True,
     oracle="""
 WITH g AS (
   SELECT user_id, ts,
