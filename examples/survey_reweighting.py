@@ -35,8 +35,14 @@ from entropy_balance_weighting_spark.plans.moment_spec import targets_from_probl
 from entropy_balance_weighting_spark.session import get_spark, load_table
 
 
-def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
-    spark = get_spark(app_name="survey_reweighting_example")
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
+    """Run the walkthrough; pass an existing SparkSession to reuse it (the
+    CI test does — see tests/test_example.py), else one is created and
+    stopped here.  Returns the headline results so tests can assert on
+    them."""
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app_name="survey_reweighting_example")
 
     # 1. relational prep — dim lookup via broadcast join (J1), the
     #    reference's state-code join analogue
@@ -117,8 +123,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     reweighted.select(
         "hh_id", "l_quantity", "new_weight"
     ).show(5, truncate=False)
+    n_reweighted = reweighted.filter(F.col("new_weight").isNotNull()).count()
 
-    spark.stop()
+    if owns_session:
+        spark.stop()
+    return {
+        "n": pt.n,
+        "k": pt.k,
+        "unbounded_converged": bool(res.converged),
+        "elastic_converged": bool(res_b.converged),
+        "penalty_converged": bool(res_p.converged),
+        "worst_moment_miss": float(achieved["worst"]),
+        "weight_corr": float(corr),
+        "elastic_max_violation": float(viol),
+        "n_reweighted": int(n_reweighted),
+    }
 
 
 if __name__ == "__main__":
