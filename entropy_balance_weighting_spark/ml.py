@@ -189,6 +189,57 @@ class EntropyBalanceEstimator(
         return model
 
 
+class EntropyBalanceSummary:
+    """Training summary — the MLlib-idiomatic ``model.summary`` surface
+    over :class:`results.EntropyBalanceResults`, exposing what
+    ``setup_logging`` prints per iteration as data: the per-iteration
+    history (criterion / residual norms / violations), convergence
+    outcome, and the elastic L¹ price η for bounded fits."""
+
+    def __init__(self, results) -> None:
+        self._results = results
+
+    @property
+    def converged(self) -> bool:
+        return bool(self._results.converged)
+
+    @property
+    def totalIterations(self) -> int:
+        return int(self._results.n_iterations)
+
+    @property
+    def eta(self):
+        """Final elastic L¹ price (None for unbounded/penalty fits)."""
+        return self._results.eta
+
+    @property
+    def history(self) -> list[dict]:
+        """Per-evaluation trace — one entry per optimality evaluation,
+        i.e. ``totalIterations + 1`` entries including the starting
+        point: dicts with ``iter``, ``criterion``, ``violation``
+        (+ solver-specific keys: ``eta``/``mu_s`` elastic, ``min_w``
+        unbounded)."""
+        return list(self._results.diagnostics.get("history", []))
+
+    @property
+    def objectiveHistory(self) -> list[float]:
+        """Entropy criterion per iteration (MLlib naming convention)."""
+        return [h["criterion"] for h in self.history]
+
+    @property
+    def violationHistory(self) -> list[float]:
+        """Optimality violation per iteration."""
+        return [h["violation"] for h in self.history]
+
+    @property
+    def constraintViolations(self):
+        return self._results.constraint_violations
+
+    @property
+    def errorMessage(self) -> str:
+        return self._results.error_message
+
+
 class EntropyBalanceModel(Model, _EBParams, MLWritable, MLReadable):
     """Transformer: left-joins the fitted weight onto any DataFrame carrying
     the row-key columns (rows unseen at fit time get a null weight).
@@ -204,6 +255,25 @@ class EntropyBalanceModel(Model, _EBParams, MLWritable, MLReadable):
         super().__init__()
         self.weights = weights  # (row_id, new_weight)
         self.results = results  # full EntropyBalanceResults
+
+    @property
+    def hasSummary(self) -> bool:
+        """True when fit-time diagnostics are attached (False after
+        ``load`` — summaries are fit-time artifacts, not persisted)."""
+        return self.results is not None
+
+    @property
+    def summary(self) -> EntropyBalanceSummary:
+        """Training summary (:class:`EntropyBalanceSummary`); raises on a
+        loaded model, mirroring MLlib's ``hasSummary``/``summary``
+        convention."""
+        if self.results is None:
+            raise RuntimeError(
+                "No training summary available: this model was loaded from "
+                "disk (summaries are fit-time artifacts and are not "
+                "persisted); check model.hasSummary first"
+            )
+        return EntropyBalanceSummary(self.results)
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
         keys = self.getOrDefault(self.rowKeyCols)
