@@ -9,7 +9,8 @@ Scale design (the 100 TB lens):
   bucket-join on (band, band-signature), and only same-bucket pairs are
   candidates (expected candidate count scales with the true duplicate
   count, not N²).  The Jaccard verify step runs only on candidates.
-- **SimHash** clusters by exact 16-bit signature equality — a groupBy.
+- **SimHash** clusters by exact signature equality (default 16-bit,
+  width scalable to corpus size) — a groupBy.
 
 All hashing uses the engine-portable md5-prefix primitive
 (:func:`functions.text.portable_hash32`) so every stage is DuckDB-checkable.
@@ -429,13 +430,24 @@ def label_propagation_components(
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
-def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash per document from token-frequency-weighted bit votes.
+def simhash16(
+    df: DataFrame, id_col: str, text_col: str, *, n_bits: int = 16
+) -> DataFrame:
+    """SimHash per document from token-frequency-weighted bit votes
+    (default 16-bit — the registered query and its DuckDB oracle mirror
+    that width literally; pass ``n_bits`` up to 32 to widen).
 
     Bit b of the signature is 1 iff Σ_tokens cnt·(±1 by bit b of the token
     hash) > 0.  Near-identical documents collide exactly; clusters are a
     groupBy on the signature.  Returns ``(id, simhash)``.
+
+    Width at corpus scale: expected docs per signature bucket is
+    N / 2^n_bits, so pick ``n_bits ≈ log2(N) − log2(target bucket size)``
+    — 16 bits ≈ 65k buckets suits ~10⁶-doc corpora; a 10⁹-doc corpus
+    wants ~30 bits (the token hash is 32-bit, the natural ceiling).
     """
+    if not 1 <= n_bits <= 32:
+        raise ValueError(f"n_bits must be in [1, 32], got {n_bits}")
     th = (
         df.select(
             F.col(id_col).alias("id"),
@@ -445,7 +457,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", portable_hash32(F.col("tok")))
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+    bit = F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit")
     votes = (
         th.select("id", "h", "cnt", bit)
         .withColumn(
