@@ -342,3 +342,26 @@ def test_elastic_distributed_two_jobs_per_iteration(spark):
     t = res.n_iterations
     # init g1 + (t+1) stats + t steps + final g1
     assert n_reduces == 2 * t + 3, (n_reduces, t)
+
+
+def test_eta_growth_cannot_declare_convergence_below_max_multiplier():
+    """r3 ADVICE regression: on an iteration where the L1 price eta grows,
+    the optimality residuals were evaluated at the PRE-growth eta, so the
+    solver must not declare convergence there.  Pin the visible invariant:
+    a converged solve started from a deliberately tiny eta ends with
+    eta at or above every reported multiplier."""
+    x, w0, m = _problem(perturb=1.05)
+    res = entropy_balance(
+        mean_population_moments=m,
+        x_sample=x,
+        weights0=w0,
+        options={"bounds": (0.5, 2.0), "eta": 1e-2},
+    )
+    assert res.converged
+    hist = res.diagnostics["history"]
+    assert hist[-1]["eta"] > 1e-2  # growth actually happened
+    mult_max = max(
+        float(np.abs(res.equality_multipliers_estimate).max()),
+        float(res.moment_slack_multipliers_estimate.max()),
+    )
+    assert res.eta >= mult_max - 1e-9
