@@ -430,6 +430,48 @@ def label_propagation_components(
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination — the standard train-set hygiene pass
+    (n-gram overlap against an eval corpus, GPT-3/The-Pile style): flag
+    every training document sharing ANY word n-gram with the benchmark.
+    Returns ``(id, n_hits)`` where n_hits counts the doc's DISTINCT
+    contaminated shingles (n_hits ≥ 1 ⇒ quarantine the doc).
+
+    Scale shape: both sides reduce to distinct shingle sets; the
+    benchmark side is small by nature (eval suites are fixed, ~MBs), so
+    its gram set BROADCASTS and the corpus is touched exactly once — an
+    inner join against the broadcast set plus one groupBy, no N×M text
+    comparison anywhere.
+    """
+    doc_sh = shingle_table(docs, id_col, text_col, n)
+    bench_sh = (
+        shingle_table(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("__bid"),
+                F.col(bench_text_col).alias("__btext"),
+            ),
+            "__bid",
+            "__btext",
+            n,
+        )
+        .select("sh")
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def simhash16(
     df: DataFrame, id_col: str, text_col: str, *, n_bits: int = 16
 ) -> DataFrame:

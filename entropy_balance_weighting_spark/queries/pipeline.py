@@ -181,6 +181,90 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_decontaminate",
+    survey="ext:dedup-decontaminate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+), bench AS (
+  SELECT DISTINCT sh FROM shingles WHERE doc_id < 20
+)
+SELECT s.doc_id, count(*) AS n_hits
+FROM shingles s JOIN bench b ON b.sh = s.sh
+WHERE s.doc_id >= 20
+GROUP BY s.doc_id ORDER BY s.doc_id
+""",
+)
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (train-set hygiene): training docs
+    (doc_id ≥ 20) sharing any 3-gram with the held-out 'benchmark' slice
+    (doc_id < 20) are flagged with their contaminated-shingle count.
+    The benchmark gram set broadcasts — the corpus is scanned once
+    (:func:`functions.dedup.decontaminate`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = dedup.decontaminate(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+    )
+    return hits.select(F.col("id").alias("doc_id"), "n_hits").orderBy("doc_id")
+
+
+@register(
+    "txt_repetition",
+    survey="ext:text-repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), g AS (
+  SELECT doc_id,
+         [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          FOR i IN range(1, len(t) - 1)] AS grams
+  FROM toks
+)
+SELECT doc_id, len(grams) AS n_grams,
+       round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 4)
+         AS repetition
+FROM g ORDER BY doc_id
+""",
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio — the classic boilerplate/spam
+    quality signal (fraction of a doc's 3-grams that are repeats):
+    1 − distinct/total over the gram multiset.  Pure JVM array
+    expressions (``transform``/``array_distinct``), zero shuffle, zero
+    Python — the per-row quality-stats shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 3)
+    t = F.col("t")
+    idx = F.sequence(F.lit(0), F.size(t) - 3)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(3)]
+        ),
+    )
+    return (
+        toks.select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.round(
+                1.0
+                - F.size(F.array_distinct("grams"))
+                / F.size("grams").cast("double"),
+                4,
+            ).alias("repetition"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "txt_fingerprint_dups",
     survey="ext:text-fingerprint",
     oracle="""

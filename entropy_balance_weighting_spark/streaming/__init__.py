@@ -2,8 +2,11 @@
 over micro-batches (SURVEY §7.5 — extension surface; the reference is
 strictly batch, §2.12)."""
 
+from entropy_balance_weighting_spark.streaming.dedup import (
+    streaming_exact_dedup,
+)
 from entropy_balance_weighting_spark.streaming.incremental import (
     IncrementalReweighter,
 )
 
-__all__ = ["IncrementalReweighter"]
+__all__ = ["IncrementalReweighter", "streaming_exact_dedup"]
