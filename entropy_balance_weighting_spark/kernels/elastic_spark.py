@@ -276,12 +276,25 @@ class ElasticSparkKernel:
             )
         else:
             df = df.withColumn("s_hi", F.lit(1.0)).withColumn("lm_hi", F.lit(0.0))
-        bad = df.filter(
-            (F.col("s_lo") <= 0) | (F.lit(has_ub) & (F.col("s_hi") <= 0))
-        ).count()
-        if bad:
-            raise ValueError("bounds must strictly contain the initial ratio guess")
-        df = df.localCheckpoint(eager=True)
+        # bounds validation fused into the checkpoint materialization (one
+        # scan instead of a separate count job): assert_true evaluates per
+        # row while the eager checkpoint writes the cache
+        df = df.withColumn(
+            "__chk",
+            F.assert_true(
+                (F.col("s_lo") > 0) & (~F.lit(has_ub) | (F.col("s_hi") > 0)),
+                F.lit("bounds must strictly contain the initial ratio guess"),
+            ),
+        )
+        try:
+            df = df.localCheckpoint(eager=True)
+        except Exception as exc:
+            if "bounds must strictly contain" in str(exc):
+                raise ValueError(
+                    "bounds must strictly contain the initial ratio guess"
+                ) from None
+            raise
+        df = df.drop("__chk")
         from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
 
         bs = BlockStructure.from_groups(moment_groups) if moment_groups else None

@@ -336,14 +336,28 @@ class PenaltySparkKernel:
                 df = df.withColumn("s_hi", F.lit(1.0)).withColumn(
                     "lm_hi", F.lit(0.0)
                 )
-            bad = df.filter(
-                (F.col("s_lo") <= 0) | (F.lit(has_ub) & (F.col("s_hi") <= 0))
-            ).count()
-            if bad:
+            # fused into the checkpoint materialization — no separate
+            # count job (same pattern as ElasticSparkKernel.from_problem)
+            df = df.withColumn(
+                "__chk",
+                F.assert_true(
+                    (F.col("s_lo") > 0)
+                    & (~F.lit(has_ub) | (F.col("s_hi") > 0)),
+                    F.lit(
+                        "bounds must strictly contain the initial ratio guess"
+                    ),
+                ),
+            )
+        try:
+            df = df.localCheckpoint(eager=True)
+        except Exception as exc:
+            if "bounds must strictly contain" in str(exc):
                 raise ValueError(
                     "bounds must strictly contain the initial ratio guess"
-                )
-        df = df.localCheckpoint(eager=True)
+                ) from None
+            raise
+        if bounded:
+            df = df.drop("__chk")
         from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
 
         bs = BlockStructure.from_groups(moment_groups) if moment_groups else None

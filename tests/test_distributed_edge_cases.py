@@ -160,3 +160,32 @@ def test_estimator_raises_on_nonconvergence(spark):
     ).setTargets(bad_targets)
     with pytest.raises(RuntimeError, match="did not converge"):
         est.fit(df)
+
+
+def test_distributed_bounds_must_contain_guess(spark):
+    """Bounded kernels validate the initial ratio guess against the bounds
+    during the checkpoint materialization (fused — no separate count job);
+    a guess outside the bounds must still surface as ValueError."""
+    import pandas as pd
+
+    n = 50
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "w": np.linspace(0.5, 2.0, n),
+            "x0": np.linspace(0.0, 1.0, n),
+        }
+    )
+    spec = MomentSpec(weight_col="w", numeric=("x0",), row_key=("rid",))
+    pt = build_problem_tables(spark.createDataFrame(pdf), spec)
+    guess = pt.w0.select("row_id", F.lit(3.0).alias("ratio"))  # outside ub
+    with pytest.raises(ValueError, match="strictly contain"):
+        entropy_balance(
+            mean_population_moments=np.array([0.55]),
+            x_sample=pt,
+            options={
+                "force_distributed": True,
+                "bounds": (0.5, 2.0),
+                "initial_ratio_guess": guess,
+            },
+        )

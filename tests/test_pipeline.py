@@ -240,6 +240,21 @@ def test_bucketed_near_dups_plan_has_no_theta_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """100 TB shape: the benchmark gram set must broadcast — the corpus
+    side is never shuffled for the overlap join."""
+    from entropy_balance_weighting_spark.functions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = decontaminate(
+        docs.filter("doc_id >= 20"), docs.filter("doc_id < 20")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_resize_and_frame_sample_contracts(spark):
     """Resize: every output payload is exactly width*height bytes.  Frame
     sampling: fan-out matches the deterministic expectation computed in
