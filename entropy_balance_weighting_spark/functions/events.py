@@ -8,7 +8,7 @@ Batch renderings here; the same expressions run under Structured Streaming
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -87,6 +87,61 @@ def session_window_agg(
     return sess.groupBy(by).agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n").alias("n_events"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the ``right_cols`` of
+    the latest right row with the same ``on`` key and ``right.ts <= left.ts``
+    (ties match).  Left rows with no prior right row get nulls.
+
+    Implemented as the distributed piecewise merge, not an inequality
+    join: tag both sides, union, and carry the right columns forward with
+    ``last(..., ignorenulls=True)`` over ``(key, ts, side)`` order.  One
+    shuffle on the key and a within-partition sort — the same cost as a
+    groupBy, versus the broadcast-nested-loop plan Spark would pick for a
+    raw ``l.ts >= r.ts`` join predicate.  At 100 TB this partitions by key
+    like any keyed agg; a single hot key is the same skew story as
+    sessionization (salt by coarse time range, merge boundaries).
+
+    Right rows must be unique per ``(on, ts_col)`` — pre-aggregate ties
+    (e.g. ``max(value)``) so the carried value is deterministic.
+    """
+    r_tagged = right.select(
+        F.col(on),
+        F.col(ts_col),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.lit(0).alias("_side"),
+    )
+    l_tagged = left.withColumn("_side", F.lit(1))
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+        for c in right_cols
+    ]
+    carried_ts = (
+        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True)
+        .over(w)
+        .alias(f"{prefix}{ts_col}")
+    )
+    out_cols = [c for c in l_tagged.columns if c != "_side" and not c.startswith(prefix)]
+    return (
+        u.select(*out_cols, F.col("_side"), *carried, carried_ts)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
     )
 
 

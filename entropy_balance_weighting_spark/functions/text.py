@@ -62,6 +62,16 @@ def quality_score(text: Column | str) -> Column:
     return 0.4 * s1 + 0.3 * s2 + 0.3 * s3
 
 
+def blocklist_hits(text: Column | str, terms: tuple[str, ...]) -> Column:
+    """Count of tokens matching a content-policy blocklist — the fast
+    first gate of corpus filtering (policy/safety term screens).  A small
+    list inlines as an array literal (pure codegen, zero shuffle); a
+    corpus-scale list would broadcast-join on the exploded token instead —
+    same zero-shuffle fact-side plan."""
+    bl = F.array([F.lit(t) for t in terms])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(bl, t)))
+
+
 def langid_en_score(text: Column | str) -> Column:
     """Language-ID heuristic: stopword hit-rate thresholded at 2%.
     (The synthetic corpus is english; real corpora would use per-language

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entropy_balance_weighting_spark.functions import dedup, events, similarity
-from entropy_balance_weighting_spark.functions import multimodal, sampling, text
+from entropy_balance_weighting_spark.functions import multimodal, packing, sampling, text
 from entropy_balance_weighting_spark.queries.registry import register
 from entropy_balance_weighting_spark.session import load_table
 
@@ -917,6 +917,166 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "samp_shuffle_order",
+    survey="ext:sampling-shuffle",
+    oracle="""
+SELECT doc_id,
+       ('0x'||substr(md5('ep0'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+         AS shuffle_key
+FROM documents ORDER BY shuffle_key, doc_id LIMIT 20
+""",
+)
+def samp_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: order by the portable
+    hash of (epoch-salt, doc_id).  Reproducible across runs/engines (same
+    seed → same order), re-seedable per epoch by changing the salt, and
+    scalable — Spark executes orderBy+limit as a distributed top-k
+    (TakeOrderedAndProject), and a full-epoch write would be
+    ``df.repartitionByRange(shuffle_key).sortWithinPartitions`` (range
+    sort, no single-partition window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = text.portable_hash32(
+        F.concat(F.lit("ep0"), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "txt_blocklist_filter",
+    survey="ext:text-policy",
+    oracle="""
+WITH d AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('slow', 'error'))) AS hits
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN hits * 1.0 / n_tok > 0.05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked,
+       CAST(sum(hits) AS BIGINT) AS total_hits,
+       round(avg(hits * 1.0 / n_tok), 4) AS avg_hit_ratio
+FROM d GROUP BY source ORDER BY source
+""",
+)
+def txt_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-policy screening: per-source count of documents whose
+    blocklist-token density exceeds 5% (:func:`functions.text.
+    blocklist_hits`) — a pure-projection gate, the filter itself is
+    zero-shuffle and pushes to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = text.blocklist_hits("text", ("slow", "error"))
+    ratio = hits.cast("double") / text.token_count("text")
+    per_doc = docs.select(
+        "source",
+        hits.alias("hits"),
+        ratio.alias("hit_ratio"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("hit_ratio") > 0.05).cast("long")).alias("n_blocked"),
+            F.sum("hits").cast("long").alias("total_hits"),
+            F.round(F.avg("hit_ratio"), 4).alias("avg_hit_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_seq_packing",
+    survey="ext:packing",
+    bench=True,
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         ('0x'||substr(md5('pk'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 8
+           AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT shard, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS context_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS context_tokens
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def txt_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-context packing: deterministic hash-sharding + sequential
+    fill of 512-token contexts (:func:`functions.packing.pack_sequences`).
+    One shuffle (hash by shard) + within-shard window cumsum — no global
+    sort; the oracle replays the identical shard hash and tape layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = packing.pack_sequences(
+        docs, budget=512, n_shards=8, salt="pk"
+    )
+    return (
+        packed.groupBy("shard", "context_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("context_tokens"),
+        )
+        .orderBy("shard", "context_id")
+    )
+
+
+@register(
+    "ev_asof_join",
+    survey="ext:events-asof",
+    bench=True,
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       round(p.value, 4) AS purchase_value,
+       coalesce(round(v.value, 4), -1.0) AS last_view_value,
+       CAST(coalesce(epoch_us(v.ts), -1) AS BIGINT) AS last_view_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+""",
+)
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the latest prior view
+    by the same user (ties match).  The Spark side is the distributed
+    piecewise merge (:func:`functions.events.asof_join` — union + keyed
+    window carry-forward, ONE shuffle, no inequality-join nested loop);
+    the oracle is DuckDB's native ``ASOF LEFT JOIN``.  The matched view
+    timestamp is surfaced as exact epoch microseconds (BIGINT) so the
+    hash comparison is integer-precise; no-match rows carry -1 sentinels
+    (a nullable BIGINT would decay to float64 through the driver's pandas
+    fetch and lose microsecond precision)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = events.asof_join(purchases, views, on="user_id", ts_col="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.coalesce(F.round("asof_value", 4), F.lit(-1.0)).alias("last_view_value"),
+        F.coalesce(
+            F.unix_micros(F.col("asof_ts").cast("timestamp")), F.lit(-1).cast("long")
+        ).alias("last_view_us"),
+    ).orderBy("event_id")
 
 
 def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -324,3 +324,64 @@ def test_ngram_jaccard_skew_defense_keeps_values_exact(spark):
     assert set(tight) <= set(exact)
     for k, v in tight.items():
         assert v == exact[k]
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """Piecewise-merge as-of join: ties match, no-match rows null, latest
+    prior row wins; the physical plan must be window-based (one hash
+    exchange on the key), never an inequality nested-loop join."""
+    from datetime import datetime
+
+    from entropy_balance_weighting_spark.functions.events import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(5), "l5"), (1, t(10), "l10"), (1, t(2), "l2"), (2, t(7), "l7")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(3), 30.0), (1, t(5), 50.0), (1, t(9), 90.0), (3, t(1), 10.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["tag"]: r["asof_value"]
+        for r in asof_join(left, right, on="user_id", ts_col="ts").collect()
+    }
+    assert out == {
+        "l2": None,  # no right row at or before t=2 for user 1
+        "l5": 50.0,  # tie at t=5 matches (backward as-of, ties included)
+        "l10": 90.0,  # latest prior, not just any prior
+        "l7": None,  # user 2 has no right rows at all
+    }
+
+    plan = (
+        asof_join(left, right, on="user_id", ts_col="ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
+
+
+def test_pack_sequences_straddle_semantics(spark):
+    """A doc whose tokens straddle a budget boundary belongs to the
+    context where its FIRST token lands; packing is a pure function of
+    (salt, ids, texts) — stable under repartitioning."""
+    from entropy_balance_weighting_spark.functions.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 30)) for i in range(6)],  # 30 tokens each
+        "doc_id long, text string",
+    )
+    out = pack_sequences(
+        docs, budget=64, n_shards=1, salt="t"
+    ).orderBy("doc_id")
+    rows = [(r["cum_tokens"], r["context_id"]) for r in out.collect()]
+    # offsets 0,30,60,90,120,150 → contexts 0,0,0,1,1,2 with budget 64
+    assert rows == [(30, 0), (60, 0), (90, 0), (120, 1), (150, 1), (180, 2)]
+
+    repart = pack_sequences(
+        docs.repartition(5), budget=64, n_shards=1, salt="t"
+    ).orderBy("doc_id")
+    assert [(r["cum_tokens"], r["context_id"]) for r in repart.collect()] == rows
