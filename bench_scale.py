@@ -17,8 +17,8 @@ iterations for all three solvers.
 Environment:
 - ``SPARK_GRAFT_SCALE_N``        rows (default 2_000_000)
 - ``SPARK_GRAFT_SCALE_K``        moments (default 8)
-- ``SPARK_GRAFT_SCALE_SOLVERS``  comma list of newton,elastic,penalty
-                                 (default all three)
+- ``SPARK_GRAFT_SCALE_SOLVERS``  comma list of newton,elastic,penalty,
+                                 pipeline (default: all)
 - ``SPARK_GRAFT_CPUS``           local parallelism (session default)
 
 Prints ONE JSON line:
@@ -58,7 +58,7 @@ def main() -> None:
     solvers = [
         s.strip()
         for s in os.environ.get(
-            "SPARK_GRAFT_SCALE_SOLVERS", "newton,elastic,penalty"
+            "SPARK_GRAFT_SCALE_SOLVERS", "newton,elastic,penalty,pipeline"
         ).split(",")
         if s.strip()
     ]
@@ -95,6 +95,8 @@ def main() -> None:
         _bench_elastic(base, k, n, timings, throughput)
     if "penalty" in solvers:
         _bench_penalty(base, k, n, timings, throughput)
+    if "pipeline" in solvers:
+        _bench_pipeline(spark, n, n_parts, timings, throughput)
 
     print(
         json.dumps(
@@ -111,6 +113,73 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _bench_pipeline(spark, n, n_parts, timings, throughput) -> None:
+    """Extension-surface throughput at N: synthetic documents/events are
+    generated inside Spark (hash-derived words/timestamps — no parquet,
+    no driver data), then each operator family is timed as rows/sec so
+    the 100×-scale claim for the pipeline surface is measured, not
+    asserted.  Timed scans end in a K-sized aggregate — the collect cost
+    is constant, the scan dominates."""
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.functions import dedup, packing, text
+    from entropy_balance_weighting_spark.functions.events import asof_join
+
+    # documents-shaped: ~40 hash-derived words/doc from a 64-word vocab
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda j: F.concat(F.lit("w"), F.pmod(F.hash("id", j), F.lit(64))),
+    )
+    docs = spark.range(0, n, 1, n_parts).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+
+    def t_quality():
+        text.annotate_token_stats(docs).agg(
+            F.sum("n_tok"), F.avg("q"), F.sum("is_en")
+        ).collect()
+
+    def t_pack():
+        packing.pack_sequences(docs, budget=512, n_shards=max(8, n_parts)).groupBy(
+            "shard"
+        ).agg(F.count(F.lit(1)), F.max("cum_tokens")).collect()
+
+    def t_minhash():
+        sh = dedup.shingle_table(docs, "doc_id", "text")
+        dedup.minhash_signatures(sh).agg(F.count(F.lit(1))).collect()
+
+    # events-shaped: n/64 users, hash-jittered timestamps over ~n seconds
+    ev = spark.range(0, n, 1, n_parts).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.hash("id"), F.lit(max(n // 64, 1))).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("id") % n + F.pmod(F.hash("id", F.lit(7)), F.lit(60))
+        ).alias("ts"),
+        (F.pmod(F.hash("id", F.lit(3)), F.lit(1000)) / 10.0).alias("value"),
+    )
+
+    def t_asof():
+        left = ev.filter(F.col("event_id") % 2 == 0)
+        right = (
+            ev.filter(F.col("event_id") % 2 == 1)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("value"))
+        )
+        asof_join(left, right).agg(
+            F.count(F.lit(1)), F.sum("asof_value")
+        ).collect()
+
+    for name, fn in [
+        ("pipe_quality_scan", t_quality),
+        ("pipe_pack", t_pack),
+        ("pipe_minhash_sigs", t_minhash),
+        ("pipe_asof_join", t_asof),
+    ]:
+        t = _min3(fn)
+        timings[name] = round(t, 4)
+        throughput[name.removeprefix("pipe_")] = round(n / t, 1)
 
 
 def _bench_newton(base, k, n, timings, throughput) -> None:

@@ -115,7 +115,9 @@ def asof_join(
     Right rows must be unique per ``(on, ts_col)`` — pre-aggregate ties
     (e.g. ``max(value)``) so the carried value is deterministic.
     """
-    r_tagged = right.select(
+    # null right timestamps can never be "the latest prior row" (they'd
+    # sort first and shadow nothing) — drop them, matching ASOF JOIN
+    r_tagged = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(on),
         F.col(ts_col),
         *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],

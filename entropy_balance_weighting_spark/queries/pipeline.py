@@ -182,6 +182,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd_decontaminate",
+    bench=True,
     survey="ext:dedup-decontaminate",
     oracle="""
 WITH toks AS (
@@ -213,6 +214,7 @@ def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txt_repetition",
+    bench=True,
     survey="ext:text-repetition",
     oracle="""
 WITH toks AS (
@@ -484,6 +486,7 @@ def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "samp_stratified",
+    bench=True,
     survey="ext:sampling-stratified",
     oracle="""
 WITH s AS (
@@ -624,6 +627,7 @@ def txt_len_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_quantize_int8",
+    bench=True,
     survey="ext:embedding-quantize",
     oracle="""
 WITH e AS (

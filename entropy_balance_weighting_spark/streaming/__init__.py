@@ -2,6 +2,9 @@
 over micro-batches (SURVEY §7.5 — extension surface; the reference is
 strictly batch, §2.12)."""
 
+from entropy_balance_weighting_spark.streaming.asof import (
+    streaming_asof_join,
+)
 from entropy_balance_weighting_spark.streaming.dedup import (
     streaming_exact_dedup,
 )
@@ -9,4 +12,4 @@ from entropy_balance_weighting_spark.streaming.incremental import (
     IncrementalReweighter,
 )
 
-__all__ = ["IncrementalReweighter", "streaming_exact_dedup"]
+__all__ = ["IncrementalReweighter", "streaming_asof_join", "streaming_exact_dedup"]
