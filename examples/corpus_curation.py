@@ -1,0 +1,106 @@
+"""End-to-end training-corpus curation example — the LLM-data-pipeline
+surface chained the way a production run would chain it.
+
+Run:  python examples/corpus_curation.py [sf_dir]
+
+Stages (each one scan/shuffle-shaped for 100 TB, see PLANS.md):
+
+1. quality gate: token/stopword/quality-score columns, pure projection;
+2. content-policy gate: blocklist-density screen, pure projection;
+3. exact dedup: keep one doc per normalized text (hash groupBy);
+4. near-dup removal: MinHash+LSH pairs → connected components → keep
+   cluster representatives;
+5. benchmark decontamination: n-gram overlap against a held-out slice;
+6. training layout: deterministic shard + fixed-budget context packing,
+   then a per-epoch shuffle key.
+
+Returns the funnel counts per stage plus the packed-context stats.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.functions import dedup, packing, text
+from entropy_balance_weighting_spark.session import get_spark, load_table
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
+    """Run the curation funnel; pass an existing SparkSession to reuse it
+    (the CI test does), else one is created and stopped here."""
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app_name="corpus_curation_example")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. quality gate — all pure column expressions, zero shuffle
+    scored = text.annotate_token_stats(docs)
+    kept_q = scored.filter((F.col("n_tok") >= 10) & (F.col("q") > 0.3))
+    n_quality = kept_q.count()
+
+    # 2. content-policy gate — blocklist density < 20%
+    hits = text.blocklist_hits("text", ("slow", "error"))
+    kept_p = kept_q.filter(hits / F.col("n_tok") < 0.2)
+    n_policy = kept_p.count()
+
+    # 3. exact dedup — first doc_id per normalized text
+    canon = (
+        kept_p.groupBy(F.lower(F.trim(F.col("text"))).alias("norm"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = kept_p.join(canon, "doc_id")
+    n_exact = deduped.count()
+
+    # 4. near-dup removal — LSH pairs, star components, keep min-id reps
+    pairs = dedup.verified_near_dups(deduped, "doc_id", "text", threshold=0.8)
+    cc = dedup.connected_components(pairs)
+    drop = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    near_deduped = deduped.join(drop, "doc_id", "left_anti")
+    n_near = near_deduped.count()
+
+    # 5. decontamination — drop training docs sharing any 3-gram with the
+    #    held-out benchmark slice (doc_id < 20 stands in for the bench set)
+    bench = docs.filter(F.col("doc_id") < 20)
+    contaminated = dedup.decontaminate(
+        near_deduped, bench, id_col="doc_id", text_col="text"
+    ).select(F.col("id").alias("doc_id"))
+    clean = near_deduped.join(contaminated, "doc_id", "left_anti")
+    n_clean = clean.count()
+
+    # 6. training layout — shard + pack + epoch shuffle key
+    packed = packing.pack_sequences(clean, budget=512, n_shards=8, salt="ep0")
+    ctx = packed.groupBy("shard", "context_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("context_tokens"),
+    )
+    n_contexts = ctx.count()
+    fill = ctx.agg(F.avg("context_tokens")).first()[0]
+
+    out = {
+        "n_raw": n_raw,
+        "n_quality": n_quality,
+        "n_policy": n_policy,
+        "n_exact_dedup": n_exact,
+        "n_near_dedup": n_near,
+        "n_decontaminated": n_clean,
+        "n_contexts": n_contexts,
+        "avg_context_tokens": float(fill),
+    }
+    print(out)
+    if owns_session:
+        spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

@@ -26,3 +26,23 @@ def test_survey_reweighting_example_end_to_end(spark):
     # reweighting preserved every row and correlates with the start weights
     assert out["n_reweighted"] == out["n"]
     assert 0.0 < out["weight_corr"] <= 1.0 + 1e-9
+
+
+def test_corpus_curation_example_end_to_end(spark):
+    from examples.corpus_curation import main as curation_main
+
+    out = curation_main(SF_DIR, spark=spark)
+    # the funnel only narrows
+    assert (
+        out["n_raw"]
+        >= out["n_quality"]
+        >= out["n_policy"]
+        >= out["n_exact_dedup"]
+        >= out["n_near_dedup"]
+        >= out["n_decontaminated"]
+    )
+    # decontamination against a slice of the corpus itself must drop the
+    # overlapping docs but not empty the corpus
+    assert 0 < out["n_decontaminated"] < out["n_raw"]
+    assert out["n_contexts"] > 0
+    assert out["avg_context_tokens"] > 0
