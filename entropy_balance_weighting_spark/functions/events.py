@@ -147,6 +147,99 @@ def asof_join(
     )
 
 
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Skew-hardened :func:`asof_join`: identical semantics, but the keyed
+    window is salted by coarse time bucket so a single hot key never
+    serializes into one task's sort.
+
+    Two passes over the same union:
+
+    1. **local carry** — the window partitions by ``(key, bucket)`` where
+       ``bucket = floor(epoch(ts)/bucket_seconds)``; per-task work is
+       bounded by the bucket width regardless of key skew;
+    2. **boundary fix** — a per-``(key, bucket)`` summary (one row per
+       bucket the key touches, conditional ``max_by`` over right rows)
+       gets the state *entering* each bucket via a tiny second window
+       over buckets, and joins back on ``(key, bucket)``; a row whose
+       bucket has no prior right row coalesces to the entering state.
+
+    Cost: the same union scan, one extra small-aggregate shuffle (rows =
+    keys × touched buckets, ≪ N), and one co-keyed join.  Equal
+    timestamps always share a bucket, so tie semantics are unchanged —
+    pinned by an equivalence test against the unsalted operator.
+    """
+    r_tagged = right.filter(F.col(ts_col).isNotNull()).select(
+        F.col(on),
+        F.col(ts_col),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.lit(0).alias("_side"),
+    )
+    l_tagged = left.withColumn("_side", F.lit(1))
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True).withColumn(
+        "_bkt",
+        F.floor(
+            F.col(ts_col).cast("timestamp").cast("double") / F.lit(bucket_seconds)
+        ),
+    )
+
+    pcols = [f"{prefix}{c}" for c in right_cols]
+    w_local = (
+        Window.partitionBy(on, "_bkt")
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = [
+        F.last(F.col(pc), ignorenulls=True).over(w_local).alias(f"_loc_{pc}")
+        for pc in pcols
+    ]
+    local_ts = (
+        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True)
+        .over(w_local)
+        .alias("_loc_ts")
+    )
+
+    is_r = F.col("_side") == 0
+    summary = u.groupBy(on, "_bkt").agg(
+        F.max_by(
+            F.when(is_r, F.struct(F.col(ts_col).alias("ts"), *pcols)),
+            F.when(is_r, F.col(ts_col)),
+        ).alias("_b_last")
+    )
+    w_enter = (
+        Window.partitionBy(on)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    entering = summary.select(
+        F.col(on),
+        "_bkt",
+        F.last("_b_last", ignorenulls=True).over(w_enter).alias("_enter"),
+    )
+
+    out_cols = [c for c in l_tagged.columns if c != "_side" and not c.startswith(prefix)]
+    carried = u.select(*out_cols, "_side", "_bkt", *local, local_ts).filter(
+        F.col("_side") == 1
+    )
+    joined = carried.join(entering, [on, "_bkt"], "left")
+    final = [
+        F.coalesce(F.col(f"_loc_{pc}"), F.col(f"_enter.{pc}")).alias(pc)
+        for pc in pcols
+    ]
+    final_ts = F.coalesce(F.col("_loc_ts"), F.col("_enter.ts")).alias(
+        f"{prefix}{ts_col}"
+    )
+    return joined.select(*out_cols, *final, final_ts)
+
+
 def json_prop_int(events: DataFrame, prop: str, *, props_col: str = "props") -> DataFrame:
     """Extract an integer property from the JSON ``props`` column.
 

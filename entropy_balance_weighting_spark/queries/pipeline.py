@@ -1083,6 +1083,49 @@ def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@register(
+    "ev_asof_join_salted",
+    survey="ext:events-asof",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       round(p.value, 4) AS purchase_value,
+       coalesce(round(v.value, 4), -1.0) AS last_view_value,
+       CAST(coalesce(epoch_us(v.ts), -1) AS BIGINT) AS last_view_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+""",
+)
+def ev_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened as-of join (:func:`functions.events.
+    asof_join_salted` — time-bucket-salted local carry + per-bucket
+    boundary fix) against the SAME ASOF JOIN oracle as ``ev_asof_join``:
+    both renderings of one operator must reproduce DuckDB exactly.  The
+    1-hour salt here exercises many cross-bucket carries on this data."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = events.asof_join_salted(
+        purchases, views, on="user_id", ts_col="ts", bucket_seconds=3600
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.coalesce(F.round("asof_value", 4), F.lit(-1.0)).alias("last_view_value"),
+        F.coalesce(
+            F.unix_micros(F.col("asof_ts").cast("timestamp")), F.lit(-1).cast("long")
+        ).alias("last_view_us"),
+    ).orderBy("event_id")
+
+
 def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.text_as_binary(docs).select("doc_id", "payload", "source")

@@ -385,3 +385,95 @@ def test_pack_sequences_straddle_semantics(spark):
         docs.repartition(5), budget=64, n_shards=1, salt="t"
     ).orderBy("doc_id")
     assert [(r["cum_tokens"], r["context_id"]) for r in repart.collect()] == rows
+
+
+def test_asof_join_salted_equals_unsalted(spark):
+    """The skew-salted two-pass as-of join must reproduce the unsalted
+    operator exactly — including carries across empty buckets, ties at
+    bucket boundaries, and keys with no right rows at all."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.functions.events import (
+        asof_join,
+        asof_join_salted,
+    )
+
+    rng = random.Random(7)
+    t0 = datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    eid = 0
+    for _ in range(400):
+        user = rng.randrange(5)
+        # seconds chosen so rows cluster then gap across many 60 s buckets
+        ts = t0 + timedelta(seconds=rng.randrange(4000))
+        if rng.random() < 0.3:
+            rrows.append((user, ts, float(rng.randrange(100))))
+        else:
+            lrows.append((eid, user, ts))
+            eid += 1
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = (
+        spark.createDataFrame(rrows, "user_id long, ts timestamp, value double")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+
+    base = {
+        r["event_id"]: (r["asof_value"], r["asof_ts"])
+        for r in asof_join(left, right, on="user_id", ts_col="ts").collect()
+    }
+    salted = {
+        r["event_id"]: (r["asof_value"], r["asof_ts"])
+        for r in asof_join_salted(
+            left, right, on="user_id", ts_col="ts", bucket_seconds=60
+        ).collect()
+    }
+    assert salted == base and len(base) == len(lrows)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized third-oracle check: the distributed piecewise merge must
+    agree with pandas.merge_asof (backward, exact matches allowed) —
+    an implementation with no shared code or engine."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.events import asof_join
+
+    rng = random.Random(11)
+    t0 = datetime(2024, 1, 1)
+    lrows = [
+        (i, rng.randrange(4), t0 + timedelta(seconds=rng.randrange(2000)))
+        for i in range(150)
+    ]
+    seen = set()
+    rrows = []
+    for _ in range(120):
+        key = (rng.randrange(4), rng.randrange(2000))
+        if key in seen:
+            continue  # unique (user, ts) per the operator contract
+        seen.add(key)
+        rrows.append((key[0], t0 + timedelta(seconds=key[1]), float(rng.randrange(50))))
+
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "user_id long, ts timestamp, value double")
+    got = {
+        r["event_id"]: (r["asof_value"], r["asof_ts"])
+        for r in asof_join(left, right, on="user_id", ts_col="ts").collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["user_id", "ts", "value"]).sort_values("ts")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True, suffixes=("", "_r"),
+    )
+    for row in merged.itertuples(index=False):
+        want_val = None if pd.isna(row.value) else float(row.value)
+        assert got[row.event_id][0] == want_val, row
+    assert len(got) == len(lrows)
