@@ -472,6 +472,68 @@ def decontaminate(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS within hamming distance
+    ``max_hamming`` — tolerance the exact-signature clustering
+    (:func:`simhash16` + groupBy) cannot express.
+
+    Candidates come from banding: the ``n_bits`` signature splits into
+    ``n_bands`` equal bands and a pair is a candidate iff some band is
+    bit-identical.  Pigeonhole guarantees completeness for
+    ``max_hamming <= n_bands - 1``: fewer differing bits than bands
+    means at least one band untouched.  Candidates verify by exact
+    ``bit_count(xor)`` — so the result is EXACT for the allowed radius,
+    never all-pairs (the DuckDB oracle of the registered query IS the
+    all-pairs hamming join, which independently re-proves completeness).
+
+    Scale shape: same banded bucket-join as MinHash-LSH — signature
+    table is N rows, band table n_bands·N, the join hits only bucket
+    collisions.  A pathological corpus where everything shares a band
+    degrades toward all-pairs; band width (``n_bits/n_bands``) is the
+    selectivity knob, and :func:`simhash16`'s width guidance applies.
+    """
+    if not 1 <= max_hamming <= n_bands - 1:
+        raise ValueError(
+            f"banding is complete only for max_hamming in [1, {n_bands - 1}]"
+        )
+    if n_bits % n_bands != 0:
+        raise ValueError("n_bits must divide evenly into n_bands")
+    bits_per = n_bits // n_bands
+    mask = (1 << bits_per) - 1
+
+    sig = simhash16(df, id_col, text_col, n_bits=n_bits)
+    band = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    banded = sig.select("id", "simhash", band).withColumn(
+        "bval",
+        F.expr(f"shiftright(simhash, band * {bits_per})").bitwiseAND(F.lit(mask)),
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bval"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bval"
+    )
+    cands = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.expr("bit_count(sig_a ^ sig_b)").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash16(
     df: DataFrame, id_col: str, text_col: str, *, n_bits: int = 16
 ) -> DataFrame:

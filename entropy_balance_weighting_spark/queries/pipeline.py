@@ -346,6 +346,48 @@ def dd_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_simhash_near_dups",
+    survey="ext:dedup-simhash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, tok, ('0x'||substr(md5(tok),1,8))::BIGINT AS h,
+         count(*) AS cnt
+  FROM toks GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (h >> b.i::INT) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM th, unnest(range(0,16)) AS b(i) GROUP BY doc_id, b.i
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY id_a, id_b
+""",
+)
+def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming radius 2 via banded buckets
+    + exact bit_count verify (:func:`functions.dedup.
+    simhash_near_dup_pairs`).  The oracle is the ALL-PAIRS hamming join —
+    small-scale-only, but it independently re-proves the pigeonhole
+    completeness of the banding (4 bands cover any radius ≤ 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", n_bits=16, n_bands=4, max_hamming=2
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "sim_cosine_topk",
     survey="ext:similarity-topk",
     bench=True,

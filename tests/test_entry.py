@@ -18,3 +18,13 @@ def test_queries_and_oracles_aligned():
     assert len(qs) >= 1
     # every oracle key must have a query
     assert set(oracles).issubset(set(qs))
+
+
+def test_queries_md_index_is_current():
+    """QUERIES.md must match the live registry (regenerate with
+    `python -m entropy_balance_weighting_spark.queries.index`)."""
+    from pathlib import Path
+
+    from entropy_balance_weighting_spark.queries.index import render
+
+    assert Path("/root/repo/QUERIES.md").read_text() == render()
