@@ -966,6 +966,100 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_label_centroids",
+    survey="ext:similarity-centroids",
+    oracle="""
+SELECT label, CAST(d.i AS BIGINT) AS dim,
+       round(avg(CAST(embedding[d.i + 1] AS DOUBLE)), 4) + 0.0 AS centroid
+FROM embeddings, unnest(range(0, 64)) AS d(i)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the vector-mean primitive behind
+    IVF quantizers and class prototypes), long form (label, dim).  The
+    explode is shuffle-safe at scale: partial aggregation collapses each
+    map task to labels×dims partial sums BEFORE the exchange, so shuffle
+    volume is |labels|·dims·partitions, independent of N."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias(
+                "centroid"  # +0.0 folds IEEE -0.0 to +0.0, same as the oracle
+            )
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@register(
+    "txt_source_lang_rollup",
+    survey="ext:olap-rollup",
+    oracle="""
+SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM documents GROUP BY ROLLUP (source, lang)
+ORDER BY source, lang
+""",
+)
+def txt_source_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical corpus stats via ROLLUP grouping sets — per
+    (source, lang), per source, and grand total in ONE pass (Spark
+    expands the grouping sets inside the aggregate; no self-union of
+    scans).  Null grouping keys render as 'ALL' on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "chars_sum",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "ev_type_pivot",
+    survey="ext:olap-pivot",
+    oracle="""
+SELECT user_id,
+       round(coalesce(sum(CASE WHEN event_type='click' THEN value END), 0), 4)
+         AS click_sum,
+       round(coalesce(sum(CASE WHEN event_type='purchase' THEN value END), 0), 4)
+         AS purchase_sum,
+       round(coalesce(sum(CASE WHEN event_type='view' THEN value END), 0), 4)
+         AS view_sum
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def ev_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-user value totals with one column per event
+    type.  The pivot values are DECLARED (not discovered), so the plan
+    is a single groupBy with conditional aggregates — no first pass to
+    enumerate keys, no schema surprise at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "user_id",
+        F.round(F.coalesce("click", F.lit(0.0)), 4).alias("click_sum"),
+        F.round(F.coalesce("purchase", F.lit(0.0)), 4).alias("purchase_sum"),
+        F.round(F.coalesce("view", F.lit(0.0)), 4).alias("view_sum"),
+    ).orderBy("user_id")
+
+
+@register(
     "samp_shuffle_order",
     survey="ext:sampling-shuffle",
     oracle="""
