@@ -966,6 +966,62 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt_vocab_size",
+    survey="ext:text-stats",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT source, count(DISTINCT tok) AS vocab, count(*) AS n_tokens
+FROM toks GROUP BY source ORDER BY source
+""",
+)
+def txt_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size (exact COUNT DISTINCT over tokens) +
+    token totals — the expensive exact form (distinct forces a
+    token-level shuffle); ``txt_vocab_size_approx`` is the mergeable
+    HLL sketch the 100 TB path uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("tok").alias("vocab"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_vocab_size_approx",
+    survey="ext:text-stats",
+    oracle="""
+SELECT source, 1 AS ok
+FROM (SELECT DISTINCT source FROM documents) ORDER BY source
+""",
+)
+def txt_vocab_size_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE vocabulary counter: ``approx_count_distinct``
+    (HyperLogLog++ — a mergeable fixed-size sketch, map-side
+    combinable, no token-level distinct shuffle).  Sketches can't
+    hash-match an exact oracle, so — like the percentile sketch — the
+    error contract is verified IN-ENGINE: ``ok=1`` iff the estimate is
+    within 3× the configured 2% relative standard deviation of the
+    exact count, and the oracle expects every source row to say ok=1."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    agg = toks.groupBy("source").agg(
+        F.approx_count_distinct("tok", rsd=0.02).alias("approx"),
+        F.countDistinct("tok").alias("exact"),
+    )
+    ok = (
+        F.abs(F.col("approx") - F.col("exact")) <= 0.06 * F.col("exact")
+    ).cast("int")
+    return agg.select("source", ok.alias("ok")).orderBy("source")
+
+
+@register(
     "emb_label_centroids",
     survey="ext:similarity-centroids",
     oracle="""
