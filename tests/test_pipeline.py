@@ -477,3 +477,45 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         want_val = None if pd.isna(row.value) else float(row.value)
         assert got[row.event_id][0] == want_val, row
     assert len(got) == len(lrows)
+
+
+def test_new_operator_edge_cases(spark):
+    """Degenerate inputs: empty sides, invalid parameters."""
+    import pytest as _pytest
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from entropy_balance_weighting_spark.functions.events import asof_join
+    from entropy_balance_weighting_spark.functions.packing import pack_sequences
+    from entropy_balance_weighting_spark.sources.splits import split_column
+
+    # as-of join with an EMPTY right side: every left row survives, nulls
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "a")], "user_id long, ts timestamp, tag string"
+    )
+    empty_right = spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    )
+    rows = asof_join(left, empty_right).collect()
+    assert len(rows) == 1 and rows[0]["asof_value"] is None
+
+    # packing an empty corpus: empty result, correct schema
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    packed = pack_sequences(empty_docs)
+    assert packed.count() == 0
+    assert set(packed.columns) == {
+        "doc_id", "shard", "n_tokens", "cum_tokens", "context_id"
+    }
+
+    # invalid parameterizations fail loudly, not silently
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup_pairs(docs, "doc_id", "text", n_bands=4, max_hamming=4)
+    with _pytest.raises(ValueError, match="divide evenly"):
+        simhash_near_dup_pairs(docs, "doc_id", "text", n_bits=16, n_bands=5, max_hamming=2)
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_column("doc_id", {"train": 0.5, "val": 0.2})

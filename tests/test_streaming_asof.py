@@ -143,3 +143,42 @@ def test_batch_dataframe_rejected(spark):
     df = spark.createDataFrame([], SCHEMA)
     with pytest.raises(ValueError, match="streaming"):
         streaming_asof_join(df)
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    broadcast dimension — the third streaming join form next to the
+    stateful as-of and the watermarked dedup.  The static side resolves
+    per micro-batch with a broadcast hash join (no stream-side shuffle)."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write(
+        spark,
+        src,
+        [
+            (1, 10, _t(0), 5.0, 1),
+            (2, 20, _t(1), 7.0, 1),
+            (3, 99, _t(2), 9.0, 1),  # no dim row → left join keeps it
+        ],
+    )
+    dim = spark.createDataFrame(
+        [(10, "mobile"), (20, "web")], "user_id long, segment string"
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_id: r.segment
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {1: "mobile", 2: "web", 3: None}
