@@ -240,6 +240,65 @@ def asof_join_salted(
     return joined.select(*out_cols, *final, final_ts)
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    on: tuple[str, ...] = (),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval (range) join: pair each point row with every
+    interval row whose half-open window ``[start, end)`` contains the
+    point's timestamp, optionally also matching equi-keys ``on``.
+
+    A raw inequality predicate (``p.ts >= i.start AND p.ts < i.end``)
+    plans as BroadcastNestedLoopJoin — O(|points|·|intervals|) compares
+    and a broadcast of one whole side; this operator exists to avoid
+    that.  Implemented as the bucketed interval join (the same shape as
+    Databricks' range-join optimization): each interval EXPLODES to the
+    coarse time buckets it covers (``ceil(len/bucket_seconds)+1`` rows),
+    each point maps to exactly ONE bucket, and the pairing becomes a
+    plain hash equi-join on ``(bucket, *on)`` plus a residual range
+    filter.  Cost at 100 TB: two hash shuffles on the bucket key (both
+    sides partition like any keyed agg) and candidate volume bounded by
+    points-per-bucket × intervals-overlapping-that-bucket — pick
+    ``bucket_seconds`` near the typical interval length so duplication
+    stays ~2× and buckets stay balanced.  Equal timestamps always map to
+    the same bucket, so boundary semantics are exact, not approximate.
+
+    Each matching (point, interval) pair appears exactly once: a point
+    lives in one bucket, so cross-bucket interval duplication can never
+    duplicate a pair.  Intervals with ``end <= start`` (empty under the
+    half-open convention) are dropped.  Column names must not collide
+    across the two inputs (pre-select/rename on the caller side).
+    """
+    us = 1_000_000 * int(bucket_seconds)
+    p_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    iv = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(s_us / us),
+                    # half-open: the bucket of the last INCLUDED microsecond
+                    F.floor((e_us - F.lit(1)) / us),
+                )
+            ),
+        )
+    )
+    pts = points.withColumn("_bkt", F.floor(p_us / us))
+    joined = pts.join(iv, ["_bkt", *on], "inner").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bkt")
+
+
 def json_prop_int(events: DataFrame, prop: str, *, props_col: str = "props") -> DataFrame:
     """Extract an integer property from the JSON ``props`` column.
 

@@ -1318,6 +1318,136 @@ def ev_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@register(
+    "ev_range_join",
+    survey="ext:events-range",
+    bench=True,
+    oracle="""
+WITH a AS (
+  SELECT event_id AS aid, event_type AS atype, ts AS w_start,
+         ts + INTERVAL 45 MINUTE AS w_end
+  FROM events WHERE value >= 45
+)
+SELECT a.aid, a.atype,
+       count(*) AS n_in_window,
+       round(sum(ev.value), 4) AS window_value
+FROM a JOIN events ev ON ev.ts >= a.w_start AND ev.ts < a.w_end
+GROUP BY a.aid, a.atype
+ORDER BY a.aid
+""",
+)
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every high-value anchor event opens a
+    45-minute half-open window anchored at its own (arbitrary, unaligned)
+    timestamp; count and sum all events falling inside each window.  The
+    Spark side is the bucketed interval join
+    (:func:`functions.events.range_join` — intervals explode to 30-minute
+    buckets, points equi-join on their single bucket, residual range
+    filter), so the plan is two hash shuffles and NO nested-loop join;
+    the oracle is DuckDB's native inequality join.  Anchors match
+    themselves (ts ∈ [ts, ts+45min)), so every anchor appears and the
+    row count is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("value") >= 45).select(
+        F.col("event_id").alias("aid"),
+        F.col("event_type").alias("atype"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
+    )
+    pts = ev.select("ts", "value")
+    joined = events.range_join(
+        pts,
+        anchors,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=1800,
+    )
+    return (
+        joined.groupBy("aid", "atype")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            F.round(F.sum("value"), 4).alias("window_value"),
+        )
+        .orderBy("aid")
+    )
+
+
+@register(
+    "ev_time_rollup",
+    survey="ext:olap-rollup",
+    oracle="""
+WITH e AS (SELECT CAST(ts AS DATE) AS d, hour(ts) AS h, value FROM events)
+SELECT coalesce(CAST(d AS VARCHAR), 'ALL') AS day,
+       CAST(coalesce(h, -1) AS INT) AS hr,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM e GROUP BY ROLLUP(d, h) ORDER BY day, hr
+""",
+)
+def ev_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (the hypertable continuous-aggregate shape):
+    per-hour, per-day, and grand-total event stats in ONE aggregate via
+    ROLLUP grouping sets — Spark expands the sets inside a single
+    hash aggregate (one scan, one shuffle), never a self-union of
+    per-granularity scans.  Rolled-up levels render as 'ALL'/-1
+    sentinels on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.to_date("ts").alias("d"), F.hour("ts").alias("h"), "value"
+    )
+    return (
+        e.rollup("d", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.coalesce(F.col("d").cast("string"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("h"), F.lit(-1)).cast("int").alias("hr"),
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("day", "hr")
+    )
+
+
+@register(
+    "ev_user_type_cube",
+    survey="ext:olap-cube",
+    oracle="""
+WITH e AS (SELECT user_id % 10 AS cohort, event_type, value FROM events)
+SELECT coalesce(CAST(cohort AS BIGINT), -1) AS cohort,
+       coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM e GROUP BY CUBE(cohort, event_type) ORDER BY cohort, event_type
+""",
+)
+def ev_user_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 2^2 marginalizations of (cohort,
+    event_type) in one hash aggregate — the OLAP cross-tab companion to
+    the ROLLUP hierarchy, same one-scan/one-shuffle plan."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("user_id") % 10).alias("cohort"), "event_type", "value"
+    )
+    return (
+        e.cube("cohort", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.coalesce(F.col("cohort").cast("bigint"), F.lit(-1)).alias("cohort"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("cohort", "event_type")
+    )
+
+
 def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.text_as_binary(docs).select("doc_id", "payload", "source")

@@ -1,0 +1,117 @@
+"""Semantics + plan tests for the bucketed range (interval) join.
+
+The operator's contract: exact half-open ``[start, end)`` membership,
+each matching (point, interval) pair exactly once, optional equi-keys,
+and a physical plan that is a hash equi-join — never a nested loop.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.functions.events import range_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(rows, "pid long, ts timestamp")
+
+
+def _intervals(spark, rows):
+    return spark.createDataFrame(rows, "iid long, s timestamp, e timestamp")
+
+
+def _pairs(df):
+    return sorted((r.pid, r.iid) for r in df.collect())
+
+
+def test_half_open_boundaries(spark):
+    """ts == start is IN, ts == end is OUT — exactly, not approximately."""
+    pts = _points(spark, [(1, _ts(0)), (2, _ts(30)), (3, _ts(29.999))])
+    iv = _intervals(spark, [(10, _ts(0), _ts(30))])
+    out = range_join(pts, iv, ts_col="ts", start_col="s", end_col="e",
+                     bucket_seconds=600)
+    assert _pairs(out) == [(1, 10), (3, 10)]
+
+
+def test_interval_spanning_many_buckets_yields_each_pair_once(spark):
+    """An interval covering many buckets must not duplicate pairs, and
+    points anywhere inside it (including far from its start) must match."""
+    pts = _points(spark, [(1, _ts(1)), (2, _ts(59)), (3, _ts(119)),
+                          (4, _ts(121))])
+    iv = _intervals(spark, [(10, _ts(0), _ts(120))])
+    # 120-minute interval, 10-minute buckets -> 12 exploded rows
+    out = range_join(pts, iv, ts_col="ts", start_col="s", end_col="e",
+                     bucket_seconds=600)
+    assert _pairs(out) == [(1, 10), (2, 10), (3, 10)]
+
+
+def test_overlapping_intervals_multi_match(spark):
+    pts = _points(spark, [(1, _ts(15))])
+    iv = _intervals(spark, [(10, _ts(0), _ts(30)), (11, _ts(10), _ts(20)),
+                            (12, _ts(16), _ts(40))])
+    out = range_join(pts, iv, ts_col="ts", start_col="s", end_col="e",
+                     bucket_seconds=60)
+    assert _pairs(out) == [(1, 10), (1, 11)]
+
+
+def test_empty_interval_dropped(spark):
+    """end <= start is empty under the half-open convention (and must not
+    crash the bucket sequence, which would otherwise run descending)."""
+    pts = _points(spark, [(1, _ts(5))])
+    iv = _intervals(spark, [(10, _ts(5), _ts(5)), (11, _ts(7), _ts(3))])
+    out = range_join(pts, iv, ts_col="ts", start_col="s", end_col="e",
+                     bucket_seconds=600)
+    assert _pairs(out) == []
+
+
+def test_equi_keys_restrict_matches(spark):
+    pts = spark.createDataFrame(
+        [(1, "a", _ts(10)), (2, "b", _ts(10))], "pid long, k string, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(10, "a", _ts(0), _ts(30))], "iid long, k string, s timestamp, e timestamp"
+    )
+    out = range_join(pts, iv, ts_col="ts", start_col="s", end_col="e",
+                     on=("k",), bucket_seconds=600)
+    assert _pairs(out) == [(1, 10)]
+
+
+def test_matches_naive_inequality_join(spark):
+    """Randomized cross-check vs the naive O(N·M) definition."""
+    import random
+
+    rng = random.Random(7)
+    pts_rows = [(i, _ts(rng.uniform(0, 600))) for i in range(200)]
+    iv_rows = []
+    for j in range(40):
+        s = rng.uniform(0, 600)
+        iv_rows.append((j, _ts(s), _ts(s + rng.uniform(0.1, 90))))
+    expected = sorted(
+        (pid, iid)
+        for pid, ts in pts_rows
+        for iid, s, e in iv_rows
+        if s <= ts < e
+    )
+    out = range_join(
+        _points(spark, pts_rows), _intervals(spark, iv_rows),
+        ts_col="ts", start_col="s", end_col="e", bucket_seconds=1234,
+    )
+    assert _pairs(out) == expected
+
+
+def test_plan_is_hash_join_not_nested_loop(spark):
+    pts = _points(spark, [(1, _ts(0))])
+    iv = _intervals(spark, [(10, _ts(0), _ts(30))])
+    out = range_join(pts, iv, ts_col="ts", start_col="s", end_col="e",
+                     bucket_seconds=600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
