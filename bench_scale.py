@@ -171,11 +171,27 @@ def _bench_pipeline(spark, n, n_parts, timings, throughput) -> None:
             F.count(F.lit(1)), F.sum("asof_value")
         ).collect()
 
+    def t_range():
+        # every 64th event opens a ~5-minute window; ~n/64 intervals over
+        # ~n seconds of points -> ~300 pair candidates per interval
+        from entropy_balance_weighting_spark.functions.events import range_join
+
+        iv = ev.filter(F.col("event_id") % 64 == 0).select(
+            F.col("event_id").alias("iid"),
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("e"),
+        )
+        range_join(
+            ev.select("ts", "value"), iv, ts_col="ts", start_col="s",
+            end_col="e", bucket_seconds=300,
+        ).agg(F.count(F.lit(1)), F.sum("value")).collect()
+
     for name, fn in [
         ("pipe_quality_scan", t_quality),
         ("pipe_pack", t_pack),
         ("pipe_minhash_sigs", t_minhash),
         ("pipe_asof_join", t_asof),
+        ("pipe_range_join", t_range),
     ]:
         t = _min3(fn)
         timings[name] = round(t, 4)

@@ -249,6 +249,7 @@ def range_join(
     end_col: str = "end",
     on: tuple[str, ...] = (),
     bucket_seconds: int = 3600,
+    n_salts: int = 1,
 ) -> DataFrame:
     """Point-in-interval (range) join: pair each point row with every
     interval row whose half-open window ``[start, end)`` contains the
@@ -274,6 +275,16 @@ def range_join(
     duplicate a pair.  Intervals with ``end <= start`` (empty under the
     half-open convention) are dropped.  Column names must not collide
     across the two inputs (pre-select/rename on the caller side).
+
+    ``n_salts > 1`` is the hot-bucket hardening: when events pile into
+    one time bucket (flash-sale minute, clock-skew heap at midnight),
+    that bucket's hash partition serializes into one task.  Salting
+    splits each point uniformly across ``n_salts`` sub-partitions and
+    replicates interval-bucket rows to every salt, so the hottest task
+    shrinks ``n_salts``× for an interval-side blow-up of the same factor
+    — the classic skew-join trade, worth it only when the interval side
+    is the small one.  Pair-once and boundary semantics are unchanged
+    (a point still has exactly one (bucket, salt) cell).
     """
     us = 1_000_000 * int(bucket_seconds)
     p_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -293,10 +304,22 @@ def range_join(
         )
     )
     pts = points.withColumn("_bkt", F.floor(p_us / us))
-    joined = pts.join(iv, ["_bkt", *on], "inner").filter(
+    keys = ["_bkt", *on]
+    if n_salts > 1:
+        # salt from a per-row id, NOT from the timestamp: identical
+        # timestamps (the skew being cured) must land on different salts
+        iv = iv.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        pts = pts.withColumn(
+            "_salt",
+            F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)),
+        )
+        keys.append("_salt")
+    joined = pts.join(iv, keys, "inner").filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
-    return joined.drop("_bkt")
+    return joined.drop("_bkt", "_salt")
 
 
 def json_prop_int(events: DataFrame, prop: str, *, props_col: str = "props") -> DataFrame:

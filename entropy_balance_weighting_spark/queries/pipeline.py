@@ -1374,6 +1374,55 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_range_join_salted",
+    survey="ext:events-range",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS aid, event_type AS atype, ts AS w_start,
+         ts + INTERVAL 45 MINUTE AS w_end
+  FROM events WHERE value >= 45
+)
+SELECT a.aid, a.atype,
+       count(*) AS n_in_window,
+       round(sum(ev.value), 4) AS window_value
+FROM a JOIN events ev ON ev.ts >= a.w_start AND ev.ts < a.w_end
+GROUP BY a.aid, a.atype
+ORDER BY a.aid
+""",
+)
+def ev_range_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened range join (``n_salts=4`` — hot time buckets
+    split 4× across tasks, interval-bucket rows replicated to every
+    salt) against the SAME inequality-join oracle as ``ev_range_join``:
+    both renderings of one operator must reproduce DuckDB exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("value") >= 45).select(
+        F.col("event_id").alias("aid"),
+        F.col("event_type").alias("atype"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
+    )
+    pts = ev.select("ts", "value")
+    joined = events.range_join(
+        pts,
+        anchors,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=1800,
+        n_salts=4,
+    )
+    return (
+        joined.groupBy("aid", "atype")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            F.round(F.sum("value"), 4).alias("window_value"),
+        )
+        .orderBy("aid")
+    )
+
+
+@register(
     "ev_time_rollup",
     survey="ext:olap-rollup",
     oracle="""

@@ -107,6 +107,60 @@ def test_matches_naive_inequality_join(spark):
     assert _pairs(out) == expected
 
 
+def test_salted_equivalent_to_unsalted(spark):
+    """n_salts>1 must change the partitioning only, never the pairs —
+    including with identical timestamps (the skew being cured) and with
+    equi-keys in play."""
+    pts_rows = [(i, "a" if i % 2 else "b", _ts(10)) for i in range(50)]
+    pts_rows += [(100 + i, "a", _ts(i * 7.3)) for i in range(30)]
+    pts = spark.createDataFrame(pts_rows, "pid long, k string, ts timestamp")
+    iv = spark.createDataFrame(
+        [(1, "a", _ts(0), _ts(60)), (2, "b", _ts(5), _ts(12)),
+         (3, "a", _ts(100), _ts(250))],
+        "iid long, k string, s timestamp, e timestamp",
+    )
+    kw = dict(ts_col="ts", start_col="s", end_col="e", on=("k",),
+              bucket_seconds=600)
+    plain = _pairs(range_join(pts, iv, **kw))
+    salted = _pairs(range_join(pts, iv, n_salts=4, **kw))
+    assert salted == plain and len(plain) > 0
+
+
+def test_stream_static_range_join_matches_batch(spark, tmp_path):
+    """The operator is streaming-native on the points side: bucket
+    derivation + stream-static inner equi-join + residual filter are all
+    stateless, so a point stream range-joins against a static interval
+    table with no watermark or state store.  Drained with availableNow,
+    the stream must reproduce the batch pairs exactly."""
+    import random
+
+    rng = random.Random(11)
+    pts_rows = [(i, _ts(rng.uniform(0, 300))) for i in range(120)]
+    iv_rows = [(j, _ts(j * 11.0), _ts(j * 11.0 + 25)) for j in range(25)]
+    pts = _points(spark, pts_rows)
+    iv = _intervals(spark, iv_rows)
+    kw = dict(ts_col="ts", start_col="s", end_col="e", bucket_seconds=900)
+    expected = _pairs(range_join(pts, iv, **kw))
+
+    src = str(tmp_path / "pts_src")
+    pts.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(pts.schema).parquet(src)
+    q = (
+        range_join(stream, iv, **kw)
+        .writeStream.format("memory")
+        .queryName("rj_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.pid, r.iid) for r in spark.sql("SELECT * FROM rj_stream").collect()
+    )
+    assert got == expected and len(expected) > 0
+
+
 def test_plan_is_hash_join_not_nested_loop(spark):
     pts = _points(spark, [(1, _ts(0))])
     iv = _intervals(spark, [(10, _ts(0), _ts(30))])
