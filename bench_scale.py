@@ -89,6 +89,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     throughput: dict[str, float] = {}
 
+    if "dense" in solvers:
+        _bench_dense_collinear(spark, timings, throughput)
     if "newton" in solvers:
         _bench_newton(base, k, n, timings, throughput)
     if "elastic" in solvers:
@@ -113,6 +115,80 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _bench_dense_collinear(spark, timings, throughput) -> None:
+    """The reference's largest in-repo workload, reproduced distributed:
+    a DENSE N=100k × K=2000 design matrix, collinear BY CONSTRUCTION,
+    unbounded solve (`/root/reference/examples/simple_examples.py:13-31`
+    — there a duplicated-column numpy matrix on one process).  Here the
+    last 100 columns are exact copies of the first 100 non-intercept
+    columns, so the K×K Gram is singular every iteration and the solve
+    exercises the escalating-Tikhonov path (L2/L3) at full K — no block
+    structure, the dense-Gram BLAS tiles carry K²=4M-float partials per
+    task.  Opt-in (SPARK_GRAFT_SCALE_SOLVERS=dense): one solve is ~10²×
+    the default bench entries.
+
+    Feasibility under perturbation: duplicated columns produce duplicated
+    moments, and scaling ALL start moments by one factor keeps the target
+    inside the Gram's range space, so the singular system stays
+    consistent."""
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.kernels.spark import SparkKernel
+    from entropy_balance_weighting_spark.solvers.newton import solve_unbounded
+
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_DENSE_N", 100_000))
+    k = int(os.environ.get("SPARK_GRAFT_SCALE_DENSE_K", 2_000))
+    n_dup = min(100, max(k // 20, 1))
+    cpus = spark.sparkContext.defaultParallelism
+    # dense rows are K floats each — size partitions so a task's densify
+    # chunk plus its K² Gram scratch stays comfortably in memory
+    n_parts = max(cpus, (n * k) // 4_000_000)
+
+    u = lambda row, j: F.pmod(F.hash(row, j), F.lit(1000)) / 1000.0  # noqa: E731
+    base = spark.range(0, n, 1, n_parts).select(
+        F.col("id").alias("row_id"),
+        (0.5 + F.pmod(F.hash("id"), F.lit(1000)) / 1000.0).alias("w0"),
+        F.sequence(F.lit(0), F.lit(k - 1)).alias("idx"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.when(j == 0, F.lit(1.0)).otherwise(
+                u(
+                    F.col("id"),
+                    # replay of the duplicated-column construction: the
+                    # last n_dup columns repeat earlier columns exactly
+                    F.when(
+                        j >= k - n_dup, (j - 1) % (k - 1 - n_dup) + 1
+                    ).otherwise(j),
+                )
+            ),
+        ).alias("val"),
+    )
+
+    t0 = time.perf_counter()
+    kern = SparkKernel.from_problem(None, None, k, prepacked=base)
+    timings["dense_pack"] = round(time.perf_counter() - t0, 4)
+
+    lam = np.zeros(k)
+    t0 = time.perf_counter()
+    stats0 = kern.stats(lam)
+    timings["dense_stats_pass"] = round(time.perf_counter() - t0, 4)
+
+    m = stats0.xt_w * 1.01
+    t0 = time.perf_counter()
+    res = solve_unbounded(
+        kern, m, {"max_steps": 30}, original_weights=kern.new_weights()
+    )
+    timings["dense_solve"] = round(time.perf_counter() - t0, 4)
+    if not res.converged:
+        raise RuntimeError("dense collinear scale solve did not converge")
+    kern.cleanup()
+
+    timings["dense_solve_iterations"] = float(res.n_iterations)
+    timings["dense_n"] = float(n)
+    timings["dense_k"] = float(k)
+    throughput["dense_collinear"] = round(n / timings["dense_stats_pass"], 1)
 
 
 def _bench_pipeline(spark, n, n_parts, timings, throughput) -> None:

@@ -33,6 +33,22 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-family pretokenizer shape WITHOUT lookarounds, so the identical
+# pattern runs on Java regex (Spark) and RE2 (DuckDB): letter runs are
+# word pieces, each digit is its own token (modern BPE digit splitting),
+# punctuation runs are symbol pieces.  Whitespace only separates.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Subword-proxy token count via the BPE-ish pretokenizer regex —
+    the cheap JVM-side stand-in for a real tokenizer pass when sizing
+    training corpora (whitespace counts undercount code/punctuation-heavy
+    text badly).  ``regexp_count`` stays inside whole-stage codegen; no
+    array materialization."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
 def stopword_ratio(text: Column | str) -> Column:
     """Fraction of tokens that are english function words — a classic
     fast quality / language signal."""

@@ -22,6 +22,7 @@ from entropy_balance_weighting_spark.kernels.penalty_spark import (
     _ftb_batch,
 )
 from entropy_balance_weighting_spark.kernels.spark import (
+    _TREE_REDUCE_BYTES,
     _flatten_rb,
     _pack_rb,
     _rb_col,
@@ -29,6 +30,8 @@ from entropy_balance_weighting_spark.kernels.spark import (
     _x_dot,
     _xt_v,
     blocks_tuple,
+    collect_payload,
+    gram_bytes,
     gram_from_sums,
     make_gram_accum,
     pack_rows,
@@ -300,10 +303,10 @@ class ElasticSparkKernel:
         bs = BlockStructure.from_groups(moment_groups) if moment_groups else None
         return cls(df, k, sum_w0, n, lb, ub, has_ub, block_structure=bs)
 
-    def _reduce(self, fn):
-        rows = self.df.mapInArrow(fn, _PAYLOAD_SCHEMA).collect()
-        sums = np.sum([np.frombuffer(r.sums, dtype=np.float64) for r in rows], axis=0)
-        mins = np.min([np.frombuffer(r.mins, dtype=np.float64) for r in rows], axis=0)
+    def _reduce(self, fn, big: bool = False):
+        sums, mins = collect_payload(
+            self.df.mapInArrow(fn, _PAYLOAD_SCHEMA), big
+        )
         # a reduce materializes any pending lazy commit into its cache
         if self._prev is not None:
             self._prev.unpersist()
@@ -325,7 +328,8 @@ class ElasticSparkKernel:
             _estats_pass(
                 k, lam, eta, mu_s, self.lb, self.ub, self.has_ub,
                 blocks_tuple(self.block_structure),
-            )
+            ),
+            big=gram_bytes(k, self.block_structure) > _TREE_REDUCE_BYTES,
         )
         (f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct,
          sl_sum, sl_sq, sl_cnt) = sums[:9]

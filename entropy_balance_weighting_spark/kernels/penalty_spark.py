@@ -26,6 +26,7 @@ from entropy_balance_weighting_spark.kernels.base import (
 )
 from entropy_balance_weighting_spark.kernels.penalty_local import TAU
 from entropy_balance_weighting_spark.kernels.spark import (
+    _TREE_REDUCE_BYTES,
     _flatten_rb,
     _pack_rb,
     _rb_col,
@@ -33,6 +34,8 @@ from entropy_balance_weighting_spark.kernels.spark import (
     _x_dot,
     _xt_v,
     blocks_tuple,
+    collect_payload,
+    gram_bytes,
     gram_from_sums,
     make_gram_accum,
     pack_rows,
@@ -364,10 +367,10 @@ class PenaltySparkKernel:
         return cls(df, k, sum_w0, n, has_ub, bounded, block_structure=bs)
 
     # -- plumbing ----------------------------------------------------------
-    def _reduce(self, fn) -> tuple[np.ndarray, np.ndarray]:
-        rows = self.df.mapInArrow(fn, _PAYLOAD_SCHEMA).collect()
-        sums = np.sum([np.frombuffer(r.sums, dtype=np.float64) for r in rows], axis=0)
-        mins = np.min([np.frombuffer(r.mins, dtype=np.float64) for r in rows], axis=0)
+    def _reduce(self, fn, big: bool = False) -> tuple[np.ndarray, np.ndarray]:
+        sums, mins = collect_payload(
+            self.df.mapInArrow(fn, _PAYLOAD_SCHEMA), big
+        )
         # a reduce materializes any pending lazy commit into its cache
         if self._prev is not None:
             self._prev.unpersist()
@@ -378,6 +381,10 @@ class PenaltySparkKernel:
                 old.unpersist()
                 self._commits_since_ckpt = 0
         return sums, mins
+
+    @property
+    def _gram_big(self) -> bool:
+        return gram_bytes(self.k, self.block_structure) > _TREE_REDUCE_BYTES
 
     def _commit(self, fn) -> None:
         """Lazy state transition: persisted, materialized by the next
@@ -390,7 +397,8 @@ class PenaltySparkKernel:
     # -- shared ------------------------------------------------------------
     def penalty_init(self):
         sums, _ = self._reduce(
-            _gram_init_pass(self.k, blocks_tuple(self.block_structure))
+            _gram_init_pass(self.k, blocks_tuple(self.block_structure)),
+            big=self._gram_big,
         )
         return gram_from_sums(sums, self.k, self.block_structure)
 
@@ -413,7 +421,8 @@ class PenaltySparkKernel:
     def penalty_stats(self) -> PenaltyStats:
         k = self.k
         sums, _ = self._reduce(
-            _pstats_pass(k, blocks_tuple(self.block_structure))
+            _pstats_pass(k, blocks_tuple(self.block_structure)),
+            big=self._gram_big,
         )
         f_val, s_ll, nan_ct = sums[0], sums[1], sums[2]
         g1 = sums[3 : 3 + k]
@@ -439,7 +448,8 @@ class PenaltySparkKernel:
     def pb_stats(self) -> PBStats:
         k = self.k
         sums, mins = self._reduce(
-            _pbstats_pass(k, self.has_ub, blocks_tuple(self.block_structure))
+            _pbstats_pass(k, self.has_ub, blocks_tuple(self.block_structure)),
+            big=self._gram_big,
         )
         f_val, sd0_sq, s_sum, s_sq, nan_ct = sums[:5]
         off = 5

@@ -180,6 +180,59 @@ def make_gram_accum(k: int, blocks):
     return buf, add
 
 
+_TREE_REDUCE_BYTES = 8 << 20  # payloads past this merge executor-side
+
+
+def gram_bytes(k: int, block_structure) -> int:
+    """Size of a stats pass's gram payload: K² doubles dense, Σk_b² with
+    block structure."""
+    if block_structure is not None:
+        return int(block_structure.total_flat) * 8
+    return k * k * 8
+
+
+def collect_payload(out: DataFrame, big: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce a kernel pass's per-partition ``(sums, mins)`` payload rows.
+
+    Small payloads (step passes, modest K): plain ``collect`` — one job,
+    no extra stage, driver sums ~#partitions tiny blobs.  Large payloads
+    (the dense K² Gram at K ≳ 1000): the driver would receive
+    ``#partitions × payload`` bytes — 50 partitions × 32 MB at K=2000
+    already exceeds ``spark.driver.maxResultSize``, and 1000 executors
+    would ship 32 GB — so the merge happens executor-side with
+    ``treeReduce`` and the driver receives O(tree-fanout) blobs.  This
+    wall was FOUND, not hypothesized: reproducing the reference's largest
+    in-repo workload (dense N=100k × K=2000 collinear,
+    examples/simple_examples.py:13-31) killed the plain collect.
+
+    The tree path costs one extra shuffle level per reduce, so it is
+    gated on payload size: exactly the regime where each pass already
+    costs seconds and the extra stage is noise.
+    """
+    if not big:
+        rows = out.collect()
+        sums = np.sum(
+            [np.frombuffer(r.sums, dtype=np.float64) for r in rows], axis=0
+        )
+        mins = np.min(
+            [np.frombuffer(r.mins, dtype=np.float64) for r in rows], axis=0
+        )
+        return sums, mins
+
+    def dec(r):
+        return (
+            np.frombuffer(r.sums, dtype=np.float64),
+            np.frombuffer(r.mins, dtype=np.float64),
+        )
+
+    def merge(a, b):
+        return a[0] + b[0], np.minimum(a[1], b[1])
+
+    depth = 2 if out.rdd.getNumPartitions() <= 64 else 3
+    sums, mins = out.rdd.map(dec).treeReduce(merge, depth)
+    return sums, mins
+
+
 def gram_from_sums(flat: np.ndarray, k: int, block_structure):
     """Driver-side decode of a packed gram buffer: BlockGram or dense."""
     if block_structure is not None:
@@ -523,20 +576,18 @@ class SparkKernel:
             )
 
     # -- passes ------------------------------------------------------------
-    def _reduce(self, fn) -> tuple[np.ndarray, np.ndarray]:
-        rows = self.df.mapInArrow(fn, _PAYLOAD_SCHEMA).collect()
-        sums = np.sum(
-            [np.frombuffer(r.sums, dtype=np.float64) for r in rows], axis=0
-        )
-        mins = np.min(
-            [np.frombuffer(r.mins, dtype=np.float64) for r in rows], axis=0
-        )
-        return sums, mins
+    def _reduce(self, fn, big: bool = False) -> tuple[np.ndarray, np.ndarray]:
+        return collect_payload(self.df.mapInArrow(fn, _PAYLOAD_SCHEMA), big)
+
+    @property
+    def _gram_big(self) -> bool:
+        return gram_bytes(self.k, self.block_structure) > _TREE_REDUCE_BYTES
 
     def stats(self, lam: np.ndarray) -> IterStats:
         k = self.k
         sums, mins = self._reduce(
-            _stats_pass(k, lam, blocks_tuple(self.block_structure), self._wprog)
+            _stats_pass(k, lam, blocks_tuple(self.block_structure), self._wprog),
+            big=self._gram_big,
         )
         # the reduce materialized any pending lazy commit into its cache —
         # the superseded state's CACHE can go; the plan handle is kept so a

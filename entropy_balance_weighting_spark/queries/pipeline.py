@@ -1497,6 +1497,41 @@ def ev_user_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txt_bpe_token_count",
+    survey="ext:text-tokens",
+    oracle=r"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')))
+            AS BIGINT) AS bpe_tokens,
+       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))), 4)
+         AS avg_bpe_per_doc
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def txt_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budgets under BOTH counting conventions per source:
+    whitespace tokens and the BPE-ish pretokenizer count
+    (:func:`functions.text.bpe_token_count` — letter runs / single
+    digits / punctuation runs, the lookahead-free GPT-2 pretokenizer
+    shape).  ``regexp_count`` is pure whole-stage-codegen arithmetic —
+    one scan, one shuffle; the identical regex runs on DuckDB's RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = text.bpe_token_count(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+            F.sum(bpe).cast("long").alias("bpe_tokens"),
+            F.round(F.avg(bpe), 4).alias("avg_bpe_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.text_as_binary(docs).select("doc_id", "payload", "source")

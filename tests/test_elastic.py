@@ -324,10 +324,10 @@ def test_elastic_distributed_two_jobs_per_iteration(spark):
     n_reduces = 0
     orig_reduce = ElasticSparkKernel._reduce
 
-    def counting_reduce(self, fn):
+    def counting_reduce(self, fn, **kw):
         nonlocal n_reduces
         n_reduces += 1
-        return orig_reduce(self, fn)
+        return orig_reduce(self, fn, **kw)
 
     ElasticSparkKernel._reduce = counting_reduce
     try:
