@@ -17,7 +17,80 @@ At 100 TB the table LAYOUT is the query plan's first operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(
+    df: DataFrame, cols: tuple[str, ...], *, bits: int = 10
+) -> Column:
+    """Morton (Z-order) curve key over ``cols``: each column is binned to
+    ``2^bits`` levels between its min and max, and the bin bits are
+    INTERLEAVED into one long — points close on the key are close in
+    EVERY listed dimension at once, which a lexicographic multi-column
+    sort cannot do (it clusters only the leading column).
+
+    One tiny min/max aggregate job runs here to fix the bin edges; the
+    key itself is a pure JVM expression tree (``width_bucket`` +
+    shift/mask), whole-stage-codegen friendly, no UDF.  Linear binning
+    is deliberate: equi-depth bins would need per-column quantiles, and
+    for file skipping the curve only has to correlate the columns'
+    locality, not balance the bins (document skew; at 100 TB compute
+    min/max on a sample or from table stats instead).
+    """
+    row = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).first()
+    n_bins = 1 << bits
+    bin_cols = []
+    for c in cols:
+        mn, mx = float(row[f"mn_{c}"]), float(row[f"mx_{c}"])
+        if mx <= mn:  # constant column: every row in bin 0
+            bin_cols.append(F.lit(0).cast("long"))
+            continue
+        b = F.width_bucket(
+            F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(n_bins)
+        )
+        # width_bucket is 1-based and returns n_bins+1 at the max edge
+        bin_cols.append(
+            F.least(F.greatest(b - 1, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+        )
+    m = len(bin_cols)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, bc in enumerate(bin_cols):
+            bit = F.shiftright(bc, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * m + j))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, ...],
+    *,
+    bits: int = 10,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write (the OPTIMIZE ZORDER layout):
+    range-repartition by the Morton key so each output file holds one
+    contiguous curve segment, giving every file a TIGHT min/max envelope
+    in all ``cols`` simultaneously.  A later scan filtering on any
+    combination of those columns skips whole files/row-groups on parquet
+    footer stats — at 100 TB this is the difference between touching a
+    handful of files and listing-scanning the table for multi-dimension
+    point/box queries that partition keys can't serve."""
+    key = zorder_key(df, cols, bits=bits)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def write_partitioned(

@@ -1,0 +1,105 @@
+"""Z-order clustered layout: correctness (lossless rewrite) and the
+file-skipping property the layout exists for — a box predicate on the
+z-ordered columns must overlap far fewer files' min/max envelopes than
+the same data written hash-shuffled."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.session import load_table
+from entropy_balance_weighting_spark.sources.layout import (
+    write_zordered,
+    zorder_key,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _files_overlapping_box(path: str, lo_u, hi_u, lo_v, hi_v):
+    """Count parquet files whose footer min/max envelope intersects the
+    box — the files a stats-pruning scan would have to touch."""
+    hit, total = 0, 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins = {"user_id": None, "value": None}
+        maxs = {"user_id": None, "value": None}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    s = col.statistics
+                    mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                    maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+        total += 1
+        if (
+            mins["user_id"] is not None
+            and maxs["user_id"] >= lo_u
+            and mins["user_id"] <= hi_u
+            and maxs["value"] >= lo_v
+            and mins["value"] <= hi_v
+        ):
+            hit += 1
+    return hit, total
+
+
+def test_zorder_write_is_lossless_and_skips_files(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    n = ev.count()
+
+    z_path = str(tmp_path / "z")
+    h_path = str(tmp_path / "h")
+    write_zordered(ev, z_path, ("user_id", "value"), n_files=16)
+    # control: same file count, hash-shuffled (no locality)
+    ev.repartition(16).write.mode("overwrite").parquet(h_path)
+
+    # lossless: same rows come back
+    back = spark.read.parquet(z_path)
+    assert back.count() == n
+    assert (
+        back.select(F.sum("event_id")).first()[0]
+        == ev.select(F.sum("event_id")).first()[0]
+    )
+
+    # box query touching ~1/16 of each dimension's range
+    stats = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    u_span = stats[1] - stats[0]
+    v_span = stats[3] - stats[2]
+    lo_u, hi_u = stats[0], stats[0] + u_span / 16
+    lo_v, hi_v = stats[2], stats[2] + v_span / 16
+
+    z_hit, z_total = _files_overlapping_box(z_path, lo_u, hi_u, lo_v, hi_v)
+    h_hit, h_total = _files_overlapping_box(h_path, lo_u, hi_u, lo_v, hi_v)
+    assert z_total >= 8 and h_total >= 8
+    # hash layout: every file spans the whole space -> no skipping
+    assert h_hit == h_total
+    # z-order: the box lives in a few curve segments
+    assert z_hit < z_total / 2
+
+    # and the filtered read agrees with the in-memory filter
+    pred = (
+        (F.col("user_id") >= lo_u) & (F.col("user_id") <= hi_u)
+        & (F.col("value") >= lo_v) & (F.col("value") <= hi_v)
+    )
+    assert back.filter(pred).count() == ev.filter(pred).count()
+
+
+def test_zorder_key_interleaves(spark):
+    """Adjacent keys differ in low-order bits of BOTH dimensions: the
+    key of (bin u, bin v) is the bit-interleave, so points equal in one
+    dimension and close in the other get close keys, and the constant
+    column degenerates gracefully."""
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)], "a long, v double"
+    )
+    key = zorder_key(df, ("a", "v"), bits=4)
+    rows = df.withColumn("k", key).collect()
+    assert len({r.k for r in rows}) > 1
+    const = spark.createDataFrame([(1, 5.0), (2, 5.0)], "a long, v double")
+    kc = const.withColumn("k", zorder_key(const, ("v",), bits=4)).collect()
+    assert {r.k for r in kc} == {0}
