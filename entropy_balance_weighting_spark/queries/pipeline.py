@@ -1532,6 +1532,98 @@ def txt_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_referential_audit",
+    survey="ext:quality-referential",
+    oracle="""
+SELECT 'customer->nation' AS edge,
+       count(*) AS n_children,
+       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'lineitem->orders' AS edge,
+       count(*) AS n_children,
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders->customer' AS edge,
+       count(*) AS n_children,
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY edge
+""",
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: orphan counts along the foreign-key edges of
+    the star schema, one row per edge.  Each edge is a left join against
+    the parent's KEY COLUMN ONLY (pruned scan, broadcast-sized dims
+    broadcast) with a conditional count — never a row-collecting
+    anti-join, so the audit output is E rows regardless of table size.
+    At 100 TB the parent key side of a big-big edge shuffles like any
+    equi-join; AQE handles the skewed-key case."""
+    def edge(child, ckey, parent, pkey, name):
+        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("ck"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("pk"))
+        return (
+            c.join(p, c.ck == p.pk, "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_children"),
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("edge"), "n_children", "n_orphans")
+        )
+
+    return (
+        edge("customer", "c_nationkey", "nation", "n_nationkey", "customer->nation")
+        .unionByName(
+            edge("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders")
+        )
+        .unionByName(
+            edge("orders", "o_custkey", "customer", "c_custkey", "orders->customer")
+        )
+        .orderBy("edge")
+    )
+
+
+@register(
+    "dq_null_profile",
+    survey="ext:quality-profile",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS null_event_id,
+       CAST(count(*) - count(user_id) AS BIGINT) AS null_user_id,
+       CAST(count(*) - count(event_type) AS BIGINT) AS null_event_type,
+       CAST(count(*) - count(value) AS BIGINT) AS null_value,
+       count(DISTINCT user_id) AS d_user_id,
+       count(DISTINCT event_type) AS d_event_type
+FROM events
+""",
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile (the data-quality 'describe'): row
+    count, per-column null counts, and exact distincts for the key
+    columns, all in ONE aggregate — Spark plans the multi-distinct via
+    one Expand (no per-column scans).  At 100 TB swap the exact
+    distincts for ``approx_count_distinct`` (mergeable HLL) — the same
+    swap `txt_vocab_size_approx` demonstrates."""
+    ev = load_table(spark, sf_dir, "events")
+    nulls = [
+        (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"null_{c}")
+        for c in ("event_id", "user_id", "event_type", "value")
+    ]
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *nulls,
+        F.countDistinct("user_id").alias("d_user_id"),
+        F.countDistinct("event_type").alias("d_event_type"),
+    )
+
+
 def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.text_as_binary(docs).select("doc_id", "payload", "source")
