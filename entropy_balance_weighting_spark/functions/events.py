@@ -68,6 +68,26 @@ def sliding_window_agg(
     )
 
 
+def session_windows(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    by: str = "user_id",
+) -> DataFrame:
+    """Per-(key, session) frame: one row per gap-delimited session with
+    its event count.  ``F.session_window`` is the streaming-native
+    stateful operator — THIS stage is the one to run under
+    ``readStream`` (a single stateful aggregation; watermark-evictable
+    state).  Chaining the per-key rollup on top inside the same stream
+    would stack two stateful operators, which Spark's correctness check
+    rejects — roll up downstream (batch, or a second query over the
+    sink) instead."""
+    return events.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("sw"), F.col(by)
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def session_window_agg(
     events: DataFrame,
     *,
@@ -77,13 +97,11 @@ def session_window_agg(
 ) -> DataFrame:
     """Gap-based sessionization per key: session count + event count.
 
-    ``F.session_window`` is the streaming-native stateful operator; in
-    batch it computes the same gaps-and-islands result the SQL oracle
-    derives with lag/cumsum.
+    Batch rendering: :func:`session_windows` plus the per-key rollup —
+    the same gaps-and-islands result the SQL oracle derives with
+    lag/cumsum.
     """
-    sess = events.groupBy(
-        F.session_window(F.col(ts_col), gap).alias("sw"), F.col(by)
-    ).agg(F.count(F.lit(1)).alias("n"))
+    sess = session_windows(events, ts_col=ts_col, gap=gap, by=by)
     return sess.groupBy(by).agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n").alias("n_events"),

@@ -109,3 +109,114 @@ def test_stateful_running_stats_accumulate_across_batches(spark, tmp_path):
     for key in batch.index:
         assert last.loc[key, "n_events"] == batch.loc[key, "n_events"]
         assert abs(last.loc[key, "value_sum"] - batch.loc[key, "value_sum"]) < 1e-6
+
+
+def test_streamed_sessionization_matches_batch(spark, tmp_path):
+    """``session_window`` is the stateful streaming-native sessionizer:
+    drained with AvailableNow over two micro-batches, the per-user
+    session stats must equal the batch rendering (sessions that SPAN the
+    micro-batch boundary must merge in the state store, not split)."""
+    from entropy_balance_weighting_spark.functions.events import (
+        session_window_agg,
+        session_windows,
+    )
+
+    full = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # time-split (not hash-split) so sessions genuinely straddle batches
+    mid = full.agg(
+        F.percentile_approx("ts", 0.5).cast("timestamp")
+    ).first()[0]
+    full.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(str(src))
+    full.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 hours")
+    )
+    # ONE stateful operator in the stream (the session window itself);
+    # the per-user rollup runs on the drained sink — stacking both in
+    # the stream trips Spark's multiple-stateful-operator check
+    agg = session_windows(stream, gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            """SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events
+               FROM sess_stream GROUP BY user_id"""
+        ).collect()
+    }
+    batch = {
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in session_window_agg(full, gap="30 minutes").collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark semantics pinned: once the watermark has PROPAGATED (it
+    lags one micro-batch — batch N's filter uses the watermark computed
+    from batch N-1), an event older than (max seen ts − delay) is
+    dropped at the stateful operator and its already-emitted window is
+    untouched — the property that bounds state at stream scale."""
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, value double"
+    src = tmp_path / "late_src"
+    src.mkdir()
+    batches = [
+        [(1, t0 + dt.timedelta(hours=h), 1.0) for h in range(6)],
+        # advances nothing new but lets the 04:00 watermark take effect
+        [(2, t0 + dt.timedelta(hours=6), 1.0)],
+        [(99, t0 + dt.timedelta(minutes=30), 100.0)],  # 5.5h late
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)  # file source orders micro-batches by mtime
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .select(F.col("w.start").alias("ws"), "n", "v")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in (p["stateOperators"] or [])
+    )
+    assert dropped == 1  # the late event, counted by the state operator
+    rows = {r.ws: (r.n, r.v) for r in spark.sql("SELECT * FROM late_agg").collect()}
+    assert rows.get(t0) == (1, 1.0)  # its window emitted WITHOUT the late 100
+    assert all(v < 100.0 for _, v in rows.values())
