@@ -104,14 +104,30 @@ def solve_per_group(
             raise ValueError(f"group {keys}: targets missing for {missing}")
         m = np.array([float(tmap[nm]) for nm in names])
 
-        from entropy_balance_weighting_spark.kernels.local import LocalKernel
-        from entropy_balance_weighting_spark.solvers.newton import (
-            solve_unbounded,
-        )
+        bounds = opts.get("bounds")
+        if bounds is not None:
+            # the reference's production regime per group: bounded elastic
+            # interior point, one dense solve per executor-side batch
+            from entropy_balance_weighting_spark.kernels.elastic_local import (
+                ElasticLocalKernel,
+            )
+            from entropy_balance_weighting_spark.solvers.elastic import (
+                solve_elastic,
+            )
 
-        kern = LocalKernel(x, w0)
-        kern.init_state(None)
-        res = solve_unbounded(kern, m, opts, original_weights=w0.copy())
+            ekern = ElasticLocalKernel(x, w0, bounds=tuple(bounds))
+            res = solve_elastic(ekern, m, opts, original_weights=w0.copy())
+        else:
+            from entropy_balance_weighting_spark.kernels.local import (
+                LocalKernel,
+            )
+            from entropy_balance_weighting_spark.solvers.newton import (
+                solve_unbounded,
+            )
+
+            kern = LocalKernel(x, w0)
+            kern.init_state(None)
+            res = solve_unbounded(kern, m, opts, original_weights=w0.copy())
         out = pd.DataFrame({c: rows[c] for c in group_cols + key_cols})
         out["new_weight"] = np.asarray(res.new_weights, dtype=np.float64)
         out["converged"] = bool(res.converged)

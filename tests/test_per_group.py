@@ -114,3 +114,41 @@ def test_per_group_preserves_string_row_keys(spark, grouped_data):
     assert set(out["serial"]) == set(pdf["serial"])
     assert str(out["serial"].dtype) == "object"  # still strings
     assert out["converged"].all()
+
+
+def test_per_group_bounded_solve(spark, grouped_data):
+    """options['bounds'] routes each group through the local elastic
+    interior-point solve: converged, ratios strictly inside the bounds,
+    and equal to an independent single-group elastic solve."""
+    from entropy_balance_weighting_spark.kernels.elastic_local import (
+        ElasticLocalKernel,
+    )
+    from entropy_balance_weighting_spark.solvers.elastic import solve_elastic
+
+    bounds = (0.5, 2.0)
+    df = spark.createDataFrame(grouped_data)
+    tgt = spark.createDataFrame(_targets(grouped_data))
+    spec = MomentSpec(
+        weight_col="w", numeric=("x0",), group=("state",), row_key=("rid",)
+    )
+    out = solve_per_group(
+        df, spec, tgt, options={"bounds": bounds}
+    ).collect()
+    assert len(out) == len(grouped_data)
+    assert all(r["converged"] for r in out)
+
+    got = {r["rid"]: r["new_weight"] for r in out}
+    for st, g in grouped_data.groupby("state"):
+        w0 = g["w"].to_numpy()
+        x = g[["x0"]].to_numpy(float)
+        ratios = np.array([got[r] for r in g["rid"]]) / w0
+        assert (ratios > bounds[0]).all() and (ratios < bounds[1]).all()
+        t = float((g["x0"] * g["w"]).sum() / g["w"].sum()) * 1.02
+        kern = ElasticLocalKernel(x, w0, bounds=bounds)
+        res = solve_elastic(
+            kern, np.array([t]), {"bounds": bounds}, original_weights=w0.copy()
+        )
+        assert res.converged
+        expect = {int(r): v for r, v in zip(g["rid"], res.new_weights)}
+        for rid in g["rid"]:
+            assert abs(got[rid] - expect[int(rid)]) < 1e-8
