@@ -67,3 +67,48 @@ def stratified_sample(
             .otherwise(thr)
         )
     return df.filter(sample_bucket(key, salt) < thr)
+
+
+def resample_to_mix(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    target_shares: Mapping[str, float],
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Domain-mixture resampling (the data-mixing stage of corpus prep):
+    downsample each stratum so the OUTPUT approximates ``target_shares``
+    while keeping as many rows as pure downsampling allows —
+    ``n_out = min_s n_s/share_s``, keep-rate ``n_out·share_s/n_s``.
+
+    One S-sized aggregate collects the stratum counts to the driver (S
+    numbers, not data — at 100 TB this is the same shape as any dim
+    lookup); the filter itself is the zero-shuffle deterministic
+    stratified sampler, so membership is re-derivable months later from
+    (key, salt) alone.  Rates are floored onto the integer per-1e6
+    threshold grid so an SQL oracle reproduces membership exactly.
+    Sampling is Bernoulli per row: achieved counts are binomially close
+    to the targets, not exact."""
+    from fractions import Fraction
+
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    missing = set(counts) - set(target_shares)
+    if missing:
+        raise ValueError(f"target_shares missing strata: {sorted(missing)}")
+    # exact rational arithmetic: for stratum s at the binding minimum,
+    # n_out·share_s cancels to exactly n_s, so the threshold floors to
+    # exactly the oracle's floor(1e6·n_min/n_s) — float re-association
+    # (n_min·S)·(1/S) would land one ulp under an integral threshold and
+    # flip the rows in that hash bucket
+    shares = {s: Fraction(p) for s, p in target_shares.items()}
+    n_out = min(Fraction(counts[s]) / p for s, p in shares.items() if p > 0)
+    rates = {
+        s: (int(_BUCKETS * n_out * p / counts[s]) / _BUCKETS if p > 0 else 0.0)
+        for s, p in shares.items()
+        if s in counts
+    }
+    return stratified_sample(df, key, strata_col, rates, salt=salt)

@@ -204,3 +204,44 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= top_k)
         .select(by, "tok", "score", "rk")
     )
+
+
+def unigram_doc_logprob(
+    df,
+    *,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+):
+    """Per-document mean unigram log-probability — the CCNet-style
+    LM-surprise quality signal (a document of rare/garbled tokens scores
+    far below fluent text), with the corpus ITSELF as the language model.
+
+    Add-one smoothed: ``p(t) = (count(t) + 1) / (total + |vocab|)``.
+    Plan shape at scale: one explode + token groupBy builds the unigram
+    table (map-side partials), one join token→frequency (broadcast when
+    the vocab is small, plain shuffle join otherwise), one per-doc mean.
+    The two corpus scalars (total tokens, vocab size) are collected to
+    the driver — two numbers, not data — and folded in as literals, so
+    no keyless cross-join appears in the plan.
+
+    Returns ``(doc_col, n_tok, logprob)`` with ``logprob`` the mean
+    ln-probability per token (higher = more typical of the corpus).
+    """
+    toks = df.select(
+        doc_col, F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    totals = freq.agg(
+        F.sum("n").alias("s"), F.count(F.lit(1)).alias("v")
+    ).first()
+    denom = float(totals["s"]) + float(totals["v"])
+    return (
+        toks.join(freq, "tok")
+        .groupBy(doc_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.avg(F.log((F.col("n") + F.lit(1.0)) / F.lit(denom))).alias(
+                "logprob"
+            ),
+        )
+    )

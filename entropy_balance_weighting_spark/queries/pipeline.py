@@ -1624,6 +1624,102 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txt_unigram_logprob",
+    survey="ext:text-lm-quality",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+  FROM documents
+), tok_f AS (SELECT * FROM tok WHERE t <> ''),
+freq AS (SELECT t, count(*) AS n FROM tok_f GROUP BY t),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) + count(*) AS denom FROM freq),
+doc AS (
+  SELECT k.doc_id, k.source, avg(ln((freq.n + 1.0) / tot.denom)) AS lp
+  FROM tok_f k JOIN freq ON k.t = freq.t, tot
+  GROUP BY k.doc_id, k.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(lp), 4) AS avg_logprob,
+       round(min(lp), 4) AS min_logprob
+FROM doc GROUP BY source ORDER BY source
+""",
+)
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-surprise quality scoring: the corpus's own add-one-smoothed
+    unigram model scores each document's mean token log-probability
+    (:func:`functions.text.unigram_doc_logprob` — explode + frequency
+    groupBy + token join + per-doc mean; corpus scalars folded in as
+    driver literals, no keyless cross join), rolled up per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.unigram_doc_logprob(docs)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("logprob"), 4).alias("avg_logprob"),
+            F.round(F.min("logprob"), 4).alias("min_logprob"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "samp_domain_mix",
+    survey="ext:sampling-domain-mix",
+    oracle="""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+m AS (SELECT min(n) AS mn FROM c),
+r AS (SELECT source,
+             CAST(floor(1000000.0 * (SELECT mn FROM m) / n) AS BIGINT) AS thr
+      FROM c)
+SELECT d.source,
+       count(*) AS n_kept,
+       CAST(max(r.thr) AS BIGINT) AS thr
+FROM documents d JOIN r USING (source)
+WHERE ('0x'||substr(md5('mix'||CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
+        % 1000000 < r.thr
+GROUP BY d.source ORDER BY d.source
+""",
+)
+def samp_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling to an EQUAL source mix
+    (:func:`functions.sampling.resample_to_mix`): every source
+    downsamples toward the smallest source's count via the deterministic
+    hash sampler, so for equal shares the per-source threshold reduces
+    to ``floor(1e6·n_min/n_s)`` — which is exactly what the oracle
+    recomputes in SQL, membership bit-for-bit.  Driver-side rate
+    arithmetic is exact-rational so integral thresholds can't float one
+    ulp low."""
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    shares = {s: 1.0 / len(sources) for s in sources}
+    mixed = sampling.resample_to_mix(
+        docs, "doc_id", "source", shares, salt="mix"
+    )
+    # surface the applied threshold per source so the oracle checks the
+    # RATE derivation, not just the row membership
+    from fractions import Fraction
+
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    mn = min(counts.values())
+    thr = {s: int(Fraction(1_000_000 * mn, counts[s])) for s in sources}
+    thr_col = F.lit(None).cast("long")
+    for s in sorted(sources):
+        thr_col = F.when(F.col("source") == s, F.lit(thr[s])).otherwise(thr_col)
+    return (
+        mixed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .withColumn("thr", thr_col)
+        .orderBy("source")
+    )
+
+
 def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.text_as_binary(docs).select("doc_id", "payload", "source")

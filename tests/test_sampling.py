@@ -60,3 +60,41 @@ def test_stratified_rates_apply_per_stratum(spark):
     counts = {r.grp: r.c for r in out.groupBy("grp").agg(F.count("*").alias("c")).collect()}
     assert 0.4 < counts["a"] / 1500 < 0.6
     assert counts.get("b", 0) / 1500 < 0.15
+
+
+def test_resample_to_mix_hits_target_proportions(spark):
+    """Unequal target shares: achieved output proportions are binomially
+    close to the targets, the binding stratum keeps ~everything its
+    share allows, and membership is deterministic across re-runs."""
+    from entropy_balance_weighting_spark.functions.sampling import (
+        resample_to_mix,
+    )
+
+    rows = (
+        [(i, "a") for i in range(6000)]
+        + [(i + 10_000, "b") for i in range(3000)]
+        + [(i + 20_000, "c") for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "id long, src string")
+    shares = {"a": 0.5, "b": 0.3, "c": 0.2}
+    # binding stratum: c (1000/0.2 = 5000 = n_out); expected kept:
+    # a: 2500, b: 1500, c: 1000
+    out = resample_to_mix(df, "id", "src", shares, salt="mx")
+    got = {r.src: r.n for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["c"] == 1000  # rate 1.0 exactly — the rational-arithmetic pin
+    assert abs(got["a"] - 2500) < 200 and abs(got["b"] - 1500) < 160
+    again = {r.src: r.n for r in resample_to_mix(df, "id", "src", shares, salt="mx")
+             .groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == again
+
+
+def test_resample_to_mix_rejects_unknown_strata(spark):
+    import pytest as _pytest
+
+    from entropy_balance_weighting_spark.functions.sampling import (
+        resample_to_mix,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, src string")
+    with _pytest.raises(ValueError, match="missing strata"):
+        resample_to_mix(df, "id", "src", {"a": 1.0}, salt="mx")
