@@ -74,15 +74,18 @@ def main() -> None:
     # metadata entries (iteration counts, K sizes, converged flags) are
     # reported per query but are not wall-clock — exclude from the total
     meta_suffixes = ("_iterations", "_converged", "_k")
-    total = round(
-        sum(v for k, v in timings.items() if not k.endswith(meta_suffixes)), 4
-    )
+    wall = {k: v for k, v in timings.items() if not k.endswith(meta_suffixes)}
+    total = round(sum(wall.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                # the benched set GROWS round over round — cross-round
+                # totals are only comparable per-entry (see PLANS.md §8
+                # for measured ±2x machine variance on this box)
+                "n_wall_entries": len(wall),
                 "queries": timings,
                 "sf": sf,
             }
