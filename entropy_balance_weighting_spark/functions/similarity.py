@@ -525,3 +525,95 @@ def cosine_topk_lsh(
         .filter(F.col("rk") <= k)
         .select("probe_id", "neighbor_id", "cos")
     )
+
+
+def embedding_moments(df: DataFrame, *, vec_col: str = "embedding"):
+    """Mean vector and (upper-triangle) second-moment matrix of an
+    embedding column in ONE distributed aggregate: per partition the
+    Arrow batch accumulates ``Σx`` and ``Σ xxᵀ`` with BLAS (D and D²
+    floats per task — driver inflow is model-sized, never N-sized),
+    summed driver-side.  Returns ``(n, mean (D,), cov (D, D))`` with
+    ``cov`` the sample covariance.
+
+    The same partial-sum shape as the solver Gram passes — at 64-dim,
+    4096 doubles per task; for D ≳ 1000 the treeReduce gate in the
+    solver kernels is the pattern to copy.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    d = len(df.select(vec_col).first()[0])
+
+    def acc(batches):
+        n = 0
+        s = np.zeros(d)
+        ss = np.zeros((d, d))
+        for rb in batches:
+            col = rb.column(rb.schema.get_field_index(vec_col))
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = np.asarray(flat, dtype=np.float64).reshape(-1, d)
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            ss += x.T @ x
+        payload = np.concatenate([[float(n)], s, ss.ravel()])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([payload.tobytes()], type=pa.binary())], names=["p"]
+        )
+
+    rows = df.select(vec_col).mapInArrow(acc, "p binary").collect()
+    tot = np.sum([np.frombuffer(r.p, dtype=np.float64) for r in rows], axis=0)
+    n = tot[0]
+    mean = tot[1 : 1 + d] / n
+    ss = tot[1 + d :].reshape(d, d)
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1.0)
+    return int(n), mean, cov
+
+
+def pca_project(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 2,
+    out_col: str = "pc",
+):
+    """Project embeddings onto their top-``k`` principal components.
+
+    Covariance comes from :func:`embedding_moments` (one pass); the
+    D×D eigendecomposition runs on the driver (model-sized); the
+    projection is a pure JVM expression — ``aggregate`` dot products
+    against broadcast-literal component vectors, no Python on the
+    N-sized path.  Component signs are fixed so the largest-magnitude
+    loading is positive (eigenvectors are sign-ambiguous; deterministic
+    output needs a convention).
+
+    Returns ``(df with out_col array<double>, explained_variance_ratio)``.
+    """
+    import numpy as np
+
+    _, mean, cov = embedding_moments(df, vec_col=vec_col)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # (k, D)
+    for i in range(k):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    evr = (vals[order] / vals.sum()).tolist()
+
+    mean_arr = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(
+        _as_double(F.col(vec_col)), mean_arr, lambda x, m: x - m
+    )
+    projections = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(c)) for c in comps[i]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        for i in range(k)
+    ]
+    return df.withColumn(out_col, F.array(*projections)), evr

@@ -1720,6 +1720,38 @@ def samp_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_covariance_probe",
+    survey="ext:embedding-covariance",
+    oracle="""
+SELECT count(*) AS n,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS mean_0,
+       round(covar_samp(CAST(embedding[1] AS DOUBLE),
+                        CAST(embedding[2] AS DOUBLE)), 6) AS cov_01,
+       round(covar_samp(CAST(embedding[1] AS DOUBLE),
+                        CAST(embedding[1] AS DOUBLE)), 6) AS var_0,
+       round(covar_samp(CAST(embedding[3] AS DOUBLE),
+                        CAST(embedding[10] AS DOUBLE)), 6) AS cov_2_9
+FROM embeddings
+""",
+)
+def emb_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding second-moment probe: mean/variance/covariance entries
+    for fixed dimension pairs via JVM ``covar_samp`` aggregates (one
+    scan, scalar output) — the SQL-checkable corner of the full D×D
+    covariance that :func:`functions.similarity.embedding_moments`
+    accumulates with per-partition BLAS for the PCA operator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = lambda i: F.col("embedding")[i].cast("double")  # noqa: E731
+    return emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(e(0)), 6).alias("mean_0"),
+        F.round(F.covar_samp(e(0), e(1)), 6).alias("cov_01"),
+        F.round(F.covar_samp(e(0), e(0)), 6).alias("var_0"),
+        F.round(F.covar_samp(e(2), e(9)), 6).alias("cov_2_9"),
+    )
+
+
 def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.text_as_binary(docs).select("doc_id", "payload", "source")
