@@ -6,12 +6,15 @@ Run:  python examples/corpus_curation.py [sf_dir]
 Stages (each one scan/shuffle-shaped for 100 TB, see PLANS.md):
 
 1. quality gate: token/stopword/quality-score columns, pure projection;
-2. content-policy gate: blocklist-density screen, pure projection;
-3. exact dedup: keep one doc per normalized text (hash groupBy);
-4. near-dup removal: MinHash+LSH pairs → connected components → keep
+2. LM-surprise gate: corpus-unigram mean log-probability, drop the
+   bottom tail (the CCNet-style model-based quality screen);
+3. content-policy gate: blocklist-density screen, pure projection;
+4. exact dedup: keep one doc per normalized text (hash groupBy);
+5. near-dup removal: MinHash+LSH pairs → connected components → keep
    cluster representatives;
-5. benchmark decontamination: n-gram overlap against a held-out slice;
-6. training layout: deterministic shard + fixed-budget context packing,
+6. benchmark decontamination: n-gram overlap against a held-out slice;
+7. domain mixing: deterministic-hash downsample to an equal source mix;
+8. training layout: deterministic shard + fixed-budget context packing,
    then a per-epoch shuffle key.
 
 Returns the funnel counts per stage plus the packed-context stats.
@@ -26,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F
 
-from entropy_balance_weighting_spark.functions import dedup, packing, text
+from entropy_balance_weighting_spark.functions import dedup, packing, sampling, text
 from entropy_balance_weighting_spark.session import get_spark, load_table
 
 
@@ -45,9 +48,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     kept_q = scored.filter((F.col("n_tok") >= 10) & (F.col("q") > 0.3))
     n_quality = kept_q.count()
 
-    # 2. content-policy gate — blocklist density < 20%
+    # 2. LM-surprise gate — drop the least-corpus-typical 5% of docs
+    lp = text.unigram_doc_logprob(docs).select("doc_id", "logprob")
+    p05 = lp.agg(F.percentile("logprob", 0.05)).first()[0]
+    kept_lm = kept_q.join(lp, "doc_id").filter(F.col("logprob") >= p05)
+    n_lm = kept_lm.count()
+
+    # 3. content-policy gate — blocklist density < 20%
     hits = text.blocklist_hits("text", ("slow", "error"))
-    kept_p = kept_q.filter(hits / F.col("n_tok") < 0.2)
+    kept_p = kept_lm.filter(hits / F.col("n_tok") < 0.2)
     n_policy = kept_p.count()
 
     # 3. exact dedup — first doc_id per normalized text
@@ -77,8 +86,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     clean = near_deduped.join(contaminated, "doc_id", "left_anti")
     n_clean = clean.count()
 
-    # 6. training layout — shard + pack + epoch shuffle key
-    packed = packing.pack_sequences(clean, budget=512, n_shards=8, salt="ep0")
+    # 7. domain mixing — equal source shares via the deterministic
+    #    hash sampler (membership re-derivable from (doc_id, salt))
+    sources = [r.source for r in clean.select("source").distinct().collect()]
+    mixed = sampling.resample_to_mix(
+        clean, "doc_id", "source", {s: 1.0 / len(sources) for s in sources},
+        salt="mix0",
+    )
+    n_mixed = mixed.count()
+
+    # 8. training layout — shard + pack + epoch shuffle key
+    packed = packing.pack_sequences(mixed, budget=512, n_shards=8, salt="ep0")
     ctx = packed.groupBy("shard", "context_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("context_tokens"),
@@ -89,10 +107,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     out = {
         "n_raw": n_raw,
         "n_quality": n_quality,
+        "n_lm_gate": n_lm,
         "n_policy": n_policy,
         "n_exact_dedup": n_exact,
         "n_near_dedup": n_near,
         "n_decontaminated": n_clean,
+        "n_domain_mixed": n_mixed,
         "n_contexts": n_contexts,
         "avg_context_tokens": float(fill),
     }

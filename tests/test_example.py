@@ -36,11 +36,14 @@ def test_corpus_curation_example_end_to_end(spark):
     assert (
         out["n_raw"]
         >= out["n_quality"]
+        >= out["n_lm_gate"]
         >= out["n_policy"]
         >= out["n_exact_dedup"]
         >= out["n_near_dedup"]
         >= out["n_decontaminated"]
+        >= out["n_domain_mixed"]
     )
+    assert out["n_domain_mixed"] > 0
     # decontamination against a slice of the corpus itself must drop the
     # overlapping docs but not empty the corpus
     assert 0 < out["n_decontaminated"] < out["n_raw"]
