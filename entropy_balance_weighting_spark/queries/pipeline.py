@@ -1752,6 +1752,105 @@ def emb_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ev_funnel_steps",
+    survey="ext:events-funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id
+)
+SELECT '1_view' AS step, count(*) AS n_users FROM v
+UNION ALL
+SELECT '2_click' AS step, count(*) AS n_users FROM c
+UNION ALL
+SELECT '3_purchase' AS step, count(*) AS n_users FROM p
+ORDER BY step
+""",
+)
+def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users with a view, then a click
+    STRICTLY AFTER their first view, then a purchase strictly after that
+    first qualifying click.  Each stage is one keyed min-aggregate plus
+    one equi-join on user_id — the stages shuffle on the same key, so at
+    scale AQE reuses co-partitioning; no window sort over whole event
+    histories, no pattern-matching UDF."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype, prev):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        return (
+            e.join(prev.select("user_id", F.col("t").alias("pt")), "user_id")
+            .filter(F.col("ts") > F.col("pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+
+    def step_count(df, label):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        step_count(v, "1_view")
+        .unionByName(step_count(c, "2_click"))
+        .unionByName(step_count(p, "3_purchase"))
+        .orderBy("step")
+    )
+
+
+@register(
+    "ev_retention_cohorts",
+    survey="ext:events-retention",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), first AS (
+  SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id
+)
+SELECT CAST(first.d0 AS VARCHAR) AS cohort_day,
+       CAST(act.d - first.d0 AS BIGINT) AS day_offset,
+       count(*) AS n_active
+FROM act JOIN first USING (user_id)
+WHERE act.d - first.d0 <= 7
+GROUP BY first.d0, day_offset
+ORDER BY cohort_day, day_offset
+""",
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-active day, counted
+    on each later active day (offset ≤ 7).  Two keyed aggregates and one
+    user_id equi-join — the distinct-activity table is the only
+    N-over-days-sized intermediate, and every stage partial-aggregates
+    map-side.  The classic growth-analytics rollup, no window over user
+    histories."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        act.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("d", "d0").cast("long"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy(F.col("d0").cast("string").alias("cohort_day"), "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.text_as_binary(docs).select("doc_id", "payload", "source")
