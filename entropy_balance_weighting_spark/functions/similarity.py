@@ -241,18 +241,13 @@ def _assign_cells(base: DataFrame, n_cells: int, seed: int, *, n: int | None = N
     assign every vector to a cell, and measure per-cell angular radii.
     Returns (assigned(id, v, nrm, cell), unit centroids, {cell: radius})."""
     import numpy as np
-    from pyspark.ml.functions import array_to_vector
 
-    model = _fit_quantizer(base, n_cells, seed, n=n)
-    centers = np.vstack([c for c in model.clusterCenters()])
+    centers = _fit_quantizer(base, n_cells, seed, n=n)
     c_unit = centers / np.linalg.norm(centers, axis=1, keepdims=True)
 
-    assigned = model.transform(
-        base.withColumn(
-            "features",
-            array_to_vector(F.transform("v", lambda x: x / F.col("nrm"))),
-        )
-    ).select("id", "v", "nrm", "cell")
+    assigned = _assign_with_centers(base, centers).select(
+        "id", "v", "nrm", "cell"
+    )
 
     # per-cell angular radius: broadcast the C unit centroids back and take
     # one small max-angle aggregate (C rows to the driver)
@@ -350,25 +345,113 @@ def cosine_near_dup_pairs_bucketed(
 
 
 def _fit_quantizer(base: DataFrame, n_cells: int, seed: int, *, n: int | None = None):
-    """Fit the KMeans coarse quantizer on a BOUNDED sample of unit vectors
-    (docstring contract: at corpus scale the fit must not become the job).
-    ``base`` has columns (id, v, nrm); pass ``n`` when the caller already
-    counted the corpus so the fit does not re-count."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Fit the coarse quantizer on a BOUNDED sample of unit vectors and
+    return the ``(n_cells, D)`` centroid array.
 
-    unit = base.withColumn(
-        "features", array_to_vector(F.transform("v", lambda x: x / F.col("nrm")))
-    )
+    The sample is capped (≤ max(256·C, 8192) rows) — model-sized, not
+    corpus-sized — so the Lloyd iterations run DRIVER-SIDE in numpy:
+    one Spark job (the sample collect) instead of the 2-jobs-per-
+    iteration an MLlib ``KMeans.fit`` costs, and the quantizer quality
+    is identical because the sample is the same.  Correctness never
+    depends on the centroids anyway: cell-pair pruning and probe
+    re-ranking are exact; centroids only shape candidate volume.
+    ``base`` has columns (.., v, nrm); pass ``n`` when the caller already
+    counted the corpus so the fit does not re-count."""
+    import numpy as np
+
     target = max(256 * n_cells, 8192)
     if n is None:
-        n = unit.count()
+        n = base.count()
     frac = min(1.0, target / max(n, 1))
-    fit_df = unit if frac >= 1.0 else unit.sample(False, frac, seed)
-    km = KMeans(
-        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    fit_df = base if frac >= 1.0 else base.sample(False, frac, seed)
+    rows = fit_df.select(
+        F.transform("v", lambda x: x / F.col("nrm")).alias("u")
+    ).collect()
+    x = np.asarray([r["u"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(x))
+    # kmeans++ seeding (D²-weighted greedy): random init clusters badly
+    # on clustered data, and cell balance IS the candidate-volume bound
+    cent = np.empty((k, x.shape[1]))
+    cent[0] = x[rng.integers(len(x))]
+    d2 = ((x - cent[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cent[i] = x[rng.choice(len(x), p=p)]
+        d2 = np.minimum(d2, ((x - cent[i]) ** 2).sum(axis=1))
+    for _ in range(10):
+        # S×C distance via the dot-product expansion (S ≤ 8192, C small)
+        d = (x @ cent.T) - 0.5 * (cent * cent).sum(axis=1)[None, :]
+        a = d.argmax(axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def _assign_with_centers(
+    df: DataFrame, centers, *, v_col: str = "v", nrm_col: str = "nrm"
+) -> DataFrame:
+    """Append the nearest-centroid ``cell`` column: for each row,
+    ``argmax(u·c − |c|²/2)`` over the C broadcast-literal centroids
+    (equivalent to nearest-Euclidean on unit vectors; first argmax wins
+    ties deterministically).
+
+    C ≤ 64 stays a pure JVM expression tree (C dot products per row,
+    whole-stage codegen).  Larger C switches to an Arrow-batched pass —
+    one ``(batch × D) @ (D × C)`` BLAS matmul per batch — because a
+    thousand-branch expression tree is where codegen stops helping."""
+    import numpy as np
+
+    cent = np.asarray(centers, dtype=np.float64)
+    if len(cent) <= 64:
+        scores = []
+        for c in cent:
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(v_col),
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            scores.append(dot / F.col(nrm_col) - F.lit(float(0.5 * c @ c)))
+        arr = F.array(*scores)
+        return df.withColumn(
+            "cell", (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+        )
+
+    import pyarrow as pa
+
+    schema = df.schema
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+        + ", cell int"
     )
-    return km.fit(fit_df)
+    v_idx = schema.names.index(v_col)
+    nrm_idx = schema.names.index(nrm_col)
+    half = 0.5 * (cent * cent).sum(axis=1)
+
+    def assign(batches):
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            v = rb.column(v_idx)
+            flat = np.asarray(
+                v.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+            ).reshape(rb.num_rows, -1)
+            nrm = rb.column(nrm_idx).to_numpy(zero_copy_only=False)
+            u = flat / np.asarray(nrm, dtype=np.float64)[:, None]
+            cells = (u @ cent.T - half[None, :]).argmax(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in range(rb.num_columns)]
+                + [pa.array(cells.astype(np.int32), type=pa.int32())],
+                names=list(schema.names) + ["cell"],
+            )
+
+    return df.mapInArrow(assign, out_schema)
 
 
 def cosine_topk_ivf(
@@ -396,7 +479,6 @@ def cosine_topk_ivf(
     tunable via ``n_probe`` (measured in tests).
     """
     import numpy as np
-    from pyspark.ml.functions import array_to_vector
 
     base = emb.select(
         F.col(id_col).alias("neighbor_id"),
@@ -406,21 +488,19 @@ def cosine_topk_ivf(
     if n_cells is None:
         n = base.count()
         n_cells = adaptive_n_cells(n)
-    # quantizer fits on a bounded SAMPLE of unit vectors (the fit must not
-    # become the job at corpus scale); assignment transforms the full corpus
-    model = _fit_quantizer(
+    # quantizer fits on a bounded SAMPLE of unit vectors (driver-side
+    # numpy Lloyd — one collect job, not an MLlib iteration storm);
+    # assignment is a JVM/Arrow transform over the full corpus
+    centers = _fit_quantizer(
         base.select(F.col("v"), F.col("v_norm").alias("nrm")), n_cells, seed, n=n
     )
-    feat = base.withColumn(
-        "features",
-        array_to_vector(F.transform("v", lambda x: x / F.col("v_norm"))),
-    )
-    assigned = model.transform(feat).select(
-        "neighbor_id", "v", "v_norm", "cell"
-    )
+    assigned = _assign_with_centers(
+        base, centers, nrm_col="v_norm"
+    ).select("neighbor_id", "v", "v_norm", "cell")
 
-    centers = np.vstack([c for c in model.clusterCenters()])
-    probes = assigned.filter(F.col("neighbor_id").isin(probe_ids)).select(
+    # probes need only their vectors — read them from the narrow base
+    # scan (id filter pushes down), not from the assignment pass
+    probes = base.filter(F.col("neighbor_id").isin(probe_ids)).select(
         F.col("neighbor_id").alias("probe_id"),
         F.col("v").alias("p"),
         F.col("v_norm").alias("p_norm"),

@@ -455,6 +455,7 @@ def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_cosine_topk_ivf",
     survey="ext:similarity-ann-ivf",
+    bench=True,
     oracle="""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -611,6 +612,7 @@ def txt_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "txt_len_percentiles_approx",
     survey="ext:text-stats,A8",
+    bench=True,
     oracle="""
 SELECT s.source, t.p, 1 AS ok
 FROM (SELECT DISTINCT source FROM documents) s,
