@@ -245,9 +245,12 @@ def _assign_cells(base: DataFrame, n_cells: int, seed: int, *, n: int | None = N
     centers = _fit_quantizer(base, n_cells, seed, n=n)
     c_unit = centers / np.linalg.norm(centers, axis=1, keepdims=True)
 
+    # the assignment feeds the radius aggregate AND both sides of the
+    # cell-pair join — persist so the corpus is assigned once, not 3×
+    # (the inverted-list build every IVF index pays; unpersisted by GC)
     assigned = _assign_with_centers(base, centers).select(
         "id", "v", "nrm", "cell"
-    )
+    ).persist()
 
     # per-cell angular radius: broadcast the C unit centroids back and take
     # one small max-angle aggregate (C rows to the driver)
@@ -313,34 +316,82 @@ def cosine_near_dup_pairs_bucketed(
         n = base.count()
         n_cells = adaptive_n_cells(n, rows_per_cell=rows_per_cell)
     assigned, c_unit, radius = _assign_cells(base, n_cells, seed, n=n)
-    pairs = _qualifying_cell_pairs(c_unit, radius, threshold)
+    # one orientation per unordered CELL pair: for ca < cb every (x∈ca,
+    # y∈cb) vector pair is already unique (cells partition the corpus);
+    # only same-cell blocks need the id-order mask
+    pairs = [
+        (ca, cb)
+        for ca, cb in _qualifying_cell_pairs(c_unit, radius, threshold)
+        if ca <= cb
+    ]
     spark = emb.sparkSession
     qual = spark.createDataFrame(pairs, "cell_a int, cell_b int")
 
-    a = assigned.select(
-        F.col("id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        F.col("cell").alias("cell_a"),
-    )
-    b = assigned.select(
-        F.col("id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        F.col("cell").alias("cell_b"),
-    )
-    return (
-        a.join(F.broadcast(qual), "cell_a")
-        .join(b, "cell_b")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cos"
-            ),
+    # Block verify, cogrouped by CELL PAIR: a pair-expanded join would
+    # ship every vector once PER CANDIDATE PAIR (≈cell-size× duplicated
+    # Arrow traffic — measured 2 GB for a 2M-candidate corpus of 2000
+    # vectors); cogrouping ships each cell's vectors once per qualifying
+    # pair and verifies the whole block with ONE BLAS matmul.  Worst
+    # case (one giant cell pair) is one task's dgemm — the row-chunked
+    # loop bounds its memory; rows_per_cell targeting bounds the common
+    # case.
+    def _side(tag, join_col):
+        asg = assigned.alias(f"asg_{tag}")
+        q = qual.alias(f"q_{tag}")
+        return asg.join(
+            F.broadcast(q),
+            F.col(f"asg_{tag}.cell") == F.col(f"q_{tag}.{join_col}"),
+        ).select(
+            F.col(f"q_{tag}.cell_a").alias("cell_a"),
+            F.col(f"q_{tag}.cell_b").alias("cell_b"),
+            F.col(f"asg_{tag}.id").alias("id"),
+            F.col(f"asg_{tag}.v").alias("v"),
+            F.col(f"asg_{tag}.nrm").alias("nrm"),
         )
-        .filter(F.col("cos") >= threshold)
+
+    side_a = _side("a", "cell_a")
+    side_b = _side("b", "cell_b")
+
+    import numpy as np
+    import pandas as pd
+
+    def block_verify(key, ga, gb):
+        if not len(ga) or not len(gb):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        same = key[0] == key[1]
+        xa = np.stack(ga["v"].to_numpy())
+        xb = np.stack(gb["v"].to_numpy())
+        ia = ga["id"].to_numpy(np.int64)
+        ib = gb["id"].to_numpy(np.int64)
+        ua = xa / ga["nrm"].to_numpy(np.float64)[:, None]
+        ub = xb / gb["nrm"].to_numpy(np.float64)[:, None]
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(ua), 4096):
+            blk = ua[lo : lo + 4096] @ ub.T
+            if same:
+                blk = np.where(
+                    ia[lo : lo + 4096, None] < ib[None, :], blk, -np.inf
+                )
+            r, c = np.nonzero(blk >= threshold)
+            out_a.append(ia[lo + r])
+            out_b.append(ib[c])
+            out_c.append(blk[r, c])
+        ia_f = np.concatenate(out_a)
+        ib_f = np.concatenate(out_b)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia_f, ib_f),
+                "id_b": np.maximum(ia_f, ib_f),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        side_a.groupBy("cell_a", "cell_b")
+        .cogroup(side_b.groupBy("cell_a", "cell_b"))
+        .applyInPandas(block_verify, "id_a long, id_b long, cos double")
     )
 
 
