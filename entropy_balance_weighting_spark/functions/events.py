@@ -268,6 +268,8 @@ def range_join(
     on: tuple[str, ...] = (),
     bucket_seconds: int = 3600,
     n_salts: int = 1,
+    how: str = "inner",
+    point_id: str | None = None,
 ) -> DataFrame:
     """Point-in-interval (range) join: pair each point row with every
     interval row whose half-open window ``[start, end)`` contains the
@@ -293,6 +295,12 @@ def range_join(
     duplicate a pair.  Intervals with ``end <= start`` (empty under the
     half-open convention) are dropped.  Column names must not collide
     across the two inputs (pre-select/rename on the caller side).
+
+    ``how="left"`` (requires ``point_id``, a unique point key) keeps
+    points matching NO interval as one row with null interval columns —
+    the inner pairs plus a broadcast-friendly anti-join of matched ids;
+    a naive left-join-then-range-filter would silently DROP points
+    whose bucket matched but whose range check failed.
 
     ``n_salts > 1`` is the hot-bucket hardening: when events pile into
     one time bucket (flash-sale minute, clock-skew heap at midnight),
@@ -334,10 +342,23 @@ def range_join(
             F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)),
         )
         keys.append("_salt")
-    joined = pts.join(iv, keys, "inner").filter(
-        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    joined = (
+        pts.join(iv, keys, "inner")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bkt", "_salt")
     )
-    return joined.drop("_bkt", "_salt")
+    if how == "inner":
+        return joined
+    if how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if point_id is None:
+        raise ValueError("how='left' requires point_id (a unique point key)")
+    matched = joined.select(point_id).distinct()
+    unmatched = points.join(matched, point_id, "left_anti")
+    return joined.unionByName(unmatched, allowMissingColumns=True)
 
 
 def json_prop_int(events: DataFrame, prop: str, *, props_col: str = "props") -> DataFrame:

@@ -169,3 +169,29 @@ def test_plan_is_hash_join_not_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_left_join_keeps_unmatched_points(spark):
+    """how='left': points in a matched bucket whose range check fails
+    must still appear (nulls) — the trap a naive left-join-then-filter
+    plan falls into — and matched points must not duplicate."""
+    pts = _points(spark, [(1, _ts(5)), (2, _ts(25)), (3, _ts(500))])
+    iv = _intervals(spark, [(10, _ts(0), _ts(10)), (11, _ts(0), _ts(10))])
+    out = range_join(
+        pts, iv, ts_col="ts", start_col="s", end_col="e",
+        bucket_seconds=1800, how="left", point_id="pid",
+    )
+    rows = sorted((r.pid, r.iid) for r in out.collect())
+    # pid=1 matches both intervals; pid=2 shares the bucket but fails the
+    # range; pid=3 has no interval bucket at all
+    assert rows == [(1, 10), (1, 11), (2, None), (3, None)]
+
+
+def test_left_join_requires_point_id(spark):
+    import pytest as _pytest
+
+    pts = _points(spark, [(1, _ts(5))])
+    iv = _intervals(spark, [(10, _ts(0), _ts(10))])
+    with _pytest.raises(ValueError, match="point_id"):
+        range_join(pts, iv, ts_col="ts", start_col="s", end_col="e",
+                   how="left")
