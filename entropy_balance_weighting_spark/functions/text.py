@@ -245,3 +245,41 @@ def unigram_doc_logprob(
             ),
         )
     )
+
+
+def winnow_fingerprints(
+    text: Column | str,
+    *,
+    k: int = 4,
+    window: int = 5,
+) -> Column:
+    """Winnowing fingerprints (the MOSS local-fingerprint scheme): hash
+    every k-token shingle, then keep the MINIMUM hash of each sliding
+    window of ``window`` consecutive shingle hashes, deduplicated.
+
+    Guarantees of the scheme: any shared token run of length
+    ≥ k + window − 1 between two documents yields at least one SHARED
+    fingerprint, so partial overlaps are caught — unlike a whole-document
+    fingerprint, which only catches full duplicates.  Everything is pure
+    array expressions over the engine-portable md5-prefix hash: identical
+    in DuckDB list comprehensions, zero Python, zero shuffle.
+    """
+    def _seq(n):
+        # sequence(1, 0) would RUN BACKWARDS (default step −1): short
+        # documents need the explicit empty-array branch
+        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    toks = tokens(text)
+    n_kg = F.size(toks) - F.lit(k - 1)
+    kg = F.transform(
+        _seq(n_kg),
+        lambda i: portable_hash32(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    n_win = F.size(kg) - F.lit(window - 1)
+    wins = F.transform(
+        _seq(n_win),
+        lambda j: F.array_min(F.slice(kg, j, window)),
+    )
+    return F.array_distinct(wins)

@@ -1853,6 +1853,67 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txt_winnow_fingerprints",
+    survey="ext:text-winnowing",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), kg AS (
+  SELECT doc_id, source,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 3, 0)),
+           i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i, i+3),
+                                                  ' ')),1,8))::BIGINT
+         ) AS kh
+  FROM t
+), w AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(kh) - 4, 0)),
+           j -> list_min(list_slice(kh, j, j+4))
+         )) AS fps
+  FROM kg
+), ex AS (
+  SELECT DISTINCT doc_id, source, unnest(fps) AS fp FROM w
+), byfp AS (
+  SELECT source, fp, count(*) AS nd FROM ex GROUP BY source, fp
+)
+SELECT source,
+       count(*) AS n_fps,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+FROM byfp GROUP BY source ORDER BY source
+""",
+)
+def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint stats per source: distinct local
+    fingerprints and how many are SHARED across ≥2 documents — the
+    partial-overlap dup signal a whole-document fingerprint cannot give
+    (any shared run of ≥ k+window−1 tokens guarantees a shared
+    fingerprint).  :func:`functions.text.winnow_fingerprints` is pure
+    array expressions; the rollup is one explode + two groupBys with
+    map-side partials.  At corpus scale the fingerprint inverted index
+    (the `ex` table) is the same skew story as the shingle join — cap
+    hot fingerprints the same way."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            text.winnow_fingerprints(F.col("text"), k=4, window=5)
+        ).alias("fp"),
+    ).distinct()
+    byfp = fps.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        byfp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared"),
+        )
+        .orderBy("source")
+    )
+
+
 def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.text_as_binary(docs).select("doc_id", "payload", "source")
