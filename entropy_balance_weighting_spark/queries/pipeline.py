@@ -1914,6 +1914,65 @@ def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd_winnow_near_dups",
+    survey="ext:dedup-winnowing",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), kg AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 3, 0)),
+           i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i, i+3),
+                                                  ' ')),1,8))::BIGINT
+         ) AS kh
+  FROM t
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(kh) - 4, 0)),
+           j -> list_min(list_slice(kh, j, j+4))
+         )) AS fps
+  FROM kg
+), ex AS (
+  SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM ex a JOIN ex b ON b.fp = a.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 3
+ORDER BY id_a, id_b
+""",
+)
+def dd_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap near-dup pairs: documents sharing ≥3 winnowing
+    fingerprints — catches documents that EMBED a common passage
+    (boilerplate, quoted blocks, template headers) even when the rest of
+    the text is unrelated, which whole-document and MinHash-over-
+    whole-doc dedup both miss.  Plan shape: the fingerprint inverted
+    index self-join (same as the shingle join — candidate volume is
+    Σ_fp n_fp², governed by the winnowing density 2/(window+1); a hot
+    boilerplate fingerprint is the shingle-cap skew story)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.explode(
+            text.winnow_fingerprints(F.col("text"), k=4, window=5)
+        ).alias("fp"),
+    ).distinct()
+    a = ex.select(F.col("doc_id").alias("id_a"), "fp")
+    b = ex.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.text_as_binary(docs).select("doc_id", "payload", "source")
