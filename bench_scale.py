@@ -262,10 +262,17 @@ def _bench_pipeline(spark, n, n_parts, timings, throughput) -> None:
             end_col="e", bucket_seconds=300,
         ).agg(F.count(F.lit(1)), F.sum("value")).collect()
 
+    def t_winnow():
+        text.winnow_fingerprints(F.col("text"))
+        docs.select(
+            F.size(text.winnow_fingerprints(F.col("text"))).alias("nf")
+        ).agg(F.sum("nf"), F.max("nf")).collect()
+
     for name, fn in [
         ("pipe_quality_scan", t_quality),
         ("pipe_pack", t_pack),
         ("pipe_minhash_sigs", t_minhash),
+        ("pipe_winnow", t_winnow),
         ("pipe_asof_join", t_asof),
         ("pipe_range_join", t_range),
     ]:

@@ -260,10 +260,19 @@ def winnow_fingerprints(
     Guarantees of the scheme: any shared token run of length
     ≥ k + window − 1 between two documents yields at least one SHARED
     fingerprint, so partial overlaps are caught — unlike a whole-document
-    fingerprint, which only catches full duplicates.  Everything is pure
-    array expressions over the engine-portable md5-prefix hash: identical
-    in DuckDB list comprehensions, zero Python, zero shuffle.
+    fingerprint, which only catches full duplicates.
+
+    Hashing is ONE engine-portable md5-prefix hash per TOKEN; the k-gram
+    hash is the polynomial combination of the k token hashes and each
+    window minimum is a ``least()`` over ``window`` array lookups — no
+    per-position array slicing or string concatenation (a slice-based
+    rendering allocates ~2·n arrays per document and was the measured
+    bottleneck at millions of documents).  DuckDB replicates the
+    identical arithmetic in list comprehensions.
     """
+    B = _FP_BASE
+    M = _FP_MOD
+
     def _seq(n):
         # sequence(1, 0) would RUN BACKWARDS (default step −1): short
         # documents need the explicit empty-array branch
@@ -271,15 +280,39 @@ def winnow_fingerprints(
             F.array().cast("array<int>")
         )
 
+    def _let(arr, fn):
+        # bind an array expression ONCE per row: referencing a transform
+        # expression inside element_at INLINES it, re-evaluating the whole
+        # array per lookup (O(n²)→O(n³) blowup, measured in minutes per
+        # million docs); a single-element transform makes it a bound
+        # lambda variable instead
+        return F.element_at(F.transform(F.array(arr), fn), 1)
+
+    powers = [B ** (k - 1 - d) for d in range(k)]
+
+    def _wins(kgb):
+        n_win = F.size(kgb) - F.lit(window - 1)
+        return F.array_distinct(
+            F.transform(
+                _seq(n_win),
+                lambda j: F.least(
+                    *[F.element_at(kgb, j + d) for d in range(window)]
+                ),
+            )
+        )
+
+    def _kgrams(hb):
+        n_kg = F.size(hb) - F.lit(k - 1)
+        kg = F.transform(
+            _seq(n_kg),
+            lambda i: sum(
+                F.element_at(hb, i + d) * F.lit(p)
+                for d, p in enumerate(powers)
+            )
+            % F.lit(M),
+        )
+        return _let(kg, _wins)
+
     toks = tokens(text)
-    n_kg = F.size(toks) - F.lit(k - 1)
-    kg = F.transform(
-        _seq(n_kg),
-        lambda i: portable_hash32(F.concat_ws(" ", F.slice(toks, i, k))),
-    )
-    n_win = F.size(kg) - F.lit(window - 1)
-    wins = F.transform(
-        _seq(n_win),
-        lambda j: F.array_min(F.slice(kg, j, window)),
-    )
-    return F.array_distinct(wins)
+    h = F.transform(toks, lambda t: portable_hash32(t) % F.lit(M))
+    return _let(h, _kgrams)

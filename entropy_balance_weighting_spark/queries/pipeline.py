@@ -1859,19 +1859,24 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), th AS (
+  SELECT doc_id, source,
+         list_transform(
+           toks, t -> ('0x'||substr(md5(t),1,8))::BIGINT % 2147483647
+         ) AS h
+  FROM t
 ), kg AS (
   SELECT doc_id, source,
          list_transform(
-           generate_series(1, greatest(len(toks) - 3, 0)),
-           i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i, i+3),
-                                                  ' ')),1,8))::BIGINT
+           generate_series(1, greatest(len(h) - 3, 0)),
+           i -> (h[i]*29791 + h[i+1]*961 + h[i+2]*31 + h[i+3]) % 2147483647
          ) AS kh
-  FROM t
+  FROM th
 ), w AS (
   SELECT doc_id, source,
          list_distinct(list_transform(
            generate_series(1, greatest(len(kh) - 4, 0)),
-           j -> list_min(list_slice(kh, j, j+4))
+           j -> least(kh[j], kh[j+1], kh[j+2], kh[j+3], kh[j+4])
          )) AS fps
   FROM kg
 ), ex AS (
@@ -1920,19 +1925,24 @@ def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(
+           toks, t -> ('0x'||substr(md5(t),1,8))::BIGINT % 2147483647
+         ) AS h
+  FROM t
 ), kg AS (
   SELECT doc_id,
          list_transform(
-           generate_series(1, greatest(len(toks) - 3, 0)),
-           i -> ('0x'||substr(md5(array_to_string(list_slice(toks, i, i+3),
-                                                  ' ')),1,8))::BIGINT
+           generate_series(1, greatest(len(h) - 3, 0)),
+           i -> (h[i]*29791 + h[i+1]*961 + h[i+2]*31 + h[i+3]) % 2147483647
          ) AS kh
-  FROM t
+  FROM th
 ), w AS (
   SELECT doc_id,
          list_distinct(list_transform(
            generate_series(1, greatest(len(kh) - 4, 0)),
-           j -> list_min(list_slice(kh, j, j+4))
+           j -> least(kh[j], kh[j+1], kh[j+2], kh[j+3], kh[j+4])
          )) AS fps
   FROM kg
 ), ex AS (
