@@ -99,6 +99,9 @@ def resample_to_mix(
     missing = set(counts) - set(target_shares)
     if missing:
         raise ValueError(f"target_shares missing strata: {sorted(missing)}")
+    absent = {s for s, p in target_shares.items() if p > 0 and s not in counts}
+    if absent:
+        raise ValueError(f"target_shares name strata absent from data: {sorted(absent)}")
     # exact rational arithmetic: for stratum s at the binding minimum,
     # n_out·share_s cancels to exactly n_s, so the threshold floors to
     # exactly the oracle's floor(1e6·n_min/n_s) — float re-association

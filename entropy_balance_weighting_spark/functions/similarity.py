@@ -418,6 +418,8 @@ def _fit_quantizer(base: DataFrame, n_cells: int, seed: int, *, n: int | None = 
     rows = fit_df.select(
         F.transform("v", lambda x: x / F.col("nrm")).alias("u")
     ).collect()
+    if not rows:
+        raise ValueError("cannot fit IVF quantizer: embedding corpus is empty")
     x = np.asarray([r["u"] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     k = min(n_cells, len(x))
@@ -673,7 +675,10 @@ def embedding_moments(df: DataFrame, *, vec_col: str = "embedding"):
     import numpy as np
     import pyarrow as pa
 
-    d = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None:
+        raise ValueError("embedding_moments needs >= 2 rows, got 0")
+    d = len(head[0])
 
     def acc(batches):
         n = 0
@@ -694,6 +699,8 @@ def embedding_moments(df: DataFrame, *, vec_col: str = "embedding"):
     rows = df.select(vec_col).mapInArrow(acc, "p binary").collect()
     tot = np.sum([np.frombuffer(r.p, dtype=np.float64) for r in rows], axis=0)
     n = tot[0]
+    if n < 2:
+        raise ValueError(f"embedding_moments needs >= 2 rows, got {int(n)}")
     mean = tot[1 : 1 + d] / n
     ss = tot[1 + d :].reshape(d, d)
     cov = (ss - n * np.outer(mean, mean)) / (n - 1.0)

@@ -36,8 +36,11 @@ def token_count(text: Column | str) -> Column:
 # GPT-2-family pretokenizer shape WITHOUT lookarounds, so the identical
 # pattern runs on Java regex (Spark) and RE2 (DuckDB): letter runs are
 # word pieces, each digit is its own token (modern BPE digit splitting),
-# punctuation runs are symbol pieces.  Whitespace only separates.
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+# punctuation runs are symbol pieces.  Whitespace only separates — the
+# class is spelled out because Java's \s includes \x0B where RE2's does
+# not, and one vertical tab would fork the two engines' tokenizations.
+_WS = " \\t\\n\\x0B\\f\\r"
+BPE_ISH_PATTERN = rf"[A-Za-z]+|[0-9]|[^A-Za-z0-9{_WS}]+"
 
 
 def bpe_token_count(text: Column | str) -> Column:

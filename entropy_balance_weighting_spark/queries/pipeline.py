@@ -1502,13 +1502,15 @@ def ev_user_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "txt_bpe_token_count",
     survey="ext:text-tokens",
-    oracle=r"""
+    # interpolate the shared pattern constant so Spark and DuckDB can never
+    # drift (engine \s classes differ: Java includes \x0B, RE2 does not)
+    oracle=f"""
 SELECT source,
        count(*) AS n_docs,
        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')))
+       CAST(sum(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}')))
             AS BIGINT) AS bpe_tokens,
-       round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))), 4)
+       round(avg(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}'))), 4)
          AS avg_bpe_per_doc
 FROM documents GROUP BY source ORDER BY source
 """,

@@ -21,8 +21,44 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def parquet_column_edges(
+    path: str, cols: tuple[str, ...]
+) -> dict[str, tuple[float, float]]:
+    """(min, max) per column from parquet FOOTER statistics — metadata
+    reads only, zero Spark jobs, zero data I/O.  This is the "table
+    stats" path for :func:`zorder_key` edges: at 100 TB a full min/max
+    aggregate pass doubles the I/O of a re-layout sink, while footers
+    are a few KB per file and already row-group-exact."""
+    import pyarrow.dataset as ds
+
+    lo: dict[str, float] = {}
+    hi: dict[str, float] = {}
+    dataset = ds.dataset(path, format="parquet")
+    for frag in dataset.get_fragments():
+        md = frag.metadata
+        schema_names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        for c in cols:
+            i = schema_names[c]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"parquet footer lacks min/max stats for column {c!r}"
+                    )
+                mn, mx = float(st.min), float(st.max)
+                lo[c] = mn if c not in lo else min(lo[c], mn)
+                hi[c] = mx if c not in hi else max(hi[c], mx)
+    if set(lo) != set(cols):
+        raise ValueError(f"no row groups found for columns {cols}")
+    return {c: (lo[c], hi[c]) for c in cols}
+
+
 def zorder_key(
-    df: DataFrame, cols: tuple[str, ...], *, bits: int = 10
+    df: DataFrame,
+    cols: tuple[str, ...],
+    *,
+    bits: int = 10,
+    edges: dict[str, tuple[float, float]] | None = None,
 ) -> Column:
     """Morton (Z-order) curve key over ``cols``: each column is binned to
     ``2^bits`` levels between its min and max, and the bin bits are
@@ -30,22 +66,33 @@ def zorder_key(
     EVERY listed dimension at once, which a lexicographic multi-column
     sort cannot do (it clusters only the leading column).
 
-    One tiny min/max aggregate job runs here to fix the bin edges; the
-    key itself is a pure JVM expression tree (``width_bucket`` +
-    shift/mask), whole-stage-codegen friendly, no UDF.  Linear binning
-    is deliberate: equi-depth bins would need per-column quantiles, and
-    for file skipping the curve only has to correlate the columns'
-    locality, not balance the bins (document skew; at 100 TB compute
-    min/max on a sample or from table stats instead).
+    Bin edges come from ``edges`` when given (use
+    :func:`parquet_column_edges` to pull them from parquet footer stats
+    with no Spark job — the right call at 100 TB); otherwise one min/max
+    aggregate job runs here.  Values outside the given edges clamp into
+    the boundary bins, so approximate edges degrade clustering quality
+    only, never correctness.  The key itself is a pure JVM expression
+    tree (``width_bucket`` + shift/mask), whole-stage-codegen friendly,
+    no UDF.  Linear binning is deliberate: equi-depth bins would need
+    per-column quantiles, and for file skipping the curve only has to
+    correlate the columns' locality, not balance the bins.
     """
-    row = df.agg(
-        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
-    ).first()
+    # Java shiftleft takes the shift amount mod 64, so interleave bits at
+    # position >= 63 would silently wrap into low positions and scramble
+    # the curve; shrink bits so every shift stays in range.
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)}) for a 64-bit key")
+    if edges is None:
+        row = df.agg(
+            *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+        ).first()
+        edges = {c: (float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in cols}
     n_bins = 1 << bits
     bin_cols = []
     for c in cols:
-        mn, mx = float(row[f"mn_{c}"]), float(row[f"mx_{c}"])
+        mn, mx = edges[c]
         if mx <= mn:  # constant column: every row in bin 0
             bin_cols.append(F.lit(0).cast("long"))
             continue
@@ -73,6 +120,8 @@ def write_zordered(
     bits: int = 10,
     n_files: int = 16,
     mode: str = "overwrite",
+    edges: dict[str, tuple[float, float]] | None = None,
+    stats_path: str | None = None,
 ) -> None:
     """Z-order-clustered parquet write (the OPTIMIZE ZORDER layout):
     range-repartition by the Morton key so each output file holds one
@@ -81,8 +130,15 @@ def write_zordered(
     combination of those columns skips whole files/row-groups on parquet
     footer stats — at 100 TB this is the difference between touching a
     handful of files and listing-scanning the table for multi-dimension
-    point/box queries that partition keys can't serve."""
-    key = zorder_key(df, cols, bits=bits)
+    point/box queries that partition keys can't serve.
+
+    Bin edges: pass ``edges`` directly, or ``stats_path`` (the parquet
+    source being re-laid-out) to take them from footer statistics with
+    no extra Spark job — otherwise a full min/max aggregate pass runs
+    first, doubling the sink's read I/O."""
+    if edges is None and stats_path is not None:
+        edges = parquet_column_edges(stats_path, cols)
+    key = zorder_key(df, cols, bits=bits, edges=edges)
     (
         df.withColumn("__zkey", key)
         .repartitionByRange(n_files, "__zkey")

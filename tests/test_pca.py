@@ -53,3 +53,14 @@ def test_pca_projection_matches_numpy(spark):
     expect_by_id = {i: e for i, e in zip(ids, expect)}
     expect_sorted = np.array([expect_by_id[i] for i in sorted(ids)])
     assert np.allclose(got, expect_sorted, rtol=1e-8, atol=1e-9)
+
+
+def test_embedding_moments_small_input_raises(spark):
+    import pytest
+
+    one = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
+    with pytest.raises(ValueError, match=">= 2 rows"):
+        embedding_moments(one)
+    empty = one.filter("embedding is null")
+    with pytest.raises(ValueError, match=">= 2 rows"):
+        embedding_moments(empty)

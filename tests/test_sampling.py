@@ -98,3 +98,20 @@ def test_resample_to_mix_rejects_unknown_strata(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, src string")
     with _pytest.raises(ValueError, match="missing strata"):
         resample_to_mix(df, "id", "src", {"a": 1.0}, salt="mx")
+
+
+def test_resample_to_mix_rejects_absent_share_stratum(spark):
+    """target_shares naming a stratum absent from the data is a clear
+    ValueError, not a KeyError from the n_out comprehension."""
+    import pytest
+
+    from entropy_balance_weighting_spark.functions.sampling import (
+        resample_to_mix,
+    )
+
+    df = spark.createDataFrame([(i, "a") for i in range(10)], "id long, src string")
+    with pytest.raises(ValueError, match="absent from data"):
+        resample_to_mix(df, "id", "src", {"a": 0.5, "ghost": 0.5}, salt="mx")
+    # zero-share absent stratum is harmless
+    out = resample_to_mix(df, "id", "src", {"a": 1.0, "ghost": 0.0}, salt="mx")
+    assert out.count() == 10

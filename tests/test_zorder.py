@@ -103,3 +103,53 @@ def test_zorder_key_interleaves(spark):
     const = spark.createDataFrame([(1, 5.0), (2, 5.0)], "a long, v double")
     kc = const.withColumn("k", zorder_key(const, ("v",), bits=4)).collect()
     assert {r.k for r in kc} == {0}
+
+
+def test_zorder_footer_stats_edges_no_spark_job(spark, tmp_path):
+    """The stats path: edges from parquet footers (no Spark min/max job),
+    and the rewrite stays lossless with equivalent clustering."""
+    from entropy_balance_weighting_spark.sources.layout import parquet_column_edges
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    ev.write.mode("overwrite").parquet(src)
+
+    edges = parquet_column_edges(src, ("user_id", "value"))
+    agg = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    assert edges["user_id"] == (float(agg[0]), float(agg[1]))
+    assert edges["value"] == (float(agg[2]), float(agg[3]))
+
+    # no Spark job may run while building the key from given edges
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    key = zorder_key(ev, ("user_id", "value"), edges=edges)
+    assert tracker.getJobIdsForGroup(None) == before
+
+    z_path = str(tmp_path / "z2")
+    write_zordered(
+        spark.read.parquet(src), z_path, ("user_id", "value"), stats_path=src
+    )
+    assert spark.read.parquet(z_path).count() == ev.count()
+    assert key is not None
+
+
+def test_zorder_bits_autoshrink():
+    """len(cols)*bits must stay <= 63 or Java's mod-64 shifts scramble
+    the curve; bits auto-shrink, and an impossible key raises."""
+    import pytest
+
+    from entropy_balance_weighting_spark.sources.layout import zorder_key
+
+    edges = {f"c{i}": (0.0, 1.0) for i in range(7)}
+    cols = tuple(edges)
+    # bits=10 with 7 cols would shift to bit 69; the shrunk key must not
+    # reference shifts >= 63.  Build against a dummy df-free column expr:
+    # zorder_key needs a DataFrame only for the agg path, edges skips it.
+    key = zorder_key(None, cols, bits=10, edges=edges)
+    assert "69" not in str(key._jc.toString()) if hasattr(key, "_jc") else True
+
+    with pytest.raises(ValueError, match="too many"):
+        zorder_key(None, tuple(f"c{i}" for i in range(64)), bits=10,
+                   edges={f"c{i}": (0.0, 1.0) for i in range(64)})
