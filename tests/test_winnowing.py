@@ -52,3 +52,40 @@ def test_position_shift_preserves_fingerprints(spark):
     # winnowing selects by local minima, so most of body's fingerprints
     # survive an offset — a rolling whole-doc hash would share nothing
     assert len(fps[0] & fps[1]) >= len(fps[0]) * 3 // 4
+
+
+def test_max_fp_df_caps_hot_fingerprints_keeps_exact_counts(spark):
+    """The skew cap: a boilerplate passage shared by MANY docs must not
+    generate candidates (df > max_fp_df), while a rare overlap still
+    pairs — and the surviving pair's n_shared stays EXACT (recounted
+    against the full fingerprint table, boilerplate included)."""
+    from entropy_balance_weighting_spark.functions.dedup import (
+        winnow_near_dup_pairs,
+    )
+
+    boiler = " ".join(f"tpl{i}" for i in range(30))
+    rare = " ".join(f"sec{i}" for i in range(30))
+    texts = [f"{boiler} u{j}a u{j}b u{j}c" for j in range(8)]
+    # docs 100/101 share the rare passage AND the boilerplate
+    texts += [f"{boiler} {rare} x1 x2", f"{boiler} {rare} y1 y2"]
+    df = spark.createDataFrame(
+        [(i if i < 8 else 92 + i, t) for i, t in enumerate(texts)],
+        "id long, text string",
+    )
+
+    exact = winnow_near_dup_pairs(df, "id", "text", k=K, window=W, min_shared=3)
+    exact_pairs = {(r.id_a, r.id_b): r.n_shared for r in exact.collect()}
+    # boilerplate alone pairs everything with everything
+    assert len(exact_pairs) == 45  # C(10,2)
+
+    capped = winnow_near_dup_pairs(
+        df, "id", "text", k=K, window=W, min_shared=3, max_fp_df=4
+    )
+    capped_pairs = {(r.id_a, r.id_b): r.n_shared for r in capped.collect()}
+    # the hot boilerplate fingerprints no longer drive candidate volume
+    # (a few junction windows can still select doc-correlated minima, so
+    # a stray low-df pair is legitimate) and the rare-overlap pair survives
+    assert (100, 101) in capped_pairs
+    assert len(capped_pairs) <= 5  # vs 45 uncapped
+    # and its count matches the exact mode (full-table recount)
+    assert capped_pairs[(100, 101)] == exact_pairs[(100, 101)]
