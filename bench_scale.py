@@ -268,6 +268,29 @@ def _bench_pipeline(spark, n, n_parts, timings, throughput) -> None:
             F.size(text.winnow_fingerprints(F.col("text"))).alias("nf")
         ).agg(F.sum("nf"), F.max("nf")).collect()
 
+    # sliding windows at a 30x overlap factor (width=30min, slide=1min):
+    # the native form shuffles events x overlap rows; the two-level form
+    # shuffles events once into minute panes + panes x overlap partials
+    def t_slide_native():
+        from entropy_balance_weighting_spark.functions.events import (
+            sliding_window_agg,
+        )
+
+        ev2 = ev.withColumn("event_type", F.pmod(F.hash("event_id"), F.lit(5)))
+        sliding_window_agg(ev2, width="30 minutes", slide="1 minute").agg(
+            F.count(F.lit(1)), F.sum("n_events")
+        ).collect()
+
+    def t_slide_two_level():
+        from entropy_balance_weighting_spark.functions.events import (
+            sliding_window_agg_two_level,
+        )
+
+        ev2 = ev.withColumn("event_type", F.pmod(F.hash("event_id"), F.lit(5)))
+        sliding_window_agg_two_level(
+            ev2, width="30 minutes", slide="1 minute"
+        ).agg(F.count(F.lit(1)), F.sum("n_events")).collect()
+
     for name, fn in [
         ("pipe_quality_scan", t_quality),
         ("pipe_pack", t_pack),
@@ -275,6 +298,8 @@ def _bench_pipeline(spark, n, n_parts, timings, throughput) -> None:
         ("pipe_winnow", t_winnow),
         ("pipe_asof_join", t_asof),
         ("pipe_range_join", t_range),
+        ("pipe_slide_native_30x", t_slide_native),
+        ("pipe_slide_two_level_30x", t_slide_two_level),
     ]:
         t = _min3(fn)
         timings[name] = round(t, 4)

@@ -68,6 +68,75 @@ def sliding_window_agg(
     )
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(s: str) -> int:
+    """Parse '30 minutes' / '1 hour' style window widths to seconds."""
+    n, unit = s.strip().split()
+    try:
+        return int(n) * _UNIT_SECONDS[unit.lower()]
+    except KeyError:
+        raise ValueError(f"unsupported interval unit in {s!r}") from None
+
+
+def sliding_window_agg_two_level(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    by: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Sliding windows composed from tumbling partials — the scale path
+    for ``slide ≪ width``.  ``F.window(ts, width, slide)`` replicates
+    EVERY EVENT ``width/slide`` times before the shuffle; here each event
+    lands in exactly ONE slide-grain pane (map-side combinable), and only
+    the PANE PARTIALS — at most one row per (pane, keys) — fan out into
+    the ``width/slide`` windows they belong to.  Shuffled volume drops
+    from ``events × overlap`` to ``events + panes × overlap``: at a 10×
+    overlap factor on 20M events with minute panes, that is 200M shuffled
+    rows → ~20M, and the overlap factor leaves the per-event cost
+    entirely.
+
+    Exact for decomposable aggregates (count/sum here; min/max/avg-via-
+    sum-count compose the same way).  Requires ``width`` divisible by
+    ``slide`` (same epoch-aligned grid as ``F.window``); equivalence to
+    the native form is pytest-pinned."""
+    w_sec = _interval_seconds(width)
+    s_sec = _interval_seconds(slide)
+    if w_sec % s_sec != 0:
+        raise ValueError(f"width {width!r} must be a multiple of slide {slide!r}")
+    overlap = w_sec // s_sec
+    pane = F.window(F.col(ts_col), slide)
+    panes = events.groupBy(pane.alias("p"), *by).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pv"),
+    )
+    pane_start = F.col("p.start").cast("timestamp").cast("long")
+    fanned = panes.select(
+        F.explode(
+            F.sequence(
+                pane_start - F.lit((overlap - 1) * s_sec),
+                pane_start,
+                F.lit(s_sec),
+            )
+        ).alias("window_start"),
+        *by,
+        "pn",
+        "pv",
+    )
+    return fanned.groupBy("window_start", *by).agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").alias("value_sum"),
+    )
+
+
 def session_windows(
     events: DataFrame,
     *,

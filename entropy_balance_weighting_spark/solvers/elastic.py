@@ -292,7 +292,11 @@ def solve_elastic(
             float(np.linalg.norm(sum_w0 * alpha_p * sp.xt_rstep)),
         )
 
-    final_cv = kernel.elastic_g1() - b
+    # Every break leaves the loop right after an ``elastic_stats`` scan with
+    # no commit pending (commits are followed by the next scan before any
+    # break can fire), so ``st.g1`` IS the materialized final state's g1 —
+    # reuse it instead of paying one more full ``elastic_g1`` scan.
+    final_cv = st.g1 - b
     attempt = kernel.new_weights()
     return EntropyBalanceResults(
         new_weights=attempt if converged else original_weights,

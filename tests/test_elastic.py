@@ -300,9 +300,9 @@ def test_estats_mu_decomposition_identities(bounds):
 def test_elastic_distributed_two_jobs_per_iteration(spark):
     """Structural pin of the 2-jobs-per-iteration claim: a distributed
     elastic solve issues exactly one kernel reduce for the init gap, one
-    per stats scan (iters+1), one per step scan (iters), and one for the
-    final violations — commits must contribute ZERO reduces (they ride the
-    next stats scan)."""
+    per stats scan (iters+1), and one per step scan (iters) — commits must
+    contribute ZERO reduces (they ride the next stats scan), and the final
+    violations reuse the breaking stats scan's g1 (no extra scan)."""
     import pandas as pd
 
     from entropy_balance_weighting_spark.kernels.elastic_spark import (
@@ -340,8 +340,8 @@ def test_elastic_distributed_two_jobs_per_iteration(spark):
         ElasticSparkKernel._reduce = orig_reduce
     assert res.converged
     t = res.n_iterations
-    # init g1 + (t+1) stats + t steps + final g1
-    assert n_reduces == 2 * t + 3, (n_reduces, t)
+    # init g1 + (t+1) stats + t steps; final violations reuse st.g1
+    assert n_reduces == 2 * t + 2, (n_reduces, t)
 
 
 def test_eta_growth_cannot_declare_convergence_below_max_multiplier():

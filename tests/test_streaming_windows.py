@@ -220,3 +220,37 @@ def test_watermark_drops_late_events(spark, tmp_path):
     rows = {r.ws: (r.n, r.v) for r in spark.sql("SELECT * FROM late_agg").collect()}
     assert rows.get(t0) == (1, 1.0)  # its window emitted WITHOUT the late 100
     assert all(v < 100.0 for _, v in rows.values())
+
+
+def test_two_level_sliding_matches_native(spark):
+    """sliding_window_agg_two_level == F.window(ts, width, slide) exactly
+    (counts, sums, and the emitted window set) at slide << width."""
+    from entropy_balance_weighting_spark.functions.events import (
+        sliding_window_agg,
+        sliding_window_agg_two_level,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    native = sliding_window_agg(
+        ev, width="1 hour", slide="10 minutes"
+    ).collect()
+    composed = sliding_window_agg_two_level(
+        ev, width="1 hour", slide="10 minutes"
+    ).collect()
+    key = lambda r: (r.window_start, r.event_type)
+    n = {key(r): (r.n_events, round(r.value_sum, 6)) for r in native}
+    c = {key(r): (r.n_events, round(r.value_sum, 6)) for r in composed}
+    assert n == c
+    assert len(n) > 10
+
+
+def test_two_level_sliding_rejects_nondivisible(spark):
+    import pytest
+
+    from entropy_balance_weighting_spark.functions.events import (
+        sliding_window_agg_two_level,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    with pytest.raises(ValueError, match="multiple of slide"):
+        sliding_window_agg_two_level(ev, width="1 hour", slide="7 minutes")
