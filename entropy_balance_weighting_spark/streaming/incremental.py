@@ -71,16 +71,30 @@ class IncrementalReweighter:
         self.accumulated: DataFrame | None = None
         self.last_weights: DataFrame | None = None  # (row_id, new_weight)
         self.history: list[dict] = []
+        self._processed: set[int] = set()
 
     # -- foreachBatch hook --------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """The ``foreachBatch`` body: append, rebuild, warm-start, re-solve."""
+        """The ``foreachBatch`` body: append, rebuild, warm-start, re-solve.
+
+        Idempotent under micro-batch REPLAY: ``foreachBatch`` delivers
+        at-least-once — after a failure/restart the engine re-runs the
+        last uncommitted batch with the SAME ``batch_id``, so a sink that
+        blindly appends double-counts it.  A seen-``batch_id`` guard
+        skips intra-run replays, and the union dedups on ``spec.row_key``
+        so a replay across a reweighter rebuild (fresh object, same
+        checkpoint) also cannot double-append a row."""
         from entropy_balance_weighting_spark import entropy_balance
 
+        if batch_id in self._processed:
+            return
+        self._processed.add(batch_id)
         if self.accumulated is None:
             acc = batch_df
         else:
-            acc = self.accumulated.unionByName(batch_df)
+            acc = self.accumulated.unionByName(batch_df).dropDuplicates(
+                list(self.spec.row_key)
+            )
         # one materialization per batch: the accumulated snapshot is reused
         # by the problem build and by the next batch's union
         acc = acc.localCheckpoint(eager=True)

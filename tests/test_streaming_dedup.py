@@ -87,3 +87,46 @@ def test_batch_dataframe_rejected(spark):
     df = spark.createDataFrame([], SCHEMA)
     with pytest.raises(ValueError, match="streaming"):
         streaming_exact_dedup(df)
+
+
+def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Sink exactness across restarts: re-running the query from the same
+    checkpoint with no new data appends nothing; new data after a restart
+    is processed once; the parquet sink's _spark_metadata commit log view
+    never shows duplicate doc_ids."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+
+    _write(
+        spark,
+        src,
+        [
+            (1, "alpha beta gamma", T0),
+            (2, "delta epsilon zeta", T0 + dt.timedelta(seconds=10)),
+        ],
+    )
+    _drain(spark, src, ckpt, out)
+    first = sorted(r.doc_id for r in spark.read.parquet(str(out)).collect())
+    assert first == [1, 2]
+
+    # restart 1: same checkpoint, no new data -> no-op
+    _drain(spark, src, ckpt, out)
+    _drain(spark, src, ckpt, out)
+    assert sorted(r.doc_id for r in spark.read.parquet(str(out)).collect()) == [1, 2]
+
+    # restart 2: new data (one dup of doc 1 within the watermark, one new)
+    _write(
+        spark,
+        src,
+        [
+            (3, "alpha beta gamma", T0 + dt.timedelta(seconds=20)),
+            (4, "eta theta iota", T0 + dt.timedelta(seconds=30)),
+        ],
+    )
+    _drain(spark, src, ckpt, out)
+    _drain(spark, src, ckpt, out)  # and replaying again stays exact
+    rows = [r.doc_id for r in spark.read.parquet(str(out)).collect()]
+    assert sorted(rows) == [1, 2, 4]
+    assert len(rows) == len(set(rows))

@@ -202,3 +202,44 @@ def test_incremental_requires_row_key():
     spec = MomentSpec(weight_col="w", numeric=("x0", "x1"))
     with pytest.raises(ValueError, match="row_key"):
         IncrementalReweighter(spec, targets=None)
+
+
+def test_replayed_batch_is_idempotent(spark):
+    """foreachBatch is at-least-once: re-delivering a batch with the same
+    batch_id (the post-restart replay) must not double-count rows or
+    change the weights."""
+    rng = np.random.default_rng(11)
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1"), row_key=("rid",))
+
+    def targets(pt):
+        from entropy_balance_weighting_spark.queries.solver import (
+            targets_from_problem,
+        )
+
+        return targets_from_problem(pt, perturb=0.01)
+
+    rw = IncrementalReweighter(spec, targets)
+    b0 = spark.createDataFrame(_chunk(rng, 60, 0), SCHEMA)
+    b1 = spark.createDataFrame(_chunk(rng, 40, 60), SCHEMA)
+
+    rw.process_batch(b0, 0)
+    n_after_0 = rw.accumulated.count()
+    w_after_0 = sorted((r.row_id, round(r.new_weight, 10))
+                       for r in rw.last_weights.collect())
+
+    # intra-run replay: same batch_id delivered again
+    rw.process_batch(b0, 0)
+    assert rw.accumulated.count() == n_after_0
+    assert sorted((r.row_id, round(r.new_weight, 10))
+                  for r in rw.last_weights.collect()) == w_after_0
+    assert len(rw.history) == 1
+
+    # cross-rebuild replay: a fresh reweighter state that already absorbed
+    # batch 0's ROWS sees them again under a new batch_id — the row_key
+    # dedup keeps the accumulation exact
+    rw.process_batch(b1, 1)
+    n_after_1 = rw.accumulated.count()
+    assert n_after_1 == 100
+    rw.process_batch(b0.unionByName(b1), 2)  # replayed rows, new id
+    assert rw.accumulated.count() == n_after_1
+    assert len(rw.history) == 3
