@@ -659,3 +659,32 @@ def simhash16(
             )
         ).alias("simhash")
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time dedup of a NEW batch against the EXISTING corpus: keep
+    only new rows whose normalized text (lower/trim — the
+    ``exact_dup_stats`` convention) does not already occur in the corpus.
+    The production shape for continuously-arriving data, where re-running
+    full-corpus dedup per batch is off the table.
+
+    Plan: the corpus side reduces to DISTINCT md5 keys (16 bytes/doc —
+    at 10⁹ docs a ~16 GB key set, shuffle-joined on the key hash, never
+    the text), then one LEFT ANTI equi-join.  AQE's runtime bloom filter
+    prunes most new-batch rows before the exchange when the corpus key
+    set is large; for a small corpus the anti-join broadcasts outright.
+    In production the corpus key set is a maintained table — appending
+    each admitted batch's keys — so each arrival pays one key-join, not
+    a corpus re-scan."""
+    norm_key = F.md5(F.lower(F.trim(F.col(text_col))))
+    corpus_keys = corpus_df.select(norm_key.alias("__h")).distinct()
+    return (
+        new_df.withColumn("__h", norm_key)
+        .join(corpus_keys, "__h", "left_anti")
+        .drop("__h")
+    )

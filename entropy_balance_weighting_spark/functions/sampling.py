@@ -115,3 +115,35 @@ def resample_to_mix(
         if s in counts
     }
     return stratified_sample(df, key, strata_col, rates, salt=salt)
+
+
+def sample_fixed_per_stratum(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-``k``-per-stratum deterministic sample (eval-set / few-shot
+    pool construction): rows rank by the portable key hash within each
+    stratum and the first ``k`` survive.  Unlike rate-based sampling the
+    output size is exact (min(k, n_s) per stratum), and unlike
+    ``ORDER BY rand()`` membership is re-derivable months later from
+    (key, salt) alone.
+
+    Plan: one hash exchange on ``strata_col`` + a within-partition
+    ``row_number`` — no global sort.  A corpus-scale hot stratum makes
+    that partition the straggler; at 100 TB pre-filter with a rate-based
+    :func:`stratified_sample` at ~10k/n_s first (hash-threshold prune,
+    zero shuffle) so the ranked set per stratum is bounded before the
+    exchange.  Ties are impossible: the (hash, key) order is total."""
+    from pyspark.sql import Window
+
+    h = portable_hash32(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

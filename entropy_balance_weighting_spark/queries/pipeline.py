@@ -2067,3 +2067,116 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dd_incremental_new_docs",
+    survey="ext:dedup-incremental",
+    oracle="""
+WITH corpus AS (
+  SELECT * FROM documents WHERE doc_id < 400
+), arrivals AS (
+  SELECT doc_id + 10000 AS doc_id, text, source
+  FROM documents WHERE doc_id < 100        -- re-crawled duplicates
+  UNION ALL
+  SELECT doc_id, text, source
+  FROM documents WHERE doc_id >= 400       -- genuinely new
+)
+SELECT a.doc_id, a.source FROM arrivals a
+WHERE NOT EXISTS (
+  SELECT 1 FROM corpus c
+  WHERE md5(lower(trim(c.text))) = md5(lower(trim(a.text))))
+ORDER BY a.doc_id
+""",
+)
+def dd_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup of a NEW batch against the EXISTING corpus
+    (:func:`functions.dedup.incremental_dedup`): only arrivals whose
+    normalized text is unseen are admitted.  The production shape for
+    continuously-arriving data — one anti-join against a maintained
+    md5-key table per batch, never a corpus re-scan.  The arriving batch
+    mixes RE-CRAWLED duplicates (texts of doc_id < 100 under fresh ids —
+    every one must be rejected) with genuinely new docs (doc_id >= 400 —
+    every one must be admitted), so a broken join direction or key
+    normalization cannot silently pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    arrivals = (
+        docs.filter(F.col("doc_id") < 100)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text", "source")
+        .unionByName(
+            docs.filter(F.col("doc_id") >= 400).select("doc_id", "text", "source")
+        )
+    )
+    return (
+        dedup.incremental_dedup(arrivals, corpus)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "samp_fixed_per_stratum",
+    survey="ext:sampling-fixed-k",
+    oracle="""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'ev'), 1, 8))::BIGINT,
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, doc_id FROM ranked WHERE rk <= 3
+ORDER BY source, doc_id
+""",
+)
+def samp_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-3-docs-per-source deterministic sample
+    (:func:`functions.sampling.sample_fixed_per_stratum`) — the eval-set
+    construction pattern where output SIZE must be exact, membership
+    re-derivable from (key, salt), and no ``rand()`` in sight.  One hash
+    exchange + within-stratum row_number, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_fixed_per_stratum(
+        docs, "doc_id", "source", 3, salt="ev"
+    ).select("source", "doc_id").orderBy("source", "doc_id")
+
+
+@register(
+    "txt_vocab_sketch_rollup",
+    survey="ext:text-sketch-rollup",
+    oracle="""
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT source, count(DISTINCT tok) AS vocab FROM t GROUP BY source
+UNION ALL
+SELECT '__all__' AS source, count(DISTINCT tok) AS vocab FROM t
+ORDER BY source
+""",
+)
+def txt_vocab_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary via DataSketches HLL sketches PLUS the
+    global vocabulary from ``hll_union_agg`` over the per-source
+    sketches — the reaggregation property that makes sketches the 100 TB
+    rollup currency: the corpus is scanned ONCE, and any coarser
+    grouping (here: everything) derives by merging the stored K-sized
+    sketch column, never by re-scanning tokens.  At this vocabulary
+    cardinality the sketch is in exact (sparse) mode, so the DuckDB
+    COUNT(DISTINCT) oracle matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source")
+        .agg(F.hll_sketch_agg("tok").alias("sk"))
+    )
+    per.persist()
+    per_est = per.select(
+        "source", F.hll_sketch_estimate("sk").cast("long").alias("vocab")
+    )
+    glob = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("vocab")
+    ).select(F.lit("__all__").alias("source"), "vocab")
+    return per_est.unionByName(glob).orderBy("source")

@@ -82,6 +82,10 @@ ENUMERATION_PRIORITY: list[str] = [
     "dd_winnow_near_dups",
     "mm_frame_sample",
     "mm_feature_extract",
+    # -- new in r5 (need their first driver row) --
+    "dd_incremental_new_docs",
+    "samp_fixed_per_stratum",
+    "txt_vocab_sketch_rollup",
     # -- load-bearing extension queries (dedup / ANN / events / packing) --
     "dd_exact_dedup",
     "dd_minhash_near_dups",

@@ -519,3 +519,21 @@ def test_new_operator_edge_cases(spark):
         simhash_near_dup_pairs(docs, "doc_id", "text", n_bits=16, n_bands=5, max_hamming=2)
     with _pytest.raises(ValueError, match="sum to 1"):
         split_column("doc_id", {"train": 0.5, "val": 0.2})
+
+
+def test_incremental_dedup_rejects_replays_admits_new(spark):
+    from entropy_balance_weighting_spark.functions.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    arrivals = spark.createDataFrame(
+        [
+            (10, "  Alpha Beta "),   # replay (normalization must catch it)
+            (11, "gamma delta"),     # replay
+            (12, "epsilon zeta"),    # new
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(arrivals, corpus)
+    assert [r.doc_id for r in out.collect()] == [12]

@@ -115,3 +115,29 @@ def test_resample_to_mix_rejects_absent_share_stratum(spark):
     # zero-share absent stratum is harmless
     out = resample_to_mix(df, "id", "src", {"a": 1.0, "ghost": 0.0}, salt="mx")
     assert out.count() == 10
+
+
+def test_fixed_per_stratum_exact_k_and_stable(spark):
+    """Exactly min(k, n_s) rows per stratum; membership depends only on
+    (key, salt) — stable under repartitioning."""
+    from entropy_balance_weighting_spark.functions.sampling import (
+        sample_fixed_per_stratum,
+    )
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(95)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = sample_fixed_per_stratum(df, "id", "src", 10, salt="t")
+    by = {r.src: 0 for r in out.collect()}
+    for r in out.collect():
+        by[r.src] += 1
+    assert by == {"big": 10, "small": 5}  # small stratum has only 5 rows
+
+    again = sample_fixed_per_stratum(df.repartition(7), "id", "src", 10, salt="t")
+    assert sorted((r.src, r.id) for r in again.collect()) == sorted(
+        (r.src, r.id) for r in out.collect()
+    )
+    # different salt -> (almost surely) different membership in the big stratum
+    other = sample_fixed_per_stratum(df, "id", "src", 10, salt="u")
+    big_a = {r.id for r in out.collect() if r.src == "big"}
+    big_b = {r.id for r in other.collect() if r.src == "big"}
+    assert big_a != big_b
