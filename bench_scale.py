@@ -291,6 +291,38 @@ def _bench_pipeline(spark, n, n_parts, timings, throughput) -> None:
             ev2, width="30 minutes", slide="1 minute"
         ).agg(F.count(F.lit(1)), F.sum("n_events")).collect()
 
+    # incremental dedup: first half of the corpus is "existing", second
+    # half "arrives" with a 25% replay rate (text re-derived from an id in
+    # the corpus range) — the anti-join must reject exactly the replays
+    def t_incremental():
+        replayed = F.pmod(F.hash("doc_id", F.lit(13)), F.lit(4)) == 0
+        src_id = F.when(replayed, F.pmod(F.hash("doc_id"), F.lit(n // 2))).otherwise(
+            F.col("doc_id")
+        )
+        arr_words = F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda j: F.concat(F.lit("w"), F.pmod(F.hash(src_id, j), F.lit(64))),
+        )
+        arrivals = spark.range(n // 2, n, 1, n_parts).select(
+            F.col("id").alias("doc_id")
+        ).select("doc_id", F.concat_ws(" ", arr_words).alias("text"))
+        corpus = docs.filter(F.col("doc_id") < n // 2)
+        dedup.incremental_dedup(arrivals, corpus).agg(
+            F.count(F.lit(1))
+        ).collect()
+
+    def t_fixed_k():
+        from entropy_balance_weighting_spark.functions.sampling import (
+            sample_fixed_per_stratum,
+        )
+
+        strat = docs.withColumn(
+            "src", F.pmod(F.hash("doc_id", F.lit(5)), F.lit(256))
+        )
+        sample_fixed_per_stratum(strat, "doc_id", "src", 100).agg(
+            F.count(F.lit(1))
+        ).collect()
+
     for name, fn in [
         ("pipe_quality_scan", t_quality),
         ("pipe_pack", t_pack),
@@ -300,6 +332,8 @@ def _bench_pipeline(spark, n, n_parts, timings, throughput) -> None:
         ("pipe_range_join", t_range),
         ("pipe_slide_native_30x", t_slide_native),
         ("pipe_slide_two_level_30x", t_slide_two_level),
+        ("pipe_incremental_dedup", t_incremental),
+        ("pipe_fixed_k_sample", t_fixed_k),
     ]:
         t = _min3(fn)
         timings[name] = round(t, 4)

@@ -2180,3 +2180,62 @@ def txt_vocab_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("vocab")
     ).select(F.lit("__all__").alias("source"), "vocab")
     return per_est.unionByName(glob).orderBy("source")
+
+
+@register(
+    "txt_len_kll_rollup",
+    survey="ext:text-kll-sketch",
+    oracle="""
+SELECT source,
+       quantile_disc(n_chars, 0.25) AS p25,
+       quantile_disc(n_chars, 0.50) AS p50,
+       quantile_disc(n_chars, 0.90) AS p90
+FROM documents GROUP BY source
+UNION ALL
+SELECT '__all__' AS source,
+       quantile_disc(n_chars, 0.25),
+       quantile_disc(n_chars, 0.50),
+       quantile_disc(n_chars, 0.90)
+FROM documents
+ORDER BY source
+""",
+)
+def txt_len_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length quantiles via DataSketches KLL sketches PLUS
+    the global quantiles from MERGING the per-source sketches (an S-sized
+    ``aggregate`` fold over ``kll_sketch_merge``) — quantiles join the
+    HLL rollup as mergeable sketch currency: one corpus scan builds the
+    per-group sketches, and every coarser grouping's percentiles derive
+    by merging stored K-sized sketches, never by re-scanning values.
+    With k=8192 the sketch is in exact mode at this scale, and KLL's
+    inclusive-rank item selection equals DuckDB ``quantile_disc``
+    (pinned by the oracle hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.kll_sketch_agg_bigint("n_chars", F.lit(8192)).alias("sk")
+    )
+    per.persist()
+    qs = (0.25, 0.50, 0.90)
+    names = ("p25", "p50", "p90")
+    per_est = per.select(
+        "source",
+        *[
+            F.kll_sketch_get_quantile_bigint("sk", F.lit(q)).alias(nm)
+            for q, nm in zip(qs, names)
+        ],
+    )
+    merged = per.agg(F.collect_list("sk").alias("a")).select(
+        F.aggregate(
+            F.slice("a", 2, 1_000_000),
+            F.element_at("a", 1),
+            lambda acc, x: F.kll_sketch_merge_bigint(acc, x),
+        ).alias("m")
+    )
+    glob = merged.select(
+        F.lit("__all__").alias("source"),
+        *[
+            F.kll_sketch_get_quantile_bigint("m", F.lit(q)).alias(nm)
+            for q, nm in zip(qs, names)
+        ],
+    )
+    return per_est.unionByName(glob).orderBy("source")

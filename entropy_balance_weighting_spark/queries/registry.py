@@ -86,6 +86,7 @@ ENUMERATION_PRIORITY: list[str] = [
     "dd_incremental_new_docs",
     "samp_fixed_per_stratum",
     "txt_vocab_sketch_rollup",
+    "txt_len_kll_rollup",
     # -- load-bearing extension queries (dedup / ANN / events / packing) --
     "dd_exact_dedup",
     "dd_minhash_near_dups",
