@@ -5,6 +5,11 @@ distributed DataFrame inputs.
 Input forms accepted for ``x_sample``:
 
 - ``numpy.ndarray`` (N×K dense) — local kernel, exact reference-shaped path.
+- scipy-like CSR/CSC sparse matrix (duck-typed on ``data/indices/indptr/
+  shape`` — real ``scipy.sparse`` works when scipy is present, but scipy is
+  never imported): densified to the local kernel below ``local_threshold``
+  nnz, converted to a long-COO :class:`plans.ProblemTables` for the
+  distributed kernels above it.
 - :class:`plans.ProblemTables` — canonical long encoding; runs distributed,
   or collects to the local kernel below ``local_threshold`` nnz (SURVEY §7.2
   'local fast path'), unless ``options['force_distributed']``.
@@ -211,6 +216,83 @@ def entropy_balance_penalty(
     return res
 
 
+def _sparse_like(x):
+    """Duck-typed ``scipy.sparse`` CSR/CSC detection — NO scipy import
+    (the reference accepts scipy sparse for ``x_sample``, ref:
+    ebw_routines.py:18-24, typing.py:12-14; scipy is absent from this
+    environment, so the contract is matched structurally: anything
+    carrying ``data/indices/indptr/shape`` in compressed-sparse layout is
+    accepted, which includes real scipy matrices when present).  Returns
+    ``(data, indices, indptr, (n, k), fmt)`` or None."""
+    if not all(hasattr(x, a) for a in ("data", "indices", "indptr", "shape")):
+        return None
+    fmt = getattr(x, "format", "csr")
+    if fmt not in ("csr", "csc"):
+        if hasattr(x, "tocsr"):
+            x = x.tocsr()
+            fmt = "csr"
+        else:
+            return None
+    return (
+        np.asarray(x.data, dtype=np.float64),
+        np.asarray(x.indices, dtype=np.int64),
+        np.asarray(x.indptr, dtype=np.int64),
+        (int(x.shape[0]), int(x.shape[1])),
+        fmt,
+    )
+
+
+def _csx_coo(data, indices, indptr, shape, fmt):
+    """(row, col, value) COO arrays from compressed-sparse storage."""
+    n, k = shape
+    if fmt == "csr":
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        cols = indices
+    else:
+        cols = np.repeat(np.arange(k, dtype=np.int64), np.diff(indptr))
+        rows = indices
+    return rows, cols, data
+
+
+def _sparse_to_problem_tables(sp, weights0):
+    """Long-COO ProblemTables from a driver-resident sparse matrix — the
+    handoff from 'fits on the driver as index arrays' to the distributed
+    kernels (Arrow-batched createDataFrame, one partition per ~1M nnz)."""
+    from pyspark.sql import SparkSession
+
+    data, indices, indptr, shape, fmt = sp
+    n, k = shape
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "sparse x_sample above local_threshold needs an active SparkSession"
+        )
+    rows, cols, vals = _csx_coo(data, indices, indptr, shape, fmt)
+    import pandas as pd
+
+    x_long = spark.createDataFrame(
+        pd.DataFrame(
+            {"row_id": rows, "moment_id": cols.astype(np.int32), "value": vals}
+        )
+    )
+    w0 = np.asarray(weights0, dtype=np.float64)
+    w0_df = spark.createDataFrame(
+        pd.DataFrame({"row_id": np.arange(n, dtype=np.int64), "w0": w0})
+    )
+    names = [f"m{j}" for j in range(k)]
+    moments = spark.createDataFrame(
+        pd.DataFrame({"moment_id": np.arange(k, dtype=np.int32), "moment_name": names})
+    )
+    return ProblemTables(
+        x_long=x_long,
+        w0=w0_df,
+        moments=moments,
+        moment_names=names,
+        n=n,
+        sum_w0=float(w0.sum()),
+    )
+
+
 def _resolve_problem(x_sample, weights0, mean_population_moments, opts):
     """Dispatch on input form → ('local'|'spark', payload).
 
@@ -228,6 +310,30 @@ def _resolve_problem(x_sample, weights0, mean_population_moments, opts):
         if validate:
             _validate_local_inputs(x, w0, m)
         return "local", (x, w0, m, w0.copy(), lambda kernel: kernel)
+
+    sp = _sparse_like(x_sample)
+    if sp is not None:
+        data, indices, indptr, shape, fmt = sp
+        n, k = shape
+        nnz = len(data)
+        threshold = int(opts.get("local_threshold", 2_000_000))
+        if (
+            not opts.get("force_distributed")
+            and nnz <= threshold
+            and n * k <= 8 * threshold
+        ):
+            # small sparse: densify on the driver, exact reference-shaped path
+            rows, cols, vals = _csx_coo(data, indices, indptr, shape, fmt)
+            x = np.zeros((n, k))
+            x[rows, cols] = vals
+            w0 = np.asarray(weights0, dtype=np.float64)
+            m = np.asarray(mean_population_moments, dtype=np.float64)
+            if validate:
+                _validate_local_inputs(x, w0, m)
+            return "local", (x, w0, m, w0.copy(), lambda kernel: kernel)
+        # large sparse: long-COO ProblemTables, distributed kernels
+        pt = _sparse_to_problem_tables(sp, weights0)
+        return _resolve_problem(pt, None, mean_population_moments, opts)
 
     if isinstance(x_sample, ProblemTables):
         pt = x_sample
@@ -258,7 +364,8 @@ def _resolve_problem(x_sample, weights0, mean_population_moments, opts):
         return "spark", (pt, m, original)
 
     raise TypeError(
-        f"x_sample must be numpy.ndarray or ProblemTables, got {type(x_sample)}"
+        "x_sample must be numpy.ndarray, a scipy-like CSR/CSC sparse matrix, "
+        f"or ProblemTables, got {type(x_sample)}"
     )
 
 
