@@ -141,3 +141,43 @@ def test_fixed_per_stratum_exact_k_and_stable(spark):
     big_a = {r.id for r in out.collect() if r.src == "big"}
     big_b = {r.id for r in other.collect() if r.src == "big"}
     assert big_a != big_b
+
+
+def test_fixed_per_stratum_properties(spark):
+    """Property sweep: for random frames, each stratum yields exactly
+    min(k, n_s) rows, all rows come from the input, and membership is
+    invariant to input partitioning."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from entropy_balance_weighting_spark.functions.sampling import (
+        sample_fixed_per_stratum,
+    )
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        seed=st.integers(0, 10_000),
+        n=st.integers(1, 80),
+        n_strata=st.integers(1, 5),
+        k=st.integers(1, 10),
+    )
+    def run(seed, n, n_strata, k):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        rows = [(int(i), f"s{rng.integers(n_strata)}") for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        out = sample_fixed_per_stratum(df, "id", "src", k, salt="p")
+        got = [(r.src, r.id) for r in out.collect()]
+        by_stratum: dict[str, int] = {}
+        for s, _ in got:
+            by_stratum[s] = by_stratum.get(s, 0) + 1
+        pop: dict[str, int] = {}
+        for _, s in rows:
+            pop[s] = pop.get(s, 0) + 1
+        assert by_stratum == {s: min(k, c) for s, c in pop.items()}
+        assert set(got) <= {(s, i) for i, s in rows}
+        again = sample_fixed_per_stratum(df.repartition(5), "id", "src", k, salt="p")
+        assert sorted((r.src, r.id) for r in again.collect()) == sorted(got)
+
+    run()
