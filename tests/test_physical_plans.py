@@ -150,3 +150,43 @@ def test_solver_iteration_pass_has_no_shuffle(spark):
     row = pass_df.collect()[0]
     assert len(row.sums) > 0 and len(row.mins) == 8
     kern.cleanup()
+
+
+def test_incremental_dedup_is_anti_join_no_smj(spark):
+    """dd_incremental_new_docs: corpus keys reduce to a DISTINCT aggregate
+    feeding a LEFT ANTI hash join (broadcast at dim scale); the arrivals
+    filter pushes to the scan; no sort-merge join, no cartesian."""
+    from entropy_balance_weighting_spark.queries import QUERIES
+
+    df = QUERIES["dd_incremental_new_docs"].fn(spark, SF_CORRECTNESS)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the doc_id split predicates reach the parquet scans
+    assert "PushedFilters" in plan and "doc_id" in plan
+
+
+def test_sketch_rollups_use_partial_aggregation(spark):
+    """HLL and KLL sketch rollups must show map-side partial sketch
+    aggregation (the mergeable-sketch property IS the plan shape: partial
+    sketches combine before the exchange)."""
+    from entropy_balance_weighting_spark.queries import QUERIES
+
+    for q in ("txt_vocab_sketch_rollup", "txt_len_kll_rollup"):
+        plan = _plan(QUERIES[q].fn(spark, SF_CORRECTNESS))
+        assert "partial_" in plan, q
+        assert "ObjectHashAggregate" in plan or "HashAggregate" in plan, q
+
+
+def test_fixed_k_sample_single_exchange_no_global_sort(spark):
+    """samp_fixed_per_stratum: one hash exchange on the stratum column +
+    within-partition ranking; the only range partitioning allowed is the
+    final presentation ORDER BY, never a global sort to rank."""
+    from entropy_balance_weighting_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["samp_fixed_per_stratum"].fn(spark, SF_CORRECTNESS))
+    assert "hashpartitioning(source" in plan
+    # exactly one rank-feeding exchange: hash on source; range only for output
+    assert plan.count("Exchange hashpartitioning") == 1
