@@ -107,7 +107,12 @@ def sliding_window_agg_two_level(
     Exact for decomposable aggregates (count/sum here; min/max/avg-via-
     sum-count compose the same way).  Requires ``width`` divisible by
     ``slide`` (same epoch-aligned grid as ``F.window``); equivalence to
-    the native form is pytest-pinned."""
+    the native form is pytest-pinned.  BATCH-ONLY: the two chained
+    stateful aggregations are rejected by Structured Streaming's
+    correctness check — under ``readStream`` use the native
+    :func:`sliding_window_agg` (single stateful op, watermark-evictable),
+    or run the pane aggregation streaming and the window rollup as a
+    batch query over its sink."""
     w_sec = _interval_seconds(width)
     s_sec = _interval_seconds(slide)
     if w_sec % s_sec != 0:

@@ -179,3 +179,46 @@ def write_bucketed(
     if sort_by is not None:
         w = w.sortBy(sort_by)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dest: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction (the OPTIMIZE/bin-packing maintenance op):
+    rewrite a parquet dataset into ~``target_file_bytes`` files.  A
+    streaming/micro-batch sink accretes thousands of KB-sized files;
+    every later scan then pays per-file open/footer/listing cost that
+    dwarfs the data read — at 100 TB, file count is a first-order query
+    cost and compaction is routine table maintenance.
+
+    The output file count comes from the SOURCE BYTES via file listing
+    (driver metadata only — no Spark job before the rewrite); the
+    rewrite itself is one job: plain ``repartition(n)`` (full balance),
+    or ``repartitionByRange(sort_by)`` + within-file sort when sort
+    columns are given — which also restores footer min/max locality on
+    those columns (the 1-D special case of :func:`write_zordered`).
+
+    Writes to ``dest`` (swap-after-write is the caller's transaction
+    boundary — same discipline as every table-format OPTIMIZE).
+    Returns the target file count."""
+    import glob as _glob
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(f)
+        for f in _glob.glob(_os.path.join(src, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_by:
+        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(dest)
+    return n_files

@@ -127,3 +127,49 @@ def test_split_writer_deterministic_and_audited(spark, tmp_path):
     assert json.dumps(manifest2, sort_keys=True) == json.dumps(
         manifest, sort_keys=True
     )
+
+
+def test_compact_parquet_reduces_files_losslessly(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.session import load_table
+    from entropy_balance_weighting_spark.sources.layout import compact_parquet
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "frag")
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    # fragment: many tiny files, the streaming-sink pathology
+    ev.repartition(64).write.mode("overwrite").parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+
+    dest = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dest, target_file_bytes=1 << 20)
+    files = glob.glob(f"{dest}/*.parquet")
+    assert len(files) == n < 64
+
+    back = spark.read.parquet(dest)
+    assert back.count() == ev.count()
+    assert (
+        back.agg(F.sum("event_id")).first()[0]
+        == ev.agg(F.sum("event_id")).first()[0]
+    )
+
+    # sorted variant restores footer locality on the sort column
+    dest2 = str(tmp_path / "compact_sorted")
+    compact_parquet(spark, src, dest2, target_file_bytes=1 << 20,
+                    sort_by=("user_id",))
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(f"{dest2}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for ci in range(md.num_columns):
+            col = md.row_group(0).column(ci)
+            if col.path_in_schema == "user_id" and col.statistics:
+                spans.append((col.statistics.min, col.statistics.max))
+    spans.sort()
+    # non-overlapping (or barely touching) user_id ranges across files
+    overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] < a[1])
+    assert overlaps <= 1
