@@ -319,3 +319,51 @@ def winnow_fingerprints(
     toks = tokens(text)
     h = F.transform(toks, lambda t: portable_hash32(t) % F.lit(M))
     return _let(h, _kgrams)
+
+
+def chunk_documents(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+    keep_cols: tuple[str, ...] = (),
+):
+    """Split documents into overlapping token-window chunks (the RAG /
+    context-window preparation op): chunk ``i`` covers tokens
+    ``[i·stride + 1, i·stride + chunk_tokens]`` with
+    ``stride = chunk_tokens − overlap_tokens``; the final chunk may be
+    short, and a document shorter than one chunk yields exactly one.
+    Returns ``(id, *keep_cols, chunk_id, chunk_text, n_tok)``.
+
+    Pure array expressions — tokenize ONCE per row into a bound column,
+    then ``slice`` per chunk (no UDF, no per-chunk re-tokenization) and
+    ONE generator explode.  Row fan-out is ~n_tokens/stride per doc, the
+    same shuffle-free map shape as any projection; contrast with
+    :func:`packing.pack_sequences`, which solves the inverse problem
+    (many docs → fixed budget)."""
+    from pyspark.sql import functions as F
+
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = df.select(
+        F.col(id_col).alias("id"), *keep_cols, tokens(F.col(text_col)).alias("t")
+    )
+    n = F.size("t")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap_tokens)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    out = toks.select("id", *keep_cols, "t", chunk)
+    ctoks = F.slice(
+        F.col("t"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return out.select(
+        "id",
+        *keep_cols,
+        "chunk_id",
+        F.concat_ws(" ", ctoks).alias("chunk_text"),
+        F.size(ctoks).alias("n_tok"),
+    )

@@ -2239,3 +2239,49 @@ def txt_len_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return per_est.unionByName(glob).orderBy("source")
+
+
+@register(
+    "txt_rag_chunks",
+    survey="ext:text-chunking",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+), c AS (
+  SELECT doc_id, source, tk,
+         greatest(CAST(ceil((len(tk) - 16) / 48.0) AS BIGINT), 1) AS nc
+  FROM t
+), x AS (
+  SELECT doc_id, source,
+         len(list_slice(tk, i * 48 + 1, i * 48 + 64)) AS n_tok
+  FROM c, unnest(range(0, nc)) AS r(i)
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_chunk_tokens
+FROM x GROUP BY source ORDER BY source
+""",
+)
+def txt_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking rollup (:func:`functions.text.chunk_documents`):
+    64-token chunks with 16-token overlap per document, per-source chunk
+    counts and token budgets (chunk_tokens exceeds corpus tokens by the
+    overlap replication — the storage-cost number a RAG index build
+    needs).  Tokenize-once + per-chunk ``slice`` + one generator explode;
+    row fan-out ≈ n_tokens/stride, shuffle-free until the rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(
+        docs, chunk_tokens=64, overlap_tokens=16, keep_cols=("source",)
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tok").cast("long").alias("chunk_tokens"),
+            F.max("n_tok").cast("long").alias("max_chunk_tokens"),
+        )
+        .orderBy("source")
+    )

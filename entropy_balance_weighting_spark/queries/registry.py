@@ -87,6 +87,7 @@ ENUMERATION_PRIORITY: list[str] = [
     "samp_fixed_per_stratum",
     "txt_vocab_sketch_rollup",
     "txt_len_kll_rollup",
+    "txt_rag_chunks",
     # -- load-bearing extension queries (dedup / ANN / events / packing) --
     "dd_exact_dedup",
     "dd_minhash_near_dups",

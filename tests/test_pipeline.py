@@ -537,3 +537,35 @@ def test_incremental_dedup_rejects_replays_admits_new(spark):
     )
     out = incremental_dedup(arrivals, corpus)
     assert [r.doc_id for r in out.collect()] == [12]
+
+
+def test_chunk_documents_geometry(spark):
+    """Chunk boundaries: overlap preserved between consecutive chunks,
+    short docs yield one chunk, reconstruction covers every token."""
+    from entropy_balance_weighting_spark.functions.text import chunk_documents
+
+    long_text = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "a b c")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=64, overlap_tokens=16)
+    rows = sorted(out.collect(), key=lambda r: (r.id, r.chunk_id))
+    short = [r for r in rows if r.id == 2]
+    assert len(short) == 1 and short[0].n_tok == 3
+
+    chunks = [r for r in rows if r.id == 1]
+    # ceil((150-16)/48) = 3 chunks
+    assert [r.chunk_id for r in chunks] == [0, 1, 2]
+    assert [r.n_tok for r in chunks] == [64, 64, 150 - 2 * 48]
+    t1, t2 = chunks[0].chunk_text.split(), chunks[1].chunk_text.split()
+    assert t1[-16:] == t2[:16]  # overlap region identical
+    # full coverage: union of chunk tokens == original tokens
+    seen = set()
+    for r in chunks:
+        seen.update(r.chunk_text.split())
+    assert seen == {f"t{i}" for i in range(150)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap_tokens"):
+        chunk_documents(df, chunk_tokens=16, overlap_tokens=16)
