@@ -688,3 +688,64 @@ def incremental_dedup(
         .join(corpus_keys, "__h", "left_anti")
         .drop("__h")
     )
+
+
+def cluster_representatives(
+    cc: DataFrame,
+    scores: DataFrame,
+    *,
+    score_col: str = "score",
+) -> DataFrame:
+    """Pick the representative of each near-dup cluster by POLICY instead
+    of by min-id: the member with the highest ``score_col`` survives
+    (ties → lowest id), the production choice when clusters mix a full
+    document with its truncated/mangled variants.  ``cc`` is
+    :func:`connected_components` output ``(id, cluster_id)``; ``scores``
+    is ``(id, score)``.  Returns ``(id, cluster_id, is_keep)``.
+
+    Plan: one equi-join + one ``max_by``-shaped groupBy (the argmax is a
+    ``max(struct(score, -id))`` — a single map-side-combinable aggregate,
+    no per-cluster window sort), then a broadcast-sized join back (one
+    row per cluster)."""
+    joined = cc.join(scores.select(F.col("id"), F.col(score_col)), "id")
+    reps = joined.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col(score_col).alias("s"), (-F.col("id")).alias("nid")))
+        .alias("m")
+    ).select("cluster_id", (-F.col("m.nid")).alias("rep_id"))
+    return (
+        joined.join(reps, "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            (F.col("id") == F.col("rep_id")).cast("int").alias("is_keep"),
+        )
+    )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff (the data-ops change audit between two
+    crawls/exports): classify every id as ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, content hash differs) or
+    ``unchanged``.  One FULL OUTER equi-join on the id comparing md5
+    content keys — 32 bytes per row cross the shuffle, never the texts.
+    Returns ``(id, status)``."""
+    o = old_df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__ho")
+    )
+    n = new_df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__hn")
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("id", status.alias("status"))

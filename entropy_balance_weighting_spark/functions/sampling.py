@@ -147,3 +147,21 @@ def sample_fixed_per_stratum(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def score_weighted_sample(
+    df: DataFrame,
+    key: str,
+    threshold_col: Column,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Score-proportional deterministic sampling (quality-weighted corpus
+    curation: keep high-quality documents at higher rates): row kept iff
+    ``hash(salt||key) mod 1e6 < threshold_col``, where ``threshold_col``
+    is the caller's per-row integer threshold in [0, 1e6] — e.g.
+    ``least(n_chars * 2000, 1_000_000)`` keeps p = min(1, n_chars/500).
+    Integer thresholds keep membership engine-exact (no float-boundary
+    drift); the filter is a zero-shuffle projection, and membership is
+    re-derivable from (key, salt, score) alone."""
+    return df.filter(sample_bucket(key, salt) < threshold_col)

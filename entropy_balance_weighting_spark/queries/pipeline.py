@@ -2285,3 +2285,123 @@ def txt_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_CLUSTER_REP_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dups
+  UNION
+  SELECT id_b, id_a FROM dups
+), reach AS (
+  SELECT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+), cc AS (
+  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+), ranked AS (
+  SELECT cc.id, cc.cluster_id,
+         row_number() OVER (
+           PARTITION BY cc.cluster_id ORDER BY d.n_chars DESC, cc.id
+         ) AS rk
+  FROM cc JOIN documents d ON d.doc_id = cc.id
+)
+SELECT id AS doc_id, cluster_id,
+       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS is_keep
+FROM ranked ORDER BY cluster_id, doc_id
+"""
+
+
+@register(
+    "dd_cluster_keep_longest",
+    survey="ext:dedup-cluster-policy",
+    oracle=_CLUSTER_REP_ORACLE,
+)
+def dd_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based cluster representative selection
+    (:func:`functions.dedup.cluster_representatives`): within each
+    near-dup cluster the LONGEST member survives (ties → lowest id) —
+    the production policy when clusters mix a full document with
+    truncated variants, vs the min-id convention of ``dd_dup_clusters``.
+    argmax is one ``max(struct(score, −id))`` aggregate (map-side
+    combinable, no per-cluster window sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.verified_near_dups(docs, "doc_id", "text", threshold=0.8)
+    cc = dedup.connected_components(pairs)
+    scores = docs.select(F.col("doc_id").alias("id"), F.col("n_chars").alias("score"))
+    reps = dedup.cluster_representatives(cc, scores, score_col="score")
+    return reps.select(
+        F.col("id").alias("doc_id"), "cluster_id", "is_keep"
+    ).orderBy("cluster_id", "doc_id")
+
+
+@register(
+    "samp_quality_weighted",
+    survey="ext:sampling-score-weighted",
+    oracle="""
+WITH kept AS (
+  SELECT source, n_chars FROM documents
+  WHERE ('0x' || substr(md5('qw' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+        < least(n_chars * 2000, 1000000)
+)
+SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM kept GROUP BY source ORDER BY source
+""",
+)
+def samp_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-proportional deterministic sampling
+    (:func:`functions.sampling.score_weighted_sample`): keep-probability
+    min(1, n_chars/500) — longer (higher-quality-proxy) documents kept at
+    higher rates, the quality-weighted curation stage of corpus prep.
+    Integer per-1e6 thresholds keep membership engine-exact; the filter
+    is a zero-shuffle projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.least(F.col("n_chars") * 2000, F.lit(1_000_000))
+    kept = sampling.score_weighted_sample(docs, "doc_id", thr, salt="qw")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dq_snapshot_diff",
+    survey="ext:dq-snapshot-diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 450
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id >= 50
+), j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN md5(o.text) != md5(n.text) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+)
+SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status
+""",
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (:func:`functions.dedup.snapshot_diff`):
+    classify ids as added / removed / changed / unchanged between two
+    snapshots — the change audit run between crawls.  One FULL OUTER
+    equi-join comparing md5 content keys (32 bytes/row over the shuffle,
+    never the text).  Snapshots are simulated from the corpus: old =
+    doc_id < 450; new = doc_id >= 50 with every 10th doc revised."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 450).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") >= 50).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    diff = dedup.snapshot_diff(old, new)
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")

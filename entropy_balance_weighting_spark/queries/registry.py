@@ -88,6 +88,9 @@ ENUMERATION_PRIORITY: list[str] = [
     "txt_vocab_sketch_rollup",
     "txt_len_kll_rollup",
     "txt_rag_chunks",
+    "dd_cluster_keep_longest",
+    "samp_quality_weighted",
+    "dq_snapshot_diff",
     # -- load-bearing extension queries (dedup / ANN / events / packing) --
     "dd_exact_dedup",
     "dd_minhash_near_dups",

@@ -569,3 +569,34 @@ def test_chunk_documents_geometry(spark):
 
     with pytest.raises(ValueError, match="overlap_tokens"):
         chunk_documents(df, chunk_tokens=16, overlap_tokens=16)
+
+
+def test_cluster_representatives_policy(spark):
+    from entropy_balance_weighting_spark.functions.dedup import (
+        cluster_representatives,
+    )
+
+    cc = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, cluster_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (7, 5.0), (8, 4.0)],
+        "id long, score double",
+    )
+    out = {(r.id): (r.cluster_id, r.is_keep)
+           for r in cluster_representatives(cc, scores).collect()}
+    # cluster 1: ids 2 and 3 tie on score -> lowest id (2) wins
+    assert out == {1: (1, 0), 2: (1, 1), 3: (1, 0), 7: (7, 1), 8: (7, 0)}
+
+
+def test_snapshot_diff_classifies(spark):
+    from entropy_balance_weighting_spark.functions.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r.id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
