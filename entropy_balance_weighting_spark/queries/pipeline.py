@@ -2072,6 +2072,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dd_incremental_new_docs",
     survey="ext:dedup-incremental",
+    bench=True,
     oracle="""
 WITH corpus AS (
   SELECT * FROM documents WHERE doc_id < 400
@@ -2172,7 +2173,9 @@ def txt_vocab_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.hll_sketch_agg("tok").alias("sk"))
     )
-    per.persist()
+    # S-sized (one sketch per source): eager checkpoint materializes it once
+    # for both consumers below without leaving a cache entry behind
+    per = per.localCheckpoint(eager=True)
     per_est = per.select(
         "source", F.hll_sketch_estimate("sk").cast("long").alias("vocab")
     )
@@ -2214,7 +2217,8 @@ def txt_len_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.groupBy("source").agg(
         F.kll_sketch_agg_bigint("n_chars", F.lit(8192)).alias("sk")
     )
-    per.persist()
+    # S-sized: eager checkpoint for the two consumers, no lingering cache
+    per = per.localCheckpoint(eager=True)
     qs = (0.25, 0.50, 0.90)
     names = ("p25", "p50", "p90")
     per_est = per.select(
@@ -2244,6 +2248,7 @@ def txt_len_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "txt_rag_chunks",
     survey="ext:text-chunking",
+    bench=True,
     oracle="""
 WITH t AS (
   SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
