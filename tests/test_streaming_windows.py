@@ -254,3 +254,44 @@ def test_two_level_sliding_rejects_nondivisible(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     with pytest.raises(ValueError, match="multiple of slide"):
         sliding_window_agg_two_level(ev, width="1 hour", slide="7 minutes")
+
+
+def test_streamed_chunking_matches_batch(spark, tmp_path):
+    """chunk_documents is stateless, so it runs unmodified under
+    readStream; draining the stream must equal the batch run."""
+    from entropy_balance_weighting_spark.functions.text import chunk_documents
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range(120 + i))) for i in range(6)]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+
+    batch = chunk_documents(
+        spark.read.parquet(str(src)), chunk_tokens=32, overlap_tokens=8
+    ).collect()
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = tmp_path / "out"
+    q = (
+        chunk_documents(stream, chunk_tokens=32, overlap_tokens=8)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(str(out)).collect()
+    key = lambda r: (r.id, r.chunk_id, r.chunk_text, r.n_tok)
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+    assert len(batch) > 6  # fan-out actually happened
