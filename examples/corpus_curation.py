@@ -15,7 +15,9 @@ Stages (each one scan/shuffle-shaped for 100 TB, see PLANS.md):
 6. benchmark decontamination: n-gram overlap against a held-out slice;
 7. domain mixing: deterministic-hash downsample to an equal source mix;
 8. training layout: deterministic shard + fixed-budget context packing,
-   then a per-epoch shuffle key.
+   then a per-epoch shuffle key;
+9. RAG index prep: overlapping token-window chunks of the same curated
+   corpus.
 
 Returns the funnel counts per stage plus the packed-context stats.
 """
@@ -104,6 +106,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     n_contexts = ctx.count()
     fill = ctx.agg(F.avg("context_tokens")).first()[0]
 
+    # 9. RAG index prep — overlapping token-window chunks of the curated
+    #    corpus (the retrieval-side consumer of the same curation output)
+    chunks = text.chunk_documents(mixed, chunk_tokens=64, overlap_tokens=16)
+    n_chunks = chunks.count()
+
     out = {
         "n_raw": n_raw,
         "n_quality": n_quality,
@@ -115,6 +122,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "n_domain_mixed": n_mixed,
         "n_contexts": n_contexts,
         "avg_context_tokens": float(fill),
+        "n_rag_chunks": n_chunks,
     }
     print(out)
     if owns_session:

@@ -44,6 +44,8 @@ def test_corpus_curation_example_end_to_end(spark):
         >= out["n_domain_mixed"]
     )
     assert out["n_domain_mixed"] > 0
+    # chunk fan-out: at least one chunk per surviving doc
+    assert out["n_rag_chunks"] >= out["n_domain_mixed"]
     # decontamination against a slice of the corpus itself must drop the
     # overlapping docs but not empty the corpus
     assert 0 < out["n_decontaminated"] < out["n_raw"]
