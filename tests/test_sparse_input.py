@@ -113,3 +113,28 @@ def test_nonfinite_sparse_data_rejected():
         entropy_balance(
             mean_population_moments=m, x_sample=FakeCSR(x), weights0=w0
         )
+
+
+def test_sparse_with_empty_rows_solves(spark):
+    """A row with zero nonzeros (all-zero design row) must survive both
+    the densified local path and the long-COO distributed path — the
+    distributed packing fills empty arrays for rows absent from x_long."""
+    x, w0, m = _problem(n=80, seed=17)
+    x[5, 1:] = 0.0  # intercept-only row stays feasible but row 5 has
+    x[9, 1:] = 0.0  # no entries beyond column 0 after sparsification
+    sp = FakeCSR(x)
+    local = entropy_balance(mean_population_moments=m, x_sample=sp, weights0=w0)
+    assert local.converged
+    dist = entropy_balance(
+        mean_population_moments=m,
+        x_sample=sp,
+        weights0=w0,
+        options={"force_distributed": True},
+    )
+    assert dist.converged
+    got = {r.row_id: r.new_weight for r in dist.new_weights.collect()}
+    assert len(got) == 80  # every row keeps a weight, including sparse ones
+    import numpy as np
+
+    w = np.array([got[i] for i in range(80)])
+    np.testing.assert_allclose(w, local.new_weights, rtol=1e-6)
