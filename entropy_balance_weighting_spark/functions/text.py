@@ -367,3 +367,60 @@ def chunk_documents(
         F.concat_ws(" ", ctoks).alias("chunk_text"),
         F.size(ctoks).alias("n_tok"),
     )
+
+
+def bigram_doc_logprob(
+    df,
+    *,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+):
+    """Per-document mean BIGRAM log-probability — the next step up from
+    :func:`unigram_doc_logprob` as an LM-surprise quality signal:
+    scrambled or template-stitched text keeps a plausible unigram profile
+    but improbable token TRANSITIONS, which the conditional
+    ``p(cur | prev) = (c(prev,cur) + 1) / (c(prev·) + |V|)`` (add-one
+    smoothed, corpus-as-model) exposes.
+
+    Plan shape: ONE bigram explode from the bound token array feeds the
+    transition-count groupBy, the context-count groupBy, and the per-doc
+    scoring join (two equi-joins: (prev,cur)→c2, prev→c1).  The vocab
+    scalar collects to the driver and folds in as a literal — no keyless
+    cross join.  Documents with < 2 tokens have no bigrams and drop out.
+
+    Returns ``(doc_col, n_bigrams, logprob)``.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.col(doc_col).alias("doc"), tokens(F.col(text_col)).alias("t"))
+    n = F.size("t")
+    pair = F.explode(
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+                lambda i: F.struct(
+                    F.element_at("t", (i - 1).cast("int")).alias("prev"),
+                    F.element_at("t", i.cast("int")).alias("cur"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    )
+    bg = toks.select("doc", pair.alias("p")).select(
+        "doc", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    c2 = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    v = float(bg.agg(F.countDistinct("cur")).first()[0])
+    return (
+        bg.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log((F.col("n2") + F.lit(1.0)) / (F.col("n1") + F.lit(v)))
+            ).alias("logprob"),
+        )
+        .select(F.col("doc").alias(doc_col), "n_bigrams", "logprob")
+    )

@@ -2410,3 +2410,52 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = dedup.snapshot_diff(old, new)
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")
+
+
+@register(
+    "txt_bigram_logprob",
+    survey="ext:text-lm-bigram",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+), bg AS (
+  SELECT doc_id, source, tk[i-1] AS prev, tk[i] AS cur
+  FROM t, unnest(range(2, len(tk) + 1)) AS r(i)
+), c2 AS (
+  SELECT prev, cur, count(*) AS n2 FROM bg GROUP BY prev, cur
+), c1 AS (
+  SELECT prev, count(*) AS n1 FROM bg GROUP BY prev
+), vct AS (
+  SELECT CAST(count(DISTINCT cur) AS DOUBLE) AS v FROM bg
+), doc AS (
+  SELECT bg.doc_id, bg.source,
+         avg(ln((c2.n2 + 1.0) / (c1.n1 + vct.v))) AS lp
+  FROM bg JOIN c2 ON c2.prev = bg.prev AND c2.cur = bg.cur
+          JOIN c1 ON c1.prev = bg.prev, vct
+  GROUP BY bg.doc_id, bg.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(lp), 4) AS avg_logprob,
+       round(min(lp), 4) AS min_logprob
+FROM doc GROUP BY source ORDER BY source
+""",
+)
+def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM-surprise quality scoring
+    (:func:`functions.text.bigram_doc_logprob`): the corpus's own
+    add-one-smoothed TRANSITION model scores each document's mean
+    conditional log-probability — catches scrambled/template-stitched
+    text whose unigram profile looks fluent — rolled up per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.bigram_doc_logprob(docs)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("logprob"), 4).alias("avg_logprob"),
+            F.round(F.min("logprob"), 4).alias("min_logprob"),
+        )
+        .orderBy("source")
+    )

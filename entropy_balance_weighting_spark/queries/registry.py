@@ -91,6 +91,7 @@ ENUMERATION_PRIORITY: list[str] = [
     "dd_cluster_keep_longest",
     "samp_quality_weighted",
     "dq_snapshot_diff",
+    "txt_bigram_logprob",
     # -- load-bearing extension queries (dedup / ANN / events / packing) --
     "dd_exact_dedup",
     "dd_minhash_near_dups",

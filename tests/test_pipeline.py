@@ -600,3 +600,29 @@ def test_snapshot_diff_classifies(spark):
     )
     got = {r.id: r.status for r in snapshot_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_bigram_logprob_flags_scrambled_text(spark):
+    """The bigram model must separate fluent repetition from scrambled
+    transitions even when unigram profiles are identical: a corpus of
+    one repeated fluent phrase scores its member docs higher than a doc
+    with the same tokens in unseen transition order."""
+    from entropy_balance_weighting_spark.functions.text import (
+        bigram_doc_logprob,
+        unigram_doc_logprob,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the over quick lazy jumps brown the fox"
+    rows = [(i, fluent) for i in range(9)] + [(99, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bi = {r.doc_id: r.logprob for r in bigram_doc_logprob(df).collect()}
+    assert bi[99] < bi[0]  # unseen transitions score lower
+
+    uni = {r.doc_id: r.logprob for r in unigram_doc_logprob(df).collect()}
+    # same token multiset -> unigram can't tell them apart
+    assert abs(uni[99] - uni[0]) < 1e-9
+    # short docs (< 2 tokens) drop out instead of crashing
+    one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert bigram_doc_logprob(one).count() == 0
