@@ -2459,3 +2459,82 @@ def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "txt_langid_confusion",
+    survey="ext:text-langid-eval",
+    oracle="""
+WITH scored AS (
+  SELECT lang,
+         CASE WHEN (
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the','a','of','and','to','in','is','it')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE)
+         ) > 0.02 THEN 1 ELSE 0 END AS pred_en
+  FROM documents
+)
+SELECT lang, pred_en, count(*) AS n
+FROM scored GROUP BY lang, pred_en ORDER BY lang, pred_en
+""",
+)
+def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation harness: confusion counts of the stopword
+    heuristic (:func:`functions.text.langid_en_score`) against the
+    table's labeled ``lang`` column — the quality-measurement loop every
+    classifier-gated curation stage needs (precision/recall derive from
+    these counts).  One scan, one grouped count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.langid_en_score(F.col("text")).alias("pred_en"))
+        .groupBy("lang", "pred_en")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_en")
+    )
+
+
+@register(
+    "dq_column_entropy",
+    survey="ext:dq-entropy-profile",
+    oracle="""
+WITH cols AS (
+  SELECT 'lang' AS col, lang AS val FROM documents
+  UNION ALL SELECT 'source', source FROM documents
+), f AS (
+  SELECT col, val, count(*) AS n FROM cols GROUP BY col, val
+), tot AS (
+  SELECT col, sum(n) AS t FROM f GROUP BY col
+)
+SELECT f.col,
+       count(*) AS n_distinct,
+       round(-sum((f.n / CAST(tot.t AS DOUBLE))
+                  * ln(f.n / CAST(tot.t AS DOUBLE))), 6) AS entropy_nats
+FROM f JOIN tot ON tot.col = f.col
+GROUP BY f.col ORDER BY f.col
+""",
+)
+def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy profile of categorical columns (the data-quality
+    signal behind drift detection and stratification design: a
+    near-zero-entropy column is degenerate, a max-entropy one is
+    uniform).  Long-unpivot + per-(col, value) counts + one
+    Σ p·ln p rollup — one scan, two grouped aggregates, all
+    map-side-combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = docs.select(
+        F.lit("lang").alias("col"), F.col("lang").alias("val")
+    ).unionByName(
+        docs.select(F.lit("source").alias("col"), F.col("source").alias("val"))
+    )
+    f = cols.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
+    tot = f.groupBy("col").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t").cast("double")
+    return (
+        f.join(tot, "col")
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .orderBy("col")
+    )

@@ -92,6 +92,8 @@ ENUMERATION_PRIORITY: list[str] = [
     "samp_quality_weighted",
     "dq_snapshot_diff",
     "txt_bigram_logprob",
+    "txt_langid_confusion",
+    "dq_column_entropy",
     # -- load-bearing extension queries (dedup / ANN / events / packing) --
     "dd_exact_dedup",
     "dd_minhash_near_dups",
