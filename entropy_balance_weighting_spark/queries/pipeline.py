@@ -2508,7 +2508,7 @@ WITH cols AS (
 SELECT f.col,
        count(*) AS n_distinct,
        round(-sum((f.n / CAST(tot.t AS DOUBLE))
-                  * ln(f.n / CAST(tot.t AS DOUBLE))), 6) AS entropy_nats
+                  * ln(f.n / CAST(tot.t AS DOUBLE))), 6) + 0.0 AS entropy_nats
 FROM f JOIN tot ON tot.col = f.col
 GROUP BY f.col ORDER BY f.col
 """,
@@ -2534,7 +2534,10 @@ def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("col")
         .agg(
             F.count(F.lit(1)).alias("n_distinct"),
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            # + 0.0 normalizes IEEE negative zero (a single-valued column
+            # yields -0.0 from -sum(1·ln 1) in one engine and 0.0 in the
+            # other — found by the fuzzed oracle-parity sweep)
+            (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("entropy_nats"),
         )
         .orderBy("col")
     )
