@@ -24,6 +24,8 @@ FUZZ_QUERIES = [
     "ev_type_pivot",
     "ev_funnel_steps",
     "ev_retention_cohorts",
+    "ev_asof_join",
+    "ev_range_join",
 ]
 
 TYPES = ["signup", "click", "error", "view", "purchase"]
