@@ -41,12 +41,14 @@ ALPHABET = [
 ]
 
 
-def _rows(rng_ints):
+def _rows(seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
     rows = []
-    it = iter(rng_ints)
 
     def nxt(n):
-        return next(it) % n
+        return int(rng.integers(n))
 
     n_docs = 5 + nxt(20)
     n_src = 1 + nxt(3)
@@ -69,8 +71,8 @@ def _rows(rng_ints):
 
 
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
-@given(rng_ints=st.lists(st.integers(0, 10**9), min_size=800, max_size=800))
-def test_doc_queries_match_oracle_on_random_corpora(spark, tmp_path_factory, rng_ints):
+@given(seed=st.integers(0, 10**9))
+def test_doc_queries_match_oracle_on_random_corpora(spark, tmp_path_factory, seed):
     from entropy_balance_weighting_spark.queries import QUERIES
 
     tmp = tmp_path_factory.mktemp("fuzz_sf")
@@ -81,7 +83,7 @@ def test_doc_queries_match_oracle_on_random_corpora(spark, tmp_path_factory, rng
         shutil.copy(f"{SF_SMOKE}/{t}.parquet", tmp / f"{t}.parquet")
 
     pdf = pd.DataFrame(
-        _rows(rng_ints),
+        _rows(seed),
         columns=["doc_id", "text", "lang", "source", "n_chars"],
     )
     pdf.to_parquet(tmp / "documents.parquet", index=False)

@@ -32,11 +32,13 @@ TYPES = ["signup", "click", "error", "view", "purchase"]
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
 
-def _rows(ints):
-    it = iter(ints)
+def _rows(seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
 
     def nxt(n):
-        return next(it) % n
+        return int(rng.integers(n))
 
     n_ev = 20 + nxt(60)
     rows = []
@@ -66,9 +68,9 @@ def _rows(ints):
 
 
 @settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
-@given(ints=st.lists(st.integers(0, 10**9), min_size=800, max_size=800))
+@given(seed=st.integers(0, 10**9))
 def test_event_queries_match_oracle_on_random_streams(
-    spark, tmp_path_factory, ints
+    spark, tmp_path_factory, seed
 ):
     from entropy_balance_weighting_spark.queries import QUERIES
 
@@ -77,7 +79,7 @@ def test_event_queries_match_oracle_on_random_streams(
               "orders", "lineitem", "documents", "embeddings"]:
         shutil.copy(f"{SF_SMOKE}/{t}.parquet", tmp / f"{t}.parquet")
     pdf = pd.DataFrame(
-        _rows(ints),
+        _rows(seed),
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
     pdf.to_parquet(tmp / "events.parquet", index=False)
