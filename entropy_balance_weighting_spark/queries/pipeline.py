@@ -934,8 +934,12 @@ def ev_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH g AS (
   SELECT user_id, ts,
+    -- STRICT >: Spark's session_window merges an event landing exactly
+    -- gap after its predecessor (inclusive boundary, probed empirically;
+    -- found by the boundary-timestamp fuzz sweep) — the gaps-and-islands
+    -- rendering must split only strictly-beyond-gap differences
     CASE WHEN lag(ts) OVER w IS NULL
-         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 )
