@@ -30,6 +30,10 @@ FUZZ_QUERIES = [
     "dq_column_entropy",
     "txt_langid_confusion",
     "samp_quality_weighted",
+    "samp_fixed_per_stratum",
+    "samp_shuffle_order",
+    "samp_stratified",
+    "txt_blocklist_filter",
 ]
 
 # token alphabet stressing both engines' string paths: ascii, digits,

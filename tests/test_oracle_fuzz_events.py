@@ -26,6 +26,7 @@ FUZZ_QUERIES = [
     "ev_retention_cohorts",
     "ev_asof_join",
     "ev_range_join",
+    "ev_user_type_cube",
 ]
 
 TYPES = ["signup", "click", "error", "view", "purchase"]
