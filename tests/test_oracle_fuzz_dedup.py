@@ -21,6 +21,10 @@ FUZZ_QUERIES = [
     "dd_ngram_jaccard",
     "dd_winnow_near_dups",
     "dd_dup_clusters",
+    "dd_simhash_clusters",
+    "txt_winnow_fingerprints",
+    "txt_fingerprint_dups",
+    "dd_decontaminate",
 ]
 
 VOCAB = [f"w{i}" for i in range(40)] + ["the", "of", "héllo", "a.b", "42"]
