@@ -18,7 +18,9 @@ Environment:
 - ``SPARK_GRAFT_SCALE_N``        rows (default 2_000_000)
 - ``SPARK_GRAFT_SCALE_K``        moments (default 8)
 - ``SPARK_GRAFT_SCALE_SOLVERS``  comma list of newton,elastic,penalty,
-                                 pipeline (default: all)
+                                 grouped,pipeline (default: newton,
+                                 elastic,penalty,pipeline)
+- ``SPARK_GRAFT_SCALE_GROUPS``   groups for the grouped solve (default 1000)
 - ``SPARK_GRAFT_CPUS``           local parallelism (session default)
 
 Prints ONE JSON line:
@@ -97,6 +99,8 @@ def main() -> None:
         _bench_elastic(base, k, n, timings, throughput)
     if "penalty" in solvers:
         _bench_penalty(base, k, n, timings, throughput)
+    if "grouped" in solvers:
+        _bench_grouped(spark, n, n_parts, timings, throughput)
     if "pipeline" in solvers:
         _bench_pipeline(spark, n, n_parts, timings, throughput)
 
@@ -402,6 +406,56 @@ def _bench_elastic(base, k, n, timings, throughput) -> None:
     timings["elastic_step_pass"] = round(t_step, 4)
     timings["elastic_solve_iterations"] = float(res.n_iterations)
     throughput["elastic"] = round(n / min(t_stats, t_step), 1)
+
+
+def _bench_grouped(spark, n, n_parts, timings, throughput) -> None:
+    """Bounded + per-group solve at scale — the production regime
+    (ref README headline: per-group bounded reweighting).  Synthetic
+    ``SPARK_GRAFT_SCALE_GROUPS`` groups (default 1000) × 2 numeric
+    moments → K = 2·groups block-diagonal; the
+    elastic IP iterates over a block Gram that scales with Σk_b²,
+    never K² (pinned by tests/test_block_gram.py)."""
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.plans.moment_spec import (
+        MomentSpec,
+        build_problem_tables,
+        targets_from_problem,
+    )
+    from entropy_balance_weighting_spark.solvers.api import entropy_balance
+
+    n_groups = int(os.environ.get("SPARK_GRAFT_SCALE_GROUPS", 1000))
+    df = spark.range(0, n, 1, n_parts).select(
+        (0.5 + F.pmod(F.hash("id"), F.lit(1000)) / 1000.0).alias("w"),
+        (F.pmod(F.hash("id", F.lit(1)), F.lit(1000)) / 1000.0).alias("f1"),
+        (F.pmod(F.hash("id", F.lit(2)), F.lit(1000)) / 1000.0).alias("f2"),
+        F.pmod(F.col("id"), F.lit(n_groups)).alias("g"),
+    )
+    spec = MomentSpec(weight_col="w", numeric=("f1", "f2"), group=("g",))
+
+    t0 = time.perf_counter()
+    pt = build_problem_tables(df, spec)
+    targets = targets_from_problem(pt, perturb=0.01)
+    timings["grouped_build"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    res = entropy_balance(
+        mean_population_moments=targets,
+        x_sample=pt,
+        options={"force_distributed": True, "bounds": (0.2, 5.0)},
+    )
+    if res.converged:
+        res.new_weights.count()
+    wall = time.perf_counter() - t0
+    if not res.converged:
+        raise RuntimeError("grouped scale solve did not converge")
+    timings["grouped_bounded_solve"] = round(wall, 4)
+    timings["grouped_k"] = float(pt.k)
+    timings["grouped_iterations"] = float(res.n_iterations)
+    timings["grouped_per_iter"] = round(wall / max(res.n_iterations, 1), 4)
+    throughput["grouped"] = round(
+        n * max(res.n_iterations, 1) / wall, 1
+    )
 
 
 def _bench_penalty(base, k, n, timings, throughput) -> None:

@@ -3,12 +3,13 @@
 resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing here is REAL and tested — schema contracts, batch
-shapes, partition behavior, UDF signatures.  The actual media decoders are
-STUBBED (this container has no image/audio libraries):
-:func:`decode_image_batch` raises ``NotImplementedError`` unless handed the
-deterministic fake decoder, which derives a fixed-shape "feature" vector
-from the payload bytes so the full pipeline is exercised end-to-end with
-exact expected values.
+shapes, partition behavior, UDF signatures.  Decoders: uncompressed BMP is
+decoded/resized FOR REAL in pure struct/numpy (:func:`decode_bmp`,
+:func:`encode_bmp` — no media library needed); compressed formats
+(PNG/JPEG/audio/video codecs) raise ``NotImplementedError`` because this
+container has no media libraries — swap in Pillow/torchvision/ffmpeg
+decoders with the same signatures in production.  The deterministic fake
+decoder remains for exercising the plumbing with non-image payloads.
 """
 
 from __future__ import annotations
@@ -27,15 +28,100 @@ FEATURE_SCHEMA = (
 FEATURE_DIM = 4
 
 
-def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """Decode a batch of image payloads → (width, height, pixels).
+# -- real BMP codec (pure struct/numpy — no media libraries needed) ---------
+#
+# Uncompressed BI_RGB BMP is a plain header + padded pixel rows, so one
+# format's decode/resize path can be REAL in this environment.  Other
+# formats (PNG/JPEG/...) still need a media library and fall back to an
+# explicit NotImplementedError naming the format.
 
-    STUB: real decoding needs an image library not present in this
-    environment.  The plumbing that calls it is real; swap this function
-    for a Pillow/torchvision implementation in production.
+_BMP_MAGIC = b"BM"
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an ``(H, W)`` grayscale or ``(H, W, 3)`` RGB uint8 array as
+    an uncompressed 24-bit BI_RGB BMP — the fixture generator for the
+    real decode path (and a usable sink in its own right)."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {px.shape}")
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up row order, BGR channel order (the BMP default)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    body = rows.tobytes()
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", _BMP_MAGIC, offset + len(body), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed BI_RGB BMP (24- or 32-bit, bottom-up or
+    top-down) into an ``(H, W, 3)`` uint8 RGB array.  Pure struct/numpy:
+    header unpack + one ``np.frombuffer`` reshape — no per-pixel Python."""
+    import struct
+
+    b = bytes(payload)
+    if b[:2] != _BMP_MAGIC or len(b) < 54:
+        raise NotImplementedError(
+            "not an uncompressed BMP payload; other image formats require "
+            "an image library (use fake_decode for tests)"
+        )
+    offset = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BI_RGB BMP is supported "
+            f"(bpp={bpp}, compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) // 4 * 4
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    rgb = rows[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Decode a batch of image payloads → (n_bytes, width, height,
+    feature).  REAL for uncompressed BMP (pure struct/numpy — see
+    :func:`decode_bmp`); other formats raise ``NotImplementedError``
+    because they need an image library this environment lacks (swap in a
+    Pillow/torchvision decoder in production, same signature).
+
+    The feature vector is the decoded-pixel intensity summary
+    ``[mean, std, min, max]`` (FEATURE_DIM=4) — computed from actual
+    pixels, so a corrupt payload or a wrong stride shows up as a value
+    diff, not just a shape diff.
     """
-    raise NotImplementedError(
-        "image decoding requires an image library; use fake_decode for tests"
+    n_bytes, width, height, feats = [], [], [], []
+    for b in payloads:
+        px = decode_bmp(b).astype(np.float64)
+        n_bytes.append(len(bytes(b)))
+        height.append(px.shape[0])
+        width.append(px.shape[1])
+        feats.append(
+            np.array([px.mean(), px.std(), px.min(), px.max()])
+        )
+    return pd.DataFrame(
+        {
+            "n_bytes": pd.Series(n_bytes, dtype="int32"),
+            "width": pd.Series(width, dtype="int32"),
+            "height": pd.Series(height, dtype="int32"),
+            "feature": feats,
+        }
     )
 
 
@@ -106,13 +192,20 @@ def resize_image_batch(
 ) -> pd.Series:
     """Resize a batch of image payloads to (width, height).
 
-    STUB: real resizing needs an image library not present in this
-    environment; swap for a Pillow/torchvision implementation in
-    production.  The plumbing that calls it is real.
+    REAL for uncompressed BMP: decode (:func:`decode_bmp`) →
+    nearest-neighbor resample (pure numpy fancy indexing, no per-pixel
+    Python) → re-encode (:func:`encode_bmp`).  Other formats raise
+    ``NotImplementedError`` (they need an image library; swap in a
+    Pillow/torchvision resizer in production, same signature).
     """
-    raise NotImplementedError(
-        "image resizing requires an image library; use fake_resize for tests"
-    )
+    out = []
+    for b in payloads:
+        px = decode_bmp(b)
+        h0, w0 = px.shape[:2]
+        ri = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+        ci = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+        out.append(encode_bmp(px[ri[:, None], ci[None, :]]))
+    return pd.Series(out)
 
 
 def fake_resize(payloads: pd.Series, width: int, height: int) -> pd.Series:
@@ -140,8 +233,9 @@ def resize_images(
     resizer: Callable[[pd.Series, int, int], pd.Series] = resize_image_batch,
 ) -> DataFrame:
     """Arrow-batched resize stage: one ``mapInPandas`` pass, partitioning
-    preserved, fixed RESIZED_SCHEMA output contract (every output payload
-    is exactly ``width·height`` bytes)."""
+    preserved, fixed RESIZED_SCHEMA output contract (with the real BMP
+    resizer every payload is a valid ``width×height`` BMP; with
+    ``fake_resize`` it is exactly ``width·height`` raw bytes)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

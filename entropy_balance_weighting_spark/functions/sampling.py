@@ -76,6 +76,7 @@ def resample_to_mix(
     target_shares: Mapping[str, float],
     *,
     salt: str = "",
+    stratum_counts: Mapping[str, int] | None = None,
 ) -> DataFrame:
     """Domain-mixture resampling (the data-mixing stage of corpus prep):
     downsample each stratum so the OUTPUT approximates ``target_shares``
@@ -92,10 +93,18 @@ def resample_to_mix(
     to the targets, not exact."""
     from fractions import Fraction
 
-    counts = {
-        r[strata_col]: r["n"]
-        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # callers that already hold the S-sized count table (e.g. they needed
+    # the stratum list anyway) pass it in to avoid a second aggregate job
+    counts = (
+        dict(stratum_counts)
+        if stratum_counts is not None
+        else {
+            r[strata_col]: r["n"]
+            for r in df.groupBy(strata_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    )
     missing = set(counts) - set(target_shares)
     if missing:
         raise ValueError(f"target_shares missing strata: {sorted(missing)}")

@@ -446,7 +446,6 @@ def _fit_quantizer(base: DataFrame, n_cells: int, seed: int, *, n: int | None = 
 def fit_ivf_quantizer(
     emb: DataFrame,
     *,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int | None = None,
     seed: int = 42,

@@ -1713,19 +1713,21 @@ def samp_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is exact-rational so integral thresholds can't float one
     ulp low."""
     docs = load_table(spark, sf_dir, "documents")
-    sources = [r.source for r in docs.select("source").distinct().collect()]
+    # ONE group-cardinality-sized aggregate job yields both the source
+    # list and the per-source counts (r5 verdict item #6: was two jobs)
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sources = sorted(counts)
     shares = {s: 1.0 / len(sources) for s in sources}
     mixed = sampling.resample_to_mix(
-        docs, "doc_id", "source", shares, salt="mix"
+        docs, "doc_id", "source", shares, salt="mix", stratum_counts=counts
     )
     # surface the applied threshold per source so the oracle checks the
     # RATE derivation, not just the row membership
     from fractions import Fraction
 
-    counts = {
-        r["source"]: r["n"]
-        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
     mn = min(counts.values())
     thr = {s: int(Fraction(1_000_000 * mn, counts[s])) for s in sources}
     thr_col = F.lit(None).cast("long")
@@ -2068,6 +2070,122 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("width"), 4).alias("avg_width"),
             F.round(F.avg("height"), 4).alias("avg_height"),
             F.round(F.avg(F.element_at("feature", 2)), 4).alias("avg_first_byte"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "mm_bmp_decode",
+    survey="ext:multimodal-bmp",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+  FROM documents
+), cells AS (
+  SELECT d.doc_id, d.source, d.w, d.h,
+         (d.doc_id * 31 + r.r * 7 + c.c * 13) % 256 AS v
+  FROM dims d,
+       unnest(range(0, d.h)) AS r(r),
+       unnest(range(0, d.w)) AS c(c)
+), per_doc AS (
+  SELECT doc_id, source, max(w) AS w, max(h) AS h,
+         CAST(sum(v) AS BIGINT) AS pix_sum,
+         CAST(min(v) AS BIGINT) AS pix_min,
+         CAST(max(v) AS BIGINT) AS pix_max
+  FROM cells GROUP BY doc_id, source
+), resized AS (
+  SELECT d.doc_id,
+         CAST(sum((d.doc_id * 31 + (i.i * d.h // 6) * 7
+                   + (j.j * d.w // 8) * 13) % 256) AS BIGINT) AS rs_sum
+  FROM dims d,
+       unnest(range(0, 6)) AS i(i),
+       unnest(range(0, 8)) AS j(j)
+  GROUP BY d.doc_id
+)
+SELECT p.source,
+       count(*) AS n_docs,
+       round(avg(p.w), 6) AS avg_width,
+       round(avg(p.h), 6) AS avg_height,
+       round(sum(p.pix_sum) / CAST(sum(p.w * p.h) AS DOUBLE), 6) AS pix_mean,
+       round(avg(p.pix_min), 6) AS avg_min,
+       round(avg(p.pix_max), 6) AS avg_max,
+       round(sum(r.rs_sum) / (48.0 * count(*)), 6) AS resized_mean
+FROM per_doc p JOIN resized r USING (doc_id)
+GROUP BY p.source ORDER BY p.source
+""",
+)
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + resize end-to-end (no media library): each doc
+    gets a genuine uncompressed BMP payload whose grayscale pixels are a
+    pure function of ``doc_id`` (``(id·31 + row·7 + col·13) mod 256``),
+    built with :func:`functions.multimodal.encode_bmp`; the payloads run
+    through the REAL :func:`decode_image_batch` (header parse + stride
+    slice) and the REAL nearest-neighbor :func:`resize_image_batch` to
+    8×6, and the oracle recomputes every pixel arithmetically in SQL.
+    Sums are reconstructed as exact integers (pixel mean × w·h rounds to
+    the exact pixel sum in f64), so both sides divide identical integers
+    — no float-order drift.  Decoder parity: a wrong stride, row order,
+    or channel order shifts ``pix_mean``/``resized_mean`` and fails the
+    hash."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = d % 12 + 4, d % 16 + 4
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                px = ((d * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+                payloads.append(multimodal.encode_bmp(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = multimodal.extract_features(payloads)  # REAL decoder
+    resized = multimodal.resize_images(payloads, 8, 6)  # REAL resizer
+    rs_feats = multimodal.extract_features(resized).select(
+        "doc_id", F.element_at("feature", 1).alias("rs_mean")
+    )
+    area = F.col("width") * F.col("height")
+    per_doc = feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * area).cast("long").alias("pix_sum"),
+        F.element_at("feature", 3).cast("long").alias("pix_min"),
+        F.element_at("feature", 4).cast("long").alias("pix_max"),
+    )
+    joined = (
+        per_doc.join(rs_feats, "doc_id")
+        .withColumn("rs_sum", F.round(F.col("rs_mean") * 48).cast("long"))
+        .join(docs, "doc_id")
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.round(
+                F.sum("pix_sum")
+                / F.sum((F.col("width") * F.col("height")).cast("double")),
+                6,
+            ).alias("pix_mean"),
+            F.round(F.avg("pix_min"), 6).alias("avg_min"),
+            F.round(F.avg("pix_max"), 6).alias("avg_max"),
+            F.round(F.sum("rs_sum") / (48.0 * F.count(F.lit(1))), 6).alias(
+                "resized_mean"
+            ),
         )
         .orderBy("source")
     )

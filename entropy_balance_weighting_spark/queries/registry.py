@@ -35,71 +35,31 @@ def register(
 
 
 # Enumeration priority for the external correctness driver.  The driver
-# checks a bounded window of queries in enumeration order (round 4 recorded
-# exactly the first 50 of 69), so the queries whose driver verification
-# matters most MUST enumerate first: the solver end-to-end proofs (the
-# operators the reference engine exists for), the SURVEY §2 core operator
-# queries, and any query that has never yet received a driver-green row.
-# Variants whose equivalence to a checked base form is pytest-pinned (the
-# salted as-of/range joins) and r4-driver-green extension queries sort last.
-# Queries not named here enumerate after the named ones, in registration
-# order, so a forgotten name degrades gracefully rather than disappearing.
+# checks a bounded window of queries in enumeration order (rounds 4 and 5
+# recorded exactly the first 50), so the queries whose driver verification
+# matters most MUST enumerate first.  With 80 registered queries and 50
+# slots, full single-round freshness is impossible; we run a two-round
+# rotation (the round-5 verdict's prescription): a small always-on pinned
+# set (the solver end-to-end proofs + the flagship moment query), then the
+# 30 queries that did NOT get a round-5 driver row (29 r4-green extension
+# queries + ev_range_join_salted, which had never been driver-checked),
+# then the 15 remaining SURVEY §2 core queries — exactly 50.  The round-5
+# window's extension queries sort below the boundary this round; the
+# r5+r6 union covers all 80.  Queries not named here enumerate after the
+# named ones, in registration order, so a forgotten name degrades
+# gracefully rather than disappearing (tests/test_entry.py asserts the
+# list matches the registry exactly).
 ENUMERATION_PRIORITY: list[str] = [
-    # -- solver end-to-end (SURVEY §2 A3/A5/A7, S7, L1-L7, C1-C8) --
+    # -- pinned always-on: solver end-to-end proofs + flagship (5) --
     "ebw_solver_moment_match",
     "ebw_bounded_solver_match",
     "ebw_penalty_gap_reduction",
     "a3_gram_selfjoin",
-    # -- SURVEY §2 core operator queries --
     "a1_weighted_moment_totals",
-    "a10_group_moments",
-    "a2_broadcast_matvec",
-    "j1_broadcast_dim_join",
-    "w1_window_weight_share",
-    "v1_validation_scan",
-    "a6_fraction_to_boundary",
-    "a4_entropy_criterion",
-    "a12_weight_correlation",
-    "t2_largest_miss",
-    "m1_problem_table_stats",
-    "m1_interaction_moments",
-    "m1_group_block_moments",
-    "m1_feasible_targets",
-    "s4_csv_union_scan",
-    "e9_string_prep",
-    # -- never driver-checked as of r4 (new-in-r4 tail + multimodal) --
-    "ev_time_rollup",
-    "ev_user_type_cube",
-    "txt_bpe_token_count",
-    "dq_referential_audit",
-    "dq_null_profile",
-    "txt_unigram_logprob",
-    "samp_domain_mix",
-    "emb_covariance_probe",
-    "ev_funnel_steps",
-    "ev_retention_cohorts",
-    "txt_winnow_fingerprints",
-    "dd_winnow_near_dups",
-    "mm_frame_sample",
-    "mm_feature_extract",
-    # -- new in r5 (need their first driver row) --
-    "dd_incremental_new_docs",
-    "samp_fixed_per_stratum",
-    "txt_vocab_sketch_rollup",
-    "txt_len_kll_rollup",
-    "txt_rag_chunks",
-    "dd_cluster_keep_longest",
-    "samp_quality_weighted",
-    "dq_snapshot_diff",
-    "txt_bigram_logprob",
-    "txt_langid_confusion",
-    "dq_column_entropy",
-    # -- load-bearing extension queries (dedup / ANN / events / packing) --
-    "dd_exact_dedup",
-    "dd_minhash_near_dups",
-    "dd_dup_clusters",
-    "dd_ngram_jaccard",
-    "dd_decontaminate",
+    # -- rotation: no round-5 driver row (31; r4-green except the first two) --
+    "ev_range_join_salted",  # never driver-checked before round 6
+    "mm_bmp_decode",  # new in r6: real BMP decode/resize, needs first row
+    "ev_asof_join_salted",
     "dd_simhash_clusters",
     "sim_cosine_topk",
     "sim_cosine_topk_ivf",
@@ -111,7 +71,6 @@ ENUMERATION_PRIORITY: list[str] = [
     "ev_sessionization",
     "ev_tumbling_windows",
     "samp_stratified",
-    # ---- window boundary (~50): r4-driver-green queries below ----
     "txt_curation_funnel",
     "txt_repetition",
     "txt_fingerprint_dups",
@@ -129,8 +88,53 @@ ENUMERATION_PRIORITY: list[str] = [
     "ev_type_pivot",
     "samp_shuffle_order",
     "txt_blocklist_filter",
-    "ev_asof_join_salted",
-    "ev_range_join_salted",
+    # -- SURVEY §2 core operator queries (15) — window total = 50 --
+    "a10_group_moments",
+    "a2_broadcast_matvec",
+    "j1_broadcast_dim_join",
+    "w1_window_weight_share",
+    "v1_validation_scan",
+    "a6_fraction_to_boundary",
+    "a4_entropy_criterion",
+    "a12_weight_correlation",
+    "t2_largest_miss",
+    "m1_problem_table_stats",
+    "m1_interaction_moments",
+    "m1_group_block_moments",
+    "m1_feasible_targets",
+    "s4_csv_union_scan",
+    "e9_string_prep",
+    # ---- window boundary (50): round-5-driver-green queries below ----
+    "ev_time_rollup",
+    "ev_user_type_cube",
+    "txt_bpe_token_count",
+    "dq_referential_audit",
+    "dq_null_profile",
+    "txt_unigram_logprob",
+    "samp_domain_mix",
+    "emb_covariance_probe",
+    "ev_funnel_steps",
+    "ev_retention_cohorts",
+    "txt_winnow_fingerprints",
+    "dd_winnow_near_dups",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "dd_incremental_new_docs",
+    "samp_fixed_per_stratum",
+    "txt_vocab_sketch_rollup",
+    "txt_len_kll_rollup",
+    "txt_rag_chunks",
+    "dd_cluster_keep_longest",
+    "samp_quality_weighted",
+    "dq_snapshot_diff",
+    "txt_bigram_logprob",
+    "txt_langid_confusion",
+    "dq_column_entropy",
+    "dd_exact_dedup",
+    "dd_minhash_near_dups",
+    "dd_dup_clusters",
+    "dd_ngram_jaccard",
+    "dd_decontaminate",
 ]
 
 

@@ -325,7 +325,11 @@ def _resolve_problem(x_sample, weights0, mean_population_moments, opts):
             # small sparse: densify on the driver, exact reference-shaped path
             rows, cols, vals = _csx_coo(data, indices, indptr, shape, fmt)
             x = np.zeros((n, k))
-            x[rows, cols] = vals
+            # Sum duplicate (row, col) entries — scipy semantics for
+            # non-canonical CSR/CSC, and what the long-COO distributed
+            # path's groupBy-sum does.  Plain fancy-index assignment is
+            # last-write-wins, so the two paths would disagree.
+            np.add.at(x, (rows, cols), vals)
             w0 = np.asarray(weights0, dtype=np.float64)
             m = np.asarray(mean_population_moments, dtype=np.float64)
             if validate:

@@ -38,6 +38,11 @@ def parquet_column_edges(
         md = frag.metadata
         schema_names = {md.schema.column(i).path: i for i in range(md.num_columns)}
         for c in cols:
+            if c not in schema_names:
+                raise ValueError(
+                    f"column {c!r} not in parquet schema; footer has "
+                    f"{sorted(schema_names)}"
+                )
             i = schema_names[c]
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(i).statistics
@@ -45,7 +50,14 @@ def parquet_column_edges(
                     raise ValueError(
                         f"parquet footer lacks min/max stats for column {c!r}"
                     )
-                mn, mx = float(st.min), float(st.max)
+                try:
+                    mn, mx = float(st.min), float(st.max)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"column {c!r} has non-numeric footer statistics "
+                        f"({type(st.min).__name__}); z-order edges need "
+                        "numeric columns"
+                    ) from None
                 lo[c] = mn if c not in lo else min(lo[c], mn)
                 hi[c] = mx if c not in hi else max(hi[c], mx)
     if set(lo) != set(cols):

@@ -31,6 +31,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from entropy_balance_weighting_spark.plans.moment_spec import (
     MomentSpec,
@@ -89,16 +90,29 @@ class IncrementalReweighter:
         if batch_id in self._processed:
             return
         self._processed.add(batch_id)
+        stamped = batch_df.withColumn("__ebw_batch_id", F.lit(int(batch_id)))
         if self.accumulated is None:
-            acc = batch_df
+            acc = stamped
         else:
-            acc = self.accumulated.unionByName(batch_df).dropDuplicates(
-                list(self.spec.row_key)
-            )
+            # Deterministic keep policy per key: the row from the HIGHEST
+            # batch_id wins.  Bare dropDuplicates(row_key) keeps an
+            # arbitrary row, so a replayed key arriving with different
+            # column values (a legitimate update is indistinguishable from
+            # a replay) could silently keep either version.
+            acc = self.accumulated.unionByName(stamped)
+        w = W.partitionBy(*self.spec.row_key).orderBy(
+            F.col("__ebw_batch_id").desc()
+        )
+        acc = (
+            acc.withColumn("__ebw_rn", F.row_number().over(w))
+            .filter(F.col("__ebw_rn") == 1)
+            .drop("__ebw_rn")
+        )
         # one materialization per batch: the accumulated snapshot is reused
         # by the problem build and by the next batch's union
         acc = acc.localCheckpoint(eager=True)
         self.accumulated = acc
+        acc = acc.drop("__ebw_batch_id")
 
         pt = build_problem_tables(acc, self.spec)
         targets = (

@@ -20,6 +20,24 @@ def test_queries_and_oracles_aligned():
     assert set(oracles).issubset(set(qs))
 
 
+def test_enumeration_priority_matches_registry():
+    """Every registered query must appear in ENUMERATION_PRIORITY exactly
+    once, and every priority entry must name a registered query.  A new
+    query silently landing below the driver's ~50-slot window (or a typo'd
+    name falling back to registration order) reintroduces the
+    never-driver-checked class the round-5 verdict flagged."""
+    from entropy_balance_weighting_spark.queries.registry import (
+        ENUMERATION_PRIORITY,
+        QUERIES,
+    )
+
+    assert sorted(ENUMERATION_PRIORITY) == sorted(QUERIES), (
+        "ENUMERATION_PRIORITY and the query registry disagree; "
+        "add/remove the query name in queries/registry.py"
+    )
+    assert len(ENUMERATION_PRIORITY) == len(set(ENUMERATION_PRIORITY))
+
+
 def test_queries_md_index_is_current():
     """QUERIES.md must match the live registry (regenerate with
     `python -m entropy_balance_weighting_spark.queries.index`)."""

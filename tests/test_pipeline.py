@@ -104,8 +104,9 @@ def test_ivf_ann_recall_vs_brute_force(spark):
 
 
 def test_multimodal_real_decoder_is_stubbed(spark):
-    """The real decode stage must fail loudly (no image libs here), and the
-    fake decoder must produce the exact deterministic contract."""
+    """Non-BMP payloads must fail loudly through the real decode stage (no
+    compressed-format libs here), and the fake decoder must produce the
+    exact deterministic contract."""
     import pandas as pd
 
     from entropy_balance_weighting_spark.functions import multimodal

@@ -181,3 +181,48 @@ def test_fixed_per_stratum_properties(spark):
         assert sorted((r.src, r.id) for r in again.collect()) == sorted(got)
 
     run()
+
+
+def test_resample_to_mix_precomputed_counts_matches(spark):
+    """stratum_counts short-circuits the internal aggregate job and must
+    produce identical membership to the self-counting path."""
+    from entropy_balance_weighting_spark.functions.sampling import (
+        resample_to_mix,
+    )
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    shares = {"a": 0.5, "b": 0.5}
+    auto = {r.id for r in resample_to_mix(df, "id", "src", shares, salt="mx").collect()}
+    counts = {r.src: r.n for r in df.groupBy("src").count().withColumnRenamed("count", "n").collect()}
+    pre = {
+        r.id
+        for r in resample_to_mix(
+            df, "id", "src", shares, salt="mx", stratum_counts=counts
+        ).collect()
+    }
+    assert pre == auto
+
+
+def test_samp_domain_mix_single_job_before_sampler(spark):
+    """The r5 verdict's item #6: building the domain-mix query must run
+    exactly ONE Spark job (the combined source-list + counts aggregate)
+    before any action on the returned DataFrame."""
+    import pyspark.sql.functions as F
+    from conftest import SF_SMOKE
+
+    from entropy_balance_weighting_spark.queries.pipeline import samp_domain_mix
+    from entropy_balance_weighting_spark.session import load_table
+
+    tracker = spark.sparkContext.statusTracker()
+    # baseline: job cost of ONE aggregate-collect action on the same table
+    # (AQE may split a single action into several jobs, so pin the ACTION
+    # count by comparison, not a literal job count)
+    j0 = len(tracker.getJobIdsForGroup(None))
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    one_action = len(tracker.getJobIdsForGroup(None)) - j0
+    j1 = len(tracker.getJobIdsForGroup(None))
+    out = samp_domain_mix(spark, SF_SMOKE)
+    assert len(tracker.getJobIdsForGroup(None)) - j1 == one_action
+    assert out.count() > 0

@@ -138,3 +138,32 @@ def test_sparse_with_empty_rows_solves(spark):
 
     w = np.array([got[i] for i in range(80)])
     np.testing.assert_allclose(w, local.new_weights, rtol=1e-6)
+
+
+class NonCanonicalCOOishCSR(FakeCSR):
+    """A CSR with duplicate (row, col) entries — non-canonical but legal
+    scipy input; scipy sums duplicates on densify/matvec."""
+
+    def __init__(self, dense, dup_row, dup_col, extra):
+        super().__init__(dense)
+        # append a duplicate entry at the end of dup_row's slice
+        insert_at = int(self.indptr[dup_row + 1])
+        self.data = np.insert(self.data, insert_at, extra)
+        self.indices = np.insert(self.indices, insert_at, dup_col)
+        self.indptr = self.indptr.copy()
+        self.indptr[dup_row + 1 :] += 1
+
+
+def test_duplicate_entries_sum_like_scipy():
+    """Non-canonical sparse input with duplicate (row, col) entries must
+    SUM duplicates in the densified local path (scipy semantics, and what
+    the long-COO distributed groupBy-sum does) — not last-write-wins."""
+    x, w0, m = _problem(n=120, seed=23)
+    x[4, 2] = 0.7
+    base = x.copy()
+    base[4, 2] = x[4, 2] - 0.25  # dense equivalent after summing the dup
+    sp = NonCanonicalCOOishCSR(base, dup_row=4, dup_col=2, extra=0.25)
+    dense = entropy_balance(mean_population_moments=m, x_sample=x, weights0=w0)
+    sparse = entropy_balance(mean_population_moments=m, x_sample=sp, weights0=w0)
+    assert dense.converged and sparse.converged
+    np.testing.assert_allclose(sparse.new_weights, dense.new_weights, rtol=1e-12)
