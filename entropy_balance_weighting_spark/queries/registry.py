@@ -35,111 +35,99 @@ def register(
 
 
 # Enumeration priority for the external correctness driver.  The driver
-# checks a bounded window of queries in enumeration order (rounds 4 and 5
+# checks a bounded window of queries in enumeration order (rounds 4-6
 # recorded exactly the first 50), so the queries whose driver verification
-# matters most MUST enumerate first.  With 80 registered queries and 50
+# matters most MUST enumerate first.  With 80+ registered queries and 50
 # slots, full single-round freshness is impossible; we run a two-round
-# rotation (the round-5 verdict's prescription): a small always-on pinned
-# set (the solver end-to-end proofs + the flagship moment query), then the
-# 30 queries that did NOT get a round-5 driver row (29 r4-green extension
-# queries + ev_range_join_salted, which had never been driver-checked),
-# then the 15 remaining SURVEY §2 core queries — exactly 50.  The round-5
-# window's extension queries sort below the boundary this round; the
-# r5+r6 union covers all 80.  Queries not named here enumerate after the
-# named ones, in registration order, so a forgotten name degrades
-# gracefully rather than disappearing (tests/test_entry.py asserts the
-# list matches the registry exactly).
-ENUMERATION_PRIORITY: list[str] = [
-    # -- pinned always-on: solver end-to-end proofs + flagship (5) --
+# rotation.  Rounds 5-6 maintained the rotation by hand-editing a static
+# list each round, which produced an off-by-one in round 6 (51 entries
+# above the intended boundary, silently dropping e9_string_prep from the
+# window).  Since round 7 the order is DERIVED mechanically:
+#
+#   1. ``PINNED`` — the solver end-to-end proofs + the flagship moment
+#      query and Gram self-join, always in the window;
+#   2. every other registered query, sorted by the round of its most
+#      recent green driver row (ascending — never-checked and new
+#      queries sort first with round -1), scanned from the
+#      ``CORRECTNESS_r*.json`` files the driver itself writes at the
+#      repo root.  Ties break by registration order.
+#
+# So whatever queries the last window covered automatically rotate OUT,
+# the stalest rotate IN, and a new query can never land below the
+# boundary.  ``tests/test_entry.py`` asserts the invariants (pinned
+# first, staleness-monotone, nothing below slot DRIVER_WINDOW older
+# than the latest recorded round).
+PINNED: list[str] = [
     "ebw_solver_moment_match",
     "ebw_bounded_solver_match",
     "ebw_penalty_gap_reduction",
     "a3_gram_selfjoin",
     "a1_weighted_moment_totals",
-    # -- rotation: no round-5 driver row (31; r4-green except the first two) --
-    "ev_range_join_salted",  # never driver-checked before round 6
-    "mm_bmp_decode",  # new in r6: real BMP decode/resize, needs first row
-    "ev_asof_join_salted",
-    "dd_simhash_clusters",
-    "sim_cosine_topk",
-    "sim_cosine_topk_ivf",
-    "dd_embedding_near_dups",
-    "ev_asof_join",
-    "ev_range_join",
-    "txt_seq_packing",
-    "txt_quality_stats",
-    "ev_sessionization",
-    "ev_tumbling_windows",
-    "samp_stratified",
-    "txt_curation_funnel",
-    "txt_repetition",
-    "txt_fingerprint_dups",
-    "dd_simhash_near_dups",
-    "txt_tfidf_topterms",
-    "txt_len_percentiles",
-    "txt_len_percentiles_approx",
-    "emb_quantize_int8",
-    "ev_sliding_windows",
-    "ev_json_props",
-    "txt_vocab_size",
-    "txt_vocab_size_approx",
-    "emb_label_centroids",
-    "txt_source_lang_rollup",
-    "ev_type_pivot",
-    "samp_shuffle_order",
-    "txt_blocklist_filter",
-    # -- SURVEY §2 core operator queries (15) — window total = 50 --
-    "a10_group_moments",
-    "a2_broadcast_matvec",
-    "j1_broadcast_dim_join",
-    "w1_window_weight_share",
-    "v1_validation_scan",
-    "a6_fraction_to_boundary",
-    "a4_entropy_criterion",
-    "a12_weight_correlation",
-    "t2_largest_miss",
-    "m1_problem_table_stats",
-    "m1_interaction_moments",
-    "m1_group_block_moments",
-    "m1_feasible_targets",
-    "s4_csv_union_scan",
-    "e9_string_prep",
-    # ---- window boundary (50): round-5-driver-green queries below ----
-    "ev_time_rollup",
-    "ev_user_type_cube",
-    "txt_bpe_token_count",
-    "dq_referential_audit",
-    "dq_null_profile",
-    "txt_unigram_logprob",
-    "samp_domain_mix",
-    "emb_covariance_probe",
-    "ev_funnel_steps",
-    "ev_retention_cohorts",
-    "txt_winnow_fingerprints",
-    "dd_winnow_near_dups",
-    "mm_frame_sample",
-    "mm_feature_extract",
-    "dd_incremental_new_docs",
-    "samp_fixed_per_stratum",
-    "txt_vocab_sketch_rollup",
-    "txt_len_kll_rollup",
-    "txt_rag_chunks",
-    "dd_cluster_keep_longest",
-    "samp_quality_weighted",
-    "dq_snapshot_diff",
-    "txt_bigram_logprob",
-    "txt_langid_confusion",
-    "dq_column_entropy",
-    "dd_exact_dedup",
-    "dd_minhash_near_dups",
-    "dd_dup_clusters",
-    "dd_ngram_jaccard",
-    "dd_decontaminate",
 ]
+
+# Observed driver window size (rounds 4-6 all recorded exactly 50 rows).
+DRIVER_WINDOW = 50
+
+
+def _repo_root() -> "Path":
+    from pathlib import Path
+
+    return Path(__file__).resolve().parents[2]
+
+
+def driver_history() -> dict[str, int]:
+    """Latest round in which each query got a green driver row.
+
+    Scanned from the ``CORRECTNESS_r*.json`` files the external driver
+    commits to the repo root after each round; a row counts as green when
+    it has no error and the row counts matched (hash/rows-only both
+    qualify — either proves the query ran under the driver).  Queries
+    never seen return no entry (callers treat that as round -1, i.e.
+    maximally stale).
+    """
+    import json
+    import re
+
+    hist: dict[str, int] = {}
+    for path in sorted(_repo_root().glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("err") is None and row.get("rows_match"):
+                hist[name] = max(hist.get(name, 0), rnd)
+    return hist
+
+
+def enumeration_priority() -> list[str]:
+    """Mechanically derived driver enumeration order (see module comment)."""
+    hist = driver_history()
+    reg_order = {name: i for i, name in enumerate(QUERIES)}
+    pinned = [n for n in PINNED if n in QUERIES]
+    pinned_set = set(pinned)
+    rest = [n for n in QUERIES if n not in pinned_set]
+    rest.sort(key=lambda n: (hist.get(n, -1), reg_order[n]))
+    return pinned + rest
+
+
+def __getattr__(name: str):
+    # Computed lazily so the ordering reflects queries registered after
+    # this module is first imported (the query modules import `register`
+    # from here, so a static list at import time would be empty).
+    if name == "ENUMERATION_PRIORITY":
+        return enumeration_priority()
+    raise AttributeError(name)
 
 
 def _ordered() -> list[tuple[str, Query]]:
-    rank = {name: i for i, name in enumerate(ENUMERATION_PRIORITY)}
+    rank = {name: i for i, name in enumerate(enumeration_priority())}
     fallback = len(rank)
     reg_order = {name: i for i, name in enumerate(QUERIES)}
     return sorted(

@@ -21,21 +21,54 @@ def test_queries_and_oracles_aligned():
 
 
 def test_enumeration_priority_matches_registry():
-    """Every registered query must appear in ENUMERATION_PRIORITY exactly
-    once, and every priority entry must name a registered query.  A new
-    query silently landing below the driver's ~50-slot window (or a typo'd
-    name falling back to registration order) reintroduces the
-    never-driver-checked class the round-5 verdict flagged."""
+    """The mechanically derived enumeration order must cover every
+    registered query exactly once — a query missing from the order (or a
+    duplicate) would reintroduce the never-driver-checked class the
+    round-5 verdict flagged."""
     from entropy_balance_weighting_spark.queries.registry import (
         ENUMERATION_PRIORITY,
         QUERIES,
     )
 
-    assert sorted(ENUMERATION_PRIORITY) == sorted(QUERIES), (
-        "ENUMERATION_PRIORITY and the query registry disagree; "
-        "add/remove the query name in queries/registry.py"
-    )
+    assert sorted(ENUMERATION_PRIORITY) == sorted(QUERIES)
     assert len(ENUMERATION_PRIORITY) == len(set(ENUMERATION_PRIORITY))
+
+
+def test_enumeration_rotation_invariants():
+    """Invariants of the round-7 mechanical rotation:
+
+    1. the pinned solver proofs enumerate first, in order;
+    2. the non-pinned tail is sorted by staleness (least-recently
+       driver-checked first), so the driver's 50-slot window always
+       takes the stalest queries;
+    3. nothing below the window boundary is older than the latest
+       recorded driver round — i.e. two consecutive rounds always union
+       to full coverage.  If this fires, too many new queries landed in
+       one round for the rotation to keep up; split the additions.
+    """
+    from entropy_balance_weighting_spark.queries.registry import (
+        DRIVER_WINDOW,
+        PINNED,
+        QUERIES,
+        driver_history,
+        enumeration_priority,
+    )
+
+    order = enumeration_priority()
+    assert order[: len(PINNED)] == [n for n in PINNED if n in QUERIES]
+
+    hist = driver_history()
+    tail_rounds = [hist.get(n, -1) for n in order[len(PINNED) :]]
+    assert tail_rounds == sorted(tail_rounds), "rotation tail not staleness-sorted"
+
+    if hist:
+        latest = max(hist.values())
+        below = order[DRIVER_WINDOW:]
+        stale_below = [n for n in below if hist.get(n, -1) < latest]
+        assert not stale_below, (
+            f"{len(stale_below)} queries older than round {latest} fell below "
+            f"the {DRIVER_WINDOW}-slot driver window: {stale_below[:5]}..."
+        )
 
 
 def test_queries_md_index_is_current():
