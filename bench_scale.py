@@ -453,8 +453,12 @@ def _bench_grouped(spark, n, n_parts, timings, throughput) -> None:
     timings["grouped_k"] = float(pt.k)
     timings["grouped_iterations"] = float(res.n_iterations)
     timings["grouped_per_iter"] = round(wall / max(res.n_iterations, 1), 4)
-    throughput["grouped"] = round(
-        n * max(res.n_iterations, 1) / wall, 1
+    # rows/s in both keys (like the other solvers' n/stage_time), with the
+    # denominator explicit in the name — a bare n·iters/wall reads inflated
+    # next to the per-pass numbers of its siblings
+    throughput["grouped_rows_per_sec"] = round(n / wall, 1)
+    throughput["grouped_rows_per_sec_per_iter"] = round(
+        n / (wall / max(res.n_iterations, 1)), 1
     )
 
 

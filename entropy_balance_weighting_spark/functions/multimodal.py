@@ -86,6 +86,14 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     h = abs(h)
     nch = bpp // 8
     stride = (w * nch + 3) // 4 * 4
+    # a malformed payload that happens to start with 'BM' (e.g. text bytes
+    # routed here) must fail with a NAMED error, not an opaque
+    # frombuffer/reshape ValueError deep inside an executor
+    if w <= 0 or h == 0 or offset + stride * h > len(b):
+        raise ValueError(
+            f"malformed BMP payload: w={w}, h={h}, pixel data "
+            f"[{offset}, {offset + stride * h}) exceeds {len(b)} bytes"
+        )
     rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=offset)
     rows = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
     rgb = rows[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped

@@ -77,6 +77,7 @@ def resample_to_mix(
     *,
     salt: str = "",
     stratum_counts: Mapping[str, int] | None = None,
+    validate_counts: bool = False,
 ) -> DataFrame:
     """Domain-mixture resampling (the data-mixing stage of corpus prep):
     downsample each stratum so the OUTPUT approximates ``target_shares``
@@ -94,7 +95,23 @@ def resample_to_mix(
     from fractions import Fraction
 
     # callers that already hold the S-sized count table (e.g. they needed
-    # the stratum list anyway) pass it in to avoid a second aggregate job
+    # the stratum list anyway) pass it in to avoid a second aggregate job.
+    # CONTRACT: a passed map must cover every stratum present in df —
+    # strata it omits get default_rate=0.0 and are silently dropped (the
+    # self-counting path instead raises on strata missing from
+    # target_shares).  validate_counts=True re-runs the aggregate and
+    # checks coverage; use it in tests/debug, not on the 100 TB path.
+    if stratum_counts is not None and validate_counts:
+        observed = {
+            r[strata_col]
+            for r in df.select(strata_col).distinct().collect()
+        }
+        stale = observed - set(stratum_counts)
+        if stale:
+            raise ValueError(
+                f"stratum_counts omits strata present in df (their rows "
+                f"would be silently dropped): {sorted(stale)}"
+            )
     counts = (
         dict(stratum_counts)
         if stratum_counts is not None

@@ -90,29 +90,38 @@ class IncrementalReweighter:
         if batch_id in self._processed:
             return
         self._processed.add(batch_id)
-        stamped = batch_df.withColumn("__ebw_batch_id", F.lit(int(batch_id)))
+        # Deterministic keep policy per key: the row from the HIGHEST
+        # batch_id wins (batch ids are monotone, so "this batch beats the
+        # accumulated snapshot" needs only a 1/0 precedence stamp — the
+        # public ``accumulated`` snapshot stays free of internal columns).
+        # Bare dropDuplicates(row_key) keeps an arbitrary row, so a
+        # replayed key arriving with different column values (a legitimate
+        # update is indistinguishable from a replay) could silently keep
+        # either version.  Duplicate keys WITHIN one batch carry the same
+        # precedence; the remaining columns break the tie, so the kept row
+        # is deterministic there too (lexicographically smallest payload).
+        stamped = batch_df.withColumn("__ebw_prec", F.lit(1))
         if self.accumulated is None:
             acc = stamped
         else:
-            # Deterministic keep policy per key: the row from the HIGHEST
-            # batch_id wins.  Bare dropDuplicates(row_key) keeps an
-            # arbitrary row, so a replayed key arriving with different
-            # column values (a legitimate update is indistinguishable from
-            # a replay) could silently keep either version.
-            acc = self.accumulated.unionByName(stamped)
+            acc = self.accumulated.withColumn("__ebw_prec", F.lit(0)).unionByName(
+                stamped
+            )
+        payload_cols = [
+            c for c in batch_df.columns if c not in set(self.spec.row_key)
+        ]
         w = W.partitionBy(*self.spec.row_key).orderBy(
-            F.col("__ebw_batch_id").desc()
+            F.col("__ebw_prec").desc(), *[F.col(c).asc_nulls_last() for c in payload_cols]
         )
         acc = (
             acc.withColumn("__ebw_rn", F.row_number().over(w))
             .filter(F.col("__ebw_rn") == 1)
-            .drop("__ebw_rn")
+            .drop("__ebw_rn", "__ebw_prec")
         )
         # one materialization per batch: the accumulated snapshot is reused
         # by the problem build and by the next batch's union
         acc = acc.localCheckpoint(eager=True)
         self.accumulated = acc
-        acc = acc.drop("__ebw_batch_id")
 
         pt = build_problem_tables(acc, self.spec)
         targets = (

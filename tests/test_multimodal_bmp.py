@@ -89,6 +89,20 @@ def test_bmp_rejects_compressed_and_foreign():
         decode_bmp(hdr + info)
 
 
+def test_bmp_rejects_malformed_bm_prefixed_payload():
+    """A payload that merely STARTS with 'BM' (e.g. text routed through
+    text_as_binary) must fail with a named ValueError, not an opaque
+    frombuffer/reshape error inside an executor."""
+    junk = b"BM" + b"x" * 60  # garbage w/h/offset
+    with pytest.raises((ValueError, NotImplementedError), match="BMP"):
+        decode_bmp(junk)
+    # truncated pixel data: valid header, body cut short
+    px = _gray(3, 4, 4)
+    b = encode_bmp(px)
+    with pytest.raises(ValueError, match="malformed BMP"):
+        decode_bmp(b[: len(b) - 8])
+
+
 def test_decode_image_batch_real_features():
     pay = pd.Series([encode_bmp(_gray(d, d % 12 + 4, d % 16 + 4)) for d in (0, 7, 42)])
     out = multimodal.decode_image_batch(pay)

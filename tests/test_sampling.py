@@ -204,6 +204,30 @@ def test_resample_to_mix_precomputed_counts_matches(spark):
     assert pre == auto
 
 
+def test_resample_to_mix_validate_counts_catches_stale_map(spark):
+    """A passed stratum_counts that omits a stratum present in df would
+    silently drop that stratum's rows (default_rate=0.0);
+    validate_counts=True turns that into a named error."""
+    import pytest
+
+    from entropy_balance_weighting_spark.functions.sampling import (
+        resample_to_mix,
+    )
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    with pytest.raises(ValueError, match="omits strata"):
+        resample_to_mix(
+            df,
+            "id",
+            "src",
+            {"a": 1.0},
+            salt="mx",
+            stratum_counts={"a": 40},
+            validate_counts=True,
+        )
+
+
 def test_samp_domain_mix_single_job_before_sampler(spark):
     """The r5 verdict's item #6: building the domain-mix query must run
     exactly ONE Spark job (the combined source-list + counts aggregate)

@@ -243,3 +243,56 @@ def test_replayed_batch_is_idempotent(spark):
     rw.process_batch(b0.unionByName(b1), 2)  # replayed rows, new id
     assert rw.accumulated.count() == n_after_1
     assert len(rw.history) == 3
+
+
+def test_accumulated_snapshot_schema_is_clean(spark):
+    """The public ``accumulated`` snapshot must carry exactly the input
+    schema — no internal bookkeeping columns may leak (the round-6 ADVICE
+    caught ``__ebw_batch_id`` leaking into it)."""
+    rng = np.random.default_rng(5)
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1"), row_key=("rid",))
+
+    def targets(pt):
+        from entropy_balance_weighting_spark.queries.solver import (
+            targets_from_problem,
+        )
+
+        return targets_from_problem(pt, perturb=0.01)
+
+    rw = IncrementalReweighter(spec, targets)
+    rw.process_batch(spark.createDataFrame(_chunk(rng, 50, 0), SCHEMA), 0)
+    assert rw.accumulated.columns == ["rid", "w", "x0", "x1"]
+    rw.process_batch(spark.createDataFrame(_chunk(rng, 30, 50), SCHEMA), 1)
+    assert rw.accumulated.columns == ["rid", "w", "x0", "x1"]
+
+
+def test_batch_replay_keep_policy_is_deterministic(spark):
+    """Keep policy: (1) a key replayed in a LATER batch with new values
+    keeps the later row; (2) duplicate keys WITHIN one batch keep the
+    lexicographically-smallest payload, not an arbitrary partition
+    winner."""
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1"), row_key=("rid",))
+
+    def targets(pt):
+        from entropy_balance_weighting_spark.queries.solver import (
+            targets_from_problem,
+        )
+
+        return targets_from_problem(pt, perturb=0.01)
+
+    rw = IncrementalReweighter(spec, targets)
+    base = [(i, 1.0, 0.1 * i, 0.2 * i) for i in range(8)]
+    # batch 0 carries rid=0 twice with different payloads
+    b0 = spark.createDataFrame(
+        base + [(0, 9.0, 9.0, 9.0)], SCHEMA
+    ).repartition(4)
+    rw.process_batch(b0, 0)
+    kept = {r.rid: (r.w, r.x0, r.x1) for r in rw.accumulated.collect()}
+    assert kept[0] == (1.0, 0.0, 0.0)  # smallest payload wins, every run
+
+    # batch 1 re-delivers rid=3 with updated values → later batch wins
+    b1 = spark.createDataFrame([(3, 2.0, 7.0, 7.0)], SCHEMA)
+    rw.process_batch(b1, 1)
+    kept = {r.rid: (r.w, r.x0, r.x1) for r in rw.accumulated.collect()}
+    assert kept[3] == (2.0, 7.0, 7.0)
+    assert rw.accumulated.count() == 8
