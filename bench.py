@@ -24,10 +24,40 @@ def _loadavg() -> list[float]:
 
 START_LOADAVG = _loadavg()
 
+# Loaded-box guard (round-6 verdict item #3): two consecutive driver
+# benches recorded 2-11x inflated timings because the box was already
+# under load when the bench started (r5 loadavg 4.2, r6 6.85 -> 19.8;
+# solo idle reruns showed zero real regression both times).  If the 1-min
+# loadavg exceeds the gate at start, wait for the box to drain; if it
+# never does, stamp the JSON "contaminated" so no reader mistakes load
+# for a plan regression.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0"))
+LOAD_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRIES", "5"))
+LOAD_RETRY_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRY_SEC", "60"))
+
+
+def _wait_for_idle() -> tuple[bool, list[float]]:
+    """Sleep-retry until 1-min loadavg < LOAD_GATE; returns (contaminated,
+    loadavg at the moment the bench actually starts)."""
+    load = _loadavg()
+    for _ in range(LOAD_RETRIES):
+        if load[0] < 0 or load[0] <= LOAD_GATE:
+            return False, load
+        print(
+            f"bench: loadavg {load[0]} > gate {LOAD_GATE}; "
+            f"waiting {LOAD_RETRY_SEC:.0f}s for the box to drain",
+            file=sys.stderr,
+        )
+        time.sleep(LOAD_RETRY_SEC)
+        load = _loadavg()
+    return load[0] > LOAD_GATE, load
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else 0.0
+
+    contaminated, start_load = _wait_for_idle()
 
     from entropy_balance_weighting_spark.queries import QUERIES
     from entropy_balance_weighting_spark.session import get_spark
@@ -81,7 +111,7 @@ def main() -> None:
     extra = _solver_bench(spark, sf_dir)
     timings.update(extra)
 
-    duck_proxy, duck_queries = _duck_proxy(sf_dir, bench_queries)
+    duck_proxy, duck_queries, duck_per_query = _duck_proxy(sf_dir, bench_queries)
 
     # metadata entries (iteration counts, K sizes, converged flags) are
     # reported per query but are not wall-clock — exclude from the total
@@ -102,9 +132,15 @@ def main() -> None:
                 "n_wall_entries": len(wall),
                 "repeats_per_query": 2,
                 "timing": "best_of_repeats_after_warmup",
-                "loadavg_start": START_LOADAVG,
+                "loadavg_at_launch": START_LOADAVG,
+                "loadavg_start": start_load,
                 "loadavg_end": _loadavg(),
                 "n_cpus": os.cpu_count(),
+                # True iff the box never drained below the load gate before
+                # the timed region started — timings are contended and must
+                # not be read as plan regressions (PLANS.md §8 variance).
+                "contaminated": contaminated,
+                "load_gate": LOAD_GATE,
                 # DuckDB executing the oracle SQL of the oracle-benched
                 # queries on the same parquet — the bench-vs-baseline proxy
                 # the judge derives each round, self-reported (r5 item #8).
@@ -113,6 +149,9 @@ def main() -> None:
                 # meaningful on compute-bound entries.
                 "duck_proxy_sec": duck_proxy,
                 "duck_proxy_n_queries": duck_queries,
+                # per-query DuckDB times so per-query Spark/DuckDB ratios
+                # are machine-trackable round over round (r6 item #3)
+                "duck_proxy": duck_per_query,
                 "spark_same_queries_sec": round(
                     sum(
                         wall[n]
@@ -129,14 +168,16 @@ def main() -> None:
     spark.stop()
 
 
-def _duck_proxy(sf_dir: str, bench_queries) -> tuple[float, int]:
-    """Total DuckDB wall time over the oracle SQL of the oracle-benched
-    queries (views over the same parquet), best-of-2 per query after one
-    warmup — the same discipline as the Spark timings."""
+def _duck_proxy(
+    sf_dir: str, bench_queries
+) -> tuple[float, int, dict[str, float]]:
+    """Per-query + total DuckDB wall time over the oracle SQL of the
+    oracle-benched queries (views over the same parquet), best-of-2 per
+    query after one warmup — the same discipline as the Spark timings."""
     try:
         import duckdb
     except ImportError:  # pragma: no cover
-        return -1.0, 0
+        return -1.0, 0, {}
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in (
@@ -146,7 +187,7 @@ def _duck_proxy(sf_dir: str, bench_queries) -> tuple[float, int]:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
-    total, n = 0.0, 0
+    total, n, per_query = 0.0, 0, {}
     for name, q in bench_queries.items():
         if q.oracle is None:
             continue
@@ -159,9 +200,10 @@ def _duck_proxy(sf_dir: str, bench_queries) -> tuple[float, int]:
                 best = min(best, time.perf_counter() - t0)
             total += best
             n += 1
+            per_query[name] = round(best, 4)
         except Exception as exc:  # pragma: no cover
             print(f"duck proxy failed for {name}: {exc}", file=sys.stderr)
-    return round(total, 4), n
+    return round(total, 4), n, per_query
 
 
 def _solver_bench(spark, sf_dir: str) -> dict[str, float]:
