@@ -1,2665 +1,23 @@
-"""LLM-data-pipeline queries (extension surface): dedup, similarity,
-text analysis, event windows, multimodal plumbing — each the SQL-checkable
-rendering of a :mod:`functions` operator over the driver's testdata.
+"""LLM-data-pipeline queries (extension surface) — compatibility shim.
 
-Hash-sensitive stages (MinHash, SimHash) use the engine-portable
-md5-prefix hash so the DuckDB oracles replicate them bit-for-bit; float
-aggregates are rounded identically on both sides.
+The former monolithic module (2,600+ lines, 61 queries) is split by
+family (round-7 verdict item #6): :mod:`pipeline_dedup`,
+:mod:`pipeline_text`, :mod:`pipeline_events`, :mod:`pipeline_sim`,
+:mod:`pipeline_sampling`, :mod:`pipeline_dq`, :mod:`pipeline_mm`,
+:mod:`pipeline_text_stats`.
+Registration names are unchanged; importing this module (as
+``queries/__init__`` does) still registers every query, and existing
+``queries.pipeline.<fn>`` references keep resolving via the star
+re-exports below.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from entropy_balance_weighting_spark.functions import dedup, events, similarity
-from entropy_balance_weighting_spark.functions import multimodal, packing, sampling, text
-from entropy_balance_weighting_spark.queries.registry import register
-from entropy_balance_weighting_spark.session import load_table
-
-
-@register(
-    "dd_exact_dedup",
-    survey="ext:dedup-exact",
-    bench=True,
-    oracle="""
-SELECT source,
-       count(*) AS n_rows,
-       count(DISTINCT lower(trim(text))) AS n_distinct,
-       count(*) - count(DISTINCT lower(trim(text))) AS n_dup_rows
-FROM documents GROUP BY source ORDER BY source
-""",
-)
-def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on normalized text — one shuffle with
-    map-side partial aggregation, never row-vs-row comparison."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_dup_stats(docs, "text", "source").orderBy("source")
-
-
-# CTE chain shared by the minhash-pair and dup-cluster oracles: everything
-# up to the jaccard-verified duplicate pairs.
-_MINHASH_PAIR_CTES = """toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), shingles AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
-), hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(sh),1,8))::BIGINT % 2147483647 AS h
-  FROM shingles
-), params AS (
-  SELECT i, (123456789 * i + 987654321) % 2147483647 AS a,
-         (362436069 * i + 521288629) % 2147483647 AS b
-  FROM unnest(range(1, 9)) AS r(i)
-), mh AS (
-  SELECT doc_id, p.i, min((p.a * h + p.b) % 2147483647) AS mh
-  FROM hashed, params p GROUP BY doc_id, p.i
-), bands AS (
-  SELECT doc_id, (i-1)//2 AS band,
-         string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-  FROM mh GROUP BY doc_id, (i-1)//2
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-), counts AS (
-  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
-), inter AS (
-  SELECT p.id_a, p.id_b, count(*) AS n_inter
-  FROM pairs p
-  JOIN shingles sa ON sa.doc_id = p.id_a
-  JOIN shingles sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
-  GROUP BY p.id_a, p.id_b
-), dups AS (
-  SELECT i.id_a, i.id_b,
-         round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
-  FROM inter i
-  JOIN counts ca ON ca.doc_id = i.id_a
-  JOIN counts cb ON cb.doc_id = i.id_b
-  WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
-)"""
-
-_MINHASH_ORACLE = f"""
-WITH {_MINHASH_PAIR_CTES}
-SELECT id_a, id_b, jaccard FROM dups ORDER BY id_a, id_b
-"""
-
-_DUP_CLUSTER_ORACLE = f"""
-WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
-  SELECT id_a AS src, id_b AS dst FROM dups
-  UNION
-  SELECT id_b, id_a FROM dups
-), reach AS (
-  SELECT src AS id, src AS lbl FROM edges
-  UNION
-  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-)
-SELECT id AS doc_id, min(lbl) AS cluster_id,
-       CAST(CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS INT) AS is_keep
-FROM reach GROUP BY id ORDER BY cluster_id, doc_id
-"""
-
-
-@register(
-    "dd_minhash_near_dups",
-    survey="ext:dedup-minhash-lsh",
-    bench=True,
-    oracle=_MINHASH_ORACLE,
-)
-def dd_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs, Jaccard-verified.
-
-    Banded signatures → (band, sig) bucket-join → candidates only → exact
-    3-gram Jaccard ≥ 0.8.  Never all-pairs: candidate volume scales with
-    true duplicate volume, not N².
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.verified_near_dups(docs, "doc_id", "text", threshold=0.8)
-    return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-    ).orderBy("id_a", "id_b")
-
-
-@register(
-    "dd_dup_clusters",
-    survey="ext:dedup-clusters",
-    oracle=_DUP_CLUSTER_ORACLE,
-)
-def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS from the MinHash pair graph: alternating
-    large-star/small-star components (:func:`functions.dedup.
-    connected_components`, O(log²) rounds worst-case) collapse verified
-    pairs into disjoint components; the min doc_id is the kept canonical
-    representative (``is_keep``).  The oracle computes the same
-    transitive closure with a recursive CTE over the identical pair SQL."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.verified_near_dups(docs, "doc_id", "text", threshold=0.8)
-    cc = dedup.connected_components(pairs)
-    return cc.select(
-        F.col("id").alias("doc_id"),
-        "cluster_id",
-        (F.col("id") == F.col("cluster_id")).cast("int").alias("is_keep"),
-    ).orderBy("cluster_id", "doc_id")
-
-
-@register(
-    "dd_ngram_jaccard",
-    survey="ext:dedup-ngram-jaccard",
-    oracle="""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), shingles AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
-), counts AS (
-  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
-), inter AS (
-  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
-  FROM shingles sa JOIN shingles sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id
-  GROUP BY sa.doc_id, sb.doc_id
-)
-SELECT i.id_a, i.id_b,
-       round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
-FROM inter i
-JOIN counts ca ON ca.doc_id = i.id_a
-JOIN counts cb ON cb.doc_id = i.id_b
-WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.6
-ORDER BY id_a, id_b
-""",
-)
-def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT 3-gram Jaccard near-dup pairs (threshold 0.6) via the
-    inverted-index bucket join — candidates are pairs sharing a shingle,
-    complete at any threshold; the exact counterpart to the MinHash
-    pipeline for when recall must be 1 or the threshold sits below LSH's
-    useful selectivity range."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
-    return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-    ).orderBy("id_a", "id_b")
-
-
-@register(
-    "dd_decontaminate",
-    bench=True,
-    survey="ext:dedup-decontaminate",
-    oracle="""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-), shingles AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
-), bench AS (
-  SELECT DISTINCT sh FROM shingles WHERE doc_id < 20
-)
-SELECT s.doc_id, count(*) AS n_hits
-FROM shingles s JOIN bench b ON b.sh = s.sh
-WHERE s.doc_id >= 20
-GROUP BY s.doc_id ORDER BY s.doc_id
-""",
-)
-def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (train-set hygiene): training docs
-    (doc_id ≥ 20) sharing any 3-gram with the held-out 'benchmark' slice
-    (doc_id < 20) are flagged with their contaminated-shingle count.
-    The benchmark gram set broadcasts — the corpus is scanned once
-    (:func:`functions.dedup.decontaminate`)."""
-    docs = load_table(spark, sf_dir, "documents")
-    hits = dedup.decontaminate(
-        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
-    )
-    return hits.select(F.col("id").alias("doc_id"), "n_hits").orderBy("doc_id")
-
-
-@register(
-    "txt_repetition",
-    bench=True,
-    survey="ext:text-repetition",
-    oracle="""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-  WHERE len(string_split(text, ' ')) >= 3
-), g AS (
-  SELECT doc_id,
-         [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-          FOR i IN range(1, len(t) - 1)] AS grams
-  FROM toks
-)
-SELECT doc_id, len(grams) AS n_grams,
-       round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 4)
-         AS repetition
-FROM g ORDER BY doc_id
-""",
-)
-def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-document repetition ratio — the classic boilerplate/spam
-    quality signal (fraction of a doc's 3-grams that are repeats):
-    1 − distinct/total over the gram multiset.  Pure JVM array
-    expressions (``transform``/``array_distinct``), zero shuffle, zero
-    Python — the per-row quality-stats shape."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", text.tokens(F.col("text")).alias("t")
-    ).filter(F.size("t") >= 3)
-    t = F.col("t")
-    idx = F.sequence(F.lit(0), F.size(t) - 3)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(3)]
-        ),
-    )
-    return (
-        toks.select("doc_id", grams.alias("grams"))
-        .select(
-            "doc_id",
-            F.size("grams").cast("long").alias("n_grams"),
-            F.round(
-                1.0
-                - F.size(F.array_distinct("grams"))
-                / F.size("grams").cast("double"),
-                4,
-            ).alias("repetition"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "txt_fingerprint_dups",
-    survey="ext:text-fingerprint",
-    oracle="""
-WITH fp AS (
-  SELECT source,
-    list_reduce(list_prepend(0::BIGINT,
-      list_transform(string_split(text, ' '),
-        t -> (('0x' || substr(md5(t),1,8))::BIGINT % 2147483647))),
-      (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
-  FROM documents
-)
-SELECT source, count(*) AS n_docs,
-       count(DISTINCT fp) AS n_fp,
-       count(*) - count(DISTINCT fp) AS n_dup,
-       CAST(sum(fp) AS BIGINT) AS fp_sum
-FROM fp GROUP BY source ORDER BY source
-""",
-)
-def txt_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: polynomial rolling hash (Rabin–Karp) over
-    the token-hash stream, folded JVM-side by ``F.aggregate`` — per-source
-    duplicate detection by whole-content fingerprint.  ``fp_sum`` pins the
-    fingerprint values bit-for-bit against the DuckDB replica."""
-    from entropy_balance_weighting_spark.functions.text import (
-        rolling_fingerprint,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("source", rolling_fingerprint("text").alias("fp"))
-    return (
-        fp.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("fp").alias("n_fp"),
-            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup"),
-            F.sum("fp").cast("long").alias("fp_sum"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "dd_simhash_clusters",
-    survey="ext:dedup-simhash",
-    oracle="""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
-), th AS (
-  SELECT doc_id, tok, ('0x'||substr(md5(tok),1,8))::BIGINT AS h,
-         count(*) AS cnt
-  FROM toks GROUP BY doc_id, tok
-), bits AS (
-  SELECT doc_id, b.i AS bit,
-         sum(CASE WHEN (h >> b.i::INT) & 1 = 1 THEN cnt ELSE -cnt END) AS s
-  FROM th, unnest(range(0,16)) AS b(i) GROUP BY doc_id, b.i
-), sh AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)
-              AS BIGINT) AS simhash
-  FROM bits GROUP BY doc_id
-)
-SELECT simhash, count(*) AS n_docs FROM sh
-GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash
-""",
-)
-def dd_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup clusters: 16-bit token-vote signatures; documents
-    sharing a signature are cluster candidates (groupBy, no pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.simhash16(docs, "doc_id", "text")
-    return (
-        sh.groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-        .orderBy("simhash")
-    )
-
-
-@register(
-    "dd_simhash_near_dups",
-    survey="ext:dedup-simhash",
-    oracle="""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
-), th AS (
-  SELECT doc_id, tok, ('0x'||substr(md5(tok),1,8))::BIGINT AS h,
-         count(*) AS cnt
-  FROM toks GROUP BY doc_id, tok
-), bits AS (
-  SELECT doc_id, b.i AS bit,
-         sum(CASE WHEN (h >> b.i::INT) & 1 = 1 THEN cnt ELSE -cnt END) AS s
-  FROM th, unnest(range(0,16)) AS b(i) GROUP BY doc_id, b.i
-), sh AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)
-              AS BIGINT) AS simhash
-  FROM bits GROUP BY doc_id
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-ORDER BY id_a, id_b
-""",
-)
-def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within hamming radius 2 via banded buckets
-    + exact bit_count verify (:func:`functions.dedup.
-    simhash_near_dup_pairs`).  The oracle is the ALL-PAIRS hamming join —
-    small-scale-only, but it independently re-proves the pigeonhole
-    completeness of the banding (4 bands cover any radius ≤ 3)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash_near_dup_pairs(
-        docs, "doc_id", "text", n_bits=16, n_bands=4, max_hamming=2
-    )
-    return pairs.select(
-        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
-    ).orderBy("id_a", "id_b")
-
-
-@register(
-    "sim_cosine_topk",
-    survey="ext:similarity-topk",
-    bench=True,
-    oracle="""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), probes AS (
-  SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 5
-), scored AS (
-  SELECT probe_id, e.vec_id AS neighbor_id,
-         round(list_dot_product(p, v) /
-               (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v))),
-               5) AS cos
-  FROM probes, e WHERE e.vec_id != probe_id
-), ranked AS (
-  SELECT *, row_number() OVER
-      (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
-  FROM scored
-)
-SELECT probe_id, neighbor_id, cos FROM ranked WHERE rk <= 3
-ORDER BY probe_id, cos DESC, neighbor_id
-""",
-)
-def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-3 for probe ids 0–4: probes broadcast, one
-    corpus scan, JVM-side fold for the dot product.  (The LSH-bucketed
-    variant is :func:`functions.similarity.cosine_topk_lsh` — same output
-    contract, measured recall in tests.)"""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # round BEFORE ranking, exactly as the oracle does — a boundary
-    # candidate must not be able to rank differently across engines
-    out = similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=3, round_digits=5)
-    return out.orderBy("probe_id", F.col("cos").desc(), "neighbor_id")
-
-
-@register(
-    "dd_embedding_near_dups",
-    survey="ext:dedup-embedding-cosine",
-    oracle="""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), n AS (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) AS cos
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
-ORDER BY id_a, id_b
-""",
-)
-def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via IVF cell-pair pruning: EXACT
-    output (angular-triangle-inequality completeness bound prunes cell
-    pairs, exact cosine verifies within candidates) with no corpus×corpus
-    theta-join in the plan.  The all-pairs form stays as the test-side
-    oracle (:func:`functions.similarity.cosine_near_dup_pairs`)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_near_dup_pairs_bucketed(emb, 0.45)
-    return pairs.select(
-        "id_a", "id_b", F.round("cos", 5).alias("cos")
-    ).orderBy("id_a", "id_b")
-
-
-_IVF_QUANTIZER_CACHE: dict[str, object] = {}
-
-
-@register(
-    "sim_cosine_topk_ivf",
-    survey="ext:similarity-ann-ivf",
-    bench=True,
-    oracle="""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), probes AS (
-  SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 5
-), scored AS (
-  SELECT probe_id, e.vec_id AS neighbor_id,
-         round(list_dot_product(p, v) /
-               (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v))),
-               5) AS cos
-  FROM probes, e WHERE e.vec_id != probe_id
-), ranked AS (
-  SELECT *, row_number() OVER
-      (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
-  FROM scored
-)
-SELECT probe_id, neighbor_id, cos FROM ranked WHERE rk <= 3
-ORDER BY probe_id, cos DESC, neighbor_id
-""",
-)
-def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-3 run in EXACT mode (``n_probe = n_cells``, every inverted
-    list probed) so the full quantizer → cell-shortlist → bucket-join →
-    re-rank plan is exercised while the output stays oracle-checkable
-    against the brute-force SQL.  The quantizer is PREFIT once per corpus
-    and cached (:func:`functions.similarity.fit_ivf_quantizer`) — the
-    production pattern where centers are a persisted model artifact, so
-    repeat queries pay only assignment + join, not the sample-collect +
-    Lloyd fit.  The scale path is the same code with
-    ``n_probe < n_cells`` (recall measured in tests)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = _IVF_QUANTIZER_CACHE.get(sf_dir)
-    if q is None:
-        q = similarity.fit_ivf_quantizer(emb, n_cells=8)
-        _IVF_QUANTIZER_CACHE[sf_dir] = q
-    out = similarity.cosine_topk_ivf(
-        emb, [0, 1, 2, 3, 4], k=3, n_probe=8, round_digits=5, quantizer=q
-    )
-    return out.orderBy("probe_id", F.col("cos").desc(), "neighbor_id")
-
-
-@register(
-    "txt_tfidf_topterms",
-    survey="ext:text-tfidf",
-    bench=True,
-    oracle="""
-WITH toks AS (
-  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
-), tf AS (
-  SELECT doc_id, source, tok, count(*) AS tf
-  FROM toks WHERE tok <> '' GROUP BY 1, 2, 3
-), dfreq AS (
-  SELECT tok, count(*) AS df FROM tf GROUP BY tok
-), n AS (
-  SELECT count(*) AS n_docs FROM documents
-), scored AS (
-  SELECT f.source, f.tok,
-         round(sum(f.tf * ln(n.n_docs / d.df)), 4) AS score
-  FROM tf f JOIN dfreq d USING (tok) CROSS JOIN n
-  GROUP BY 1, 2
-), ranked AS (
-  SELECT *, CAST(row_number() OVER
-      (PARTITION BY source ORDER BY score DESC, tok) AS INT) AS rk
-  FROM scored
-)
-SELECT source, tok, score, rk FROM ranked WHERE rk <= 5
-ORDER BY source, rk
-""",
-)
-def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus TF-IDF, top-5 terms per source: tf from one explode+groupBy,
-    document frequency counted off the tf table (no ``countDistinct``
-    corpus pass), idf = ln(N/df), score rounded BEFORE the per-group
-    rank — all JVM-side (:func:`functions.text.tfidf_top_terms`)."""
-    docs = load_table(spark, sf_dir, "documents")
-    out = text.tfidf_top_terms(docs, top_k=5, round_digits=4)
-    return out.orderBy("source", "rk")
-
-
-@register(
-    "samp_stratified",
-    bench=True,
-    survey="ext:sampling-stratified",
-    oracle="""
-WITH s AS (
-  SELECT source, n_chars,
-         ('0x'||substr(md5('s3' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT
-           % 1000000 AS b
-  FROM documents
-)
-SELECT source, count(*) AS n_sampled,
-       CAST(sum(n_chars) AS BIGINT) AS chars_sum
-FROM s
-WHERE b < CASE source WHEN 'src0' THEN 500000
-                      WHEN 'src1' THEN 250000
-                      ELSE 100000 END
-GROUP BY source ORDER BY source
-""",
-)
-def samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling (reproducible ``sampleBy``):
-    keep-rate 50% for src0, 25% for src1, 10% elsewhere, with membership a
-    pure function of (salt, doc_id) via the portable hash — stable under
-    repartitioning and re-runs, zero-shuffle map-side filter
-    (:func:`functions.sampling.stratified_sample`)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sampled = sampling.stratified_sample(
-        docs,
-        key="doc_id",
-        strata_col="source",
-        rates={"src0": 0.5, "src1": 0.25},
-        default_rate=0.1,
-        salt="s3",
-    )
-    return (
-        sampled.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.sum("n_chars").cast("long").alias("chars_sum"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "txt_len_percentiles",
-    survey="ext:text-stats,A8",
-    oracle="""
-WITH agg AS (
-  SELECT source, quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
-  FROM documents GROUP BY source
-), ps AS (
-  SELECT * FROM (VALUES (1, 0.25::DOUBLE), (2, 0.5::DOUBLE),
-                        (3, 0.75::DOUBLE)) AS t(i, p)
-)
-SELECT source, p, round(qs[i], 4) AS q
-FROM agg, ps ORDER BY source, p
-""",
-)
-def txt_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-source length quantiles (25/50/75) via Spark's
-    ``percentile`` — identical C=1 linear interpolation to DuckDB's
-    ``quantile_cont``.  Exact percentile sorts within each group; the
-    100 TB path swaps in ``approx_percentile`` (a mergeable KLL-style
-    sketch, map-side combinable) with the same query shape."""
-    docs = load_table(spark, sf_dir, "documents")
-    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-    agg = docs.groupBy("source").agg(
-        F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").alias("qs")
-    )
-    return (
-        agg.select("source", F.posexplode("qs").alias("i", "q"))
-        .select(
-            "source",
-            F.element_at(ps, F.col("i") + 1).alias("p"),
-            F.round("q", 4).alias("q"),
-        )
-        .orderBy("source", "p")
-    )
-
-
-@register(
-    "txt_len_percentiles_approx",
-    survey="ext:text-stats,A8",
-    bench=True,
-    oracle="""
-SELECT s.source, t.p, 1 AS ok
-FROM (SELECT DISTINCT source FROM documents) s,
-     (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.75::DOUBLE)) t(p)
-ORDER BY s.source, t.p
-""",
-)
-def txt_len_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The AT-SCALE percentile path: ``approx_percentile`` — a mergeable
-    KLL-style sketch, map-side combinable, no per-group sort — with its
-    rank-error contract VERIFIED IN-ENGINE (the driver's hash gate is
-    exact-match, so the tolerance oracle is expressed as a property: the
-    query emits ``ok`` per (source, p) and the SQL oracle expects all 1s).
-
-    The property is the tie-robust rank bound: for returned quantile q,
-    ``|{x < q}|/n ≤ p + tol`` and ``|{x ≤ q}|/n ≥ p − tol`` with tol =
-    0.05 ≫ the sketch's 1/accuracy = 1e-4 rank error plus 1/n grid error
-    at this SF.  ``txt_len_percentiles`` keeps the exact form (the oracle
-    side of the swap the r3 verdict prescribed)."""
-    docs = load_table(spark, sf_dir, "documents")
-    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-    agg = docs.groupBy("source").agg(
-        F.expr(
-            "approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), 10000)"
-        ).alias("qs")
-    )
-    quantiles = agg.select("source", F.posexplode("qs").alias("i", "q")).select(
-        "source", F.element_at(ps, F.col("i") + 1).alias("p"), "q"
-    )
-    ranks = (
-        docs.join(F.broadcast(quantiles), "source")
-        .groupBy("source", "p")
-        .agg(
-            (
-                F.count(F.when(F.col("n_chars") < F.col("q"), 1))
-                / F.count(F.lit(1))
-            ).alias("frac_lt"),
-            (
-                F.count(F.when(F.col("n_chars") <= F.col("q"), 1))
-                / F.count(F.lit(1))
-            ).alias("frac_le"),
-        )
-    )
-    tol = 0.05
-    return ranks.select(
-        "source",
-        "p",
-        (
-            (F.col("frac_lt") <= F.col("p") + tol)
-            & (F.col("frac_le") >= F.col("p") - tol)
-        )
-        .cast("int")
-        .alias("ok"),
-    ).orderBy("source", "p")
-
-
-@register(
-    "emb_quantize_int8",
-    bench=True,
-    survey="ext:embedding-quantize",
-    oracle="""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), s AS (
-  SELECT vec_id, v,
-         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-  FROM e
-)
-SELECT vec_id, round(scale, 6) AS scale,
-       CAST(list_sum(list_transform(v, x -> round(x / scale))) AS BIGINT)
-         AS q_sum,
-       CAST(list_sum(list_transform(v, x -> abs(round(x / scale)))) AS BIGINT)
-         AS q_l1
-FROM s ORDER BY vec_id
-""",
-)
-def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 embedding quantization (the standard storage/ANN
-    compression): per-vector scale = max|x|/127, q_i = round(x_i/scale).
-    Pure JVM array expressions — ``transform``/``aggregate`` — no Python,
-    no shuffle; the checksums (q_sum, q_l1) pin every quantized value
-    against the DuckDB replica."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    row = emb.select("vec_id", v.alias("v"))
-    # the raw scale keeps an internal name: the output column is the ROUNDED
-    # scale aliased "scale", and Spark's lateral-column-alias resolution
-    # would otherwise bind the quantization lambdas to the rounded value
-    raw_scale = (
-        F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
-    ).alias("__scale")
-    fold0 = F.lit(0.0)
-    return (
-        row.select("vec_id", raw_scale, "v")
-        .select(
-            "vec_id",
-            F.round("__scale", 6).alias("scale"),
-            F.aggregate(
-                F.transform(
-                    F.col("v"), lambda x: F.round(x / F.col("__scale"))
-                ),
-                fold0,
-                lambda acc, x: acc + x,
-            )
-            .cast("long")
-            .alias("q_sum"),
-            F.aggregate(
-                F.transform(
-                    F.col("v"), lambda x: F.abs(F.round(x / F.col("__scale")))
-                ),
-                fold0,
-                lambda acc, x: acc + x,
-            )
-            .cast("long")
-            .alias("q_l1"),
-        )
-        .orderBy("vec_id")
-    )
-
-
-@register(
-    "txt_quality_stats",
-    survey="ext:text-analysis",
-    bench=True,
-    oracle="""
-WITH t AS (
-  SELECT source, lang, string_split(text, ' ') AS toks, text FROM documents
-), per_doc AS (
-  SELECT source, lang,
-    len(toks) AS n_tok,
-    len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_retok,
-    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
-        * 1.0 / len(toks) AS swr,
-    list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) AS mtl
-  FROM t
-), scored AS (
-  SELECT source, lang, n_tok, n_retok, swr,
-    0.4 * least(n_tok / 100.0, 1.0) + 0.3 * least(swr / 0.3, 1.0)
-      + 0.3 * least(mtl / 8.0, 1.0) AS q,
-    CASE WHEN swr > 0.02 THEN 1 ELSE 0 END AS is_en
-  FROM per_doc
-)
-SELECT source, lang, count(*) AS n_docs,
-       round(avg(n_tok), 4) AS avg_tokens,
-       round(avg(n_retok), 4) AS avg_regex_tokens,
-       round(avg(q), 4) AS avg_quality,
-       CAST(sum(is_en) AS BIGINT) AS n_pred_en
-FROM scored GROUP BY source, lang ORDER BY source, lang
-""",
-)
-def txt_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis per (source, lang): token counts (whitespace + a
-    BPE-ish regex), composite quality score, language-ID heuristic — all
-    pure Column expressions inside one codegen'd projection."""
-    docs = load_table(spark, sf_dir, "documents")
-    per_doc = text.annotate_token_stats(docs).select(
-        "source",
-        "lang",
-        "n_tok",
-        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")).alias(
-            "n_retok"
-        ),
-        "q",
-        "is_en",
-    )
-    return (
-        per_doc.groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
-            F.round(F.avg("n_retok"), 4).alias("avg_regex_tokens"),
-            F.round(F.avg("q"), 4).alias("avg_quality"),
-            F.sum("is_en").alias("n_pred_en"),
-        )
-        .orderBy("source", "lang")
-    )
-
-
-@register(
-    "txt_curation_funnel",
-    survey="ext:text-analysis (curation funnel)",
-    oracle="""
-WITH t AS (
-  SELECT string_split(text, ' ') AS toks, text FROM documents
-), per_doc AS (
-  SELECT len(toks) AS n_tok,
-    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
-        * 1.0 / len(toks) AS swr,
-    list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) AS mtl
-  FROM t
-), g AS (
-  SELECT n_tok, mtl,
-    0.4 * least(n_tok / 100.0, 1.0) + 0.3 * least(swr / 0.3, 1.0)
-      + 0.3 * least(mtl / 8.0, 1.0) AS q,
-    (swr > 0.02) AS is_en
-  FROM per_doc
-), gates AS (
-  SELECT q,
-    (n_tok >= 20) AS g1,
-    (n_tok >= 20 AND is_en) AS g2,
-    (n_tok >= 20 AND is_en AND mtl BETWEEN 3.0 AND 12.0) AS g3,
-    (n_tok >= 20 AND is_en AND mtl BETWEEN 3.0 AND 12.0 AND q >= 0.5) AS g4
-  FROM g
-)
-SELECT 0 AS stage_id, 'raw' AS stage, count(*) AS n_docs,
-       round(avg(q), 4) AS avg_quality FROM gates
-UNION ALL SELECT 1, 'min_length', CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT),
-       round(avg(CASE WHEN g1 THEN q END), 4) FROM gates
-UNION ALL SELECT 2, 'lang_en', CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT),
-       round(avg(CASE WHEN g2 THEN q END), 4) FROM gates
-UNION ALL SELECT 3, 'token_shape', CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT),
-       round(avg(CASE WHEN g3 THEN q END), 4) FROM gates
-UNION ALL SELECT 4, 'quality', CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT),
-       round(avg(CASE WHEN g4 THEN q END), 4) FROM gates
-ORDER BY stage_id
-""",
-)
-def txt_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-curation funnel: survivors + mean quality after each
-    cumulative filter gate (length → language → token shape → quality
-    score).  ONE scan of the corpus — every stage is a conditional
-    aggregate over the same annotated projection (map-side partials, no
-    per-stage re-filtering), then a 5-row ``stack`` unpivot.  At 100 TB
-    this is the curation dashboard query: cost is one pass regardless of
-    how many gates stack."""
-    docs = text.annotate_token_stats(load_table(spark, sf_dir, "documents"))
-    g1 = F.col("n_tok") >= 20
-    g2 = g1 & (F.col("is_en") == 1)
-    g3 = g2 & F.col("mtl").between(3.0, 12.0)
-    g4 = g3 & (F.col("q") >= 0.5)
-    q = F.col("q")
-    aggs = [
-        F.count(F.lit(1)).alias("n0"),
-        F.round(F.avg(q), 4).alias("q0"),
-    ]
-    for i, gate in enumerate((g1, g2, g3, g4), start=1):
-        aggs.append(F.sum(gate.cast("long")).alias(f"n{i}"))
-        aggs.append(F.round(F.avg(F.when(gate, q)), 4).alias(f"q{i}"))
-    wide = docs.agg(*aggs)
-    stages = ["raw", "min_length", "lang_en", "token_shape", "quality"]
-    stack_args = ", ".join(
-        f"{i}, '{nm}', n{i}, q{i}" for i, nm in enumerate(stages)
-    )
-    return wide.select(
-        F.expr(
-            f"stack(5, {stack_args}) AS (stage_id, stage, n_docs, avg_quality)"
-        )
-    ).orderBy("stage_id")
-
-
-@register(
-    "ev_tumbling_windows",
-    survey="ext:events-window",
-    bench=True,
-    oracle="""
-SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 4) AS value_sum
-FROM events GROUP BY 1, 2 ORDER BY 1, 2
-""",
-)
-def ev_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly tumbling event-time windows (streaming-native ``F.window``)."""
-    ev = load_table(spark, sf_dir, "events")
-    out = events.tumbling_window_agg(ev, width="1 hour")
-    return out.select(
-        "window_start",
-        "event_type",
-        "n_events",
-        F.round("value_sum", 4).alias("value_sum"),
-    ).orderBy("window_start", "event_type")
-
-
-@register(
-    "ev_sliding_windows",
-    survey="ext:events-window",
-    bench=True,
-    oracle="""
-WITH w AS (
-  SELECT event_type, value,
-         (CAST(floor(epoch(ts) / 1800) AS BIGINT) - r.i) * 1800 AS window_start
-  FROM events, unnest(range(0, 2)) AS r(i)
-)
-SELECT window_start, event_type, count(*) AS n_events,
-       round(sum(value), 4) AS value_sum
-FROM w GROUP BY 1, 2 ORDER BY 1, 2
-""",
-)
-def ev_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour windows hopping every 30 min (``F.window(ts, width, slide)``,
-    the streaming-native sliding operator): each event fans out to two
-    overlapping windows inside the JVM generator.  The oracle derives the
-    same fan-out with an epoch-grid unnest; ``window_start`` is epoch
-    seconds on both sides (integer key — no timestamp-zone drift)."""
-    ev = load_table(spark, sf_dir, "events")
-    out = events.sliding_window_agg(ev, width="1 hour", slide="30 minutes")
-    return out.select(
-        "window_start",
-        "event_type",
-        "n_events",
-        F.round("value_sum", 4).alias("value_sum"),
-    ).orderBy("window_start", "event_type")
-
-
-@register(
-    "ev_sessionization",
-    survey="ext:events-session",
-    bench=True,
-    oracle="""
-WITH g AS (
-  SELECT user_id, ts,
-    -- STRICT >: Spark's session_window merges an event landing exactly
-    -- gap after its predecessor (inclusive boundary, probed empirically;
-    -- found by the boundary-timestamp fuzz sweep) — the gaps-and-islands
-    -- rendering must split only strictly-beyond-gap differences
-    CASE WHEN lag(ts) OVER w IS NULL
-         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-)
-SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
-       count(*) AS n_events
-FROM g GROUP BY user_id ORDER BY user_id
-""",
-)
-def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min gap) via ``F.session_window`` —
-    the stateful streaming operator, verified against the batch
-    gaps-and-islands SQL."""
-    ev = load_table(spark, sf_dir, "events")
-    out = events.session_window_agg(ev, gap="30 minutes")
-    return out.select("user_id", "n_sessions", "n_events").orderBy("user_id")
-
-
-@register(
-    "ev_json_props",
-    survey="ext:events-json",
-    oracle="""
-SELECT event_type,
-       round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)), 4)
-         AS avg_k,
-       count(*) AS n
-FROM events GROUP BY event_type ORDER BY event_type
-""",
-)
-def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed extraction from the JSON ``props`` column (multimodal-metadata
-    pattern: opaque payload + parsed typed fields)."""
-    ev = events.json_prop_int(load_table(spark, sf_dir, "events"), "k")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.round(F.avg("prop_k"), 4).alias("avg_k"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "txt_vocab_size",
-    survey="ext:text-stats",
-    oracle="""
-WITH toks AS (
-  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
-)
-SELECT source, count(DISTINCT tok) AS vocab, count(*) AS n_tokens
-FROM toks GROUP BY source ORDER BY source
-""",
-)
-def txt_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source vocabulary size (exact COUNT DISTINCT over tokens) +
-    token totals — the expensive exact form (distinct forces a
-    token-level shuffle); ``txt_vocab_size_approx`` is the mergeable
-    HLL sketch the 100 TB path uses."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
-        .groupBy("source")
-        .agg(
-            F.countDistinct("tok").alias("vocab"),
-            F.count(F.lit(1)).alias("n_tokens"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "txt_vocab_size_approx",
-    survey="ext:text-stats",
-    oracle="""
-SELECT source, 1 AS ok
-FROM (SELECT DISTINCT source FROM documents) ORDER BY source
-""",
-)
-def txt_vocab_size_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The AT-SCALE vocabulary counter: ``approx_count_distinct``
-    (HyperLogLog++ — a mergeable fixed-size sketch, map-side
-    combinable, no token-level distinct shuffle).  Sketches can't
-    hash-match an exact oracle, so — like the percentile sketch — the
-    error contract is verified IN-ENGINE: ``ok=1`` iff the estimate is
-    within 3× the configured 2% relative standard deviation of the
-    exact count, and the oracle expects every source row to say ok=1."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
-    agg = toks.groupBy("source").agg(
-        F.approx_count_distinct("tok", rsd=0.02).alias("approx"),
-        F.countDistinct("tok").alias("exact"),
-    )
-    ok = (
-        F.abs(F.col("approx") - F.col("exact")) <= 0.06 * F.col("exact")
-    ).cast("int")
-    return agg.select("source", ok.alias("ok")).orderBy("source")
-
-
-@register(
-    "emb_label_centroids",
-    survey="ext:similarity-centroids",
-    oracle="""
-SELECT label, CAST(d.i AS BIGINT) AS dim,
-       round(avg(CAST(embedding[d.i + 1] AS DOUBLE)), 4) + 0.0 AS centroid
-FROM embeddings, unnest(range(0, 64)) AS d(i)
-GROUP BY 1, 2 ORDER BY 1, 2
-""",
-)
-def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroids (the vector-mean primitive behind
-    IVF quantizers and class prototypes), long form (label, dim).  The
-    explode is shuffle-safe at scale: partial aggregation collapses each
-    map task to labels×dims partial sums BEFORE the exchange, so shuffle
-    volume is |labels|·dims·partitions, independent of N."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", F.col("dim").cast("long").alias("dim"))
-        .agg(
-            (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias(
-                "centroid"  # +0.0 folds IEEE -0.0 to +0.0, same as the oracle
-            )
-        )
-        .orderBy("label", "dim")
-    )
-
-
-@register(
-    "txt_source_lang_rollup",
-    survey="ext:olap-rollup",
-    oracle="""
-SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
-       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
-FROM documents GROUP BY ROLLUP (source, lang)
-ORDER BY source, lang
-""",
-)
-def txt_source_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical corpus stats via ROLLUP grouping sets — per
-    (source, lang), per source, and grand total in ONE pass (Spark
-    expands the grouping sets inside the aggregate; no self-union of
-    scans).  Null grouping keys render as 'ALL' on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.rollup("source", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("chars_sum"),
-        )
-        .select(
-            F.coalesce("source", F.lit("ALL")).alias("source"),
-            F.coalesce("lang", F.lit("ALL")).alias("lang"),
-            "n_docs",
-            "chars_sum",
-        )
-        .orderBy("source", "lang")
-    )
-
-
-@register(
-    "ev_type_pivot",
-    survey="ext:olap-pivot",
-    oracle="""
-SELECT user_id,
-       round(coalesce(sum(CASE WHEN event_type='click' THEN value END), 0), 4)
-         AS click_sum,
-       round(coalesce(sum(CASE WHEN event_type='purchase' THEN value END), 0), 4)
-         AS purchase_sum,
-       round(coalesce(sum(CASE WHEN event_type='view' THEN value END), 0), 4)
-         AS view_sum
-FROM events GROUP BY user_id ORDER BY user_id
-""",
-)
-def ev_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long→wide pivot: per-user value totals with one column per event
-    type.  The pivot values are DECLARED (not discovered), so the plan
-    is a single groupBy with conditional aggregates — no first pass to
-    enumerate keys, no schema surprise at 100 TB."""
-    ev = load_table(spark, sf_dir, "events")
-    out = (
-        ev.groupBy("user_id")
-        .pivot("event_type", ["click", "purchase", "view"])
-        .agg(F.sum("value"))
-    )
-    return out.select(
-        "user_id",
-        F.round(F.coalesce("click", F.lit(0.0)), 4).alias("click_sum"),
-        F.round(F.coalesce("purchase", F.lit(0.0)), 4).alias("purchase_sum"),
-        F.round(F.coalesce("view", F.lit(0.0)), 4).alias("view_sum"),
-    ).orderBy("user_id")
-
-
-@register(
-    "samp_shuffle_order",
-    survey="ext:sampling-shuffle",
-    oracle="""
-SELECT doc_id,
-       ('0x'||substr(md5('ep0'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT
-         AS shuffle_key
-FROM documents ORDER BY shuffle_key, doc_id LIMIT 20
-""",
-)
-def samp_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global training-order shuffle: order by the portable
-    hash of (epoch-salt, doc_id).  Reproducible across runs/engines (same
-    seed → same order), re-seedable per epoch by changing the salt, and
-    scalable — Spark executes orderBy+limit as a distributed top-k
-    (TakeOrderedAndProject), and a full-epoch write would be
-    ``df.repartitionByRange(shuffle_key).sortWithinPartitions`` (range
-    sort, no single-partition window)."""
-    docs = load_table(spark, sf_dir, "documents")
-    key = text.portable_hash32(
-        F.concat(F.lit("ep0"), F.col("doc_id").cast("string"))
-    )
-    return (
-        docs.select("doc_id", key.alias("shuffle_key"))
-        .orderBy("shuffle_key", "doc_id")
-        .limit(20)
-    )
-
-
-@register(
-    "txt_blocklist_filter",
-    survey="ext:text-policy",
-    oracle="""
-WITH d AS (
-  SELECT source,
-         len(string_split(text, ' ')) AS n_tok,
-         len(list_filter(string_split(text, ' '),
-                         x -> x IN ('slow', 'error'))) AS hits
-  FROM documents
-)
-SELECT source, count(*) AS n_docs,
-       CAST(sum(CASE WHEN hits * 1.0 / n_tok > 0.05 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_blocked,
-       CAST(sum(hits) AS BIGINT) AS total_hits,
-       round(avg(hits * 1.0 / n_tok), 4) AS avg_hit_ratio
-FROM d GROUP BY source ORDER BY source
-""",
-)
-def txt_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-policy screening: per-source count of documents whose
-    blocklist-token density exceeds 5% (:func:`functions.text.
-    blocklist_hits`) — a pure-projection gate, the filter itself is
-    zero-shuffle and pushes to the scan."""
-    docs = load_table(spark, sf_dir, "documents")
-    hits = text.blocklist_hits("text", ("slow", "error"))
-    ratio = hits.cast("double") / text.token_count("text")
-    per_doc = docs.select(
-        "source",
-        hits.alias("hits"),
-        ratio.alias("hit_ratio"),
-    )
-    return (
-        per_doc.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("hit_ratio") > 0.05).cast("long")).alias("n_blocked"),
-            F.sum("hits").cast("long").alias("total_hits"),
-            F.round(F.avg("hit_ratio"), 4).alias("avg_hit_ratio"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "txt_seq_packing",
-    survey="ext:packing",
-    bench=True,
-    oracle="""
-WITH d AS (
-  SELECT doc_id,
-         ('0x'||substr(md5('pk'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 8
-           AS shard,
-         len(string_split(text, ' ')) AS n_tokens
-  FROM documents
-), c AS (
-  SELECT shard, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum
-  FROM d
-)
-SELECT shard, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS context_id,
-       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS context_tokens
-FROM c GROUP BY 1, 2 ORDER BY 1, 2
-""",
-)
-def txt_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-context packing: deterministic hash-sharding + sequential
-    fill of 512-token contexts (:func:`functions.packing.pack_sequences`).
-    One shuffle (hash by shard) + within-shard window cumsum — no global
-    sort; the oracle replays the identical shard hash and tape layout."""
-    docs = load_table(spark, sf_dir, "documents")
-    packed = packing.pack_sequences(
-        docs, budget=512, n_shards=8, salt="pk"
-    )
-    return (
-        packed.groupBy("shard", "context_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("context_tokens"),
-        )
-        .orderBy("shard", "context_id")
-    )
-
-
-@register(
-    "ev_asof_join",
-    survey="ext:events-asof",
-    bench=True,
-    oracle="""
-WITH v AS (
-  SELECT user_id, ts, max(value) AS value
-  FROM events WHERE event_type = 'view' GROUP BY 1, 2
-), p AS (SELECT * FROM events WHERE event_type = 'purchase')
-SELECT p.event_id, p.user_id,
-       round(p.value, 4) AS purchase_value,
-       coalesce(round(v.value, 4), -1.0) AS last_view_value,
-       CAST(coalesce(epoch_us(v.ts), -1) AS BIGINT) AS last_view_us
-FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-ORDER BY p.event_id
-""",
-)
-def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward as-of join: each purchase picks up the latest prior view
-    by the same user (ties match).  The Spark side is the distributed
-    piecewise merge (:func:`functions.events.asof_join` — union + keyed
-    window carry-forward, ONE shuffle, no inequality-join nested loop);
-    the oracle is DuckDB's native ``ASOF LEFT JOIN``.  The matched view
-    timestamp is surfaced as exact epoch microseconds (BIGINT) so the
-    hash comparison is integer-precise; no-match rows carry -1 sentinels
-    (a nullable BIGINT would decay to float64 through the driver's pandas
-    fetch and lose microsecond precision)."""
-    ev = load_table(spark, sf_dir, "events")
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("value"))
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    joined = events.asof_join(purchases, views, on="user_id", ts_col="ts")
-    return joined.select(
-        "event_id",
-        "user_id",
-        F.round("value", 4).alias("purchase_value"),
-        F.coalesce(F.round("asof_value", 4), F.lit(-1.0)).alias("last_view_value"),
-        F.coalesce(
-            F.unix_micros(F.col("asof_ts").cast("timestamp")), F.lit(-1).cast("long")
-        ).alias("last_view_us"),
-    ).orderBy("event_id")
-
-
-@register(
-    "ev_asof_join_salted",
-    survey="ext:events-asof",
-    oracle="""
-WITH v AS (
-  SELECT user_id, ts, max(value) AS value
-  FROM events WHERE event_type = 'view' GROUP BY 1, 2
-), p AS (SELECT * FROM events WHERE event_type = 'purchase')
-SELECT p.event_id, p.user_id,
-       round(p.value, 4) AS purchase_value,
-       coalesce(round(v.value, 4), -1.0) AS last_view_value,
-       CAST(coalesce(epoch_us(v.ts), -1) AS BIGINT) AS last_view_us
-FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-ORDER BY p.event_id
-""",
-)
-def ev_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The skew-hardened as-of join (:func:`functions.events.
-    asof_join_salted` — time-bucket-salted local carry + per-bucket
-    boundary fix) against the SAME ASOF JOIN oracle as ``ev_asof_join``:
-    both renderings of one operator must reproduce DuckDB exactly.  The
-    1-hour salt here exercises many cross-bucket carries on this data."""
-    ev = load_table(spark, sf_dir, "events")
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("value"))
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    joined = events.asof_join_salted(
-        purchases, views, on="user_id", ts_col="ts", bucket_seconds=3600
-    )
-    return joined.select(
-        "event_id",
-        "user_id",
-        F.round("value", 4).alias("purchase_value"),
-        F.coalesce(F.round("asof_value", 4), F.lit(-1.0)).alias("last_view_value"),
-        F.coalesce(
-            F.unix_micros(F.col("asof_ts").cast("timestamp")), F.lit(-1).cast("long")
-        ).alias("last_view_us"),
-    ).orderBy("event_id")
-
-
-@register(
-    "ev_range_join",
-    survey="ext:events-range",
-    bench=True,
-    oracle="""
-WITH a AS (
-  SELECT event_id AS aid, event_type AS atype, ts AS w_start,
-         ts + INTERVAL 45 MINUTE AS w_end
-  FROM events WHERE value >= 45
-)
-SELECT a.aid, a.atype,
-       count(*) AS n_in_window,
-       round(sum(ev.value), 4) AS window_value
-FROM a JOIN events ev ON ev.ts >= a.w_start AND ev.ts < a.w_end
-GROUP BY a.aid, a.atype
-ORDER BY a.aid
-""",
-)
-def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (interval) join: every high-value anchor event opens a
-    45-minute half-open window anchored at its own (arbitrary, unaligned)
-    timestamp; count and sum all events falling inside each window.  The
-    Spark side is the bucketed interval join
-    (:func:`functions.events.range_join` — intervals explode to 30-minute
-    buckets, points equi-join on their single bucket, residual range
-    filter), so the plan is two hash shuffles and NO nested-loop join;
-    the oracle is DuckDB's native inequality join.  Anchors match
-    themselves (ts ∈ [ts, ts+45min)), so every anchor appears and the
-    row count is deterministic."""
-    ev = load_table(spark, sf_dir, "events")
-    anchors = ev.filter(F.col("value") >= 45).select(
-        F.col("event_id").alias("aid"),
-        F.col("event_type").alias("atype"),
-        F.col("ts").alias("w_start"),
-        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
-    )
-    pts = ev.select("ts", "value")
-    joined = events.range_join(
-        pts,
-        anchors,
-        ts_col="ts",
-        start_col="w_start",
-        end_col="w_end",
-        bucket_seconds=1800,
-    )
-    return (
-        joined.groupBy("aid", "atype")
-        .agg(
-            F.count(F.lit(1)).alias("n_in_window"),
-            F.round(F.sum("value"), 4).alias("window_value"),
-        )
-        .orderBy("aid")
-    )
-
-
-@register(
-    "ev_range_join_salted",
-    survey="ext:events-range",
-    oracle="""
-WITH a AS (
-  SELECT event_id AS aid, event_type AS atype, ts AS w_start,
-         ts + INTERVAL 45 MINUTE AS w_end
-  FROM events WHERE value >= 45
-)
-SELECT a.aid, a.atype,
-       count(*) AS n_in_window,
-       round(sum(ev.value), 4) AS window_value
-FROM a JOIN events ev ON ev.ts >= a.w_start AND ev.ts < a.w_end
-GROUP BY a.aid, a.atype
-ORDER BY a.aid
-""",
-)
-def ev_range_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The skew-hardened range join (``n_salts=4`` — hot time buckets
-    split 4× across tasks, interval-bucket rows replicated to every
-    salt) against the SAME inequality-join oracle as ``ev_range_join``:
-    both renderings of one operator must reproduce DuckDB exactly."""
-    ev = load_table(spark, sf_dir, "events")
-    anchors = ev.filter(F.col("value") >= 45).select(
-        F.col("event_id").alias("aid"),
-        F.col("event_type").alias("atype"),
-        F.col("ts").alias("w_start"),
-        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
-    )
-    pts = ev.select("ts", "value")
-    joined = events.range_join(
-        pts,
-        anchors,
-        ts_col="ts",
-        start_col="w_start",
-        end_col="w_end",
-        bucket_seconds=1800,
-        n_salts=4,
-    )
-    return (
-        joined.groupBy("aid", "atype")
-        .agg(
-            F.count(F.lit(1)).alias("n_in_window"),
-            F.round(F.sum("value"), 4).alias("window_value"),
-        )
-        .orderBy("aid")
-    )
-
-
-@register(
-    "ev_time_rollup",
-    survey="ext:olap-rollup",
-    oracle="""
-WITH e AS (SELECT CAST(ts AS DATE) AS d, hour(ts) AS h, value FROM events)
-SELECT coalesce(CAST(d AS VARCHAR), 'ALL') AS day,
-       CAST(coalesce(h, -1) AS INT) AS hr,
-       count(*) AS n_events,
-       round(sum(value), 4) AS value_sum
-FROM e GROUP BY ROLLUP(d, h) ORDER BY day, hr
-""",
-)
-def ev_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-hierarchy rollup (the hypertable continuous-aggregate shape):
-    per-hour, per-day, and grand-total event stats in ONE aggregate via
-    ROLLUP grouping sets — Spark expands the sets inside a single
-    hash aggregate (one scan, one shuffle), never a self-union of
-    per-granularity scans.  Rolled-up levels render as 'ALL'/-1
-    sentinels on both engines."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        F.to_date("ts").alias("d"), F.hour("ts").alias("h"), "value"
-    )
-    return (
-        e.rollup("d", "h")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
-        )
-        .select(
-            F.coalesce(F.col("d").cast("string"), F.lit("ALL")).alias("day"),
-            F.coalesce(F.col("h"), F.lit(-1)).cast("int").alias("hr"),
-            "n_events",
-            "value_sum",
-        )
-        .orderBy("day", "hr")
-    )
-
-
-@register(
-    "ev_user_type_cube",
-    survey="ext:olap-cube",
-    oracle="""
-WITH e AS (SELECT user_id % 10 AS cohort, event_type, value FROM events)
-SELECT coalesce(CAST(cohort AS BIGINT), -1) AS cohort,
-       coalesce(event_type, 'ALL') AS event_type,
-       count(*) AS n_events,
-       round(sum(value), 4) AS value_sum
-FROM e GROUP BY CUBE(cohort, event_type) ORDER BY cohort, event_type
-""",
-)
-def ev_user_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets: all 2^2 marginalizations of (cohort,
-    event_type) in one hash aggregate — the OLAP cross-tab companion to
-    the ROLLUP hierarchy, same one-scan/one-shuffle plan."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        (F.col("user_id") % 10).alias("cohort"), "event_type", "value"
-    )
-    return (
-        e.cube("cohort", "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
-        )
-        .select(
-            F.coalesce(F.col("cohort").cast("bigint"), F.lit(-1)).alias("cohort"),
-            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-            "n_events",
-            "value_sum",
-        )
-        .orderBy("cohort", "event_type")
-    )
-
-
-@register(
-    "txt_bpe_token_count",
-    survey="ext:text-tokens",
-    # interpolate the shared pattern constant so Spark and DuckDB can never
-    # drift (engine \s classes differ: Java includes \x0B, RE2 does not)
-    oracle=f"""
-SELECT source,
-       count(*) AS n_docs,
-       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-       CAST(sum(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}')))
-            AS BIGINT) AS bpe_tokens,
-       round(avg(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}'))), 4)
-         AS avg_bpe_per_doc
-FROM documents GROUP BY source ORDER BY source
-""",
-)
-def txt_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token budgets under BOTH counting conventions per source:
-    whitespace tokens and the BPE-ish pretokenizer count
-    (:func:`functions.text.bpe_token_count` — letter runs / single
-    digits / punctuation runs, the lookahead-free GPT-2 pretokenizer
-    shape).  ``regexp_count`` is pure whole-stage-codegen arithmetic —
-    one scan, one shuffle; the identical regex runs on DuckDB's RE2."""
-    docs = load_table(spark, sf_dir, "documents")
-    bpe = text.bpe_token_count(F.col("text"))
-    return (
-        docs.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(text.token_count(F.col("text"))).cast("long").alias("ws_tokens"),
-            F.sum(bpe).cast("long").alias("bpe_tokens"),
-            F.round(F.avg(bpe), 4).alias("avg_bpe_per_doc"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "dq_referential_audit",
-    survey="ext:quality-referential",
-    oracle="""
-SELECT 'customer->nation' AS edge,
-       count(*) AS n_children,
-       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_orphans
-FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-UNION ALL
-SELECT 'lineitem->orders' AS edge,
-       count(*) AS n_children,
-       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_orphans
-FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-UNION ALL
-SELECT 'orders->customer' AS edge,
-       count(*) AS n_children,
-       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_orphans
-FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-ORDER BY edge
-""",
-)
-def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality audit: orphan counts along the foreign-key edges of
-    the star schema, one row per edge.  Each edge is a left join against
-    the parent's KEY COLUMN ONLY (pruned scan, broadcast-sized dims
-    broadcast) with a conditional count — never a row-collecting
-    anti-join, so the audit output is E rows regardless of table size.
-    At 100 TB the parent key side of a big-big edge shuffles like any
-    equi-join; AQE handles the skewed-key case."""
-    def edge(child, ckey, parent, pkey, name):
-        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("ck"))
-        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("pk"))
-        return (
-            c.join(p, c.ck == p.pk, "left")
-            .agg(
-                F.count(F.lit(1)).alias("n_children"),
-                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
-                .cast("long")
-                .alias("n_orphans"),
-            )
-            .select(F.lit(name).alias("edge"), "n_children", "n_orphans")
-        )
-
-    return (
-        edge("customer", "c_nationkey", "nation", "n_nationkey", "customer->nation")
-        .unionByName(
-            edge("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders")
-        )
-        .unionByName(
-            edge("orders", "o_custkey", "customer", "c_custkey", "orders->customer")
-        )
-        .orderBy("edge")
-    )
-
-
-@register(
-    "dq_null_profile",
-    survey="ext:quality-profile",
-    oracle="""
-SELECT count(*) AS n_rows,
-       CAST(count(*) - count(event_id) AS BIGINT) AS null_event_id,
-       CAST(count(*) - count(user_id) AS BIGINT) AS null_user_id,
-       CAST(count(*) - count(event_type) AS BIGINT) AS null_event_type,
-       CAST(count(*) - count(value) AS BIGINT) AS null_value,
-       count(DISTINCT user_id) AS d_user_id,
-       count(DISTINCT event_type) AS d_event_type
-FROM events
-""",
-)
-def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass column profile (the data-quality 'describe'): row
-    count, per-column null counts, and exact distincts for the key
-    columns, all in ONE aggregate — Spark plans the multi-distinct via
-    one Expand (no per-column scans).  At 100 TB swap the exact
-    distincts for ``approx_count_distinct`` (mergeable HLL) — the same
-    swap `txt_vocab_size_approx` demonstrates."""
-    ev = load_table(spark, sf_dir, "events")
-    nulls = [
-        (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"null_{c}")
-        for c in ("event_id", "user_id", "event_type", "value")
-    ]
-    return ev.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *nulls,
-        F.countDistinct("user_id").alias("d_user_id"),
-        F.countDistinct("event_type").alias("d_event_type"),
-    )
-
-
-@register(
-    "txt_unigram_logprob",
-    survey="ext:text-lm-quality",
-    oracle="""
-WITH tok AS (
-  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
-  FROM documents
-), tok_f AS (SELECT * FROM tok WHERE t <> ''),
-freq AS (SELECT t, count(*) AS n FROM tok_f GROUP BY t),
-tot AS (SELECT CAST(sum(n) AS DOUBLE) + count(*) AS denom FROM freq),
-doc AS (
-  SELECT k.doc_id, k.source, avg(ln((freq.n + 1.0) / tot.denom)) AS lp
-  FROM tok_f k JOIN freq ON k.t = freq.t, tot
-  GROUP BY k.doc_id, k.source
-)
-SELECT source,
-       count(*) AS n_docs,
-       round(avg(lp), 4) AS avg_logprob,
-       round(min(lp), 4) AS min_logprob
-FROM doc GROUP BY source ORDER BY source
-""",
-)
-def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LM-surprise quality scoring: the corpus's own add-one-smoothed
-    unigram model scores each document's mean token log-probability
-    (:func:`functions.text.unigram_doc_logprob` — explode + frequency
-    groupBy + token join + per-doc mean; corpus scalars folded in as
-    driver literals, no keyless cross join), rolled up per source."""
-    docs = load_table(spark, sf_dir, "documents")
-    scored = text.unigram_doc_logprob(docs)
-    return (
-        scored.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("logprob"), 4).alias("avg_logprob"),
-            F.round(F.min("logprob"), 4).alias("min_logprob"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "samp_domain_mix",
-    survey="ext:sampling-domain-mix",
-    oracle="""
-WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-m AS (SELECT min(n) AS mn FROM c),
-r AS (SELECT source,
-             CAST(floor(1000000.0 * (SELECT mn FROM m) / n) AS BIGINT) AS thr
-      FROM c)
-SELECT d.source,
-       count(*) AS n_kept,
-       CAST(max(r.thr) AS BIGINT) AS thr
-FROM documents d JOIN r USING (source)
-WHERE ('0x'||substr(md5('mix'||CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
-        % 1000000 < r.thr
-GROUP BY d.source ORDER BY d.source
-""",
-)
-def samp_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixture resampling to an EQUAL source mix
-    (:func:`functions.sampling.resample_to_mix`): every source
-    downsamples toward the smallest source's count via the deterministic
-    hash sampler, so for equal shares the per-source threshold reduces
-    to ``floor(1e6·n_min/n_s)`` — which is exactly what the oracle
-    recomputes in SQL, membership bit-for-bit.  Driver-side rate
-    arithmetic is exact-rational so integral thresholds can't float one
-    ulp low."""
-    docs = load_table(spark, sf_dir, "documents")
-    # ONE group-cardinality-sized aggregate job yields both the source
-    # list and the per-source counts (r5 verdict item #6: was two jobs)
-    counts = {
-        r["source"]: r["n"]
-        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    sources = sorted(counts)
-    shares = {s: 1.0 / len(sources) for s in sources}
-    mixed = sampling.resample_to_mix(
-        docs, "doc_id", "source", shares, salt="mix", stratum_counts=counts
-    )
-    # surface the applied threshold per source so the oracle checks the
-    # RATE derivation, not just the row membership
-    from fractions import Fraction
-
-    mn = min(counts.values())
-    thr = {s: int(Fraction(1_000_000 * mn, counts[s])) for s in sources}
-    thr_col = F.lit(None).cast("long")
-    for s in sorted(sources):
-        thr_col = F.when(F.col("source") == s, F.lit(thr[s])).otherwise(thr_col)
-    return (
-        mixed.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-        .withColumn("thr", thr_col)
-        .orderBy("source")
-    )
-
-
-@register(
-    "emb_covariance_probe",
-    survey="ext:embedding-covariance",
-    oracle="""
-SELECT count(*) AS n,
-       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS mean_0,
-       round(covar_samp(CAST(embedding[1] AS DOUBLE),
-                        CAST(embedding[2] AS DOUBLE)), 6) AS cov_01,
-       round(covar_samp(CAST(embedding[1] AS DOUBLE),
-                        CAST(embedding[1] AS DOUBLE)), 6) AS var_0,
-       round(covar_samp(CAST(embedding[3] AS DOUBLE),
-                        CAST(embedding[10] AS DOUBLE)), 6) AS cov_2_9
-FROM embeddings
-""",
-)
-def emb_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding second-moment probe: mean/variance/covariance entries
-    for fixed dimension pairs via JVM ``covar_samp`` aggregates (one
-    scan, scalar output) — the SQL-checkable corner of the full D×D
-    covariance that :func:`functions.similarity.embedding_moments`
-    accumulates with per-partition BLAS for the PCA operator."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = lambda i: F.col("embedding")[i].cast("double")  # noqa: E731
-    return emb.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(e(0)), 6).alias("mean_0"),
-        F.round(F.covar_samp(e(0), e(1)), 6).alias("cov_01"),
-        F.round(F.covar_samp(e(0), e(0)), 6).alias("var_0"),
-        F.round(F.covar_samp(e(2), e(9)), 6).alias("cov_2_9"),
-    )
-
-
-@register(
-    "ev_funnel_steps",
-    survey="ext:events-funnel",
-    oracle="""
-WITH v AS (
-  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view'
-  GROUP BY user_id
-), c AS (
-  SELECT e.user_id, min(e.ts) AS t
-  FROM events e JOIN v ON e.user_id = v.user_id
-  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id
-), p AS (
-  SELECT e.user_id, min(e.ts) AS t
-  FROM events e JOIN c ON e.user_id = c.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id
-)
-SELECT '1_view' AS step, count(*) AS n_users FROM v
-UNION ALL
-SELECT '2_click' AS step, count(*) AS n_users FROM c
-UNION ALL
-SELECT '3_purchase' AS step, count(*) AS n_users FROM p
-ORDER BY step
-""",
-)
-def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel: users with a view, then a click
-    STRICTLY AFTER their first view, then a purchase strictly after that
-    first qualifying click.  Each stage is one keyed min-aggregate plus
-    one equi-join on user_id — the stages shuffle on the same key, so at
-    scale AQE reuses co-partitioning; no window sort over whole event
-    histories, no pattern-matching UDF."""
-    ev = load_table(spark, sf_dir, "events")
-
-    def first_after(etype, prev):
-        e = ev.filter(F.col("event_type") == etype)
-        if prev is None:
-            return e.groupBy("user_id").agg(F.min("ts").alias("t"))
-        return (
-            e.join(prev.select("user_id", F.col("t").alias("pt")), "user_id")
-            .filter(F.col("ts") > F.col("pt"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-        )
-
-    v = first_after("view", None)
-    c = first_after("click", v)
-    p = first_after("purchase", c)
-
-    def step_count(df, label):
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(label).alias("step"), "n_users"
-        )
-
-    return (
-        step_count(v, "1_view")
-        .unionByName(step_count(c, "2_click"))
-        .unionByName(step_count(p, "3_purchase"))
-        .orderBy("step")
-    )
-
-
-@register(
-    "ev_retention_cohorts",
-    survey="ext:events-retention",
-    oracle="""
-WITH act AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
-), first AS (
-  SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id
-)
-SELECT CAST(first.d0 AS VARCHAR) AS cohort_day,
-       CAST(act.d - first.d0 AS BIGINT) AS day_offset,
-       count(*) AS n_active
-FROM act JOIN first USING (user_id)
-WHERE act.d - first.d0 <= 7
-GROUP BY first.d0, day_offset
-ORDER BY cohort_day, day_offset
-""",
-)
-def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retention cohort matrix: users grouped by first-active day, counted
-    on each later active day (offset ≤ 7).  Two keyed aggregates and one
-    user_id equi-join — the distinct-activity table is the only
-    N-over-days-sized intermediate, and every stage partial-aggregates
-    map-side.  The classic growth-analytics rollup, no window over user
-    histories."""
-    ev = load_table(spark, sf_dir, "events")
-    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
-    return (
-        act.join(first, "user_id")
-        .withColumn("day_offset", F.datediff("d", "d0").cast("long"))
-        .filter(F.col("day_offset") <= 7)
-        .groupBy(F.col("d0").cast("string").alias("cohort_day"), "day_offset")
-        .agg(F.count(F.lit(1)).alias("n_active"))
-        .orderBy("cohort_day", "day_offset")
-    )
-
-
-@register(
-    "txt_winnow_fingerprints",
-    survey="ext:text-winnowing",
-    oracle="""
-WITH t AS (
-  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
-), th AS (
-  SELECT doc_id, source,
-         list_transform(
-           toks, t -> ('0x'||substr(md5(t),1,8))::BIGINT % 2147483647
-         ) AS h
-  FROM t
-), kg AS (
-  SELECT doc_id, source,
-         list_transform(
-           generate_series(1, greatest(len(h) - 3, 0)),
-           i -> (h[i]*29791 + h[i+1]*961 + h[i+2]*31 + h[i+3]) % 2147483647
-         ) AS kh
-  FROM th
-), w AS (
-  SELECT doc_id, source,
-         list_distinct(list_transform(
-           generate_series(1, greatest(len(kh) - 4, 0)),
-           j -> least(kh[j], kh[j+1], kh[j+2], kh[j+3], kh[j+4])
-         )) AS fps
-  FROM kg
-), ex AS (
-  SELECT DISTINCT doc_id, source, unnest(fps) AS fp FROM w
-), byfp AS (
-  SELECT source, fp, count(*) AS nd FROM ex GROUP BY source, fp
-)
-SELECT source,
-       count(*) AS n_fps,
-       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
-FROM byfp GROUP BY source ORDER BY source
-""",
-)
-def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) fingerprint stats per source: distinct local
-    fingerprints and how many are SHARED across ≥2 documents — the
-    partial-overlap dup signal a whole-document fingerprint cannot give
-    (any shared run of ≥ k+window−1 tokens guarantees a shared
-    fingerprint).  :func:`functions.text.winnow_fingerprints` is pure
-    array expressions; the rollup is one explode + two groupBys with
-    map-side partials.  At corpus scale the fingerprint inverted index
-    (the `ex` table) is the same skew story as the shingle join — cap
-    hot fingerprints the same way."""
-    docs = load_table(spark, sf_dir, "documents")
-    fps = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            text.winnow_fingerprints(F.col("text"), k=4, window=5)
-        ).alias("fp"),
-    ).distinct()
-    byfp = fps.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("nd"))
-    return (
-        byfp.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_fps"),
-            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "dd_winnow_near_dups",
-    survey="ext:dedup-winnowing",
-    oracle="""
-WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-), th AS (
-  SELECT doc_id,
-         list_transform(
-           toks, t -> ('0x'||substr(md5(t),1,8))::BIGINT % 2147483647
-         ) AS h
-  FROM t
-), kg AS (
-  SELECT doc_id,
-         list_transform(
-           generate_series(1, greatest(len(h) - 3, 0)),
-           i -> (h[i]*29791 + h[i+1]*961 + h[i+2]*31 + h[i+3]) % 2147483647
-         ) AS kh
-  FROM th
-), w AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           generate_series(1, greatest(len(kh) - 4, 0)),
-           j -> least(kh[j], kh[j+1], kh[j+2], kh[j+3], kh[j+4])
-         )) AS fps
-  FROM kg
-), ex AS (
-  SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-FROM ex a JOIN ex b ON b.fp = a.fp AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
-HAVING count(*) >= 3
-ORDER BY id_a, id_b
-""",
-)
-def dd_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partial-overlap near-dup pairs: documents sharing ≥3 winnowing
-    fingerprints — catches documents that EMBED a common passage
-    (boilerplate, quoted blocks, template headers) even when the rest of
-    the text is unrelated, which whole-document and MinHash-over-
-    whole-doc dedup both miss.  :func:`functions.dedup.winnow_near_dup_pairs`
-    — the fingerprint inverted-index self-join (same as the shingle join;
-    candidate volume Σ_fp n_fp², governed by the winnowing density
-    2/(window+1)); registered exact (``max_fp_df=None``), with the
-    hot-fingerprint skew cap available for boilerplate-heavy corpora."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.winnow_near_dup_pairs(
-        docs, "doc_id", "text", k=4, window=5, min_shared=3
-    ).orderBy("id_a", "id_b")
-
-
-def _mm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return multimodal.text_as_binary(docs).select("doc_id", "payload", "source")
-
-
-@register(
-    "mm_frame_sample",
-    survey="ext:multimodal-frames",
-    oracle="""
-WITH f AS (
-  SELECT d.source, d.doc_id, r.i,
-         substr(d.text, CAST(r.i * 64 + 1 AS BIGINT), 64) AS frame
-  FROM documents d,
-       unnest(range(0, CAST(ceil(strlen(d.text) / 64.0) AS BIGINT), 3)) AS r(i)
-)
-SELECT source,
-       count(DISTINCT doc_id) AS n_docs,
-       count(*) AS n_frames,
-       round(avg(strlen(frame)), 4) AS avg_frame_bytes,
-       CAST(sum(ascii(substr(frame, 1, 1))) AS BIGINT) AS first_byte_sum
-FROM f GROUP BY source ORDER BY source
-""",
-)
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling over opaque binary payloads: every 3rd
-    64-byte frame becomes its own row through the fan-out ``mapInPandas``
-    stage (real demuxer stubbed — deterministic byte frames exercise the
-    identical plumbing), then typed aggregation of the sampled frames."""
-    payloads = _mm_payloads(spark, sf_dir)
-    frames = multimodal.sample_frames(
-        payloads.select("doc_id", "payload"), frame_bytes=64, every_n=3
-    )
-    joined = frames.join(payloads.select("doc_id", "source"), "doc_id")
-    return (
-        joined.groupBy("source")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_frames"),
-            F.round(F.avg(F.length("frame")), 4).alias("avg_frame_bytes"),
-            F.sum(F.ascii(F.substring(F.col("frame").cast("string"), 1, 1)))
-            .cast("long")
-            .alias("first_byte_sum"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "mm_feature_extract",
-    survey="ext:multimodal",
-    oracle="""
-SELECT source, count(*) AS n_docs,
-       round(avg(strlen(text)), 4) AS avg_bytes,
-       round(avg(strlen(text) % 64 + 1), 4) AS avg_width,
-       round(avg(strlen(text) % 48 + 1), 4) AS avg_height,
-       round(avg(ascii(substr(text, 1, 1))), 4) AS avg_first_byte
-FROM documents GROUP BY source ORDER BY source
-""",
-)
-def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: opaque binary payloads through the
-    Arrow-batched ``mapInPandas`` feature extractor (deterministic fake
-    decoder — the real image decoder is stubbed; the schema/batch/partition
-    plumbing is the real thing) and typed aggregation of the results."""
-    docs = load_table(spark, sf_dir, "documents")
-    payloads = multimodal.text_as_binary(docs).select(
-        "doc_id", "payload", "source"
-    )
-    feats = multimodal.extract_features(
-        payloads, decoder=multimodal.fake_decode
-    )
-    joined = feats.join(payloads.select("doc_id", "source"), "doc_id")
-    return (
-        joined.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
-            F.round(F.avg("width"), 4).alias("avg_width"),
-            F.round(F.avg("height"), 4).alias("avg_height"),
-            F.round(F.avg(F.element_at("feature", 2)), 4).alias("avg_first_byte"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "mm_bmp_decode",
-    survey="ext:multimodal-bmp",
-    oracle="""
-WITH dims AS (
-  SELECT doc_id, source,
-         doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
-  FROM documents
-), cells AS (
-  SELECT d.doc_id, d.source, d.w, d.h,
-         (d.doc_id * 31 + r.r * 7 + c.c * 13) % 256 AS v
-  FROM dims d,
-       unnest(range(0, d.h)) AS r(r),
-       unnest(range(0, d.w)) AS c(c)
-), per_doc AS (
-  SELECT doc_id, source, max(w) AS w, max(h) AS h,
-         CAST(sum(v) AS BIGINT) AS pix_sum,
-         CAST(min(v) AS BIGINT) AS pix_min,
-         CAST(max(v) AS BIGINT) AS pix_max
-  FROM cells GROUP BY doc_id, source
-), resized AS (
-  SELECT d.doc_id,
-         CAST(sum((d.doc_id * 31 + (i.i * d.h // 6) * 7
-                   + (j.j * d.w // 8) * 13) % 256) AS BIGINT) AS rs_sum
-  FROM dims d,
-       unnest(range(0, 6)) AS i(i),
-       unnest(range(0, 8)) AS j(j)
-  GROUP BY d.doc_id
-)
-SELECT p.source,
-       count(*) AS n_docs,
-       round(avg(p.w), 6) AS avg_width,
-       round(avg(p.h), 6) AS avg_height,
-       round(sum(p.pix_sum) / CAST(sum(p.w * p.h) AS DOUBLE), 6) AS pix_mean,
-       round(avg(p.pix_min), 6) AS avg_min,
-       round(avg(p.pix_max), 6) AS avg_max,
-       round(sum(r.rs_sum) / (48.0 * count(*)), 6) AS resized_mean
-FROM per_doc p JOIN resized r USING (doc_id)
-GROUP BY p.source ORDER BY p.source
-""",
-)
-def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode + resize end-to-end (no media library): each doc
-    gets a genuine uncompressed BMP payload whose grayscale pixels are a
-    pure function of ``doc_id`` (``(id·31 + row·7 + col·13) mod 256``),
-    built with :func:`functions.multimodal.encode_bmp`; the payloads run
-    through the REAL :func:`decode_image_batch` (header parse + stride
-    slice) and the REAL nearest-neighbor :func:`resize_image_batch` to
-    8×6, and the oracle recomputes every pixel arithmetically in SQL.
-    Sums are reconstructed as exact integers (pixel mean × w·h rounds to
-    the exact pixel sum in f64), so both sides divide identical integers
-    — no float-order drift.  Decoder parity: a wrong stride, row order,
-    or channel order shifts ``pix_mean``/``resized_mean`` and fails the
-    hash."""
-    import numpy as np
-    import pandas as pd
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-
-    def gen(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            payloads = []
-            for did in pdf["doc_id"]:
-                d = int(did)
-                h, w = d % 12 + 4, d % 16 + 4
-                r = np.arange(h)[:, None]
-                c = np.arange(w)[None, :]
-                px = ((d * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
-                payloads.append(multimodal.encode_bmp(px))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
-            )
-
-    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
-    feats = multimodal.extract_features(payloads)  # REAL decoder
-    resized = multimodal.resize_images(payloads, 8, 6)  # REAL resizer
-    rs_feats = multimodal.extract_features(resized).select(
-        "doc_id", F.element_at("feature", 1).alias("rs_mean")
-    )
-    area = F.col("width") * F.col("height")
-    per_doc = feats.select(
-        "doc_id",
-        "width",
-        "height",
-        F.round(F.element_at("feature", 1) * area).cast("long").alias("pix_sum"),
-        F.element_at("feature", 3).cast("long").alias("pix_min"),
-        F.element_at("feature", 4).cast("long").alias("pix_max"),
-    )
-    joined = (
-        per_doc.join(rs_feats, "doc_id")
-        .withColumn("rs_sum", F.round(F.col("rs_mean") * 48).cast("long"))
-        .join(docs, "doc_id")
-    )
-    return (
-        joined.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("width"), 6).alias("avg_width"),
-            F.round(F.avg("height"), 6).alias("avg_height"),
-            F.round(
-                F.sum("pix_sum")
-                / F.sum((F.col("width") * F.col("height")).cast("double")),
-                6,
-            ).alias("pix_mean"),
-            F.round(F.avg("pix_min"), 6).alias("avg_min"),
-            F.round(F.avg("pix_max"), 6).alias("avg_max"),
-            F.round(F.sum("rs_sum") / (48.0 * F.count(F.lit(1))), 6).alias(
-                "resized_mean"
-            ),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "dd_incremental_new_docs",
-    survey="ext:dedup-incremental",
-    bench=True,
-    oracle="""
-WITH corpus AS (
-  SELECT * FROM documents WHERE doc_id < 400
-), arrivals AS (
-  SELECT doc_id + 10000 AS doc_id, text, source
-  FROM documents WHERE doc_id < 100        -- re-crawled duplicates
-  UNION ALL
-  SELECT doc_id, text, source
-  FROM documents WHERE doc_id >= 400       -- genuinely new
-)
-SELECT a.doc_id, a.source FROM arrivals a
-WHERE NOT EXISTS (
-  SELECT 1 FROM corpus c
-  WHERE md5(lower(trim(c.text))) = md5(lower(trim(a.text))))
-ORDER BY a.doc_id
-""",
-)
-def dd_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-time dedup of a NEW batch against the EXISTING corpus
-    (:func:`functions.dedup.incremental_dedup`): only arrivals whose
-    normalized text is unseen are admitted.  The production shape for
-    continuously-arriving data — one anti-join against a maintained
-    md5-key table per batch, never a corpus re-scan.  The arriving batch
-    mixes RE-CRAWLED duplicates (texts of doc_id < 100 under fresh ids —
-    every one must be rejected) with genuinely new docs (doc_id >= 400 —
-    every one must be admitted), so a broken join direction or key
-    normalization cannot silently pass."""
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") < 400)
-    arrivals = (
-        docs.filter(F.col("doc_id") < 100)
-        .select((F.col("doc_id") + 10000).alias("doc_id"), "text", "source")
-        .unionByName(
-            docs.filter(F.col("doc_id") >= 400).select("doc_id", "text", "source")
-        )
-    )
-    return (
-        dedup.incremental_dedup(arrivals, corpus)
-        .select("doc_id", "source")
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "samp_fixed_per_stratum",
-    survey="ext:sampling-fixed-k",
-    oracle="""
-WITH ranked AS (
-  SELECT source, doc_id,
-         row_number() OVER (
-           PARTITION BY source
-           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'ev'), 1, 8))::BIGINT,
-                    doc_id
-         ) AS rk
-  FROM documents
-)
-SELECT source, doc_id FROM ranked WHERE rk <= 3
-ORDER BY source, doc_id
-""",
-)
-def samp_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACTLY-3-docs-per-source deterministic sample
-    (:func:`functions.sampling.sample_fixed_per_stratum`) — the eval-set
-    construction pattern where output SIZE must be exact, membership
-    re-derivable from (key, salt), and no ``rand()`` in sight.  One hash
-    exchange + within-stratum row_number, no global sort."""
-    docs = load_table(spark, sf_dir, "documents")
-    return sampling.sample_fixed_per_stratum(
-        docs, "doc_id", "source", 3, salt="ev"
-    ).select("source", "doc_id").orderBy("source", "doc_id")
-
-
-@register(
-    "txt_vocab_sketch_rollup",
-    survey="ext:text-sketch-rollup",
-    oracle="""
-WITH t AS (
-  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
-)
-SELECT source, count(DISTINCT tok) AS vocab FROM t GROUP BY source
-UNION ALL
-SELECT '__all__' AS source, count(DISTINCT tok) AS vocab FROM t
-ORDER BY source
-""",
-)
-def txt_vocab_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source vocabulary via DataSketches HLL sketches PLUS the
-    global vocabulary from ``hll_union_agg`` over the per-source
-    sketches — the reaggregation property that makes sketches the 100 TB
-    rollup currency: the corpus is scanned ONCE, and any coarser
-    grouping (here: everything) derives by merging the stored K-sized
-    sketch column, never by re-scanning tokens.  At this vocabulary
-    cardinality the sketch is in exact (sparse) mode, so the DuckDB
-    COUNT(DISTINCT) oracle matches exactly."""
-    docs = load_table(spark, sf_dir, "documents")
-    per = (
-        docs.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
-        .groupBy("source")
-        .agg(F.hll_sketch_agg("tok").alias("sk"))
-    )
-    # S-sized (one sketch per source): eager checkpoint materializes it once
-    # for both consumers below without leaving a cache entry behind
-    per = per.localCheckpoint(eager=True)
-    per_est = per.select(
-        "source", F.hll_sketch_estimate("sk").cast("long").alias("vocab")
-    )
-    glob = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("vocab")
-    ).select(F.lit("__all__").alias("source"), "vocab")
-    return per_est.unionByName(glob).orderBy("source")
-
-
-@register(
-    "txt_len_kll_rollup",
-    survey="ext:text-kll-sketch",
-    oracle="""
-SELECT source,
-       quantile_disc(n_chars, 0.25) AS p25,
-       quantile_disc(n_chars, 0.50) AS p50,
-       quantile_disc(n_chars, 0.90) AS p90
-FROM documents GROUP BY source
-UNION ALL
-SELECT '__all__' AS source,
-       quantile_disc(n_chars, 0.25),
-       quantile_disc(n_chars, 0.50),
-       quantile_disc(n_chars, 0.90)
-FROM documents
-ORDER BY source
-""",
-)
-def txt_len_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source doc-length quantiles via DataSketches KLL sketches PLUS
-    the global quantiles from MERGING the per-source sketches (an S-sized
-    ``aggregate`` fold over ``kll_sketch_merge``) — quantiles join the
-    HLL rollup as mergeable sketch currency: one corpus scan builds the
-    per-group sketches, and every coarser grouping's percentiles derive
-    by merging stored K-sized sketches, never by re-scanning values.
-    With k=8192 the sketch is in exact mode at this scale, and KLL's
-    inclusive-rank item selection equals DuckDB ``quantile_disc``
-    (pinned by the oracle hash)."""
-    docs = load_table(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(
-        F.kll_sketch_agg_bigint("n_chars", F.lit(8192)).alias("sk")
-    )
-    # S-sized: eager checkpoint for the two consumers, no lingering cache
-    per = per.localCheckpoint(eager=True)
-    qs = (0.25, 0.50, 0.90)
-    names = ("p25", "p50", "p90")
-    per_est = per.select(
-        "source",
-        *[
-            F.kll_sketch_get_quantile_bigint("sk", F.lit(q)).alias(nm)
-            for q, nm in zip(qs, names)
-        ],
-    )
-    merged = per.agg(F.collect_list("sk").alias("a")).select(
-        F.aggregate(
-            F.slice("a", 2, 1_000_000),
-            F.element_at("a", 1),
-            lambda acc, x: F.kll_sketch_merge_bigint(acc, x),
-        ).alias("m")
-    )
-    glob = merged.select(
-        F.lit("__all__").alias("source"),
-        *[
-            F.kll_sketch_get_quantile_bigint("m", F.lit(q)).alias(nm)
-            for q, nm in zip(qs, names)
-        ],
-    )
-    return per_est.unionByName(glob).orderBy("source")
-
-
-@register(
-    "txt_rag_chunks",
-    survey="ext:text-chunking",
-    bench=True,
-    oracle="""
-WITH t AS (
-  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
-), c AS (
-  SELECT doc_id, source, tk,
-         greatest(CAST(ceil((len(tk) - 16) / 48.0) AS BIGINT), 1) AS nc
-  FROM t
-), x AS (
-  SELECT doc_id, source,
-         len(list_slice(tk, i * 48 + 1, i * 48 + 64)) AS n_tok
-  FROM c, unnest(range(0, nc)) AS r(i)
-)
-SELECT source,
-       count(DISTINCT doc_id) AS n_docs,
-       count(*) AS n_chunks,
-       CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
-       CAST(max(n_tok) AS BIGINT) AS max_chunk_tokens
-FROM x GROUP BY source ORDER BY source
-""",
-)
-def txt_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG chunking rollup (:func:`functions.text.chunk_documents`):
-    64-token chunks with 16-token overlap per document, per-source chunk
-    counts and token budgets (chunk_tokens exceeds corpus tokens by the
-    overlap replication — the storage-cost number a RAG index build
-    needs).  Tokenize-once + per-chunk ``slice`` + one generator explode;
-    row fan-out ≈ n_tokens/stride, shuffle-free until the rollup."""
-    docs = load_table(spark, sf_dir, "documents")
-    chunks = text.chunk_documents(
-        docs, chunk_tokens=64, overlap_tokens=16, keep_cols=("source",)
-    )
-    return (
-        chunks.groupBy("source")
-        .agg(
-            F.countDistinct("id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("n_tok").cast("long").alias("chunk_tokens"),
-            F.max("n_tok").cast("long").alias("max_chunk_tokens"),
-        )
-        .orderBy("source")
-    )
-
-
-_CLUSTER_REP_ORACLE = f"""
-WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
-  SELECT id_a AS src, id_b AS dst FROM dups
-  UNION
-  SELECT id_b, id_a FROM dups
-), reach AS (
-  SELECT src AS id, src AS lbl FROM edges
-  UNION
-  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-), cc AS (
-  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
-), ranked AS (
-  SELECT cc.id, cc.cluster_id,
-         row_number() OVER (
-           PARTITION BY cc.cluster_id ORDER BY d.n_chars DESC, cc.id
-         ) AS rk
-  FROM cc JOIN documents d ON d.doc_id = cc.id
-)
-SELECT id AS doc_id, cluster_id,
-       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS is_keep
-FROM ranked ORDER BY cluster_id, doc_id
-"""
-
-
-@register(
-    "dd_cluster_keep_longest",
-    survey="ext:dedup-cluster-policy",
-    oracle=_CLUSTER_REP_ORACLE,
-)
-def dd_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Policy-based cluster representative selection
-    (:func:`functions.dedup.cluster_representatives`): within each
-    near-dup cluster the LONGEST member survives (ties → lowest id) —
-    the production policy when clusters mix a full document with
-    truncated variants, vs the min-id convention of ``dd_dup_clusters``.
-    argmax is one ``max(struct(score, −id))`` aggregate (map-side
-    combinable, no per-cluster window sort)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.verified_near_dups(docs, "doc_id", "text", threshold=0.8)
-    cc = dedup.connected_components(pairs)
-    scores = docs.select(F.col("doc_id").alias("id"), F.col("n_chars").alias("score"))
-    reps = dedup.cluster_representatives(cc, scores, score_col="score")
-    return reps.select(
-        F.col("id").alias("doc_id"), "cluster_id", "is_keep"
-    ).orderBy("cluster_id", "doc_id")
-
-
-@register(
-    "samp_quality_weighted",
-    survey="ext:sampling-score-weighted",
-    oracle="""
-WITH kept AS (
-  SELECT source, n_chars FROM documents
-  WHERE ('0x' || substr(md5('qw' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
-        < least(n_chars * 2000, 1000000)
-)
-SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
-FROM kept GROUP BY source ORDER BY source
-""",
-)
-def samp_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Score-proportional deterministic sampling
-    (:func:`functions.sampling.score_weighted_sample`): keep-probability
-    min(1, n_chars/500) — longer (higher-quality-proxy) documents kept at
-    higher rates, the quality-weighted curation stage of corpus prep.
-    Integer per-1e6 thresholds keep membership engine-exact; the filter
-    is a zero-shuffle projection."""
-    docs = load_table(spark, sf_dir, "documents")
-    thr = F.least(F.col("n_chars") * 2000, F.lit(1_000_000))
-    kept = sampling.score_weighted_sample(docs, "doc_id", thr, salt="qw")
-    return (
-        kept.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sum("n_chars").cast("long").alias("kept_chars"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "dq_snapshot_diff",
-    survey="ext:dq-snapshot-diff",
-    oracle="""
-WITH old AS (
-  SELECT doc_id, text FROM documents WHERE doc_id < 450
-), new AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 10 = 0 THEN text || ' rev2' ELSE text END AS text
-  FROM documents WHERE doc_id >= 50
-), j AS (
-  SELECT coalesce(o.doc_id, n.doc_id) AS id,
-         CASE WHEN o.doc_id IS NULL THEN 'added'
-              WHEN n.doc_id IS NULL THEN 'removed'
-              WHEN md5(o.text) != md5(n.text) THEN 'changed'
-              ELSE 'unchanged' END AS status
-  FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
-)
-SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status
-""",
-)
-def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus snapshot diff (:func:`functions.dedup.snapshot_diff`):
-    classify ids as added / removed / changed / unchanged between two
-    snapshots — the change audit run between crawls.  One FULL OUTER
-    equi-join comparing md5 content keys (32 bytes/row over the shuffle,
-    never the text).  Snapshots are simulated from the corpus: old =
-    doc_id < 450; new = doc_id >= 50 with every 10th doc revised."""
-    docs = load_table(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") < 450).select("doc_id", "text")
-    new = docs.filter(F.col("doc_id") >= 50).select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" rev2"))
-        ).otherwise(F.col("text")).alias("text"),
-    )
-    diff = dedup.snapshot_diff(old, new)
-    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")
-
-
-@register(
-    "txt_bigram_logprob",
-    survey="ext:text-lm-bigram",
-    oracle="""
-WITH t AS (
-  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
-), bg AS (
-  SELECT doc_id, source, tk[i-1] AS prev, tk[i] AS cur
-  FROM t, unnest(range(2, len(tk) + 1)) AS r(i)
-), c2 AS (
-  SELECT prev, cur, count(*) AS n2 FROM bg GROUP BY prev, cur
-), c1 AS (
-  SELECT prev, count(*) AS n1 FROM bg GROUP BY prev
-), vct AS (
-  SELECT CAST(count(DISTINCT cur) AS DOUBLE) AS v FROM bg
-), doc AS (
-  SELECT bg.doc_id, bg.source,
-         avg(ln((c2.n2 + 1.0) / (c1.n1 + vct.v))) AS lp
-  FROM bg JOIN c2 ON c2.prev = bg.prev AND c2.cur = bg.cur
-          JOIN c1 ON c1.prev = bg.prev, vct
-  GROUP BY bg.doc_id, bg.source
-)
-SELECT source,
-       count(*) AS n_docs,
-       round(avg(lp), 4) AS avg_logprob,
-       round(min(lp), 4) AS min_logprob
-FROM doc GROUP BY source ORDER BY source
-""",
-)
-def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram LM-surprise quality scoring
-    (:func:`functions.text.bigram_doc_logprob`): the corpus's own
-    add-one-smoothed TRANSITION model scores each document's mean
-    conditional log-probability — catches scrambled/template-stitched
-    text whose unigram profile looks fluent — rolled up per source."""
-    docs = load_table(spark, sf_dir, "documents")
-    scored = text.bigram_doc_logprob(docs)
-    return (
-        scored.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("logprob"), 4).alias("avg_logprob"),
-            F.round(F.min("logprob"), 4).alias("min_logprob"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
-    "txt_langid_confusion",
-    survey="ext:text-langid-eval",
-    oracle="""
-WITH scored AS (
-  SELECT lang,
-         CASE WHEN (
-           len(list_filter(string_split(text, ' '),
-                           t -> t IN ('the','a','of','and','to','in','is','it')))
-           / CAST(len(string_split(text, ' ')) AS DOUBLE)
-         ) > 0.02 THEN 1 ELSE 0 END AS pred_en
-  FROM documents
-)
-SELECT lang, pred_en, count(*) AS n
-FROM scored GROUP BY lang, pred_en ORDER BY lang, pred_en
-""",
-)
-def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID evaluation harness: confusion counts of the stopword
-    heuristic (:func:`functions.text.langid_en_score`) against the
-    table's labeled ``lang`` column — the quality-measurement loop every
-    classifier-gated curation stage needs (precision/recall derive from
-    these counts).  One scan, one grouped count."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("lang", text.langid_en_score(F.col("text")).alias("pred_en"))
-        .groupBy("lang", "pred_en")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang", "pred_en")
-    )
-
-
-@register(
-    "dq_column_entropy",
-    survey="ext:dq-entropy-profile",
-    oracle="""
-WITH cols AS (
-  SELECT 'lang' AS col, lang AS val FROM documents
-  UNION ALL SELECT 'source', source FROM documents
-), f AS (
-  SELECT col, val, count(*) AS n FROM cols GROUP BY col, val
-), tot AS (
-  SELECT col, sum(n) AS t FROM f GROUP BY col
-)
-SELECT f.col,
-       count(*) AS n_distinct,
-       round(-sum((f.n / CAST(tot.t AS DOUBLE))
-                  * ln(f.n / CAST(tot.t AS DOUBLE))), 6) + 0.0 AS entropy_nats
-FROM f JOIN tot ON tot.col = f.col
-GROUP BY f.col ORDER BY f.col
-""",
-)
-def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shannon entropy profile of categorical columns (the data-quality
-    signal behind drift detection and stratification design: a
-    near-zero-entropy column is degenerate, a max-entropy one is
-    uniform).  Long-unpivot + per-(col, value) counts + one
-    Σ p·ln p rollup — one scan, two grouped aggregates, all
-    map-side-combinable."""
-    docs = load_table(spark, sf_dir, "documents")
-    cols = docs.select(
-        F.lit("lang").alias("col"), F.col("lang").alias("val")
-    ).unionByName(
-        docs.select(F.lit("source").alias("col"), F.col("source").alias("val"))
-    )
-    f = cols.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
-    tot = f.groupBy("col").agg(F.sum("n").alias("t"))
-    p = F.col("n") / F.col("t").cast("double")
-    return (
-        f.join(tot, "col")
-        .groupBy("col")
-        .agg(
-            F.count(F.lit(1)).alias("n_distinct"),
-            # + 0.0 normalizes IEEE negative zero (a single-valued column
-            # yields -0.0 from -sum(1·ln 1) in one engine and 0.0 in the
-            # other — found by the fuzzed oracle-parity sweep)
-            (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("entropy_nats"),
-        )
-        .orderBy("col")
-    )
+from entropy_balance_weighting_spark.queries.pipeline_dedup import *  # noqa: F401,F403
+from entropy_balance_weighting_spark.queries.pipeline_dq import *  # noqa: F401,F403
+from entropy_balance_weighting_spark.queries.pipeline_events import *  # noqa: F401,F403
+from entropy_balance_weighting_spark.queries.pipeline_mm import *  # noqa: F401,F403
+from entropy_balance_weighting_spark.queries.pipeline_sampling import *  # noqa: F401,F403
+from entropy_balance_weighting_spark.queries.pipeline_sim import *  # noqa: F401,F403
+from entropy_balance_weighting_spark.queries.pipeline_text import *  # noqa: F401,F403
+from entropy_balance_weighting_spark.queries.pipeline_text_stats import *  # noqa: F401,F403

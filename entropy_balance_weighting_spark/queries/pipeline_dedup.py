@@ -1,0 +1,468 @@
+"""Deduplication queries: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+winnowing, connected components, decontamination, incremental anti-join,
+cluster representatives.
+
+Split from the former monolithic pipeline.py (round-7 verdict item #6);
+registration names unchanged.  Hash-sensitive stages use the
+engine-portable md5-prefix hash so the DuckDB oracles replicate them
+bit-for-bit; float aggregates are rounded identically on both sides.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.functions import dedup, events, similarity
+from entropy_balance_weighting_spark.functions import multimodal, packing, sampling, text
+from entropy_balance_weighting_spark.queries.registry import register
+from entropy_balance_weighting_spark.session import load_table
+
+
+@register(
+    "dd_exact_dedup",
+    survey="ext:dedup-exact",
+    bench=True,
+    oracle="""
+SELECT source,
+       count(*) AS n_rows,
+       count(DISTINCT lower(trim(text))) AS n_distinct,
+       count(*) - count(DISTINCT lower(trim(text))) AS n_dup_rows
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text — one shuffle with
+    map-side partial aggregation, never row-vs-row comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dup_stats(docs, "text", "source").orderBy("source")
+
+
+# CTE chain shared by the minhash-pair and dup-cluster oracles: everything
+# up to the jaccard-verified duplicate pairs.
+_MINHASH_PAIR_CTES = """toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(sh),1,8))::BIGINT % 2147483647 AS h
+  FROM shingles
+), params AS (
+  SELECT i, (123456789 * i + 987654321) % 2147483647 AS a,
+         (362436069 * i + 521288629) % 2147483647 AS b
+  FROM unnest(range(1, 9)) AS r(i)
+), mh AS (
+  SELECT doc_id, p.i, min((p.a * h + p.b) % 2147483647) AS mh
+  FROM hashed, params p GROUP BY doc_id, p.i
+), bands AS (
+  SELECT doc_id, (i-1)//2 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+  FROM mh GROUP BY doc_id, (i-1)//2
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.id_a
+  JOIN shingles sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh
+  GROUP BY p.id_a, p.id_b
+), dups AS (
+  SELECT i.id_a, i.id_b,
+         round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.id_a
+  JOIN counts cb ON cb.doc_id = i.id_b
+  WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_PAIR_CTES}
+SELECT id_a, id_b, jaccard FROM dups ORDER BY id_a, id_b
+"""
+
+_DUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dups
+  UNION
+  SELECT id_b, id_a FROM dups
+), reach AS (
+  SELECT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id,
+       CAST(CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS INT) AS is_keep
+FROM reach GROUP BY id ORDER BY cluster_id, doc_id
+"""
+
+
+@register(
+    "dd_minhash_near_dups",
+    survey="ext:dedup-minhash-lsh",
+    bench=True,
+    oracle=_MINHASH_ORACLE,
+)
+def dd_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, Jaccard-verified.
+
+    Banded signatures → (band, sig) bucket-join → candidates only → exact
+    3-gram Jaccard ≥ 0.8.  Never all-pairs: candidate volume scales with
+    true duplicate volume, not N².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.verified_near_dups(docs, "doc_id", "text", threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dd_dup_clusters",
+    survey="ext:dedup-clusters",
+    oracle=_DUP_CLUSTER_ORACLE,
+)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the MinHash pair graph: alternating
+    large-star/small-star components (:func:`functions.dedup.
+    connected_components`, O(log²) rounds worst-case) collapse verified
+    pairs into disjoint components; the min doc_id is the kept canonical
+    representative (``is_keep``).  The oracle computes the same
+    transitive closure with a recursive CTE over the identical pair SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.verified_near_dups(docs, "doc_id", "text", threshold=0.8)
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).cast("int").alias("is_keep"),
+    ).orderBy("cluster_id", "doc_id")
+
+
+@register(
+    "dd_ngram_jaccard",
+    survey="ext:dedup-ngram-jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles sa JOIN shingles sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+)
+SELECT i.id_a, i.id_b,
+       round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.id_a
+JOIN counts cb ON cb.doc_id = i.id_b
+WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.6
+ORDER BY id_a, id_b
+""",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard near-dup pairs (threshold 0.6) via the
+    inverted-index bucket join — candidates are pairs sharing a shingle,
+    complete at any threshold; the exact counterpart to the MinHash
+    pipeline for when recall must be 1 or the threshold sits below LSH's
+    useful selectivity range."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dd_decontaminate",
+    bench=True,
+    survey="ext:dedup-decontaminate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+), bench AS (
+  SELECT DISTINCT sh FROM shingles WHERE doc_id < 20
+)
+SELECT s.doc_id, count(*) AS n_hits
+FROM shingles s JOIN bench b ON b.sh = s.sh
+WHERE s.doc_id >= 20
+GROUP BY s.doc_id ORDER BY s.doc_id
+""",
+)
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (train-set hygiene): training docs
+    (doc_id ≥ 20) sharing any 3-gram with the held-out 'benchmark' slice
+    (doc_id < 20) are flagged with their contaminated-shingle count.
+    The benchmark gram set broadcasts — the corpus is scanned once
+    (:func:`functions.dedup.decontaminate`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = dedup.decontaminate(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20)
+    )
+    return hits.select(F.col("id").alias("doc_id"), "n_hits").orderBy("doc_id")
+
+
+@register(
+    "dd_simhash_clusters",
+    survey="ext:dedup-simhash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, tok, ('0x'||substr(md5(tok),1,8))::BIGINT AS h,
+         count(*) AS cnt
+  FROM toks GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (h >> b.i::INT) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM th, unnest(range(0,16)) AS b(i) GROUP BY doc_id, b.i
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT simhash, count(*) AS n_docs FROM sh
+GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash
+""",
+)
+def dd_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clusters: 16-bit token-vote signatures; documents
+    sharing a signature are cluster candidates (groupBy, no pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.simhash16(docs, "doc_id", "text")
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("simhash")
+    )
+
+
+@register(
+    "dd_simhash_near_dups",
+    survey="ext:dedup-simhash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, tok, ('0x'||substr(md5(tok),1,8))::BIGINT AS h,
+         count(*) AS cnt
+  FROM toks GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (h >> b.i::INT) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM th, unnest(range(0,16)) AS b(i) GROUP BY doc_id, b.i
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY id_a, id_b
+""",
+)
+def dd_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming radius 2 via banded buckets
+    + exact bit_count verify (:func:`functions.dedup.
+    simhash_near_dup_pairs`).  The oracle is the ALL-PAIRS hamming join —
+    small-scale-only, but it independently re-proves the pigeonhole
+    completeness of the banding (4 bands cover any radius ≤ 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", n_bits=16, n_bands=4, max_hamming=2
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dd_embedding_near_dups",
+    survey="ext:dedup-embedding-cosine",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+ORDER BY id_a, id_b
+""",
+)
+def dd_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via IVF cell-pair pruning: EXACT
+    output (angular-triangle-inequality completeness bound prunes cell
+    pairs, exact cosine verifies within candidates) with no corpus×corpus
+    theta-join in the plan.  The all-pairs form stays as the test-side
+    oracle (:func:`functions.similarity.cosine_near_dup_pairs`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs_bucketed(emb, 0.45)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos", 5).alias("cos")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dd_winnow_near_dups",
+    survey="ext:dedup-winnowing",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(
+           toks, t -> ('0x'||substr(md5(t),1,8))::BIGINT % 2147483647
+         ) AS h
+  FROM t
+), kg AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(h) - 3, 0)),
+           i -> (h[i]*29791 + h[i+1]*961 + h[i+2]*31 + h[i+3]) % 2147483647
+         ) AS kh
+  FROM th
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(kh) - 4, 0)),
+           j -> least(kh[j], kh[j+1], kh[j+2], kh[j+3], kh[j+4])
+         )) AS fps
+  FROM kg
+), ex AS (
+  SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM ex a JOIN ex b ON b.fp = a.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 3
+ORDER BY id_a, id_b
+""",
+)
+def dd_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap near-dup pairs: documents sharing ≥3 winnowing
+    fingerprints — catches documents that EMBED a common passage
+    (boilerplate, quoted blocks, template headers) even when the rest of
+    the text is unrelated, which whole-document and MinHash-over-
+    whole-doc dedup both miss.  :func:`functions.dedup.winnow_near_dup_pairs`
+    — the fingerprint inverted-index self-join (same as the shingle join;
+    candidate volume Σ_fp n_fp², governed by the winnowing density
+    2/(window+1)); registered exact (``max_fp_df=None``), with the
+    hot-fingerprint skew cap available for boilerplate-heavy corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_near_dup_pairs(
+        docs, "doc_id", "text", k=4, window=5, min_shared=3
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dd_incremental_new_docs",
+    survey="ext:dedup-incremental",
+    bench=True,
+    oracle="""
+WITH corpus AS (
+  SELECT * FROM documents WHERE doc_id < 400
+), arrivals AS (
+  SELECT doc_id + 10000 AS doc_id, text, source
+  FROM documents WHERE doc_id < 100        -- re-crawled duplicates
+  UNION ALL
+  SELECT doc_id, text, source
+  FROM documents WHERE doc_id >= 400       -- genuinely new
+)
+SELECT a.doc_id, a.source FROM arrivals a
+WHERE NOT EXISTS (
+  SELECT 1 FROM corpus c
+  WHERE md5(lower(trim(c.text))) = md5(lower(trim(a.text))))
+ORDER BY a.doc_id
+""",
+)
+def dd_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup of a NEW batch against the EXISTING corpus
+    (:func:`functions.dedup.incremental_dedup`): only arrivals whose
+    normalized text is unseen are admitted.  The production shape for
+    continuously-arriving data — one anti-join against a maintained
+    md5-key table per batch, never a corpus re-scan.  The arriving batch
+    mixes RE-CRAWLED duplicates (texts of doc_id < 100 under fresh ids —
+    every one must be rejected) with genuinely new docs (doc_id >= 400 —
+    every one must be admitted), so a broken join direction or key
+    normalization cannot silently pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    arrivals = (
+        docs.filter(F.col("doc_id") < 100)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text", "source")
+        .unionByName(
+            docs.filter(F.col("doc_id") >= 400).select("doc_id", "text", "source")
+        )
+    )
+    return (
+        dedup.incremental_dedup(arrivals, corpus)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_CLUSTER_REP_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dups
+  UNION
+  SELECT id_b, id_a FROM dups
+), reach AS (
+  SELECT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+), cc AS (
+  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+), ranked AS (
+  SELECT cc.id, cc.cluster_id,
+         row_number() OVER (
+           PARTITION BY cc.cluster_id ORDER BY d.n_chars DESC, cc.id
+         ) AS rk
+  FROM cc JOIN documents d ON d.doc_id = cc.id
+)
+SELECT id AS doc_id, cluster_id,
+       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS is_keep
+FROM ranked ORDER BY cluster_id, doc_id
+"""
+
+
+@register(
+    "dd_cluster_keep_longest",
+    survey="ext:dedup-cluster-policy",
+    oracle=_CLUSTER_REP_ORACLE,
+)
+def dd_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based cluster representative selection
+    (:func:`functions.dedup.cluster_representatives`): within each
+    near-dup cluster the LONGEST member survives (ties → lowest id) —
+    the production policy when clusters mix a full document with
+    truncated variants, vs the min-id convention of ``dd_dup_clusters``.
+    argmax is one ``max(struct(score, −id))`` aggregate (map-side
+    combinable, no per-cluster window sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.verified_near_dups(docs, "doc_id", "text", threshold=0.8)
+    cc = dedup.connected_components(pairs)
+    scores = docs.select(F.col("doc_id").alias("id"), F.col("n_chars").alias("score"))
+    reps = dedup.cluster_representatives(cc, scores, score_col="score")
+    return reps.select(
+        F.col("id").alias("doc_id"), "cluster_id", "is_keep"
+    ).orderBy("cluster_id", "doc_id")
+
+

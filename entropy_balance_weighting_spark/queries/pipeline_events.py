@@ -1,0 +1,528 @@
+"""Event-stream queries: tumbling/sliding/session windows, as-of and
+range joins (plus salted variants), rollup/cube, funnel, retention,
+JSON props, pivot.
+
+Split from the former monolithic pipeline.py (round-7 verdict item #6);
+registration names unchanged.  Hash-sensitive stages use the
+engine-portable md5-prefix hash so the DuckDB oracles replicate them
+bit-for-bit; float aggregates are rounded identically on both sides.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.functions import dedup, events, similarity
+from entropy_balance_weighting_spark.functions import multimodal, packing, sampling, text
+from entropy_balance_weighting_spark.queries.registry import register
+from entropy_balance_weighting_spark.session import load_table
+
+
+@register(
+    "ev_tumbling_windows",
+    survey="ext:events-window",
+    bench=True,
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def ev_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling event-time windows (streaming-native ``F.window``)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = events.tumbling_window_agg(ev, width="1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "ev_sliding_windows",
+    survey="ext:events-window",
+    bench=True,
+    oracle="""
+WITH w AS (
+  SELECT event_type, value,
+         (CAST(floor(epoch(ts) / 1800) AS BIGINT) - r.i) * 1800 AS window_start
+  FROM events, unnest(range(0, 2)) AS r(i)
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def ev_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 30 min (``F.window(ts, width, slide)``,
+    the streaming-native sliding operator): each event fans out to two
+    overlapping windows inside the JVM generator.  The oracle derives the
+    same fan-out with an epoch-grid unnest; ``window_start`` is epoch
+    seconds on both sides (integer key — no timestamp-zone drift)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = events.sliding_window_agg(ev, width="1 hour", slide="30 minutes")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "ev_sessionization",
+    survey="ext:events-session",
+    bench=True,
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+    -- STRICT >: Spark's session_window merges an event landing exactly
+    -- gap after its predecessor (inclusive boundary, probed empirically;
+    -- found by the boundary-timestamp fuzz sweep) — the gaps-and-islands
+    -- rendering must split only strictly-beyond-gap differences
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+)
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via ``F.session_window`` —
+    the stateful streaming operator, verified against the batch
+    gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    out = events.session_window_agg(ev, gap="30 minutes")
+    return out.select("user_id", "n_sessions", "n_events").orderBy("user_id")
+
+
+@register(
+    "ev_json_props",
+    survey="ext:events-json",
+    oracle="""
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)), 4)
+         AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON ``props`` column (multimodal-metadata
+    pattern: opaque payload + parsed typed fields)."""
+    ev = events.json_prop_int(load_table(spark, sf_dir, "events"), "k")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg("prop_k"), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ev_type_pivot",
+    survey="ext:olap-pivot",
+    oracle="""
+SELECT user_id,
+       round(coalesce(sum(CASE WHEN event_type='click' THEN value END), 0), 4)
+         AS click_sum,
+       round(coalesce(sum(CASE WHEN event_type='purchase' THEN value END), 0), 4)
+         AS purchase_sum,
+       round(coalesce(sum(CASE WHEN event_type='view' THEN value END), 0), 4)
+         AS view_sum
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def ev_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-user value totals with one column per event
+    type.  The pivot values are DECLARED (not discovered), so the plan
+    is a single groupBy with conditional aggregates — no first pass to
+    enumerate keys, no schema surprise at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "user_id",
+        F.round(F.coalesce("click", F.lit(0.0)), 4).alias("click_sum"),
+        F.round(F.coalesce("purchase", F.lit(0.0)), 4).alias("purchase_sum"),
+        F.round(F.coalesce("view", F.lit(0.0)), 4).alias("view_sum"),
+    ).orderBy("user_id")
+
+
+@register(
+    "ev_asof_join",
+    survey="ext:events-asof",
+    bench=True,
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       round(p.value, 4) AS purchase_value,
+       coalesce(round(v.value, 4), -1.0) AS last_view_value,
+       CAST(coalesce(epoch_us(v.ts), -1) AS BIGINT) AS last_view_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+""",
+)
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the latest prior view
+    by the same user (ties match).  The Spark side is the distributed
+    piecewise merge (:func:`functions.events.asof_join` — union + keyed
+    window carry-forward, ONE shuffle, no inequality-join nested loop);
+    the oracle is DuckDB's native ``ASOF LEFT JOIN``.  The matched view
+    timestamp is surfaced as exact epoch microseconds (BIGINT) so the
+    hash comparison is integer-precise; no-match rows carry -1 sentinels
+    (a nullable BIGINT would decay to float64 through the driver's pandas
+    fetch and lose microsecond precision)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = events.asof_join(purchases, views, on="user_id", ts_col="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.coalesce(F.round("asof_value", 4), F.lit(-1.0)).alias("last_view_value"),
+        F.coalesce(
+            F.unix_micros(F.col("asof_ts").cast("timestamp")), F.lit(-1).cast("long")
+        ).alias("last_view_us"),
+    ).orderBy("event_id")
+
+
+@register(
+    "ev_asof_join_salted",
+    survey="ext:events-asof",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), p AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       round(p.value, 4) AS purchase_value,
+       coalesce(round(v.value, 4), -1.0) AS last_view_value,
+       CAST(coalesce(epoch_us(v.ts), -1) AS BIGINT) AS last_view_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+""",
+)
+def ev_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened as-of join (:func:`functions.events.
+    asof_join_salted` — time-bucket-salted local carry + per-bucket
+    boundary fix) against the SAME ASOF JOIN oracle as ``ev_asof_join``:
+    both renderings of one operator must reproduce DuckDB exactly.  The
+    1-hour salt here exercises many cross-bucket carries on this data."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = events.asof_join_salted(
+        purchases, views, on="user_id", ts_col="ts", bucket_seconds=3600
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.coalesce(F.round("asof_value", 4), F.lit(-1.0)).alias("last_view_value"),
+        F.coalesce(
+            F.unix_micros(F.col("asof_ts").cast("timestamp")), F.lit(-1).cast("long")
+        ).alias("last_view_us"),
+    ).orderBy("event_id")
+
+
+@register(
+    "ev_range_join",
+    survey="ext:events-range",
+    bench=True,
+    oracle="""
+WITH a AS (
+  SELECT event_id AS aid, event_type AS atype, ts AS w_start,
+         ts + INTERVAL 45 MINUTE AS w_end
+  FROM events WHERE value >= 45
+)
+SELECT a.aid, a.atype,
+       count(*) AS n_in_window,
+       round(sum(ev.value), 4) AS window_value
+FROM a JOIN events ev ON ev.ts >= a.w_start AND ev.ts < a.w_end
+GROUP BY a.aid, a.atype
+ORDER BY a.aid
+""",
+)
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every high-value anchor event opens a
+    45-minute half-open window anchored at its own (arbitrary, unaligned)
+    timestamp; count and sum all events falling inside each window.  The
+    Spark side is the bucketed interval join
+    (:func:`functions.events.range_join` — intervals explode to 30-minute
+    buckets, points equi-join on their single bucket, residual range
+    filter), so the plan is two hash shuffles and NO nested-loop join;
+    the oracle is DuckDB's native inequality join.  Anchors match
+    themselves (ts ∈ [ts, ts+45min)), so every anchor appears and the
+    row count is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("value") >= 45).select(
+        F.col("event_id").alias("aid"),
+        F.col("event_type").alias("atype"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
+    )
+    pts = ev.select("ts", "value")
+    joined = events.range_join(
+        pts,
+        anchors,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=1800,
+    )
+    return (
+        joined.groupBy("aid", "atype")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            F.round(F.sum("value"), 4).alias("window_value"),
+        )
+        .orderBy("aid")
+    )
+
+
+@register(
+    "ev_range_join_salted",
+    survey="ext:events-range",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS aid, event_type AS atype, ts AS w_start,
+         ts + INTERVAL 45 MINUTE AS w_end
+  FROM events WHERE value >= 45
+)
+SELECT a.aid, a.atype,
+       count(*) AS n_in_window,
+       round(sum(ev.value), 4) AS window_value
+FROM a JOIN events ev ON ev.ts >= a.w_start AND ev.ts < a.w_end
+GROUP BY a.aid, a.atype
+ORDER BY a.aid
+""",
+)
+def ev_range_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-hardened range join (``n_salts=4`` — hot time buckets
+    split 4× across tasks, interval-bucket rows replicated to every
+    salt) against the SAME inequality-join oracle as ``ev_range_join``:
+    both renderings of one operator must reproduce DuckDB exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("value") >= 45).select(
+        F.col("event_id").alias("aid"),
+        F.col("event_type").alias("atype"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
+    )
+    pts = ev.select("ts", "value")
+    joined = events.range_join(
+        pts,
+        anchors,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=1800,
+        n_salts=4,
+    )
+    return (
+        joined.groupBy("aid", "atype")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            F.round(F.sum("value"), 4).alias("window_value"),
+        )
+        .orderBy("aid")
+    )
+
+
+@register(
+    "ev_time_rollup",
+    survey="ext:olap-rollup",
+    oracle="""
+WITH e AS (SELECT CAST(ts AS DATE) AS d, hour(ts) AS h, value FROM events)
+SELECT coalesce(CAST(d AS VARCHAR), 'ALL') AS day,
+       CAST(coalesce(h, -1) AS INT) AS hr,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM e GROUP BY ROLLUP(d, h) ORDER BY day, hr
+""",
+)
+def ev_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (the hypertable continuous-aggregate shape):
+    per-hour, per-day, and grand-total event stats in ONE aggregate via
+    ROLLUP grouping sets — Spark expands the sets inside a single
+    hash aggregate (one scan, one shuffle), never a self-union of
+    per-granularity scans.  Rolled-up levels render as 'ALL'/-1
+    sentinels on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.to_date("ts").alias("d"), F.hour("ts").alias("h"), "value"
+    )
+    return (
+        e.rollup("d", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.coalesce(F.col("d").cast("string"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("h"), F.lit(-1)).cast("int").alias("hr"),
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("day", "hr")
+    )
+
+
+@register(
+    "ev_user_type_cube",
+    survey="ext:olap-cube",
+    oracle="""
+WITH e AS (SELECT user_id % 10 AS cohort, event_type, value FROM events)
+SELECT coalesce(CAST(cohort AS BIGINT), -1) AS cohort,
+       coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM e GROUP BY CUBE(cohort, event_type) ORDER BY cohort, event_type
+""",
+)
+def ev_user_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 2^2 marginalizations of (cohort,
+    event_type) in one hash aggregate — the OLAP cross-tab companion to
+    the ROLLUP hierarchy, same one-scan/one-shuffle plan."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("user_id") % 10).alias("cohort"), "event_type", "value"
+    )
+    return (
+        e.cube("cohort", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.coalesce(F.col("cohort").cast("bigint"), F.lit(-1)).alias("cohort"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("cohort", "event_type")
+    )
+
+
+@register(
+    "ev_funnel_steps",
+    survey="ext:events-funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id
+)
+SELECT '1_view' AS step, count(*) AS n_users FROM v
+UNION ALL
+SELECT '2_click' AS step, count(*) AS n_users FROM c
+UNION ALL
+SELECT '3_purchase' AS step, count(*) AS n_users FROM p
+ORDER BY step
+""",
+)
+def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users with a view, then a click
+    STRICTLY AFTER their first view, then a purchase strictly after that
+    first qualifying click.  Each stage is one keyed min-aggregate plus
+    one equi-join on user_id — the stages shuffle on the same key, so at
+    scale AQE reuses co-partitioning; no window sort over whole event
+    histories, no pattern-matching UDF."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype, prev):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        return (
+            e.join(prev.select("user_id", F.col("t").alias("pt")), "user_id")
+            .filter(F.col("ts") > F.col("pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+
+    def step_count(df, label):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        step_count(v, "1_view")
+        .unionByName(step_count(c, "2_click"))
+        .unionByName(step_count(p, "3_purchase"))
+        .orderBy("step")
+    )
+
+
+@register(
+    "ev_retention_cohorts",
+    survey="ext:events-retention",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), first AS (
+  SELECT user_id, min(d) AS d0 FROM act GROUP BY user_id
+)
+SELECT CAST(first.d0 AS VARCHAR) AS cohort_day,
+       CAST(act.d - first.d0 AS BIGINT) AS day_offset,
+       count(*) AS n_active
+FROM act JOIN first USING (user_id)
+WHERE act.d - first.d0 <= 7
+GROUP BY first.d0, day_offset
+ORDER BY cohort_day, day_offset
+""",
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-active day, counted
+    on each later active day (offset ≤ 7).  Two keyed aggregates and one
+    user_id equi-join — the distinct-activity table is the only
+    N-over-days-sized intermediate, and every stage partial-aggregates
+    map-side.  The classic growth-analytics rollup, no window over user
+    histories."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        act.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("d", "d0").cast("long"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy(F.col("d0").cast("string").alias("cohort_day"), "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+

@@ -1,0 +1,674 @@
+"""Text-analysis queries: quality scoring, lang-ID, token counting,
+fingerprinting, TF-IDF, LM surprise, percentile/vocab sketches, RAG
+chunking, sequence packing, blocklists.
+
+Split from the former monolithic pipeline.py (round-7 verdict item #6);
+registration names unchanged.  Hash-sensitive stages use the
+engine-portable md5-prefix hash so the DuckDB oracles replicate them
+bit-for-bit; float aggregates are rounded identically on both sides.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.functions import dedup, events, similarity
+from entropy_balance_weighting_spark.functions import multimodal, packing, sampling, text
+from entropy_balance_weighting_spark.queries.registry import register
+from entropy_balance_weighting_spark.session import load_table
+
+
+@register(
+    "txt_repetition",
+    bench=True,
+    survey="ext:text-repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), g AS (
+  SELECT doc_id,
+         [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          FOR i IN range(1, len(t) - 1)] AS grams
+  FROM toks
+)
+SELECT doc_id, len(grams) AS n_grams,
+       round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 4)
+         AS repetition
+FROM g ORDER BY doc_id
+""",
+)
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio — the classic boilerplate/spam
+    quality signal (fraction of a doc's 3-grams that are repeats):
+    1 − distinct/total over the gram multiset.  Pure JVM array
+    expressions (``transform``/``array_distinct``), zero shuffle, zero
+    Python — the per-row quality-stats shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 3)
+    t = F.col("t")
+    idx = F.sequence(F.lit(0), F.size(t) - 3)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(3)]
+        ),
+    )
+    return (
+        toks.select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.round(
+                1.0
+                - F.size(F.array_distinct("grams"))
+                / F.size("grams").cast("double"),
+                4,
+            ).alias("repetition"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "txt_fingerprint_dups",
+    survey="ext:text-fingerprint",
+    oracle="""
+WITH fp AS (
+  SELECT source,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(string_split(text, ' '),
+        t -> (('0x' || substr(md5(t),1,8))::BIGINT % 2147483647))),
+      (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT fp) AS n_fp,
+       count(*) - count(DISTINCT fp) AS n_dup,
+       CAST(sum(fp) AS BIGINT) AS fp_sum
+FROM fp GROUP BY source ORDER BY source
+""",
+)
+def txt_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash (Rabin–Karp) over
+    the token-hash stream, folded JVM-side by ``F.aggregate`` — per-source
+    duplicate detection by whole-content fingerprint.  ``fp_sum`` pins the
+    fingerprint values bit-for-bit against the DuckDB replica."""
+    from entropy_balance_weighting_spark.functions.text import (
+        rolling_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", rolling_fingerprint("text").alias("fp"))
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_fp"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup"),
+            F.sum("fp").cast("long").alias("fp_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_tfidf_topterms",
+    survey="ext:text-tfidf",
+    bench=True,
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, source, tok, count(*) AS tf
+  FROM toks WHERE tok <> '' GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT f.source, f.tok,
+         round(sum(f.tf * ln(n.n_docs / d.df)), 4) AS score
+  FROM tf f JOIN dfreq d USING (tok) CROSS JOIN n
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, CAST(row_number() OVER
+      (PARTITION BY source ORDER BY score DESC, tok) AS INT) AS rk
+  FROM scored
+)
+SELECT source, tok, score, rk FROM ranked WHERE rk <= 5
+ORDER BY source, rk
+""",
+)
+def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF, top-5 terms per source: tf from one explode+groupBy,
+    document frequency counted off the tf table (no ``countDistinct``
+    corpus pass), idf = ln(N/df), score rounded BEFORE the per-group
+    rank — all JVM-side (:func:`functions.text.tfidf_top_terms`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(docs, top_k=5, round_digits=4)
+    return out.orderBy("source", "rk")
+
+
+@register(
+    "txt_quality_stats",
+    survey="ext:text-analysis",
+    bench=True,
+    oracle="""
+WITH t AS (
+  SELECT source, lang, string_split(text, ' ') AS toks, text FROM documents
+), per_doc AS (
+  SELECT source, lang,
+    len(toks) AS n_tok,
+    len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_retok,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
+        * 1.0 / len(toks) AS swr,
+    list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) AS mtl
+  FROM t
+), scored AS (
+  SELECT source, lang, n_tok, n_retok, swr,
+    0.4 * least(n_tok / 100.0, 1.0) + 0.3 * least(swr / 0.3, 1.0)
+      + 0.3 * least(mtl / 8.0, 1.0) AS q,
+    CASE WHEN swr > 0.02 THEN 1 ELSE 0 END AS is_en
+  FROM per_doc
+)
+SELECT source, lang, count(*) AS n_docs,
+       round(avg(n_tok), 4) AS avg_tokens,
+       round(avg(n_retok), 4) AS avg_regex_tokens,
+       round(avg(q), 4) AS avg_quality,
+       CAST(sum(is_en) AS BIGINT) AS n_pred_en
+FROM scored GROUP BY source, lang ORDER BY source, lang
+""",
+)
+def txt_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis per (source, lang): token counts (whitespace + a
+    BPE-ish regex), composite quality score, language-ID heuristic — all
+    pure Column expressions inside one codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = text.annotate_token_stats(docs).select(
+        "source",
+        "lang",
+        "n_tok",
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")).alias(
+            "n_retok"
+        ),
+        "q",
+        "is_en",
+    )
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_retok"), 4).alias("avg_regex_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.sum("is_en").alias("n_pred_en"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "txt_curation_funnel",
+    survey="ext:text-analysis (curation funnel)",
+    oracle="""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks, text FROM documents
+), per_doc AS (
+  SELECT len(toks) AS n_tok,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
+        * 1.0 / len(toks) AS swr,
+    list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) AS mtl
+  FROM t
+), g AS (
+  SELECT n_tok, mtl,
+    0.4 * least(n_tok / 100.0, 1.0) + 0.3 * least(swr / 0.3, 1.0)
+      + 0.3 * least(mtl / 8.0, 1.0) AS q,
+    (swr > 0.02) AS is_en
+  FROM per_doc
+), gates AS (
+  SELECT q,
+    (n_tok >= 20) AS g1,
+    (n_tok >= 20 AND is_en) AS g2,
+    (n_tok >= 20 AND is_en AND mtl BETWEEN 3.0 AND 12.0) AS g3,
+    (n_tok >= 20 AND is_en AND mtl BETWEEN 3.0 AND 12.0 AND q >= 0.5) AS g4
+  FROM g
+)
+SELECT 0 AS stage_id, 'raw' AS stage, count(*) AS n_docs,
+       round(avg(q), 4) AS avg_quality FROM gates
+UNION ALL SELECT 1, 'min_length', CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN g1 THEN q END), 4) FROM gates
+UNION ALL SELECT 2, 'lang_en', CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN g2 THEN q END), 4) FROM gates
+UNION ALL SELECT 3, 'token_shape', CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN g3 THEN q END), 4) FROM gates
+UNION ALL SELECT 4, 'quality', CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT),
+       round(avg(CASE WHEN g4 THEN q END), 4) FROM gates
+ORDER BY stage_id
+""",
+)
+def txt_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation funnel: survivors + mean quality after each
+    cumulative filter gate (length → language → token shape → quality
+    score).  ONE scan of the corpus — every stage is a conditional
+    aggregate over the same annotated projection (map-side partials, no
+    per-stage re-filtering), then a 5-row ``stack`` unpivot.  At 100 TB
+    this is the curation dashboard query: cost is one pass regardless of
+    how many gates stack."""
+    docs = text.annotate_token_stats(load_table(spark, sf_dir, "documents"))
+    g1 = F.col("n_tok") >= 20
+    g2 = g1 & (F.col("is_en") == 1)
+    g3 = g2 & F.col("mtl").between(3.0, 12.0)
+    g4 = g3 & (F.col("q") >= 0.5)
+    q = F.col("q")
+    aggs = [
+        F.count(F.lit(1)).alias("n0"),
+        F.round(F.avg(q), 4).alias("q0"),
+    ]
+    for i, gate in enumerate((g1, g2, g3, g4), start=1):
+        aggs.append(F.sum(gate.cast("long")).alias(f"n{i}"))
+        aggs.append(F.round(F.avg(F.when(gate, q)), 4).alias(f"q{i}"))
+    wide = docs.agg(*aggs)
+    stages = ["raw", "min_length", "lang_en", "token_shape", "quality"]
+    stack_args = ", ".join(
+        f"{i}, '{nm}', n{i}, q{i}" for i, nm in enumerate(stages)
+    )
+    return wide.select(
+        F.expr(
+            f"stack(5, {stack_args}) AS (stage_id, stage, n_docs, avg_quality)"
+        )
+    ).orderBy("stage_id")
+
+
+@register(
+    "txt_source_lang_rollup",
+    survey="ext:olap-rollup",
+    oracle="""
+SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM documents GROUP BY ROLLUP (source, lang)
+ORDER BY source, lang
+""",
+)
+def txt_source_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical corpus stats via ROLLUP grouping sets — per
+    (source, lang), per source, and grand total in ONE pass (Spark
+    expands the grouping sets inside the aggregate; no self-union of
+    scans).  Null grouping keys render as 'ALL' on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "chars_sum",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "txt_blocklist_filter",
+    survey="ext:text-policy",
+    oracle="""
+WITH d AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('slow', 'error'))) AS hits
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN hits * 1.0 / n_tok > 0.05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked,
+       CAST(sum(hits) AS BIGINT) AS total_hits,
+       round(avg(hits * 1.0 / n_tok), 4) AS avg_hit_ratio
+FROM d GROUP BY source ORDER BY source
+""",
+)
+def txt_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-policy screening: per-source count of documents whose
+    blocklist-token density exceeds 5% (:func:`functions.text.
+    blocklist_hits`) — a pure-projection gate, the filter itself is
+    zero-shuffle and pushes to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = text.blocklist_hits("text", ("slow", "error"))
+    ratio = hits.cast("double") / text.token_count("text")
+    per_doc = docs.select(
+        "source",
+        hits.alias("hits"),
+        ratio.alias("hit_ratio"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("hit_ratio") > 0.05).cast("long")).alias("n_blocked"),
+            F.sum("hits").cast("long").alias("total_hits"),
+            F.round(F.avg("hit_ratio"), 4).alias("avg_hit_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_seq_packing",
+    survey="ext:packing",
+    bench=True,
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         ('0x'||substr(md5('pk'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 8
+           AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT shard, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS context_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS context_tokens
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def txt_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-context packing: deterministic hash-sharding + sequential
+    fill of 512-token contexts (:func:`functions.packing.pack_sequences`).
+    One shuffle (hash by shard) + within-shard window cumsum — no global
+    sort; the oracle replays the identical shard hash and tape layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = packing.pack_sequences(
+        docs, budget=512, n_shards=8, salt="pk"
+    )
+    return (
+        packed.groupBy("shard", "context_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("context_tokens"),
+        )
+        .orderBy("shard", "context_id")
+    )
+
+
+@register(
+    "txt_bpe_token_count",
+    survey="ext:text-tokens",
+    # interpolate the shared pattern constant so Spark and DuckDB can never
+    # drift (engine \s classes differ: Java includes \x0B, RE2 does not)
+    oracle=f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}')))
+            AS BIGINT) AS bpe_tokens,
+       round(avg(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}'))), 4)
+         AS avg_bpe_per_doc
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def txt_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budgets under BOTH counting conventions per source:
+    whitespace tokens and the BPE-ish pretokenizer count
+    (:func:`functions.text.bpe_token_count` — letter runs / single
+    digits / punctuation runs, the lookahead-free GPT-2 pretokenizer
+    shape).  ``regexp_count`` is pure whole-stage-codegen arithmetic —
+    one scan, one shuffle; the identical regex runs on DuckDB's RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = text.bpe_token_count(F.col("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+            F.sum(bpe).cast("long").alias("bpe_tokens"),
+            F.round(F.avg(bpe), 4).alias("avg_bpe_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_unigram_logprob",
+    survey="ext:text-lm-quality",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+  FROM documents
+), tok_f AS (SELECT * FROM tok WHERE t <> ''),
+freq AS (SELECT t, count(*) AS n FROM tok_f GROUP BY t),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) + count(*) AS denom FROM freq),
+doc AS (
+  SELECT k.doc_id, k.source, avg(ln((freq.n + 1.0) / tot.denom)) AS lp
+  FROM tok_f k JOIN freq ON k.t = freq.t, tot
+  GROUP BY k.doc_id, k.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(lp), 4) AS avg_logprob,
+       round(min(lp), 4) AS min_logprob
+FROM doc GROUP BY source ORDER BY source
+""",
+)
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-surprise quality scoring: the corpus's own add-one-smoothed
+    unigram model scores each document's mean token log-probability
+    (:func:`functions.text.unigram_doc_logprob` — explode + frequency
+    groupBy + token join + per-doc mean; corpus scalars folded in as
+    driver literals, no keyless cross join), rolled up per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.unigram_doc_logprob(docs)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("logprob"), 4).alias("avg_logprob"),
+            F.round(F.min("logprob"), 4).alias("min_logprob"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_winnow_fingerprints",
+    survey="ext:text-winnowing",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), th AS (
+  SELECT doc_id, source,
+         list_transform(
+           toks, t -> ('0x'||substr(md5(t),1,8))::BIGINT % 2147483647
+         ) AS h
+  FROM t
+), kg AS (
+  SELECT doc_id, source,
+         list_transform(
+           generate_series(1, greatest(len(h) - 3, 0)),
+           i -> (h[i]*29791 + h[i+1]*961 + h[i+2]*31 + h[i+3]) % 2147483647
+         ) AS kh
+  FROM th
+), w AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(kh) - 4, 0)),
+           j -> least(kh[j], kh[j+1], kh[j+2], kh[j+3], kh[j+4])
+         )) AS fps
+  FROM kg
+), ex AS (
+  SELECT DISTINCT doc_id, source, unnest(fps) AS fp FROM w
+), byfp AS (
+  SELECT source, fp, count(*) AS nd FROM ex GROUP BY source, fp
+)
+SELECT source,
+       count(*) AS n_fps,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+FROM byfp GROUP BY source ORDER BY source
+""",
+)
+def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint stats per source: distinct local
+    fingerprints and how many are SHARED across ≥2 documents — the
+    partial-overlap dup signal a whole-document fingerprint cannot give
+    (any shared run of ≥ k+window−1 tokens guarantees a shared
+    fingerprint).  :func:`functions.text.winnow_fingerprints` is pure
+    array expressions; the rollup is one explode + two groupBys with
+    map-side partials.  At corpus scale the fingerprint inverted index
+    (the `ex` table) is the same skew story as the shingle join — cap
+    hot fingerprints the same way."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            text.winnow_fingerprints(F.col("text"), k=4, window=5)
+        ).alias("fp"),
+    ).distinct()
+    byfp = fps.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        byfp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_rag_chunks",
+    survey="ext:text-chunking",
+    bench=True,
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+), c AS (
+  SELECT doc_id, source, tk,
+         greatest(CAST(ceil((len(tk) - 16) / 48.0) AS BIGINT), 1) AS nc
+  FROM t
+), x AS (
+  SELECT doc_id, source,
+         len(list_slice(tk, i * 48 + 1, i * 48 + 64)) AS n_tok
+  FROM c, unnest(range(0, nc)) AS r(i)
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_chunk_tokens
+FROM x GROUP BY source ORDER BY source
+""",
+)
+def txt_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking rollup (:func:`functions.text.chunk_documents`):
+    64-token chunks with 16-token overlap per document, per-source chunk
+    counts and token budgets (chunk_tokens exceeds corpus tokens by the
+    overlap replication — the storage-cost number a RAG index build
+    needs).  Tokenize-once + per-chunk ``slice`` + one generator explode;
+    row fan-out ≈ n_tokens/stride, shuffle-free until the rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(
+        docs, chunk_tokens=64, overlap_tokens=16, keep_cols=("source",)
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tok").cast("long").alias("chunk_tokens"),
+            F.max("n_tok").cast("long").alias("max_chunk_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_bigram_logprob",
+    survey="ext:text-lm-bigram",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+), bg AS (
+  SELECT doc_id, source, tk[i-1] AS prev, tk[i] AS cur
+  FROM t, unnest(range(2, len(tk) + 1)) AS r(i)
+), c2 AS (
+  SELECT prev, cur, count(*) AS n2 FROM bg GROUP BY prev, cur
+), c1 AS (
+  SELECT prev, count(*) AS n1 FROM bg GROUP BY prev
+), vct AS (
+  SELECT CAST(count(DISTINCT cur) AS DOUBLE) AS v FROM bg
+), doc AS (
+  SELECT bg.doc_id, bg.source,
+         avg(ln((c2.n2 + 1.0) / (c1.n1 + vct.v))) AS lp
+  FROM bg JOIN c2 ON c2.prev = bg.prev AND c2.cur = bg.cur
+          JOIN c1 ON c1.prev = bg.prev, vct
+  GROUP BY bg.doc_id, bg.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(lp), 4) AS avg_logprob,
+       round(min(lp), 4) AS min_logprob
+FROM doc GROUP BY source ORDER BY source
+""",
+)
+def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM-surprise quality scoring
+    (:func:`functions.text.bigram_doc_logprob`): the corpus's own
+    add-one-smoothed TRANSITION model scores each document's mean
+    conditional log-probability — catches scrambled/template-stitched
+    text whose unigram profile looks fluent — rolled up per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.bigram_doc_logprob(docs)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("logprob"), 4).alias("avg_logprob"),
+            F.round(F.min("logprob"), 4).alias("min_logprob"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_langid_confusion",
+    survey="ext:text-langid-eval",
+    oracle="""
+WITH scored AS (
+  SELECT lang,
+         CASE WHEN (
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN ('the','a','of','and','to','in','is','it')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE)
+         ) > 0.02 THEN 1 ELSE 0 END AS pred_en
+  FROM documents
+)
+SELECT lang, pred_en, count(*) AS n
+FROM scored GROUP BY lang, pred_en ORDER BY lang, pred_en
+""",
+)
+def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation harness: confusion counts of the stopword
+    heuristic (:func:`functions.text.langid_en_score`) against the
+    table's labeled ``lang`` column — the quality-measurement loop every
+    classifier-gated curation stage needs (precision/recall derive from
+    these counts).  One scan, one grouped count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.langid_en_score(F.col("text")).alias("pred_en"))
+        .groupBy("lang", "pred_en")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_en")
+    )
+
+

@@ -1,0 +1,273 @@
+"""Text distribution-statistics queries: length percentiles (exact,
+approx, mergeable KLL rollup) and vocabulary size (exact, HLL,
+mergeable sketch rollup).
+
+Split from the former monolithic pipeline.py (round-7 verdict item #6);
+registration names unchanged.  Hash-sensitive stages use the
+engine-portable md5-prefix hash so the DuckDB oracles replicate them
+bit-for-bit; float aggregates are rounded identically on both sides.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.functions import dedup, events, similarity
+from entropy_balance_weighting_spark.functions import multimodal, packing, sampling, text
+from entropy_balance_weighting_spark.queries.registry import register
+from entropy_balance_weighting_spark.session import load_table
+
+
+@register(
+    "txt_len_percentiles",
+    survey="ext:text-stats,A8",
+    oracle="""
+WITH agg AS (
+  SELECT source, quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
+  FROM documents GROUP BY source
+), ps AS (
+  SELECT * FROM (VALUES (1, 0.25::DOUBLE), (2, 0.5::DOUBLE),
+                        (3, 0.75::DOUBLE)) AS t(i, p)
+)
+SELECT source, p, round(qs[i], 4) AS q
+FROM agg, ps ORDER BY source, p
+""",
+)
+def txt_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length quantiles (25/50/75) via Spark's
+    ``percentile`` — identical C=1 linear interpolation to DuckDB's
+    ``quantile_cont``.  Exact percentile sorts within each group; the
+    100 TB path swaps in ``approx_percentile`` (a mergeable KLL-style
+    sketch, map-side combinable) with the same query shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    agg = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").alias("qs")
+    )
+    return (
+        agg.select("source", F.posexplode("qs").alias("i", "q"))
+        .select(
+            "source",
+            F.element_at(ps, F.col("i") + 1).alias("p"),
+            F.round("q", 4).alias("q"),
+        )
+        .orderBy("source", "p")
+    )
+
+
+@register(
+    "txt_len_percentiles_approx",
+    survey="ext:text-stats,A8",
+    bench=True,
+    oracle="""
+SELECT s.source, t.p, 1 AS ok
+FROM (SELECT DISTINCT source FROM documents) s,
+     (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.75::DOUBLE)) t(p)
+ORDER BY s.source, t.p
+""",
+)
+def txt_len_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE percentile path: ``approx_percentile`` — a mergeable
+    KLL-style sketch, map-side combinable, no per-group sort — with its
+    rank-error contract VERIFIED IN-ENGINE (the driver's hash gate is
+    exact-match, so the tolerance oracle is expressed as a property: the
+    query emits ``ok`` per (source, p) and the SQL oracle expects all 1s).
+
+    The property is the tie-robust rank bound: for returned quantile q,
+    ``|{x < q}|/n ≤ p + tol`` and ``|{x ≤ q}|/n ≥ p − tol`` with tol =
+    0.05 ≫ the sketch's 1/accuracy = 1e-4 rank error plus 1/n grid error
+    at this SF.  ``txt_len_percentiles`` keeps the exact form (the oracle
+    side of the swap the r3 verdict prescribed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    agg = docs.groupBy("source").agg(
+        F.expr(
+            "approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), 10000)"
+        ).alias("qs")
+    )
+    quantiles = agg.select("source", F.posexplode("qs").alias("i", "q")).select(
+        "source", F.element_at(ps, F.col("i") + 1).alias("p"), "q"
+    )
+    ranks = (
+        docs.join(F.broadcast(quantiles), "source")
+        .groupBy("source", "p")
+        .agg(
+            (
+                F.count(F.when(F.col("n_chars") < F.col("q"), 1))
+                / F.count(F.lit(1))
+            ).alias("frac_lt"),
+            (
+                F.count(F.when(F.col("n_chars") <= F.col("q"), 1))
+                / F.count(F.lit(1))
+            ).alias("frac_le"),
+        )
+    )
+    tol = 0.05
+    return ranks.select(
+        "source",
+        "p",
+        (
+            (F.col("frac_lt") <= F.col("p") + tol)
+            & (F.col("frac_le") >= F.col("p") - tol)
+        )
+        .cast("int")
+        .alias("ok"),
+    ).orderBy("source", "p")
+
+
+@register(
+    "txt_vocab_size",
+    survey="ext:text-stats",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT source, count(DISTINCT tok) AS vocab, count(*) AS n_tokens
+FROM toks GROUP BY source ORDER BY source
+""",
+)
+def txt_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size (exact COUNT DISTINCT over tokens) +
+    token totals — the expensive exact form (distinct forces a
+    token-level shuffle); ``txt_vocab_size_approx`` is the mergeable
+    HLL sketch the 100 TB path uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("tok").alias("vocab"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_vocab_size_approx",
+    survey="ext:text-stats",
+    oracle="""
+SELECT source, 1 AS ok
+FROM (SELECT DISTINCT source FROM documents) ORDER BY source
+""",
+)
+def txt_vocab_size_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE vocabulary counter: ``approx_count_distinct``
+    (HyperLogLog++ — a mergeable fixed-size sketch, map-side
+    combinable, no token-level distinct shuffle).  Sketches can't
+    hash-match an exact oracle, so — like the percentile sketch — the
+    error contract is verified IN-ENGINE: ``ok=1`` iff the estimate is
+    within 3× the configured 2% relative standard deviation of the
+    exact count, and the oracle expects every source row to say ok=1."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    agg = toks.groupBy("source").agg(
+        F.approx_count_distinct("tok", rsd=0.02).alias("approx"),
+        F.countDistinct("tok").alias("exact"),
+    )
+    ok = (
+        F.abs(F.col("approx") - F.col("exact")) <= 0.06 * F.col("exact")
+    ).cast("int")
+    return agg.select("source", ok.alias("ok")).orderBy("source")
+
+
+@register(
+    "txt_vocab_sketch_rollup",
+    survey="ext:text-sketch-rollup",
+    oracle="""
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT source, count(DISTINCT tok) AS vocab FROM t GROUP BY source
+UNION ALL
+SELECT '__all__' AS source, count(DISTINCT tok) AS vocab FROM t
+ORDER BY source
+""",
+)
+def txt_vocab_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary via DataSketches HLL sketches PLUS the
+    global vocabulary from ``hll_union_agg`` over the per-source
+    sketches — the reaggregation property that makes sketches the 100 TB
+    rollup currency: the corpus is scanned ONCE, and any coarser
+    grouping (here: everything) derives by merging the stored K-sized
+    sketch column, never by re-scanning tokens.  At this vocabulary
+    cardinality the sketch is in exact (sparse) mode, so the DuckDB
+    COUNT(DISTINCT) oracle matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source")
+        .agg(F.hll_sketch_agg("tok").alias("sk"))
+    )
+    # S-sized (one sketch per source): eager checkpoint materializes it once
+    # for both consumers below without leaving a cache entry behind
+    per = per.localCheckpoint(eager=True)
+    per_est = per.select(
+        "source", F.hll_sketch_estimate("sk").cast("long").alias("vocab")
+    )
+    glob = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("vocab")
+    ).select(F.lit("__all__").alias("source"), "vocab")
+    return per_est.unionByName(glob).orderBy("source")
+
+
+@register(
+    "txt_len_kll_rollup",
+    survey="ext:text-kll-sketch",
+    oracle="""
+SELECT source,
+       quantile_disc(n_chars, 0.25) AS p25,
+       quantile_disc(n_chars, 0.50) AS p50,
+       quantile_disc(n_chars, 0.90) AS p90
+FROM documents GROUP BY source
+UNION ALL
+SELECT '__all__' AS source,
+       quantile_disc(n_chars, 0.25),
+       quantile_disc(n_chars, 0.50),
+       quantile_disc(n_chars, 0.90)
+FROM documents
+ORDER BY source
+""",
+)
+def txt_len_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length quantiles via DataSketches KLL sketches PLUS
+    the global quantiles from MERGING the per-source sketches (an S-sized
+    ``aggregate`` fold over ``kll_sketch_merge``) — quantiles join the
+    HLL rollup as mergeable sketch currency: one corpus scan builds the
+    per-group sketches, and every coarser grouping's percentiles derive
+    by merging stored K-sized sketches, never by re-scanning values.
+    With k=8192 the sketch is in exact mode at this scale, and KLL's
+    inclusive-rank item selection equals DuckDB ``quantile_disc``
+    (pinned by the oracle hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.kll_sketch_agg_bigint("n_chars", F.lit(8192)).alias("sk")
+    )
+    # S-sized: eager checkpoint for the two consumers, no lingering cache
+    per = per.localCheckpoint(eager=True)
+    qs = (0.25, 0.50, 0.90)
+    names = ("p25", "p50", "p90")
+    per_est = per.select(
+        "source",
+        *[
+            F.kll_sketch_get_quantile_bigint("sk", F.lit(q)).alias(nm)
+            for q, nm in zip(qs, names)
+        ],
+    )
+    merged = per.agg(F.collect_list("sk").alias("a")).select(
+        F.aggregate(
+            F.slice("a", 2, 1_000_000),
+            F.element_at("a", 1),
+            lambda acc, x: F.kll_sketch_merge_bigint(acc, x),
+        ).alias("m")
+    )
+    glob = merged.select(
+        F.lit("__all__").alias("source"),
+        *[
+            F.kll_sketch_get_quantile_bigint("m", F.lit(q)).alias(nm)
+            for q, nm in zip(qs, names)
+        ],
+    )
+    return per_est.unionByName(glob).orderBy("source")
+
+
