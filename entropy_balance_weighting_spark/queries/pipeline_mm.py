@@ -218,3 +218,127 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "mm_png_decode",
+    survey="ext:multimodal-png",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id % 14 + 4 AS w, doc_id % 10 + 4 AS h
+  FROM documents
+), cells AS (
+  SELECT d.doc_id, d.source, d.w, d.h,
+         (d.doc_id * 17 + r.r * 5 + c.c * 11 + ch.ch * 29) % 256 AS v
+  FROM dims d,
+       unnest(range(0, d.h)) AS r(r),
+       unnest(range(0, d.w)) AS c(c),
+       unnest(range(0, 3)) AS ch(ch)
+), per_doc AS (
+  SELECT doc_id, source, max(w) AS w, max(h) AS h,
+         CAST(sum(v) AS BIGINT) AS pix_sum,
+         CAST(min(v) AS BIGINT) AS pix_min,
+         CAST(max(v) AS BIGINT) AS pix_max
+  FROM cells GROUP BY doc_id, source
+), resized AS (
+  SELECT d.doc_id,
+         CAST(sum((d.doc_id * 17 + (i.i * d.h // 6) * 5
+                   + (j.j * d.w // 8) * 11 + ch.ch * 29) % 256) AS BIGINT)
+           AS rs_sum
+  FROM dims d,
+       unnest(range(0, 6)) AS i(i),
+       unnest(range(0, 8)) AS j(j),
+       unnest(range(0, 3)) AS ch(ch)
+  GROUP BY d.doc_id
+)
+SELECT p.source,
+       count(*) AS n_docs,
+       round(avg(p.w), 6) AS avg_width,
+       round(avg(p.h), 6) AS avg_height,
+       round(sum(p.pix_sum) / CAST(sum(p.w * p.h * 3) AS DOUBLE), 6) AS pix_mean,
+       round(avg(p.pix_min), 6) AS avg_min,
+       round(avg(p.pix_max), 6) AS avg_max,
+       round(sum(r.rs_sum) / (144.0 * count(*)), 6) AS resized_mean
+FROM per_doc p JOIN resized r USING (doc_id)
+GROUP BY p.source ORDER BY p.source
+""",
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode + resize end-to-end (stdlib zlib + numpy, no media
+    library): each doc gets a genuine non-interlaced 8-bit RGB PNG whose
+    per-channel pixels are a pure function of ``doc_id``
+    (``(id·17 + row·5 + col·11 + ch·29) mod 256``), encoded with
+    :func:`functions.multimodal.encode_png` in filter-cycling mode so the
+    driver-checked path exercises ALL FIVE PNG filter types
+    (None/Sub/Up/Average/Paeth) through inflate + unfilter on decode; the
+    payloads then run the REAL :func:`decode_image_batch` (magic-dispatch
+    → :func:`decode_png`) and the REAL nearest-neighbor
+    :func:`resize_image_batch` to 8×6, and the oracle recomputes every
+    channel value arithmetically in SQL.  Sums are reconstructed as exact
+    integers (mean × w·h·3 rounds to the exact channel sum in f64), so
+    both sides divide identical integers — a wrong filter reversal,
+    stride, row order, or channel order shifts ``pix_mean`` /
+    ``resized_mean`` and fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = d % 10 + 4, d % 14 + 4
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                px = ((d * 17 + r * 5 + c * 11 + ch * 29) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(multimodal.encode_png(px, filters="cycle"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = multimodal.extract_features(payloads)  # REAL PNG decoder
+    resized = multimodal.resize_images(payloads, 8, 6)  # REAL resizer
+    rs_feats = multimodal.extract_features(resized).select(
+        "doc_id", F.element_at("feature", 1).alias("rs_mean")
+    )
+    area3 = (F.col("width") * F.col("height") * 3).cast("double")
+    per_doc = feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * area3).cast("long").alias("pix_sum"),
+        F.element_at("feature", 3).cast("long").alias("pix_min"),
+        F.element_at("feature", 4).cast("long").alias("pix_max"),
+    )
+    joined = (
+        per_doc.join(rs_feats, "doc_id")
+        .withColumn("rs_sum", F.round(F.col("rs_mean") * 144).cast("long"))
+        .join(docs, "doc_id")
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.round(
+                F.sum("pix_sum")
+                / F.sum((F.col("width") * F.col("height") * 3).cast("double")),
+                6,
+            ).alias("pix_mean"),
+            F.round(F.avg("pix_min"), 6).alias("avg_min"),
+            F.round(F.avg("pix_max"), 6).alias("avg_max"),
+            F.round(F.sum("rs_sum") / (144.0 * F.count(F.lit(1))), 6).alias(
+                "resized_mean"
+            ),
+        )
+        .orderBy("source")
+    )

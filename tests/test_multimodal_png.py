@@ -1,0 +1,221 @@
+"""REAL PNG codec tests: stdlib zlib + the five PNG filter types in
+numpy (functions/multimodal.py).  Mirrors the BMP codec's test strategy:
+exact roundtrips across shapes/filters/color types, named failures on
+malformed payloads, and the Spark mapInPandas stages on genuine PNG
+bytes."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from entropy_balance_weighting_spark.functions import multimodal
+from entropy_balance_weighting_spark.functions.multimodal import (
+    _PNG_MAGIC,
+    _png_chunk,
+    decode_image,
+    decode_png,
+    encode_png,
+)
+
+
+def _rng():
+    return np.random.default_rng(7)
+
+
+def test_png_roundtrip_gray_and_rgb_all_filter_modes():
+    rng = _rng()
+    for h, w in [(1, 1), (1, 9), (7, 1), (5, 5), (13, 17), (24, 3)]:
+        for mode in ("cycle", "none"):
+            g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            out = decode_png(encode_png(g, filters=mode))
+            assert out.shape == (h, w, 3)
+            for ch in range(3):
+                np.testing.assert_array_equal(out[:, :, ch], g)
+            rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            np.testing.assert_array_equal(
+                decode_png(encode_png(rgb, filters=mode)), rgb
+            )
+
+
+def test_png_cycle_mode_exercises_all_five_filters():
+    """filters='cycle' must actually emit every filter type 0-4 so a
+    roundtrip proves all five unfilter paths."""
+    b = encode_png(_rng().integers(0, 256, (10, 9, 3), dtype=np.uint8))
+    pos, idat = 8, b""
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack_from(">I", b, pos)
+        if b[pos + 4 : pos + 8] == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen
+    raw = zlib.decompress(idat)
+    rowlen = 1 + 9 * 3
+    assert sorted({raw[y * rowlen] for y in range(10)}) == [0, 1, 2, 3, 4]
+
+
+def test_png_decodes_each_filter_in_isolation():
+    """Hand-built single-filter images: every row carries the SAME filter
+    type, so a bug in any one unfilter path cannot hide behind the
+    others."""
+    rng = _rng()
+    px = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    raw16 = px.reshape(6, 24).astype(np.int16)
+    prev = np.zeros_like(raw16)
+    prev[1:] = raw16[:-1]
+    left = np.zeros_like(raw16)
+    left[:, 3:] = raw16[:, :-3]
+    upleft = np.zeros_like(raw16)
+    upleft[1:, 3:] = raw16[:-1, :-3]
+    p = left + prev - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+    )
+    filtered = {
+        0: raw16,
+        1: raw16 - left,
+        2: raw16 - prev,
+        3: raw16 - ((left + prev) >> 1),
+        4: raw16 - paeth,
+    }
+    for f, rows in filtered.items():
+        body = bytearray()
+        for y in range(6):
+            body.append(f)
+            body += (rows[y] & 0xFF).astype(np.uint8).tobytes()
+        png = (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 6, 8, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+            + _png_chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(decode_png(png), px, err_msg=f"filter {f}")
+
+
+def test_png_rgba_decodes_alpha_dropped():
+    rng = _rng()
+    rgba = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    body = bytearray()
+    for y in range(3):
+        body.append(0)
+        body += rgba[y].tobytes()
+    png = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(png), rgba[:, :, :3])
+
+
+def test_png_rejects_unsupported_and_malformed():
+    px = _rng().integers(0, 256, (4, 4), dtype=np.uint8)
+    good = encode_png(px)
+    # not a PNG at all
+    with pytest.raises(NotImplementedError):
+        decode_png(b"BM" + bytes(60))
+    # 16-bit depth
+    bad_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0))
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png(_PNG_MAGIC + bad_ihdr + _png_chunk(b"IDAT", zlib.compress(b"x")) + _png_chunk(b"IEND", b""))
+    # Adam7 interlace
+    il_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(_PNG_MAGIC + il_ihdr + _png_chunk(b"IDAT", zlib.compress(b"x")) + _png_chunk(b"IEND", b""))
+    # truncation into the IDAT chunk must be a named ValueError, not an
+    # index error (cutting only the 12-byte IEND trailer still decodes)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[: len(good) - 20])
+    # wrong decompressed length
+    short = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(7)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filtered bytes"):
+        decode_png(short)
+
+
+def test_decode_image_dispatches_on_magic_bytes():
+    rng = _rng()
+    rgb = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(encode_png(rgb)), rgb)
+    np.testing.assert_array_equal(
+        decode_image(multimodal.encode_bmp(rgb)), rgb
+    )
+    with pytest.raises(NotImplementedError, match="unsupported image format"):
+        decode_image(b"\xff\xd8\xff\xe0" + bytes(60))  # JPEG magic
+
+
+def test_decode_image_batch_mixed_png_and_bmp():
+    """One Arrow batch carrying BOTH formats decodes per-payload via the
+    magic dispatch — the realistic mixed-corpus shape."""
+    rng = _rng()
+    imgs = [rng.integers(0, 256, (4 + i, 5 + i, 3), dtype=np.uint8) for i in range(4)]
+    pay = pd.Series(
+        [
+            encode_png(imgs[0]),
+            multimodal.encode_bmp(imgs[1]),
+            encode_png(imgs[2], filters="none"),
+            multimodal.encode_bmp(imgs[3]),
+        ]
+    )
+    out = multimodal.decode_image_batch(pay)
+    for i, im in enumerate(imgs):
+        assert out["height"][i] == im.shape[0]
+        assert out["width"][i] == im.shape[1]
+        g = im.astype(np.float64)
+        np.testing.assert_allclose(
+            out["feature"][i], [g.mean(), g.std(), g.min(), g.max()]
+        )
+
+
+def test_resize_png_input_nearest_neighbor():
+    rng = _rng()
+    rgb = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    out = multimodal.resize_image_batch(pd.Series([encode_png(rgb)]), 8, 6)
+    px = multimodal.decode_image(out[0])
+    assert px.shape == (6, 8, 3)
+    ri = np.arange(6) * 10 // 6
+    ci = np.arange(8) * 12 // 8
+    np.testing.assert_array_equal(px, rgb[ri[:, None], ci[None, :]])
+
+
+def test_spark_stages_on_real_png_bytes(spark):
+    """extract_features + resize_images over genuine PNG payloads in a
+    Spark DataFrame — values match a local numpy recompute exactly."""
+    rng = _rng()
+    ids = list(range(24))
+    imgs = {
+        i: rng.integers(0, 256, (i % 7 + 3, i % 9 + 3, 3), dtype=np.uint8)
+        for i in ids
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": ids, "payload": [encode_png(imgs[i]) for i in ids]}
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(df).collect()
+    }
+    for i in ids:
+        g = imgs[i].astype(np.float64)
+        assert feats[i]["width"] == imgs[i].shape[1]
+        assert feats[i]["height"] == imgs[i].shape[0]
+        np.testing.assert_allclose(
+            feats[i]["feature"], [g.mean(), g.std(), g.min(), g.max()]
+        )
+    resized = {
+        r["doc_id"]: r for r in multimodal.resize_images(df, 5, 4).collect()
+    }
+    for i in ids:
+        px = multimodal.decode_image(bytes(resized[i]["payload"]))
+        h0, w0 = imgs[i].shape[:2]
+        ri = np.arange(4) * h0 // 4
+        ci = np.arange(5) * w0 // 5
+        np.testing.assert_array_equal(px, imgs[i][ri[:, None], ci[None, :]])
