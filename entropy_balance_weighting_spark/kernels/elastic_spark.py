@@ -1,10 +1,34 @@
-"""Distributed kernel for the elastic interior-point solver — packed-row
-DataFrame + Arrow-native ``mapInArrow`` passes (same execution design as
-the other distributed kernels: one fused scan per stage, zero per-iteration
-shuffles, K/K²-sized partials only, lineage truncated per commit).
+"""Distributed kernel for the elastic interior-point solver — split-state
+Arrow batches over an RDD ``zip`` (round-7 design, adjudicated by
+``spikes/zip_state_spike.py``).
 
-State columns: ``ratio, s_lo, s_hi, lm_lo, lm_hi``.  The hi block is inert
-(s_hi=1, lm_hi=0) when no upper bound is set.
+The elastic loop is the only kernel that mutates per-row state every
+iteration.  The previous packed-DataFrame design committed by rewriting the
+WHOLE row cache — including the immutable CSR columns (idx/val, most of the
+bytes): ~3 s/iter of pure cache-write bandwidth at 5M rows (PLANS.md
+§"Elastic per-iteration anatomy").  DataFrames cannot narrow-align two
+co-partitioned caches (that align is a join = a shuffle per iteration), but
+``RDD.zip`` is exactly that narrow pairing, legal here by construction
+because the state RDD is derived element-for-element from the base RDD.
+
+Data plane:
+  - **base RDD** — one element per Arrow batch: the IPC-serialized
+    immutable columns ``(row_id, w0, idx, val)``.  Cached ONCE, never
+    rewritten.
+  - **state RDD** — IPC batches of the 5 mutable doubles
+    ``(ratio, s_lo, s_hi, lm_lo, lm_hi)`` (~40 B/row vs ~150 B/row for
+    full packed rows at K=8; the gap widens with K).  Re-cached per
+    commit; the hi block is inert (s_hi=1, lm_hi=0) without an upper
+    bound.
+  - **passes** — ``base.zip(state).mapPartitions(pass_fn)`` where the
+    pair batches are reassembled ZERO-COPY (same buffers, one combined
+    RecordBatch) and fed to the same ``_estats``/``_estep`` math as
+    before; K/K²-sized partials only; commits stay lazy (zero jobs) and
+    materialize inside the next stats scan — 2 jobs per iteration, the
+    same discipline the job-count pin (tests/test_elastic.py) enforces.
+
+Measured at N=5M, K=8 (solo box): full iteration 4.5–5.5 s vs 7.8–10 s for
+the packed-row design — the predicted commit-bandwidth saving.
 """
 
 from __future__ import annotations
@@ -13,31 +37,37 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pyarrow as pa
+from pyspark import StorageLevel
+from pyspark.serializers import BatchedSerializer, CPickleSerializer
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entropy_balance_weighting_spark.kernels.base import EStats, EStepStats
-from entropy_balance_weighting_spark.kernels.penalty_spark import (
-    BOUNDED_SCHEMA,
-    _ftb_batch,
-)
+from entropy_balance_weighting_spark.kernels.penalty_spark import _ftb_batch
 from entropy_balance_weighting_spark.kernels.spark import (
     _TREE_REDUCE_BYTES,
     _flatten_rb,
     _pack_rb,
     _rb_col,
-    _rb_with,
     _x_dot,
     _xt_v,
     blocks_tuple,
-    collect_payload,
     gram_bytes,
     gram_from_sums,
     make_gram_accum,
     pack_rows,
 )
 
-_PAYLOAD_SCHEMA = "sums binary, mins binary"
+BASE_NAMES = ["row_id", "w0", "idx", "val"]
+STATE_NAMES = ["ratio", "s_lo", "s_hi", "lm_lo", "lm_hi"]
+
+# Both zip sides must carry the IDENTICAL batched serializer: ``RDD.zip``
+# falls back to an extra re-serialization pass over BOTH rdds whenever the
+# batch sizes differ (pyspark/core/rdd.py, ``zip``), silently turning every
+# cached read into cache-read + re-pickle (measured 3.6× slower passes in
+# the spike).  Batch size 1 is right regardless: each element is already a
+# multi-MB Arrow IPC blob.
+_ZIP_SER = BatchedSerializer(CPickleSerializer(), 1)
 
 
 def _cols(rb: pa.RecordBatch):
@@ -186,14 +216,69 @@ def _estep_pass(k, lam, dlam, eta, mu_s, lb, ub, has_ub) -> Callable:
     return fn
 
 
-def _ecommit_pass(
+def _ipc_ser(rb: pa.RecordBatch) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, rb.schema) as w:
+        w.write_batch(rb)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_deser(b: bytes) -> pa.RecordBatch:
+    return pa.ipc.open_stream(pa.BufferReader(b)).read_next_batch()
+
+
+def _state_rb(arrays) -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [pa.array(np.ascontiguousarray(a, dtype=np.float64)) for a in arrays],
+        STATE_NAMES,
+    )
+
+
+def _combined_iter(pair_iter) -> Iterator[pa.RecordBatch]:
+    """zip pairs → one combined RecordBatch, zero-copy (same buffers)."""
+    for bb, sb in pair_iter:
+        base_rb = _ipc_deser(bytes(bb))
+        st_rb = _ipc_deser(bytes(sb))
+        yield pa.RecordBatch.from_arrays(
+            list(base_rb.columns) + list(st_rb.columns),
+            BASE_NAMES + STATE_NAMES,
+        )
+
+
+def _payload_adapter(pass_fn: Callable) -> Callable:
+    """Wrap a combined-batch kernel pass into a zip-pair ``mapPartitions``
+    function yielding one ``(sums_bytes, mins_bytes)`` pair per partition."""
+
+    def fn(pair_iter):
+        for rb in pass_fn(_combined_iter(pair_iter)):
+            yield (
+                rb.column(0).to_pylist()[0],
+                rb.column(1).to_pylist()[0],
+            )
+
+    return fn
+
+
+def _merge_payload(a, b):
+    sums = np.frombuffer(a[0], dtype=np.float64) + np.frombuffer(
+        b[0], dtype=np.float64
+    )
+    mins = np.minimum(
+        np.frombuffer(a[1], dtype=np.float64),
+        np.frombuffer(b[1], dtype=np.float64),
+    )
+    return (sums.tobytes(), mins.tobytes())
+
+
+def _ecommit_state_pass(
     lam, dlam, eta, mu_s, alpha_p, alpha_d, lb, ub, has_ub
 ) -> Callable:
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb in batches:
-            if not rb.num_rows:
-                yield rb
-                continue
+    """Per-pair commit: recompute the step on the CURRENT state and emit
+    only the next state blob — the immutable base columns are never
+    rewritten."""
+
+    def fn(pair_iter):
+        for rb in _combined_iter(pair_iter):
             flat_idx, flat_val, lens = _flatten_rb(rb)
             pieces = _pieces(
                 rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
@@ -202,15 +287,17 @@ def _ecommit_pass(
                 pieces, flat_idx, flat_val, lens, dlam, mu_s, has_ub
             )
             _, r, s_lo, s_hi, lm_lo, lm_hi = _cols(rb)
-            new_cols = {
-                "ratio": r + alpha_p * r_step,
-                "s_lo": s_lo + alpha_p * ss_lo,
-                "lm_lo": lm_lo + alpha_d * li_lo,
-            }
-            if has_ub:
-                new_cols["s_hi"] = s_hi + alpha_p * ss_hi
-                new_cols["lm_hi"] = lm_hi + alpha_d * li_hi
-            yield _rb_with(rb, **new_cols)
+            yield _ipc_ser(
+                _state_rb(
+                    [
+                        r + alpha_p * r_step,
+                        s_lo + alpha_p * ss_lo,
+                        s_hi + alpha_p * ss_hi if has_ub else s_hi,
+                        lm_lo + alpha_d * li_lo,
+                        lm_hi + alpha_d * li_hi if has_ub else lm_hi,
+                    ]
+                )
+            )
 
     return fn
 
@@ -234,10 +321,12 @@ class ElasticSparkKernel:
     _CKPT_EVERY = 8
 
     def __init__(
-        self, df: DataFrame, k: int, sum_w0: float, n: int, lb: float,
-        ub: float, has_ub: bool, block_structure=None,
+        self, base_rdd, state_rdd, spark, k: int, sum_w0: float, n: int,
+        lb: float, ub: float, has_ub: bool, block_structure=None,
     ) -> None:
-        self.df = df
+        self._base = base_rdd
+        self._state = state_rdd
+        self._spark = spark
         self.k = k
         self.sum_w0 = sum_w0
         self.n = n
@@ -245,7 +334,7 @@ class ElasticSparkKernel:
         self.ub = ub
         self.has_ub = has_ub
         self.block_structure = block_structure
-        self._prev: DataFrame | None = None
+        self._prev = None
         self._commits_since_ckpt = 0
 
     @classmethod
@@ -262,60 +351,163 @@ class ElasticSparkKernel:
         prepacked: DataFrame | None = None,
     ) -> "ElasticSparkKernel":
         df, sum_w0, n = pack_rows(x_long, w0, known_sums, prepacked)
-        if ratio_guess is not None:
-            df = df.join(
-                ratio_guess.select("row_id", "ratio"), "row_id", "left"
-            ).withColumn("ratio", F.coalesce("ratio", F.lit(1.0)))
-        else:
-            df = df.withColumn("ratio", F.lit(1.0))
         lb = max(float(bounds[0]), 0.0)
         has_ub = bounds[1] is not None
         ub = float(bounds[1]) if has_ub else 0.0
-        df = df.withColumn("s_lo", F.col("ratio") - F.lit(lb))
-        df = df.withColumn("lm_lo", F.lit(0.05))
-        if has_ub:
-            df = df.withColumn("s_hi", F.lit(ub) - F.col("ratio")).withColumn(
-                "lm_hi", F.lit(0.05)
+
+        if ratio_guess is None:
+            # Fast path (the common case): the start ratio is the constant
+            # 1.0, so bounds validation is a driver-side scalar check and
+            # the state derives from the cached base with no extra source
+            # scan — one generator pass total.
+            if not (lb < 1.0 and (not has_ub or 1.0 < ub)):
+                raise ValueError(
+                    "bounds must strictly contain the initial ratio guess"
+                )
+
+            def to_base(batches: Iterator[pa.RecordBatch]):
+                for rb in batches:
+                    if rb.num_rows:
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array([_ipc_ser(rb)], type=pa.binary())],
+                            ["payload"],
+                        )
+
+            base_rdd = (
+                df.select(*BASE_NAMES)
+                .mapInArrow(to_base, "payload binary")
+                .rdd.map(lambda r: bytes(r[0]))
+                ._reserialize(_ZIP_SER)
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            base_rdd.count()
+
+            def init_state(payloads):
+                for b in payloads:
+                    nr = _ipc_deser(bytes(b)).num_rows
+                    ratio = np.ones(nr)
+                    yield _ipc_ser(
+                        _state_rb(
+                            [
+                                ratio,
+                                ratio - lb,
+                                (ub - ratio) if has_ub else ratio,
+                                np.full(nr, 0.05),
+                                np.full(nr, 0.05 if has_ub else 0.0),
+                            ]
+                        )
+                    )
+
+            state_rdd = (
+                base_rdd.mapPartitions(init_state, preservesPartitioning=True)
+                ._reserialize(_ZIP_SER)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            state_rdd.count()  # reads the base cache, not the source scan
         else:
-            df = df.withColumn("s_hi", F.lit(1.0)).withColumn("lm_hi", F.lit(0.0))
-        # bounds validation fused into the checkpoint materialization (one
-        # scan instead of a separate count job): assert_true evaluates per
-        # row while the eager checkpoint writes the cache
-        df = df.withColumn(
-            "__chk",
-            F.assert_true(
-                (F.col("s_lo") > 0) & (~F.lit(has_ub) | (F.col("s_hi") > 0)),
-                F.lit("bounds must strictly contain the initial ratio guess"),
-            ),
+            base_rdd, state_rdd = cls._build_with_guess(
+                df, ratio_guess, lb, ub, has_ub
+            )
+        from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
+
+        bs = BlockStructure.from_groups(moment_groups) if moment_groups else None
+        return cls(
+            base_rdd, state_rdd, df.sparkSession, k, sum_w0, n, lb, ub,
+            has_ub, block_structure=bs,
+        )
+
+    @staticmethod
+    def _build_with_guess(df, ratio_guess, lb, ub, has_ub):
+        """Warm-start path: the per-row start ratio comes from a DataFrame,
+        so one Arrow pass renders each batch into aligned (base, state) IPC
+        blobs and the per-row bounds validation rides that same scan."""
+        df = df.join(
+            ratio_guess.select("row_id", "ratio"), "row_id", "left"
+        ).withColumn("ratio", F.coalesce("ratio", F.lit(1.0)))
+
+        def to_pair(batches: Iterator[pa.RecordBatch]):
+            for rb in batches:
+                if not rb.num_rows:
+                    continue
+                ratio = _rb_col(rb, "ratio")
+                s_lo = ratio - lb
+                s_hi = (ub - ratio) if has_ub else np.ones(len(ratio))
+                if (s_lo <= 0).any() or (has_ub and (s_hi <= 0).any()):
+                    raise ValueError(
+                        "bounds must strictly contain the initial ratio guess"
+                    )
+                base_rb = pa.RecordBatch.from_arrays(
+                    [rb.column(rb.schema.get_field_index(c)) for c in BASE_NAMES],
+                    BASE_NAMES,
+                )
+                st_rb = _state_rb(
+                    [
+                        ratio,
+                        s_lo,
+                        s_hi,
+                        np.full(len(ratio), 0.05),
+                        np.full(len(ratio), 0.05 if has_ub else 0.0),
+                    ]
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([_ipc_ser(base_rb)], type=pa.binary()),
+                        pa.array([_ipc_ser(st_rb)], type=pa.binary()),
+                    ],
+                    ["base", "state"],
+                )
+
+        pair_rdd = (
+            df.select("row_id", "w0", "idx", "val", "ratio")
+            .mapInArrow(to_pair, "base binary, state binary")
+            .rdd.map(lambda r: (bytes(r[0]), bytes(r[1])))
+            ._reserialize(_ZIP_SER)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        base_rdd = (
+            pair_rdd.map(lambda t: t[0], preservesPartitioning=True)
+            ._reserialize(_ZIP_SER)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        state_rdd = (
+            pair_rdd.map(lambda t: t[1], preservesPartitioning=True)
+            ._reserialize(_ZIP_SER)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         try:
-            df = df.localCheckpoint(eager=True)
+            base_rdd.count()
         except Exception as exc:
             if "bounds must strictly contain" in str(exc):
                 raise ValueError(
                     "bounds must strictly contain the initial ratio guess"
                 ) from None
             raise
-        df = df.drop("__chk")
-        from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
-
-        bs = BlockStructure.from_groups(moment_groups) if moment_groups else None
-        return cls(df, k, sum_w0, n, lb, ub, has_ub, block_structure=bs)
+        state_rdd.count()  # reads the pair cache, not the source scan
+        pair_rdd.unpersist()
+        return base_rdd, state_rdd
 
     def _reduce(self, fn, big: bool = False):
-        sums, mins = collect_payload(
-            self.df.mapInArrow(fn, _PAYLOAD_SCHEMA), big
+        pairs = self._base.zip(self._state).mapPartitions(
+            _payload_adapter(fn), preservesPartitioning=True
         )
-        # a reduce materializes any pending lazy commit into its cache
+        if big:
+            # dense K² Gram payloads: merge executor-side so the driver
+            # receives O(tree-fanout) blobs, same gate as collect_payload
+            sums_b, mins_b = pairs.treeReduce(_merge_payload)
+            sums = np.frombuffer(sums_b, dtype=np.float64).copy()
+            mins = np.frombuffer(mins_b, dtype=np.float64).copy()
+        else:
+            rows = pairs.collect()
+            sums = np.sum(
+                [np.frombuffer(s, dtype=np.float64) for s, _ in rows], axis=0
+            )
+            mins = np.min(
+                [np.frombuffer(m, dtype=np.float64) for _, m in rows], axis=0
+            )
+        # the reduce materialized any pending lazy commit into its cache
         if self._prev is not None:
             self._prev.unpersist()
             self._prev = None
-            if self._commits_since_ckpt >= self._CKPT_EVERY:
-                old = self.df
-                self.df = self.df.localCheckpoint(eager=True)
-                old.unpersist()
-                self._commits_since_ckpt = 0
         return sums, mins
 
     def elastic_g1(self) -> np.ndarray:
@@ -372,29 +564,64 @@ class ElasticSparkKernel:
     def elastic_commit(
         self, lam, dlam, eta, mu_s, alpha_p, alpha_d
     ) -> None:
-        """Lazy transition — ZERO jobs here: the swapped-in DataFrame
-        materializes (commit transform + cache write) inside the NEXT
-        ``elastic_stats`` reduce, which also returns the post-commit
-        slack/multiplier aggregates the μ/η rules need.  2 jobs per
-        iteration total (stats, step), same shape as the Newton solver."""
-        new_df = self.df.mapInArrow(
-            _ecommit_pass(
-                lam, dlam, eta, mu_s, alpha_p, alpha_d, self.lb, self.ub,
-                self.has_ub,
-            ),
-            BOUNDED_SCHEMA,
-        ).persist()
-        self._prev = self.df
-        self.df = new_df
+        """Lazy transition — ZERO jobs here: the swapped-in state RDD
+        materializes (commit transform + state-cache write, ~40 B/row)
+        inside the NEXT ``elastic_stats`` reduce, which also returns the
+        post-commit slack/multiplier aggregates the μ/η rules need.  2 jobs
+        per iteration total (stats, step), same shape as the Newton solver.
+        Lineage is truncated every ``_CKPT_EVERY`` commits so the zip chain
+        (state_i = f(base, state_{i-1})) stays bounded."""
+        new_state = (
+            self._base.zip(self._state)
+            .mapPartitions(
+                _ecommit_state_pass(
+                    lam, dlam, eta, mu_s, alpha_p, alpha_d, self.lb,
+                    self.ub, self.has_ub,
+                ),
+                preservesPartitioning=True,
+            )
+            ._reserialize(_ZIP_SER)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         self._commits_since_ckpt += 1
+        if self._commits_since_ckpt >= self._CKPT_EVERY:
+            new_state.localCheckpoint()
+            self._commits_since_ckpt = 0
+        self._prev = self._state
+        self._state = new_state
 
     def new_weights(self) -> DataFrame:
-        return self.df.select(
-            "row_id", (F.col("ratio") * F.col("w0")).alias("new_weight")
+        """(row_id, new_weight = ratio·w0) as a DataFrame — Arrow blobs end
+        to end; the per-batch IPC payloads cross the RDD→DataFrame seam as
+        single binary rows, then ``mapInArrow`` explodes them JVM-side."""
+
+        def to_weights(pair_iter):
+            for rb in _combined_iter(pair_iter):
+                out = pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(rb.schema.get_field_index("row_id")),
+                        pa.array(_rb_col(rb, "ratio") * _rb_col(rb, "w0")),
+                    ],
+                    ["row_id", "new_weight"],
+                )
+                yield (_ipc_ser(out),)
+
+        payload = self._base.zip(self._state).mapPartitions(
+            to_weights, preservesPartitioning=True
         )
 
+        def unpack(batches: Iterator[pa.RecordBatch]):
+            for rb in batches:
+                for blob in rb.column(0).to_pylist():
+                    yield _ipc_deser(blob)
+
+        return self._spark.createDataFrame(
+            payload, "payload binary"
+        ).mapInArrow(unpack, "row_id bigint, new_weight double")
+
     def cleanup(self) -> None:
-        self.df.unpersist()
+        self._base.unpersist()
+        self._state.unpersist()
         if self._prev is not None:
             self._prev.unpersist()
             self._prev = None
