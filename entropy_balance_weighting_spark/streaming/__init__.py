@@ -11,5 +11,13 @@ from entropy_balance_weighting_spark.streaming.dedup import (
 from entropy_balance_weighting_spark.streaming.incremental import (
     IncrementalReweighter,
 )
+from entropy_balance_weighting_spark.streaming.stateful import (
+    running_key_stats,
+)
 
-__all__ = ["IncrementalReweighter", "streaming_asof_join", "streaming_exact_dedup"]
+__all__ = [
+    "IncrementalReweighter",
+    "running_key_stats",
+    "streaming_asof_join",
+    "streaming_exact_dedup",
+]
