@@ -4,14 +4,18 @@ resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing here is REAL and tested — schema contracts, batch
 shapes, partition behavior, UDF signatures.  Decoders: uncompressed BMP
-(:func:`decode_bmp`/:func:`encode_bmp`, pure struct/numpy) and
+(:func:`decode_bmp`/:func:`encode_bmp`, pure struct/numpy),
 non-interlaced 8-bit gray/RGB/RGBA PNG (:func:`decode_png`/
-:func:`encode_png`, stdlib zlib + the five PNG filters in numpy) are
-decoded/resized FOR REAL — no media library needed; remaining formats
-(JPEG/audio/video codecs) raise ``NotImplementedError`` because this
-container has no media libraries — swap in Pillow/torchvision/ffmpeg
-decoders with the same signatures in production.  The deterministic fake
-decoder remains for exercising the plumbing with non-image payloads.
+:func:`encode_png`, stdlib zlib + the five PNG filters in numpy), and
+PCM RIFF/WAVE audio (:func:`decode_wav`/:func:`encode_wav`, pure
+struct/numpy), and baseline JPEG (``jpeg_codec.decode_jpeg``/
+``encode_jpeg``, the full DCT/Huffman pipeline in numpy + stdlib) are
+decoded/resized/resampled FOR REAL — no media library needed; remaining
+formats (progressive JPEG, compressed audio, video codecs) raise
+``NotImplementedError`` because this container has no media libraries —
+swap in Pillow/torchvision/ffmpeg decoders with the same signatures in
+production.  The deterministic fake decoder remains for exercising the
+plumbing with arbitrary payloads.
 """
 
 from __future__ import annotations
@@ -295,17 +299,24 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the real decoders: uncompressed BMP
-    (:func:`decode_bmp`) and non-interlaced 8-bit PNG (:func:`decode_png`)
-    are decoded FOR REAL; anything else names the gap."""
+    (:func:`decode_bmp`), non-interlaced 8-bit PNG (:func:`decode_png`),
+    and baseline JPEG (:func:`jpeg_codec.decode_jpeg`) are decoded FOR
+    REAL; anything else names the gap."""
     b = bytes(payload)
     if b[:2] == _BMP_MAGIC:
         return decode_bmp(b)
     if b[:8] == _PNG_MAGIC:
         return decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from entropy_balance_weighting_spark.functions.jpeg_codec import (
+            decode_jpeg,
+        )
+
+        return decode_jpeg(b)
     raise NotImplementedError(
         "unsupported image format (real decoders: uncompressed BMP, "
-        "non-interlaced 8-bit PNG); JPEG/etc. require an image library "
-        "(use fake_decode for tests)"
+        "non-interlaced 8-bit PNG, baseline JPEG); other formats require "
+        "an image library (use fake_decode for tests)"
     )
 
 
@@ -470,6 +481,206 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, RESIZED_SCHEMA)
+
+
+# -- real WAV codec (pure struct/numpy — no media libraries needed) ---------
+#
+# RIFF/WAVE PCM is a chunked header + raw little-endian interleaved
+# samples, so the AUDIO decode path can be REAL in this environment too
+# (the third real codec after BMP and PNG): stdlib ``struct`` chunk walk +
+# one ``np.frombuffer`` reshape.  Compressed audio (MP3/AAC/Opus/...)
+# still needs a codec library and raises a named ``NotImplementedError``.
+
+_WAV_MAGIC = b"RIFF"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode an ``(N,)`` mono or ``(N, CH)`` multi-channel int16 array as
+    a PCM16 RIFF/WAVE payload — the fixture generator for the real audio
+    decode path (and a usable sink in its own right)."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2:
+        raise ValueError(f"expected (N,) or (N,CH) int16, got {s.shape}")
+    n, ch = s.shape
+    body = np.ascontiguousarray(s).tobytes()  # interleaved little-endian
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    data = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return _WAV_MAGIC + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM RIFF/WAVE payload (8-bit unsigned or 16-bit signed)
+    into ``((N, CH) int16 samples, sample_rate)``.  Pure struct/numpy:
+    RIFF chunk walk + one ``np.frombuffer`` reshape — no per-sample
+    Python.  8-bit samples are widened to int16 as ``(v - 128) << 8``
+    (the standard unsigned-PCM8 → PCM16 mapping)."""
+    import struct
+
+    b = bytes(payload)
+    if b[:4] != _WAV_MAGIC or len(b) < 44 or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not a RIFF/WAVE payload; compressed audio formats require a "
+            "codec library (use fake_decode for tests)"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        ctype = b[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        chunk = b[pos + 8 : pos + 8 + clen]
+        if ctype in (b"fmt ", b"data") and len(chunk) != clen:
+            raise ValueError(
+                f"malformed WAV payload: truncated {ctype!r} chunk "
+                f"({len(chunk)} of {clen} bytes)"
+            )
+        if ctype == b"fmt ":
+            fmt = chunk
+        elif ctype == b"data":
+            data = chunk
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("malformed WAV payload: missing fmt/data chunk")
+    audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt)
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PCM WAV is supported "
+            f"(audio_format={audio_fmt}, bits={bits})"
+        )
+    if ch <= 0 or rate <= 0:
+        raise ValueError(f"malformed WAV payload: channels={ch}, rate={rate}")
+    width = bits // 8
+    frame = ch * width
+    n = len(data) // frame
+    data = data[: n * frame]
+    if bits == 16:
+        s = np.frombuffer(data, dtype="<i2").reshape(n, ch).astype(np.int16)
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(n, ch)
+        s = ((raw.astype(np.int16) - 128) << 8).astype(np.int16)
+    return np.ascontiguousarray(s), int(rate)
+
+
+# Output contract of the audio feature-extraction stage
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, sample_rate int, n_channels int, "
+    "n_samples int, feature array<double>"
+)
+
+
+def decode_audio_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Decode a batch of audio payloads → (n_bytes, sample_rate,
+    n_channels, n_samples, feature).  REAL for PCM RIFF/WAVE (pure
+    stdlib/numpy — see :func:`decode_wav`); compressed formats raise
+    ``NotImplementedError`` (swap in an ffmpeg/soundfile decoder in
+    production, same signature).
+
+    The feature vector is the decoded-sample summary
+    ``[mean, min, max, mean_square]`` computed in float64 from the actual
+    int16 samples; mean·N and mean_square·N reconstruct the EXACT integer
+    sample sum and energy (N·32767² ≪ 2⁵³), which is what makes the decode
+    relationally verifiable by an integer-arithmetic SQL oracle."""
+    n_bytes, rates, chans, counts, feats = [], [], [], [], []
+    for b in payloads:
+        s, rate = decode_wav(b)
+        sf = s.astype(np.float64)
+        n_bytes.append(len(bytes(b)))
+        rates.append(rate)
+        chans.append(s.shape[1])
+        counts.append(s.shape[0])
+        feats.append(
+            np.array([sf.mean(), sf.min(), sf.max(), (sf * sf).mean()])
+        )
+    return pd.DataFrame(
+        {
+            "n_bytes": pd.Series(n_bytes, dtype="int32"),
+            "sample_rate": pd.Series(rates, dtype="int32"),
+            "n_channels": pd.Series(chans, dtype="int32"),
+            "n_samples": pd.Series(counts, dtype="int32"),
+            "feature": feats,
+        }
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Callable[[pd.Series], pd.DataFrame] = decode_audio_batch,
+) -> DataFrame:
+    """Arrow-batched audio feature extraction over an opaque binary
+    column — the audio sibling of :func:`extract_features`: one
+    ``mapInPandas`` pass, partitioning preserved, fixed
+    AUDIO_FEATURE_SCHEMA output contract."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dec = decoder(pdf[payload_col])
+            out = pd.DataFrame({"doc_id": pdf[id_col].astype("int64")})
+            for c in (
+                "n_bytes", "sample_rate", "n_channels", "n_samples", "feature"
+            ):
+                out[c] = dec[c].values
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
+
+
+RESAMPLED_SCHEMA = "doc_id long, n_samples int, payload binary"
+
+
+def resample_audio_batch(payloads: pd.Series, target_n: int) -> pd.Series:
+    """Resample a batch of audio payloads to exactly ``target_n`` frames —
+    nearest-neighbor frame pick (pure numpy fancy indexing, the audio
+    sibling of :func:`resize_image_batch`), re-encoded as PCM16 WAV at the
+    source rate."""
+    out = []
+    for b in payloads:
+        s, rate = decode_wav(b)
+        n0 = s.shape[0]
+        if n0 == 0:
+            raise ValueError("cannot resample an empty audio payload")
+        idx = (np.arange(target_n) * n0 // target_n).clip(0, n0 - 1)
+        out.append(encode_wav(s[idx], rate))
+    return pd.Series(out)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_n: int,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    resampler: Callable[[pd.Series, int], pd.Series] = resample_audio_batch,
+) -> DataFrame:
+    """Arrow-batched resample stage: one ``mapInPandas`` pass, partitioning
+    preserved, fixed RESAMPLED_SCHEMA output contract (every payload a
+    valid ``target_n``-frame PCM16 WAV)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_samples": np.full(len(pdf), target_n, dtype="int32"),
+                    "payload": resampler(pdf[payload_col], target_n).values,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, RESAMPLED_SCHEMA)
 
 
 # -- frame sampling --------------------------------------------------------

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from entropy_balance_weighting_spark.kernels.base import EStats, EStepStats
 from entropy_balance_weighting_spark.kernels.penalty_spark import _ftb_batch
 from entropy_balance_weighting_spark.kernels.spark import (
+    _post_cleanup_gc,
     _TREE_REDUCE_BYTES,
     _flatten_rb,
     _pack_rb,
@@ -483,7 +484,7 @@ class ElasticSparkKernel:
                 ) from None
             raise
         state_rdd.count()  # reads the pair cache, not the source scan
-        pair_rdd.unpersist()
+        pair_rdd.unpersist(blocking=True)
         return base_rdd, state_rdd
 
     def _reduce(self, fn, big: bool = False):
@@ -620,8 +621,9 @@ class ElasticSparkKernel:
         ).mapInArrow(unpack, "row_id bigint, new_weight double")
 
     def cleanup(self) -> None:
-        self._base.unpersist()
-        self._state.unpersist()
+        self._base.unpersist(blocking=True)
+        self._state.unpersist(blocking=True)
         if self._prev is not None:
-            self._prev.unpersist()
+            self._prev.unpersist(blocking=True)
             self._prev = None
+        _post_cleanup_gc(self._spark.sparkContext)

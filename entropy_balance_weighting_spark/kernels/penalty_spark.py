@@ -1,13 +1,14 @@
-"""Distributed kernel for the penalty solver — packed-row DataFrame +
-Arrow-native ``mapInArrow`` passes, same execution design as
-:class:`kernels.spark.SparkKernel` (one fused scan per stage, zero
-per-iteration shuffles, only K/K²-sized partials cross the driver
-boundary; lineage truncated per commit).
+"""Distributed kernel for the penalty solver — split-state Arrow blobs
+over an RDD ``zip``, same execution design as the elastic kernel (one
+fused scan per stage, zero per-iteration shuffles, only K/K²-sized
+partials cross the driver boundary; lineage truncated per commit; the
+immutable CSR base is cached ONCE as pre-encoded IPC blobs and never
+rewritten — commits re-cache only the mutable state columns).
 
-State columns: ``ratio`` always; bounded mode adds ``s_lo, s_hi, lm_lo,
-lm_hi`` (slacks and inequality multipliers per bound side — the reference's
-``A_ineq=[I,−I]`` incidence never materializes, its products ARE these
-column pairs; ref: ebw_penalty.py:275,402-439).
+State columns: ``ratio`` always (8 B/row); bounded mode adds ``s_lo,
+lm_lo, s_hi, lm_hi`` (slacks and inequality multipliers per bound side —
+the reference's ``A_ineq=[I,−I]`` incidence never materializes, its
+products ARE these column pairs; ref: ebw_penalty.py:275,402-439).
 """
 
 from __future__ import annotations
@@ -16,6 +17,7 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pyarrow as pa
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -26,6 +28,7 @@ from entropy_balance_weighting_spark.kernels.base import (
 )
 from entropy_balance_weighting_spark.kernels.penalty_local import TAU
 from entropy_balance_weighting_spark.kernels.spark import (
+    _post_cleanup_gc,
     _TREE_REDUCE_BYTES,
     _flatten_rb,
     _pack_rb,
@@ -33,25 +36,23 @@ from entropy_balance_weighting_spark.kernels.spark import (
     _rb_with,
     _x_dot,
     _xt_v,
+    BLOB_SER,
     blocks_tuple,
-    collect_payload,
     gram_bytes,
     gram_from_sums,
+    ipc_deser,
+    ipc_ser,
     make_gram_accum,
     pack_rows,
+    reduce_blob_payload,
+    zip_payload_adapter,
+    zip_state_commit_adapter,
+    zip_weights_df,
 )
 
-_PAYLOAD_SCHEMA = "sums binary, mins binary"
-
-UNBOUNDED_SCHEMA = (
-    "row_id long, w0 double, idx array<int>, val array<double>, ratio double"
-)
-# mapInArrow matches yielded batches to the schema BY POSITION — this order
-# must equal the working DataFrame's column order (s_lo/lm_lo added before
-# s_hi/lm_hi in from_problem).
-BOUNDED_SCHEMA = UNBOUNDED_SCHEMA + (
-    ", s_lo double, lm_lo double, s_hi double, lm_hi double"
-)
+BASE_NAMES = ["row_id", "w0", "idx", "val"]
+UNBOUNDED_STATE = ["ratio"]
+BOUNDED_STATE = ["ratio", "s_lo", "lm_lo", "s_hi", "lm_hi"]
 
 
 def _ftb_batch(point: np.ndarray, step: np.ndarray) -> float:
@@ -286,23 +287,25 @@ def _pbcommit_pass(
 
 
 class PenaltySparkKernel:
-    """Distributed penalty kernel over the packed-row DataFrame."""
+    """Distributed penalty kernel over split-state Arrow blobs."""
 
     _CKPT_EVERY = 8
 
     def __init__(
-        self, df: DataFrame, k: int, sum_w0: float, n: int, has_ub: bool,
-        bounded: bool, block_structure=None,
+        self, base_rdd, state_rdd, spark, k: int, sum_w0: float, n: int,
+        has_ub: bool, bounded: bool, block_structure=None,
     ) -> None:
-        self.df = df
+        self._base = base_rdd
+        self._state = state_rdd
+        self._spark = spark
         self.k = k
         self.sum_w0 = sum_w0
         self.n = n
         self.has_ub = has_ub
         self.bounded = bounded
         self.block_structure = block_structure
-        self._schema = BOUNDED_SCHEMA if bounded else UNBOUNDED_SCHEMA
-        self._prev: DataFrame | None = None
+        self._state_names = BOUNDED_STATE if bounded else UNBOUNDED_STATE
+        self._prev = None
         self._commits_since_ckpt = 0
 
     @classmethod
@@ -319,67 +322,149 @@ class PenaltySparkKernel:
         prepacked: DataFrame | None = None,
     ) -> "PenaltySparkKernel":
         df, sum_w0, n = pack_rows(x_long, w0, known_sums, prepacked)
-        if ratio_guess is not None:
-            df = df.join(
-                ratio_guess.select("row_id", "ratio"), "row_id", "left"
-            ).withColumn("ratio", F.coalesce("ratio", F.lit(1.0)))
-        else:
-            df = df.withColumn("ratio", F.lit(1.0))
         bounded = bounds is not None
         has_ub = bounded and bounds[1] is not None
-        if bounded:
-            lb = max(float(bounds[0]), 0.0)
-            df = df.withColumn("s_lo", F.col("ratio") - F.lit(lb))
-            df = df.withColumn("lm_lo", F.lit(1.0) / F.col("s_lo"))
-            if has_ub:
-                ub = float(bounds[1])
-                df = df.withColumn("s_hi", F.lit(ub) - F.col("ratio"))
-                df = df.withColumn("lm_hi", F.lit(1.0) / F.col("s_hi"))
-            else:
-                df = df.withColumn("s_hi", F.lit(1.0)).withColumn(
-                    "lm_hi", F.lit(0.0)
-                )
-            # fused into the checkpoint materialization — no separate
-            # count job (same pattern as ElasticSparkKernel.from_problem)
-            df = df.withColumn(
-                "__chk",
-                F.assert_true(
-                    (F.col("s_lo") > 0)
-                    & (~F.lit(has_ub) | (F.col("s_hi") > 0)),
-                    F.lit(
-                        "bounds must strictly contain the initial ratio guess"
-                    ),
-                ),
+        lb = max(float(bounds[0]), 0.0) if bounded else 0.0
+        ub = float(bounds[1]) if has_ub else 0.0
+
+        def state_arrays(ratio: np.ndarray) -> list[np.ndarray]:
+            """Initial state from a start ratio (validated by caller)."""
+            if not bounded:
+                return [ratio]
+            s_lo = ratio - lb
+            s_hi = (ub - ratio) if has_ub else np.ones(len(ratio))
+            lm_hi = 1.0 / s_hi if has_ub else np.zeros(len(ratio))
+            return [ratio, s_lo, 1.0 / s_lo, s_hi, lm_hi]
+
+        def state_rb(ratio: np.ndarray) -> pa.RecordBatch:
+            names = BOUNDED_STATE if bounded else UNBOUNDED_STATE
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.ascontiguousarray(a, dtype=np.float64))
+                    for a in state_arrays(ratio)
+                ],
+                names,
             )
-        try:
-            df = df.localCheckpoint(eager=True)
-        except Exception as exc:
-            if "bounds must strictly contain" in str(exc):
+
+        if ratio_guess is None:
+            # Constant start ratio 1.0: bounds validation is a driver-side
+            # scalar check; the state derives from the cached base with no
+            # extra source scan.
+            if bounded and not (lb < 1.0 and (not has_ub or 1.0 < ub)):
                 raise ValueError(
                     "bounds must strictly contain the initial ratio guess"
-                ) from None
-            raise
-        if bounded:
-            df = df.drop("__chk")
+                )
+
+            def to_base(batches: Iterator[pa.RecordBatch]):
+                for rb in batches:
+                    if rb.num_rows:
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array([ipc_ser(rb)], type=pa.binary())],
+                            ["payload"],
+                        )
+
+            base_rdd = (
+                df.select(*BASE_NAMES)
+                .mapInArrow(to_base, "payload binary")
+                .rdd.map(lambda r: bytes(r[0]))
+                ._reserialize(BLOB_SER)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            base_rdd.count()
+
+            def init_state(payloads):
+                for b in payloads:
+                    nr = ipc_deser(bytes(b)).num_rows
+                    yield ipc_ser(state_rb(np.ones(nr)))
+
+            state_rdd = (
+                base_rdd.mapPartitions(init_state, preservesPartitioning=True)
+                ._reserialize(BLOB_SER)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            state_rdd.count()  # reads the base cache, not the source scan
+        else:
+            # Warm-start path: per-row ratio → one Arrow pass renders
+            # aligned (base, state) blobs; per-row bounds validation rides
+            # that same scan.
+            df_g = df.join(
+                ratio_guess.select("row_id", "ratio"), "row_id", "left"
+            ).withColumn("ratio", F.coalesce("ratio", F.lit(1.0)))
+
+            def to_pair(batches: Iterator[pa.RecordBatch]):
+                for rb in batches:
+                    if not rb.num_rows:
+                        continue
+                    ratio = _rb_col(rb, "ratio")
+                    if bounded and (
+                        (ratio - lb <= 0).any()
+                        or (has_ub and (ub - ratio <= 0).any())
+                    ):
+                        raise ValueError(
+                            "bounds must strictly contain the initial "
+                            "ratio guess"
+                        )
+                    base_rb = pa.RecordBatch.from_arrays(
+                        [
+                            rb.column(rb.schema.get_field_index(c))
+                            for c in BASE_NAMES
+                        ],
+                        BASE_NAMES,
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([ipc_ser(base_rb)], type=pa.binary()),
+                            pa.array([ipc_ser(state_rb(ratio))], type=pa.binary()),
+                        ],
+                        ["base", "state"],
+                    )
+
+            pair_rdd = (
+                df_g.select(*BASE_NAMES, "ratio")
+                .mapInArrow(to_pair, "base binary, state binary")
+                .rdd.map(lambda r: (bytes(r[0]), bytes(r[1])))
+                ._reserialize(BLOB_SER)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            base_rdd = (
+                pair_rdd.map(lambda t: t[0], preservesPartitioning=True)
+                ._reserialize(BLOB_SER)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            state_rdd = (
+                pair_rdd.map(lambda t: t[1], preservesPartitioning=True)
+                ._reserialize(BLOB_SER)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                base_rdd.count()
+            except Exception as exc:
+                if "bounds must strictly contain" in str(exc):
+                    raise ValueError(
+                        "bounds must strictly contain the initial ratio guess"
+                    ) from None
+                raise
+            state_rdd.count()  # reads the pair cache, not the source scan
+            pair_rdd.unpersist(blocking=True)
+
         from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
 
         bs = BlockStructure.from_groups(moment_groups) if moment_groups else None
-        return cls(df, k, sum_w0, n, has_ub, bounded, block_structure=bs)
+        return cls(
+            base_rdd, state_rdd, df.sparkSession, k, sum_w0, n, has_ub,
+            bounded, block_structure=bs,
+        )
 
     # -- plumbing ----------------------------------------------------------
     def _reduce(self, fn, big: bool = False) -> tuple[np.ndarray, np.ndarray]:
-        sums, mins = collect_payload(
-            self.df.mapInArrow(fn, _PAYLOAD_SCHEMA), big
+        pairs = self._base.zip(self._state).mapPartitions(
+            zip_payload_adapter(fn), preservesPartitioning=True
         )
+        sums, mins = reduce_blob_payload(pairs, big)
         # a reduce materializes any pending lazy commit into its cache
         if self._prev is not None:
             self._prev.unpersist()
             self._prev = None
-            if self._commits_since_ckpt >= self._CKPT_EVERY:
-                old = self.df
-                self.df = self.df.localCheckpoint(eager=True)
-                old.unpersist()
-                self._commits_since_ckpt = 0
         return sums, mins
 
     @property
@@ -388,11 +473,24 @@ class PenaltySparkKernel:
 
     def _commit(self, fn) -> None:
         """Lazy state transition: persisted, materialized by the next
-        reduce in the same scan (no standalone commit job)."""
-        new_df = self.df.mapInArrow(fn, self._schema).persist()
-        self._prev = self.df
-        self.df = new_df
+        reduce in the same scan (no standalone commit job); only the
+        mutable state columns are re-cached.  Lineage truncated every
+        ``_CKPT_EVERY`` commits."""
+        new_state = (
+            self._base.zip(self._state)
+            .mapPartitions(
+                zip_state_commit_adapter(fn, self._state_names),
+                preservesPartitioning=True,
+            )
+            ._reserialize(BLOB_SER)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         self._commits_since_ckpt += 1
+        if self._commits_since_ckpt >= self._CKPT_EVERY:
+            new_state.localCheckpoint()
+            self._commits_since_ckpt = 0
+        self._prev = self._state
+        self._state = new_state
 
     # -- shared ------------------------------------------------------------
     def penalty_init(self):
@@ -407,15 +505,28 @@ class PenaltySparkKernel:
         return sums
 
     def new_weights(self) -> DataFrame:
-        return self.df.select(
-            "row_id", (F.col("ratio") * F.col("w0")).alias("new_weight")
-        )
+        def render(batches: Iterator[pa.RecordBatch]):
+            for rb in batches:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(rb.schema.get_field_index("row_id")),
+                        pa.array(
+                            _rb_col(rb, "ratio") * _rb_col(rb, "w0"),
+                            type=pa.float64(),
+                        ),
+                    ],
+                    ["row_id", "new_weight"],
+                )
+
+        return zip_weights_df(self._spark, self._base, self._state, render)
 
     def cleanup(self) -> None:
-        self.df.unpersist()
+        self._base.unpersist(blocking=True)
+        self._state.unpersist(blocking=True)
         if self._prev is not None:
-            self._prev.unpersist()
+            self._prev.unpersist(blocking=True)
             self._prev = None
+        _post_cleanup_gc(self._spark.sparkContext)
 
     # -- unbounded ---------------------------------------------------------
     def penalty_stats(self) -> PenaltyStats:

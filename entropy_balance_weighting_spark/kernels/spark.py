@@ -1,34 +1,41 @@
-"""Distributed kernel: packed-row DataFrame + Arrow-native mapInArrow passes.
+"""Distributed kernel: packed rows as pre-encoded Arrow blobs + batch passes.
 
-Layout: one DataFrame row per observation —
+Layout: one logical row per observation —
 ``(row_id BIGINT, w0 DOUBLE, idx ARRAY<INT>, val ARRAY<DOUBLE>, q DOUBLE,
 wstar DOUBLE)`` — i.e. per-row CSR (the Spark rendering of the reference's
 package-wide CSR canonicalization, ref: shared.py:11-12).  Packing happens
-once; every solver iteration then runs whole-pass ``mapInArrow`` jobs that
-compute ALL of the iteration's N→{scalar,K,K×K} reductions in a single scan
-(the same fusion the reference gets from numexpr + MKL, ref:
+once; every solver iteration then runs whole-pass batch jobs that compute
+ALL of the iteration's N→{scalar,K,K×K} reductions in a single scan (the
+same fusion the reference gets from numexpr + MKL, ref:
 ebw_routines.py:210-233), shipping only K- and K²-sized partials to the
-driver.  ``mapInArrow`` (not ``mapInPandas``): pandas conversion
-materializes one Python ndarray object PER ROW for each list column — at
-millions of rows that conversion dominates the pass — whereas the Arrow
-list arrays' offset buffers ARE the CSR encoding, read zero-copy by
-``_flatten_rb``.
+driver.  The Arrow list arrays' offset buffers ARE the CSR encoding, read
+zero-copy by ``_flatten_rb``; pandas conversion would materialize one
+Python ndarray PER ROW per list column.
 
-Why whole-pass batch jobs and not joins/explodes: the per-iteration primitives
-(segment dot products, Gram accumulation) are BLAS-shaped; exploding the
-arrays back to long form would shuffle N·nnz rows per iteration, while this
-design shuffles nothing after setup — partials are partition-local and only
-K²-sized buffers cross the driver boundary (SURVEY §3.4).
+Cache representation (round 7): the packed rows are cached as an RDD of
+**Arrow IPC byte blobs** (one element per record batch), not as a
+DataFrame.  A `mapInArrow` scan over a cached DataFrame re-encodes the
+Tungsten columnar cache into Arrow on EVERY pass — measured 10.2 s/pass at
+N=20M K=8 — while a cached pre-encoded blob ships straight into the Python
+worker and opens zero-copy: 1.6 s for the identical math
+(PLANS.md §11; the elastic kernel found this first).
+
+Why whole-pass batch jobs and not joins/explodes: the per-iteration
+primitives (segment dot products, Gram accumulation) are BLAS-shaped;
+exploding the arrays back to long form would shuffle N·nnz rows per
+iteration, while this design shuffles nothing after setup — partials are
+partition-local and only K²-sized buffers cross the driver boundary
+(SURVEY §3.4).
 
 State commits are a DRIVER-SIDE program update in the common case: the
 iterate is a short op-chain (``exp`` for dual steps, ``lin`` for primal
-steps) replayed against the immutable once-checkpointed base by every
-pass, so no N-row cache is ever rewritten mid-solve (2 map-only jobs per
+steps) replayed against the immutable once-cached base by every pass, so
+no N-row cache is ever rewritten mid-solve (2 map-only jobs per
 iteration, zero cache churn).  Only a long primal chain (or a warm-start
-state) falls back to a lazy persisted rewrite, materialized by the NEXT
-stats scan; a real ``localCheckpoint`` every few such commits truncates
-lineage so long solves never grow an unbounded plan — the classic
-iterative-MLlib pitfall (SURVEY §4 caching note).
+state) falls back to a lazy persisted blob rewrite, materialized by the
+NEXT stats scan; an RDD ``localCheckpoint`` every few such commits
+truncates lineage so long solves never grow an unbounded plan — the
+classic iterative-MLlib pitfall (SURVEY §4 caching note).
 """
 
 from __future__ import annotations
@@ -39,6 +46,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from pyspark import StorageLevel
+from pyspark.serializers import BatchedSerializer, CPickleSerializer
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,7 +59,179 @@ from entropy_balance_weighting_spark.kernels.base import IterStats, StepStats
 PACKED_SCHEMA = (
     "row_id long, w0 double, idx array<int>, val array<double>, q double, wstar double"
 )
+PACKED_NAMES = ["row_id", "w0", "idx", "val", "q", "wstar"]
 _PAYLOAD_SCHEMA = "sums binary, mins binary"
+
+# Identical batched serializer on every cached blob RDD: RDD.zip (the
+# elastic kernel's base↔state align) silently re-pickles BOTH sides per job
+# when batch sizes differ, and a uniform serializer keeps every kernel's
+# cache zip-compatible.  Batch size 1 is right regardless — each element is
+# already a multi-MB Arrow IPC blob.
+BLOB_SER = BatchedSerializer(CPickleSerializer(), 1)
+
+def _post_cleanup_gc(sc) -> None:
+    """Nudge the JVM after dropping a multi-GB blob cache.  A solve's
+    caches die at cleanup; without a collection hint the dead byte[]
+    blocks linger in the old generation and the NEXT kernel's encode job
+    pays for them in GC pauses (measured: 2nd pack in a session 12 s →
+    90+ s without this).  Once per solve teardown — never in the
+    per-iteration path."""
+    try:
+        sc._jvm.System.gc()
+    except Exception:  # pragma: no cover - JVM gateway already closed
+        pass
+
+
+def ipc_ser(rb: pa.RecordBatch) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, rb.schema) as w:
+        w.write_batch(rb)
+    return sink.getvalue().to_pybytes()
+
+
+def ipc_deser(b: bytes) -> pa.RecordBatch:
+    return pa.ipc.open_stream(pa.BufferReader(b)).read_next_batch()
+
+
+def blob_iter(blobs) -> Iterator[pa.RecordBatch]:
+    for b in blobs:
+        yield ipc_deser(bytes(b))
+
+
+def blob_payload_adapter(pass_fn: Callable) -> Callable:
+    """Wrap a record-batch kernel pass into a blob-RDD ``mapPartitions``
+    function yielding one ``(sums_bytes, mins_bytes)`` pair per partition."""
+
+    def fn(blobs):
+        for rb in pass_fn(blob_iter(blobs)):
+            yield (
+                rb.column(0).to_pylist()[0],
+                rb.column(1).to_pylist()[0],
+            )
+
+    return fn
+
+
+def blob_transform_adapter(pass_fn: Callable) -> Callable:
+    """Wrap a batch→batch kernel pass (commit/render) into a blob→blob
+    ``mapPartitions`` function."""
+
+    def fn(blobs):
+        for rb in pass_fn(blob_iter(blobs)):
+            yield ipc_ser(rb)
+
+    return fn
+
+
+def merge_payload(a, b):
+    sums = np.frombuffer(a[0], dtype=np.float64) + np.frombuffer(
+        b[0], dtype=np.float64
+    )
+    mins = np.minimum(
+        np.frombuffer(a[1], dtype=np.float64),
+        np.frombuffer(b[1], dtype=np.float64),
+    )
+    return (sums.tobytes(), mins.tobytes())
+
+
+def reduce_blob_payload(pairs_rdd, big: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce a kernel pass's per-partition ``(sums, mins)`` payload
+    elements — the RDD counterpart of :func:`collect_payload`, same
+    ``big`` gate: large payloads (dense K² Gram) merge executor-side via
+    ``treeReduce`` so the driver receives O(tree-fanout) blobs."""
+    if big:
+        sums_b, mins_b = pairs_rdd.treeReduce(merge_payload)
+        return (
+            np.frombuffer(sums_b, dtype=np.float64).copy(),
+            np.frombuffer(mins_b, dtype=np.float64).copy(),
+        )
+    rows = pairs_rdd.collect()
+    sums = np.sum([np.frombuffer(s, dtype=np.float64) for s, _ in rows], axis=0)
+    mins = np.min([np.frombuffer(m, dtype=np.float64) for _, m in rows], axis=0)
+    return sums, mins
+
+
+def _payload_unpack(batches: Iterator[pa.RecordBatch]):
+    for rb in batches:
+        for blob in rb.column(0).to_pylist():
+            yield ipc_deser(blob)
+
+
+def blobs_to_weights_df(spark, blob_rdd, render_fn) -> DataFrame:
+    """(row_id, new_weight) DataFrame from a blob RDD — Arrow end to end:
+    ``render_fn`` maps each packed batch to a (row_id, new_weight) batch;
+    the per-batch IPC payloads cross the RDD→DataFrame seam as single
+    binary rows, then ``mapInArrow`` explodes them JVM-side."""
+
+    def to_payload(blobs):
+        for rb in render_fn(blob_iter(blobs)):
+            yield (ipc_ser(rb),)
+
+    payload = blob_rdd.mapPartitions(to_payload, preservesPartitioning=True)
+    return spark.createDataFrame(payload, "payload binary").mapInArrow(
+        _payload_unpack, "row_id bigint, new_weight double"
+    )
+
+
+# -- split-state zip helpers (stateful kernels: elastic, penalty) ----------
+def zip_combined_iter(pair_iter) -> Iterator[pa.RecordBatch]:
+    """(base_blob, state_blob) zip pairs → one combined RecordBatch,
+    zero-copy (same buffers); column names come from the blob schemas."""
+    for bb, sb in pair_iter:
+        b = ipc_deser(bytes(bb))
+        s = ipc_deser(bytes(sb))
+        yield pa.RecordBatch.from_arrays(
+            list(b.columns) + list(s.columns),
+            list(b.schema.names) + list(s.schema.names),
+        )
+
+
+def zip_payload_adapter(pass_fn: Callable) -> Callable:
+    """Wrap a combined-batch kernel pass into a zip-pair ``mapPartitions``
+    function yielding one ``(sums_bytes, mins_bytes)`` pair per partition."""
+
+    def fn(pair_iter):
+        for rb in pass_fn(zip_combined_iter(pair_iter)):
+            yield (
+                rb.column(0).to_pylist()[0],
+                rb.column(1).to_pylist()[0],
+            )
+
+    return fn
+
+
+def zip_state_commit_adapter(pass_fn: Callable, state_names) -> Callable:
+    """Run a batch→batch commit pass on zipped pairs and serialize ONLY the
+    mutable state columns of its output — the immutable base columns are
+    never rewritten."""
+    names = list(state_names)
+
+    def fn(pair_iter):
+        for rb in pass_fn(zip_combined_iter(pair_iter)):
+            yield ipc_ser(
+                pa.RecordBatch.from_arrays(
+                    [rb.column(rb.schema.get_field_index(c)) for c in names],
+                    names,
+                )
+            )
+
+    return fn
+
+
+def zip_weights_df(spark, base_rdd, state_rdd, render_fn) -> DataFrame:
+    """(row_id, new_weight) DataFrame from a split-state zip — the pair
+    counterpart of :func:`blobs_to_weights_df`."""
+
+    def to_payload(pair_iter):
+        for rb in render_fn(zip_combined_iter(pair_iter)):
+            yield (ipc_ser(rb),)
+
+    payload = base_rdd.zip(state_rdd).mapPartitions(
+        to_payload, preservesPartitioning=True
+    )
+    return spark.createDataFrame(payload, "payload binary").mapInArrow(
+        _payload_unpack, "row_id bigint, new_weight double"
+    )
 
 
 def _flatten(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -450,22 +631,6 @@ def _step_pass(k: int, lam: np.ndarray, dlam: np.ndarray, wprog=None) -> Callabl
     return fn
 
 
-def _render_pass(wprog: list) -> Callable:
-    """Evaluate the analytic weight program into the ``wstar`` column."""
-
-    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb in batches:
-            if not rb.num_rows:
-                yield rb
-                continue
-            flat_idx, flat_val, lens = _flatten_rb(rb)
-            q = _rb_col(rb, "q")
-            w = _w_state(rb, q, flat_idx, flat_val, lens, wprog)
-            yield _rb_with(rb, wstar=w)
-
-    return fn
-
-
 def _commit_pass(
     choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float, wprog=None
 ) -> Callable:
@@ -495,7 +660,7 @@ def _commit_pass(
 
 
 class SparkKernel:
-    """Distributed kernel over the packed-row DataFrame.
+    """Distributed kernel over the packed rows, cached as Arrow IPC blobs.
 
     With ``moment_groups`` metadata (every moment group-specific), the
     per-iteration Gram is accumulated block-diagonally: Σk_b² floats per
@@ -503,24 +668,25 @@ class SparkKernel:
     'hundreds of thousands of constraints' regime (ref: README.md:8).
 
     Iteration job fusion: ``commit`` only DECLARES the state transition
-    (lazy ``mapInArrow`` + persist); the very next ``stats`` job both
+    (lazy blob rewrite + persist); the very next ``stats`` job both
     materializes the new state into the cache and computes its reductions
     in a single scan — 2 jobs per iteration instead of 3.  Lineage is
-    truncated with a real ``localCheckpoint`` every few commits so a cache
+    truncated with an RDD ``localCheckpoint`` every few commits so a cache
     eviction can never cascade a long recompute chain."""
 
     _CKPT_EVERY = 8  # commits between lineage truncations
 
     def __init__(
-        self, df: DataFrame, k: int, sum_w0: float, n: int, block_structure=None
+        self, rdd, spark, k: int, sum_w0: float, n: int, block_structure=None
     ) -> None:
-        self.df = df
+        self._rdd = rdd
+        self._spark = spark
         self.k = k
         self.sum_w0 = sum_w0
         self.n = n
         self.block_structure = block_structure
-        self._prev: DataFrame | None = None
-        self._rollback_src: DataFrame | None = None
+        self._prev = None
+        self._rollback_src = None
         self._commits_since_ckpt = 0
         # Analytic weight state: when set, the TRUE iterate is the replay
         # of this short op-program against the immutable base (see
@@ -543,27 +709,54 @@ class SparkKernel:
         prepacked: DataFrame | None = None,
     ) -> "SparkKernel":
         """Pack the canonical long tables into per-row CSR — the one setup
-        shuffle; every subsequent iteration is shuffle-free."""
+        shuffle; every subsequent iteration is shuffle-free.  The q and
+        wstar columns are derived inside the blob-encoding pass (no extra
+        scan)."""
         df, sum_w0, n = pack_rows(x_long, w0, known_sums, prepacked)
-        df = df.withColumn("q", F.col("w0") / F.lit(sum_w0))
-        if ratio_guess is not None:
-            df = df.join(ratio_guess.select("row_id", "ratio"), "row_id", "left").select(
-                "row_id",
-                "w0",
-                "idx",
-                "val",
-                "q",
-                (F.col("q") * F.coalesce("ratio", F.lit(1.0))).alias("wstar"),
-            )
-        else:
-            df = df.withColumn("wstar", F.col("q"))
-        df = df.localCheckpoint(eager=True)
+        has_guess = ratio_guess is not None
+        if has_guess:
+            df = df.join(
+                ratio_guess.select("row_id", "ratio"), "row_id", "left"
+            ).withColumn("ratio", F.coalesce("ratio", F.lit(1.0)))
+
+        def to_blob(batches: Iterator[pa.RecordBatch]):
+            for rb in batches:
+                if not rb.num_rows:
+                    continue
+                q = _rb_col(rb, "w0") / sum_w0
+                wstar = q * _rb_col(rb, "ratio") if has_guess else q
+                out = pa.RecordBatch.from_arrays(
+                    [
+                        *[
+                            rb.column(rb.schema.get_field_index(c))
+                            for c in ("row_id", "w0", "idx", "val")
+                        ],
+                        pa.array(q, type=pa.float64()),
+                        pa.array(
+                            np.ascontiguousarray(wstar), type=pa.float64()
+                        ),
+                    ],
+                    PACKED_NAMES,
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([ipc_ser(out)], type=pa.binary())], ["payload"]
+                )
+
+        cols = ["row_id", "w0", "idx", "val", *(["ratio"] if has_guess else [])]
+        rdd = (
+            df.select(*cols)
+            .mapInArrow(to_blob, "payload binary")
+            .rdd.map(lambda r: bytes(r[0]))
+            ._reserialize(BLOB_SER)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        rdd.count()
         from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
 
         bs = (
             BlockStructure.from_groups(moment_groups) if moment_groups else None
         )
-        kern = cls(df, k, sum_w0, n, block_structure=bs)
+        kern = cls(rdd, df.sparkSession, k, sum_w0, n, block_structure=bs)
         if ratio_guess is None:
             # wstar = q = q·exp(X·0): the start point is analytic
             kern._wprog = [("exp", np.zeros(k))]
@@ -577,7 +770,10 @@ class SparkKernel:
 
     # -- passes ------------------------------------------------------------
     def _reduce(self, fn, big: bool = False) -> tuple[np.ndarray, np.ndarray]:
-        return collect_payload(self.df.mapInArrow(fn, _PAYLOAD_SCHEMA), big)
+        pairs = self._rdd.mapPartitions(
+            blob_payload_adapter(fn), preservesPartitioning=True
+        )
+        return reduce_blob_payload(pairs, big)
 
     @property
     def _gram_big(self) -> bool:
@@ -590,18 +786,13 @@ class SparkKernel:
             big=self._gram_big,
         )
         # the reduce materialized any pending lazy commit into its cache —
-        # the superseded state's CACHE can go; the plan handle is kept so a
+        # the superseded state's CACHE can go; the RDD handle is kept so a
         # zero-weight guard can roll back via lineage recompute (bounded by
         # _CKPT_EVERY passes since the last checkpoint, failure path only)
         if self._prev is not None:
             self._prev.unpersist()
             self._rollback_src = self._prev
             self._prev = None
-        if self._commits_since_ckpt >= self._CKPT_EVERY:
-            old = self.df
-            self.df = self.df.localCheckpoint(eager=True)
-            old.unpersist()
-            self._commits_since_ckpt = 0
         f_val, cd_sq, nan_ct = sums[0], sums[1], sums[2]
         xt_w = sums[3 : 3 + k]
         xt_wcd = sums[3 + k : 3 + 2 * k]
@@ -669,13 +860,23 @@ class SparkKernel:
             ]
             return
         self._last_commit = "materialized"
-        new_df = self.df.mapInArrow(
-            _commit_pass(choice, lam, dlam, alpha, self._wprog), PACKED_SCHEMA
-        ).persist()
-        self._prev = self.df
-        self.df = new_df
-        self._wprog = None
+        new_rdd = (
+            self._rdd.mapPartitions(
+                blob_transform_adapter(
+                    _commit_pass(choice, lam, dlam, alpha, self._wprog)
+                ),
+                preservesPartitioning=True,
+            )
+            ._reserialize(BLOB_SER)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         self._commits_since_ckpt += 1
+        if self._commits_since_ckpt >= self._CKPT_EVERY:
+            new_rdd.localCheckpoint()
+            self._commits_since_ckpt = 0
+        self._prev = self._rdd
+        self._rdd = new_rdd
+        self._wprog = None
 
     def rollback(self) -> None:
         """Undo the last commit: restore the pre-commit state (reference
@@ -693,8 +894,8 @@ class SparkKernel:
         src = self._prev if self._prev is not None else self._rollback_src
         if src is None:
             raise RuntimeError("no committed step to roll back")
-        self.df.unpersist()
-        self.df = src.persist()
+        self._rdd.unpersist()
+        self._rdd = src.persist(StorageLevel.MEMORY_AND_DISK)
         self._prev = None
         self._rollback_src = None
         self._wprog = self._prev_wprog
@@ -702,19 +903,27 @@ class SparkKernel:
         self._commits_since_ckpt = max(0, self._commits_since_ckpt - 1)
 
     def new_weights(self) -> DataFrame:
-        if self._wprog is not None:
-            # analytic state: render wstar from the immutable base in one
-            # map-only pass (no persist — terminal consumers write/collect
-            # once; the base stays cached for lineage recompute)
-            src = self.df.mapInArrow(_render_pass(self._wprog), PACKED_SCHEMA)
-        else:
-            src = self.df
-        return src.select(
-            "row_id", (F.col("wstar") * F.lit(self.sum_w0)).alias("new_weight")
-        )
+        sum_w0 = self.sum_w0
+        wprog = self._wprog
+
+        def render(batches: Iterator[pa.RecordBatch]):
+            for rb in batches:
+                flat_idx, flat_val, lens = _flatten_rb(rb)
+                q = _rb_col(rb, "q")
+                w = _w_state(rb, q, flat_idx, flat_val, lens, wprog)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(rb.schema.get_field_index("row_id")),
+                        pa.array(w * sum_w0, type=pa.float64()),
+                    ],
+                    ["row_id", "new_weight"],
+                )
+
+        return blobs_to_weights_df(self._spark, self._rdd, render)
 
     def cleanup(self) -> None:
-        self.df.unpersist()
+        self._rdd.unpersist(blocking=True)
         if self._prev is not None:
-            self._prev.unpersist()
+            self._prev.unpersist(blocking=True)
             self._prev = None
+        _post_cleanup_gc(self._spark.sparkContext)

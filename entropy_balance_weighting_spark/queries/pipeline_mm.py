@@ -220,6 +220,225 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_decode",
+    survey="ext:multimodal-jpeg",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(doc_id % 13 + 5), 6) AS avg_width,
+       round(avg(doc_id % 9 + 5), 6) AS avg_height,
+       count(*) AS n_within_tol
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end (the full DCT/Huffman pipeline
+    in pure numpy + stdlib, ``functions/jpeg_codec.py``): each doc gets a
+    genuine quality-90 4:4:4 JPEG of a clip-free linear gradient
+    (``30 + id%100 + 3·row + 2·col + 20·ch``, dims ``(id%9+5, id%13+5)``),
+    decoded through the REAL :func:`decode_image_batch` magic dispatch.
+    JPEG is lossy, so unlike the BMP/PNG/WAV oracles the check is a
+    TOLERANCE COUNT rather than exact pixel sums: a per-doc ``mapInPandas``
+    stage recomputes the original pixels and counts docs whose decoded
+    max-abs error stays ≤ 4 levels (a correct codec reconstructs smooth
+    gradients within 1–2; a wrong IDCT normalization, zigzag order,
+    Huffman table, or color transform blows the error to dozens of levels
+    and collapses ``n_within_tol``, failing the driver hash).  Dimensions
+    come from the REAL feature extractor and are hash-checked exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def pixels(d: int) -> "np.ndarray":
+        h, w = d % 9 + 5, d % 13 + 5
+        r = np.arange(h)[:, None, None]
+        c = np.arange(w)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        return (30 + d % 100 + 3 * r + 2 * c + 20 * ch).astype(np.uint8)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                encode_jpeg(pixels(int(d)), 90) for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = multimodal.extract_features(payloads)  # REAL JPEG decoder
+
+    def tol(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            errs = []
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                out = decode_jpeg(bytes(b)).astype(np.int64)
+                errs.append(int(np.abs(out - pixels(int(d))).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "max_err": pd.Series(errs, dtype="int32"),
+                }
+            )
+
+    errors = payloads.mapInPandas(tol, "doc_id long, max_err int")
+    joined = feats.join(errors, "doc_id").join(docs, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.sum((F.col("max_err") <= 4).cast("long")).alias("n_within_tol"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "mm_wav_decode",
+    survey="ext:multimodal-wav",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id % 40 + 20 AS n, doc_id % 2 + 1 AS ch,
+         8000 + doc_id % 4 * 4000 AS rate
+  FROM documents
+), cells AS (
+  SELECT d.doc_id, d.source, d.n, d.ch,
+         (d.doc_id * 37 + i.i * 11 + c.c * 101) % 2003 - 1001 AS v
+  FROM dims d,
+       unnest(range(0, d.n)) AS i(i),
+       unnest(range(0, d.ch)) AS c(c)
+), per_doc AS (
+  SELECT doc_id, source, max(n) AS n, max(ch) AS ch,
+         CAST(sum(v) AS BIGINT) AS samp_sum,
+         CAST(min(v) AS BIGINT) AS samp_min,
+         CAST(max(v) AS BIGINT) AS samp_max,
+         CAST(sum(v * v) AS BIGINT) AS energy
+  FROM cells GROUP BY doc_id, source
+), resampled AS (
+  SELECT d.doc_id,
+         CAST(sum((d.doc_id * 37 + (i.i * d.n // 16) * 11
+                   + c.c * 101) % 2003 - 1001) AS BIGINT) AS rs_sum
+  FROM dims d,
+       unnest(range(0, 16)) AS i(i),
+       unnest(range(0, d.ch)) AS c(c)
+  GROUP BY d.doc_id
+)
+SELECT p.source,
+       count(*) AS n_docs,
+       round(avg(p.n), 6) AS avg_samples,
+       round(avg(p.ch), 6) AS avg_channels,
+       round(avg(d.rate), 6) AS avg_rate,
+       round(sum(p.samp_sum) / CAST(sum(p.n * p.ch) AS DOUBLE), 6) AS samp_mean,
+       round(avg(p.samp_min), 6) AS avg_min,
+       round(avg(p.samp_max), 6) AS avg_max,
+       round(sum(p.energy) / CAST(sum(p.n * p.ch) AS DOUBLE), 6) AS energy_mean,
+       round(sum(r.rs_sum) / CAST(sum(16 * p.ch) AS DOUBLE), 6) AS resampled_mean
+FROM per_doc p
+JOIN resampled r USING (doc_id)
+JOIN dims d USING (doc_id)
+GROUP BY p.source ORDER BY p.source
+""",
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + resample end-to-end (pure struct/numpy, no
+    media library): each doc gets a genuine PCM16 RIFF/WAVE payload whose
+    interleaved samples are a pure function of ``doc_id``
+    (``(id·37 + frame·11 + channel·101) mod 2003 − 1001``, mono or stereo
+    by ``id`` parity, rate 8/12/16/20 kHz by ``id mod 4``), encoded with
+    :func:`functions.multimodal.encode_wav`; the payloads run the REAL
+    :func:`decode_audio_batch` (RIFF chunk walk + frombuffer reshape) and
+    the REAL nearest-neighbor :func:`resample_audio_batch` to 16 frames,
+    and the oracle recomputes every sample arithmetically in SQL.  Sums
+    and energies are reconstructed as exact integers (mean × n·ch and
+    mean_square × n·ch round to the exact sample sum / energy in f64), so
+    both sides divide identical integers — a wrong channel interleave,
+    sample width, endianness, or chunk offset shifts ``samp_mean`` /
+    ``energy_mean`` / ``resampled_mean`` and fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n, ch = d % 40 + 20, d % 2 + 1
+                rate = 8000 + d % 4 * 4000
+                i = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                s = ((d * 37 + i * 11 + c * 101) % 2003 - 1001).astype(
+                    np.int16
+                )
+                payloads.append(multimodal.encode_wav(s, rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = multimodal.extract_audio_features(payloads)  # REAL WAV decoder
+    resampled = multimodal.resample_audio(payloads, 16)  # REAL resampler
+    rs_feats = multimodal.extract_audio_features(resampled).select(
+        "doc_id", F.element_at("feature", 1).alias("rs_mean")
+    )
+    cells = (F.col("n_samples") * F.col("n_channels")).cast("double")
+    per_doc = feats.select(
+        "doc_id",
+        "n_samples",
+        "n_channels",
+        "sample_rate",
+        F.round(F.element_at("feature", 1) * cells).cast("long").alias("samp_sum"),
+        F.element_at("feature", 2).cast("long").alias("samp_min"),
+        F.element_at("feature", 3).cast("long").alias("samp_max"),
+        F.round(F.element_at("feature", 4) * cells).cast("long").alias("energy"),
+    )
+    joined = (
+        per_doc.join(rs_feats, "doc_id")
+        .withColumn(
+            "rs_sum",
+            F.round(F.col("rs_mean") * 16 * F.col("n_channels")).cast("long"),
+        )
+        .join(docs, "doc_id")
+    )
+    denom = F.sum((F.col("n_samples") * F.col("n_channels")).cast("double"))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_samples"), 6).alias("avg_samples"),
+            F.round(F.avg("n_channels"), 6).alias("avg_channels"),
+            F.round(F.avg("sample_rate"), 6).alias("avg_rate"),
+            F.round(F.sum("samp_sum") / denom, 6).alias("samp_mean"),
+            F.round(F.avg("samp_min"), 6).alias("avg_min"),
+            F.round(F.avg("samp_max"), 6).alias("avg_max"),
+            F.round(F.sum("energy") / denom, 6).alias("energy_mean"),
+            F.round(
+                F.sum("rs_sum")
+                / F.sum((F.lit(16) * F.col("n_channels")).cast("double")),
+                6,
+            ).alias("resampled_mean"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "mm_png_decode",
     survey="ext:multimodal-png",
     oracle="""

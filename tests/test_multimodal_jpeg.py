@@ -1,0 +1,206 @@
+"""REAL baseline-JPEG codec tests: the full DCT/quantize/Huffman pipeline
+in pure numpy + stdlib (functions/jpeg_codec.py).  JPEG is lossy, so the
+test strategy differs from BMP/PNG/WAV: roundtrips assert TIGHT ERROR
+BOUNDS (and exactness for DC-only images) rather than bit equality, plus
+named failures on unsupported/malformed payloads and the Spark stages on
+genuine JPEG bytes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from entropy_balance_weighting_spark.functions import multimodal
+from entropy_balance_weighting_spark.functions.jpeg_codec import (
+    _DCT_M,
+    _ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _rng():
+    return np.random.default_rng(13)
+
+
+def _gradient(h, w, base=60, dr=3, dc=2):
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    return np.clip(base + dr * r + dc * c, 0, 255).astype(np.uint8)
+
+
+def test_dct_matrix_is_orthonormal():
+    np.testing.assert_allclose(_DCT_M @ _DCT_M.T, np.eye(8), atol=1e-12)
+
+
+def test_zigzag_is_a_permutation_with_known_prefix():
+    assert sorted(_ZIGZAG) == list(range(64))
+    # first diagonal entries of the spec's zigzag order (row*8+col)
+    assert list(_ZIGZAG[:6]) == [0, 1, 8, 16, 9, 2]
+
+
+def test_jpeg_constant_image_roundtrips_exactly():
+    """A constant block is pure DC; quantized DC reconstructs the exact
+    level at any reasonable quality."""
+    for level in (0, 64, 130, 255):
+        px = np.full((8, 8, 3), level, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(px, 90))
+        assert int(np.abs(out.astype(int) - level).max()) <= 1
+
+
+def test_jpeg_smooth_roundtrip_error_bounds():
+    """Smooth gradients concentrate energy in low-frequency coefficients;
+    a correct codec reconstructs within a few levels at quality >= 75
+    across non-multiple-of-8 shapes (exercising edge padding)."""
+    for h, w in [(1, 1), (5, 9), (13, 21), (16, 16), (24, 7)]:
+        g = _gradient(h, w)
+        rgb = np.stack(
+            [g, np.clip(g.astype(int) + 20, 0, 255), np.clip(g.astype(int) + 40, 0, 255)],
+            axis=-1,
+        ).astype(np.uint8)
+        for q in (75, 90, 95):
+            out = decode_jpeg(encode_jpeg(rgb, q))
+            assert out.shape == (h, w, 3)
+            assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 4
+        gray_out = decode_jpeg(encode_jpeg(g, 90))
+        assert gray_out.shape == (h, w, 3)
+        assert int(np.abs(gray_out[:, :, 0].astype(int) - g.astype(int)).max()) <= 2
+
+
+def test_jpeg_noise_roundtrip_bounded_by_quantization():
+    """Worst-case content (uniform noise) still reconstructs within the
+    high-quality quantization error envelope — a wrong IDCT norm, zigzag,
+    or Huffman table blows far past this."""
+    noisy = _rng().integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noisy, 95))
+    err = np.abs(out.astype(int) - noisy.astype(int))
+    assert int(err.max()) <= 40
+    assert float(err.mean()) <= 6.0
+
+
+def test_jpeg_quality_monotonicity():
+    noisy = _rng().integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    errs = []
+    for q in (50, 75, 95):
+        out = decode_jpeg(encode_jpeg(noisy, q))
+        errs.append(float(np.abs(out.astype(int) - noisy.astype(int)).mean()))
+    assert errs[0] >= errs[1] >= errs[2]
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """Content tuned to emit 0xFF bytes in the entropy stream must still
+    roundtrip (stuff on encode, unstuff on decode).  Many random images
+    statistically guarantee stuffed bytes appear."""
+    rng = _rng()
+    saw_stuffed = False
+    for _ in range(8):
+        px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        payload = encode_jpeg(px, 95)
+        body = payload[2:-2]
+        if b"\xff\x00" in body:
+            saw_stuffed = True
+        out = decode_jpeg(payload)
+        assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 40
+    assert saw_stuffed
+
+
+def test_jpeg_rejects_unsupported_and_malformed():
+    good = encode_jpeg(_gradient(8, 8), 90)
+    with pytest.raises(NotImplementedError, match="not a JPEG"):
+        decode_jpeg(b"BM" + bytes(60))
+    # progressive SOF2
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i : i + 2] = b"\xff\xc2"
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(prog))
+    # extended sequential SOF1
+    ext = bytearray(good)
+    ext[i : i + 2] = b"\xff\xc1"
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(ext))
+    # truncation inside the entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) - 6])
+    # missing SOS
+    j = good.find(b"\xff\xda")
+    with pytest.raises(ValueError, match="missing SOF/SOS"):
+        decode_jpeg(good[:j] + b"\xff\xd9")
+
+
+def test_jpeg_subsampled_rejected():
+    """A hand-edited SOF claiming 2x2 luma sampling must be rejected, not
+    mis-decoded."""
+    good = encode_jpeg(_gradient(8, 8, base=90), 90)
+    bad = bytearray(good)
+    i = bad.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then [cid samp tq]
+    bad[i + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(bad))
+
+
+def test_decode_image_dispatches_jpeg():
+    g = _gradient(6, 7)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    out = multimodal.decode_image(encode_jpeg(rgb, 95))
+    assert out.shape == (6, 7, 3)
+    assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 2
+
+
+def test_decode_image_batch_mixed_all_four_payload_kinds():
+    """One Arrow batch carrying BMP + PNG + JPEG decodes per-payload via
+    the magic dispatch."""
+    rng = _rng()
+    imgs = [rng.integers(0, 256, (6, 6, 3), dtype=np.uint8) for _ in range(2)]
+    grad = np.repeat(_gradient(6, 6)[:, :, None], 3, axis=2)
+    pay = pd.Series(
+        [
+            multimodal.encode_bmp(imgs[0]),
+            multimodal.encode_png(imgs[1]),
+            encode_jpeg(grad, 95),
+        ]
+    )
+    out = multimodal.decode_image_batch(pay)
+    assert list(out["width"]) == [6, 6, 6]
+    g = imgs[0].astype(np.float64)
+    np.testing.assert_allclose(
+        out["feature"][0], [g.mean(), g.std(), g.min(), g.max()]
+    )
+    # the JPEG row's stats are within quantization error of the original
+    gg = grad.astype(np.float64)
+    assert abs(out["feature"][2][0] - gg.mean()) <= 2.0
+
+
+def test_spark_stages_on_real_jpeg_bytes(spark):
+    """extract_features + resize_images over genuine JPEG payloads in a
+    Spark DataFrame — dims exact, values within quantization error."""
+    ids = list(range(12))
+    imgs = {
+        i: np.repeat(
+            _gradient(i % 5 + 6, i % 7 + 6, base=40 + i)[:, :, None], 3, axis=2
+        )
+        for i in ids
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": ids, "payload": [encode_jpeg(imgs[i], 95) for i in ids]}
+    )
+    df = spark.createDataFrame(pdf).repartition(3)
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
+    for i in ids:
+        assert feats[i]["height"] == imgs[i].shape[0]
+        assert feats[i]["width"] == imgs[i].shape[1]
+        g = imgs[i].astype(np.float64)
+        assert abs(feats[i]["feature"][0] - g.mean()) <= 2.0
+    resized = {
+        r["doc_id"]: r for r in multimodal.resize_images(df, 5, 4).collect()
+    }
+    for i in ids:
+        px = multimodal.decode_image(bytes(resized[i]["payload"]))
+        assert px.shape == (4, 5, 3)
+        h0, w0 = imgs[i].shape[:2]
+        ri = np.arange(4) * h0 // 4
+        ci = np.arange(5) * w0 // 5
+        want = imgs[i][ri[:, None], ci[None, :]].astype(int)
+        assert int(np.abs(px.astype(int) - want).max()) <= 4

@@ -140,15 +140,20 @@ def test_solver_iteration_pass_has_no_shuffle(spark):
         spark.createDataFrame(pdf),
         MomentSpec(weight_col="w", numeric=("x0",), row_key=("rid",)),
     )
-    kern = SparkKernel.from_problem(pt.x_long, pt.w0, pt.k)
-    pass_df = kern.df.mapInArrow(
-        _stats_pass(kern.k, np.zeros(kern.k)), "sums binary, mins binary"
+    from entropy_balance_weighting_spark.kernels.spark import (
+        blob_payload_adapter,
     )
-    plan = _plan(pass_df)
-    assert "Exchange" not in plan  # no shuffle in the iteration hot path
+
+    kern = SparkKernel.from_problem(pt.x_long, pt.w0, pt.k)
+    # iteration passes are narrow mapPartitions over the cached blob RDD:
+    # the lineage must contain no shuffle stage
+    pass_rdd = kern._rdd.mapPartitions(
+        blob_payload_adapter(_stats_pass(kern.k, np.zeros(kern.k), wprog=kern._wprog))
+    )
+    assert "ShuffledRDD" not in pass_rdd.toDebugString().decode()
     # the collected payload must also be executable (schema/order contract)
-    row = pass_df.collect()[0]
-    assert len(row.sums) > 0 and len(row.mins) == 8
+    sums_b, mins_b = pass_rdd.collect()[0]
+    assert len(sums_b) > 0 and len(mins_b) == 8
     kern.cleanup()
 
 

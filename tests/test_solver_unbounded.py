@@ -302,7 +302,7 @@ def test_spark_kernel_rollback_restores_state(spark, small_problem_tables):
     kern = SparkKernel.from_problem(pt.x_long, pt.w0, k)
     lam = np.zeros(k)
     before = {
-        r["row_id"]: r["wstar"] for r in kern.df.select("row_id", "wstar").collect()
+        r["row_id"]: r["new_weight"] for r in kern.new_weights().collect()
     }
     stats = kern.stats(lam)
     dlam = np.full(k, 0.01)
@@ -311,7 +311,7 @@ def test_spark_kernel_rollback_restores_state(spark, small_problem_tables):
     kern.stats(lam + dlam)  # materializes the commit, releases pre-commit cache
     kern.rollback()
     after = {
-        r["row_id"]: r["wstar"] for r in kern.df.select("row_id", "wstar").collect()
+        r["row_id"]: r["new_weight"] for r in kern.new_weights().collect()
     }
     assert after == pytest.approx(before)
     assert stats is not None
