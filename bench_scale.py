@@ -88,6 +88,20 @@ def main() -> None:
         ).alias("val"),
     )
 
+    # Warm the Python worker pool + Arrow imports before any timed stage:
+    # the FIRST Python job of a session pays worker spawn + module import
+    # across all cores, and on this box that warmup has measured 10× on
+    # top of the first timed pack (143 s vs 14 s for the identical encode
+    # later in the same session).  Same discipline as _min3's warm call.
+    def _noop(batches):
+        import numpy  # noqa: F401  (warm the heavy imports in each worker)
+        import pyarrow  # noqa: F401
+
+        for rb in batches:
+            yield rb
+
+    spark.range(0, cpus * 4, 1, cpus).mapInArrow(_noop, "id long").count()
+
     timings: dict[str, float] = {}
     throughput: dict[str, float] = {}
 

@@ -749,3 +749,91 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select("id", status.alias("status"))
+
+
+def doc_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_words: int | None = None,
+) -> DataFrame:
+    """Explode documents into ``(id, pos, line)`` rows.
+
+    ``line_words=None`` splits on literal newlines (the web-corpus case);
+    an integer segments the token stream into fixed ``line_words``-word
+    lines instead (for corpora stored newline-free, like the synthetic
+    testdata).  Pure column expressions either way — the segmentation is
+    a ``transform(sequence(...))`` over the split array, no Python."""
+    if line_words is None:
+        arr = F.split(F.col(text_col), "\n")
+    else:
+        w = F.split(F.col(text_col), " ")
+        n_seg = F.ceil(F.size(w) / F.lit(line_words)).cast("int")
+        arr = F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(w, i * line_words + 1, line_words), " "
+            ),
+        )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(arr).alias("pos", "line")
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_count: int = 2,
+    line_words: int | None = None,
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb cleaning
+    stage): a line occurring in ``>= min_doc_count`` DISTINCT documents
+    is boilerplate (nav bars, cookie banners, footers) and is dropped
+    from every document; the survivors are reassembled in original line
+    order.  Returns ``(id, clean_text, n_lines, n_kept)`` — one row per
+    input document, including documents whose every line was removed
+    (``clean_text = ''``).
+
+    Plan (100 TB shape): explode to lines once; the boilerplate set is a
+    ``groupBy(line)`` with a map-side-combinable ``countDistinct`` and a
+    HAVING filter, so only lines that actually repeat across documents
+    survive the aggregate — orders of magnitude smaller than the corpus
+    (AQE broadcasts it into the anti-join when it fits); reassembly is a
+    ``sort_array(collect_list(struct(pos,line)))`` per document — a
+    single hash aggregate, no window sort.  Joining on the full line
+    string (not a hash) keeps the operator EXACT at any scale; swap the
+    key for an md5 column if line lengths dominate the shuffle."""
+    lines = doc_lines(
+        df, id_col=id_col, text_col=text_col, line_words=line_words
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= min_doc_count)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    sep = "\n" if line_words is None else " "
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

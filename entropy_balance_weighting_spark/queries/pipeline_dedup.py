@@ -466,3 +466,75 @@ def dd_cluster_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster_id", "doc_id")
 
 
+
+
+@register(
+    "dd_boilerplate_lines",
+    survey="ext:dedup-boilerplate-lines",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), lines AS (
+  SELECT doc_id, source, i.i AS pos,
+         array_to_string(w[i.i * 2 + 1 : i.i * 2 + 2], ' ') AS line
+  FROM words,
+       unnest(range(0, CAST(ceil(len(w) / 2.0) AS BIGINT))) AS i(i)
+), hot AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) >= 15
+), kept AS (
+  SELECT l.* FROM lines l ANTI JOIN hot h ON l.line = h.line
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), per_doc AS (
+  SELECT t.doc_id, t.source, t.n_lines,
+         coalesce(r.n_kept, 0) AS n_kept,
+         strlen(coalesce(r.clean_text, '')) AS clean_chars
+  FROM (
+    SELECT doc_id, source, count(*) AS n_lines FROM lines
+    GROUP BY doc_id, source
+  ) t LEFT JOIN rebuilt r USING (doc_id)
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       CAST(sum(n_lines - n_kept) AS BIGINT) AS n_removed,
+       CAST(sum(clean_chars) AS BIGINT) AS clean_chars,
+       round(sum(n_kept) / CAST(sum(n_lines) AS DOUBLE), 6) AS keep_ratio
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def dd_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: segment each
+    document into 2-word lines (the testdata carries no literal newlines;
+    the operator's ``line_words`` mode keeps the derivation a pure column
+    expression), drop every line that occurs in ≥15 distinct documents
+    (nav-bar/footer analogue), reassemble survivors in order, and
+    aggregate the cleaning yield per source.  The oracle replicates the
+    full pipeline — segmentation, distinct-doc line frequency, anti-join,
+    ordered reassembly, char accounting — in pure SQL, so a wrong
+    segmentation boundary, frequency threshold, or reassembly order
+    shifts ``clean_chars``/``keep_ratio`` and fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = dedup.remove_boilerplate_lines(
+        docs, min_doc_count=15, line_words=2
+    )
+    joined = cleaned.join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum(F.col("n_lines") - F.col("n_kept")).alias("n_removed"),
+            F.sum(F.length("clean_text")).alias("clean_chars"),
+            F.round(
+                F.sum("n_kept") / F.sum("n_lines").cast("double"), 6
+            ).alias("keep_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -78,3 +78,78 @@ def test_star_matches_label_propagation_random_graph(spark):
         r.id: r.cluster_id for r in label_propagation_components(df).collect()
     }
     assert star == prop
+
+
+def test_remove_boilerplate_lines_newline_mode(spark):
+    """Literal-newline corpus: the shared footer line is removed from
+    every doc, unique lines survive in order, and a doc that is ALL
+    boilerplate comes back empty (still one output row)."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha one\ncookie banner\nbeta two",
+                "gamma three\ncookie banner",
+                "cookie banner",
+                "delta four\nepsilon five",
+            ],
+        }
+    )
+    out = {
+        r["id"]: r
+        for r in remove_boilerplate_lines(
+            spark.createDataFrame(docs), min_doc_count=3
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha one\nbeta two"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["clean_text"] == "gamma three"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "delta four\nepsilon five"
+    assert out[4]["n_kept"] == 2
+
+
+def test_remove_boilerplate_lines_word_segment_mode(spark):
+    """line_words mode: segmentation boundaries, ragged tails, and the
+    threshold are all honored; nothing is removed below min_doc_count."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.dedup import (
+        doc_lines,
+        remove_boilerplate_lines,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c d e", "a b x"],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    lines = {
+        (r["id"], r["pos"]): r["line"]
+        for r in doc_lines(df, line_words=2).collect()
+    }
+    assert lines[(1, 0)] == "a b" and lines[(1, 1)] == "c d"
+    assert lines[(1, 2)] == "e"  # ragged tail keeps the remainder
+    assert lines[(2, 1)] == "x"
+    out = {
+        r["id"]: r
+        for r in remove_boilerplate_lines(
+            df, min_doc_count=2, line_words=2
+        ).collect()
+    }
+    # "a b" occurs in both docs -> removed; everything else unique -> kept
+    assert out[1]["clean_text"] == "c d e"
+    assert out[2]["clean_text"] == "x"
+    strict = remove_boilerplate_lines(df, min_doc_count=3, line_words=2)
+    assert {r["id"]: r["clean_text"] for r in strict.collect()} == {
+        1: "a b c d e",
+        2: "a b x",
+    }
