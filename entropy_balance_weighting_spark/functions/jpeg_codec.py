@@ -281,14 +281,62 @@ def _category(v: int) -> int:
 
 
 # -- encoder -----------------------------------------------------------------
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+
+# luma sampling factors (h, v); chroma is always (1, 1)
+_SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+
+def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int, enc_dc, enc_ac) -> int:
+    """Entropy-encode one zigzagged quantized block; returns its DC (the
+    next block's DPCM predictor)."""
+    dc = int(blk[0])
+    diff = dc - pred
+    size = _category(diff)
+    code, length = enc_dc[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = enc_ac[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = enc_ac[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < 63:
+        code, length = enc_ac[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
     """Encode an ``(H, W)`` grayscale or ``(H, W, 3)`` RGB uint8 array as
-    a baseline sequential JPEG (4:4:4, Annex K tables, IJG quality
-    scaling) — pure numpy + stdlib."""
+    a baseline sequential JPEG (Annex K tables, IJG quality scaling) —
+    pure numpy + stdlib.  ``subsampling`` picks the luma sampling factors:
+    ``"4:4:4"`` (no chroma subsampling), ``"4:2:2"`` (halved chroma
+    columns), or ``"4:2:0"`` (halved both ways — the dominant web layout);
+    chroma planes are box-filter downsampled."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {px.shape}")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(
+            f"unsupported subsampling {subsampling!r} "
+            f"(one of {sorted(_SUBSAMPLING)})"
+        )
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("cannot encode an empty image")
@@ -296,58 +344,59 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
     if gray:
         planes = [px.astype(np.float64)]
+        factors = [(1, 1)]
     else:
         ycc = _rgb_to_ycbcr(px.astype(np.float64))
         planes = [ycc[..., i] for i in range(3)]
+        factors = [_SUBSAMPLING[subsampling], (1, 1), (1, 1)]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
-    # pad to 8×8 multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    by, bx = ph // 8, pw // 8
-
-    comps = []  # per component: zigzagged quantized blocks (nblk, 64)
-    for ci, plane in enumerate(planes):
-        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
-        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    comps = []  # per component: zigzagged quantized block grid (bh, bw, 64)
+    for ci, (plane, (hi, vi)) in enumerate(zip(planes, factors)):
+        fy, fx = vmax // vi, hmax // hi
+        if (fy, fx) != (1, 1):
+            ch, cw = -(-h // fy), -(-w // fx)
+            p = np.pad(
+                plane, ((0, ch * fy - h), (0, cw * fx - w)), mode="edge"
+            )
+            plane = p.reshape(ch, fy, cw, fx).mean(axis=(1, 3))
+        bh_i, bw_i = mcy * vi, mcx * hi
+        p = np.pad(
+            plane,
+            (
+                (0, bh_i * 8 - plane.shape[0]),
+                (0, bw_i * 8 - plane.shape[1]),
+            ),
+            mode="edge",
+        ) - 128.0
+        blocks = (
+            p.reshape(bh_i, 8, bw_i, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
         coef = _DCT_M @ blocks @ _DCT_M.T
         qt = q_luma if ci == 0 else q_chroma
         qc = np.round(coef / qt).astype(np.int32)
-        comps.append(qc.reshape(-1, 64)[:, _ZIGZAG])
+        comps.append(qc.reshape(-1, 64)[:, _ZIGZAG].reshape(bh_i, bw_i, 64))
 
-    # entropy encode (interleaved MCU = one block per component at 4:4:4)
+    # entropy encode: per MCU, each component contributes its h×v blocks
     bw = _BitWriter()
     prev_dc = [0] * len(comps)
-    for b in range(by * bx):
-        for ci, zz in enumerate(comps):
-            enc_dc = _ENC_DC_L if ci == 0 else _ENC_DC_C
-            enc_ac = _ENC_AC_L if ci == 0 else _ENC_AC_C
-            blk = zz[b]
-            diff = int(blk[0]) - prev_dc[ci]
-            prev_dc[ci] = int(blk[0])
-            size = _category(diff)
-            code, length = enc_dc[size]
-            bw.write(code, length)
-            if size:
-                bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-            run = 0
-            nz = np.nonzero(blk[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = enc_ac[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                size = _category(v)
-                code, length = enc_ac[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last < 63:
-                code, length = enc_ac[0x00]  # EOB
-                bw.write(code, length)
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, grid in enumerate(comps):
+                hi, vi = factors[ci]
+                enc_dc = _ENC_DC_L if ci == 0 else _ENC_DC_C
+                enc_ac = _ENC_AC_L if ci == 0 else _ENC_AC_C
+                for v in range(vi):
+                    for hh in range(hi):
+                        prev_dc[ci] = _encode_block(
+                            bw,
+                            grid[my * vi + v, mx * hi + hh],
+                            prev_dc[ci],
+                            enc_dc,
+                            enc_ac,
+                        )
     bw.flush()
 
     # -- markers -------------------------------------------------------
@@ -366,7 +415,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         )
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+        hi, vi = factors[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += seg(0xFFC0, sof)
     for tclass, tid, (bits, values) in (
         (0, 0, _DC_LUMA),
@@ -388,10 +438,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
 # -- decoder -----------------------------------------------------------------
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG (grayscale or 4:4:4 color) into
-    an ``(H, W, 3)`` uint8 RGB array — pure numpy + stdlib.  Progressive
-    coding, chroma subsampling, restart intervals, and non-8-bit
-    precision raise named ``NotImplementedError``s."""
+    """Decode a baseline sequential JPEG (grayscale or color at any
+    integer sampling-factor layout — 4:4:4, 4:2:2, 4:2:0, ...) into an
+    ``(H, W, 3)`` uint8 RGB array — pure numpy + stdlib; subsampled
+    chroma is nearest-neighbor upsampled.  Progressive coding, restart
+    intervals, and non-8-bit precision raise named
+    ``NotImplementedError``s."""
     b = bytes(payload)
     if b[:2] != b"\xff\xd8":
         raise NotImplementedError(
@@ -436,11 +488,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling is not supported (4:4:4 only)"
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"malformed JPEG payload: sampling factors {hi}x{vi}"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
+            hm = max(c[1] for c in comps)
+            vm = max(c[2] for c in comps)
+            if any(hm % c[1] or vm % c[2] for c in comps):
+                raise NotImplementedError(
+                    "non-integer sampling-factor ratios are not supported"
+                )
             sof = (h, w, comps)
         elif marker == 0xFFC4:  # DHT (may hold several tables)
             o = 0
@@ -466,14 +525,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     h, w, comps = sof
     if h == 0 or w == 0:
         raise ValueError(f"malformed JPEG payload: h={h}, w={w}")
-    by, bx = -(-h // 8), -(-w // 8)
-    nblk = by * bx
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
     reader = _BitReader(b, pos)
-    zz = [np.zeros((nblk, 64), dtype=np.int32) for _ in comps]
-    prev_dc = [0] * len(comps)
+    grids = []  # per component: (bh, bw, 64) zigzag coefficient grid
     comp_tables = []
-    for ci, (cid, tq) in enumerate(comps):
+    for cid, hi, vi, tq in comps:
         sc = next((s for s in scan_comps if s[0] == cid), None)
         if sc is None or tq not in qtables:
             raise ValueError("malformed JPEG payload: component tables missing")
@@ -482,39 +541,54 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if dc_t is None or ac_t is None:
             raise ValueError("malformed JPEG payload: Huffman tables missing")
         comp_tables.append((dc_t, ac_t))
-    for blk in range(nblk):
-        for ci in range(len(comps)):
-            dc_t, ac_t = comp_tables[ci]
-            size = reader.read_symbol(dc_t)
-            prev_dc[ci] += _receive_extend(reader, size)
-            zz[ci][blk, 0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                rs = reader.read_symbol(ac_t)
-                run, size = rs >> 4, rs & 0x0F
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError(
-                        "malformed JPEG payload: AC index out of range"
-                    )
-                zz[ci][blk, k] = _receive_extend(reader, size)
-                k += 1
+        grids.append(np.zeros((mcy * vi, mcx * hi, 64), dtype=np.int32))
+    prev_dc = [0] * len(comps)
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
+                dc_t, ac_t = comp_tables[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        blk = grids[ci][my * vi + v, mx * hi + hh]
+                        size = reader.read_symbol(dc_t)
+                        prev_dc[ci] += _receive_extend(reader, size)
+                        blk[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(ac_t)
+                            run, size = rs >> 4, rs & 0x0F
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "malformed JPEG payload: AC index out of range"
+                                )
+                            blk[k] = _receive_extend(reader, size)
+                            k += 1
 
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
-        coef = (zz[ci][:, _UNZIGZAG] * qtables[tq].reshape(-1)).reshape(-1, 8, 8)
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        bh_i, bw_i = mcy * vi, mcx * hi
+        zzc = grids[ci].reshape(-1, 64)
+        coef = (zzc[:, _UNZIGZAG] * qtables[tq].reshape(-1)).reshape(-1, 8, 8)
         blocks = _DCT_M.T @ coef.astype(np.float64) @ _DCT_M
         plane = (
-            blocks.reshape(by, bx, 8, 8)
+            blocks.reshape(bh_i, bw_i, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(by * 8, bx * 8)[:h, :w]
+            .reshape(bh_i * 8, bw_i * 8)
         )
-        planes.append(plane + 128.0)
+        # crop to the component's own resolution, then nearest-neighbor
+        # upsample back to full resolution
+        ch_i, cw_i = -(-h * vi // vmax), -(-w * hi // hmax)
+        plane = plane[:ch_i, :cw_i]
+        fy, fx = vmax // vi, hmax // hi
+        if (fy, fx) != (1, 1):
+            plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
+        planes.append(plane[:h, :w] + 128.0)
     if len(planes) == 1:
         g = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))

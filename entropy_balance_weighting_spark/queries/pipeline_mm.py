@@ -234,8 +234,10 @@ FROM documents GROUP BY source ORDER BY source
 def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode end-to-end (the full DCT/Huffman pipeline
     in pure numpy + stdlib, ``functions/jpeg_codec.py``): each doc gets a
-    genuine quality-90 4:4:4 JPEG of a clip-free linear gradient
+    genuine quality-90 JPEG of a clip-free linear gradient
     (``30 + id%100 + 3·row + 2·col + 20·ch``, dims ``(id%9+5, id%13+5)``),
+    cycling the chroma layout 4:4:4 / 4:2:0 / 4:2:2 by ``id mod 3`` so the
+    driver row covers the subsampled MCU scan + chroma upsample paths too,
     decoded through the REAL :func:`decode_image_batch` magic dispatch.
     JPEG is lossy, so unlike the BMP/PNG/WAV oracles the check is a
     TOLERANCE COUNT rather than exact pixel sums: a per-doc ``mapInPandas``
@@ -267,7 +269,12 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             payloads = [
-                encode_jpeg(pixels(int(d)), 90) for d in pdf["doc_id"]
+                encode_jpeg(
+                    pixels(int(d)),
+                    90,
+                    subsampling=("4:4:4", "4:2:0", "4:2:2")[int(d) % 3],
+                )
+                for d in pdf["doc_id"]
             ]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}

@@ -129,16 +129,53 @@ def test_jpeg_rejects_unsupported_and_malformed():
         decode_jpeg(good[:j] + b"\xff\xd9")
 
 
-def test_jpeg_subsampled_rejected():
-    """A hand-edited SOF claiming 2x2 luma sampling must be rejected, not
-    mis-decoded."""
+def test_jpeg_chroma_subsampling_roundtrips():
+    """4:2:2 and 4:2:0 (the dominant web layouts): smooth images
+    reconstruct as tightly as 4:4:4 (chroma is near-constant), and
+    chroma-edge content stays within the subsampling loss envelope."""
+    g = _gradient(13, 21)
+    rgb = np.stack(
+        [g, np.clip(g.astype(int) + 20, 0, 255), np.clip(g.astype(int) + 40, 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    for ss in ("4:4:4", "4:2:2", "4:2:0"):
+        out = decode_jpeg(encode_jpeg(rgb, 90, subsampling=ss))
+        assert out.shape == rgb.shape
+        assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 4, ss
+    # hard chroma edges on 8-aligned boundaries: subsampled planes are
+    # box-downsampled cleanly, so the roundtrip stays within a few levels
+    blocks = np.zeros((16, 16, 3), dtype=np.uint8)
+    blocks[:8, :, 0] = 200
+    blocks[8:, :, 2] = 200
+    blocks[:, :8, 1] = 120
+    for ss in ("4:2:2", "4:2:0"):
+        out = decode_jpeg(encode_jpeg(blocks, 95, subsampling=ss))
+        assert int(np.abs(out.astype(int) - blocks.astype(int)).max()) <= 8, ss
+
+
+def test_jpeg_odd_dims_subsampled_roundtrip():
+    """Non-multiple-of-16 dims exercise the MCU edge padding + crop on
+    both the downsampled chroma and the upsample path."""
+    for h, w in [(9, 11), (17, 23), (8, 33)]:
+        g = _gradient(h, w, base=50)
+        rgb = np.stack([g, g, np.clip(g.astype(int) + 30, 0, 255)], axis=-1).astype(
+            np.uint8
+        )
+        out = decode_jpeg(encode_jpeg(rgb, 90, subsampling="4:2:0"))
+        assert out.shape == (h, w, 3)
+        assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 4
+
+
+def test_jpeg_malformed_sampling_factors_rejected():
     good = encode_jpeg(_gradient(8, 8, base=90), 90)
     bad = bytearray(good)
     i = bad.find(b"\xff\xc0")
     # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then [cid samp tq]
-    bad[i + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    bad[i + 11] = 0x00  # zero sampling factors
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="unsupported subsampling"):
+        encode_jpeg(_gradient(8, 8), 90, subsampling="4:1:1")
 
 
 def test_decode_image_dispatches_jpeg():
