@@ -424,3 +424,39 @@ def bigram_doc_logprob(
         )
         .select(F.col("doc").alias(doc_col), "n_bigrams", "logprob")
     )
+
+
+# -- PII scanning / redaction ------------------------------------------------
+#
+# Patterns are deliberately RE2-compatible (no backreferences/lookaround)
+# so the SAME pattern string runs in Spark (Java regex) and DuckDB (RE2),
+# making the scan/redaction relationally verifiable — the engine-parity
+# discipline the md5-prefix hash established for hashing.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+# redaction order matters: ssn/phone eat their dotted/dashed digit runs
+# before the permissive ipv4 pattern can split them
+PII_REDACTION_ORDER = ("email", "ssn", "phone", "ipv4")
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-type PII match counts (one ``regexp_count`` column expression
+    per pattern — JVM-side, no Python)."""
+    return {
+        name: F.regexp_count(text, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column | str, replacement: str = "[PII]") -> Column:
+    """Replace every PII match with ``replacement`` — a chain of
+    ``regexp_replace`` column expressions in :data:`PII_REDACTION_ORDER`
+    (all-occurrence semantics, same as DuckDB's ``'g'`` flag)."""
+    out = F.col(text) if isinstance(text, str) else text
+    for name in PII_REDACTION_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], replacement)
+    return out

@@ -492,7 +492,7 @@ WITH words AS (
 ), per_doc AS (
   SELECT t.doc_id, t.source, t.n_lines,
          coalesce(r.n_kept, 0) AS n_kept,
-         strlen(coalesce(r.clean_text, '')) AS clean_chars
+         length(coalesce(r.clean_text, '')) AS clean_chars  -- length = CHARACTERS (strlen is bytes; Spark length is chars)
   FROM (
     SELECT doc_id, source, count(*) AS n_lines FROM lines
     GROUP BY doc_id, source

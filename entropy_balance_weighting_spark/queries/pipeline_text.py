@@ -165,7 +165,7 @@ WITH t AS (
     len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_retok,
     len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
         * 1.0 / len(toks) AS swr,
-    list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) AS mtl
+    list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mtl
   FROM t
 ), scored AS (
   SELECT source, lang, n_tok, n_retok, swr,
@@ -220,7 +220,7 @@ WITH t AS (
   SELECT len(toks) AS n_tok,
     len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
         * 1.0 / len(toks) AS swr,
-    list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) AS mtl
+    list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mtl
   FROM t
 ), g AS (
   SELECT n_tok, mtl,
@@ -672,3 +672,151 @@ def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "txt_pii_scan",
+    survey="ext:text-pii",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call ' || (100 + doc_id % 900) || '-555-'
+                      || (1000 + doc_id % 9000) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' ssn ' || (100 + doc_id % 900) || '-'
+                      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                      || (1000 + doc_id % 9000) ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' from ' || (doc_id % 256) || '.' || (doc_id * 7 % 256)
+                      || '.' || (doc_id * 13 % 256) || '.'
+                      || (doc_id % 200 + 1) ELSE '' END
+           AS text2
+  FROM documents
+), scanned AS (
+  SELECT doc_id, source, text2,
+         len(regexp_extract_all(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS emails,
+         len(regexp_extract_all(text2,
+             '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS phones,
+         len(regexp_extract_all(text2,
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS ssns,
+         len(regexp_extract_all(text2,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ipv4s,
+         length(text2) - length(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g'),
+             '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PII]', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII]', 'g')
+         ) AS chars_removed
+  FROM seeded
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(emails) AS BIGINT) AS emails,
+       CAST(sum(phones) AS BIGINT) AS phones,
+       CAST(sum(ssns) AS BIGINT) AS ssns,
+       CAST(sum(ipv4s) AS BIGINT) AS ipv4s,
+       CAST(sum(CASE WHEN emails + phones + ssns + ipv4s > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(sum(chars_removed) AS BIGINT) AS chars_removed
+FROM scanned GROUP BY source ORDER BY source
+""",
+)
+def txt_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (the privacy-scrub stage of corpus prep):
+    deterministic synthetic PII (emails, dashed phone numbers, SSNs,
+    IPv4s — seeded by ``doc_id`` arithmetic, the testdata itself carries
+    none) is appended to each document, then counted with
+    :func:`functions.text.pii_counts` (JVM ``regexp_count``, one pattern
+    per type) and redacted with :func:`functions.text.redact_pii`
+    (chained all-occurrence ``regexp_replace``).  The PII_PATTERNS are
+    RE2-compatible by design, so the DuckDB oracle runs the IDENTICAL
+    pattern strings over the identically-seeded text — a regex-dialect
+    divergence, wrong redaction order (SSNs must go before the
+    permissive IPv4 pattern), or miscount fails the hash on
+    ``chars_removed``/per-type counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    seeded = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" call "),
+                    (d % 900 + 100).cast("string"),
+                    F.lit("-555-"),
+                    (d % 9000 + 1000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" ssn "),
+                    (d % 900 + 100).cast("string"),
+                    F.lit("-"),
+                    F.lpad((d % 100).cast("string"), 2, "0"),
+                    F.lit("-"),
+                    (d % 9000 + 1000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" from "),
+                    (d % 256).cast("string"),
+                    F.lit("."),
+                    (d * 7 % 256).cast("string"),
+                    F.lit("."),
+                    (d * 13 % 256).cast("string"),
+                    F.lit("."),
+                    (d % 200 + 1).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    counts = text.pii_counts("text2")
+    scanned = seeded.select(
+        "source",
+        counts["email"].alias("emails"),
+        counts["phone"].alias("phones"),
+        counts["ssn"].alias("ssns"),
+        counts["ipv4"].alias("ipv4s"),
+        (F.length("text2") - F.length(text.redact_pii("text2"))).alias(
+            "chars_removed"
+        ),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("emails").alias("emails"),
+            F.sum("phones").alias("phones"),
+            F.sum("ssns").alias("ssns"),
+            F.sum("ipv4s").alias("ipv4s"),
+            F.sum(
+                (
+                    F.col("emails") + F.col("phones") + F.col("ssns")
+                    + F.col("ipv4s")
+                    > 0
+                ).cast("long")
+            ).alias("docs_with_pii"),
+            F.sum("chars_removed").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )

@@ -25,6 +25,13 @@ FUZZ_QUERIES = [
     "txt_winnow_fingerprints",
     "txt_fingerprint_dups",
     "dd_decontaminate",
+    # boilerplate-line removal: the planted boilerplate prefixes make
+    # shared 2-word lines; below the df threshold the sweep still pins the
+    # reassembly-order identity (sort_array struct == string_agg ORDER BY)
+    "dd_boilerplate_lines",
+    # PII scan: the seeded injection is doc_id arithmetic, so random ids +
+    # random text fuzz the regex-parity and redaction-order contract
+    "txt_pii_scan",
 ]
 
 VOCAB = [f"w{i}" for i in range(40)] + ["the", "of", "héllo", "a.b", "42"]
