@@ -1,11 +1,14 @@
 """Baseline JPEG codec in pure numpy + stdlib — no media libraries.
 
 The fourth REAL decoder in the multimodal layer (after BMP, PNG, WAV):
-baseline sequential DCT JPEG (ITU-T T.81) with 4:4:4 (no chroma
-subsampling) or grayscale, standard JFIF color transform, and the
-Annex K quantization/Huffman tables.  The encoder exists primarily as
-the fixture generator for the decode path (quality-parameterized), but
-is a usable sink in its own right.
+baseline sequential DCT JPEG (ITU-T T.81) — grayscale or color at any
+integer sampling-factor layout (4:4:4 / 4:2:2 / 4:2:0 chroma
+subsampling with nearest-neighbor upsample on decode), restart
+intervals (DRI/RSTn), standard JFIF color transform, and the Annex K
+quantization/Huffman tables.  The encoder exists primarily as the
+fixture generator for the decode path (quality, subsampling, and
+restart interval all parameterized), but is a usable sink in its own
+right.
 
 Decode dataflow: marker walk (stdlib ``struct``) → Huffman entropy
 decode (the one inherently bit-serial stage — per-symbol Python over a
@@ -15,9 +18,8 @@ two batched matmuls (``M.T @ C @ M`` over an (nblocks, 8, 8) stack) →
 YCbCr→RGB.  Everything except the entropy scan is vectorized over the
 whole image.
 
-Unsupported (named errors): progressive/arithmetic coding, chroma
-subsampling other than 4:4:4, 12-bit precision, DNL/DRI restart
-intervals.  JPEG is lossy: roundtrips reconstruct within quantization
+Unsupported (named errors): progressive/arithmetic coding, 12-bit
+precision, non-integer sampling-factor ratios.  JPEG is lossy: roundtrips reconstruct within quantization
 error, so tests/oracles assert error bounds (and exact values for
 DC-only images), not bit equality.
 """
@@ -265,6 +267,20 @@ class _BitReader:
                 return sym
         raise ValueError("malformed JPEG payload: invalid Huffman code")
 
+    def sync_restart(self, n: int) -> None:
+        """Consume an RSTn marker at a restart boundary: discard the
+        pad bits of the current byte, then expect ``0xFF 0xD0+n``."""
+        self._n = 0  # byte-align
+        if self.pos + 2 > len(self.data):
+            raise ValueError("malformed JPEG payload: missing restart marker")
+        m0, m1 = self.data[self.pos], self.data[self.pos + 1]
+        if m0 != 0xFF or m1 != 0xD0 + (n & 7):
+            raise ValueError(
+                f"malformed JPEG payload: expected RST{n & 7}, "
+                f"got {m0:02x}{m1:02x}"
+            )
+        self.pos += 2
+
 
 def _receive_extend(r: _BitReader, size: int) -> int:
     """T.81 F.2.2.1 RECEIVE+EXTEND: size-bit magnitude to signed value."""
@@ -320,14 +336,20 @@ def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int, enc_dc, enc_ac) ->
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an ``(H, W)`` grayscale or ``(H, W, 3)`` RGB uint8 array as
     a baseline sequential JPEG (Annex K tables, IJG quality scaling) —
     pure numpy + stdlib.  ``subsampling`` picks the luma sampling factors:
     ``"4:4:4"`` (no chroma subsampling), ``"4:2:2"`` (halved chroma
     columns), or ``"4:2:0"`` (halved both ways — the dominant web layout);
-    chroma planes are box-filter downsampled."""
+    chroma planes are box-filter downsampled.  ``restart_interval=R``
+    emits a DRI segment and an RSTn marker (byte-aligned, DC predictors
+    reset) after every R MCUs — the layout most camera/web encoders
+    produce."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -382,8 +404,16 @@ def encode_jpeg(
     # entropy encode: per MCU, each component contributes its h×v blocks
     bw = _BitWriter()
     prev_dc = [0] * len(comps)
+    mcu_i = 0
+    rst = 0
     for my in range(mcy):
         for mx in range(mcx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                prev_dc = [0] * len(comps)
+            mcu_i += 1
             for ci, grid in enumerate(comps):
                 hi, vi = factors[ci]
                 enc_dc = _ENC_DC_L if ci == 0 else _ENC_DC_C
@@ -426,6 +456,8 @@ def encode_jpeg(
         out += seg(
             0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(values)
         )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -454,6 +486,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     sof = None
     scan_comps = None
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("malformed JPEG payload: expected marker")
@@ -464,8 +497,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "only baseline sequential DCT JPEG is supported"
             )
-        if marker == 0xFFDD:
-            raise NotImplementedError("restart intervals are not supported")
         (ln,) = struct.unpack_from(">H", b, pos + 2)
         body = b[pos + 4 : pos + 2 + ln]
         if len(body) != ln - 2:
@@ -511,6 +542,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 _, dec = _build_code_tables(bits, values)
                 htables[(tclass, tid)] = dec
                 o += 17 + nv
+        elif marker == 0xFFDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFDA:  # SOS
             ns = body[0]
             scan_comps = [
@@ -543,8 +576,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         comp_tables.append((dc_t, ac_t))
         grids.append(np.zeros((mcy * vi, mcx * hi, 64), dtype=np.int32))
     prev_dc = [0] * len(comps)
+    mcu_i = 0
+    rst = 0
     for my in range(mcy):
         for mx in range(mcx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst += 1
+                prev_dc = [0] * len(comps)
+            mcu_i += 1
             for ci, (cid, hi, vi, tq) in enumerate(comps):
                 dc_t, ac_t = comp_tables[ci]
                 for v in range(vi):

@@ -236,8 +236,9 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     in pure numpy + stdlib, ``functions/jpeg_codec.py``): each doc gets a
     genuine quality-90 JPEG of a clip-free linear gradient
     (``30 + id%100 + 3·row + 2·col + 20·ch``, dims ``(id%9+5, id%13+5)``),
-    cycling the chroma layout 4:4:4 / 4:2:0 / 4:2:2 by ``id mod 3`` so the
-    driver row covers the subsampled MCU scan + chroma upsample paths too,
+    cycling the chroma layout 4:4:4 / 4:2:0 / 4:2:2 by ``id mod 3`` and
+    emitting DRI/RSTn restart markers on odd ids, so the driver row covers
+    the subsampled MCU scan, chroma upsample, and restart-sync paths too,
     decoded through the REAL :func:`decode_image_batch` magic dispatch.
     JPEG is lossy, so unlike the BMP/PNG/WAV oracles the check is a
     TOLERANCE COUNT rather than exact pixel sums: a per-doc ``mapInPandas``
@@ -273,6 +274,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pixels(int(d)),
                     90,
                     subsampling=("4:4:4", "4:2:0", "4:2:2")[int(d) % 3],
+                    restart_interval=int(d) % 2,  # odd ids emit DRI/RSTn
                 )
                 for d in pdf["doc_id"]
             ]

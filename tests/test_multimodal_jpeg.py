@@ -241,3 +241,30 @@ def test_spark_stages_on_real_jpeg_bytes(spark):
         ci = np.arange(5) * w0 // 5
         want = imgs[i][ri[:, None], ci[None, :]].astype(int)
         assert int(np.abs(px.astype(int) - want).max()) <= 4
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: every restart interval decodes BYTE-IDENTICAL to the
+    non-DRI encoding of the same image (the entropy content is the same;
+    only the predictor resets and byte-aligned markers differ), across
+    subsampling layouts."""
+    px = _rng().integers(0, 256, (33, 41, 3), dtype=np.uint8)
+    for ss in ("4:4:4", "4:2:0"):
+        base = decode_jpeg(encode_jpeg(px, 95, subsampling=ss))
+        for interval in (1, 2, 3, 7):
+            payload = encode_jpeg(
+                px, 95, subsampling=ss, restart_interval=interval
+            )
+            assert b"\xff\xdd" in payload  # DRI segment present
+            np.testing.assert_array_equal(decode_jpeg(payload), base)
+
+
+def test_jpeg_corrupt_restart_marker_rejected():
+    px = _rng().integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(px, 95, restart_interval=1))
+    # find the first RST0 marker in the entropy stream and corrupt it
+    i = payload.find(b"\xff\xd0", payload.find(b"\xff\xda"))
+    assert i > 0
+    payload[i + 1] = 0xD5  # wrong restart index
+    with pytest.raises(ValueError, match="expected RST0"):
+        decode_jpeg(bytes(payload))
