@@ -186,3 +186,58 @@ def test_penalty_bounded_distributed_matches_local(spark):
     got = {r["row_id"]: r["new_weight"] for r in res_dist.new_weights.collect()}
     w_dist = np.array([got[h] for h in _hash_ids(spark, pdf)])
     np.testing.assert_allclose(w_dist, res_local.new_weights, rtol=1e-5)
+
+
+def test_penalty_distributed_warm_start_paths(spark):
+    """The split-state kernel's warm-start build (per-row ratio rendered
+    into aligned base/state blob caches in ONE scan) must reproduce the
+    cold solve, and a bounded warm start outside the bounds must raise
+    the named error from inside that same scan."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.plans import (
+        MomentSpec,
+        build_problem_tables,
+    )
+
+    x, w0, m = _problem(n=200, seed=23)
+    pdf = pd.DataFrame(
+        {"rid": np.arange(200), "w": w0, "x0": x[:, 0], "x1": x[:, 1], "x2": x[:, 2]}
+    )
+    df = spark.createDataFrame(pdf)
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1", "x2"), row_key=("rid",))
+    pt = build_problem_tables(df, spec)
+    cold = entropy_balance_penalty(
+        m, pt, penalty_parameter=2.0, options={"force_distributed": True}
+    )
+    guess = pt.w0.select("row_id", F.lit(1.01).alias("ratio"))
+    warm = entropy_balance_penalty(
+        m,
+        pt,
+        penalty_parameter=2.0,
+        options={"force_distributed": True, "initial_ratio_guess": guess},
+    )
+    assert cold.converged and warm.converged
+    got_c = {r["row_id"]: r["new_weight"] for r in cold.new_weights.collect()}
+    got_w = {r["row_id"]: r["new_weight"] for r in warm.new_weights.collect()}
+    keys = sorted(got_c)
+    np.testing.assert_allclose(
+        np.array([got_w[k] for k in keys]),
+        np.array([got_c[k] for k in keys]),
+        rtol=1e-5,
+    )
+    # bounded warm start violating the bounds: the per-row validation
+    # rides the pair-encode scan and must surface the named ValueError
+    bad = pt.w0.select("row_id", F.lit(2.5).alias("ratio"))
+    with pytest.raises(ValueError, match="strictly contain"):
+        entropy_balance_penalty(
+            m,
+            pt,
+            penalty_parameter=2.0,
+            options={
+                "force_distributed": True,
+                "bounds": (0.5, 1.8),
+                "initial_ratio_guess": bad,
+            },
+        )
