@@ -16,9 +16,11 @@ pipeline needs, built Spark-first as first-class engine components):
   sessionization, JSON property extraction.
 - :mod:`functions.multimodal` — opaque-binary column plumbing (schema,
   batching, Arrow UDF signatures) with REAL pure-numpy/stdlib codecs for
-  uncompressed BMP, non-interlaced PNG, PCM WAV audio, and baseline JPEG
-  (:mod:`functions.jpeg_codec`); only formats that genuinely need a media
-  library (progressive JPEG, compressed audio, video) remain stubbed.
+  uncompressed BMP, non-interlaced PNG, PCM WAV audio, baseline JPEG
+  (:mod:`functions.jpeg_codec`), and GIF87a/89a with full variable-width
+  LZW (:mod:`functions.gif_codec`); only formats that genuinely need a
+  media library (progressive JPEG, compressed audio, video) remain
+  stubbed.
 
 Everything is DataFrame/Column-expression first; Python reaches the hot
 path only through Arrow-batched ``mapInPandas`` where semantics require it.

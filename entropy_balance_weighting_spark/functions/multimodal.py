@@ -8,8 +8,10 @@ shapes, partition behavior, UDF signatures.  Decoders: uncompressed BMP
 non-interlaced 8-bit gray/RGB/RGBA PNG (:func:`decode_png`/
 :func:`encode_png`, stdlib zlib + the five PNG filters in numpy), and
 PCM RIFF/WAVE audio (:func:`decode_wav`/:func:`encode_wav`, pure
-struct/numpy), and baseline JPEG (``jpeg_codec.decode_jpeg``/
-``encode_jpeg``, the full DCT/Huffman pipeline in numpy + stdlib) are
+struct/numpy), baseline JPEG (``jpeg_codec.decode_jpeg``/
+``encode_jpeg``, the full DCT/Huffman pipeline in numpy + stdlib), and
+GIF87a/89a (``gif_codec.decode_gif``/``encode_gif``, full variable-width
+LZW both directions) are
 decoded/resized/resampled FOR REAL — no media library needed; remaining
 formats (progressive JPEG, compressed audio, video codecs) raise
 ``NotImplementedError`` because this container has no media libraries —
@@ -300,8 +302,9 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the real decoders: uncompressed BMP
     (:func:`decode_bmp`), non-interlaced 8-bit PNG (:func:`decode_png`),
-    and baseline JPEG (:func:`jpeg_codec.decode_jpeg`) are decoded FOR
-    REAL; anything else names the gap."""
+    baseline JPEG (:func:`jpeg_codec.decode_jpeg`), and GIF87a/89a
+    (:func:`gif_codec.decode_gif`) are decoded FOR REAL; anything else
+    names the gap."""
     b = bytes(payload)
     if b[:2] == _BMP_MAGIC:
         return decode_bmp(b)
@@ -313,10 +316,16 @@ def decode_image(payload: bytes) -> np.ndarray:
         )
 
         return decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from entropy_balance_weighting_spark.functions.gif_codec import (
+            decode_gif,
+        )
+
+        return decode_gif(b)
     raise NotImplementedError(
         "unsupported image format (real decoders: uncompressed BMP, "
-        "non-interlaced 8-bit PNG, baseline JPEG); other formats require "
-        "an image library (use fake_decode for tests)"
+        "non-interlaced 8-bit PNG, baseline JPEG, GIF); other formats "
+        "require an image library (use fake_decode for tests)"
     )
 
 

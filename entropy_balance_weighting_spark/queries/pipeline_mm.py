@@ -570,3 +570,144 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_gif_decode",
+    survey="ext:multimodal-gif",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id % 13 + 4 AS w, doc_id % 9 + 4 AS h,
+         doc_id % 15 + 2 AS n
+  FROM documents
+), cells AS (
+  SELECT d.doc_id, d.source, d.w, d.h, d.n,
+         (d.doc_id * 7
+          + ((d.doc_id * 3 + r.r * 5 + c.c * 7) % d.n) * 13
+          + ch.ch * 29) % 256 AS v
+  FROM dims d,
+       unnest(range(0, d.h)) AS r(r),
+       unnest(range(0, d.w)) AS c(c),
+       unnest(range(0, 3)) AS ch(ch)
+), per_doc AS (
+  SELECT doc_id, source, max(w) AS w, max(h) AS h, max(n) AS n,
+         CAST(sum(v) AS BIGINT) AS pix_sum,
+         CAST(min(v) AS BIGINT) AS pix_min,
+         CAST(max(v) AS BIGINT) AS pix_max
+  FROM cells GROUP BY doc_id, source
+), resized AS (
+  SELECT d.doc_id,
+         CAST(sum((d.doc_id * 7
+                   + ((d.doc_id * 3 + (i.i * d.h // 6) * 5
+                       + (j.j * d.w // 8) * 7) % d.n) * 13
+                   + ch.ch * 29) % 256) AS BIGINT) AS rs_sum
+  FROM dims d,
+       unnest(range(0, 6)) AS i(i),
+       unnest(range(0, 8)) AS j(j),
+       unnest(range(0, 3)) AS ch(ch)
+  GROUP BY d.doc_id
+)
+SELECT p.source,
+       count(*) AS n_docs,
+       round(avg(p.w), 6) AS avg_width,
+       round(avg(p.h), 6) AS avg_height,
+       round(avg(p.n), 6) AS avg_colors,
+       round(sum(p.pix_sum) / CAST(sum(p.w * p.h * 3) AS DOUBLE), 6) AS pix_mean,
+       round(avg(p.pix_min), 6) AS avg_min,
+       round(avg(p.pix_max), 6) AS avg_max,
+       round(sum(r.rs_sum) / (144.0 * count(*)), 6) AS resized_mean
+FROM per_doc p JOIN resized r USING (doc_id)
+GROUP BY p.source ORDER BY p.source
+""",
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode + resize end-to-end (full variable-width LZW in
+    pure numpy/stdlib — see ``functions/gif_codec.py``): each doc gets a
+    genuine single-frame GIF89a whose palette
+    (``(id·7 + i·13 + ch·29) mod 256``, ``id mod 15 + 2`` colors) and
+    index plane (``(id·3 + row·5 + col·7) mod n``) are pure functions of
+    ``doc_id``; odd ids are written INTERLACED and ids divisible by 3 use
+    a LOCAL color table, so the driver-checked path exercises the
+    four-pass de-interlace, both palette locations, sub-block framing,
+    and the LZW dictionary (growth + KwKwK) on every run.  The payloads
+    then run the REAL :func:`decode_image_batch` (magic-dispatch →
+    ``decode_gif``) and the REAL nearest-neighbor
+    :func:`resize_image_batch` to 8×6; the oracle recomputes every
+    channel value arithmetically in SQL (GIF is lossless on indexed
+    data, so sums reconstruct exactly).  A wrong code-width bump,
+    sub-block seam, palette gather, or interlace pass shifts
+    ``pix_mean`` / ``resized_mean`` and fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.gif_codec import encode_gif
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = d % 15 + 2
+                h, w = d % 9 + 4, d % 13 + 4
+                pal = (
+                    (d * 7 + np.arange(n)[:, None] * 13 + np.arange(3)[None, :] * 29)
+                    % 256
+                ).astype(np.uint8)
+                idx = (
+                    d * 3 + np.arange(h)[:, None] * 5 + np.arange(w)[None, :] * 7
+                ) % n
+                payloads.append(
+                    encode_gif(
+                        idx, pal, interlace=bool(d % 2), local_palette=d % 3 == 0
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = multimodal.extract_features(payloads)  # REAL GIF decoder
+    resized = multimodal.resize_images(payloads, 8, 6)  # REAL resizer
+    rs_feats = multimodal.extract_features(resized).select(
+        "doc_id", F.element_at("feature", 1).alias("rs_mean")
+    )
+    area3 = (F.col("width") * F.col("height") * 3).cast("double")
+    per_doc = feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * area3).cast("long").alias("pix_sum"),
+        F.element_at("feature", 3).cast("long").alias("pix_min"),
+        F.element_at("feature", 4).cast("long").alias("pix_max"),
+    )
+    joined = (
+        per_doc.join(rs_feats, "doc_id")
+        .withColumn("rs_sum", F.round(F.col("rs_mean") * 144).cast("long"))
+        .join(docs, "doc_id")
+        .withColumn("n_colors", F.col("doc_id") % 15 + 2)
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.round(F.avg("n_colors"), 6).alias("avg_colors"),
+            F.round(
+                F.sum("pix_sum")
+                / F.sum((F.col("width") * F.col("height") * 3).cast("double")),
+                6,
+            ).alias("pix_mean"),
+            F.round(F.avg("pix_min"), 6).alias("avg_min"),
+            F.round(F.avg("pix_max"), 6).alias("avg_max"),
+            F.round(F.sum("rs_sum") / (144.0 * F.count(F.lit(1))), 6).alias(
+                "resized_mean"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -148,8 +148,12 @@ def test_decode_image_dispatches_on_magic_bytes():
     np.testing.assert_array_equal(
         decode_image(multimodal.encode_bmp(rgb)), rgb
     )
+    # JPEG magic now reaches the REAL baseline decoder, which names the
+    # malformation rather than the format gap
+    with pytest.raises(ValueError, match="truncated segment"):
+        decode_image(b"\xff\xd8\xff\xe0" + bytes(60))
     with pytest.raises(NotImplementedError, match="unsupported image format"):
-        decode_image(b"\xff\xd8\xff\xe0" + bytes(60))  # JPEG magic
+        decode_image(b"II*\x00" + bytes(60))  # TIFF magic — genuinely absent
 
 
 def test_decode_image_batch_mixed_png_and_bmp():
