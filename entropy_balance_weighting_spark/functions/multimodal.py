@@ -112,54 +112,39 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 # -- real PNG codec (stdlib zlib + numpy — no media libraries needed) -------
 #
-# Non-interlaced 8-bit gray/RGB/RGBA PNG is zlib-compressed filtered
-# scanlines, so a second format's decode path can be REAL here: stdlib
+# 8-bit gray/RGB/RGBA/palette PNG is zlib-compressed filtered scanlines,
+# so a second format's decode path can be REAL here: stdlib
 # ``zlib.decompress`` + the five PNG filter types (None/Sub/Up/Average/
-# Paeth).  Encoding is fully vectorized (the predictors read ORIGINAL
+# Paeth), the PLTE indexed-color path, and the seven-pass Adam7
+# interlace.  Encoding is fully vectorized (the predictors read ORIGINAL
 # bytes, no recurrence); decoding vectorizes None/Up whole-row and Sub as
 # a per-lane cumsum, while Average/Paeth walk pixels within the row (the
 # left-neighbor RECONSTRUCTED dependency is inherently sequential —
 # channels still vectorize per step).
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-_PNG_NCH = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+_PNG_NCH = {0: 1, 2: 3, 3: 1, 6: 4}  # gray, RGB, palette-indexed, RGBA
+
+# Adam7 pass origins/strides: (x0, y0, dx, dy) — PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
-def _png_chunk(ctype: bytes, data: bytes) -> bytes:
-    import struct
-    import zlib
-
-    return (
-        struct.pack(">I", len(data))
-        + ctype
-        + data
-        + struct.pack(">I", zlib.crc32(ctype + data))
-    )
-
-
-def encode_png(pixels: np.ndarray, *, filters: str = "cycle") -> bytes:
-    """Encode an ``(H, W)`` grayscale or ``(H, W, 3)`` RGB uint8 array as
-    a non-interlaced 8-bit PNG — stdlib zlib + numpy only.
-
-    ``filters="cycle"`` assigns row ``y`` filter ``y % 5`` so a decoder
-    roundtrip exercises every PNG filter type; ``"none"`` emits filter 0
-    throughout.  All five forward filters are vectorized whole-row (the
-    predictors read original bytes — encoding has no recurrence).
-    """
-    import struct
-    import zlib
-
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        color_type, nch = 0, 1
-        px = px[:, :, None]
-    elif px.ndim == 3 and px.shape[2] == 3:
-        color_type, nch = 2, 3
-    else:
-        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {px.shape}")
-    h, w, _ = px.shape
-    raw = px.reshape(h, w * nch).astype(np.int16)
-    prev = np.zeros((h, w * nch), dtype=np.int16)
+def _png_filter_rows(raw2d: np.ndarray, nch: int, filters: str) -> bytearray:
+    """Forward-filter an ``(H, W*nch)`` uint8 scanline block into the
+    PNG wire format (filter byte + filtered row, per row).  All five
+    forward filters vectorize whole-block — the predictors read original
+    bytes, so there is no recurrence."""
+    h = raw2d.shape[0]
+    raw = raw2d.astype(np.int16)
+    prev = np.zeros_like(raw)
     prev[1:] = raw[:-1]
     left = np.zeros_like(raw)
     left[:, nch:] = raw[:, :-nch]
@@ -183,64 +168,16 @@ def encode_png(pixels: np.ndarray, *, filters: str = "cycle") -> bytes:
         f = y % 5 if filters == "cycle" else 0
         body.append(f)
         body += (filtered[f][y] & 0xFF).astype(np.uint8).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_MAGIC
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
-        + _png_chunk(b"IEND", b"")
-    )
+    return body
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit gray/RGB/RGBA PNG into an
-    ``(H, W, 3)`` uint8 RGB array (gray replicated, alpha dropped) —
-    stdlib ``zlib`` + numpy, no media library.
-
-    Filter reversal: None/Up are whole-row vectorized, Sub is a per-lane
-    cumsum (the recurrence is additive mod 256), Average/Paeth walk the
-    row pixel-by-pixel with the channel vector done in numpy (their
-    left-neighbor dependency is on RECONSTRUCTED bytes, so the recurrence
-    cannot be vectorized away).
-    """
-    import struct
-    import zlib
-
-    b = bytes(payload)
-    if b[:8] != _PNG_MAGIC:
-        raise NotImplementedError(
-            "not a PNG payload; use decode_image for format dispatch"
-        )
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(b):
-        (clen,) = struct.unpack_from(">I", b, pos)
-        ctype = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + clen]
-        if len(data) != clen:
-            raise ValueError(f"malformed PNG payload: truncated {ctype!r} chunk")
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen  # len + type + data + crc
-    if ihdr is None or not idat:
-        raise ValueError("malformed PNG payload: missing IHDR/IDAT")
-    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr
-    )
-    if depth != 8 or color_type not in _PNG_NCH or comp != 0 or filt != 0:
-        raise NotImplementedError(
-            f"only non-interlaced 8-bit gray/RGB/RGBA PNG is supported "
-            f"(depth={depth}, color_type={color_type})"
-        )
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG is not supported")
-    nch = _PNG_NCH[color_type]
-    if w <= 0 or h <= 0:
-        raise ValueError(f"malformed PNG payload: w={w}, h={h}")
-    raw = zlib.decompress(bytes(idat))
+def _png_unfilter_rows(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
+    """Reverse-filter ``h`` scanlines of ``w`` pixels into an
+    ``(H, W*nch)`` uint8 block.  None/Up are whole-row vectorized, Sub
+    is a per-lane cumsum (the recurrence is additive mod 256),
+    Average/Paeth walk the row pixel-by-pixel with the channel vector
+    done in numpy (their left-neighbor dependency is on RECONSTRUCTED
+    bytes, so the recurrence cannot be vectorized away)."""
     rowlen = 1 + w * nch
     if len(raw) != h * rowlen:
         raise ValueError(
@@ -291,9 +228,164 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"malformed PNG payload: filter type {f}")
         recon[y] = cur
         prev = cur
-    px = recon.reshape(h, w, nch)
+    return recon
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def encode_png(
+    pixels: np.ndarray,
+    *,
+    filters: str = "cycle",
+    palette: np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode an ``(H, W)`` grayscale or ``(H, W, 3)`` RGB uint8 array —
+    or, with ``palette`` given, an ``(H, W)`` index array + an ``(N, 3)``
+    palette (color type 3 / PLTE) — as an 8-bit PNG, optionally
+    Adam7-interlaced.  Stdlib zlib + numpy only.
+
+    ``filters="cycle"`` assigns row ``y`` filter ``y % 5`` so a decoder
+    roundtrip exercises every PNG filter type; ``"none"`` emits filter 0
+    throughout.  All five forward filters are vectorized whole-block (the
+    predictors read original bytes — encoding has no recurrence).
+    """
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    plte = b""
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if px.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+            raise ValueError(
+                f"palette mode expects (H,W) indices + (N,3) palette, "
+                f"got {px.shape} / {pal.shape}"
+            )
+        if not 1 <= pal.shape[0] <= 256:
+            raise ValueError(f"palette must have 1..256 entries, got {pal.shape[0]}")
+        if np.asarray(pixels).max(initial=0) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        color_type, nch = 3, 1
+        px = px[:, :, None]
+        plte = _png_chunk(b"PLTE", pal.tobytes())
+    elif px.ndim == 2:
+        color_type, nch = 0, 1
+        px = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, nch = 2, 3
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {px.shape}")
+    h, w, _ = px.shape
+    body = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue  # empty pass for small images
+            sh, sw, _ = sub.shape
+            body += _png_filter_rows(sub.reshape(sh, sw * nch), nch, filters)
+    else:
+        body = _png_filter_rows(px.reshape(h, w * nch), nch, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + plte
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit gray/RGB/RGBA/palette PNG — plain or
+    Adam7-interlaced — into an ``(H, W, 3)`` uint8 RGB array (gray
+    replicated, alpha dropped, palette gathered) — stdlib ``zlib`` +
+    numpy, no media library.  Filter reversal per scanline block is in
+    :func:`_png_unfilter_rows`; Adam7 reverses each of the seven passes
+    independently (each pass restarts with a zero previous row, PNG spec
+    §8.2) and scatters them back with strided assignment.
+    """
+    import struct
+    import zlib
+
+    b = bytes(payload)
+    if b[:8] != _PNG_MAGIC:
+        raise NotImplementedError(
+            "not a PNG payload; use decode_image for format dispatch"
+        )
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            raise ValueError(f"malformed PNG payload: truncated {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            if clen % 3 or not 3 <= clen <= 768:
+                raise ValueError(f"malformed PNG payload: PLTE length {clen}")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG payload: missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color_type not in _PNG_NCH or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA/palette PNG is supported "
+            f"(depth={depth}, color_type={color_type})"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"malformed PNG payload: interlace {interlace}")
+    if color_type == 3 and plte is None:
+        raise ValueError("malformed PNG payload: palette image missing PLTE")
+    nch = _PNG_NCH[color_type]
+    if w <= 0 or h <= 0:
+        raise ValueError(f"malformed PNG payload: w={w}, h={h}")
+    raw = zlib.decompress(bytes(idat))
+    if interlace:
+        recon = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sh = (h - y0 + dy - 1) // dy
+            sw = (w - x0 + dx - 1) // dx
+            if sh <= 0 or sw <= 0:
+                continue
+            take = sh * (1 + sw * nch)
+            sub = _png_unfilter_rows(raw[off : off + take], sw, sh, nch)
+            recon[y0::dy, x0::dx] = sub.reshape(sh, sw, nch)
+            off += take
+        if off != len(raw):
+            raise ValueError(
+                f"malformed PNG payload: {len(raw)} filtered bytes, "
+                f"expected {off}"
+            )
+        px = recon
+    else:
+        px = _png_unfilter_rows(raw, w, h, nch).reshape(h, w, nch)
     if color_type == 0:
         px = np.repeat(px, 3, axis=2)
+    elif color_type == 3:
+        if int(px.max()) >= plte.shape[0]:
+            raise ValueError("malformed PNG payload: index beyond palette")
+        px = plte[px[:, :, 0]]
     elif color_type == 6:
         px = px[:, :, :3]
     return np.ascontiguousarray(px)

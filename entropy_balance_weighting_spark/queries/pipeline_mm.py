@@ -493,20 +493,25 @@ GROUP BY p.source ORDER BY p.source
 )
 def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode + resize end-to-end (stdlib zlib + numpy, no media
-    library): each doc gets a genuine non-interlaced 8-bit RGB PNG whose
+    library): each doc gets a genuine 8-bit PNG whose
     per-channel pixels are a pure function of ``doc_id``
     (``(id·17 + row·5 + col·11 + ch·29) mod 256``), encoded with
     :func:`functions.multimodal.encode_png` in filter-cycling mode so the
     driver-checked path exercises ALL FIVE PNG filter types
-    (None/Sub/Up/Average/Paeth) through inflate + unfilter on decode; the
-    payloads then run the REAL :func:`decode_image_batch` (magic-dispatch
-    → :func:`decode_png`) and the REAL nearest-neighbor
-    :func:`resize_image_batch` to 8×6, and the oracle recomputes every
-    channel value arithmetically in SQL.  Sums are reconstructed as exact
-    integers (mean × w·h·3 rounds to the exact channel sum in f64), so
-    both sides divide identical integers — a wrong filter reversal,
-    stride, row order, or channel order shifts ``pix_mean`` /
-    ``resized_mean`` and fails the hash."""
+    (None/Sub/Up/Average/Paeth) through inflate + unfilter on decode.
+    Encoding VARIANT rotates by ``doc_id mod 3``: plain RGB,
+    Adam7-INTERLACED RGB, and PALETTE-indexed (color type 3, the image's
+    distinct colors as PLTE) — the decoded pixels are identical in all
+    three, so one oracle pins the plain, interlace, and palette decode
+    paths at once.  The payloads then run the REAL
+    :func:`decode_image_batch` (magic-dispatch → :func:`decode_png`) and
+    the REAL nearest-neighbor :func:`resize_image_batch` to 8×6, and the
+    oracle recomputes every channel value arithmetically in SQL.  Sums
+    are reconstructed as exact integers (mean × w·h·3 rounds to the
+    exact channel sum in f64), so both sides divide identical integers —
+    a wrong filter reversal, stride, row order, channel order, interlace
+    pass, or palette gather shifts ``pix_mean`` / ``resized_mean`` and
+    fails the hash."""
     import numpy as np
     import pandas as pd
 
@@ -526,7 +531,25 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = ((d * 17 + r * 5 + c * 11 + ch * 29) % 256).astype(
                     np.uint8
                 )
-                payloads.append(multimodal.encode_png(px, filters="cycle"))
+                if d % 3 == 2:
+                    # palette variant: distinct colors -> PLTE + indices
+                    pal, inv = np.unique(
+                        px.reshape(-1, 3), axis=0, return_inverse=True
+                    )
+                    payloads.append(
+                        multimodal.encode_png(
+                            inv.reshape(h, w).astype(np.uint8),
+                            palette=pal,
+                            filters="cycle",
+                            interlace=False,
+                        )
+                    )
+                    continue
+                payloads.append(
+                    multimodal.encode_png(
+                        px, filters="cycle", interlace=d % 3 == 1
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )

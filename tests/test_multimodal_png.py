@@ -122,10 +122,14 @@ def test_png_rejects_unsupported_and_malformed():
     bad_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0))
     with pytest.raises(NotImplementedError, match="depth"):
         decode_png(_PNG_MAGIC + bad_ihdr + _png_chunk(b"IDAT", zlib.compress(b"x")) + _png_chunk(b"IEND", b""))
-    # Adam7 interlace
+    # Adam7 is now REAL; a truncated interlaced stream is a named error
     il_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1))
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError, match="filtered bytes"):
         decode_png(_PNG_MAGIC + il_ihdr + _png_chunk(b"IDAT", zlib.compress(b"x")) + _png_chunk(b"IEND", b""))
+    # palette image without a PLTE chunk
+    p_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(_PNG_MAGIC + p_ihdr + _png_chunk(b"IDAT", zlib.compress(bytes(20))) + _png_chunk(b"IEND", b""))
     # truncation into the IDAT chunk must be a named ValueError, not an
     # index error (cutting only the 12-byte IEND trailer still decodes)
     with pytest.raises(ValueError, match="truncated"):
@@ -223,3 +227,34 @@ def test_spark_stages_on_real_png_bytes(spark):
         ri = np.arange(4) * h0 // 4
         ci = np.arange(5) * w0 // 5
         np.testing.assert_array_equal(px, imgs[i][ri[:, None], ci[None, :]])
+
+
+def test_png_adam7_interlace_roundtrips_exactly():
+    """Adam7: seven passes, each filtered independently with a restarted
+    previous-row — odd sizes cover empty passes."""
+    rng = _rng()
+    for shape in ((1, 1, 3), (2, 3, 3), (7, 5, 3), (8, 8, 3), (9, 13, 3), (40, 33)):
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = px if px.ndim == 3 else np.repeat(px[:, :, None], 3, axis=2)
+        for filt in ("cycle", "none"):
+            out = decode_png(encode_png(px, filters=filt, interlace=True))
+            np.testing.assert_array_equal(out, want)
+
+
+def test_png_palette_roundtrips_exactly():
+    """Color type 3: PLTE gather, plain and interlaced, 1..256 entries."""
+    rng = _rng()
+    for n in (1, 2, 17, 256):
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (11, 14)).astype(np.uint8)
+        for interlace in (False, True):
+            out = decode_png(encode_png(idx, palette=pal, interlace=interlace))
+            np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_png_palette_rejects_bad_inputs():
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_png(np.full((2, 2), 9, dtype=np.uint8), palette=pal)
+    with pytest.raises(ValueError, match="palette mode expects"):
+        encode_png(np.zeros((2, 2, 3), dtype=np.uint8), palette=pal)
