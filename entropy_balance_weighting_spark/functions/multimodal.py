@@ -595,35 +595,123 @@ def resize_images(
 _WAV_MAGIC = b"RIFF"
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+# -- G.711 companding (µ-law / A-law), vectorized whole-array ----------------
+#
+# The ITU-T G.711 logarithmic codecs, 8 bits/sample — WAV format codes 7
+# (µ-law) and 6 (A-law), ubiquitous in telephony corpora.  Both directions
+# follow the classic public-domain reference implementation (Sun g711.c)
+# with the segment search vectorized as np.searchsorted and every other
+# step as elementwise numpy.
+
+_ULAW_SEG = np.array([0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF])
+_ALAW_SEG = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+_ULAW_BIAS = 0x84  # 132
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear → µ-law code bytes (G.711), vectorized."""
+    pcm = np.asarray(samples, dtype=np.int32) >> 2  # 14-bit domain
+    mask = np.where(pcm < 0, 0x7F, 0xFF)
+    pcm = np.minimum(np.abs(pcm), 8159) + (_ULAW_BIAS >> 2)
+    seg = np.searchsorted(_ULAW_SEG, pcm)
+    # the clipped maximum (8159 + 33 = 8192) lands past the last segment
+    # boundary; G.711 maps it to the max-magnitude code
+    uval = np.where(
+        seg >= 8, 0x7F, (seg << 4) | ((pcm >> (seg + 1)) & 0x0F)
+    )
+    return (uval ^ mask).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """µ-law code bytes → int16 linear (G.711), vectorized."""
+    u = (~np.asarray(codes)).astype(np.uint8).astype(np.int32)
+    t = (((u & 0x0F) << 3) + _ULAW_BIAS) << ((u >> 4) & 0x07)
+    # the biased expansion is already 16-bit scale (encode biased in the
+    # 14-bit domain); range ±32124
+    return np.where(u & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear → A-law code bytes (G.711), vectorized."""
+    pcm = np.asarray(samples, dtype=np.int32) >> 3  # 13-bit domain
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    pcm = np.where(pcm >= 0, pcm, -pcm - 1)
+    seg = np.searchsorted(_ALAW_SEG, pcm)
+    shift = np.where(seg < 2, 1, seg)
+    aval = (seg << 4) | ((pcm >> shift) & 0x0F)
+    return (aval ^ mask).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """A-law code bytes → int16 linear (G.711), vectorized."""
+    a = (np.asarray(codes).astype(np.int32)) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    base = np.where(seg == 0, t + 8, t + 0x108)
+    lin = np.where(seg <= 1, base, base << np.maximum(seg - 1, 0))
+    # sign bit SET means positive in A-law wire format; the expansion is
+    # already 16-bit scale (encode shifted into the 13-bit domain);
+    # range ±32256
+    return np.where(a & 0x80, lin, -lin).astype(np.int16)
+
+
+_WAV_CODECS = {
+    "pcm16": (1, 16),
+    "ulaw": (7, 8),
+    "alaw": (6, 8),
+}
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16_000, *, fmt: str = "pcm16"
+) -> bytes:
     """Encode an ``(N,)`` mono or ``(N, CH)`` multi-channel int16 array as
-    a PCM16 RIFF/WAVE payload — the fixture generator for the real audio
-    decode path (and a usable sink in its own right)."""
+    a RIFF/WAVE payload — PCM16 (default) or G.711 µ-law/A-law companded
+    (``fmt="ulaw"``/``"alaw"``, 8 bits/sample) — the fixture generator
+    for the real audio decode path (and a usable sink in its own
+    right)."""
     import struct
 
+    if fmt not in _WAV_CODECS:
+        raise ValueError(f"fmt must be one of {sorted(_WAV_CODECS)}, got {fmt!r}")
+    audio_fmt, bits = _WAV_CODECS[fmt]
     s = np.asarray(samples, dtype=np.int16)
     if s.ndim == 1:
         s = s[:, None]
     if s.ndim != 2:
         raise ValueError(f"expected (N,) or (N,CH) int16, got {s.shape}")
     n, ch = s.shape
-    body = np.ascontiguousarray(s).tobytes()  # interleaved little-endian
-    fmt = struct.pack(
-        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    if fmt == "ulaw":
+        body = np.ascontiguousarray(ulaw_encode(s)).tobytes()
+    elif fmt == "alaw":
+        body = np.ascontiguousarray(alaw_encode(s)).tobytes()
+    else:
+        body = np.ascontiguousarray(s).tobytes()  # interleaved little-endian
+    width = bits // 8
+    fmt_chunk = struct.pack(
+        "<HHIIHH",
+        audio_fmt,
+        ch,
+        sample_rate,
+        sample_rate * ch * width,
+        ch * width,
+        bits,
     )
     data = (
         b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
         + b"data" + struct.pack("<I", len(body)) + body
     )
     return _WAV_MAGIC + struct.pack("<I", len(data)) + data
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a PCM RIFF/WAVE payload (8-bit unsigned or 16-bit signed)
-    into ``((N, CH) int16 samples, sample_rate)``.  Pure struct/numpy:
-    RIFF chunk walk + one ``np.frombuffer`` reshape — no per-sample
-    Python.  8-bit samples are widened to int16 as ``(v - 128) << 8``
+    """Decode a RIFF/WAVE payload — PCM (8-bit unsigned / 16-bit signed)
+    or G.711 companded (format 7 µ-law / 6 A-law) — into ``((N, CH)
+    int16 samples, sample_rate)``.  Pure struct/numpy: RIFF chunk walk +
+    one ``np.frombuffer`` reshape, companded bytes expanded by the
+    vectorized :func:`ulaw_decode`/:func:`alaw_decode` — no per-sample
+    Python.  8-bit PCM samples are widened to int16 as ``(v - 128) << 8``
     (the standard unsigned-PCM8 → PCM16 mapping)."""
     import struct
 
@@ -651,9 +739,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None or len(fmt) < 16:
         raise ValueError("malformed WAV payload: missing fmt/data chunk")
     audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt)
-    if audio_fmt != 1 or bits not in (8, 16):
+    if not (
+        (audio_fmt == 1 and bits in (8, 16))
+        or (audio_fmt in (6, 7) and bits == 8)
+    ):
         raise NotImplementedError(
-            f"only 8/16-bit PCM WAV is supported "
+            f"only 8/16-bit PCM and 8-bit G.711 ulaw/alaw WAV is supported "
             f"(audio_format={audio_fmt}, bits={bits})"
         )
     if ch <= 0 or rate <= 0:
@@ -662,7 +753,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     frame = ch * width
     n = len(data) // frame
     data = data[: n * frame]
-    if bits == 16:
+    if audio_fmt == 7:
+        s = ulaw_decode(np.frombuffer(data, dtype=np.uint8).reshape(n, ch))
+    elif audio_fmt == 6:
+        s = alaw_decode(np.frombuffer(data, dtype=np.uint8).reshape(n, ch))
+    elif bits == 16:
         s = np.frombuffer(data, dtype="<i2").reshape(n, ch).astype(np.int16)
     else:
         raw = np.frombuffer(data, dtype=np.uint8).reshape(n, ch)

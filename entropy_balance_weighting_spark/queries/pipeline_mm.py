@@ -734,3 +734,114 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_g711_decode",
+    survey="ext:multimodal-g711",
+    oracle="""
+WITH codes AS (
+  SELECT d.doc_id, d.source, d.doc_id % 40 + 10 AS n,
+         (d.doc_id * 13 + i.i * 7) % 256 AS u,
+         d.doc_id % 2 AS is_u
+  FROM documents d,
+       unnest(range(0, d.doc_id % 40 + 10)) AS i(i)
+), lin AS (
+  SELECT doc_id, source, n,
+    CASE WHEN is_u = 1 THEN
+      CASE WHEN (255 - u) >= 128
+           THEN 132 - ((((255 - u) & 15) * 8 + 132) << (((255 - u) >> 4) & 7))
+           ELSE ((((255 - u) & 15) * 8 + 132) << (((255 - u) >> 4) & 7)) - 132
+      END
+    ELSE
+      (CASE WHEN (xor(u, 85) & 128) != 0 THEN 1 ELSE -1 END)
+      * (CASE WHEN ((xor(u, 85) >> 4) & 7) = 0
+              THEN (xor(u, 85) & 15) * 16 + 8
+              ELSE ((xor(u, 85) & 15) * 16 + 264)
+                   << (CASE WHEN ((xor(u, 85) >> 4) & 7) > 1
+                            THEN ((xor(u, 85) >> 4) & 7) - 1 ELSE 0 END)
+         END)
+    END AS s
+  FROM codes
+), per_doc AS (
+  SELECT doc_id, source, max(n) AS n,
+         CAST(sum(s) AS BIGINT) AS samp_sum,
+         CAST(min(s) AS BIGINT) AS samp_min,
+         CAST(max(s) AS BIGINT) AS samp_max,
+         CAST(sum(s * s) AS BIGINT) AS energy
+  FROM lin GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(n), 6) AS avg_samples,
+       round(sum(samp_sum) / CAST(sum(n) AS DOUBLE), 6) AS samp_mean,
+       round(avg(samp_min), 6) AS avg_min,
+       round(avg(samp_max), 6) AS avg_max,
+       round(sum(energy) / CAST(sum(n) AS DOUBLE), 6) AS energy_mean
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def mm_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 companded-audio decode end-to-end: each doc gets a
+    genuine RIFF/WAVE payload whose 8-bit code stream is a pure function
+    of ``doc_id`` (``(id·13 + i·7) mod 256``) — odd ids µ-law (WAV
+    format 7), even ids A-law (format 6) — written by
+    :func:`functions.multimodal.encode_wav` and decoded by the REAL
+    vectorized :func:`ulaw_decode`/:func:`alaw_decode` expansions inside
+    :func:`extract_audio_features`.  The oracle recomputes BOTH G.711
+    expansions arithmetically in SQL (bias-shift for µ-law, segment
+    unfold for A-law — the codecs are exact integer maps, so sample sum,
+    min/max, and energy reconstruct exactly).  A wrong complement, bias,
+    segment shift, or sign convention in either law shifts ``samp_mean``
+    / ``energy_mean`` and fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = d % 40 + 10
+                codes = ((d * 13 + np.arange(n) * 7) % 256).astype(np.uint8)
+                if d % 2:
+                    samples = multimodal.ulaw_decode(codes)
+                    fmt = "ulaw"
+                else:
+                    samples = multimodal.alaw_decode(codes)
+                    fmt = "alaw"
+                payloads.append(
+                    multimodal.encode_wav(samples, 8000, fmt=fmt)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = multimodal.extract_audio_features(payloads)  # REAL G.711 decode
+    cells = F.col("n_samples").cast("double")  # mono: ch = 1
+    per_doc = feats.select(
+        "doc_id",
+        "n_samples",
+        F.round(F.element_at("feature", 1) * cells).cast("long").alias("samp_sum"),
+        F.element_at("feature", 2).cast("long").alias("samp_min"),
+        F.element_at("feature", 3).cast("long").alias("samp_max"),
+        F.round(F.element_at("feature", 4) * cells).cast("long").alias("energy"),
+    ).join(docs, "doc_id")
+    denom = F.sum(F.col("n_samples").cast("double"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_samples"), 6).alias("avg_samples"),
+            F.round(F.sum("samp_sum") / denom, 6).alias("samp_mean"),
+            F.round(F.avg("samp_min"), 6).alias("avg_min"),
+            F.round(F.avg("samp_max"), 6).alias("avg_max"),
+            F.round(F.sum("energy") / denom, 6).alias("energy_mean"),
+        )
+        .orderBy("source")
+    )

@@ -175,3 +175,69 @@ def test_spark_stages_on_real_wav_bytes(spark):
         n0 = sigs[i].shape[0]
         idx = np.arange(8) * n0 // 8
         np.testing.assert_array_equal(rs, sigs[i][idx])
+
+
+# -- G.711 µ-law / A-law companding -------------------------------------------
+
+
+def test_g711_every_code_roundtrips_through_linear():
+    """code -> linear -> code is the identity for all 256 A-law codes and
+    all µ-law codes except 0x7F (µ-law's 'minus zero' aliases to 0xFF —
+    both decode to 0, a spec property, not a bug)."""
+    codes = np.arange(256, dtype=np.uint8)
+    rt_a = multimodal.alaw_encode(multimodal.alaw_decode(codes))
+    np.testing.assert_array_equal(rt_a, codes)
+    rt_u = multimodal.ulaw_encode(multimodal.ulaw_decode(codes))
+    bad = np.nonzero(rt_u != codes)[0]
+    assert bad.tolist() == [0x7F]
+    assert int(multimodal.ulaw_decode(np.array([0x7F]))[0]) == 0
+    assert int(rt_u[0x7F]) == 0xFF
+
+
+def test_g711_known_reference_points():
+    """Spot values from the G.711 expansion tables."""
+    assert int(multimodal.ulaw_decode(np.array([0xFF]))[0]) == 0
+    assert int(multimodal.ulaw_decode(np.array([0x80]))[0]) == 32124
+    assert int(multimodal.ulaw_decode(np.array([0x00]))[0]) == -32124
+    assert int(multimodal.alaw_decode(np.array([0xD5]))[0]) == 8
+    assert int(multimodal.alaw_decode(np.array([0x55]))[0]) == -8
+    # sign bit SET means positive on the A-law wire: 0xAA^0x55 = 0xFF
+    assert int(multimodal.alaw_decode(np.array([0xAA]))[0]) == 32256
+    assert int(multimodal.alaw_decode(np.array([0x2A]))[0]) == -32256
+    assert int(multimodal.alaw_encode(np.array([32767], dtype=np.int16))[0]) == 0xAA
+
+
+def test_g711_companding_error_bounds():
+    """linear -> code -> linear stays within the top-segment quantization
+    step (µ-law also clips at ±32124 ± the 644 clip margin)."""
+    rng = _rng()
+    x = rng.integers(-32768, 32768, 100_000).astype(np.int16)
+    x = np.concatenate(
+        [x, np.array([-32768, -32767, -1, 0, 1, 32766, 32767], dtype=np.int16)]
+    )
+    eu = np.abs(multimodal.ulaw_decode(multimodal.ulaw_encode(x)).astype(int) - x)
+    ea = np.abs(multimodal.alaw_decode(multimodal.alaw_encode(x)).astype(int) - x)
+    assert eu.max() <= 644  # 32768 - 32124 clip margin dominates
+    assert ea.max() <= 512  # top-segment step
+
+
+def test_wav_container_g711_roundtrips():
+    rng = _rng()
+    s = rng.integers(-32768, 32768, (300, 2)).astype(np.int16)
+    for fmt, kernel in (
+        ("ulaw", multimodal.ulaw_decode),
+        ("alaw", multimodal.alaw_decode),
+    ):
+        enc = multimodal.encode_wav(s, 8000, fmt=fmt)
+        out, rate = multimodal.decode_wav(enc)
+        assert rate == 8000 and out.shape == s.shape
+        # container decode == kernel applied to the companded codes
+        want = kernel(
+            {"ulaw": multimodal.ulaw_encode, "alaw": multimodal.alaw_encode}[fmt](s)
+        )
+        np.testing.assert_array_equal(out, want)
+
+
+def test_wav_rejects_unknown_companding():
+    with pytest.raises(ValueError, match="fmt must be one of"):
+        multimodal.encode_wav(np.zeros(4, dtype=np.int16), fmt="adpcm")
