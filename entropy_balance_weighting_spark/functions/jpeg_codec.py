@@ -335,11 +335,117 @@ def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int, enc_dc, enc_ac) ->
     return dc
 
 
+# Flat Huffman table for progressive scans: symbols 0x00..0xFE as 9-bit
+# canonical codes 0..254 and 0xFF as the single 10-bit code 510 (a DHT
+# length-count is one byte, so 256 codes cannot share one length; the
+# all-ones codes 0x1FF/0x3FF are never assigned, as T.81 requires).
+# Progressive needs the EOBn symbols (r<<4 for r>=1) that the Annex K
+# baseline AC tables don't define, and a real encoder would build
+# optimized tables per scan; a fixed flat table keeps the fixtures
+# simple while still exercising the decoder's real DHT-driven paths.
+_FLAT_BITS = [0] * 8 + [255, 1] + [0] * 6
+_FLAT_VALUES = list(range(256))
+_ENC_FLAT = {s: (s, 9) for s in range(255)}
+_ENC_FLAT[255] = (510, 10)
+
+
+def _emit_ac_first_block(bw, blk, ss, se, al, enc_ac, eobrun: int) -> int:
+    """Progressive AC initial scan, one block (T.81 §G.1.2.2 / IJG
+    encode_mcu_AC_first); returns the updated pending EOB run."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(blk[k])
+        neg = t < 0
+        t = (-t if neg else t) >> al
+        if t == 0:
+            r += 1
+            continue
+        if eobrun:
+            eobrun = _flush_eobrun(bw, enc_ac, eobrun)
+        while r > 15:
+            code, length = enc_ac[0xF0]
+            bw.write(code, length)
+            r -= 16
+        s = t.bit_length()
+        code, length = enc_ac[(r << 4) | s]
+        bw.write(code, length)
+        bw.write((~t if neg else t) & ((1 << s) - 1), s)
+        r = 0
+    if r:
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            eobrun = _flush_eobrun(bw, enc_ac, eobrun)
+    return eobrun
+
+
+def _flush_eobrun(bw, enc_ac, eobrun: int, bits: list | None = None) -> int:
+    """Emit a pending EOBn symbol (+ its extra bits), then any buffered
+    refinement correction bits."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, length = enc_ac[nbits << 4]
+        bw.write(code, length)
+        if nbits:
+            bw.write(eobrun - (1 << nbits), nbits)
+    if bits:
+        for bit in bits:
+            bw.write(bit, 1)
+        bits.clear()
+    return 0
+
+
+def _emit_ac_refine_block(
+    bw, blk, ss, se, al, enc_ac, eobrun: int, be_bits: list
+) -> int:
+    """Progressive AC refinement scan, one block (T.81 §G.1.2.3 / IJG
+    encode_mcu_AC_refine).  ``be_bits`` buffers correction bits that
+    belong to the pending EOB run; returns the updated run."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob_k = ss - 1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_k = ss + i
+    r = 0
+    br: list[int] = []  # current block's correction bits
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:
+            eobrun = _flush_eobrun(bw, enc_ac, eobrun, be_bits)
+            code, length = enc_ac[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+        if t > 1:  # history coefficient: correction bit only
+            br.append(t & 1)
+            continue
+        # newly-nonzero coefficient at this precision
+        eobrun = _flush_eobrun(bw, enc_ac, eobrun, be_bits)
+        code, length = enc_ac[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(0 if int(blk[k]) < 0 else 1, 1)
+        for bit in br:
+            bw.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eobrun += 1
+        be_bits.extend(br)
+        if eobrun == 0x7FFF or len(be_bits) > 900:
+            eobrun = _flush_eobrun(bw, enc_ac, eobrun, be_bits)
+    return eobrun
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 90,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an ``(H, W)`` grayscale or ``(H, W, 3)`` RGB uint8 array as
     a baseline sequential JPEG (Annex K tables, IJG quality scaling) —
@@ -349,7 +455,11 @@ def encode_jpeg(
     chroma planes are box-filter downsampled.  ``restart_interval=R``
     emits a DRI segment and an RSTn marker (byte-aligned, DC predictors
     reset) after every R MCUs — the layout most camera/web encoders
-    produce."""
+    produce.  ``progressive=True`` writes an SOF2 multi-scan file using
+    libjpeg's standard progression script (DC first at Al=1, spectral
+    AC bands, then DC and AC refinement scans) — every T.81 Annex G
+    scan kind appears, so a decode roundtrip exercises the full
+    progressive machinery."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -358,6 +468,10 @@ def encode_jpeg(
         raise ValueError(
             f"unsupported subsampling {subsampling!r} "
             f"(one of {sorted(_SUBSAMPLING)})"
+        )
+    if progressive and restart_interval:
+        raise ValueError(
+            "restart intervals with progressive encoding are not supported"
         )
     h, w = px.shape[:2]
     if h == 0 or w == 0:
@@ -401,6 +515,48 @@ def encode_jpeg(
         qc = np.round(coef / qt).astype(np.int32)
         comps.append(qc.reshape(-1, 64)[:, _ZIGZAG].reshape(bh_i, bw_i, 64))
 
+    # -- markers -------------------------------------------------------
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    out += seg(0xFFDB, bytes([0]) + bytes(q_luma.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(
+            0xFFDB, bytes([1]) + bytes(q_chroma.reshape(-1)[_ZIGZAG].astype(np.uint8))
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hi, vi = factors[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
+    if progressive:
+        # flat 9-bit tables for both classes (see _FLAT_BITS above)
+        for tclass in (0, 1):
+            out += seg(
+                0xFFC4,
+                bytes([(tclass << 4) | 0])
+                + bytes(_FLAT_BITS)
+                + bytes(_FLAT_VALUES),
+            )
+        out += _encode_progressive_scans(comps, factors, mcx, mcy, h, w, seg)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+    for tclass, tid, (bits, values) in (
+        (0, 0, _DC_LUMA),
+        (1, 0, _AC_LUMA),
+        *(() if gray else ((0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA))),
+    ):
+        out += seg(
+            0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(values)
+        )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
     # entropy encode: per MCU, each component contributes its h×v blocks
     bw = _BitWriter()
     prev_dc = [0] * len(comps)
@@ -429,35 +585,6 @@ def encode_jpeg(
                         )
     bw.flush()
 
-    # -- markers -------------------------------------------------------
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    ncomp = 1 if gray else 3
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(
-        0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
-    )
-    out += seg(0xFFDB, bytes([0]) + bytes(q_luma.reshape(-1)[_ZIGZAG].astype(np.uint8)))
-    if not gray:
-        out += seg(
-            0xFFDB, bytes([1]) + bytes(q_chroma.reshape(-1)[_ZIGZAG].astype(np.uint8))
-        )
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        hi, vi = factors[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += seg(0xFFC0, sof)
-    for tclass, tid, (bits, values) in (
-        (0, 0, _DC_LUMA),
-        (1, 0, _AC_LUMA),
-        *(() if gray else ((0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA))),
-    ):
-        out += seg(
-            0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(values)
-        )
-    if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -468,13 +595,307 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _encode_progressive_scans(comps, factors, mcx, mcy, h, w, seg) -> bytes:
+    """Emit the standard libjpeg progression script as SOS segments +
+    entropy data: interleaved DC first (Al=1), per-component spectral AC
+    first scans, an AC successive-approximation refinement for luma, a
+    DC refinement, and final AC refinements to full precision."""
+    ncomp = len(comps)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    if ncomp == 1:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([2], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+        ]
+    out = bytearray()
+    for comp_ids, ss, se, ah, al in script:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            # flat tables live at id 0 for both classes
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        bw = _BitWriter()
+        if ss == 0 and ah == 0:  # DC initial (interleaved MCU order)
+            prev = [0] * ncomp
+            for my in range(mcy):
+                for mx in range(mcx):
+                    for ci in comp_ids:
+                        hi, vi = factors[ci]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                dc = int(comps[ci][my * vi + v, mx * hi + hh][0]) >> al
+                                diff = dc - prev[ci]
+                                prev[ci] = dc
+                                size = _category(diff)
+                                code, length = _ENC_FLAT[size]
+                                bw.write(code, length)
+                                if size:
+                                    bw.write(
+                                        diff if diff > 0 else diff + (1 << size) - 1,
+                                        size,
+                                    )
+        elif ss == 0:  # DC refinement: one raw bit per block, MCU order
+            for my in range(mcy):
+                for mx in range(mcx):
+                    for ci in comp_ids:
+                        hi, vi = factors[ci]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                dc = int(comps[ci][my * vi + v, mx * hi + hh][0])
+                                bw.write((dc >> al) & 1, 1)
+        else:  # AC scan, single component, non-interleaved block order
+            ci = comp_ids[0]
+            hi, vi = factors[ci]
+            bh_n = -(-(-(-h * vi // vmax)) // 8)
+            bw_n = -(-(-(-w * hi // hmax)) // 8)
+            eobrun = 0
+            be_bits: list[int] = []
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    blk = comps[ci][by, bx]
+                    if ah == 0:
+                        eobrun = _emit_ac_first_block(
+                            bw, blk, ss, se, al, _ENC_FLAT, eobrun
+                        )
+                    else:
+                        eobrun = _emit_ac_refine_block(
+                            bw, blk, ss, se, al, _ENC_FLAT, eobrun, be_bits
+                        )
+            _flush_eobrun(bw, _ENC_FLAT, eobrun, be_bits)
+        bw.flush()
+        out += bw.out
+    return bytes(out)
+
+
 # -- decoder -----------------------------------------------------------------
+
+
+def _refine_nonzero(reader: _BitReader, blk: np.ndarray, k: int, se: int, p1: int, m1: int) -> None:
+    """T.81 §G.2 AC refinement tail: append a correction bit to every
+    already-nonzero coefficient in ``blk[k..se]``."""
+    while k <= se:
+        c = int(blk[k])
+        if c:
+            if reader.read_bit() and not (c & p1):
+                blk[k] = c + (p1 if c > 0 else m1)
+        k += 1
+
+
+def _decode_ac_first(reader, blk, ss, se, al, ac_t, eobrun: int) -> int:
+    """Progressive AC initial scan for one block (T.81 §G.2.2 /
+    IJG decode_mcu_AC_first); returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of end-of-band blocks
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun - 1
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("malformed JPEG payload: AC index out of range")
+        blk[k] = _receive_extend(reader, s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(reader, blk, ss, se, al, ac_t, eobrun: int) -> int:
+    """Progressive AC refinement scan for one block (T.81 §G.2.3 /
+    IJG decode_mcu_AC_refine); returns the updated EOB run."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            s_val = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "malformed JPEG payload: refinement size != 1"
+                    )
+                s_val = p1 if reader.read_bit() else m1
+            elif r < 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            # advance over r zero-history positions, appending correction
+            # bits to already-nonzero coefficients passed on the way
+            while k <= se:
+                c = int(blk[k])
+                if c:
+                    if reader.read_bit() and not (c & p1):
+                        blk[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val and k <= se:
+                blk[k] = s_val
+            k += 1
+    if eobrun > 0:
+        _refine_nonzero(reader, blk, k, se, p1, m1)
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    reader: _BitReader,
+    grids: list,
+    comps: list,
+    scan_spec: tuple,
+    htables: dict,
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+    mcx: int,
+    mcy: int,
+    restart_interval: int,
+    progressive: bool,
+) -> None:
+    """Decode one entropy-coded scan into the coefficient grids.
+
+    Handles every T.81 scan shape: baseline full-band (Ss=0, Se=63,
+    interleaved or single-component), progressive DC initial/refinement
+    (interleaved or not), and progressive AC initial/refinement (always
+    single-component).  Restart markers reset the DC predictors and the
+    EOB run."""
+    scan_comps, ss, se, ah, al = scan_spec
+    members = []  # (comp index, dc table, ac table)
+    for cid, dc_id, ac_id in scan_comps:
+        ci = next((i for i, c in enumerate(comps) if c[0] == cid), None)
+        if ci is None:
+            raise ValueError("malformed JPEG payload: unknown scan component")
+        members.append((ci, htables.get((0, dc_id)), htables.get((1, ac_id))))
+    if progressive:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("malformed JPEG payload: DC scan with Se>0")
+            if ah == 0 and any(m[1] is None for m in members):
+                raise ValueError("malformed JPEG payload: Huffman tables missing")
+        else:
+            if len(members) != 1:
+                raise ValueError(
+                    "malformed JPEG payload: interleaved progressive AC scan"
+                )
+            if se > 63 or ss > se or members[0][2] is None:
+                raise ValueError("malformed JPEG payload: bad AC scan band")
+    elif any(m[1] is None or m[2] is None for m in members):
+        raise ValueError("malformed JPEG payload: Huffman tables missing")
+
+    def units():
+        """Restart units: one MCU (interleaved) or one block (single)."""
+        if len(members) > 1:
+            for my in range(mcy):
+                for mx in range(mcx):
+                    mcu = []
+                    for ci, dc_t, ac_t in members:
+                        _, hi, vi, _ = comps[ci]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                mcu.append(
+                                    (
+                                        ci,
+                                        dc_t,
+                                        ac_t,
+                                        grids[ci][my * vi + v, mx * hi + hh],
+                                    )
+                                )
+                    yield mcu
+        else:
+            ci, dc_t, ac_t = members[0]
+            _, hi, vi, _ = comps[ci]
+            # non-interleaved scans cover the component's OWN block grid
+            # (ceil of its true resolution), not the MCU-padded grid
+            bh_n = -(-(-(-h * vi // vmax)) // 8)
+            bw_n = -(-(-(-w * hi // hmax)) // 8)
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    yield [(ci, dc_t, ac_t, grids[ci][by, bx])]
+
+    prev_dc = [0] * len(comps)
+    eobrun = 0
+    unit_i = 0
+    rst = 0
+    for unit in units():
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            reader.sync_restart(rst)
+            rst += 1
+            prev_dc = [0] * len(comps)
+            eobrun = 0
+        unit_i += 1
+        for ci, dc_t, ac_t, blk in unit:
+            if not progressive:
+                size = reader.read_symbol(dc_t)
+                prev_dc[ci] += _receive_extend(reader, size)
+                blk[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.read_symbol(ac_t)
+                    run, size = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError(
+                            "malformed JPEG payload: AC index out of range"
+                        )
+                    blk[k] = _receive_extend(reader, size)
+                    k += 1
+            elif ss == 0:
+                if ah == 0:  # DC initial: DPCM in the point-transformed domain
+                    size = reader.read_symbol(dc_t)
+                    prev_dc[ci] += _receive_extend(reader, size)
+                    blk[0] = prev_dc[ci] << al
+                elif reader.read_bit():  # DC refinement: one bit per block
+                    blk[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _decode_ac_first(reader, blk, ss, se, al, ac_t, eobrun)
+            else:
+                eobrun = _decode_ac_refine(reader, blk, ss, se, al, ac_t, eobrun)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG (grayscale or color at any
-    integer sampling-factor layout — 4:4:4, 4:2:2, 4:2:0, ...) into an
-    ``(H, W, 3)`` uint8 RGB array — pure numpy + stdlib; subsampled
-    chroma is nearest-neighbor upsampled.  Progressive coding, restart
-    intervals, and non-8-bit precision raise named
+    """Decode a baseline sequential OR progressive JPEG (grayscale or
+    color at any integer sampling-factor layout — 4:4:4, 4:2:2, 4:2:0,
+    ...) into an ``(H, W, 3)`` uint8 RGB array — pure numpy + stdlib;
+    subsampled chroma is nearest-neighbor upsampled.  Progressive images
+    (SOF2) run the full multi-scan reconstruction: spectral selection
+    and successive approximation, interleaved/non-interleaved DC scans,
+    EOB-run decoding, and AC refinement per T.81 Annex G.  Arithmetic
+    coding, hierarchical mode, and non-8-bit precision raise named
     ``NotImplementedError``s."""
     b = bytes(payload)
     if b[:2] != b"\xff\xd8":
@@ -483,19 +904,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         )
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict] = {}
+    htables: dict[tuple[int, int], tuple[list, list]] = {}
     sof = None
-    scan_comps = None
+    progressive = False
     restart_interval = 0
+    grids = None
+    decoded_scans = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("malformed JPEG payload: expected marker")
         marker = struct.unpack_from(">H", b, pos)[0]
-        if marker in (0xFFC2, 0xFFC6, 0xFFCA, 0xFFCE):
-            raise NotImplementedError("progressive JPEG is not supported")
-        if marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC7, 0xFFC9, 0xFFCB, 0xFFCD, 0xFFCF):
+        if marker == 0xFFD9:  # EOI
+            break
+        if marker in (0xFFC6, 0xFFCA, 0xFFCE, 0xFFC9, 0xFFCB, 0xFFCD, 0xFFCF):
             raise NotImplementedError(
-                "only baseline sequential DCT JPEG is supported"
+                "arithmetic-coded JPEG is not supported"
+            )
+        if marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC7):
+            raise NotImplementedError(
+                "only baseline sequential and progressive DCT JPEG is "
+                "supported"
             )
         (ln,) = struct.unpack_from(">H", b, pos + 2)
         body = b[pos + 4 : pos + 2 + ln]
@@ -512,7 +940,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 z[_ZIGZAG] = t
                 qtables[tid] = z.reshape(8, 8)
                 o += 65
-        elif marker == 0xFFC0:  # SOF0 baseline
+        elif marker in (0xFFC0, 0xFFC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xFFC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision is supported")
@@ -544,71 +973,60 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 o += 17 + nv
         elif marker == 0xFFDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
-        elif marker == 0xFFDA:  # SOS
+        elif marker == 0xFFDA:  # SOS — decode this scan's entropy data
+            if sof is None:
+                raise ValueError("malformed JPEG payload: SOS before SOF")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("malformed JPEG payload: truncated SOS")
             scan_comps = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                 for i in range(ns)
             ]
-            pos = pos + 2 + ln
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            h, w, comps = sof
+            if h == 0 or w == 0:
+                raise ValueError(f"malformed JPEG payload: h={h}, w={w}")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            if grids is None:
+                # (bh, bw, 64) zigzag coefficient grid per component,
+                # MCU-padded; progressive scans accumulate into it
+                grids = [
+                    np.zeros((mcy * vi, mcx * hi, 64), dtype=np.int32)
+                    for _, hi, vi, _ in comps
+                ]
+            reader = _BitReader(b, pos + 2 + ln)
+            _decode_scan(
+                reader,
+                grids,
+                comps,
+                (scan_comps, ss, se, ah, al),
+                htables,
+                h,
+                w,
+                hmax,
+                vmax,
+                mcx,
+                mcy,
+                restart_interval,
+                progressive,
+            )
+            decoded_scans += 1
+            pos = reader.pos
+            continue
         pos += 2 + ln
-    if sof is None or scan_comps is None:
+    if sof is None or grids is None or decoded_scans == 0:
         raise ValueError("malformed JPEG payload: missing SOF/SOS")
     h, w, comps = sof
-    if h == 0 or w == 0:
-        raise ValueError(f"malformed JPEG payload: h={h}, w={w}")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-
-    reader = _BitReader(b, pos)
-    grids = []  # per component: (bh, bw, 64) zigzag coefficient grid
-    comp_tables = []
-    for cid, hi, vi, tq in comps:
-        sc = next((s for s in scan_comps if s[0] == cid), None)
-        if sc is None or tq not in qtables:
+    for _, _, _, tq in comps:
+        if tq not in qtables:
             raise ValueError("malformed JPEG payload: component tables missing")
-        dc_t = htables.get((0, sc[1]))
-        ac_t = htables.get((1, sc[2]))
-        if dc_t is None or ac_t is None:
-            raise ValueError("malformed JPEG payload: Huffman tables missing")
-        comp_tables.append((dc_t, ac_t))
-        grids.append(np.zeros((mcy * vi, mcx * hi, 64), dtype=np.int32))
-    prev_dc = [0] * len(comps)
-    mcu_i = 0
-    rst = 0
-    for my in range(mcy):
-        for mx in range(mcx):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                reader.sync_restart(rst)
-                rst += 1
-                prev_dc = [0] * len(comps)
-            mcu_i += 1
-            for ci, (cid, hi, vi, tq) in enumerate(comps):
-                dc_t, ac_t = comp_tables[ci]
-                for v in range(vi):
-                    for hh in range(hi):
-                        blk = grids[ci][my * vi + v, mx * hi + hh]
-                        size = reader.read_symbol(dc_t)
-                        prev_dc[ci] += _receive_extend(reader, size)
-                        blk[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_symbol(ac_t)
-                            run, size = rs >> 4, rs & 0x0F
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError(
-                                    "malformed JPEG payload: AC index out of range"
-                                )
-                            blk[k] = _receive_extend(reader, size)
-                            k += 1
 
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):

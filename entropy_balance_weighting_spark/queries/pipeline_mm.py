@@ -236,9 +236,11 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     in pure numpy + stdlib, ``functions/jpeg_codec.py``): each doc gets a
     genuine quality-90 JPEG of a clip-free linear gradient
     (``30 + id%100 + 3·row + 2·col + 20·ch``, dims ``(id%9+5, id%13+5)``),
-    cycling the chroma layout 4:4:4 / 4:2:0 / 4:2:2 by ``id mod 3`` and
-    emitting DRI/RSTn restart markers on odd ids, so the driver row covers
-    the subsampled MCU scan, chroma upsample, and restart-sync paths too,
+    cycling the chroma layout 4:4:4 / 4:2:0 / 4:2:2 by ``id mod 3``,
+    emitting DRI/RSTn restart markers on odd ids, and writing ids
+    ``≡ 2 (mod 4)`` as PROGRESSIVE (SOF2) multi-scan files, so the driver
+    row covers the subsampled MCU scan, chroma upsample, restart-sync,
+    and full progressive-reconstruction paths too,
     decoded through the REAL :func:`decode_image_batch` magic dispatch.
     JPEG is lossy, so unlike the BMP/PNG/WAV oracles the check is a
     TOLERANCE COUNT rather than exact pixel sums: a per-doc ``mapInPandas``
@@ -275,6 +277,11 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     90,
                     subsampling=("4:4:4", "4:2:0", "4:2:2")[int(d) % 3],
                     restart_interval=int(d) % 2,  # odd ids emit DRI/RSTn
+                    # ids ≡ 2 (mod 4) are PROGRESSIVE (SOF2 multi-scan);
+                    # they decode to the same pixels as baseline, so the
+                    # oracle is unchanged while the driver row pins the
+                    # progressive reconstruction too
+                    progressive=int(d) % 4 == 2,
                 )
                 for d in pdf["doc_id"]
             ]

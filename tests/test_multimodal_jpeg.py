@@ -109,16 +109,22 @@ def test_jpeg_rejects_unsupported_and_malformed():
     good = encode_jpeg(_gradient(8, 8), 90)
     with pytest.raises(NotImplementedError, match="not a JPEG"):
         decode_jpeg(b"BM" + bytes(60))
-    # progressive SOF2
+    # SOF2 is now REAL: relabeling a baseline stream as progressive makes
+    # its full-band scan header (Ss=0, Se=63) malformed, a named error
     prog = bytearray(good)
     i = prog.find(b"\xff\xc0")
     prog[i : i + 2] = b"\xff\xc2"
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="DC scan with Se>0"):
         decode_jpeg(bytes(prog))
+    # arithmetic-coded SOF9
+    arith = bytearray(good)
+    arith[i : i + 2] = b"\xff\xc9"
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(arith))
     # extended sequential SOF1
     ext = bytearray(good)
     ext[i : i + 2] = b"\xff\xc1"
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(NotImplementedError, match="baseline sequential and progressive"):
         decode_jpeg(bytes(ext))
     # truncation inside the entropy stream
     with pytest.raises(ValueError):
@@ -268,3 +274,75 @@ def test_jpeg_corrupt_restart_marker_rejected():
     payload[i + 1] = 0xD5  # wrong restart index
     with pytest.raises(ValueError, match="expected RST0"):
         decode_jpeg(bytes(payload))
+
+
+# -- progressive (SOF2) -------------------------------------------------------
+
+
+def test_progressive_decode_equals_baseline_decode():
+    """Progressive and baseline encode the SAME quantized coefficients,
+    so their decodes must match bit-for-bit — across color modes,
+    subsampling layouts, qualities, and odd sizes (empty/partial MCUs)."""
+    rng = _rng()
+    cases = []
+    for shape, sub in [
+        ((8, 8), "4:4:4"),
+        ((13, 21), "4:2:0"),
+        ((31, 17), "4:2:2"),
+        ((7, 5), "4:4:4"),
+    ]:
+        g = _gradient(*shape)
+        cases.append((g, sub))
+        cases.append((np.stack([g, g, g], -1), sub))
+        cases.append((rng.integers(0, 256, shape + (3,), dtype=np.uint8), sub))
+    for px, sub in cases:
+        for q in (30, 90):
+            base = decode_jpeg(encode_jpeg(px, q, sub))
+            prog = decode_jpeg(encode_jpeg(px, q, sub, progressive=True))
+            np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_stream_structure():
+    """The progressive fixture really is multi-scan SOF2: one SOF2
+    marker, no SOF0, and the full 10-scan color script."""
+    px = np.stack([_gradient(16, 16)] * 3, -1).astype(np.uint8)
+    b = encode_jpeg(px, 90, progressive=True)
+    assert b.count(b"\xff\xc2") >= 1 and b.find(b"\xff\xc0") == -1
+    # count SOS markers outside entropy data is tricky; the script emits
+    # 10 SOS segments and each starts with FF DA immediately after either
+    # a table segment or previous scan's entropy bytes
+    assert b.count(b"\xff\xda") >= 10
+
+
+def test_progressive_exercises_eob_runs():
+    """A mostly-flat image makes consecutive all-zero AC bands, forcing
+    EOBn symbols with r>0 (multi-block EOB runs) through both encode and
+    decode."""
+    px = np.full((64, 64), 128, dtype=np.uint8)
+    px[0, 0] = 140  # one active block so the AC scans are not empty
+    base = decode_jpeg(encode_jpeg(px, 90))
+    prog = decode_jpeg(encode_jpeg(px, 90, progressive=True))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_noise_stresses_ac_refinement():
+    """Dense random coefficients at low quality maximize refinement
+    traffic (history coefficients, buffered correction bits, ZRLs)."""
+    rng = _rng()
+    px = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    for q in (20, 75):
+        base = decode_jpeg(encode_jpeg(px, q, "4:2:0"))
+        prog = decode_jpeg(encode_jpeg(px, q, "4:2:0", progressive=True))
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_rejects_restart_intervals():
+    with pytest.raises(ValueError, match="restart intervals with progressive"):
+        encode_jpeg(_gradient(8, 8), 90, restart_interval=2, progressive=True)
+
+
+def test_progressive_truncated_scan_raises():
+    px = np.stack([_gradient(16, 16)] * 3, -1).astype(np.uint8)
+    b = encode_jpeg(px, 90, progressive=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(b[: len(b) - 10])
