@@ -1,0 +1,175 @@
+"""Uncompressed-AVI (RIFF) video container codec in pure struct/numpy —
+no media libraries.
+
+The video layer's REAL demuxer: AVI files whose video stream carries
+uncompressed 24-bit DIB frames ('DIB ' handler, BI_RGB) are a plain RIFF
+chunk tree — `LIST hdrl` (avih + stream headers), `LIST movi` (one
+``00db`` chunk per frame, bottom-up BGR rows padded to 4 bytes), and an
+``idx1`` index.  That is parseable with stdlib ``struct`` alone, so
+frame demux + decode is real here; compressed codecs (H.264 etc.) keep
+raising the named ``NotImplementedError`` in
+:func:`multimodal.decode_video_frames`.
+
+:func:`encode_avi` is the fixture generator (and a usable sink);
+:func:`decode_avi_frames` demuxes + decodes to RGB arrays;
+:func:`multimodal.sample_video_frames` is the Spark fan-out stage that
+emits every N-th demuxed frame as a standalone BMP payload, composing
+with the rest of the REAL image pipeline (``decode_image_batch``,
+``resize_images``)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+AVI_MAGIC = b"RIFF"
+
+
+def _bmp_rows(frame: np.ndarray) -> bytes:
+    """(H, W, 3) RGB uint8 → bottom-up BGR DIB rows, stride padded to 4."""
+    h, w, _ = frame.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    return rows.tobytes()
+
+
+def encode_avi(frames: np.ndarray, fps: int = 30) -> bytes:
+    """Encode an ``(N, H, W, 3)`` uint8 RGB frame stack (or a list of
+    equal-shape frames) as an uncompressed 24-bit DIB AVI."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3 or fr.shape[0] == 0:
+        raise ValueError(f"expected (N,H,W,3) uint8 frames, got {fr.shape}")
+    n, h, w, _ = fr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    frame_size = stride * h
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(subtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", subtype + data)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_size,  # dwSuggestedBufferSize
+        w,
+        h,
+        0,
+        0,
+        0,
+        0,
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIIi4H",
+            0,  # dwFlags
+            0,  # wPriority
+            0,  # wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            fps,  # dwRate
+            0,  # dwStart
+            n,  # dwLength
+            frame_size,  # dwSuggestedBufferSize
+            0,  # dwQuality
+            0,  # dwSampleSize
+            0,
+            0,
+            w,
+            h,  # rcFrame
+        )
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_children = b"".join(chunk(b"00db", _bmp_rows(f)) for f in fr)
+    movi = lst(b"movi", movi_children)
+    # idx1: offsets relative to the start of the movi LIST data (i.e. the
+    # position of 'movi' + 4)
+    idx = bytearray()
+    off = 4
+    for _ in range(n):
+        idx += b"00db" + struct.pack("<III", 0x10, off, frame_size)
+        off += 8 + frame_size + (frame_size & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return AVI_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Demux an uncompressed-DIB AVI into ``([frame (H, W, 3) RGB], fps)``
+    — stdlib struct + numpy, no media library.  Compressed video streams
+    (any non-BI_RGB biCompression) raise a named ``NotImplementedError``."""
+    b = bytes(payload)
+    if b[:4] != AVI_MAGIC or len(b) < 12 or b[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "not a RIFF/AVI payload; compressed video needs a codec library"
+        )
+    w = h = bpp = None
+    compression = 0
+    fps = 0.0
+    frames_raw: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, bpp, compression, fps
+        while pos + 8 <= end:
+            fourcc = b[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            data_start = pos + 8
+            data_end = data_start + clen
+            if data_end > end:
+                raise ValueError(
+                    f"malformed AVI payload: chunk {fourcc!r} overruns"
+                )
+            if fourcc == b"LIST":
+                walk(data_start + 4, data_end)  # skip the subtype fourcc
+            elif fourcc == b"strh" and clen >= 48:
+                if b[data_start : data_start + 4] == b"vids":
+                    scale, rate = struct.unpack_from("<II", b, data_start + 20)
+                    if scale:
+                        fps = rate / scale
+            elif fourcc == b"strf" and clen >= 40 and w is None:
+                _, bw, bh, _, bits, comp = struct.unpack_from(
+                    "<IiiHHI", b, data_start
+                )
+                w, h, bpp, compression = bw, bh, bits, comp
+            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
+                frames_raw.append(b[data_start:data_end])
+            pos = data_end + (clen & 1)  # chunks are word-aligned
+
+    walk(12, len(b))
+    if w is None or h is None:
+        raise ValueError("malformed AVI payload: missing strf header")
+    if compression != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit DIB AVI is supported "
+            f"(biCompression={compression}, bpp={bpp})"
+        )
+    top_down = h < 0
+    ah = abs(int(h))
+    if w <= 0 or ah == 0:
+        raise ValueError(f"malformed AVI payload: w={w}, h={h}")
+    stride = (w * 3 + 3) // 4 * 4
+    out = []
+    for raw in frames_raw:
+        if len(raw) < stride * ah:
+            raise ValueError("malformed AVI payload: truncated frame")
+        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * ah)
+        px = rows.reshape(ah, stride)[:, : w * 3].reshape(ah, w, 3)[:, :, ::-1]
+        if not top_down:
+            px = px[::-1]
+        out.append(np.ascontiguousarray(px))
+    return out, fps

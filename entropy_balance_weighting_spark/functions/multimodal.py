@@ -887,16 +887,61 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
 def decode_video_frames(payload: bytes, frame_bytes: int) -> list[bytes]:
     """Split a video payload into frames.
 
-    STUB for a real container/codec demuxer (no video libraries in this
-    environment).  The deterministic fallback used by
-    :func:`sample_frames` treats the payload as fixed-size byte frames —
-    the Spark-side plumbing (fan-out row cardinality, batch shapes,
-    schema) is identical either way.
+    STUB for a real compressed-codec demuxer (no video libraries in this
+    environment) — but see :func:`sample_video_frames` for the REAL
+    uncompressed-AVI path (``functions/avi_codec.py``).  The
+    deterministic fallback used by :func:`sample_frames` treats the
+    payload as fixed-size byte frames — the Spark-side plumbing (fan-out
+    row cardinality, batch shapes, schema) is identical either way.
     """
     raise NotImplementedError(
-        "video decoding requires a codec library; use fixed-size byte "
-        "frames (the sample_frames default) for tests"
+        "compressed video decoding requires a codec library; uncompressed "
+        "AVI demuxes for real via sample_video_frames, and fixed-size "
+        "byte frames (the sample_frames default) exercise the plumbing"
     )
+
+
+def sample_video_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 2,
+) -> DataFrame:
+    """REAL video frame sampling: demux uncompressed-DIB AVI payloads
+    (``functions/avi_codec.py`` — RIFF walk + DIB decode, pure
+    struct/numpy) and emit every ``every_n``-th frame as its own row,
+    re-encoded as a standalone BMP payload so the sampled frames compose
+    with the rest of the real image pipeline (:func:`decode_image_batch`,
+    :func:`resize_images`).  Same fan-out ``mapInPandas`` shape as
+    :func:`sample_frames`; the frame payloads are genuine decodable
+    images instead of raw byte slices."""
+    from entropy_balance_weighting_spark.functions.avi_codec import (
+        decode_avi_frames,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for did, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                decoded, _fps = decode_avi_frames(bytes(b))
+                for i in range(0, len(decoded), every_n):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    frames.append(encode_bmp(decoded[i]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, FRAME_SCHEMA)
 
 
 def sample_frames(

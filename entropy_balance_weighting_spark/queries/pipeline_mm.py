@@ -852,3 +852,124 @@ def mm_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_avi_frames",
+    survey="ext:multimodal-video",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id % 7 + 3 AS nf, doc_id % 5 + 4 AS w, doc_id % 6 + 4 AS h
+  FROM documents
+), sampled AS (
+  SELECT d.doc_id, d.source, d.w, d.h, f.f
+  FROM dims d, unnest(range(0, d.nf, 2)) AS f(f)
+), cells AS (
+  SELECT s.doc_id, s.source, s.w, s.h, s.f,
+         (s.doc_id * 11 + s.f * 17 + r.r * 5 + c.c * 3 + ch.ch * 7) % 256 AS v
+  FROM sampled s,
+       unnest(range(0, s.h)) AS r(r),
+       unnest(range(0, s.w)) AS c(c),
+       unnest(range(0, 3)) AS ch(ch)
+), per_doc AS (
+  SELECT doc_id, source, max(w) AS w, max(h) AS h,
+         count(DISTINCT f) AS n_sampled,
+         CAST(sum(v) AS BIGINT) AS pix_sum,
+         CAST(min(v) AS BIGINT) AS pix_min,
+         CAST(max(v) AS BIGINT) AS pix_max
+  FROM cells GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_sampled) AS BIGINT) AS n_frames,
+       round(avg(w), 6) AS avg_width,
+       round(avg(h), 6) AS avg_height,
+       round(sum(pix_sum) / CAST(sum(w * h * 3 * n_sampled) AS DOUBLE), 6)
+         AS pix_mean,
+       round(avg(pix_min), 6) AS avg_min,
+       round(avg(pix_max), 6) AS avg_max
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux + frame-sample + decode end-to-end: each doc gets
+    a genuine uncompressed-DIB AVI (``functions/avi_codec.py`` — RIFF
+    chunk tree, bottom-up BGR DIB frames, idx1 index) whose frame pixels
+    are a pure function of ``doc_id`` and frame index
+    (``(id·11 + f·17 + row·5 + col·3 + ch·7) mod 256``,
+    ``id mod 7 + 3`` frames of ``(id mod 6 + 4) × (id mod 5 + 4)``).
+    :func:`sample_video_frames` demuxes FOR REAL and emits every 2nd
+    frame as a standalone BMP payload; the sampled frames then run the
+    REAL :func:`decode_image_batch`, and the oracle recomputes every
+    sampled channel value arithmetically in SQL.  A wrong RIFF walk,
+    stride, row order (bottom-up), BGR swap, or sampling step shifts
+    ``n_frames`` / ``pix_mean`` and fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.avi_codec import encode_avi
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                nf, w, h = d % 7 + 3, d % 5 + 4, d % 6 + 4
+                f = np.arange(nf)[:, None, None, None]
+                r = np.arange(h)[None, :, None, None]
+                c = np.arange(w)[None, None, :, None]
+                ch = np.arange(3)[None, None, None, :]
+                frames = (
+                    (d * 11 + f * 17 + r * 5 + c * 3 + ch * 7) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_avi(frames, fps=24))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    frames = multimodal.sample_video_frames(payloads, every_n=2)  # REAL demux
+    feats = multimodal.extract_features(frames, payload_col="frame")  # REAL BMP
+    area3 = (F.col("width") * F.col("height") * 3).cast("double")
+    per_frame = feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * area3).cast("long").alias("pix_sum"),
+        F.element_at("feature", 3).cast("long").alias("pix_min"),
+        F.element_at("feature", 4).cast("long").alias("pix_max"),
+    )
+    per_doc = per_frame.groupBy("doc_id").agg(
+        F.max("width").alias("w"),
+        F.max("height").alias("h"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("pix_sum").alias("pix_sum"),
+        F.min("pix_min").alias("pix_min"),
+        F.max("pix_max").alias("pix_max"),
+    ).join(docs, "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sampled").cast("long").alias("n_frames"),
+            F.round(F.avg("w"), 6).alias("avg_width"),
+            F.round(F.avg("h"), 6).alias("avg_height"),
+            F.round(
+                F.sum("pix_sum")
+                / F.sum(
+                    (F.col("w") * F.col("h") * 3 * F.col("n_sampled")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("pix_mean"),
+            F.round(F.avg("pix_min"), 6).alias("avg_min"),
+            F.round(F.avg("pix_max"), 6).alias("avg_max"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,87 @@
+"""REAL uncompressed-AVI demuxer tests (functions/avi_codec.py): RIFF
+chunk-tree walk, bottom-up BGR DIB frame decode, and the Spark fan-out
+sampler that re-encodes sampled frames as standalone BMPs.  Uncompressed
+DIB is lossless, so roundtrips assert EXACT frame equality."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from entropy_balance_weighting_spark.functions import multimodal
+from entropy_balance_weighting_spark.functions.avi_codec import (
+    decode_avi_frames,
+    encode_avi,
+)
+
+
+def _rng():
+    return np.random.default_rng(31)
+
+
+def test_avi_roundtrip_exact():
+    rng = _rng()
+    for n, h, w in [(1, 1, 1), (3, 5, 7), (8, 16, 12), (4, 9, 13)]:
+        fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        out, fps = decode_avi_frames(encode_avi(fr, fps=25))
+        assert fps == 25.0
+        assert len(out) == n
+        for i in range(n):
+            np.testing.assert_array_equal(out[i], fr[i])
+
+
+def test_avi_odd_width_stride_padding():
+    """Widths whose 3-byte rows are not 4-aligned exercise the DIB stride
+    pad on both sides."""
+    rng = _rng()
+    for w in (1, 2, 3, 5, 6, 7):
+        fr = rng.integers(0, 256, (2, 3, w, 3), dtype=np.uint8)
+        out, _ = decode_avi_frames(encode_avi(fr))
+        np.testing.assert_array_equal(np.stack(out), fr)
+
+
+def test_avi_rejects_malformed_and_unsupported():
+    rng = _rng()
+    good = encode_avi(rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8))
+    with pytest.raises(NotImplementedError, match="not a RIFF/AVI"):
+        decode_avi_frames(b"GIF89a" + bytes(40))
+    with pytest.raises(ValueError, match="overruns|truncated|missing"):
+        decode_avi_frames(good[: len(good) // 2])
+    # flip biCompression to a nonzero FOURCC: named gap, not garbage
+    bad = bytearray(good)
+    i = bad.index(b"strf") + 8 + 16
+    bad[i : i + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="only uncompressed"):
+        decode_avi_frames(bytes(bad))
+
+
+def test_avi_encode_rejects_bad_shapes():
+    with pytest.raises(ValueError, match="expected"):
+        encode_avi(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="expected"):
+        encode_avi(np.zeros((0, 4, 4, 3), dtype=np.uint8))
+
+
+def test_sample_video_frames_real_demux(spark):
+    """The Spark sampler demuxes genuine AVI payloads and every sampled
+    frame is a decodable BMP with the exact source pixels."""
+    rng = _rng()
+    vids = {}
+    rows = []
+    for did in range(6):
+        n, h, w = did % 4 + 2, did % 3 + 4, did % 5 + 4
+        fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        vids[did] = fr
+        rows.append((did, bytearray(encode_avi(fr))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = multimodal.sample_video_frames(df, every_n=2).collect()
+    seen = {}
+    for r in out:
+        px = multimodal.decode_image(bytes(r["frame"]))  # REAL BMP decode
+        np.testing.assert_array_equal(px, vids[r["doc_id"]][r["frame_idx"]])
+        seen.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for did, fr in vids.items():
+        assert sorted(seen[did]) == list(range(0, len(fr), 2))
