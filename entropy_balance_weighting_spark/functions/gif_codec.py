@@ -15,10 +15,13 @@ concatenation → LZW decode (the one inherently serial stage — the
 dictionary is built code-by-code, exactly as in the GIF89a spec
 appendix; bit extraction is numpy-batched per code width) → palette
 gather (numpy fancy index) → interlace de-permutation (numpy row
-scatter).  For multi-frame GIFs only the first image descriptor is
-decoded (the multimodal contract is one still per payload; animation
-frames after the first are ignored, matching "poster frame"
-semantics).
+scatter).  :func:`decode_gif` reads the FIRST image descriptor (the
+still-image contract, "poster frame" semantics);
+:func:`decode_gif_frames` decodes full ANIMATIONS — per-frame
+compositing at (left, top) offsets into the logical-screen canvas, GCE
+transparency, and disposal methods 2/3 — with
+:func:`encode_gif_animation` as the fixture generator (NETSCAPE2.0
+loop block, per-frame local palettes).
 
 GIF is lossless on palette-indexed data, so tests and the
 ``mm_gif_decode`` driver oracle assert EXACT pixel equality — a wrong
@@ -353,3 +356,179 @@ def decode_gif(payload: bytes) -> np.ndarray:
         return np.ascontiguousarray(pal[idx])  # (H, W, 3) gather
 
     raise ValueError("malformed GIF payload: no image data")
+
+
+# -- animation (multi-frame) --------------------------------------------------
+
+
+def encode_gif_animation(frames: np.ndarray, delay_cs: int = 4) -> bytes:
+    """Encode an ``(N, H, W, 3)`` uint8 RGB frame stack as an animated
+    GIF89a: NETSCAPE2.0 loop extension, a Graphic Control Extension per
+    frame, and one full-screen image per frame with its own LOCAL color
+    table built from the frame's distinct colors (each frame must use
+    ≤ 256 distinct RGB triples — true for synthetic fixtures; a real
+    encoder would quantize)."""
+    import struct
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3 or fr.shape[0] == 0:
+        raise ValueError(f"expected (N,H,W,3) uint8 frames, got {fr.shape}")
+    n, h, w, _ = fr.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global color table
+    # NETSCAPE2.0 application extension: loop forever
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(n):
+        pal, inv = np.unique(
+            fr[f].reshape(-1, 3), axis=0, return_inverse=True
+        )
+        if pal.shape[0] > 256:
+            raise ValueError(
+                f"frame {f} has {pal.shape[0]} distinct colors (max 256)"
+            )
+        if pal.shape[0] < 2:  # GIF needs >= 2 table entries
+            pal = np.vstack([pal, pal])
+        idx = inv.reshape(h, w)
+        # GCE: disposal 1 (leave in place), no transparency
+        out += b"\x21\xf9\x04" + bytes([1 << 2]) + struct.pack("<H", delay_cs)
+        out += b"\x00\x00"
+        field = 0
+        while (2 << field) < pal.shape[0]:
+            field += 1
+        stored = 2 << field
+        pal_bytes = np.zeros((stored, 3), dtype=np.uint8)
+        pal_bytes[: pal.shape[0]] = pal
+        min_code_size = max(2, field + 1)
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, (1 << 7) | field  # local table
+        )
+        out += pal_bytes.tobytes()
+        data = lzw_encode(idx.reshape(-1), min_code_size)
+        out.append(min_code_size)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode EVERY frame of a GIF into composited full-screen
+    ``(H, W, 3)`` uint8 RGB arrays — real animation semantics: frames
+    paint into a persistent logical-screen canvas at their (left, top)
+    offset, the GCE transparency index leaves underlying pixels visible,
+    and disposal methods 2 (restore to background) and 3 (restore to
+    previous) rewind the canvas after the frame is emitted."""
+    import struct
+
+    b = bytes(payload)
+    if b[:6] not in GIF_MAGICS:
+        raise NotImplementedError(
+            "not a GIF payload; use decode_image for format dispatch"
+        )
+    if len(b) < 13:
+        raise ValueError("malformed GIF payload: truncated header")
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ngc = 2 << (packed & 0x07)
+        if pos + 3 * ngc > len(b):
+            raise ValueError("malformed GIF payload: truncated color table")
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * ngc, offset=pos)
+        gct = gct.reshape(ngc, 3)
+        pos += 3 * ngc
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < gct.shape[0] else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy().astype(np.uint8)
+    frames: list[np.ndarray] = []
+    transparent = -1
+    disposal = 0
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension
+            if pos >= len(b):
+                raise ValueError("malformed GIF payload: truncated extension")
+            label = b[pos]
+            pos += 1
+            if label == 0xF9 and pos < len(b) and b[pos] >= 4:
+                flags = b[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = b[pos + 4] if flags & 1 else -1
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(
+                f"malformed GIF payload: unknown block 0x{block:02x}"
+            )
+        if pos + 9 > len(b):
+            raise ValueError("malformed GIF payload: truncated descriptor")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        if w <= 0 or h <= 0 or left + w > sw or top + h > sh:
+            raise ValueError(
+                f"malformed GIF payload: frame {w}x{h}@{left},{top} "
+                f"outside {sw}x{sh} screen"
+            )
+        pal = gct
+        if ipacked & 0x80:
+            npal = 2 << (ipacked & 0x07)
+            if pos + 3 * npal > len(b):
+                raise ValueError(
+                    "malformed GIF payload: truncated local color table"
+                )
+            pal = np.frombuffer(b, dtype=np.uint8, count=3 * npal, offset=pos)
+            pal = pal.reshape(npal, 3)
+            pos += 3 * npal
+        if pal is None:
+            raise ValueError("malformed GIF payload: no color table")
+        if pos >= len(b):
+            raise ValueError("malformed GIF payload: missing LZW code size")
+        min_code_size = b[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(
+                f"malformed GIF payload: LZW code size {min_code_size}"
+            )
+        chunks = []
+        while pos < len(b) and b[pos]:
+            ln = b[pos]
+            chunk = b[pos + 1 : pos + 1 + ln]
+            if len(chunk) != ln:
+                raise ValueError("malformed GIF payload: truncated sub-block")
+            chunks.append(chunk)
+            pos += 1 + ln
+        pos += 1  # block terminator
+        idx = lzw_decode(b"".join(chunks), min_code_size, w * h).reshape(h, w)
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("malformed GIF payload: index beyond palette")
+        if ipacked & 0x40:  # interlaced
+            scat = np.empty_like(idx)
+            scat[_interlace_order(h)] = idx
+            idx = scat
+        region = canvas[top : top + h, left : left + w]
+        saved = region.copy() if disposal == 3 else None
+        px = pal[idx]
+        if transparent >= 0:
+            mask = idx != transparent
+            region[mask] = px[mask]
+        else:
+            region[:] = px
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore region to background
+            region[:] = bg_rgb
+        elif disposal == 3 and saved is not None:  # restore to previous
+            region[:] = saved
+        transparent = -1
+        disposal = 0
+    if not frames:
+        raise ValueError("malformed GIF payload: no image data")
+    return frames

@@ -910,7 +910,9 @@ def sample_video_frames(
 ) -> DataFrame:
     """REAL video frame sampling: demux uncompressed-DIB AVI payloads
     (``functions/avi_codec.py`` — RIFF walk + DIB decode, pure
-    struct/numpy) and emit every ``every_n``-th frame as its own row,
+    struct/numpy) or ANIMATED GIFs (``functions/gif_codec.py`` —
+    composited multi-frame decode) by magic-byte dispatch, and emit
+    every ``every_n``-th frame as its own row,
     re-encoded as a standalone BMP payload so the sampled frames compose
     with the rest of the real image pipeline (:func:`decode_image_batch`,
     :func:`resize_images`).  Same fan-out ``mapInPandas`` shape as
@@ -918,6 +920,10 @@ def sample_video_frames(
     images instead of raw byte slices."""
     from entropy_balance_weighting_spark.functions.avi_codec import (
         decode_avi_frames,
+    )
+    from entropy_balance_weighting_spark.functions.gif_codec import (
+        GIF_MAGICS,
+        decode_gif_frames,
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -928,7 +934,11 @@ def sample_video_frames(
             idxs: list[int] = []
             frames: list[bytes] = []
             for did, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
-                decoded, _fps = decode_avi_frames(bytes(b))
+                b = bytes(b)
+                if b[:6] in GIF_MAGICS:
+                    decoded = decode_gif_frames(b)
+                else:
+                    decoded, _fps = decode_avi_frames(b)
                 for i in range(0, len(decoded), every_n):
                     ids.append(int(did))
                     idxs.append(i)

@@ -973,3 +973,128 @@ def mm_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_gif_anim",
+    survey="ext:multimodal-gif-anim",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id % 6 + 2 AS nf, doc_id % 8 + 3 AS w, doc_id % 7 + 3 AS h
+  FROM documents
+), sampled AS (
+  SELECT d.doc_id, d.source, d.w, d.h, f.f
+  FROM dims d, unnest(range(0, d.nf, 3)) AS f(f)
+), cells AS (
+  SELECT s.doc_id, s.source, s.w, s.h, s.f,
+         (s.doc_id * 19 + s.f * 23 + r.r * 3 + c.c * 5 + ch.ch * 11) % 256 AS v
+  FROM sampled s,
+       unnest(range(0, s.h)) AS r(r),
+       unnest(range(0, s.w)) AS c(c),
+       unnest(range(0, 3)) AS ch(ch)
+), per_doc AS (
+  SELECT doc_id, source, max(w) AS w, max(h) AS h,
+         count(DISTINCT f) AS n_sampled,
+         CAST(sum(v) AS BIGINT) AS pix_sum,
+         CAST(min(v) AS BIGINT) AS pix_min,
+         CAST(max(v) AS BIGINT) AS pix_max
+  FROM cells GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_sampled) AS BIGINT) AS n_frames,
+       round(avg(w), 6) AS avg_width,
+       round(avg(h), 6) AS avg_height,
+       round(sum(pix_sum) / CAST(sum(w * h * 3 * n_sampled) AS DOUBLE), 6)
+         AS pix_mean,
+       round(avg(pix_min), 6) AS avg_min,
+       round(avg(pix_max), 6) AS avg_max
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def mm_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF demux + frame-sample + decode end-to-end: each
+    doc gets a genuine multi-frame GIF89a (``encode_gif_animation`` —
+    NETSCAPE2.0 loop block, one GCE + full-screen image with a LOCAL
+    palette per frame, real LZW) whose frame pixels are a pure function
+    of ``doc_id`` and frame index
+    (``(id·19 + f·23 + row·3 + col·5 + ch·11) mod 256``,
+    ``id mod 6 + 2`` frames of ``(id mod 7 + 3) × (id mod 8 + 3)``).
+    :func:`sample_video_frames` dispatches on the GIF magic, decodes the
+    animation with real compositing semantics, and emits every 3rd frame
+    as a standalone BMP; sampled frames then run the REAL
+    :func:`decode_image_batch`, and the oracle recomputes every sampled
+    channel value arithmetically in SQL.  A wrong GCE walk, local-palette
+    read, frame-composite, or sampling step shifts ``n_frames`` /
+    ``pix_mean`` and fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.gif_codec import (
+        encode_gif_animation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                nf, w, h = d % 6 + 2, d % 8 + 3, d % 7 + 3
+                f = np.arange(nf)[:, None, None, None]
+                r = np.arange(h)[None, :, None, None]
+                c = np.arange(w)[None, None, :, None]
+                ch = np.arange(3)[None, None, None, :]
+                frames = (
+                    (d * 19 + f * 23 + r * 3 + c * 5 + ch * 11) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_gif_animation(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    frames = multimodal.sample_video_frames(payloads, every_n=3)  # REAL demux
+    feats = multimodal.extract_features(frames, payload_col="frame")  # REAL BMP
+    area3 = (F.col("width") * F.col("height") * 3).cast("double")
+    per_frame = feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * area3).cast("long").alias("pix_sum"),
+        F.element_at("feature", 3).cast("long").alias("pix_min"),
+        F.element_at("feature", 4).cast("long").alias("pix_max"),
+    )
+    per_doc = per_frame.groupBy("doc_id").agg(
+        F.max("width").alias("w"),
+        F.max("height").alias("h"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("pix_sum").alias("pix_sum"),
+        F.min("pix_min").alias("pix_min"),
+        F.max("pix_max").alias("pix_max"),
+    ).join(docs, "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sampled").cast("long").alias("n_frames"),
+            F.round(F.avg("w"), 6).alias("avg_width"),
+            F.round(F.avg("h"), 6).alias("avg_height"),
+            F.round(
+                F.sum("pix_sum")
+                / F.sum(
+                    (F.col("w") * F.col("h") * 3 * F.col("n_sampled")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("pix_mean"),
+            F.round(F.avg("pix_min"), 6).alias("avg_min"),
+            F.round(F.avg("pix_max"), 6).alias("avg_max"),
+        )
+        .orderBy("source")
+    )

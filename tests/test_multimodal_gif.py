@@ -204,3 +204,141 @@ def test_gif_through_spark_extract_features(spark):
         r = out[did]
         assert (r["height"], r["width"]) == im.shape[:2]
         np.testing.assert_allclose(r["feature"][0], im.astype(np.float64).mean())
+
+
+# -- animation ----------------------------------------------------------------
+
+
+def test_gif_animation_roundtrips_exactly():
+    rng = _rng()
+    from entropy_balance_weighting_spark.functions.gif_codec import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    for n, h, w in [(1, 4, 5), (3, 7, 6), (5, 9, 8)]:
+        fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        out = decode_gif_frames(encode_gif_animation(fr))
+        assert len(out) == n
+        np.testing.assert_array_equal(np.stack(out), fr)
+    # decode_gif (still contract) reads the poster frame of an animation
+    fr = rng.integers(0, 256, (3, 5, 5, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_gif(encode_gif_animation(fr)), fr[0]
+    )
+
+
+def test_gif_animation_compositing_offsets_and_transparency():
+    """Hand-built animation: a partial frame at an offset with a
+    transparency index must composite over the previous canvas."""
+    import struct
+
+    from entropy_balance_weighting_spark.functions.gif_codec import (
+        decode_gif_frames,
+        lzw_encode,
+    )
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]], np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)  # GCT, 4 entries, bg 0
+    out += pal.tobytes()
+
+    def image(left, top, w, h, idx, gce_flags=None, transparent=0):
+        buf = bytearray()
+        if gce_flags is not None:
+            buf += b"\x21\xf9\x04" + bytes([gce_flags, 0, 0, transparent, 0])
+        buf += struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+        data = lzw_encode(np.asarray(idx).reshape(-1), 2)
+        buf.append(2)
+        buf.append(len(data))
+        buf += data
+        buf.append(0)
+        return buf
+
+    # frame 1: full screen of color 1
+    out += image(0, 0, 4, 4, np.full((4, 4), 1))
+    # frame 2: 2x2 patch at (1,1), color 2 with index 3 transparent
+    patch = np.array([[2, 3], [3, 2]])
+    out += image(1, 1, 2, 2, patch, gce_flags=0x01, transparent=3)
+    out.append(0x3B)
+    frames = decode_gif_frames(bytes(out))
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0], pal[np.full((4, 4), 1)])
+    want = pal[np.full((4, 4), 1)].copy()
+    want[1, 1] = pal[2]
+    want[2, 2] = pal[2]  # transparent cells keep frame-1 pixels
+    np.testing.assert_array_equal(frames[1], want)
+
+
+def test_gif_animation_disposal_restore_background_and_previous():
+    import struct
+
+    from entropy_balance_weighting_spark.functions.gif_codec import (
+        decode_gif_frames,
+        lzw_encode,
+    )
+
+    pal = np.array([[9, 9, 9], [255, 0, 0], [0, 255, 0], [7, 7, 7]], np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 3, 3, 0x80 | 1, 0, 0)  # bg index 0
+    out += pal.tobytes()
+
+    def image(idx, disposal, transparent=None):
+        buf = bytearray()
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        buf += b"\x21\xf9\x04" + bytes([flags, 0, 0, transparent or 0, 0])
+        buf += struct.pack("<BHHHHB", 0x2C, 0, 0, 3, 3, 0)
+        data = lzw_encode(np.asarray(idx).reshape(-1), 2)
+        buf.append(2)
+        buf.append(len(data))
+        buf += data
+        buf.append(0)
+        return buf
+
+    # frame 1 paints color 1 with disposal 2 (restore to background);
+    # frame 2 paints ONE cell (rest transparent... simplest: full paint of
+    # color 2) -- after frame 1 the canvas reverts to bg before frame 2
+    out += image(np.full((3, 3), 1), disposal=2)
+    out += image(np.full((3, 3), 2), disposal=0)
+    out.append(0x3B)
+    frames = decode_gif_frames(bytes(out))
+    np.testing.assert_array_equal(frames[0], pal[np.full((3, 3), 1)])
+    np.testing.assert_array_equal(frames[1], pal[np.full((3, 3), 2)])
+    # disposal 3 (restore previous): frame 2's paint must not persist
+    out2 = bytearray(b"GIF89a")
+    out2 += struct.pack("<HHBBB", 3, 3, 0x80 | 1, 0, 0)
+    out2 += pal.tobytes()
+    out2 += image(np.full((3, 3), 1), disposal=0)
+    out2 += image(np.full((3, 3), 2), disposal=3)
+    # frame 3: index 0 marked TRANSPARENT, so only the two corner cells
+    # paint — the rest must show whatever the disposal left behind
+    out2 += image(
+        np.array([[3, 0, 0], [0, 0, 0], [0, 0, 3]]), disposal=0, transparent=0
+    )
+    out2.append(0x3B)
+    frames2 = decode_gif_frames(bytes(out2))
+    np.testing.assert_array_equal(frames2[1], pal[np.full((3, 3), 2)])
+    # frame 3 composites over the RESTORED frame-1 canvas, not frame 2
+    want = pal[np.full((3, 3), 1)].copy()
+    want[0, 0] = pal[3]
+    want[2, 2] = pal[3]
+    np.testing.assert_array_equal(frames2[2], want)
+
+
+def test_sample_video_frames_dispatches_gif_animation(spark):
+    rng = _rng()
+    from entropy_balance_weighting_spark.functions.gif_codec import (
+        encode_gif_animation,
+    )
+
+    vids = {}
+    rows = []
+    for did in range(4):
+        fr = rng.integers(0, 256, (did % 3 + 2, 5, 6, 3), dtype=np.uint8)
+        vids[did] = fr
+        rows.append((did, bytearray(encode_gif_animation(fr))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = multimodal.sample_video_frames(df, every_n=2).collect()
+    for r in out:
+        px = multimodal.decode_image(bytes(r["frame"]))
+        np.testing.assert_array_equal(px, vids[r["doc_id"]][r["frame_idx"]])
