@@ -414,10 +414,16 @@ def decode_image(payload: bytes) -> np.ndarray:
         )
 
         return decode_gif(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from entropy_balance_weighting_spark.functions.tiff_codec import (
+            decode_tiff,
+        )
+
+        return decode_tiff(b)
     raise NotImplementedError(
         "unsupported image format (real decoders: uncompressed BMP, "
-        "non-interlaced 8-bit PNG, baseline JPEG, GIF); other formats "
-        "require an image library (use fake_decode for tests)"
+        "8-bit PNG, baseline+progressive JPEG, GIF, strip TIFF); other "
+        "formats require an image library (use fake_decode for tests)"
     )
 
 

@@ -1,0 +1,432 @@
+"""Baseline TIFF codec in pure struct/numpy — no media libraries.
+
+Another REAL decoder for the multimodal layer: strip-based baseline TIFF
+(8-bit grayscale / RGB / palette) with the three classic compressions —
+none (1), LZW (5), and PackBits (32773) — in both byte orders ("II"
+little-endian, "MM" big-endian).  TIFF LZW is NOT GIF LZW: codes pack
+MSB-first and the code width bumps one code EARLY (when the next free
+entry reaches ``2^w - 1``, per the TIFF 6.0 spec and libtiff), so the
+two variants get separate implementations; both are true compressors.
+
+Decode dataflow: header + IFD walk (stdlib ``struct``) → per-strip
+decompression (LZW serial as in the spec; PackBits is a tiny run-length
+loop) → one reshape to ``(H, W, samples)`` → photometric mapping
+(WhiteIsZero inversion, gray replication, 16-bit ColorMap gather — all
+numpy).  Unsupported shapes (tiles, bit depths ≠ 8, predictors, other
+compressions) raise named errors.
+
+Lossless, so tests and the ``mm_tiff_decode`` driver oracle assert
+EXACT pixel equality across all three compressions and both byte
+orders."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+_CLEAR = 256
+_EOI = 257
+_FIRST = 258
+_BITS_MAX = 12
+
+
+# -- TIFF LZW (MSB-first, early change) --------------------------------------
+
+
+def lzw_encode_tiff(data: bytes) -> bytes:
+    """Compress bytes with TIFF 6.0 LZW: MSB-first packing, 9→12-bit
+    codes with the EARLY width change, CLEAR emitted when the table
+    reaches 4094 entries."""
+    out = bytearray()
+    acc = 0
+    nbits_acc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits_acc
+        acc = (acc << width) | code
+        nbits_acc += width
+        while nbits_acc >= 8:
+            out.append((acc >> (nbits_acc - 8)) & 0xFF)
+            nbits_acc -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return {(i,): i for i in range(256)}, _FIRST, 9
+
+    table, free_ent, width = fresh()
+    emit(_CLEAR, width)
+    buf: tuple = ()
+    for px in data:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = free_ent
+        free_ent += 1
+        # EARLY change: the encoder widens as soon as the next free
+        # entry needs the larger width MINUS ONE (TIFF 6.0 §13)
+        if free_ent >= (1 << width) and width < _BITS_MAX:
+            width += 1
+        if free_ent >= (1 << _BITS_MAX) - 2:  # 4094
+            emit(_CLEAR, width)
+            table, free_ent, width = fresh()
+        buf = (px,)
+    if buf:
+        emit(table[buf], width)
+    emit(_EOI, width)
+    if nbits_acc:
+        out.append((acc << (8 - nbits_acc)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode_tiff(data: bytes, n_out: int) -> bytes:
+    """Decompress a TIFF LZW strip into exactly ``n_out`` bytes —
+    (prefix, last) table with per-segment materialization (correct
+    across CLEAR resets), mirroring :func:`lzw_encode_tiff`'s early
+    width change one table-entry sooner (the decoder lags one add)."""
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))  # MSB-first
+    nbits_total = bits.size
+    weights = 1 << np.arange(_BITS_MAX - 1, -1, -1, dtype=np.int64)
+
+    size = 1 << _BITS_MAX
+    prefix = np.full(size, -1, dtype=np.int32)
+    last = np.zeros(size, dtype=np.int32)
+    length = np.zeros(size, dtype=np.int32)
+    last[:256] = np.arange(256)
+    length[:256] = 1
+
+    free_ent, width = _FIRST, 9
+    out = np.empty(n_out + size, dtype=np.uint8)
+    out_len = 0
+    pos = 0
+    prev = -1
+    while out_len < n_out and pos + width <= nbits_total:
+        code = int(bits[pos : pos + width] @ weights[_BITS_MAX - width :])
+        pos += width
+        if code == _CLEAR:
+            free_ent, width = _FIRST, 9
+            prev = -1
+            continue
+        if code == _EOI:
+            break
+        if prev < 0:
+            if code >= 256:
+                raise ValueError("malformed TIFF LZW: first code not literal")
+            out[out_len] = code
+            out_len += 1
+            prev = code
+            continue
+        if code < free_ent:
+            entry_first = code
+        elif code == free_ent:
+            entry_first = prev  # KwKwK
+        else:
+            raise ValueError(
+                f"malformed TIFF LZW: code {code} beyond table ({free_ent})"
+            )
+        c = entry_first
+        while prefix[c] >= 0:
+            c = int(prefix[c])
+        first_idx = int(last[c])
+        if free_ent < size:
+            prefix[free_ent] = prev
+            last[free_ent] = first_idx
+            length[free_ent] = length[prev] + 1
+            free_ent += 1
+            # EARLY change, decoder side: one entry before the table
+            # fills the current width (it lags the encoder by one add)
+            if free_ent >= (1 << width) - 1 and width < _BITS_MAX:
+                width += 1
+        seg_len = int(length[code])
+        end = out_len + seg_len
+        c = code
+        while c >= 0:
+            end -= 1
+            out[end] = last[c]
+            c = int(prefix[c]) if prefix[c] >= 0 else -1
+        out_len += seg_len
+        prev = code
+
+    if out_len < n_out:
+        raise ValueError(
+            f"malformed TIFF LZW: strip ended at {out_len}/{n_out} bytes"
+        )
+    return out[:n_out].tobytes()
+
+
+# -- PackBits (run-length) ----------------------------------------------------
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE: runs of ≥3 equal bytes become (257-n, byte);
+    literals are copied in ≤128-byte groups."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal group: until the next >=3 run or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, n_out: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < n_out:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal copy of n+1 bytes
+            chunk = data[i : i + n + 1]
+            if len(chunk) != n + 1:
+                raise ValueError("malformed PackBits strip: truncated literal")
+            out += chunk
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("malformed PackBits strip: truncated run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < n_out:
+        raise ValueError(
+            f"malformed PackBits strip: {len(out)}/{n_out} bytes"
+        )
+    return bytes(out[:n_out])
+
+
+# -- container ----------------------------------------------------------------
+
+_COMPRESSIONS = {"none": 1, "lzw": 5, "packbits": 32773}
+
+
+def encode_tiff(
+    pixels: np.ndarray,
+    *,
+    compression: str = "none",
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Encode an ``(H, W)`` grayscale or ``(H, W, 3)`` RGB uint8 array as
+    a strip-based baseline TIFF — the fixture generator for the decode
+    path (and a usable sink).  ``rows_per_strip`` defaults to the whole
+    image in one strip."""
+    if compression not in _COMPRESSIONS:
+        raise ValueError(
+            f"compression must be one of {sorted(_COMPRESSIONS)}, "
+            f"got {compression!r}"
+        )
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {px.shape}")
+    h, w = px.shape[:2]
+    spp = 1 if gray else 3
+    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    bo = ">" if big_endian else "<"
+    raw = px.reshape(h, w * spp)
+    strips = []
+    for y0 in range(0, h, rps):
+        strip = raw[y0 : y0 + rps].tobytes()
+        if compression == "lzw":
+            strip = lzw_encode_tiff(strip)
+        elif compression == "packbits":
+            strip = packbits_encode(strip)
+        strips.append(strip)
+    n_strips = len(strips)
+
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def entry(tag, typ, count, value):
+        entries.append((tag, typ, count, value))
+
+    entry(256, 3, 1, w)  # ImageWidth SHORT
+    entry(257, 3, 1, h)  # ImageLength
+    entry(258, 3, spp, [8] * spp)  # BitsPerSample
+    entry(259, 3, 1, _COMPRESSIONS[compression])
+    entry(262, 3, 1, 1 if gray else 2)  # BlackIsZero / RGB
+    entry(273, 4, n_strips, None)  # StripOffsets, patched below
+    entry(277, 3, 1, spp)  # SamplesPerPixel
+    entry(278, 3, 1, rps)  # RowsPerStrip
+    entry(279, 4, n_strips, [len(s) for s in strips])
+
+    # layout: header(8) + IFD + out-of-line values + strip data
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    tail = bytearray()  # out-of-line entry values
+    tail_off = ifd_off + ifd_size
+
+    def pack_values(typ, values):
+        fmt = {3: "H", 4: "I"}[typ]
+        return b"".join(struct.pack(bo + fmt, v) for v in values)
+
+    # reserve space for out-of-line values first (two passes)
+    serialized = []
+    so_reserved_at = None  # offset inside tail for the StripOffsets block
+    for tag, typ, count, value in entries:
+        if tag == 273:
+            serialized.append(None)  # placeholder
+            if count > 1:
+                so_reserved_at = len(tail)
+                tail += bytes(4 * count)
+            continue
+        vals = value if isinstance(value, list) else [value]
+        vbytes = pack_values(typ, vals)
+        if len(vbytes) <= 4:
+            serialized.append(vbytes.ljust(4, b"\x00"))
+        else:
+            serialized.append(struct.pack(bo + "I", tail_off + len(tail) - 0))
+            tail += vbytes
+    # strip data begins after tail
+    data_off = tail_off + len(tail)
+    offsets = []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    # fill the StripOffsets entry (and its out-of-line slot if any)
+    so_index = next(i for i, e in enumerate(entries) if e[0] == 273)
+    so_bytes = pack_values(4, offsets)
+    if len(so_bytes) <= 4:
+        serialized[so_index] = so_bytes.ljust(4, b"\x00")
+    else:
+        tail[so_reserved_at : so_reserved_at + len(so_bytes)] = so_bytes
+        serialized[so_index] = struct.pack(bo + "I", tail_off + so_reserved_at)
+
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00")
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", len(entries))
+    for (tag, typ, count, _), sv in zip(entries, serialized):
+        out += struct.pack(bo + "HHI", tag, typ, count) + sv
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    out += tail
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode a strip-based baseline 8-bit TIFF (gray / RGB / palette;
+    none / LZW / PackBits; II or MM byte order) into an ``(H, W, 3)``
+    uint8 RGB array — stdlib struct + numpy, no media library."""
+    b = bytes(payload)
+    if b[:4] not in TIFF_MAGICS:
+        raise NotImplementedError(
+            "not a TIFF payload; use decode_image for format dispatch"
+        )
+    bo = ">" if b[:2] == b"MM" else "<"
+    (ifd_off,) = struct.unpack_from(bo + "I", b, 4)
+    if ifd_off + 2 > len(b):
+        raise ValueError("malformed TIFF payload: IFD offset out of range")
+    (n_entries,) = struct.unpack_from(bo + "H", b, ifd_off)
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(b):
+            raise ValueError("malformed TIFF payload: truncated IFD")
+        tag, typ, count = struct.unpack_from(bo + "HHI", b, off)
+        if typ not in type_size:
+            continue  # rational/ASCII etc. — not needed here
+        total = type_size[typ] * count
+        if total <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", b, off + 8)
+        if voff + total > len(b):
+            raise ValueError("malformed TIFF payload: value out of range")
+        tags[tag] = list(
+            struct.unpack_from(bo + str(count) + type_fmt[typ], b, voff)
+        )
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"malformed TIFF payload: missing tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262, 1)
+    spp = one(277, 1)
+    rps = one(278, h)
+    bits = tags.get(258, [8])
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if one(322, 0) or one(323, 0) or 324 in tags:
+        raise NotImplementedError("tiled TIFF is not supported")
+    if any(x != 8 for x in bits):
+        raise NotImplementedError(
+            f"only 8-bit TIFF is supported (BitsPerSample={bits})"
+        )
+    if one(317, 1) != 1:
+        raise NotImplementedError("TIFF predictors are not supported")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"only none/LZW/PackBits TIFF compression is supported "
+            f"(compression={comp})"
+        )
+    if photo not in (0, 1, 2, 3) or (photo == 2 and spp < 3) or (
+        photo in (0, 1, 3) and spp != 1
+    ):
+        raise NotImplementedError(
+            f"unsupported TIFF layout (photometric={photo}, samples={spp})"
+        )
+    if w <= 0 or h <= 0 or not offsets or not counts:
+        raise ValueError("malformed TIFF payload: missing strip layout")
+    rowbytes = w * spp
+    raw = bytearray()
+    for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+        strip = b[soff : soff + scnt]
+        if len(strip) != scnt:
+            raise ValueError("malformed TIFF payload: truncated strip")
+        rows = min(rps, h - si * rps)
+        need = rows * rowbytes
+        if comp == 5:
+            raw += lzw_decode_tiff(strip, need)
+        elif comp == 32773:
+            raw += packbits_decode(strip, need)
+        else:
+            if len(strip) < need:
+                raise ValueError("malformed TIFF payload: short strip")
+            raw += strip[:need]
+    if len(raw) != h * rowbytes:
+        raise ValueError(
+            f"malformed TIFF payload: {len(raw)} bytes, expected {h * rowbytes}"
+        )
+    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if photo == 2:
+        return np.ascontiguousarray(px[:, :, :3])
+    if photo == 3:
+        cmap = tags.get(320)
+        if cmap is None or len(cmap) != 3 * (1 << 8):
+            raise ValueError("malformed TIFF payload: missing/short ColorMap")
+        cm = (np.asarray(cmap, dtype=np.uint32).reshape(3, 256).T >> 8).astype(
+            np.uint8
+        )
+        return np.ascontiguousarray(cm[px[:, :, 0]])
+    g = px[:, :, 0]
+    if photo == 0:  # WhiteIsZero
+        g = 255 - g
+    return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))

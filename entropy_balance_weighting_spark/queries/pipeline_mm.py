@@ -1098,3 +1098,110 @@ def mm_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_tiff_decode",
+    survey="ext:multimodal-tiff",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, source,
+         doc_id % 11 + 4 AS w, doc_id % 8 + 4 AS h
+  FROM documents
+), cells AS (
+  SELECT d.doc_id, d.source, d.w, d.h,
+         (d.doc_id * 23 + r.r * 7 + c.c * 3 + ch.ch * 31) % 256 AS v
+  FROM dims d,
+       unnest(range(0, d.h)) AS r(r),
+       unnest(range(0, d.w)) AS c(c),
+       unnest(range(0, 3)) AS ch(ch)
+), per_doc AS (
+  SELECT doc_id, source, max(w) AS w, max(h) AS h,
+         CAST(sum(v) AS BIGINT) AS pix_sum,
+         CAST(min(v) AS BIGINT) AS pix_min,
+         CAST(max(v) AS BIGINT) AS pix_max
+  FROM cells GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(w), 6) AS avg_width,
+       round(avg(h), 6) AS avg_height,
+       round(sum(pix_sum) / CAST(sum(w * h * 3) AS DOUBLE), 6) AS pix_mean,
+       round(avg(pix_min), 6) AS avg_min,
+       round(avg(pix_max), 6) AS avg_max
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode end-to-end (``functions/tiff_codec.py`` — strip
+    walk + TIFF-variant LZW / PackBits, pure struct/numpy): each doc gets
+    a genuine baseline TIFF whose RGB pixels are a pure function of
+    ``doc_id`` (``(id·23 + row·7 + col·3 + ch·31) mod 256``), cycling the
+    compression none / LZW / PackBits by ``id mod 3``, the byte order
+    II/MM by ``id mod 2``, and multi-strip layout (3 rows per strip) on
+    ids divisible by 5 — decoded pixels are identical in every variant,
+    so ONE exact-integer oracle pins all the strip/compression/endianness
+    paths.  The payloads run the REAL :func:`decode_image_batch`
+    (magic-dispatch → ``decode_tiff``); a wrong early-change LZW width,
+    PackBits run, strip boundary, or endian read shifts ``pix_mean`` and
+    fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.tiff_codec import encode_tiff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = d % 8 + 4, d % 11 + 4
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                px = ((d * 23 + r * 7 + c * 3 + ch * 31) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(
+                    encode_tiff(
+                        px,
+                        compression=("none", "lzw", "packbits")[d % 3],
+                        big_endian=bool(d % 2),
+                        rows_per_strip=3 if d % 5 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = multimodal.extract_features(payloads)  # REAL TIFF decoder
+    area3 = (F.col("width") * F.col("height") * 3).cast("double")
+    per_doc = feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * area3).cast("long").alias("pix_sum"),
+        F.element_at("feature", 3).cast("long").alias("pix_min"),
+        F.element_at("feature", 4).cast("long").alias("pix_max"),
+    ).join(docs, "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.round(
+                F.sum("pix_sum")
+                / F.sum((F.col("width") * F.col("height") * 3).cast("double")),
+                6,
+            ).alias("pix_mean"),
+            F.round(F.avg("pix_min"), 6).alias("avg_min"),
+            F.round(F.avg("pix_max"), 6).alias("avg_max"),
+        )
+        .orderBy("source")
+    )

@@ -156,8 +156,11 @@ def test_decode_image_dispatches_on_magic_bytes():
     # malformation rather than the format gap
     with pytest.raises(ValueError, match="truncated segment"):
         decode_image(b"\xff\xd8\xff\xe0" + bytes(60))
+    # TIFF magic now reaches the REAL strip decoder (garbage IFD)
+    with pytest.raises(ValueError, match="truncated IFD"):
+        decode_image(b"II*\x00" + bytes(60))
     with pytest.raises(NotImplementedError, match="unsupported image format"):
-        decode_image(b"II*\x00" + bytes(60))  # TIFF magic — genuinely absent
+        decode_image(b"8BPS" + bytes(60))  # Photoshop magic — genuinely absent
 
 
 def test_decode_image_batch_mixed_png_and_bmp():
