@@ -93,3 +93,108 @@ def e9_string_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("adjective")
     )
+
+
+@register(
+    "s8_orc_roundtrip_scan",
+    survey="ext:source-orc",
+    oracle="""
+SELECT s_nationkey, count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS bal_sum
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+""",
+)
+def s8_orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip: write ``supplier`` as zlib ORC, read
+    it back, and aggregate — Spark's built-in columnar alternative to
+    parquet (predicate pushdown and column pruning work identically; at
+    100 TB the choice is interop-driven, not performance-driven).  The
+    oracle computes the same aggregate from the original parquet, so a
+    type drift or row loss in the roundtrip fails the hash."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    scratch = os.path.join(_SCRATCH, "s8_orc")
+    shutil.rmtree(scratch, ignore_errors=True)
+    supplier.write.mode("overwrite").option("compression", "zlib").orc(scratch)
+    back = spark.read.orc(scratch)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("bal_sum"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@register(
+    "s9_gzip_csv_scan",
+    survey="ext:source-gzip-csv",
+    oracle="""
+SELECT n_regionkey, count(*) AS n_nations,
+       CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+)
+def s9_gzip_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed CSV scan: write ``nation`` as ``.csv.gz`` and read
+    it back with an explicit schema.  Scale note baked into the plan:
+    gzip is NOT splittable — each ``.gz`` file is one task — so a 100 TB
+    ingest must shard into many files upstream (this writer repartitions
+    to 4 files to make that shape explicit); prefer zstd/bzip2 or
+    uncompressed+parquet conversion where splittability matters."""
+    nation = load_table(spark, sf_dir, "nation")
+    scratch = os.path.join(_SCRATCH, "s9_gzcsv")
+    shutil.rmtree(scratch, ignore_errors=True)
+    (
+        nation.repartition(4)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
+        .csv(scratch)
+    )
+    back = spark.read.csv(scratch, header=True, schema=nation.schema)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum(F.length("n_name")).cast("long").alias("name_chars"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "s10_jsonl_scan",
+    survey="ext:source-jsonl",
+    oracle="""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def s10_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip on the ``documents`` table —
+    the dominant interchange format for LLM training corpora.  Written
+    with Spark's json writer and read back with an EXPLICIT schema
+    (``spark.read.json`` without one is a full inference pass over
+    100 TB — never do that in production), then aggregated; the oracle
+    computes the same aggregate from the original parquet."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    scratch = os.path.join(_SCRATCH, "s10_jsonl")
+    shutil.rmtree(scratch, ignore_errors=True)
+    docs.write.mode("overwrite").json(scratch)
+    back = spark.read.json(scratch, schema=docs.schema)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("text_chars"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+        .orderBy("source")
+    )
