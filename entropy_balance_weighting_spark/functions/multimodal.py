@@ -778,12 +778,32 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Magic-byte dispatch over the REAL audio decoders: RIFF/WAVE
+    (PCM + G.711 µ-law/A-law, :func:`decode_wav`) and FLAC
+    (``flac_codec.decode_flac`` — fixed/LPC subframes, Rice residuals);
+    other compressed formats name the gap."""
+    b = bytes(payload)
+    if b[:4] == _WAV_MAGIC:
+        return decode_wav(b)
+    if b[:4] == b"fLaC":
+        from entropy_balance_weighting_spark.functions.flac_codec import (
+            decode_flac,
+        )
+
+        return decode_flac(b)
+    raise NotImplementedError(
+        "unsupported audio format (real decoders: PCM/G.711 WAV, FLAC); "
+        "other formats require a codec library (use fake_decode for tests)"
+    )
+
+
 def decode_audio_batch(payloads: pd.Series) -> pd.DataFrame:
     """Decode a batch of audio payloads → (n_bytes, sample_rate,
-    n_channels, n_samples, feature).  REAL for PCM RIFF/WAVE (pure
-    stdlib/numpy — see :func:`decode_wav`); compressed formats raise
-    ``NotImplementedError`` (swap in an ffmpeg/soundfile decoder in
-    production, same signature).
+    n_channels, n_samples, feature).  REAL for PCM/G.711 RIFF/WAVE and
+    FLAC (pure stdlib/numpy — see :func:`decode_audio`); other
+    compressed formats raise ``NotImplementedError`` (swap in an
+    ffmpeg/soundfile decoder in production, same signature).
 
     The feature vector is the decoded-sample summary
     ``[mean, min, max, mean_square]`` computed in float64 from the actual
@@ -792,7 +812,7 @@ def decode_audio_batch(payloads: pd.Series) -> pd.DataFrame:
     relationally verifiable by an integer-arithmetic SQL oracle."""
     n_bytes, rates, chans, counts, feats = [], [], [], [], []
     for b in payloads:
-        s, rate = decode_wav(b)
+        s, rate = decode_audio(b)
         sf = s.astype(np.float64)
         n_bytes.append(len(bytes(b)))
         rates.append(rate)
@@ -849,12 +869,12 @@ def resample_audio_batch(payloads: pd.Series, target_n: int) -> pd.Series:
     source rate."""
     out = []
     for b in payloads:
-        s, rate = decode_wav(b)
+        s, rate = decode_audio(b)
         n0 = s.shape[0]
         if n0 == 0:
             raise ValueError("cannot resample an empty audio payload")
         idx = (np.arange(target_n) * n0 // target_n).clip(0, n0 - 1)
-        out.append(encode_wav(s[idx], rate))
+        out.append(encode_wav(s[idx].astype(np.int16), rate))
     return pd.Series(out)
 
 

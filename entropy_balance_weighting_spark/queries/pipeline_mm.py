@@ -1205,3 +1205,91 @@ def mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_flac_decode",
+    survey="ext:multimodal-flac",
+    oracle="""
+WITH codes AS (
+  SELECT d.doc_id, d.source, d.doc_id % 60 + 20 AS n,
+         ((d.doc_id * 7 + i.i * 13) % 4001) - 2000 AS s
+  FROM documents d,
+       unnest(range(0, d.doc_id % 60 + 20)) AS i(i)
+), per_doc AS (
+  SELECT doc_id, source, max(n) AS n,
+         CAST(sum(s) AS BIGINT) AS samp_sum,
+         CAST(min(s) AS BIGINT) AS samp_min,
+         CAST(max(s) AS BIGINT) AS samp_max,
+         CAST(sum(s * s) AS BIGINT) AS energy
+  FROM codes GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(n), 6) AS avg_samples,
+       round(sum(samp_sum) / CAST(sum(n) AS DOUBLE), 6) AS samp_mean,
+       round(avg(samp_min), 6) AS avg_min,
+       round(avg(samp_max), 6) AS avg_max,
+       round(sum(energy) / CAST(sum(n) AS DOUBLE), 6) AS energy_mean
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def mm_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode end-to-end: each doc gets a genuine
+    FLAC stream (``functions/flac_codec.py`` — fixed predictors +
+    Rice-coded residuals, frame CRCs) of mono int16 samples that are a
+    pure function of ``doc_id`` (``((id·7 + i·13) mod 4001) − 2000``,
+    ``id mod 60 + 20`` samples, block size 32 so multi-frame streams and
+    the UTF-8 frame numbering are exercised), decoded by the REAL
+    :func:`decode_audio_batch` (magic-dispatch → ``decode_flac``).  FLAC
+    is lossless, so the oracle recomputes exact integer sample sums,
+    extrema, and energy in SQL — a wrong Rice parameter read, predictor
+    reconstruction, zigzag, or CRC seam shifts ``samp_mean`` /
+    ``energy_mean`` and fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.flac_codec import encode_flac
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = d % 60 + 20
+                s = (((d * 7 + np.arange(n) * 13) % 4001) - 2000).astype(
+                    np.int16
+                )
+                payloads.append(encode_flac(s, 16_000, block_size=32))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    feats = multimodal.extract_audio_features(payloads)  # REAL FLAC decode
+    cells = F.col("n_samples").cast("double")  # mono
+    per_doc = feats.select(
+        "doc_id",
+        "n_samples",
+        F.round(F.element_at("feature", 1) * cells).cast("long").alias("samp_sum"),
+        F.element_at("feature", 2).cast("long").alias("samp_min"),
+        F.element_at("feature", 3).cast("long").alias("samp_max"),
+        F.round(F.element_at("feature", 4) * cells).cast("long").alias("energy"),
+    ).join(docs, "doc_id")
+    denom = F.sum(F.col("n_samples").cast("double"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_samples"), 6).alias("avg_samples"),
+            F.round(F.sum("samp_sum") / denom, 6).alias("samp_mean"),
+            F.round(F.avg("samp_min"), 6).alias("avg_min"),
+            F.round(F.avg("samp_max"), 6).alias("avg_max"),
+            F.round(F.sum("energy") / denom, 6).alias("energy_mean"),
+        )
+        .orderBy("source")
+    )
