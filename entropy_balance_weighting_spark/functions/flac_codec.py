@@ -80,25 +80,28 @@ class _BitWriter:
 
 
 class _BitReader:
+    """MSB-first accumulator reader — a few int ops per call, with a
+    fast leading-zero ``read_unary`` (the Rice-decode hot path)."""
+
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
-        self.byte = pos
-        self.bit = 0
+        self.byte = pos  # next UNREAD byte of the source
+        self._acc = 0  # buffered bits, next bit at the top
+        self._n = 0
+
+    def _feed(self) -> None:
+        if self.byte >= len(self.data):
+            raise ValueError("malformed FLAC payload: bitstream ran out")
+        self._acc = (self._acc << 8) | self.data[self.byte]
+        self.byte += 1
+        self._n += 8
 
     def read(self, nbits: int) -> int:
-        v = 0
-        while nbits:
-            if self.byte >= len(self.data):
-                raise ValueError("malformed FLAC payload: bitstream ran out")
-            avail = 8 - self.bit
-            take = min(nbits, avail)
-            cur = self.data[self.byte]
-            v = (v << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
-            self.bit += take
-            nbits -= take
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
+        while self._n < nbits:
+            self._feed()
+        self._n -= nbits
+        v = (self._acc >> self._n) & ((1 << nbits) - 1)
+        self._acc &= (1 << self._n) - 1
         return v
 
     def read_signed(self, nbits: int) -> int:
@@ -108,16 +111,27 @@ class _BitReader:
     def read_unary(self) -> int:
         q = 0
         while True:
-            if self.read(1):
-                return q
-            q += 1
-            if q > 1 << 24:
-                raise ValueError("malformed FLAC payload: runaway unary")
+            if self._n == 0:
+                self._feed()
+            if self._acc == 0:  # all buffered bits are zeros
+                q += self._n
+                self._n = 0
+                continue
+            lead = self._n - self._acc.bit_length()
+            q += lead
+            self._n -= lead + 1  # consume the zeros and the one
+            self._acc &= (1 << self._n) - 1
+            return q
 
     def align(self) -> None:
-        if self.bit:
-            self.bit = 0
-            self.byte += 1
+        drop = self._n % 8
+        if drop:
+            self._n -= drop
+            self._acc &= (1 << self._n) - 1
+
+    def tell(self) -> int:
+        """Logical byte position (valid when byte-aligned)."""
+        return self.byte - self._n // 8
 
 
 def _utf8_coded(value: int) -> bytes:
@@ -163,20 +177,64 @@ def _zigzag(res: np.ndarray) -> np.ndarray:
 
 
 def _rice_encode(bw: _BitWriter, res: np.ndarray, param: int) -> None:
+    """Rice-code a residual block straight into the writer's accumulator
+    (hot loop — inlined int ops instead of per-value method calls)."""
     u = _zigzag(res)
+    acc, n, out = bw._acc, bw._n, bw.out
+    mask = (1 << param) - 1
     for v in u.tolist():
-        bw.write_unary(v >> param)
+        q = v >> param
+        acc = (acc << (q + 1)) | 1  # q zeros then a one
+        n += q + 1
         if param:
-            bw.write(v & ((1 << param) - 1), param)
+            acc = (acc << param) | (v & mask)
+            n += param
+        while n >= 8:
+            out.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+        acc &= (1 << n) - 1
+    bw._acc, bw._n = acc, n
 
 
 def _rice_decode(r: _BitReader, n: int, param: int) -> np.ndarray:
-    out = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        q = r.read_unary()
-        v = (q << param) | (r.read(param) if param else 0)
-        out[i] = (v >> 1) ^ -(v & 1)  # un-zigzag
-    return out
+    """Decode ``n`` Rice-coded residuals (the per-sample hot loop —
+    reader state pulled into locals, one pass, no method calls)."""
+    data, byte, acc, nb = r.data, r.byte, r._acc, r._n
+    n_data = len(data)
+    mask = (1 << param) - 1
+    out = [0] * n
+    try:
+        for i in range(n):
+            q = 0
+            while True:
+                if nb == 0:
+                    acc = (acc << 8) | data[byte]
+                    byte += 1
+                    nb = 8
+                if acc == 0:
+                    q += nb
+                    nb = 0
+                    continue
+                lead = nb - acc.bit_length()
+                q += lead
+                nb -= lead + 1
+                acc &= (1 << nb) - 1
+                break
+            if param:
+                while nb < param:
+                    acc = (acc << 8) | data[byte]
+                    byte += 1
+                    nb += 8
+                nb -= param
+                v = (q << param) | ((acc >> nb) & mask)
+                acc &= (1 << nb) - 1
+            else:
+                v = q
+            out[i] = (v >> 1) ^ -(v & 1)  # un-zigzag
+    except IndexError:
+        raise ValueError("malformed FLAC payload: bitstream ran out") from None
+    r.byte, r._acc, r._n = byte, acc, nb
+    return np.array(out, dtype=np.int64)
 
 
 def _best_rice_param(res: np.ndarray) -> int:
@@ -360,7 +418,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("malformed FLAC payload: bad sample size code")
         fbps = ss_table[ss_code]
         hdr_crc = r.read(8)
-        if _crc8(b[frame_start : r.byte - 1]) != hdr_crc:
+        if _crc8(b[frame_start : r.tell() - 1]) != hdr_crc:
             raise ValueError("malformed FLAC payload: frame header CRC")
 
         if ch_asgn < 8:
@@ -418,7 +476,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
                 )
             subs.append(x << wasted)
         r.align()
-        data_end = r.byte
+        data_end = r.tell()
         (frame_crc,) = struct.unpack_from(">H", b, data_end)
         if _crc16(b[frame_start:data_end]) != frame_crc:
             raise ValueError("malformed FLAC payload: frame CRC")
@@ -484,17 +542,20 @@ def _decode_residual(r: _BitReader, bs: int, order: int) -> np.ndarray:
 def _decode_predicted(
     r: _BitReader, bs: int, eff: int, order: int, coeffs: list, shift: int
 ) -> np.ndarray:
-    """FIXED subframe body: warmup + residual + reconstruction."""
-    warm = [r.read_signed(eff) for _ in range(order)]
+    """FIXED subframe body: warmup + residual + reconstruction.
+
+    A fixed predictor of order k means residual = diff^k(signal), so
+    reconstruction is k vectorized cumsums, each seeded with the
+    corresponding finite difference of the warmup samples — no
+    per-sample Python loop."""
+    warm = np.array(
+        [r.read_signed(eff) for _ in range(order)], dtype=np.int64
+    )
     res = _decode_residual(r, bs, order)
-    x = np.empty(bs, dtype=np.int64)
-    x[:order] = warm
     if order == 0:
-        x[:] = res
-    else:
-        for i in range(order, bs):
-            pred = 0
-            for k, cf in enumerate(coeffs):
-                pred += cf * int(x[i - 1 - k])
-            x[i] = res[i - order] + pred
-    return x
+        return res
+    cur = res
+    for j in range(order - 1, -1, -1):
+        cur = np.concatenate([np.diff(warm, n=j)[:1], cur]).cumsum()
+    # cur now has length bs and starts at warm[0]
+    return cur

@@ -126,34 +126,43 @@ def lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     clear = 1 << min_code_size
     eoi = clear + 1
 
-    # Pull codes out of the byte stream, widening as the decoder's own
-    # table growth dictates (mirrors the encoder exactly).
-    bits = np.unpackbits(
-        np.frombuffer(data, dtype=np.uint8), bitorder="little"
-    )
-    nbits_total = bits.size
-    weights = 1 << np.arange(_MAX_CODE_WIDTH, dtype=np.int64)
+    # LSB-first accumulator code reader (a few int ops per code — much
+    # faster than per-code numpy bit slicing), widening as the decoder's
+    # own table growth dictates (mirrors the encoder exactly).
+    acc = 0
+    nbits = 0
+    byte_pos = 0
+    n_data = len(data)
 
     # table[i] = (prefix_code or -1, last_index); entry length tracked
-    # so output can be sized without materializing strings
-    prefix = np.full(1 << _MAX_CODE_WIDTH, -1, dtype=np.int32)
-    last = np.zeros(1 << _MAX_CODE_WIDTH, dtype=np.int32)
-    length = np.zeros(1 << _MAX_CODE_WIDTH, dtype=np.int32)
-    last[:clear] = np.arange(clear)
-    length[:clear] = 1
+    # so output can be sized without materializing strings.  Plain
+    # Python lists: scalar access is several times faster than numpy
+    # element indexing in this per-code loop.
+    size = 1 << _MAX_CODE_WIDTH
+    prefix = [-1] * size
+    last = list(range(clear)) + [0] * (size - clear)
+    length = [1] * clear + [0] * (size - clear)
 
     def reset() -> tuple[int, int]:
         return eoi + 1, min_code_size + 1
 
     next_code, width = reset()
     # last segment may overshoot n_pixels by up to one max-length entry
-    out = np.empty(n_pixels + (1 << _MAX_CODE_WIDTH), dtype=np.int32)
+    out = [0] * (n_pixels + size)
     out_len = 0
-    pos = 0
     prev = -1
-    while out_len < n_pixels and pos + width <= nbits_total:
-        code = int(bits[pos : pos + width] @ weights[:width])
-        pos += width
+    while out_len < n_pixels:
+        while nbits < width:
+            if byte_pos >= n_data:
+                break
+            acc |= data[byte_pos] << nbits
+            nbits += 8
+            byte_pos += 1
+        if nbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
         if code == clear:
             next_code, width = reset()
             prev = -1
@@ -178,9 +187,9 @@ def lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
         # first index of entry_first's expansion
         c = entry_first
         while prefix[c] >= 0:
-            c = int(prefix[c])
-        first_idx = int(last[c])
-        if next_code < (1 << _MAX_CODE_WIDTH):
+            c = prefix[c]
+        first_idx = last[c]
+        if next_code < size:
             prefix[next_code] = prev
             last[next_code] = first_idx
             length[next_code] = length[prev] + 1
@@ -190,13 +199,13 @@ def lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
         # after the add, string(code) is defined even in the KwKwK case;
         # expand it right-to-left via prefix links, NOW — a later CLEAR
         # reset may rewrite the slots this segment references
-        seg_len = int(length[code])
+        seg_len = length[code]
         end = out_len + seg_len
         c = code
         while c >= 0:
             end -= 1
             out[end] = last[c]
-            c = int(prefix[c]) if prefix[c] >= 0 else -1
+            c = prefix[c]
         out_len += seg_len
         prev = code
 
@@ -204,7 +213,7 @@ def lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
         raise ValueError(
             f"malformed GIF LZW: stream ended at {out_len}/{n_pixels} pixels"
         )
-    return out[:n_pixels]
+    return np.array(out[:n_pixels], dtype=np.int32)
 
 
 # -- container ---------------------------------------------------------------

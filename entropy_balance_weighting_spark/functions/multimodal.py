@@ -202,28 +202,46 @@ def _png_unfilter_rows(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
             )
         elif f == 2:  # Up
             cur = row + prev  # uint8 wraps mod 256
-        elif f in (3, 4):  # Average / Paeth: sequential in x, vector in ch
-            rw = row.reshape(w, nch).astype(np.int16)
-            up = prev.reshape(w, nch).astype(np.int16)
-            out = np.zeros((w, nch), dtype=np.int16)
-            left = np.zeros(nch, dtype=np.int16)
-            upleft = np.zeros(nch, dtype=np.int16)
-            for x in range(w):
-                if f == 3:
-                    pred = (left + up[x]) >> 1
-                else:
-                    p = left + up[x] - upleft
-                    pa = np.abs(p - left)
-                    pb = np.abs(p - up[x])
-                    pc = np.abs(p - upleft)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc),
-                        left,
-                        np.where(pb <= pc, up[x], upleft),
-                    )
-                out[x] = (rw[x] + pred) & 0xFF
-                left, upleft = out[x], up[x]
-            cur = out.astype(np.uint8).reshape(-1)
+        elif f in (3, 4):  # Average / Paeth: the left-neighbor recurrence
+            # is inherently sequential; scalar Python ints beat per-pixel
+            # small-array numpy ops by ~an order of magnitude here
+            rw = row.tolist()
+            up = prev.tolist()
+            out_row = [0] * (w * nch)
+            left = [0] * nch
+            upleft = [0] * nch
+            i = 0
+            avg = f == 3
+            for _x in range(w):
+                for chn in range(nch):
+                    u = up[i]
+                    lf = left[chn]
+                    if avg:
+                        pred = (lf + u) >> 1
+                    else:
+                        ul = upleft[chn]
+                        p = lf + u - ul
+                        pa = p - lf
+                        if pa < 0:
+                            pa = -pa
+                        pb = p - u
+                        if pb < 0:
+                            pb = -pb
+                        pc = p - ul
+                        if pc < 0:
+                            pc = -pc
+                        if pa <= pb and pa <= pc:
+                            pred = lf
+                        elif pb <= pc:
+                            pred = u
+                        else:
+                            pred = ul
+                    val = (rw[i] + pred) & 0xFF
+                    out_row[i] = val
+                    left[chn] = val
+                    upleft[chn] = u
+                    i += 1
+            cur = np.array(out_row, dtype=np.uint8)
         else:
             raise ValueError(f"malformed PNG payload: filter type {f}")
         recon[y] = cur

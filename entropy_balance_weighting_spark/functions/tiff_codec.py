@@ -87,25 +87,34 @@ def lzw_decode_tiff(data: bytes, n_out: int) -> bytes:
     (prefix, last) table with per-segment materialization (correct
     across CLEAR resets), mirroring :func:`lzw_encode_tiff`'s early
     width change one table-entry sooner (the decoder lags one add)."""
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))  # MSB-first
-    nbits_total = bits.size
-    weights = 1 << np.arange(_BITS_MAX - 1, -1, -1, dtype=np.int64)
-
+    # MSB-first accumulator code reader (a few int ops per code); plain
+    # Python lists for the table — scalar access beats numpy indexing in
+    # this per-code loop.
+    acc = 0
+    nbits = 0
+    byte_pos = 0
+    n_data = len(data)
     size = 1 << _BITS_MAX
-    prefix = np.full(size, -1, dtype=np.int32)
-    last = np.zeros(size, dtype=np.int32)
-    length = np.zeros(size, dtype=np.int32)
-    last[:256] = np.arange(256)
-    length[:256] = 1
+    prefix = [-1] * size
+    last = list(range(256)) + [0] * (size - 256)
+    length = [1] * 256 + [0] * (size - 256)
 
     free_ent, width = _FIRST, 9
-    out = np.empty(n_out + size, dtype=np.uint8)
+    out = bytearray(n_out + size)
     out_len = 0
-    pos = 0
     prev = -1
-    while out_len < n_out and pos + width <= nbits_total:
-        code = int(bits[pos : pos + width] @ weights[_BITS_MAX - width :])
-        pos += width
+    while out_len < n_out:
+        while nbits < width:
+            if byte_pos >= n_data:
+                break
+            acc = (acc << 8) | data[byte_pos]
+            nbits += 8
+            byte_pos += 1
+        if nbits < width:
+            break
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
         if code == _CLEAR:
             free_ent, width = _FIRST, 9
             prev = -1
@@ -129,8 +138,8 @@ def lzw_decode_tiff(data: bytes, n_out: int) -> bytes:
             )
         c = entry_first
         while prefix[c] >= 0:
-            c = int(prefix[c])
-        first_idx = int(last[c])
+            c = prefix[c]
+        first_idx = last[c]
         if free_ent < size:
             prefix[free_ent] = prev
             last[free_ent] = first_idx
@@ -140,13 +149,13 @@ def lzw_decode_tiff(data: bytes, n_out: int) -> bytes:
             # fills the current width (it lags the encoder by one add)
             if free_ent >= (1 << width) - 1 and width < _BITS_MAX:
                 width += 1
-        seg_len = int(length[code])
+        seg_len = length[code]
         end = out_len + seg_len
         c = code
         while c >= 0:
             end -= 1
             out[end] = last[c]
-            c = int(prefix[c]) if prefix[c] >= 0 else -1
+            c = prefix[c]
         out_len += seg_len
         prev = code
 
@@ -154,7 +163,7 @@ def lzw_decode_tiff(data: bytes, n_out: int) -> bytes:
         raise ValueError(
             f"malformed TIFF LZW: strip ended at {out_len}/{n_out} bytes"
         )
-    return out[:n_out].tobytes()
+    return bytes(out[:n_out])
 
 
 # -- PackBits (run-length) ----------------------------------------------------
