@@ -1034,3 +1034,59 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, FRAME_SCHEMA)
+
+
+# -- perceptual hashing (image near-dup detection) ---------------------------
+
+
+def dhash(pixels: np.ndarray) -> tuple[int, int]:
+    """64-bit difference hash (dHash) of an ``(H, W, 3)`` RGB image,
+    returned as ``(hi32, lo32)`` so the value fits signed 64-bit lanes
+    everywhere: integer gray = (R+G+B)//3, nearest-neighbor resize to
+    9x8, one bit per horizontally-adjacent comparison.  Nearest-neighbor
+    (not area-average) keeps the hash exactly reproducible in plain SQL;
+    constant brightness shifts don't change any comparison, so
+    brightness-shifted near-dups collide — the property the dedup stage
+    exploits."""
+    px = np.asarray(pixels)
+    gray = px.astype(np.int64).sum(axis=2) // 3
+    h, w = gray.shape
+    ri = np.arange(8) * h // 8
+    ci = np.arange(9) * w // 9
+    g = gray[np.ix_(ri, ci)]  # (8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64).reshape(-1)  # 64 bits
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    val = int((bits * weights).sum())
+    return val >> 32, val & 0xFFFFFFFF
+
+
+DHASH_SCHEMA = "doc_id long, hash_hi long, hash_lo long"
+
+
+def dhash_images(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual-hash every image payload (REAL decode via
+    :func:`decode_image` magic dispatch) → (doc_id, hash_hi, hash_lo).
+    Arrow-batched ``mapInPandas``, no shuffle; the downstream exact
+    groupBy on the 64-bit hash is the scalable near-dup bucketing (same
+    shape as SimHash clustering — hash collisions are the candidates)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            his, los = [], []
+            for b in pdf[payload_col]:
+                hi, lo = dhash(decode_image(bytes(b)))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "hash_hi": pd.Series(his, dtype="int64"),
+                    "hash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, DHASH_SCHEMA)

@@ -1293,3 +1293,103 @@ def mm_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_dhash_dups",
+    survey="ext:multimodal-phash-dedup",
+    oracle="""
+WITH d2 AS (
+  SELECT doc_id, source, doc_id - doc_id % 3 AS base,
+         (doc_id - doc_id % 3) % 12 + 16 AS h,
+         (doc_id - doc_id % 3) % 10 + 16 AS w
+  FROM documents
+), bits AS (
+  SELECT d.doc_id, d.source, i.i, j.j,
+    CASE WHEN
+      ((d.base * 17 + ((i.i * d.h) // 8) * 23
+        + (((j.j + 1) * d.w) // 9) * 31) % 251)
+      > ((d.base * 17 + ((i.i * d.h) // 8) * 23
+          + ((j.j * d.w) // 9) * 31) % 251)
+    THEN 1 ELSE 0 END AS b
+  FROM d2 d, unnest(range(0, 8)) AS i(i), unnest(range(0, 8)) AS j(j)
+), hashes AS (
+  SELECT doc_id, source,
+    CAST(sum(CASE WHEN i * 8 + j >= 32
+                  THEN b * (1::BIGINT << (i * 8 + j - 32)) ELSE 0 END)
+         AS BIGINT) AS hash_hi,
+    CAST(sum(CASE WHEN i * 8 + j < 32
+                  THEN b * (1::BIGINT << (i * 8 + j)) ELSE 0 END)
+         AS BIGINT) AS hash_lo
+  FROM bits GROUP BY doc_id, source
+), clusters AS (
+  SELECT source, hash_hi, hash_lo, count(*) AS csize
+  FROM hashes GROUP BY source, hash_hi, hash_lo
+)
+SELECT source,
+       count(*) AS n_clusters,
+       CAST(sum(csize) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN csize >= 2 THEN csize ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(max(csize) AS BIGINT) AS max_cluster,
+       CAST(sum(hash_lo % 9973) AS BIGINT) AS lo_checksum
+FROM clusters GROUP BY source ORDER BY source
+""",
+)
+def mm_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection end-to-end: docs come in
+    groups of three sharing one base pattern
+    (``(base·17 + r·23 + c·31) mod 251``, dims from ``base``) with a
+    per-doc CONSTANT BRIGHTNESS OFFSET (``doc_id mod 3``) — encoded as
+    genuine grayscale BMPs, REAL-decoded, and 64-bit dHashed
+    (:func:`functions.multimodal.dhash_images`: integer gray →
+    nearest-neighbor 9×8 → adjacent-column comparisons).  dHash is
+    invariant to the brightness shift, so each triple collides into one
+    hash bucket — the scalable near-dup shape (exact groupBy on the
+    hash, no pairwise compare).  The oracle recomputes every hash bit
+    arithmetically in SQL (the offset cancels inside the comparison) and
+    re-derives the cluster stats; a wrong gray formula, resize index,
+    comparison direction, or bit order shifts ``lo_checksum`` /
+    ``n_dup_docs`` and fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                base = d - d % 3
+                h, w = base % 12 + 16, base % 10 + 16
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                px = ((base * 17 + r * 23 + c * 31) % 251 + d % 3).astype(
+                    np.uint8
+                )
+                payloads.append(multimodal.encode_bmp(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    hashes = multimodal.dhash_images(payloads).join(docs, "doc_id")
+    clusters = hashes.groupBy("source", "hash_hi", "hash_lo").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    return (
+        clusters.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("csize").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("csize") >= 2, F.col("csize")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.max("csize").cast("long").alias("max_cluster"),
+            F.sum(F.col("hash_lo") % 9973).cast("long").alias("lo_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -164,3 +164,40 @@ def test_spark_stages_on_real_bmp_bytes(spark):
         np.testing.assert_array_equal(
             decode_bmp(resized[d])[:, :, 0], g[ri[:, None], ci[None, :]]
         )
+
+
+# -- perceptual hash (dHash) --------------------------------------------------
+
+
+def test_dhash_brightness_invariant_and_discriminative():
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 200, (20, 30, 3), dtype=np.uint8)
+    shifted = np.clip(img.astype(int) + 40, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 200, (20, 30, 3), dtype=np.uint8)
+    assert multimodal.dhash(img) == multimodal.dhash(shifted)
+    assert multimodal.dhash(img) != multimodal.dhash(other)
+
+
+def test_dhash_known_bit_order():
+    """A 8x9 gray gradient increasing left-to-right sets EVERY bit; the
+    reverse gradient sets none."""
+    inc = np.tile(np.arange(9, dtype=np.uint8) * 10, (8, 1))
+    rgb = np.repeat(inc[:, :, None], 3, axis=2)
+    hi, lo = multimodal.dhash(rgb)
+    assert (hi, lo) == (0xFFFFFFFF, 0xFFFFFFFF)
+    dec = rgb[:, ::-1]
+    assert multimodal.dhash(dec) == (0, 0)
+
+
+def test_dhash_images_spark_stage(spark):
+    rows = []
+    for did in range(6):
+        base = did - did % 3
+        px = ((base * 17 + np.arange(12)[:, None] * 5 + np.arange(14)[None, :] * 3) % 251 + did % 3).astype(np.uint8)
+        rows.append((did, bytearray(multimodal.encode_bmp(px))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = multimodal.dhash_images(df).collect()
+    hashes = {r["doc_id"]: (r["hash_hi"], r["hash_lo"]) for r in out}
+    assert hashes[0] == hashes[1] == hashes[2]
+    assert hashes[3] == hashes[4] == hashes[5]
+    assert hashes[0] != hashes[3]
