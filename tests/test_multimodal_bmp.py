@@ -193,7 +193,13 @@ def test_dhash_images_spark_stage(spark):
     rows = []
     for did in range(6):
         base = did - did % 3
-        px = ((base * 17 + np.arange(12)[:, None] * 5 + np.arange(14)[None, :] * 3) % 251 + did % 3).astype(np.uint8)
+        # column stride depends on base: the second group's gray wraps
+        # mod 251, flipping comparisons — a constant shift would NOT
+        # (dHash is shift-invariant, see test above)
+        px = (
+            (base * 17 + np.arange(12)[:, None] * 5
+             + np.arange(14)[None, :] * (3 + base * 9)) % 251 + did % 3
+        ).astype(np.uint8)
         rows.append((did, bytearray(multimodal.encode_bmp(px))))
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = multimodal.dhash_images(df).collect()
