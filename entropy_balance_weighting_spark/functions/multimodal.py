@@ -1090,3 +1090,58 @@ def dhash_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, DHASH_SCHEMA)
+
+
+def audio_fingerprint(samples: np.ndarray, n_segments: int = 16) -> int:
+    """Energy-envelope fingerprint of an audio clip: split into
+    ``n_segments`` spans (sample ``i`` → span ``i·n_segments // n``),
+    sum of squares per span, one bit per adjacent-span comparison
+    (``n_segments - 1`` bits).  Exact-integer volume scaling multiplies
+    every span energy by the square of the factor, so scaled copies
+    collide — the audio sibling of :func:`dhash`, and every step is
+    plain arithmetic a SQL oracle can replicate."""
+    s = np.asarray(samples, dtype=np.int64).reshape(-1)
+    n = s.size
+    if n == 0:
+        return 0
+    seg = np.arange(n) * n_segments // n
+    energy = np.zeros(n_segments, dtype=np.int64)
+    np.add.at(energy, seg, s * s)
+    bits = (energy[1:] > energy[:-1]).astype(np.int64)
+    return int((bits << np.arange(n_segments - 1)).sum())
+
+
+FINGERPRINT_SCHEMA = "doc_id long, fingerprint long, n_samples int"
+
+
+def fingerprint_audio(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_segments: int = 16,
+) -> DataFrame:
+    """Fingerprint every audio payload (REAL decode via
+    :func:`decode_audio` magic dispatch — WAV or FLAC) →
+    (doc_id, fingerprint, n_samples).  Arrow-batched ``mapInPandas``;
+    downstream near-dup bucketing is an exact groupBy on the
+    fingerprint, the same scalable shape as :func:`dhash_images`."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            fps, counts = [], []
+            for b in pdf[payload_col]:
+                s, _rate = decode_audio(bytes(b))
+                fps.append(audio_fingerprint(s[:, 0], n_segments))
+                counts.append(s.shape[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "fingerprint": pd.Series(fps, dtype="int64"),
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, FINGERPRINT_SCHEMA)

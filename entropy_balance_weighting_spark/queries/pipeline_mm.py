@@ -1393,3 +1393,97 @@ def mm_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_audio_fp_dups",
+    survey="ext:multimodal-audio-fingerprint",
+    oracle="""
+WITH d2 AS (
+  SELECT doc_id, source, doc_id - doc_id % 3 AS base,
+         (doc_id - doc_id % 3) % 50 + 40 AS n
+  FROM documents
+), samp AS (
+  SELECT d.doc_id, d.source, d.n, i.i,
+         (((d.base * 11 + i.i * 17) % 1601) - 800) * (d.doc_id % 3 + 1) AS s,
+         (i.i * 16) // d.n AS seg
+  FROM d2 d, unnest(range(0, d.n)) AS i(i)
+), energies AS (
+  SELECT doc_id, source, seg, sum(s * s) AS e
+  FROM samp GROUP BY doc_id, source, seg
+), bits AS (
+  SELECT a.doc_id, a.source, a.seg - 1 AS k,
+         CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM energies a JOIN energies b
+    ON a.doc_id = b.doc_id AND a.seg = b.seg + 1
+), fps AS (
+  SELECT doc_id, source,
+         CAST(sum(bit * (1::BIGINT << k)) AS BIGINT) AS fp
+  FROM bits GROUP BY doc_id, source
+), clusters AS (
+  SELECT source, fp, count(*) AS csize FROM fps GROUP BY source, fp
+)
+SELECT source,
+       count(*) AS n_clusters,
+       CAST(sum(csize) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN csize >= 2 THEN csize ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(max(csize) AS BIGINT) AS max_cluster,
+       CAST(sum(fp % 9973) AS BIGINT) AS fp_checksum
+FROM clusters GROUP BY source ORDER BY source
+""",
+)
+def mm_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection via the volume-invariant energy-envelope
+    fingerprint: docs come in triples sharing one base waveform
+    (``((base·11 + i·17) mod 1601) − 800``, ``base mod 50 + 40``
+    samples) scaled by ``doc_id mod 3 + 1`` — an EXACT integer volume
+    change, which multiplies every span energy by the square of the
+    factor and so cannot flip any adjacent-span comparison.  Payloads
+    are genuine PCM16 WAVs, REAL-decoded, fingerprinted by
+    :func:`functions.multimodal.fingerprint_audio` (15 bits over 16
+    spans), and bucketed by exact groupBy; the oracle recomputes every
+    span energy and comparison arithmetically in SQL.  A wrong span
+    partition, energy sum, comparison direction, or bit order shifts
+    ``fp_checksum`` / ``n_dup_docs`` and fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                base = d - d % 3
+                n = base % 50 + 40
+                s = (
+                    (((base * 11 + np.arange(n) * 17) % 1601) - 800)
+                    * (d % 3 + 1)
+                ).astype(np.int16)
+                payloads.append(multimodal.encode_wav(s, 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    fps = multimodal.fingerprint_audio(payloads).join(docs, "doc_id")
+    clusters = fps.groupBy("source", "fingerprint").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    return (
+        clusters.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("csize").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("csize") >= 2, F.col("csize")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.max("csize").cast("long").alias("max_cluster"),
+            F.sum(F.col("fingerprint") % 9973).cast("long").alias("fp_checksum"),
+        )
+        .orderBy("source")
+    )

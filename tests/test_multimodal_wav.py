@@ -241,3 +241,38 @@ def test_wav_container_g711_roundtrips():
 def test_wav_rejects_unknown_companding():
     with pytest.raises(ValueError, match="fmt must be one of"):
         multimodal.encode_wav(np.zeros(4, dtype=np.int16), fmt="adpcm")
+
+
+# -- audio fingerprint ---------------------------------------------------------
+
+
+def test_audio_fingerprint_volume_invariant_and_discriminative():
+    rng = _rng()
+    base = rng.integers(-2000, 2000, 500).astype(np.int64)
+    fp1 = multimodal.audio_fingerprint(base)
+    fp2 = multimodal.audio_fingerprint(base * 3)  # exact volume scale
+    other = rng.integers(-2000, 2000, 500).astype(np.int64)
+    assert fp1 == fp2
+    assert fp1 != multimodal.audio_fingerprint(other)
+    # monotone-increasing energy envelope sets every bit
+    ramp = np.repeat(np.arange(16) * 100, 10)
+    assert multimodal.audio_fingerprint(ramp) == (1 << 15) - 1
+    assert multimodal.audio_fingerprint(ramp[::-1]) == 0
+    assert multimodal.audio_fingerprint(np.array([], dtype=np.int64)) == 0
+
+
+def test_fingerprint_audio_spark_stage_mixed_wav_flac(spark):
+    """The fingerprint stage dispatches WAV and FLAC payloads; a FLAC
+    re-encode of the same samples must produce the same fingerprint
+    (lossless)."""
+    from entropy_balance_weighting_spark.functions.flac_codec import encode_flac
+
+    rng = _rng()
+    s = rng.integers(-2000, 2000, 400).astype(np.int16)
+    rows = [
+        (0, bytearray(multimodal.encode_wav(s, 8000))),
+        (1, bytearray(encode_flac(s, 8000, block_size=64))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["fingerprint"] for r in multimodal.fingerprint_audio(df).collect()}
+    assert out[0] == out[1]
