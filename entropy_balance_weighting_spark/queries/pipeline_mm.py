@@ -1487,3 +1487,129 @@ def mm_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_exif_gps_scrub",
+    survey="ext:multimodal-exif-scrub",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id, source,
+         doc_id % 8 + 1 AS orientation,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS has_gps,
+         CASE WHEN doc_id % 3 = 0
+              THEN (doc_id % 90) * 1000000 + 500000 ELSE 0 END AS lat_micro,
+         CASE WHEN doc_id % 3 = 0
+              THEN (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END)
+                   * ((doc_id % 180) * 1000000 + 250000)
+              ELSE 0 END AS lon_micro
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(has_gps) AS BIGINT) AS n_gps,
+       round(avg(orientation), 6) AS avg_orientation,
+       CAST(sum(lat_micro) AS BIGINT) AS lat_micro_sum,
+       CAST(sum(lon_micro) AS BIGINT) AS lon_micro_sum,
+       CAST(0 AS BIGINT) AS n_gps_after_scrub,
+       CAST(0 AS BIGINT) AS n_pixel_mismatch
+FROM meta GROUP BY source ORDER BY source
+""",
+)
+def mm_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF privacy scrub end-to-end: each doc gets a genuine JPEG with
+    an APP1/Exif segment (``functions/exif_codec.py`` — embedded TIFF
+    IFD): orientation ``id mod 8 + 1``, and on ids divisible by 3 a GPS
+    sub-IFD with micro-degree-exact RATIONAL lat/lon.  The Spark stage
+    extracts the metadata (REAL IFD walk), STRIPS every APP1 segment,
+    re-extracts (must find nothing), and re-decodes both payloads (the
+    scrub must not touch entropy data — pixels byte-identical).  The
+    oracle recomputes the planted metadata arithmetically and pins
+    ``n_gps_after_scrub = 0`` and ``n_pixel_mismatch = 0`` — a scrub
+    that drops the wrong segment or shifts entropy bytes fails the
+    hash."""
+    import numpy as np
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.exif_codec import (
+        build_exif,
+        extract_exif,
+        insert_app1,
+        strip_exif,
+    )
+    from entropy_balance_weighting_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {"doc_id": [], "orientation": [], "has_gps": [],
+                    "lat_micro": [], "lon_micro": [],
+                    "gps_after": [], "pixel_mismatch": []}
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = d % 6 + 8, d % 9 + 8
+                px = np.clip(
+                    40 + d % 60
+                    + 3 * np.arange(h)[:, None, None]
+                    + 2 * np.arange(w)[None, :, None]
+                    + 10 * np.arange(3)[None, None, :],
+                    0,
+                    255,
+                ).astype(np.uint8)
+                gps = None
+                if d % 3 == 0:
+                    lat = (d % 90) + 0.5
+                    lon = ((d % 180) + 0.25) * (-1 if d % 2 else 1)
+                    gps = (lat, lon)
+                tagged = insert_app1(
+                    encode_jpeg(px, 90),
+                    build_exif(
+                        orientation=d % 8 + 1, make=f"cam{d % 5}", gps=gps
+                    ),
+                )
+                meta = extract_exif(tagged)
+                clean = strip_exif(tagged)
+                after = extract_exif(clean)
+                rows["doc_id"].append(d)
+                rows["orientation"].append(int(meta.get("orientation", 0)))
+                rows["has_gps"].append(1 if meta.get("has_gps") else 0)
+                rows["lat_micro"].append(
+                    int(round(meta.get("gps_lat", 0.0) * 1_000_000))
+                )
+                rows["lon_micro"].append(
+                    int(round(meta.get("gps_lon", 0.0) * 1_000_000))
+                )
+                rows["gps_after"].append(1 if after.get("has_gps") else 0)
+                rows["pixel_mismatch"].append(
+                    0
+                    if np.array_equal(decode_jpeg(clean), decode_jpeg(tagged))
+                    else 1
+                )
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    schema = (
+        "doc_id long, orientation long, has_gps long, lat_micro long, "
+        "lon_micro long, gps_after long, pixel_mismatch long"
+    )
+    extracted = docs.select("doc_id").mapInPandas(gen, schema).join(docs, "doc_id")
+    return (
+        extracted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_gps").cast("long").alias("n_gps"),
+            F.round(F.avg("orientation"), 6).alias("avg_orientation"),
+            F.sum("lat_micro").cast("long").alias("lat_micro_sum"),
+            F.sum("lon_micro").cast("long").alias("lon_micro_sum"),
+            F.sum("gps_after").cast("long").alias("n_gps_after_scrub"),
+            F.sum("pixel_mismatch").cast("long").alias("n_pixel_mismatch"),
+        )
+        .orderBy("source")
+    )

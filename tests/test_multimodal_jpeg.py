@@ -346,3 +346,50 @@ def test_progressive_truncated_scan_raises():
     b = encode_jpeg(px, 90, progressive=True)
     with pytest.raises(ValueError):
         decode_jpeg(b[: len(b) - 10])
+
+
+# -- EXIF (APP1) metadata ------------------------------------------------------
+
+
+def test_exif_build_extract_strip_roundtrip():
+    from entropy_balance_weighting_spark.functions import exif_codec as x
+
+    jp = encode_jpeg(_gradient(16, 16), 90)
+    tagged = x.insert_app1(
+        jp, x.build_exif(orientation=6, make="SynthCam 3000", gps=(37.7749, -122.4194))
+    )
+    meta = x.extract_exif(tagged)
+    assert meta["orientation"] == 6
+    assert meta["make"] == "SynthCam 3000"
+    assert meta["has_gps"]
+    assert abs(meta["gps_lat"] - 37.7749) < 1e-9
+    assert abs(meta["gps_lon"] + 122.4194) < 1e-9
+    clean = x.strip_exif(tagged)
+    assert x.extract_exif(clean) == {}
+    # the scrub must not touch entropy data
+    np.testing.assert_array_equal(decode_jpeg(clean), decode_jpeg(jp))
+    np.testing.assert_array_equal(decode_jpeg(tagged), decode_jpeg(jp))
+
+
+def test_exif_no_gps_and_absent_cases():
+    from entropy_balance_weighting_spark.functions import exif_codec as x
+
+    jp = encode_jpeg(_gradient(8, 8), 90)
+    assert x.extract_exif(jp) == {}
+    assert x.strip_exif(jp) == jp  # nothing to strip
+    t = x.insert_app1(jp, x.build_exif(orientation=1))
+    assert x.extract_exif(t) == {"orientation": 1, "has_gps": False}
+    # southern/western hemisphere signs
+    t2 = x.insert_app1(jp, x.build_exif(gps=(-33.9, 151.2)))
+    m2 = x.extract_exif(t2)
+    assert m2["gps_lat"] < 0 < m2["gps_lon"]
+
+
+def test_exif_survives_progressive_and_decoder_ignores_it():
+    from entropy_balance_weighting_spark.functions import exif_codec as x
+
+    px = _gradient(12, 20)
+    jp = encode_jpeg(px, 90, progressive=True)
+    tagged = x.insert_app1(jp, x.build_exif(orientation=3))
+    np.testing.assert_array_equal(decode_jpeg(tagged), decode_jpeg(jp))
+    assert x.extract_exif(tagged)["orientation"] == 3
