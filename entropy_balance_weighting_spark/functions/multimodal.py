@@ -3,19 +3,19 @@
 resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing here is REAL and tested — schema contracts, batch
-shapes, partition behavior, UDF signatures.  Decoders: uncompressed BMP
-(:func:`decode_bmp`/:func:`encode_bmp`, pure struct/numpy),
-non-interlaced 8-bit gray/RGB/RGBA PNG (:func:`decode_png`/
-:func:`encode_png`, stdlib zlib + the five PNG filters in numpy), and
-PCM RIFF/WAVE audio (:func:`decode_wav`/:func:`encode_wav`, pure
-struct/numpy), baseline JPEG (``jpeg_codec.decode_jpeg``/
-``encode_jpeg``, the full DCT/Huffman pipeline in numpy + stdlib), and
-GIF87a/89a (``gif_codec.decode_gif``/``encode_gif``, full variable-width
-LZW both directions) are
-decoded/resized/resampled FOR REAL — no media library needed; remaining
-formats (progressive JPEG, compressed audio, video codecs) raise
-``NotImplementedError`` because this container has no media libraries —
-swap in Pillow/torchvision/ffmpeg decoders with the same signatures in
+shapes, partition behavior, UDF signatures — and so are the codecs, all
+pure numpy + stdlib: uncompressed BMP, 8-bit PNG (five filters, palette,
+Adam7 interlace), GIF87a/89a stills and animations
+(:mod:`functions.gif_codec`), baseline AND progressive JPEG
+(:mod:`functions.jpeg_codec`), strip TIFF (:mod:`functions.tiff_codec`),
+PCM + G.711 µ-law/A-law RIFF/WAVE, FLAC (:mod:`functions.flac_codec`),
+uncompressed-AVI video demux (:mod:`functions.avi_codec`), and EXIF
+APP1 metadata extract/strip (:mod:`functions.exif_codec`).  Derived
+media operators: nearest-neighbor image resize / audio resample, 64-bit
+image dHash and a volume-invariant audio energy fingerprint for
+near-dup bucketing.  Only codecs that genuinely need a media library
+(H.264, MP3, …) raise named ``NotImplementedError``s — swap in
+Pillow/torchvision/ffmpeg decoders with the same signatures in
 production.  The deterministic fake decoder remains for exercising the
 plumbing with arbitrary payloads.
 """
