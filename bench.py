@@ -118,54 +118,110 @@ def main() -> None:
     meta_suffixes = ("_iterations", "_converged", "_k")
     wall = {k: v for k, v in timings.items() if not k.endswith(meta_suffixes)}
     total = round(sum(wall.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                # the benched set GROWS round over round — cross-round
-                # totals are only comparable per-entry (see PLANS.md §8
-                # for measured ±2x machine variance on this box); the
-                # loadavg fields make a loaded-box run machine-detectable
-                # (loadavg ≫ n_cpus at start/end ⇒ timings are contended)
-                "n_wall_entries": len(wall),
-                "repeats_per_query": 2,
-                "timing": "best_of_repeats_after_warmup",
-                "loadavg_at_launch": START_LOADAVG,
-                "loadavg_start": start_load,
-                "loadavg_end": _loadavg(),
-                "n_cpus": os.cpu_count(),
-                # True iff the box never drained below the load gate before
-                # the timed region started — timings are contended and must
-                # not be read as plan regressions (PLANS.md §8 variance).
-                "contaminated": contaminated,
-                "load_gate": LOAD_GATE,
-                # DuckDB executing the oracle SQL of the oracle-benched
-                # queries on the same parquet — the bench-vs-baseline proxy
-                # the judge derives each round, self-reported (r5 item #8).
-                # Spark's per-query job-launch overhead (~0.4-0.8 s)
-                # dominates at sub-second DuckDB times; the ratio is only
-                # meaningful on compute-bound entries.
-                "duck_proxy_sec": duck_proxy,
-                "duck_proxy_n_queries": duck_queries,
-                # per-query DuckDB times so per-query Spark/DuckDB ratios
-                # are machine-trackable round over round (r6 item #3)
-                "duck_proxy": duck_per_query,
-                "spark_same_queries_sec": round(
-                    sum(
-                        wall[n]
-                        for n in bench_queries
-                        if bench_queries[n].oracle is not None and n in wall
-                    ),
-                    4,
-                ),
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    diagnostics = {
+        "metric": "headline_queries_diagnostics",
+        "value": total,
+        "unit": "sec",
+        # the benched set GROWS round over round — cross-round
+        # totals are only comparable per-entry (see PLANS.md §8
+        # for measured ±2x machine variance on this box); the
+        # loadavg fields make a loaded-box run machine-detectable
+        # (loadavg ≫ n_cpus at start/end ⇒ timings are contended)
+        "n_wall_entries": len(wall),
+        "repeats_per_query": 2,
+        "timing": "best_of_repeats_after_warmup",
+        "loadavg_at_launch": START_LOADAVG,
+        "loadavg_start": start_load,
+        "loadavg_end": _loadavg(),
+        "n_cpus": os.cpu_count(),
+        # True iff the box never drained below the load gate before
+        # the timed region started — timings are contended and must
+        # not be read as plan regressions (PLANS.md §8 variance).
+        "contaminated": contaminated,
+        "load_gate": LOAD_GATE,
+        # DuckDB executing the oracle SQL of the oracle-benched
+        # queries on the same parquet — the bench-vs-baseline proxy
+        # the judge derives each round, self-reported (r5 item #8).
+        # Spark's per-query job-launch overhead (~0.4-0.8 s)
+        # dominates at sub-second DuckDB times; the ratio is only
+        # meaningful on compute-bound entries.
+        "duck_proxy_sec": duck_proxy,
+        "duck_proxy_n_queries": duck_queries,
+        # per-query DuckDB times so per-query Spark/DuckDB ratios
+        # are machine-trackable round over round (r6 item #3)
+        "duck_proxy": duck_per_query,
+        "spark_same_queries_sec": round(
+            sum(
+                wall[n]
+                for n in bench_queries
+                if bench_queries[n].oracle is not None and n in wall
+            ),
+            4,
+        ),
+        "queries": timings,
+        "sf": sf,
+    }
+    for line in render_output_lines(diagnostics):
+        print(line)
     spark.stop()
+
+
+# The driver captures only the LAST ~2000 chars of stdout and parses the
+# final JSON line.  Round 7's single fat line outgrew that budget and the
+# best-ever headline was recorded as "parsed": null (r7 verdict item #1).
+# Contract: emit the full diagnostics object first (for humans / solo
+# re-runs), then a short final line under this budget that the driver can
+# always parse.  `tests/test_bench_output.py` pins the budget.
+FINAL_LINE_BUDGET = 1000
+
+
+def render_output_lines(diagnostics: dict) -> list[str]:
+    """Render bench stdout: one fat diagnostics line, then a short final
+    headline line guaranteed to fit the driver's tail-capture budget.
+
+    The final line always carries the headline fields (metric/value/unit/
+    sf/loadavg/contaminated) plus as many per-query timings as fit,
+    largest wall-clock first, so the most expensive entries stay
+    driver-visible even when the full map does not fit.
+    """
+    fat_line = json.dumps(diagnostics)
+    short = {
+        "metric": "headline_queries_total_wall",
+        "value": diagnostics["value"],
+        "unit": "sec",
+        "sf": diagnostics["sf"],
+        "n_wall_entries": diagnostics["n_wall_entries"],
+        "loadavg_start": diagnostics["loadavg_start"],
+        "loadavg_end": diagnostics["loadavg_end"],
+        "contaminated": diagnostics["contaminated"],
+        "duck_proxy_sec": diagnostics["duck_proxy_sec"],
+        "spark_same_queries_sec": diagnostics["spark_same_queries_sec"],
+        "queries": {},
+        "queries_truncated": False,
+    }
+    # Fill the queries map biggest-first until the budget would overflow.
+    # Meta entries (_k/_iterations/_converged) are not wall-clock; they
+    # stay on the fat line only so the short line spends its budget on
+    # real timings.
+    meta_suffixes = ("_iterations", "_converged", "_k")
+    by_cost = sorted(
+        (
+            kv
+            for kv in diagnostics["queries"].items()
+            if not kv[0].endswith(meta_suffixes)
+        ),
+        key=lambda kv: -abs(kv[1]),
+    )
+    for name, sec in by_cost:
+        candidate = dict(short)
+        candidate["queries"] = {**short["queries"], name: sec}
+        if len(json.dumps(candidate)) > FINAL_LINE_BUDGET - 50:
+            short["queries_truncated"] = True
+            break
+        short["queries"] = candidate["queries"]
+    short_line = json.dumps(short)
+    assert len(short_line) <= FINAL_LINE_BUDGET, len(short_line)
+    return [fat_line, short_line]
 
 
 def _duck_proxy(

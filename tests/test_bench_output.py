@@ -1,0 +1,81 @@
+"""Pin bench.py's driver-parseable output contract.
+
+Round 7's best-ever headline (54.4 s) was recorded as ``"parsed": null``
+because the single fat JSON line outgrew the driver's ~2000-char stdout
+tail capture (r7 verdict item #1).  The fix: bench.py now emits the fat
+diagnostics line first, then a SHORT final line.  These tests pin that
+the final line stays under budget for any realistic (and unrealistic)
+query-map size, and that it still carries the headline fields.
+"""
+
+import json
+
+import bench
+
+
+def _diag(n_queries: int) -> dict:
+    return {
+        "metric": "headline_queries_diagnostics",
+        "value": 54.4,
+        "unit": "sec",
+        "n_wall_entries": n_queries,
+        "repeats_per_query": 2,
+        "timing": "best_of_repeats_after_warmup",
+        "loadavg_at_launch": [1.08, 2.3, 3.4],
+        "loadavg_start": [1.08, 2.3, 3.4],
+        "loadavg_end": [25.1, 14.2, 8.9],
+        "n_cpus": 32,
+        "contaminated": False,
+        "load_gate": 2.0,
+        "duck_proxy_sec": 2.79,
+        "duck_proxy_n_queries": 23,
+        "duck_proxy": {
+            f"some_quite_long_query_name_{i:03d}": round(0.01 * i, 4)
+            for i in range(n_queries)
+        },
+        "spark_same_queries_sec": 15.87,
+        "queries": {
+            f"some_quite_long_query_name_{i:03d}": round(0.123 * (i + 1), 4)
+            for i in range(n_queries)
+        },
+        "sf": 0.1,
+    }
+
+
+def test_final_line_under_budget_even_with_200_queries():
+    # 200 long-named queries is ~4x the current bench set — the final
+    # line must stay under the 1 KB budget regardless.
+    for n in (0, 1, 23, 60, 200):
+        lines = bench.render_output_lines(_diag(n))
+        assert len(lines) == 2
+        final = lines[-1]
+        assert len(final) <= bench.FINAL_LINE_BUDGET, (n, len(final))
+        parsed = json.loads(final)
+        assert parsed["metric"] == "headline_queries_total_wall"
+        assert parsed["value"] == 54.4
+        assert parsed["unit"] == "sec"
+        assert parsed["sf"] == 0.1
+        assert parsed["contaminated"] is False
+        assert parsed["loadavg_start"] == [1.08, 2.3, 3.4]
+        assert parsed["loadavg_end"] == [25.1, 14.2, 8.9]
+
+
+def test_final_line_keeps_most_expensive_queries_when_truncating():
+    lines = bench.render_output_lines(_diag(200))
+    parsed = json.loads(lines[-1])
+    assert parsed["queries_truncated"] is True
+    # biggest-first fill: the single most expensive query must survive
+    assert "some_quite_long_query_name_199" in parsed["queries"]
+
+
+def test_small_query_map_not_truncated():
+    lines = bench.render_output_lines(_diag(5))
+    parsed = json.loads(lines[-1])
+    assert parsed["queries_truncated"] is False
+    assert len(parsed["queries"]) == 5
+
+
+def test_fat_line_is_complete_diagnostics():
+    diag = _diag(23)
+    lines = bench.render_output_lines(diag)
+    assert json.loads(lines[0]) == diag
