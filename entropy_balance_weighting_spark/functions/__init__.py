@@ -16,11 +16,17 @@ pipeline needs, built Spark-first as first-class engine components):
   sessionization, JSON property extraction.
 - :mod:`functions.multimodal` — opaque-binary column plumbing (schema,
   batching, Arrow UDF signatures) with REAL pure-numpy/stdlib codecs for
-  uncompressed BMP, non-interlaced PNG, PCM WAV audio, baseline JPEG
-  (:mod:`functions.jpeg_codec`), and GIF87a/89a with full variable-width
-  LZW (:mod:`functions.gif_codec`); only formats that genuinely need a
-  media library (progressive JPEG, compressed audio, video) remain
-  stubbed.
+  uncompressed BMP, PNG (all 5 filters, palette, Adam7 interlace), PCM +
+  G.711 WAV audio, FLAC (fixed predictors + Rice,
+  :mod:`functions.flac_codec`), baseline AND progressive JPEG
+  (:mod:`functions.jpeg_codec`), GIF87a/89a incl. animation with full
+  variable-width LZW (:mod:`functions.gif_codec`), strip TIFF (TIFF-LZW,
+  PackBits, II/MM, :mod:`functions.tiff_codec`), uncompressed-AVI demux
+  (:mod:`functions.avi_codec`), and EXIF metadata extract/GPS-scrub
+  (:mod:`functions.exif_codec`); only formats that genuinely need a
+  media library (H.264/H.265 video, MP3/AAC audio entropy decode) remain
+  stubbed — though container-level metadata scrub (ID3v2, MP4 atoms,
+  :mod:`functions.container_meta`) works without decoding them.
 
 Everything is DataFrame/Column-expression first; Python reaches the hot
 path only through Arrow-batched ``mapInPandas`` where semantics require it.

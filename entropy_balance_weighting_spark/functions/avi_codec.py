@@ -122,9 +122,18 @@ def decode_avi_frames(payload: bytes) -> tuple[list[np.ndarray], float]:
     compression = 0
     fps = 0.0
     frames_raw: list[bytes] = []
+    # Streams are numbered by strh appearance order; a multi-stream AVI
+    # (video + audio, or a second video stream) must not interleave
+    # foreign '##db'/'##dc' chunks into the frame list or pick a foreign
+    # strf as the format header (r7 advice).  Track which stream index is
+    # the 'vids' stream and only accept ITS strf and ITS movi chunks.
+    stream_no = -1
+    vids_stream = None
+    awaiting_vids_strf = False
 
     def walk(pos: int, end: int) -> None:
         nonlocal w, h, bpp, compression, fps
+        nonlocal stream_no, vids_stream, awaiting_vids_strf
         while pos + 8 <= end:
             fourcc = b[pos : pos + 4]
             (clen,) = struct.unpack_from("<I", b, pos + 4)
@@ -137,16 +146,29 @@ def decode_avi_frames(payload: bytes) -> tuple[list[np.ndarray], float]:
             if fourcc == b"LIST":
                 walk(data_start + 4, data_end)  # skip the subtype fourcc
             elif fourcc == b"strh" and clen >= 48:
-                if b[data_start : data_start + 4] == b"vids":
+                stream_no += 1
+                awaiting_vids_strf = False
+                if (
+                    b[data_start : data_start + 4] == b"vids"
+                    and vids_stream is None
+                ):
+                    vids_stream = stream_no
+                    awaiting_vids_strf = True
                     scale, rate = struct.unpack_from("<II", b, data_start + 20)
                     if scale:
                         fps = rate / scale
-            elif fourcc == b"strf" and clen >= 40 and w is None:
+            elif fourcc == b"strf" and clen >= 40 and awaiting_vids_strf:
                 _, bw, bh, _, bits, comp = struct.unpack_from(
                     "<IiiHHI", b, data_start
                 )
                 w, h, bpp, compression = bw, bh, bits, comp
-            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
+                awaiting_vids_strf = False
+            elif (
+                fourcc[2:4] in (b"db", b"dc")
+                and fourcc[:2].isdigit()
+                and vids_stream is not None
+                and int(fourcc[:2]) == vids_stream
+            ):
                 frames_raw.append(b[data_start:data_end])
             pos = data_end + (clen & 1)  # chunks are word-aligned
 

@@ -140,6 +140,10 @@ def extract_exif(jpeg: bytes) -> dict:
             if t0 + off + 2 > end:
                 raise ValueError("malformed EXIF payload: IFD out of range")
             (n,) = struct.unpack_from(bo + "H", b, t0 + off)
+            if t0 + off + 2 + 12 * n > end:
+                raise ValueError(
+                    "malformed EXIF payload: IFD entries out of range"
+                )
             for i in range(n):
                 e = t0 + off + 2 + 12 * i
                 tag, typ, count = struct.unpack_from(bo + "HHI", b, e)
@@ -152,8 +156,20 @@ def extract_exif(jpeg: bytes) -> dict:
                 return None
             total = size * count
             if total > 4:
+                if vpos + 4 > end:
+                    raise ValueError(
+                        "malformed EXIF payload: value offset out of range"
+                    )
                 (off,) = struct.unpack_from(bo + "I", b, vpos)
                 vpos = t0 + off
+            # Out-of-line offsets come from untrusted bytes: a hostile or
+            # truncated payload must raise the codebase's named ValueError,
+            # not silently read unrelated JPEG bytes or hit struct.error
+            # past EOF.  All reads must land inside THIS APP1 segment.
+            if vpos + total > end or vpos < t0:
+                raise ValueError(
+                    "malformed EXIF payload: value out of range"
+                )
             if typ == 2:
                 raw = b[vpos : vpos + count]
                 return raw.split(b"\x00")[0].decode("ascii", "replace")

@@ -892,7 +892,14 @@ def resample_audio_batch(payloads: pd.Series, target_n: int) -> pd.Series:
         if n0 == 0:
             raise ValueError("cannot resample an empty audio payload")
         idx = (np.arange(target_n) * n0 // target_n).clip(0, n0 - 1)
-        out.append(encode_wav(s[idx].astype(np.int16), rate))
+        # decode_audio may return int32 for >16-bit sources (e.g. 17-24-bit
+        # FLAC); a bare astype(int16) would silently WRAP those samples.
+        # Saturate instead — standard requantization-to-PCM16 behavior.
+        out.append(
+            encode_wav(
+                np.clip(s[idx], -32768, 32767).astype(np.int16), rate
+            )
+        )
     return pd.Series(out)
 
 

@@ -85,3 +85,65 @@ def test_sample_video_frames_real_demux(spark):
         seen.setdefault(r["doc_id"], []).append(r["frame_idx"])
     for did, fr in vids.items():
         assert sorted(seen[did]) == list(range(0, len(fr), 2))
+
+
+def _multistream_avi(frames: np.ndarray, fps: int = 30) -> bytes:
+    """Build an AVI whose VIDEO stream is stream index 1: stream 0 is an
+    'auds' stream with its own >=40-byte strf, and the movi LIST
+    interleaves foreign '00wb'/'00db' chunks (stream 0) between the real
+    '01db' video frames.  A demuxer that takes the first strf or every
+    ##db chunk decodes garbage here (r7 advice)."""
+    from entropy_balance_weighting_spark.functions.avi_codec import _bmp_rows
+
+    fr = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = fr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    frame_size = stride * h
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(subtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", subtype + data)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0, n, 0, 2,
+                       frame_size, w, h, 0, 0, 0, 0)
+    strh_common = struct.pack(
+        "<IHHIIIIIIIi4H", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        0, 0, w, h,
+    )
+    # stream 0: audio, with a 40-byte strf full of poison values that
+    # would parse as a ridiculous BITMAPINFOHEADER
+    auds_strh = b"auds" + b"\x00\x00\x00\x00" + strh_common
+    auds_strf = struct.pack("<IiiHHIIiiII", 40, -7, -9, 1, 13, 0xDEAD,
+                            0, 0, 0, 0, 0)
+    # stream 1: the real video stream
+    vids_strh = b"vids" + b"DIB " + strh_common
+    vids_strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            frame_size, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", auds_strf))
+        + lst(b"strl", chunk(b"strh", vids_strh) + chunk(b"strf", vids_strf)),
+    )
+    movi_children = b""
+    for f in fr:
+        # foreign stream-0 chunks interleaved BEFORE each real frame:
+        # one audio-data chunk and one hostile '00db' that is NOT a frame
+        movi_children += chunk(b"00wb", b"\x42" * 37)
+        movi_children += chunk(b"00db", b"\x99" * 11)
+        movi_children += chunk(b"01db", _bmp_rows(f))
+    body = b"AVI " + hdrl + lst(b"movi", movi_children)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_multistream_picks_vids_stream_only():
+    rng = _rng()
+    fr = rng.integers(0, 256, (3, 4, 6, 3), dtype=np.uint8)
+    out, fps = decode_avi_frames(_multistream_avi(fr, fps=24))
+    assert fps == 24.0
+    assert len(out) == 3  # the '00db' poison chunks must NOT be frames
+    for i in range(3):
+        np.testing.assert_array_equal(out[i], fr[i])

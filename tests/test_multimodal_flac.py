@@ -240,3 +240,22 @@ def test_audio_dispatch_and_spark_stage(spark):
     )
     with pytest.raises(NotImplementedError, match="unsupported audio format"):
         multimodal.decode_audio(b"OggS" + bytes(40))
+
+
+def test_resample_clips_24bit_samples_instead_of_wrapping(monkeypatch):
+    """decode_audio returns int32 for >16-bit FLAC; requantizing to PCM16
+    must saturate, not wrap (r7 advice: bare astype(int16) wrapped)."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions import multimodal as mm
+
+    # 24-bit-range samples: +4M wraps to ~+... under astype(int16); the
+    # correct saturating answer is +32767 / -32768.
+    s = np.array([4_000_000, -4_000_000, 1000, -1000], dtype=np.int32)
+    monkeypatch.setattr(mm, "decode_audio", lambda b: (s, 8000))
+    out = mm.resample_audio_batch(pd.Series([b"ignored"]), 4)
+    dec, rate = mm.decode_wav(out.iloc[0])
+    assert rate == 8000
+    np.testing.assert_array_equal(
+        np.asarray(dec).ravel(), [32767, -32768, 1000, -1000]
+    )

@@ -393,3 +393,38 @@ def test_exif_survives_progressive_and_decoder_ignores_it():
     tagged = x.insert_app1(jp, x.build_exif(orientation=3))
     np.testing.assert_array_equal(decode_jpeg(tagged), decode_jpeg(jp))
     assert x.extract_exif(tagged)["orientation"] == 3
+
+
+def test_exif_hostile_value_offset_raises_named_valueerror():
+    """An out-of-line IFD value offset pointing past the APP1 segment end
+    must raise the codebase's named ValueError, not silently read foreign
+    JPEG bytes or hit struct.error past EOF (r7 advice)."""
+    import struct as _struct
+
+    from entropy_balance_weighting_spark.functions import exif_codec as x
+
+    jp = encode_jpeg(_gradient(16, 16), 90)
+    payload = x.build_exif(make="SynthCam 3000 Ultra Wide", gps=(1.5, 2.5))
+    tagged = x.insert_app1(jp, payload)
+    # Locate the 'make' ASCII entry (tag 0x010F, type 2) inside the APP1
+    # and redirect its out-of-line offset far past the segment end.
+    app1 = tagged.index(b"Exif\x00\x00")
+    t0 = app1 + 6
+    (ifd0_off,) = _struct.unpack_from("<I", tagged, t0 + 4)
+    (n,) = _struct.unpack_from("<H", tagged, t0 + ifd0_off)
+    bad = bytearray(tagged)
+    patched = False
+    for i in range(n):
+        e = t0 + ifd0_off + 2 + 12 * i
+        tag, typ, count = _struct.unpack_from("<HHI", bad, e)
+        if tag == 0x010F and typ == 2 and count > 4:
+            _struct.pack_into("<I", bad, e + 8, 0x00FFFFFF)
+            patched = True
+    assert patched
+    with pytest.raises(ValueError, match="value out of range"):
+        x.extract_exif(bytes(bad))
+    # Hostile entry COUNT that would run the IFD table past the segment.
+    bad2 = bytearray(tagged)
+    _struct.pack_into("<H", bad2, t0 + ifd0_off, 0x7FFF)
+    with pytest.raises(ValueError, match="out of range"):
+        x.extract_exif(bytes(bad2))
