@@ -86,6 +86,54 @@ def test_enumeration_rotation_invariants():
         )
 
 
+def test_staleness_budget():
+    """Registry-size budget (r7 verdict item #2): with W driver slots, P
+    of them pinned, and M non-pinned queries, perfect rotation re-greens
+    each query every ceil(M / (W - P)) rounds — so a query's staleness
+    (rounds since last green) peaks at ceil(M / cap) - 1.  Keeping that
+    peak <= 2 rounds requires M <= 3 * (W - P).  This test makes the
+    budget explicit so a bulk query addition that would push ANY query
+    past 2-rounds-stale fails loudly and becomes a conscious trade
+    (grow the window understanding, prune queries, or accept by
+    amending this budget with a comment).
+
+    Also asserts the budget is honored in realized history: any query
+    already 2 rounds stale must be inside the upcoming driver window,
+    i.e. about to be re-greened, never silently sliding to 3.
+    """
+    from entropy_balance_weighting_spark.queries.registry import (
+        DRIVER_WINDOW,
+        PINNED,
+        QUERIES,
+        driver_history,
+        enumeration_priority,
+    )
+
+    cap = DRIVER_WINDOW - len(PINNED)
+    M = len(QUERIES) - len(PINNED)
+    assert M <= 3 * cap, (
+        f"{M} rotating queries over {cap} slots/round implies a "
+        f"worst-case inter-green gap of {-(-M // cap)} rounds "
+        f"(staleness {-(-M // cap) - 1} > 2). Prune queries or "
+        f"consciously amend the budget."
+    )
+
+    hist = driver_history()
+    if not hist:
+        return
+    latest = max(hist.values())
+    window = set(enumeration_priority()[:DRIVER_WINDOW])
+    too_stale = [
+        n
+        for n in QUERIES
+        if hist.get(n, latest) <= latest - 2 and n not in window
+    ]
+    assert not too_stale, (
+        f"queries already 2+ rounds stale are NOT in the upcoming driver "
+        f"window and would reach 3-rounds stale: {too_stale}"
+    )
+
+
 def test_queries_md_index_is_current():
     """QUERIES.md must match the live registry (regenerate with
     `python -m entropy_balance_weighting_spark.queries.index`)."""
