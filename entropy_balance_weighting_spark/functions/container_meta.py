@@ -1,0 +1,263 @@
+"""Container-level metadata extract/strip for audio/video — ID3v2 (MP3)
+and MP4/ISO-BMFF atoms — in pure stdlib ``struct``.
+
+Privacy scrub works on CONTAINERS even where entropy decode doesn't:
+stripping an ID3v2 tag or an MP4 ``udta`` atom never touches the coded
+audio/video bitstream, so a pipeline can GPS/PII-scrub MP3s and MP4s it
+cannot decode.  This is the audio/video sibling of the JPEG APP1 scrub
+in :mod:`functions.exif_codec` (r7), built from the public specs:
+
+- ID3v2.3/2.4 informal standard (id3.org): ``ID3`` header with a 28-bit
+  syncsafe size, 10-byte frame headers (plain big-endian size in v2.3,
+  syncsafe in v2.4), text frames with an encoding byte; optional ID3v1
+  trailer (final 128 bytes, ``TAG`` magic).
+- ISO/IEC 14496-12 box ("atom") structure: 4-byte big-endian size +
+  4-byte type, ``size == 1`` → 64-bit largesize follows; user metadata
+  lives under ``moov/udta`` — GPS as the 3GPP ``©xyz`` location string
+  (ISO 6709 ``±DD.DDDD±DDD.DDDD/``), title as ``©nam``.
+
+Reference parity note: the reference engine
+(/root/reference, entropy-balance-weighting) has no media layer at all —
+this module is part of the §7.5 training-data extension surface, not
+reference parity.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+# ---------------------------------------------------------------------------
+# ID3v2
+# ---------------------------------------------------------------------------
+
+ID3_MAGIC = b"ID3"
+
+
+def _syncsafe(n: int) -> bytes:
+    if not 0 <= n < 1 << 28:
+        raise ValueError(f"syncsafe size out of range: {n}")
+    return bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+
+
+def _unsyncsafe(b: bytes) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError("malformed ID3 payload: non-syncsafe size byte")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _text_frame(frame_id: bytes, text: str) -> bytes:
+    data = b"\x03" + text.encode("utf-8")  # encoding 3 = UTF-8 (v2.4 ok in practice)
+    return frame_id + struct.pack(">I", len(data)) + b"\x00\x00" + data
+
+
+def build_id3(
+    title: str | None = None,
+    artist: str | None = None,
+    gps: tuple[float, float] | None = None,
+) -> bytes:
+    """Build an ID3v2.3 tag: TIT2 (title), TPE1 (artist) and, when
+    ``gps`` is given, a TXXX user frame with description ``GPS`` and a
+    ``lat,lon`` value at micro-degree precision."""
+    frames = b""
+    if title is not None:
+        frames += _text_frame(b"TIT2", title)
+    if artist is not None:
+        frames += _text_frame(b"TPE1", artist)
+    if gps is not None:
+        lat, lon = gps
+        val = f"{lat:.6f},{lon:.6f}"
+        data = b"\x03" + b"GPS\x00" + val.encode("utf-8")
+        frames += b"TXXX" + struct.pack(">I", len(data)) + b"\x00\x00" + data
+    return ID3_MAGIC + b"\x03\x00" + b"\x00" + _syncsafe(len(frames)) + frames
+
+
+def _id3_tag_len(b: bytes) -> int:
+    """Total byte length of a leading ID3v2 tag, or 0 when absent."""
+    if len(b) < 10 or b[:3] != ID3_MAGIC:
+        return 0
+    if b[3] not in (2, 3, 4):
+        raise ValueError(f"malformed ID3 payload: unknown version {b[3]}")
+    size = _unsyncsafe(b[6:10])
+    total = 10 + size
+    if b[5] & 0x10:  # footer-present flag (v2.4)
+        total += 10
+    if total > len(b):
+        raise ValueError("malformed ID3 payload: tag size overruns payload")
+    return total
+
+
+def extract_id3(payload: bytes) -> dict:
+    """Parse a leading ID3v2 tag into ``{title, artist, gps_lat, gps_lon,
+    has_gps}``.  Returns ``{}`` when no tag is present."""
+    b = bytes(payload)
+    total = _id3_tag_len(b)
+    if total == 0:
+        return {}
+    version = b[3]
+    syncsafe_frames = version == 4
+    pos, end = 10, min(total, 10 + _unsyncsafe(b[6:10]))
+    out: dict = {"has_gps": False}
+    while pos + 10 <= end:
+        fid = b[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":  # padding reached
+            break
+        if not re.fullmatch(rb"[A-Z0-9]{4}", fid):
+            raise ValueError(f"malformed ID3 payload: bad frame id {fid!r}")
+        raw_sz = b[pos + 4 : pos + 8]
+        sz = _unsyncsafe(raw_sz) if syncsafe_frames else struct.unpack(">I", raw_sz)[0]
+        data_start = pos + 10
+        data_end = data_start + sz
+        if data_end > end:
+            raise ValueError("malformed ID3 payload: frame overruns tag")
+        data = b[data_start:data_end]
+        if fid in (b"TIT2", b"TPE1") and data[:1] in (b"\x00", b"\x03"):
+            key = "title" if fid == b"TIT2" else "artist"
+            out[key] = data[1:].split(b"\x00")[0].decode("utf-8", "replace")
+        elif fid == b"TXXX" and data[:1] in (b"\x00", b"\x03"):
+            desc, _, val = data[1:].partition(b"\x00")
+            if desc == b"GPS":
+                try:
+                    lat_s, lon_s = val.split(b"\x00")[0].decode("ascii").split(",")
+                    out["gps_lat"] = float(lat_s)
+                    out["gps_lon"] = float(lon_s)
+                    out["has_gps"] = True
+                except (UnicodeDecodeError, ValueError) as exc:
+                    raise ValueError(
+                        "malformed ID3 payload: bad GPS TXXX value"
+                    ) from exc
+        pos = data_end
+    return out
+
+
+def strip_id3(payload: bytes) -> bytes:
+    """Remove the leading ID3v2 tag and any trailing 128-byte ID3v1
+    ``TAG`` block; the audio bitstream in between passes through
+    byte-identical."""
+    b = bytes(payload)
+    start = _id3_tag_len(b)
+    end = len(b)
+    if end - start >= 128 and b[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    return b[start:end]
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF
+# ---------------------------------------------------------------------------
+
+
+def _atom(typ: bytes, data: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(data)) + typ + data
+
+
+def build_mp4(
+    body: bytes,
+    name: str | None = None,
+    gps: tuple[float, float] | None = None,
+) -> bytes:
+    """Build a minimal MP4: ``ftyp`` + ``moov`` (stub ``mvhd`` and, when
+    metadata is given, a ``udta`` with 3GPP ``©xyz`` location and/or
+    ``©nam`` title) + ``mdat`` carrying ``body`` (the opaque coded
+    bitstream this module never touches)."""
+    ftyp = _atom(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mvhd = _atom(b"mvhd", bytes(100))  # version/flags + zeroed stub fields
+    udta_children = b""
+    if gps is not None:
+        lat, lon = gps
+        loc = f"{lat:+09.4f}{lon:+010.4f}/".encode("ascii")
+        # ©xyz payload: 16-bit string size + 16-bit language code (und)
+        udta_children += _atom(
+            b"\xa9xyz", struct.pack(">HH", len(loc), 0x55C4) + loc
+        )
+    if name is not None:
+        nm = name.encode("utf-8")
+        udta_children += _atom(b"\xa9nam", struct.pack(">HH", len(nm), 0x55C4) + nm)
+    moov_children = mvhd
+    if udta_children:
+        moov_children += _atom(b"udta", udta_children)
+    return ftyp + _atom(b"moov", moov_children) + _atom(b"mdat", body)
+
+
+def _walk_atoms(b: bytes, pos: int, end: int):
+    """Yield ``(type, header_start, data_start, data_end)`` for each atom
+    in ``b[pos:end]``; handles 64-bit largesize (``size == 1``)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        data_start = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("malformed MP4 payload: truncated largesize")
+            (size,) = struct.unpack_from(">Q", b, pos + 8)
+            data_start = pos + 16
+        elif size == 0:  # atom extends to end of enclosing container
+            size = end - pos
+        if size < data_start - pos or pos + size > end:
+            raise ValueError(
+                f"malformed MP4 payload: atom {typ!r} size out of range"
+            )
+        yield typ, pos, data_start, pos + size
+        pos += size
+
+
+def _is_mp4(b: bytes) -> bool:
+    return len(b) >= 12 and b[4:8] == b"ftyp"
+
+
+def extract_mp4_meta(payload: bytes) -> dict:
+    """Walk ``moov/udta`` and return ``{name, gps_lat, gps_lon, has_gps}``
+    (ISO 6709 ``©xyz`` parsed to signed degrees).  ``{}`` when the moov
+    has no udta; raises the named ValueError on a malformed atom tree."""
+    b = bytes(payload)
+    if not _is_mp4(b):
+        raise ValueError("malformed MP4 payload: missing ftyp")
+    out: dict = {}
+    for typ, _, ds, de in _walk_atoms(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, _, ds2, de2 in _walk_atoms(b, ds, de):
+            if t2 != b"udta":
+                continue
+            out["has_gps"] = False
+            for t3, _, ds3, de3 in _walk_atoms(b, ds2, de2):
+                if de3 - ds3 < 4:
+                    continue
+                (slen,) = struct.unpack_from(">H", b, ds3)
+                val = b[ds3 + 4 : ds3 + 4 + slen]
+                if t3 == b"\xa9nam":
+                    out["name"] = val.decode("utf-8", "replace")
+                elif t3 == b"\xa9xyz":
+                    m = re.fullmatch(
+                        rb"([+-]\d+(?:\.\d+)?)([+-]\d+(?:\.\d+)?)/?",
+                        val,
+                    )
+                    if m is None:
+                        raise ValueError(
+                            "malformed MP4 payload: bad \xa9xyz location"
+                        )
+                    out["gps_lat"] = float(m.group(1))
+                    out["gps_lon"] = float(m.group(2))
+                    out["has_gps"] = True
+    return out
+
+
+def strip_mp4_meta(payload: bytes) -> bytes:
+    """Remove every ``udta`` atom under ``moov``, patching the moov size;
+    every other atom — in particular ``mdat`` — passes through
+    byte-identical."""
+    b = bytes(payload)
+    if not _is_mp4(b):
+        raise ValueError("malformed MP4 payload: missing ftyp")
+    out = bytearray()
+    for typ, hs, ds, de in _walk_atoms(b, 0, len(b)):
+        if typ != b"moov":
+            out += b[hs:de]
+            continue
+        kept = b"".join(
+            b[hs2:de2]
+            for t2, hs2, _, de2 in _walk_atoms(b, ds, de)
+            if t2 != b"udta"
+        )
+        out += _atom(b"moov", kept)
+    return bytes(out)

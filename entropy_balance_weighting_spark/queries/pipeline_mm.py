@@ -1613,3 +1613,223 @@ def mm_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_id3_scrub",
+    survey="ext:multimodal-container-scrub",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id, source,
+         doc_id % 7 AS title_code,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS has_gps,
+         CASE WHEN doc_id % 4 = 0
+              THEN (doc_id % 90) * 1000000 + 500000 ELSE 0 END AS lat_micro,
+         CASE WHEN doc_id % 4 = 0
+              THEN (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END)
+                   * ((doc_id % 180) * 1000000 + 250000)
+              ELSE 0 END AS lon_micro
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(has_gps) AS BIGINT) AS n_gps,
+       CAST(sum(title_code) AS BIGINT) AS title_code_sum,
+       CAST(sum(lat_micro) AS BIGINT) AS lat_micro_sum,
+       CAST(sum(lon_micro) AS BIGINT) AS lon_micro_sum,
+       CAST(0 AS BIGINT) AS n_gps_after_scrub,
+       CAST(0 AS BIGINT) AS n_body_mismatch
+FROM meta GROUP BY source ORDER BY source
+""",
+)
+def mm_id3_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 privacy scrub end-to-end (the MP3 sibling of
+    ``mm_exif_gps_scrub``): each doc gets an "MP3" — an ID3v2.3 tag
+    (``functions/container_meta.py``) in front of an opaque synthetic
+    bitstream, plus a trailing ID3v1 block.  Planted: title
+    ``track{id mod 7}`` and, on ids divisible by 4, a GPS TXXX frame at
+    micro-degree-exact precision.  The Spark stage extracts the tag
+    (REAL frame walk), STRIPS both tags, re-extracts (must find
+    nothing), and compares the surviving bytes against the original
+    bitstream (container scrub must be bitstream-exact — the engine
+    never decodes MP3 audio, and doesn't need to).  The oracle
+    recomputes the planted metadata arithmetically and pins
+    ``n_gps_after_scrub = 0`` and ``n_body_mismatch = 0``."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.container_meta import (
+        build_id3,
+        extract_id3,
+        strip_id3,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {"doc_id": [], "title_code": [], "has_gps": [],
+                    "lat_micro": [], "lon_micro": [],
+                    "gps_after": [], "body_mismatch": []}
+            for did in pdf["doc_id"]:
+                d = int(did)
+                body = bytes((d * 31 + i * 7) % 256 for i in range(64 + d % 64))
+                gps = None
+                if d % 4 == 0:
+                    lat = (d % 90) + 0.5
+                    lon = ((d % 180) + 0.25) * (-1 if d % 2 else 1)
+                    gps = (lat, lon)
+                mp3 = (
+                    build_id3(title=f"track{d % 7}", artist=f"artist{d % 5}",
+                              gps=gps)
+                    + body
+                    + b"TAG" + bytes(125)
+                )
+                meta = extract_id3(mp3)
+                clean = strip_id3(mp3)
+                after = extract_id3(clean)
+                rows["doc_id"].append(d)
+                rows["title_code"].append(
+                    int(meta.get("title", "track-1").removeprefix("track"))
+                )
+                rows["has_gps"].append(1 if meta.get("has_gps") else 0)
+                rows["lat_micro"].append(
+                    int(round(meta.get("gps_lat", 0.0) * 1_000_000))
+                )
+                rows["lon_micro"].append(
+                    int(round(meta.get("gps_lon", 0.0) * 1_000_000))
+                )
+                rows["gps_after"].append(1 if after.get("has_gps") else 0)
+                rows["body_mismatch"].append(0 if clean == body else 1)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    schema = (
+        "doc_id long, title_code long, has_gps long, lat_micro long, "
+        "lon_micro long, gps_after long, body_mismatch long"
+    )
+    extracted = docs.select("doc_id").mapInPandas(gen, schema).join(docs, "doc_id")
+    return (
+        extracted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_gps").cast("long").alias("n_gps"),
+            F.sum("title_code").cast("long").alias("title_code_sum"),
+            F.sum("lat_micro").cast("long").alias("lat_micro_sum"),
+            F.sum("lon_micro").cast("long").alias("lon_micro_sum"),
+            F.sum("gps_after").cast("long").alias("n_gps_after_scrub"),
+            F.sum("body_mismatch").cast("long").alias("n_body_mismatch"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "mm_mp4_meta_scrub",
+    survey="ext:multimodal-container-scrub",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id, source,
+         doc_id % 6 AS clip_code,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS has_gps,
+         CASE WHEN doc_id % 3 = 0
+              THEN (doc_id % 90) * 10000 + 5000 ELSE 0 END AS lat_e4,
+         CASE WHEN doc_id % 3 = 0
+              THEN (CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END)
+                   * ((doc_id % 180) * 10000 + 2500)
+              ELSE 0 END AS lon_e4
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(has_gps) AS BIGINT) AS n_gps,
+       CAST(sum(clip_code) AS BIGINT) AS clip_code_sum,
+       CAST(sum(lat_e4) AS BIGINT) AS lat_e4_sum,
+       CAST(sum(lon_e4) AS BIGINT) AS lon_e4_sum,
+       CAST(0 AS BIGINT) AS n_gps_after_scrub,
+       CAST(0 AS BIGINT) AS n_mdat_mismatch
+FROM meta GROUP BY source ORDER BY source
+""",
+)
+def mm_mp4_meta_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 atom-tree privacy scrub end-to-end: each doc gets a minimal
+    ISO-BMFF file (``functions/container_meta.py`` — ftyp + moov with a
+    stub mvhd and, where planted, a udta carrying the 3GPP ``©xyz``
+    location and an ``©nam`` title + an mdat with an opaque synthetic
+    bitstream).  Planted: title ``clip{id mod 6}`` and, on ids divisible
+    by 3, GPS at 1e-4-degree-exact precision.  The Spark stage walks the
+    atom tree (REAL 14496-12 box parse incl. 64-bit largesize), STRIPS
+    the udta, re-extracts (must find nothing), and pins the mdat
+    byte-identical — the engine scrubs containers it cannot decode
+    (H.264 stays a named stub).  The oracle recomputes the plant
+    arithmetically; ``n_gps_after_scrub = 0``, ``n_mdat_mismatch = 0``."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.container_meta import (
+        build_mp4,
+        extract_mp4_meta,
+        strip_mp4_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {"doc_id": [], "clip_code": [], "has_gps": [],
+                    "lat_e4": [], "lon_e4": [],
+                    "gps_after": [], "mdat_mismatch": []}
+            for did in pdf["doc_id"]:
+                d = int(did)
+                body = bytes((d * 17 + i * 13) % 256 for i in range(80 + d % 48))
+                gps = None
+                if d % 3 == 0:
+                    lat = (d % 90) + 0.5
+                    lon = ((d % 180) + 0.25) * (-1 if d % 2 else 1)
+                    gps = (lat, lon)
+                mp4 = build_mp4(body, name=f"clip{d % 6}", gps=gps)
+                meta = extract_mp4_meta(mp4)
+                clean = strip_mp4_meta(mp4)
+                after = extract_mp4_meta(clean)
+                i0 = mp4.index(b"mdat") - 4
+                i1 = clean.index(b"mdat") - 4
+                rows["doc_id"].append(d)
+                rows["clip_code"].append(
+                    int(meta.get("name", "clip-1").removeprefix("clip"))
+                )
+                rows["has_gps"].append(1 if meta.get("has_gps") else 0)
+                rows["lat_e4"].append(
+                    int(round(meta.get("gps_lat", 0.0) * 10_000))
+                )
+                rows["lon_e4"].append(
+                    int(round(meta.get("gps_lon", 0.0) * 10_000))
+                )
+                rows["gps_after"].append(1 if after.get("has_gps") else 0)
+                rows["mdat_mismatch"].append(
+                    0 if clean[i1:] == mp4[i0:] else 1
+                )
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    schema = (
+        "doc_id long, clip_code long, has_gps long, lat_e4 long, "
+        "lon_e4 long, gps_after long, mdat_mismatch long"
+    )
+    extracted = docs.select("doc_id").mapInPandas(gen, schema).join(docs, "doc_id")
+    return (
+        extracted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_gps").cast("long").alias("n_gps"),
+            F.sum("clip_code").cast("long").alias("clip_code_sum"),
+            F.sum("lat_e4").cast("long").alias("lat_e4_sum"),
+            F.sum("lon_e4").cast("long").alias("lon_e4_sum"),
+            F.sum("gps_after").cast("long").alias("n_gps_after_scrub"),
+            F.sum("mdat_mismatch").cast("long").alias("n_mdat_mismatch"),
+        )
+        .orderBy("source")
+    )

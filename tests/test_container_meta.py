@@ -1,0 +1,171 @@
+"""ID3v2 / MP4 container-metadata extract + strip (functions/container_meta).
+
+The privacy-scrub contract mirrors the r7 EXIF operator: extraction reads
+exactly the planted metadata; strip removes ALL of it while leaving the
+coded bitstream byte-identical; malformed/hostile containers raise the
+codebase's named ValueError rather than struct.error or silent garbage.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entropy_balance_weighting_spark.functions import container_meta as cm
+
+BODY = bytes(range(256)) * 8
+
+
+# -- ID3v2 -----------------------------------------------------------------
+
+
+def test_id3_roundtrip_extract_strip():
+    tag = cm.build_id3(title="Song 7", artist="Band X", gps=(37.7749, -122.4194))
+    mp3 = tag + BODY
+    meta = cm.extract_id3(mp3)
+    assert meta["title"] == "Song 7"
+    assert meta["artist"] == "Band X"
+    assert meta["has_gps"]
+    assert abs(meta["gps_lat"] - 37.7749) < 1e-9
+    assert abs(meta["gps_lon"] + 122.4194) < 1e-9
+    assert cm.strip_id3(mp3) == BODY
+    assert cm.extract_id3(cm.strip_id3(mp3)) == {}
+
+
+def test_id3_strip_also_drops_trailing_id3v1():
+    mp3 = cm.build_id3(title="t") + BODY + b"TAG" + bytes(125)
+    assert cm.strip_id3(mp3) == BODY
+
+
+def test_id3_no_tag_is_passthrough():
+    assert cm.extract_id3(BODY) == {}
+    assert cm.strip_id3(BODY) == BODY
+
+
+def test_id3_v24_syncsafe_frame_sizes():
+    # hand-build a v2.4 tag: frame sizes are syncsafe in v2.4
+    data = b"\x03" + "wide title".encode()
+    frame = b"TIT2" + cm._syncsafe(len(data)) + b"\x00\x00" + data
+    tag = b"ID3\x04\x00\x00" + cm._syncsafe(len(frame)) + frame
+    meta = cm.extract_id3(tag + BODY)
+    assert meta["title"] == "wide title"
+
+
+def test_id3_malformed_raises_named_valueerror():
+    good = cm.build_id3(title="x", gps=(1.5, 2.25)) + BODY
+    with pytest.raises(ValueError, match="malformed ID3"):
+        cm.extract_id3(b"ID3\x03\x00\x00\xff\xff\xff\xff")  # non-syncsafe
+    # tag size overrunning the payload
+    with pytest.raises(ValueError, match="overruns payload"):
+        cm.extract_id3(good[:12])
+    # frame size overrunning the tag
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, 14, 1 << 20)
+    with pytest.raises(ValueError, match="frame overruns"):
+        cm.extract_id3(bytes(bad))
+    # garbage frame id
+    bad2 = bytearray(good)
+    bad2[10:14] = b"\x01\x02\x03\x04"
+    with pytest.raises(ValueError, match="bad frame id"):
+        cm.extract_id3(bytes(bad2))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    title=st.one_of(st.none(), st.text(min_size=0, max_size=30)),
+    artist=st.one_of(st.none(), st.text(min_size=0, max_size=30)),
+    lat=st.integers(-89_999_999, 89_999_999),
+    lon=st.integers(-179_999_999, 179_999_999),
+    with_gps=st.booleans(),
+    body=st.binary(min_size=0, max_size=200),
+)
+def test_id3_fuzz_roundtrip(title, artist, lat, lon, with_gps, body):
+    gps = (lat / 1e6, lon / 1e6) if with_gps else None
+    mp3 = cm.build_id3(title=title, artist=artist, gps=gps) + body
+    meta = cm.extract_id3(mp3)
+    if title is not None:
+        assert meta["title"] == title.split("\x00")[0]
+    if artist is not None:
+        assert meta["artist"] == artist.split("\x00")[0]
+    assert meta.get("has_gps", False) == with_gps
+    if with_gps:
+        assert round(meta["gps_lat"] * 1e6) == lat
+        assert round(meta["gps_lon"] * 1e6) == lon
+    assert cm.strip_id3(mp3) == body
+
+
+# -- MP4 -------------------------------------------------------------------
+
+
+def test_mp4_roundtrip_extract_strip():
+    mp4 = cm.build_mp4(BODY, name="clip 9", gps=(12.5, -98.25))
+    meta = cm.extract_mp4_meta(mp4)
+    assert meta["name"] == "clip 9"
+    assert meta["has_gps"]
+    assert meta["gps_lat"] == 12.5
+    assert meta["gps_lon"] == -98.25
+    clean = cm.strip_mp4_meta(mp4)
+    assert cm.extract_mp4_meta(clean) == {}
+    # mdat (the coded bitstream) byte-identical after the scrub
+    assert clean[clean.index(b"mdat") - 4 :] == mp4[mp4.index(b"mdat") - 4 :]
+
+
+def test_mp4_no_udta():
+    mp4 = cm.build_mp4(BODY)
+    assert cm.extract_mp4_meta(mp4) == {}
+    assert cm.strip_mp4_meta(mp4) == mp4
+
+
+def test_mp4_largesize_atom():
+    # an mdat written with the 64-bit largesize form must walk cleanly
+    base = cm.build_mp4(b"", gps=(1.5, 2.5))
+    i = base.index(b"mdat") - 4
+    big_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(BODY)) + BODY
+    mp4 = base[:i] + big_mdat
+    assert cm.extract_mp4_meta(mp4)["has_gps"]
+    clean = cm.strip_mp4_meta(mp4)
+    assert clean.endswith(big_mdat)
+    assert cm.extract_mp4_meta(clean) == {}
+
+
+def test_mp4_malformed_raises_named_valueerror():
+    with pytest.raises(ValueError, match="missing ftyp"):
+        cm.extract_mp4_meta(b"not an mp4 at all....")
+    good = cm.build_mp4(BODY, gps=(1.5, 2.5))
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, 0, 1 << 30)  # ftyp size overruns payload
+    with pytest.raises(ValueError, match="size out of range"):
+        cm.extract_mp4_meta(bytes(bad))
+    # hostile ©xyz value
+    j = good.index(b"\xa9xyz") + 8
+    bad2 = bytearray(good)
+    bad2[j : j + 4] = struct.pack(">HH", 4, 0x55C4)
+    bad2[j + 4 : j + 8] = b"zzzz"
+    with pytest.raises(ValueError, match="xyz location"):
+        cm.extract_mp4_meta(bytes(bad2))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    name=st.one_of(st.none(), st.text(min_size=0, max_size=30)),
+    lat=st.integers(-899_999, 899_999),
+    lon=st.integers(-1_799_999, 1_799_999),
+    with_gps=st.booleans(),
+    body=st.binary(min_size=0, max_size=300),
+)
+def test_mp4_fuzz_roundtrip(name, lat, lon, with_gps, body):
+    gps = (lat / 1e4, lon / 1e4) if with_gps else None
+    mp4 = cm.build_mp4(body, name=name, gps=gps)
+    meta = cm.extract_mp4_meta(mp4)
+    if name is not None:
+        assert meta["name"] == name
+    if with_gps:
+        assert round(meta["gps_lat"] * 1e4) == lat
+        assert round(meta["gps_lon"] * 1e4) == lon
+    if name is not None or with_gps:
+        clean = cm.strip_mp4_meta(mp4)
+        assert cm.extract_mp4_meta(clean) == {}
+        assert clean[clean.index(b"mdat") - 4 :] == mp4[mp4.index(b"mdat") - 4 :]
