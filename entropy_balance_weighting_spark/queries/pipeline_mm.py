@@ -1833,3 +1833,174 @@ def mm_mp4_meta_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_video_fp_dups",
+    survey="ext:multimodal-video-fingerprint",
+    oracle="""
+WITH d2 AS (
+  SELECT doc_id, source, doc_id - doc_id % 3 AS base, doc_id % 3 AS v
+  FROM documents
+), dims AS (
+  SELECT doc_id, source, base, v,
+         base % 5 + 12 AS h, base % 7 + 12 AS w,
+         (base % 4) * 2 + 6 AS ncom,
+         (base % 4) * 2 + 6 + v AS ntot
+  FROM d2
+), frames AS (
+  SELECT d.*, f.f FROM dims d, unnest(range(0, d.ntot)) AS f(f)
+  WHERE f.f % 2 = 0
+), bits AS (
+  SELECT doc_id, source, f, i.i, j.j,
+    CASE WHEN
+      (CASE WHEN f < ncom
+            THEN (base * 17 + f * 29 + ((i.i * h) // 8) * 23
+                  + (((j.j + 1) * w) // 9) * 31) % 251
+            ELSE (doc_id * 41 + f * 29 + ((i.i * h) // 8) * 23
+                  + (((j.j + 1) * w) // 9) * 31) % 251 END)
+      >
+      (CASE WHEN f < ncom
+            THEN (base * 17 + f * 29 + ((i.i * h) // 8) * 23
+                  + ((j.j * w) // 9) * 31) % 251
+            ELSE (doc_id * 41 + f * 29 + ((i.i * h) // 8) * 23
+                  + ((j.j * w) // 9) * 31) % 251 END)
+    THEN 1 ELSE 0 END AS b
+  FROM frames, unnest(range(0, 8)) AS i(i), unnest(range(0, 8)) AS j(j)
+), hashes AS (
+  SELECT doc_id, source, f,
+    CAST(sum(CASE WHEN i * 8 + j >= 32
+                  THEN b * (1::BIGINT << (i * 8 + j - 32)) ELSE 0 END)
+         AS BIGINT) AS hash_hi,
+    CAST(sum(CASE WHEN i * 8 + j < 32
+                  THEN b * (1::BIGINT << (i * 8 + j)) ELSE 0 END)
+         AS BIGINT) AS hash_lo
+  FROM bits GROUP BY doc_id, source, f
+), sigs AS (
+  SELECT doc_id, source, (f // 2) // 2 AS band,
+    CAST(sum((hash_lo % 1000003) * (2 * ((f // 2) % 2) + 1)
+             + (hash_hi % 1000003) * (2 * ((f // 2) % 2) + 2)) % 1000003
+         AS BIGINT) AS sig
+  FROM hashes GROUP BY doc_id, source, band
+), buckets AS (
+  SELECT source, band, sig, count(DISTINCT doc_id) AS csize
+  FROM sigs GROUP BY source, band, sig
+), bstats AS (
+  SELECT source, count(*) AS n_buckets,
+         CAST(sum(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_buckets,
+         CAST(sum(sig % 9973) AS BIGINT) AS sig_checksum
+  FROM buckets GROUP BY source
+), dup_docs AS (
+  SELECT source, count(DISTINCT doc_id) AS n_dup_docs FROM (
+    SELECT DISTINCT s.source, s.doc_id
+    FROM sigs s JOIN buckets b
+      ON s.source = b.source AND s.band = b.band AND s.sig = b.sig
+    WHERE b.csize >= 2
+  ) GROUP BY source
+)
+SELECT d.source, count(*) AS n_docs,
+       max(b.n_buckets) AS n_buckets,
+       max(b.n_dup_buckets) AS n_dup_buckets,
+       max(b.sig_checksum) AS sig_checksum,
+       coalesce(max(dd.n_dup_docs), 0) AS n_dup_docs
+FROM documents d
+JOIN bstats b ON d.source = b.source
+LEFT JOIN dup_docs dd ON d.source = dd.source
+GROUP BY d.source ORDER BY d.source
+""",
+)
+def mm_video_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal video near-dup detection end-to-end (r7 verdict #5):
+    docs come in groups of three sharing one clip — identical footage
+    with a per-variant CONSTANT BRIGHTNESS OFFSET (dHash-invariant) and
+    a per-variant number of extra TRAILING frames (a re-encode with a
+    different trailer), encoded alternately as a genuine uncompressed
+    AVI (even ids) or an animated GIF (odd ids) so dup groups span
+    CONTAINER FORMATS.  The Spark pipeline: REAL demux + every-2nd-frame
+    sample (:func:`multimodal.sample_video_frames`, magic dispatch), a
+    64-bit dHash per sampled frame (:func:`multimodal.dhash_video_frames`
+    — the only Python stage), then the per-frame hash SEQUENCE is banded
+    like a MinHash signature (:func:`multimodal.video_band_signatures`,
+    pure Catalyst arithmetic): clips sharing ANY ``(band, sig)`` bucket
+    are near-dup candidates, so shifted/re-encoded/cross-format copies
+    bucket together with no pairwise frame compare.  The oracle
+    recomputes every frame's hash bits and every band signature
+    arithmetically in SQL and re-derives the bucket stats."""
+    import numpy as np
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.functions.avi_codec import encode_avi
+    from entropy_balance_weighting_spark.functions.gif_codec import (
+        encode_gif_animation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                base, v = d - d % 3, d % 3
+                h, w = base % 5 + 12, base % 7 + 12
+                ncom = (base % 4) * 2 + 6
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                stack = []
+                for f in range(ncom + v):
+                    if f < ncom:
+                        g = (base * 17 + f * 29 + r * 23 + c * 31) % 251 + v
+                    else:
+                        g = (d * 41 + f * 29 + r * 23 + c * 31) % 251
+                    stack.append(np.repeat(g[:, :, None], 3, axis=2))
+                fr = np.asarray(stack, dtype=np.uint8)
+                payloads.append(
+                    encode_avi(fr, fps=24) if d % 2 == 0
+                    else encode_gif_animation(fr)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    frames = multimodal.sample_video_frames(payloads, every_n=2)
+    hashed = multimodal.dhash_video_frames(frames)
+    sigs = multimodal.video_band_signatures(
+        hashed, every_n=2, band_size=2
+    ).join(docs, "doc_id")
+    buckets = sigs.groupBy("source", "band", "sig").agg(
+        F.countDistinct("doc_id").alias("csize")
+    )
+    bstats = buckets.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("csize") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_buckets"),
+        F.sum(F.col("sig") % 9973).cast("long").alias("sig_checksum"),
+    )
+    dup_docs = (
+        sigs.join(
+            buckets.where(F.col("csize") >= 2).select("source", "band", "sig"),
+            ["source", "band", "sig"],
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_dup_docs"))
+    )
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(bstats, "source")
+        .join(dup_docs, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_buckets",
+            "n_dup_buckets",
+            "sig_checksum",
+            F.coalesce("n_dup_docs", F.lit(0)).cast("long").alias("n_dup_docs"),
+        )
+        .orderBy("source")
+    )

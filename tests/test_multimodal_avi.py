@@ -147,3 +147,46 @@ def test_avi_multistream_picks_vids_stream_only():
     assert len(out) == 3  # the '00db' poison chunks must NOT be frames
     for i in range(3):
         np.testing.assert_array_equal(out[i], fr[i])
+
+
+def test_video_band_signatures_cross_format_dup(spark):
+    """A clip and its brightness-shifted, GIF-re-encoded, extra-trailer
+    variant must share every common-prefix (band, sig) bucket; an
+    unrelated clip must share none."""
+    from entropy_balance_weighting_spark.functions import multimodal as mm
+    from entropy_balance_weighting_spark.functions.gif_codec import (
+        encode_gif_animation,
+    )
+
+    rng = _rng()
+    h, w, ncom = 12, 14, 6
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+
+    def clip(offset, extra, seed):
+        fr = []
+        for f in range(ncom):
+            g = (7 * 17 + f * 29 + r * 23 + c * 31) % 251 + offset
+            fr.append(np.repeat(g[:, :, None], 3, axis=2))
+        for f in range(ncom, ncom + extra):
+            g = (seed * 41 + f * 29 + r * 23 + c * 31) % 251
+            fr.append(np.repeat(g[:, :, None], 3, axis=2))
+        return np.asarray(fr, dtype=np.uint8)
+
+    payloads = [
+        (0, bytes(encode_avi(clip(0, 0, 0), fps=24))),
+        (1, bytes(encode_gif_animation(clip(2, 2, 1)))),  # shifted + trailer
+        (2, bytes(encode_avi(rng.integers(0, 251, (6, h, w, 3)).astype(np.uint8)))),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    frames = mm.sample_video_frames(df, every_n=2)
+    sigs = mm.video_band_signatures(
+        mm.dhash_video_frames(frames), every_n=2, band_size=2
+    )
+    rows = {(x.doc_id, x.band): x.sig for x in sigs.collect()}
+    # Shared prefix (sampled ordinals 0,1) fills band 0 identically for
+    # both variants; the variant's trailer frame joins ITS band 1, so
+    # band 1 legitimately differs — any-shared-band is the dup signal.
+    assert rows[(0, 0)] == rows[(1, 0)]
+    assert rows[(0, 1)] != rows[(1, 1)]
+    assert rows[(2, 0)] != rows[(0, 0)]
