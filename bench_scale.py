@@ -102,6 +102,32 @@ def main() -> None:
 
     spark.range(0, cpus * 4, 1, cpus).mapInArrow(_noop, "id long").count()
 
+    # Warm the PACK path itself (hash-projection codegen + Arrow list
+    # writers + blob encode + persist): measured this session, the first
+    # pack of a session pays a ~10-14 s one-time premium at N=20M that the
+    # _noop warmup does not reach (penalty-first pack 18.3 s vs 8.1 s for
+    # the identical pack run second).  A tiny end-to-end pack compiles all
+    # of it outside the timed region.
+    if any(s in solvers for s in ("newton", "elastic", "penalty", "grouped")):
+        from entropy_balance_weighting_spark.kernels.spark import SparkKernel
+
+        warm_base = spark.range(0, 200_000, 1, cpus).select(
+            F.col("id").alias("row_id"),
+            (0.5 + F.pmod(F.hash("id"), F.lit(1000)) / 1000.0).alias("w0"),
+            F.array(*[F.lit(j) for j in range(k)]).alias("idx"),
+            F.array(
+                F.lit(1.0),
+                *[
+                    F.pmod(F.hash("id", F.lit(j)), F.lit(1000)) / 1000.0
+                    for j in range(1, k)
+                ],
+            ).alias("val"),
+        )
+        warm_kern = SparkKernel.from_problem(None, None, k, prepacked=warm_base)
+        warm_kern.materialize()
+        warm_kern.stats(__import__("numpy").zeros(k))
+        warm_kern.cleanup()
+
     timings: dict[str, float] = {}
     throughput: dict[str, float] = {}
 
@@ -362,8 +388,22 @@ def _bench_newton(base, k, n, timings, throughput) -> None:
     from entropy_balance_weighting_spark.kernels.spark import SparkKernel
     from entropy_balance_weighting_spark.solvers.newton import solve_unbounded
 
+    # The FIRST multi-GB pack of a JVM session pays a large one-time
+    # premium (heap growth + GC ramp: measured 29.6 s vs 8.2 s for the
+    # IDENTICAL pack re-run in-session at N=20M, r8) that no cheap warmup
+    # reaches.  Report both: pack_cold = first-in-session (what a one-shot
+    # job pays), pack = steady-state (what the plan costs).
     t0 = time.perf_counter()
     kern = SparkKernel.from_problem(None, None, k, prepacked=base)
+    # r8: the persist is lazy (the first stats reduce would materialize
+    # encode+cache+reductions in one job); force it here so "pack" keeps
+    # meaning "build the cache" and the stats timings stay steady-state
+    kern.materialize()
+    timings["pack_cold"] = round(time.perf_counter() - t0, 4)
+    kern.cleanup()
+    t0 = time.perf_counter()
+    kern = SparkKernel.from_problem(None, None, k, prepacked=base)
+    kern.materialize()
     timings["pack"] = round(time.perf_counter() - t0, 4)
 
     lam = np.zeros(k)

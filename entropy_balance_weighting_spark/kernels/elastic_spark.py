@@ -56,6 +56,7 @@ from entropy_balance_weighting_spark.kernels.spark import (
     gram_bytes,
     gram_from_sums,
     make_gram_accum,
+    maybe_elide_idx,
     pack_rows,
 )
 
@@ -236,13 +237,20 @@ def _state_rb(arrays) -> pa.RecordBatch:
 
 
 def _combined_iter(pair_iter) -> Iterator[pa.RecordBatch]:
-    """zip pairs → one combined RecordBatch, zero-copy (same buffers)."""
+    """zip pairs → one combined RecordBatch, zero-copy (same buffers).
+    The combined schema inherits the BASE blob's schema (column names AND
+    metadata — a dense-elided base has no idx column, and the stamp that
+    lets ``_flatten_rb`` resynthesize it must survive the zip)."""
     for bb, sb in pair_iter:
         base_rb = _ipc_deser(bytes(bb))
         st_rb = _ipc_deser(bytes(sb))
+        fields = [
+            *(base_rb.schema.field(i) for i in range(base_rb.num_columns)),
+            *(st_rb.schema.field(i) for i in range(st_rb.num_columns)),
+        ]
         yield pa.RecordBatch.from_arrays(
             list(base_rb.columns) + list(st_rb.columns),
-            BASE_NAMES + STATE_NAMES,
+            schema=pa.schema(fields, metadata=base_rb.schema.metadata),
         )
 
 
@@ -369,8 +377,9 @@ class ElasticSparkKernel:
             def to_base(batches: Iterator[pa.RecordBatch]):
                 for rb in batches:
                     if rb.num_rows:
+                        out = maybe_elide_idx(rb, k)
                         yield pa.RecordBatch.from_arrays(
-                            [pa.array([_ipc_ser(rb)], type=pa.binary())],
+                            [pa.array([_ipc_ser(out)], type=pa.binary())],
                             ["payload"],
                         )
 
@@ -381,7 +390,9 @@ class ElasticSparkKernel:
                 ._reserialize(_ZIP_SER)
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            base_rdd.count()
+            # no base_rdd.count(): the state-init job below computes base
+            # partitions through the persist, materializing BOTH caches in
+            # ONE source scan (r8 pack-cost work, PLANS.md sec. 13)
 
             def init_state(payloads):
                 for b in payloads:
@@ -407,7 +418,7 @@ class ElasticSparkKernel:
             state_rdd.count()  # reads the base cache, not the source scan
         else:
             base_rdd, state_rdd = cls._build_with_guess(
-                df, ratio_guess, lb, ub, has_ub
+                df, ratio_guess, k, lb, ub, has_ub
             )
         from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
 
@@ -418,7 +429,7 @@ class ElasticSparkKernel:
         )
 
     @staticmethod
-    def _build_with_guess(df, ratio_guess, lb, ub, has_ub):
+    def _build_with_guess(df, ratio_guess, k, lb, ub, has_ub):
         """Warm-start path: the per-row start ratio comes from a DataFrame,
         so one Arrow pass renders each batch into aligned (base, state) IPC
         blobs and the per-row bounds validation rides that same scan."""
@@ -437,9 +448,15 @@ class ElasticSparkKernel:
                     raise ValueError(
                         "bounds must strictly contain the initial ratio guess"
                     )
-                base_rb = pa.RecordBatch.from_arrays(
-                    [rb.column(rb.schema.get_field_index(c)) for c in BASE_NAMES],
-                    BASE_NAMES,
+                base_rb = maybe_elide_idx(
+                    pa.RecordBatch.from_arrays(
+                        [
+                            rb.column(rb.schema.get_field_index(c))
+                            for c in BASE_NAMES
+                        ],
+                        BASE_NAMES,
+                    ),
+                    k,
                 )
                 st_rb = _state_rb(
                     [

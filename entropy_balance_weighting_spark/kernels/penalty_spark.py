@@ -43,6 +43,7 @@ from entropy_balance_weighting_spark.kernels.spark import (
     ipc_deser,
     ipc_ser,
     make_gram_accum,
+    maybe_elide_idx,
     pack_rows,
     reduce_blob_payload,
     zip_payload_adapter,
@@ -358,8 +359,9 @@ class PenaltySparkKernel:
             def to_base(batches: Iterator[pa.RecordBatch]):
                 for rb in batches:
                     if rb.num_rows:
+                        out = maybe_elide_idx(rb, k)
                         yield pa.RecordBatch.from_arrays(
-                            [pa.array([ipc_ser(rb)], type=pa.binary())],
+                            [pa.array([ipc_ser(out)], type=pa.binary())],
                             ["payload"],
                         )
 
@@ -370,7 +372,9 @@ class PenaltySparkKernel:
                 ._reserialize(BLOB_SER)
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            base_rdd.count()
+            # no base_rdd.count(): the state-init job below computes base
+            # partitions through the persist, materializing BOTH caches in
+            # ONE source scan (r8 pack-cost work, PLANS.md sec. 13)
 
             def init_state(payloads):
                 for b in payloads:
@@ -404,12 +408,15 @@ class PenaltySparkKernel:
                             "bounds must strictly contain the initial "
                             "ratio guess"
                         )
-                    base_rb = pa.RecordBatch.from_arrays(
-                        [
-                            rb.column(rb.schema.get_field_index(c))
-                            for c in BASE_NAMES
-                        ],
-                        BASE_NAMES,
+                    base_rb = maybe_elide_idx(
+                        pa.RecordBatch.from_arrays(
+                            [
+                                rb.column(rb.schema.get_field_index(c))
+                                for c in BASE_NAMES
+                            ],
+                            BASE_NAMES,
+                        ),
+                        k,
                     )
                     yield pa.RecordBatch.from_arrays(
                         [

@@ -1,9 +1,12 @@
 """Distributed kernel: packed rows as pre-encoded Arrow blobs + batch passes.
 
 Layout: one logical row per observation —
-``(row_id BIGINT, w0 DOUBLE, idx ARRAY<INT>, val ARRAY<DOUBLE>, q DOUBLE,
-wstar DOUBLE)`` — i.e. per-row CSR (the Spark rendering of the reference's
-package-wide CSR canonicalization, ref: shared.py:11-12).  Packing happens
+``(row_id BIGINT, w0 DOUBLE, idx ARRAY<INT>, val ARRAY<DOUBLE>)`` — i.e.
+per-row CSR (the Spark rendering of the reference's package-wide CSR
+canonicalization, ref: shared.py:11-12); q = w0/Σw0 and the analytic start
+wstar are recomputed per pass, a materialized wstar column appears only
+after a warm start or a materialized commit, and a dense ``[0..k)`` idx
+pattern is elided per batch (``maybe_elide_idx``).  Packing happens
 once; every solver iteration then runs whole-pass batch jobs that compute
 ALL of the iteration's N→{scalar,K,K×K} reductions in a single scan (the
 same fusion the reference gets from numexpr + MKL, ref:
@@ -56,11 +59,45 @@ from entropy_balance_weighting_spark.kernels.base import IterStats, StepStats
 # NOTE: mapInArrow matches yielded batches to this schema BY POSITION (unlike
 # mapInPandas' by-name matching) — the order below must equal the working
 # DataFrame's column order exactly.
-PACKED_SCHEMA = (
-    "row_id long, w0 double, idx array<int>, val array<double>, q double, wstar double"
-)
-PACKED_NAMES = ["row_id", "w0", "idx", "val", "q", "wstar"]
+# Blob width is pack/crossing/cache COST (r8): q (= w0/Σw0) and the start
+# wstar (analytic, see _w_state) are recomputed per pass for one divide —
+# 16 B/row cheaper to ship and store; wstar appears in the blob only when
+# a warm-start guess or a materialized commit actually needs it.
+PACKED_NAMES = ["row_id", "w0", "idx", "val"]
 _PAYLOAD_SCHEMA = "sums binary, mins binary"
+
+# Dense-idx elision: when every row of a batch has idx == [0..k), the idx
+# list column is pure redundancy — k·4 B/row (a quarter of a k=8 blob)
+# paid on every crossing and in the cache.  The encode drops the column
+# and stamps k in the schema metadata; _flatten_rb resynthesizes the flat
+# index vector (np.tile) for the cost of one allocation per pass.
+DENSE_IDX_META = b"ebw_dense_k"
+
+
+def maybe_elide_idx(rb: pa.RecordBatch, k: int) -> pa.RecordBatch:
+    """Drop the ``idx`` column from a packed batch when it is exactly the
+    dense ``[0..k)`` pattern on every row (stamped in schema metadata for
+    :func:`_flatten_rb` to resynthesize); returns ``rb`` unchanged for any
+    other sparsity pattern."""
+    i = rb.schema.get_field_index("idx")
+    if i < 0 or k <= 0:
+        return rb
+    idx = rb.column(i)
+    lens = pc.list_value_length(idx).to_numpy().astype(np.int64, copy=False)
+    if lens.size == 0 or not (lens == k).all():
+        return rb
+    flat = idx.flatten().to_numpy(zero_copy_only=False)
+    if not np.array_equal(
+        flat, np.tile(np.arange(k, dtype=flat.dtype), lens.size)
+    ):
+        return rb
+    arrays = [rb.column(j) for j in range(rb.num_columns) if j != i]
+    fields = [rb.schema.field(j) for j in range(rb.num_columns) if j != i]
+    meta = dict(rb.schema.metadata or {})
+    meta[DENSE_IDX_META] = str(k).encode()
+    return pa.RecordBatch.from_arrays(
+        arrays, schema=pa.schema(fields, metadata=meta)
+    )
 
 # Identical batched serializer on every cached blob RDD: RDD.zip (the
 # elastic kernel's base↔state align) silently re-pickles BOTH sides per job
@@ -180,9 +217,15 @@ def zip_combined_iter(pair_iter) -> Iterator[pa.RecordBatch]:
     for bb, sb in pair_iter:
         b = ipc_deser(bytes(bb))
         s = ipc_deser(bytes(sb))
+        fields = [
+            *(b.schema.field(i) for i in range(b.num_columns)),
+            *(s.schema.field(i) for i in range(s.num_columns)),
+        ]
+        # base metadata must survive: it carries the dense-idx elision
+        # stamp _flatten_rb needs to resynthesize the idx column
         yield pa.RecordBatch.from_arrays(
             list(b.columns) + list(s.columns),
-            list(b.schema.names) + list(s.schema.names),
+            schema=pa.schema(fields, metadata=b.schema.metadata),
         )
 
 
@@ -251,14 +294,20 @@ def _flatten_rb(rb: pa.RecordBatch) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     ndarray object PER ROW for each array column; at millions of rows that
     conversion dominates the whole pass, so every kernel pass runs on
     ``mapInArrow`` and reads the batch columns directly."""
-    idx = rb.column(rb.schema.get_field_index("idx"))
     val = rb.column(rb.schema.get_field_index("val"))
+    flat_val = val.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    i = rb.schema.get_field_index("idx")
+    if i < 0:  # dense-elided batch: resynthesize [0..k) per row
+        k = int((rb.schema.metadata or {})[DENSE_IDX_META])
+        lens = np.full(rb.num_rows, k, dtype=np.int64)
+        flat_idx = np.tile(np.arange(k, dtype=np.int64), rb.num_rows)
+        return flat_idx, flat_val, lens
+    idx = rb.column(i)
     lens = pc.list_value_length(idx).to_numpy().astype(np.int64, copy=False)
     flat_idx = idx.flatten().to_numpy(zero_copy_only=False).astype(
         np.int64, copy=False
-    )
-    flat_val = val.flatten().to_numpy(zero_copy_only=False).astype(
-        np.float64, copy=False
     )
     return flat_idx, flat_val, lens
 
@@ -267,6 +316,12 @@ def _rb_col(rb: pa.RecordBatch, name: str) -> np.ndarray:
     return rb.column(rb.schema.get_field_index(name)).to_numpy(
         zero_copy_only=False
     )
+
+
+def _rb_q(rb: pa.RecordBatch, sum_w0: float) -> np.ndarray:
+    """Start weights q = w0/Σw0 — recomputed from the blob's w0 column
+    (one divide per row; blobs stopped carrying a q column in r8)."""
+    return _rb_col(rb, "w0") / sum_w0
 
 
 def _rb_with(rb: pa.RecordBatch, **cols: np.ndarray) -> pa.RecordBatch:
@@ -555,7 +610,9 @@ def _w_state(rb, q, flat_idx, flat_val, lens, wprog):
     return w
 
 
-def _stats_pass(k: int, lam: np.ndarray, blocks=None, wprog=None) -> Callable:
+def _stats_pass(
+    k: int, lam: np.ndarray, blocks=None, wprog=None, sum_w0: float = 1.0
+) -> Callable:
     """``blocks``: None → dense K×K Gram scratch; else the
     (block_of, local, sizes, flat_offsets, total_flat) arrays → flat Σk_b²
     per-block accumulation (the huge-K path)."""
@@ -573,7 +630,7 @@ def _stats_pass(k: int, lam: np.ndarray, blocks=None, wprog=None) -> Callable:
                 continue
             flat_idx, flat_val, lens = _flatten_rb(rb)
             w0 = _rb_col(rb, "w0")
-            q = _rb_col(rb, "q")
+            q = _rb_q(rb, sum_w0)
             w = _w_state(rb, q, flat_idx, flat_val, lens, wprog)
             r = w / q
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -594,7 +651,9 @@ def _stats_pass(k: int, lam: np.ndarray, blocks=None, wprog=None) -> Callable:
     return fn
 
 
-def _step_pass(k: int, lam: np.ndarray, dlam: np.ndarray, wprog=None) -> Callable:
+def _step_pass(
+    k: int, lam: np.ndarray, dlam: np.ndarray, wprog=None, sum_w0: float = 1.0
+) -> Callable:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         dw_sq = 0.0
         nan_ct = 0.0
@@ -606,7 +665,7 @@ def _step_pass(k: int, lam: np.ndarray, dlam: np.ndarray, wprog=None) -> Callabl
             if not rb.num_rows:
                 continue
             flat_idx, flat_val, lens = _flatten_rb(rb)
-            q = _rb_col(rb, "q")
+            q = _rb_q(rb, sum_w0)
             w = _w_state(rb, q, flat_idx, flat_val, lens, wprog)
             xlam = _x_dot(flat_idx, flat_val, lens, lam)
             xdl = _x_dot(flat_idx, flat_val, lens, dlam)
@@ -632,7 +691,12 @@ def _step_pass(k: int, lam: np.ndarray, dlam: np.ndarray, wprog=None) -> Callabl
 
 
 def _commit_pass(
-    choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float, wprog=None
+    choice: str,
+    lam: np.ndarray,
+    dlam: np.ndarray,
+    alpha: float,
+    wprog=None,
+    sum_w0: float = 1.0,
 ) -> Callable:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
@@ -640,7 +704,7 @@ def _commit_pass(
                 yield rb
                 continue
             flat_idx, flat_val, lens = _flatten_rb(rb)
-            q = _rb_col(rb, "q")
+            q = _rb_q(rb, sum_w0)
             xlam = _x_dot(flat_idx, flat_val, lens, lam)
             if choice == "primal":
                 w = _w_state(rb, q, flat_idx, flat_val, lens, wprog)
@@ -651,10 +715,24 @@ def _commit_pass(
                 xdl = _x_dot(flat_idx, flat_val, lens, dlam)
                 new_w = q * np.exp(xlam + xdl)
             arrays = [rb.column(i) for i in range(rb.num_columns)]
-            arrays[rb.schema.get_field_index("wstar")] = pa.array(
-                new_w, type=pa.float64()
-            )
-            yield pa.RecordBatch.from_arrays(arrays, schema=rb.schema)
+            i_w = rb.schema.get_field_index("wstar")
+            w_arr = pa.array(new_w, type=pa.float64())
+            if i_w >= 0:
+                arrays[i_w] = w_arr
+                yield pa.RecordBatch.from_arrays(arrays, schema=rb.schema)
+            else:
+                # base blobs stop carrying wstar (r8 narrow blob); the
+                # first materialized commit appends it, preserving the
+                # schema metadata (the dense-idx elision stamp).
+                arrays.append(w_arr)
+                fields = [
+                    *(rb.schema.field(j) for j in range(rb.num_columns)),
+                    pa.field("wstar", pa.float64()),
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    arrays,
+                    schema=pa.schema(fields, metadata=rb.schema.metadata),
+                )
 
     return fn
 
@@ -709,9 +787,14 @@ class SparkKernel:
         prepacked: DataFrame | None = None,
     ) -> "SparkKernel":
         """Pack the canonical long tables into per-row CSR — the one setup
-        shuffle; every subsequent iteration is shuffle-free.  The q and
-        wstar columns are derived inside the blob-encoding pass (no extra
-        scan)."""
+        shuffle; every subsequent iteration is shuffle-free.
+
+        r8 pack-cost work (PLANS.md §13): the blob carries only
+        ``(row_id, w0, idx?, val)`` — q and the analytic start wstar are
+        recomputed per pass (one divide), a dense ``[0..k)`` idx pattern
+        is elided per batch (:func:`maybe_elide_idx`), and the persist is
+        LAZY: the first stats reduce materializes encode+cache+reductions
+        in one job instead of a separate pack scan."""
         df, sum_w0, n = pack_rows(x_long, w0, known_sums, prepacked)
         has_guess = ratio_guess is not None
         if has_guess:
@@ -723,20 +806,22 @@ class SparkKernel:
             for rb in batches:
                 if not rb.num_rows:
                     continue
-                q = _rb_col(rb, "w0") / sum_w0
-                wstar = q * _rb_col(rb, "ratio") if has_guess else q
-                out = pa.RecordBatch.from_arrays(
-                    [
-                        *[
-                            rb.column(rb.schema.get_field_index(c))
-                            for c in ("row_id", "w0", "idx", "val")
-                        ],
-                        pa.array(q, type=pa.float64()),
+                arrays = [
+                    rb.column(rb.schema.get_field_index(c))
+                    for c in ("row_id", "w0", "idx", "val")
+                ]
+                names = list(PACKED_NAMES)
+                if has_guess:
+                    q = _rb_col(rb, "w0") / sum_w0
+                    arrays.append(
                         pa.array(
-                            np.ascontiguousarray(wstar), type=pa.float64()
-                        ),
-                    ],
-                    PACKED_NAMES,
+                            np.ascontiguousarray(q * _rb_col(rb, "ratio")),
+                            type=pa.float64(),
+                        )
+                    )
+                    names.append("wstar")
+                out = maybe_elide_idx(
+                    pa.RecordBatch.from_arrays(arrays, names), k
                 )
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([ipc_ser(out)], type=pa.binary())], ["payload"]
@@ -750,7 +835,6 @@ class SparkKernel:
             ._reserialize(BLOB_SER)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        rdd.count()
         from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
 
         bs = (
@@ -761,6 +845,13 @@ class SparkKernel:
             # wstar = q = q·exp(X·0): the start point is analytic
             kern._wprog = [("exp", np.zeros(k))]
         return kern
+
+    def materialize(self) -> None:
+        """Force the (lazy) blob cache to build now.  The solve path never
+        needs this — the first stats reduce materializes encode + cache +
+        reductions in ONE job — but benches/tests that want the pack cost
+        on its own line call it explicitly."""
+        self._rdd.count()
 
     def init_state(self, ratio_guess=None) -> None:
         if ratio_guess is not None:
@@ -782,7 +873,13 @@ class SparkKernel:
     def stats(self, lam: np.ndarray) -> IterStats:
         k = self.k
         sums, mins = self._reduce(
-            _stats_pass(k, lam, blocks_tuple(self.block_structure), self._wprog),
+            _stats_pass(
+                k,
+                lam,
+                blocks_tuple(self.block_structure),
+                self._wprog,
+                self.sum_w0,
+            ),
             big=self._gram_big,
         )
         # the reduce materialized any pending lazy commit into its cache —
@@ -809,7 +906,9 @@ class SparkKernel:
 
     def step_stats(self, lam: np.ndarray, dlam: np.ndarray) -> StepStats:
         k = self.k
-        sums, mins = self._reduce(_step_pass(k, lam, dlam, self._wprog))
+        sums, mins = self._reduce(
+            _step_pass(k, lam, dlam, self._wprog, self.sum_w0)
+        )
         return StepStats(
             alpha_raw=float(mins[0]),
             xt_dw=sums[2 : 2 + k],
@@ -863,7 +962,9 @@ class SparkKernel:
         new_rdd = (
             self._rdd.mapPartitions(
                 blob_transform_adapter(
-                    _commit_pass(choice, lam, dlam, alpha, self._wprog)
+                    _commit_pass(
+                        choice, lam, dlam, alpha, self._wprog, self.sum_w0
+                    )
                 ),
                 preservesPartitioning=True,
             )
@@ -909,7 +1010,7 @@ class SparkKernel:
         def render(batches: Iterator[pa.RecordBatch]):
             for rb in batches:
                 flat_idx, flat_val, lens = _flatten_rb(rb)
-                q = _rb_col(rb, "q")
+                q = _rb_q(rb, sum_w0)
                 w = _w_state(rb, q, flat_idx, flat_val, lens, wprog)
                 yield pa.RecordBatch.from_arrays(
                     [

@@ -148,7 +148,11 @@ def test_solver_iteration_pass_has_no_shuffle(spark):
     # iteration passes are narrow mapPartitions over the cached blob RDD:
     # the lineage must contain no shuffle stage
     pass_rdd = kern._rdd.mapPartitions(
-        blob_payload_adapter(_stats_pass(kern.k, np.zeros(kern.k), wprog=kern._wprog))
+        blob_payload_adapter(
+            _stats_pass(
+                kern.k, np.zeros(kern.k), wprog=kern._wprog, sum_w0=kern.sum_w0
+            )
+        )
     )
     assert "ShuffledRDD" not in pass_rdd.toDebugString().decode()
     # the collected payload must also be executable (schema/order contract)

@@ -34,7 +34,7 @@ def test_tree_path_matches_plain_collect(spark):
     kern = _toy_kernel(spark)
     lam = np.linspace(-0.1, 0.1, kern.k)
     fn = lambda: _stats_pass(  # noqa: E731
-        kern.k, lam, blocks_tuple(kern.block_structure), kern._wprog
+        kern.k, lam, blocks_tuple(kern.block_structure), kern._wprog, kern.sum_w0
     )
     sums_plain, mins_plain = kern._reduce(fn(), big=False)
     sums_tree, mins_tree = kern._reduce(fn(), big=True)
