@@ -96,25 +96,39 @@ def extract_id3(payload: bytes) -> dict:
         return {}
     version = b[3]
     syncsafe_frames = version == 4
+    # v2.2 frames: 3-char ids + 3-byte big-endian sizes, no flag bytes
+    # (ID3v2.2 informal standard §3.2); v2.3/2.4: 4+4+2.
+    id_len, hdr_len = (3, 6) if version == 2 else (4, 10)
+    id_re = rb"[A-Z0-9]{3}" if version == 2 else rb"[A-Z0-9]{4}"
+    title_ids = (b"TT2",) if version == 2 else (b"TIT2",)
+    artist_ids = (b"TP1",) if version == 2 else (b"TPE1",)
+    txxx_id = b"TXX" if version == 2 else b"TXXX"
     pos, end = 10, min(total, 10 + _unsyncsafe(b[6:10]))
     out: dict = {"has_gps": False}
-    while pos + 10 <= end:
-        fid = b[pos : pos + 4]
-        if fid == b"\x00\x00\x00\x00":  # padding reached
+    while pos + hdr_len <= end:
+        fid = b[pos : pos + id_len]
+        if fid == b"\x00" * id_len:  # padding reached
             break
-        if not re.fullmatch(rb"[A-Z0-9]{4}", fid):
+        if not re.fullmatch(id_re, fid):
             raise ValueError(f"malformed ID3 payload: bad frame id {fid!r}")
-        raw_sz = b[pos + 4 : pos + 8]
-        sz = _unsyncsafe(raw_sz) if syncsafe_frames else struct.unpack(">I", raw_sz)[0]
-        data_start = pos + 10
+        if version == 2:
+            sz = int.from_bytes(b[pos + 3 : pos + 6], "big")
+        else:
+            raw_sz = b[pos + 4 : pos + 8]
+            sz = (
+                _unsyncsafe(raw_sz)
+                if syncsafe_frames
+                else struct.unpack(">I", raw_sz)[0]
+            )
+        data_start = pos + hdr_len
         data_end = data_start + sz
         if data_end > end:
             raise ValueError("malformed ID3 payload: frame overruns tag")
         data = b[data_start:data_end]
-        if fid in (b"TIT2", b"TPE1") and data[:1] in (b"\x00", b"\x03"):
-            key = "title" if fid == b"TIT2" else "artist"
+        if fid in title_ids + artist_ids and data[:1] in (b"\x00", b"\x03"):
+            key = "title" if fid in title_ids else "artist"
             out[key] = data[1:].split(b"\x00")[0].decode("utf-8", "replace")
-        elif fid == b"TXXX" and data[:1] in (b"\x00", b"\x03"):
+        elif fid == txxx_id and data[:1] in (b"\x00", b"\x03"):
             desc, _, val = data[1:].partition(b"\x00")
             if desc == b"GPS":
                 try:

@@ -169,3 +169,18 @@ def test_mp4_fuzz_roundtrip(name, lat, lon, with_gps, body):
         clean = cm.strip_mp4_meta(mp4)
         assert cm.extract_mp4_meta(clean) == {}
         assert clean[clean.index(b"mdat") - 4 :] == mp4[mp4.index(b"mdat") - 4 :]
+
+
+def test_id3_v22_three_byte_frames():
+    # hand-build a v2.2 tag: 3-char ids, 3-byte sizes, no flag bytes
+    def frame22(fid, text):
+        data = b"\x00" + text.encode("latin-1")
+        return fid + len(data).to_bytes(3, "big") + data
+
+    frames = frame22(b"TT2", "old title") + frame22(b"TP1", "old artist")
+    tag = b"ID3\x02\x00\x00" + cm._syncsafe(len(frames)) + frames
+    meta = cm.extract_id3(tag + BODY)
+    assert meta["title"] == "old title"
+    assert meta["artist"] == "old artist"
+    assert meta["has_gps"] is False
+    assert cm.strip_id3(tag + BODY) == BODY
