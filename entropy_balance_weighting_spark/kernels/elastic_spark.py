@@ -46,7 +46,6 @@ from entropy_balance_weighting_spark.kernels.base import EStats, EStepStats
 from entropy_balance_weighting_spark.kernels.penalty_spark import _ftb_batch
 from entropy_balance_weighting_spark.kernels.spark import (
     _post_cleanup_gc,
-    _TREE_REDUCE_BYTES,
     _flatten_rb,
     _pack_rb,
     _rb_col,
@@ -54,6 +53,7 @@ from entropy_balance_weighting_spark.kernels.spark import (
     _xt_v,
     blocks_tuple,
     gram_bytes,
+    reduce_big,
     gram_from_sums,
     make_gram_accum,
     maybe_elide_idx,
@@ -539,7 +539,9 @@ class ElasticSparkKernel:
                 k, lam, eta, mu_s, self.lb, self.ub, self.has_ub,
                 blocks_tuple(self.block_structure),
             ),
-            big=gram_bytes(k, self.block_structure) > _TREE_REDUCE_BYTES,
+            big=reduce_big(
+                k, self.block_structure, self._base.getNumPartitions()
+            ),
         )
         (f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct,
          sl_sum, sl_sq, sl_cnt) = sums[:9]

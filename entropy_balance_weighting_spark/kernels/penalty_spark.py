@@ -29,7 +29,6 @@ from entropy_balance_weighting_spark.kernels.base import (
 from entropy_balance_weighting_spark.kernels.penalty_local import TAU
 from entropy_balance_weighting_spark.kernels.spark import (
     _post_cleanup_gc,
-    _TREE_REDUCE_BYTES,
     _flatten_rb,
     _pack_rb,
     _rb_col,
@@ -39,6 +38,7 @@ from entropy_balance_weighting_spark.kernels.spark import (
     BLOB_SER,
     blocks_tuple,
     gram_bytes,
+    reduce_big,
     gram_from_sums,
     ipc_deser,
     ipc_ser,
@@ -476,7 +476,9 @@ class PenaltySparkKernel:
 
     @property
     def _gram_big(self) -> bool:
-        return gram_bytes(self.k, self.block_structure) > _TREE_REDUCE_BYTES
+        return reduce_big(
+            self.k, self.block_structure, self._base.getNumPartitions()
+        )
 
     def _commit(self, fn) -> None:
         """Lazy state transition: persisted, materialized by the next

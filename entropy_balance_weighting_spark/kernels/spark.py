@@ -417,6 +417,13 @@ def make_gram_accum(k: int, blocks):
 
 
 _TREE_REDUCE_BYTES = 8 << 20  # payloads past this merge executor-side
+# Plain collect ships ONE payload PER PARTITION to the driver; past this
+# aggregate budget the reduce must go executor-side even when each payload
+# is individually small.  Found at N=100M × K=100k grouped (r8): 400
+# partitions × ~3.2 MB payloads (2 K-vectors + Σk_b² gram) = 1.28 GB blew
+# the 1 GiB spark.driver.maxResultSize default mid-solve.  256 MiB keeps
+# 4× headroom under that default.
+_COLLECT_BUDGET_BYTES = 256 << 20
 
 
 def gram_bytes(k: int, block_structure) -> int:
@@ -425,6 +432,19 @@ def gram_bytes(k: int, block_structure) -> int:
     if block_structure is not None:
         return int(block_structure.total_flat) * 8
     return k * k * 8
+
+
+def reduce_big(k: int, block_structure, n_parts: int) -> bool:
+    """Whether a kernel reduce must merge executor-side (treeReduce):
+    either one payload is large, or n_partitions × payload would overrun
+    the driver's collect budget.  Payload bound: a handful of scalars +
+    up to 8 K-vectors + the gram buffer (generous for every pass shape
+    across the three kernels)."""
+    per_part = (32 + 8 * k) * 8 + gram_bytes(k, block_structure)
+    return (
+        per_part > _TREE_REDUCE_BYTES
+        or per_part * max(n_parts, 1) > _COLLECT_BUDGET_BYTES
+    )
 
 
 def collect_payload(out: DataFrame, big: bool) -> tuple[np.ndarray, np.ndarray]:
@@ -868,7 +888,9 @@ class SparkKernel:
 
     @property
     def _gram_big(self) -> bool:
-        return gram_bytes(self.k, self.block_structure) > _TREE_REDUCE_BYTES
+        return reduce_big(
+            self.k, self.block_structure, self._rdd.getNumPartitions()
+        )
 
     def stats(self, lam: np.ndarray) -> IterStats:
         k = self.k

@@ -109,3 +109,23 @@ def test_dense_collinear_solve_small(spark):
     finally:
         kern._reduce = orig
         kern.cleanup()
+
+
+def test_reduce_big_gates_on_partition_count_too():
+    """r8 regression guard: at N=100M × K=100k grouped (400 partitions ×
+    ~3.2 MB payloads) a plain collect blew spark.driver.maxResultSize
+    mid-solve — the gate must consider n_partitions × payload, not just
+    the single-payload gram size."""
+    from entropy_balance_weighting_spark.kernels.spark import reduce_big
+    from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
+
+    # small K, few partitions: plain collect fine
+    assert not reduce_big(8, None, 400)
+    # dense K=2000: single payload is already big
+    assert reduce_big(2000, None, 4)
+    # grouped K=100k (50k blocks of 2): per-payload ~3.2 MB is under the
+    # single-payload threshold, but 400 partitions overrun the driver's
+    # collect budget -> must tree-reduce
+    bs = BlockStructure.from_groups([f"g{i % 50_000}" for i in range(100_000)])
+    assert not reduce_big(100_000, bs, 16)
+    assert reduce_big(100_000, bs, 400)
