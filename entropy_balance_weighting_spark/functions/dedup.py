@@ -837,3 +837,105 @@ def remove_boilerplate_lines(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def duplicated_span_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_df: int = 2,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Cross-document repeated-substring profile — the span-level exact
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed as a relational plan instead
+    of a suffix array: a position-indexed k-token-gram table, gram
+    document frequencies, and per-document coverage by grams that recur
+    in ``>= min_df`` DISTINCT documents.
+
+    Returns one row per document that contains at least one duplicated
+    span: ``(id, n_tokens, n_dup_grams, n_covered, coverage)`` where
+    ``n_dup_grams`` counts gram occurrences whose gram also appears in
+    another document, ``n_covered`` counts distinct token positions
+    covered by such grams (overlapping grams merge — this is exactly the
+    "fraction of the doc that is memorized boilerplate" number used to
+    decide span removal), and ``coverage = n_covered / n_tokens``.
+
+    Plan (100 TB shape): one ``posexplode`` scan builds the gram table;
+    document frequency is a single hash-groupBy on the 64-bit gram hash
+    (``xxhash64`` — 8-byte shuffle key instead of the ~k-word string;
+    a collision merges two grams with probability ~G²/2⁶⁴, negligible
+    against the sampling noise of any corpus-level decision), with
+    map-side partial aggregation; the duplicated-gram set joins back by
+    the same hash (AQE broadcasts it when small); coverage explodes each
+    surviving occurrence into its k covered positions — a k× fan-out on
+    the DUPLICATED subset only, not the corpus.  No window functions, no
+    self-join, no suffix array: the candidate volume is driven by real
+    repetition, never N².
+
+    ``max_gram_df`` is the skew defense at corpus scale: a gram occurring
+    in more than this many documents (ubiquitous boilerplate) is counted
+    toward ``n_dup_grams``/coverage semantics only up to the cap's
+    group size — excluded entirely, like ``ngram_jaccard_pairs``'s
+    ``max_shingle_df``, keeping the join-back volume bounded.  Leave
+    ``None`` for exact semantics (the registered query's mode).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("t")
+    )
+    grams = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - k),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, k)),
+                )
+            ).alias("pos", "g"),
+        )
+        .select("id", "pos", F.xxhash64("g").alias("gh"))
+    )
+    grams = grams.cache()
+    dup_set = (
+        grams.select("gh", "id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    if max_gram_df is not None:
+        dup_set = dup_set.filter(F.col("df") <= max_gram_df)
+    dup_occ = grams.join(dup_set.select("gh"), "gh")
+    per_doc = dup_occ.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    cov = (
+        dup_occ.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cp"),
+        )
+        .groupBy("id")
+        .agg(F.countDistinct("cp").alias("n_covered"))
+    )
+    n_tok = toks.select("id", F.size("t").alias("n_tokens"))
+    out = (
+        per_doc.join(cov, "id")
+        .join(n_tok, "id")
+        .select(
+            "id",
+            "n_tokens",
+            "n_dup_grams",
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("n_tokens"), 4).alias(
+                "coverage"
+            ),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist()
+    return out

@@ -824,3 +824,103 @@ def pca_project(
         for i in range(k)
     ]
     return df.withColumn(out_col, F.array(*projections)), evr
+
+
+def semantic_dedup_assignments(
+    emb: DataFrame,
+    *,
+    n_cells: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 5,
+    centers: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication by clustering embeddings and removing items whose
+    within-cluster cosine to an already-kept item exceeds ``threshold``.
+
+    Returns one row per input vector: ``(id, cell_id, removed)`` where
+    ``removed = 1`` iff the cell contains a LOWER-id vector with
+    ``round(cos, round_digits) >= threshold`` (the deterministic
+    keep-first greedy — the paper keeps one arbitrary representative per
+    semantic clique; lowest-id makes the choice reproducible and
+    oracle-checkable).
+
+    ``centers``: cluster centroids ``(cell_id, c)`` — pass
+    :func:`fit_ivf_quantizer` output for the real k-means path.  Defaults
+    to the ``n_cells`` lowest-id input vectors as seed centroids, which
+    keeps the whole operator a closed-form function of the input (the
+    registered query's mode, mirrored exactly in SQL).
+
+    Plan (100 TB shape): centroids broadcast into a one-scan argmax
+    assignment (C·d flops per row, no shuffle); the dedup stage is a
+    within-cell self-join — volume Σ_cell |cell|², the same bound as the
+    paper's per-cluster pairwise pass, NOT N² (cells from a trained
+    quantizer are balanced by construction; cap cluster sizes upstream
+    for adversarial skew).  Contrast with
+    :func:`cosine_near_dup_pairs_bucketed`: that one is EXACT near-dup
+    (triangle-inequality cell-pair completeness), this one is the
+    recall-bounded-by-clustering semantic variant that scales to
+    billions of documents in one cheap pass.
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    if centers is None:
+        # lowest-id seeds via sorted limit (a TakeOrdered, not a global
+        # single-partition window sort)
+        seeds = (
+            base.orderBy("id")
+            .limit(n_cells)
+            .select(
+                F.col("id").alias("cell_id"),
+                F.col("v").alias("c"),
+                F.col("nrm").alias("c_nrm"),
+            )
+        )
+    else:
+        seeds = centers.select(
+            "cell_id",
+            _as_double(F.col("c")).alias("c"),
+        ).withColumn("c_nrm", _norm(F.col("c")))
+    cos_seed = F.round(
+        _dot(F.col("v"), F.col("c")) / (F.col("nrm") * F.col("c_nrm")),
+        round_digits,
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos").desc(), F.col("cell_id")
+    )
+    asg = (
+        base.crossJoin(F.broadcast(seeds))
+        .select("id", "v", "nrm", "cell_id", cos_seed.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("id", "v", "nrm", "cell_id")
+    )
+    asg = asg.localCheckpoint(eager=True)  # assign once, reuse both sides
+    a = asg.select(
+        "cell_id", F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = asg.select(
+        "cell_id", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pair_cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        round_digits,
+    )
+    removed = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(pair_cos >= threshold)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("removed", F.lit(1))
+    )
+    return asg.select("id", "cell_id").join(removed, "id", "left").select(
+        "id",
+        "cell_id",
+        F.coalesce("removed", F.lit(0)).cast("long").alias("removed"),
+    )

@@ -538,3 +538,114 @@ def dd_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dd_substring_spans",
+    survey="ext:dedup-substring-spans",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), occ AS (
+  SELECT doc_id, i,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+              || ' ' || t[i+4] || ' ' || t[i+5] AS g
+  FROM toks, unnest(range(1, len(t) - 4)) AS r(i)
+), dupg AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS df FROM occ GROUP BY g
+  ) WHERE df >= 2
+), dup AS (
+  SELECT o.doc_id, o.i FROM occ o JOIN dupg USING (g)
+), nd AS (
+  SELECT doc_id, count(*) AS n_dup_grams FROM dup GROUP BY doc_id
+), cov AS (
+  SELECT doc_id, count(DISTINCT i + j) AS n_covered
+  FROM dup, unnest(range(0, 6)) AS rj(j) GROUP BY doc_id
+), nt AS (
+  SELECT doc_id, len(t) AS n_tokens FROM toks
+)
+SELECT nt.doc_id, nt.n_tokens, nd.n_dup_grams, cov.n_covered,
+       round(cov.n_covered * 1.0 / nt.n_tokens, 4) AS coverage
+FROM nd JOIN cov USING (doc_id) JOIN nt USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def dd_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring (span-level) dedup profile —
+    the Lee et al. 2022 exact-substring signal as a relational plan
+    (:func:`functions.dedup.duplicated_span_profile`): per document, the
+    count of 6-token grams that recur verbatim in another document and
+    the fraction of token positions those spans cover.  The suffix-array
+    formulation is replaced by a position-indexed gram table + one
+    hash-groupBy document-frequency pass + a k× coverage fan-out on the
+    duplicated subset only."""
+    docs = load_table(spark, sf_dir, "documents")
+    prof = dedup.duplicated_span_profile(
+        docs, id_col="doc_id", text_col="text", k=6, min_df=2
+    )
+    return prof.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_dup_grams",
+        "n_covered",
+        "coverage",
+    ).orderBy("doc_id")
+
+
+@register(
+    "dd_semantic_dedup",
+    survey="ext:dedup-semantic",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), seeds AS (
+  SELECT vec_id AS cell_id, v AS c, nrm AS cn FROM n WHERE vec_id < 8
+), scored AS (
+  SELECT n.vec_id, n.v, n.nrm, s.cell_id,
+         round(list_dot_product(n.v, s.c) / (n.nrm * s.cn), 5) AS cos
+  FROM n, seeds s
+), asg AS (
+  SELECT vec_id, v, nrm, cell_id FROM (
+    SELECT *, row_number() OVER
+        (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rk
+    FROM scored
+  ) WHERE rk = 1
+), rem AS (
+  SELECT DISTINCT a.vec_id FROM asg a JOIN asg b
+    ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+   AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) >= 0.45
+)
+SELECT asg.cell_id, count(*) AS n_items,
+       CAST(count(rem.vec_id) AS BIGINT) AS n_removed,
+       CAST(count(*) - count(rem.vec_id) AS BIGINT) AS n_kept
+FROM asg LEFT JOIN rem ON rem.vec_id = asg.vec_id
+GROUP BY asg.cell_id ORDER BY asg.cell_id
+""",
+)
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings (8 deterministic
+    lowest-id seed centroids — the registered closed-form mode;
+    production passes :func:`functions.similarity.fit_ivf_quantizer`
+    k-means centers), then within each cell remove every vector whose
+    cosine to a lower-id cell-mate reaches 0.45
+    (:func:`functions.similarity.semantic_dedup_assignments`).  Reports
+    per-cell kept/removed counts; the dedup join is bounded by
+    Σ|cell|², never N²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = similarity.semantic_dedup_assignments(
+        emb, n_cells=8, threshold=0.45
+    )
+    return (
+        asg.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("removed").cast("long").alias("n_removed"),
+            (F.count(F.lit(1)) - F.sum("removed"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell_id")
+    )

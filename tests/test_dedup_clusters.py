@@ -153,3 +153,100 @@ def test_remove_boilerplate_lines_word_segment_mode(spark):
         1: "a b c d e",
         2: "a b x",
     }
+
+
+def test_duplicated_span_profile_overlap_merge(spark):
+    """A shared 8-token span with k=6 yields 3 gram occurrences per doc
+    but only 8 covered positions (overlapping grams merge); a doc with
+    no cross-doc span is absent from the output."""
+    from entropy_balance_weighting_spark.functions.dedup import (
+        duplicated_span_profile,
+    )
+
+    span = "q w e r t y u i"  # 8 tokens, shared verbatim by docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, span + " aa bb"),
+            (2, "cc dd " + span),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in duplicated_span_profile(docs, k=6, min_df=2).collect()
+    }
+    assert set(out) == {1, 2}
+    for did, n_tok in [(1, 10), (2, 10)]:
+        assert out[did]["n_tokens"] == n_tok
+        assert out[did]["n_dup_grams"] == 3  # positions 0,1,2 of the span
+        assert out[did]["n_covered"] == 8  # merged, not 3*6
+        assert abs(out[did]["coverage"] - 0.8) < 1e-9
+
+
+def test_duplicated_span_profile_within_doc_repeat_not_flagged(spark):
+    """Document frequency counts DISTINCT docs: a 6-gram repeated twice
+    inside ONE document is not a cross-doc duplicated span (within-doc
+    repetition is txt_repetition's job)."""
+    from entropy_balance_weighting_spark.functions.dedup import (
+        duplicated_span_profile,
+    )
+
+    rep = "a b c d e f"
+    docs = spark.createDataFrame(
+        [(1, rep + " zz " + rep), (2, "totally different words here now ok")],
+        "doc_id long, text string",
+    )
+    assert duplicated_span_profile(docs, k=6, min_df=2).count() == 0
+
+
+def test_duplicated_span_profile_short_docs_skipped(spark):
+    """Documents shorter than k tokens produce no grams and no rows —
+    and no sequence() error for negative bounds."""
+    from entropy_balance_weighting_spark.functions.dedup import (
+        duplicated_span_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    assert duplicated_span_profile(docs, k=6, min_df=2).count() == 0
+
+
+def test_semantic_dedup_assignments_geometry(spark):
+    """Two orthogonal seed cells; near-parallel vectors land in the same
+    cell and every one except the lowest id is removed; an opposite-sign
+    vector in the other cell survives."""
+    import math
+
+    from entropy_balance_weighting_spark.functions.similarity import (
+        semantic_dedup_assignments,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, unit(0.0)),          # seed cell 0
+        (1, unit(math.pi / 2)),  # seed cell 1
+        (2, unit(0.05)),         # cell 0, cos(2,0)=0.9988 -> removed
+        (3, unit(0.10)),         # cell 0, cos(3,2)=0.9988 -> removed
+        (4, unit(math.pi / 2 + 0.05)),  # cell 1, near seed 1 -> removed
+        (5, unit(math.pi / 4 + 0.02)),  # cell 1 (closer to 90deg side)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["id"]: (r["cell_id"], r["removed"])
+        for r in semantic_dedup_assignments(
+            emb, n_cells=2, threshold=0.95
+        ).collect()
+    }
+    assert out[0] == (0, 0)  # seeds keep themselves
+    assert out[1] == (1, 0)
+    assert out[2] == (0, 1)
+    assert out[3] == (0, 1)
+    assert out[4] == (1, 1)
+    # 45deg+0.02 -> cell 1 (barely), but cos to seed1 ~= 0.72 < 0.95: kept
+    assert out[5] == (1, 0)
