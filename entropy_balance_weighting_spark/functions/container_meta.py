@@ -275,3 +275,193 @@ def strip_mp4_meta(payload: bytes) -> bytes:
         )
         out += _atom(b"moov", kept)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3) frame-header probe — ISO/IEC 11172-3 / 13818-3 frame
+# headers are plain bit fields; duration/bitrate/VBR metadata falls out of
+# a header walk with NO entropy decode (the coded granules are opaque).
+# ---------------------------------------------------------------------------
+
+# bitrate tables in kbps, index 1..14 (0 = free-format, 15 = invalid)
+_MP3_BITRATES = {
+    # (mpeg1?, layer) -> table
+    (True, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (False, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# samplerate tables by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+_CHANNEL_MODES = ("stereo", "joint_stereo", "dual_channel", "mono")
+
+
+def _mp3_frame_params(hdr: int) -> tuple[int, int, int, int, str] | None:
+    """Decode a 32-bit header into ``(frame_len, samples, bitrate_kbps,
+    samplerate, channel_mode)``; ``None`` if the sync/fields are invalid
+    (the caller resyncs)."""
+    if (hdr >> 21) & 0x7FF != 0x7FF:
+        return None
+    ver = (hdr >> 19) & 0x3
+    layer_bits = (hdr >> 17) & 0x3
+    if ver == 1 or layer_bits == 0:
+        return None  # reserved version / reserved layer
+    layer = 4 - layer_bits  # 11->I, 10->II, 01->III
+    br_idx = (hdr >> 12) & 0xF
+    sr_idx = (hdr >> 10) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format unsupported; invalid indices
+    mpeg1 = ver == 3
+    bitrate = _MP3_BITRATES[(mpeg1, layer)][br_idx]
+    samplerate = _MP3_RATES[ver][sr_idx]
+    padding = (hdr >> 9) & 0x1
+    mode = _CHANNEL_MODES[(hdr >> 6) & 0x3]
+    if layer == 1:
+        frame_len = (12 * bitrate * 1000 // samplerate + padding) * 4
+        samples = 384
+    elif layer == 2:
+        frame_len = 144 * bitrate * 1000 // samplerate + padding
+        samples = 1152
+    else:  # layer III
+        per = 144 if mpeg1 else 72
+        frame_len = per * bitrate * 1000 // samplerate + padding
+        samples = 1152 if mpeg1 else 576
+    return frame_len, samples, bitrate, samplerate, mode
+
+
+def _xing_offset(hdr: int) -> int:
+    """Offset of a Xing/Info tag inside a Layer III frame: 4-byte header
+    + side info (MPEG1: 17 mono / 32 otherwise; MPEG2/2.5: 9 / 17)."""
+    mpeg1 = (hdr >> 19) & 0x3 == 3
+    mono = (hdr >> 6) & 0x3 == 3
+    if mpeg1:
+        return 4 + (17 if mono else 32)
+    return 4 + (9 if mono else 17)
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """Walk MPEG audio frame headers and report stream metadata without
+    decoding audio: frame count, duration, average bitrate, samplerate,
+    channel mode, VBR detection (Xing/Info tag in the first frame), and
+    whether a trailing partial frame was truncated.  Skips a leading
+    ID3v2 tag and a trailing ID3v1 block.  Raises
+    ``ValueError('malformed MP3 payload: no frames')`` when no valid
+    frame header exists — the named-error convention every codec in this
+    package follows."""
+    pos = _id3_tag_len(payload)
+    end = len(payload)
+    if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    n_frames = 0
+    total_samples = 0
+    total_br = 0
+    samplerate = 0
+    mode = ""
+    is_vbr = False
+    vbr_frames = None
+    bitrates = set()
+    resync_bytes = 0
+    truncated = False
+    while pos + 4 <= end:
+        hdr = int.from_bytes(payload[pos : pos + 4], "big")
+        params = _mp3_frame_params(hdr)
+        if params is None:
+            pos += 1
+            resync_bytes += 1
+            continue
+        frame_len, samples, bitrate, sr, ch = params
+        if pos + frame_len > end:
+            truncated = True
+            break
+        if n_frames == 0:
+            off = _xing_offset(hdr)
+            tag = payload[pos + off : pos + off + 4]
+            if tag in (b"Xing", b"Info"):
+                is_vbr = tag == b"Xing"
+                flags = int.from_bytes(
+                    payload[pos + off + 4 : pos + off + 8], "big"
+                )
+                if flags & 0x1:
+                    vbr_frames = int.from_bytes(
+                        payload[pos + off + 8 : pos + off + 12], "big"
+                    )
+        n_frames += 1
+        total_samples += samples
+        total_br += bitrate
+        bitrates.add(bitrate)
+        samplerate = sr
+        mode = ch
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("malformed MP3 payload: no frames")
+    return {
+        "n_frames": n_frames,
+        "duration_sec": total_samples / samplerate,
+        "samplerate": samplerate,
+        "channel_mode": mode,
+        "bitrate_kbps_avg": total_br / n_frames,
+        "is_vbr": is_vbr or len(bitrates) > 1,
+        "vbr_frame_count": vbr_frames,
+        "resync_bytes": resync_bytes,
+        "truncated": truncated,
+    }
+
+
+def build_mp3_frames(
+    n_frames: int,
+    *,
+    bitrate_kbps: int = 128,
+    samplerate: int = 44100,
+    layer: int = 3,
+    mpeg1: bool = True,
+    mono: bool = False,
+    xing: bool = False,
+    seed: int = 0,
+) -> bytes:
+    """Deterministic valid-header MPEG audio stream for tests: CBR frames
+    with opaque pseudo-random granule bytes (the probe never reads them).
+    ``xing=True`` plants a Xing VBR tag with the true frame count in the
+    first frame."""
+    ver = 3 if mpeg1 else 2
+    table = _MP3_BITRATES[(mpeg1, layer)]
+    if bitrate_kbps not in table:
+        raise ValueError(f"bitrate {bitrate_kbps} not in table for layer {layer}")
+    br_idx = table.index(bitrate_kbps)
+    rates = _MP3_RATES[ver]
+    if samplerate not in rates:
+        raise ValueError(f"samplerate {samplerate} invalid for version")
+    sr_idx = rates.index(samplerate)
+    layer_bits = 4 - layer
+    mode_bits = 3 if mono else 0
+    hdr = (
+        (0x7FF << 21)
+        | (ver << 19)
+        | (layer_bits << 17)
+        | (1 << 16)  # no CRC
+        | (br_idx << 12)
+        | (sr_idx << 10)
+        | (mode_bits << 6)
+    )
+    params = _mp3_frame_params(hdr)
+    assert params is not None
+    frame_len = params[0]
+    out = bytearray()
+    for f in range(n_frames):
+        frame = bytearray(hdr.to_bytes(4, "big"))
+        frame.extend(
+            ((seed * 2654435761 + f * 40503 + i * 2246822519) >> 7) & 0xFF
+            for i in range(frame_len - 4)
+        )
+        if f == 0 and xing:
+            off = _xing_offset(hdr)
+            frame[off : off + 12] = (
+                b"Xing" + (1).to_bytes(4, "big") + n_frames.to_bytes(4, "big")
+            )
+        out.extend(frame)
+    return bytes(out)

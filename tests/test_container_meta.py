@@ -184,3 +184,90 @@ def test_id3_v22_three_byte_frames():
     assert meta["artist"] == "old artist"
     assert meta["has_gps"] is False
     assert cm.strip_id3(tag + BODY) == BODY
+
+
+# -- MP3 frame-header probe ------------------------------------------------
+
+
+def test_mp3_probe_cbr_exact():
+    """CBR stream: frame count, duration, bitrate, and mode are exact
+    arithmetic from the header fields (1152 samples/frame at 44.1 kHz)."""
+    mp3 = cm.build_mp3_frames(38, bitrate_kbps=160, samplerate=44100)
+    m = cm.probe_mp3(mp3)
+    assert m["n_frames"] == 38
+    assert abs(m["duration_sec"] - 38 * 1152 / 44100) < 1e-12
+    assert m["bitrate_kbps_avg"] == 160.0
+    assert m["samplerate"] == 44100
+    assert m["channel_mode"] == "stereo"
+    assert not m["is_vbr"] and not m["truncated"] and m["resync_bytes"] == 0
+
+
+def test_mp3_probe_skips_id3v2_and_id3v1():
+    mp3 = cm.build_mp3_frames(5)
+    tagged = cm.build_id3(title="t", artist="a") + mp3 + b"TAG" + bytes(125)
+    assert cm.probe_mp3(tagged)["n_frames"] == 5
+
+
+def test_mp3_probe_xing_vbr_tag():
+    m = cm.probe_mp3(
+        cm.build_mp3_frames(
+            12, bitrate_kbps=64, samplerate=22050, mpeg1=False, mono=True,
+            xing=True,
+        )
+    )
+    assert m["is_vbr"] and m["vbr_frame_count"] == 12
+    # MPEG2 Layer III frames carry 576 samples
+    assert abs(m["duration_sec"] - 12 * 576 / 22050) < 1e-12
+
+
+def test_mp3_probe_mixed_bitrates_flag_vbr():
+    a = cm.build_mp3_frames(3, bitrate_kbps=128)
+    b = cm.build_mp3_frames(3, bitrate_kbps=192)
+    m = cm.probe_mp3(a + b)
+    assert m["n_frames"] == 6 and m["is_vbr"]
+    assert abs(m["bitrate_kbps_avg"] - 160.0) < 1e-12
+
+
+def test_mp3_probe_resync_and_truncation():
+    mp3 = cm.build_mp3_frames(4)
+    garbage = b"\x00\x01\x02junk"
+    m = cm.probe_mp3(garbage + mp3[: len(mp3) - 10])
+    assert m["n_frames"] == 3  # final frame incomplete
+    assert m["truncated"] and m["resync_bytes"] == len(garbage)
+
+
+def test_mp3_probe_no_frames_named_error():
+    with pytest.raises(ValueError, match="malformed MP3 payload"):
+        cm.probe_mp3(b"not audio at all" * 10)
+
+
+@given(
+    n_frames=st.integers(1, 40),
+    layer=st.sampled_from([1, 2, 3]),
+    mpeg1=st.booleans(),
+    mono=st.booleans(),
+    br_idx=st.integers(1, 14),
+    sr_idx=st.integers(0, 2),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp3_probe_fuzz_roundtrip(n_frames, layer, mpeg1, mono, br_idx, sr_idx, seed):
+    """Every (version, layer, bitrate, samplerate, mode) grid point the
+    builder can produce probes back to exact frame count / rate / mode."""
+    table = cm._MP3_BITRATES[(mpeg1, layer)]
+    rates = cm._MP3_RATES[3 if mpeg1 else 2]
+    mp3 = cm.build_mp3_frames(
+        n_frames,
+        bitrate_kbps=table[br_idx],
+        samplerate=rates[sr_idx],
+        layer=layer,
+        mpeg1=mpeg1,
+        mono=mono,
+        seed=seed,
+    )
+    m = cm.probe_mp3(mp3)
+    assert m["n_frames"] == n_frames
+    assert m["samplerate"] == rates[sr_idx]
+    assert m["bitrate_kbps_avg"] == float(table[br_idx])
+    assert m["channel_mode"] == ("mono" if mono else "stereo")
+    assert m["resync_bytes"] == 0 and not m["truncated"]
