@@ -32,6 +32,10 @@ FUZZ_QUERIES = [
     # PII scan: the seeded injection is doc_id arithmetic, so random ids +
     # random text fuzz the regex-parity and redaction-order contract
     "txt_pii_scan",
+    # substring spans: the planted near-dups and shared passages create
+    # cross-doc 6-gram runs; fuzzes the gram-hash DF plan vs the string-
+    # grouped SQL (incl. overlap-merge coverage arithmetic)
+    "dd_substring_spans",
 ]
 
 VOCAB = [f"w{i}" for i in range(40)] + ["the", "of", "héllo", "a.b", "42"]
@@ -106,4 +110,54 @@ def test_near_dup_pairs_match_oracle_on_planted_corpora(
             for r in con.execute(q.oracle).fetchall()
         )
         assert srows == orows, (name, srows[:3], orows[:3])
+    con.close()
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 10**9))
+def test_semantic_dedup_matches_oracle_on_planted_embeddings(
+    spark, tmp_path_factory, seed
+):
+    """SemDeDup fuzz: random embedding sets with PLANTED near-parallel
+    vectors (small-noise copies) so removals actually fire; the Spark
+    argmax-assignment + within-cell greedy must match the SQL mirror on
+    every random geometry, including assignment ties broken by cell id."""
+    import numpy as np
+
+    from entropy_balance_weighting_spark.queries import QUERIES
+
+    rng = np.random.default_rng(seed)
+    n = 20 + int(rng.integers(30))
+    dim = 6
+    vecs = rng.normal(size=(n, dim))
+    # plant near-dup groups: ~1/4 of vectors are noisy copies of earlier ones
+    for i in range(n // 4):
+        src = int(rng.integers(n - 1))
+        dst = src + 1 + int(rng.integers(n - src - 1))
+        vecs[dst] = vecs[src] + rng.normal(scale=0.03, size=dim)
+    norms = np.linalg.norm(vecs, axis=1)
+    vecs[norms < 1e-6] += 1.0  # no zero vectors
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+            "label": (np.arange(n) % 3).astype(np.int32),
+        }
+    )
+    tmp = tmp_path_factory.mktemp("fuzz_sem")
+    pdf.to_parquet(tmp / "embeddings.parquet", index=False)
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", tmp / "documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{tmp}/embeddings.parquet'")
+    q = QUERIES["dd_semantic_dedup"]
+    srows = sorted(
+        tuple(f"{v:.9g}" if isinstance(v, float) else repr(v) for v in r)
+        for r in q.fn(spark, str(tmp)).collect()
+    )
+    orows = sorted(
+        tuple(f"{v:.9g}" if isinstance(v, float) else repr(v) for v in r)
+        for r in con.execute(q.oracle).fetchall()
+    )
+    assert srows == orows, (srows[:4], orows[:4])
     con.close()
