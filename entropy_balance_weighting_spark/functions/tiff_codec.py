@@ -8,12 +8,15 @@ MSB-first and the code width bumps one code EARLY (when the next free
 entry reaches ``2^w - 1``, per the TIFF 6.0 spec and libtiff), so the
 two variants get separate implementations; both are true compressors.
 
-Decode dataflow: header + IFD walk (stdlib ``struct``) → per-strip
-decompression (LZW serial as in the spec; PackBits is a tiny run-length
-loop) → one reshape to ``(H, W, samples)`` → photometric mapping
-(WhiteIsZero inversion, gray replication, 16-bit ColorMap gather — all
-numpy).  Unsupported shapes (tiles, bit depths ≠ 8, predictors, other
-compressions) raise named errors.
+Decode dataflow: header + IFD walk (stdlib ``struct``) → per-strip or
+per-tile decompression (LZW serial as in the spec; PackBits is a tiny
+run-length loop; tiled organization tags 322-325 with zero-padded edge
+tiles per TIFF 6.0 §15) → horizontal-predictor inversion (tag 317 = 2,
+per-row per-channel mod-256 cumsum) → reshape/paste to ``(H, W,
+samples)`` → photometric mapping (WhiteIsZero inversion, gray
+replication, 16-bit ColorMap gather — all numpy).  Unsupported shapes
+(bit depths ≠ 8, the floating-point predictor, other compressions)
+raise named errors.
 
 Lossless, so tests and the ``mm_tiff_decode`` driver oracle assert
 EXACT pixel equality across all three compressions and both byte
@@ -226,17 +229,38 @@ def packbits_decode(data: bytes, n_out: int) -> bytes:
 _COMPRESSIONS = {"none": 1, "lzw": 5, "packbits": 32773}
 
 
+def _predict_rows(block: np.ndarray) -> np.ndarray:
+    """Apply the TIFF horizontal predictor (tag 317 = 2) to a
+    ``(rows, width, spp)`` block: store each sample as the mod-256 delta
+    against the same channel of the previous pixel in the row."""
+    d = block.astype(np.int16)
+    d[:, 1:, :] -= block[:, :-1, :].astype(np.int16)
+    return (d & 0xFF).astype(np.uint8)
+
+
+def _unpredict_rows(block: np.ndarray) -> np.ndarray:
+    """Invert :func:`_predict_rows`: per-row per-channel mod-256 cumsum."""
+    return (np.cumsum(block.astype(np.uint32), axis=1) & 0xFF).astype(np.uint8)
+
+
 def encode_tiff(
     pixels: np.ndarray,
     *,
     compression: str = "none",
     rows_per_strip: int | None = None,
     big_endian: bool = False,
+    predictor: bool = False,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode an ``(H, W)`` grayscale or ``(H, W, 3)`` RGB uint8 array as
-    a strip-based baseline TIFF — the fixture generator for the decode
-    path (and a usable sink).  ``rows_per_strip`` defaults to the whole
-    image in one strip."""
+    a baseline TIFF — the fixture generator for the decode path (and a
+    usable sink).  Layout is strip-based (``rows_per_strip`` defaults to
+    the whole image in one strip) unless ``tile=(tw, th)`` selects the
+    tiled organization (tags 322-325; the spec requires tile dims to be
+    multiples of 16; edge tiles are zero-padded to full size as TIFF 6.0
+    §15 prescribes).  ``predictor=True`` writes horizontal-differencing
+    (tag 317 = 2) before compression — the layout real LZW TIFFs almost
+    always use."""
     if compression not in _COMPRESSIONS:
         raise ValueError(
             f"compression must be one of {sorted(_COMPRESSIONS)}, "
@@ -248,33 +272,64 @@ def encode_tiff(
         raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {px.shape}")
     h, w = px.shape[:2]
     spp = 1 if gray else 3
-    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    px3 = px.reshape(h, w, spp)
     bo = ">" if big_endian else "<"
-    raw = px.reshape(h, w * spp)
-    strips = []
-    for y0 in range(0, h, rps):
-        strip = raw[y0 : y0 + rps].tobytes()
+
+    def compress(block: np.ndarray) -> bytes:
+        if predictor:
+            block = _predict_rows(block)
+        data = block.tobytes()
         if compression == "lzw":
-            strip = lzw_encode_tiff(strip)
-        elif compression == "packbits":
-            strip = packbits_encode(strip)
-        strips.append(strip)
-    n_strips = len(strips)
+            return lzw_encode_tiff(data)
+        if compression == "packbits":
+            return packbits_encode(data)
+        return data
+
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError(
+                f"TIFF tile dims must be positive multiples of 16, got {tile}"
+            )
+        blocks = []
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                t = np.zeros((th, tw, spp), dtype=np.uint8)
+                part = px3[y0 : y0 + th, x0 : x0 + tw]
+                t[: part.shape[0], : part.shape[1]] = part
+                blocks.append(compress(t))
+    else:
+        rps = h if rows_per_strip is None else max(1, rows_per_strip)
+        blocks = [
+            compress(px3[y0 : y0 + rps]) for y0 in range(0, h, rps)
+        ]
+    n_blocks = len(blocks)
 
     entries = []  # (tag, type, count, value_or_bytes)
 
     def entry(tag, typ, count, value):
         entries.append((tag, typ, count, value))
 
+    data_off_tag = 324 if tile is not None else 273
     entry(256, 3, 1, w)  # ImageWidth SHORT
     entry(257, 3, 1, h)  # ImageLength
     entry(258, 3, spp, [8] * spp)  # BitsPerSample
     entry(259, 3, 1, _COMPRESSIONS[compression])
     entry(262, 3, 1, 1 if gray else 2)  # BlackIsZero / RGB
-    entry(273, 4, n_strips, None)  # StripOffsets, patched below
+    if tile is None:
+        entry(273, 4, n_blocks, None)  # StripOffsets, patched below
     entry(277, 3, 1, spp)  # SamplesPerPixel
-    entry(278, 3, 1, rps)  # RowsPerStrip
-    entry(279, 4, n_strips, [len(s) for s in strips])
+    if tile is None:
+        entry(278, 3, 1, rps)  # RowsPerStrip
+        entry(279, 4, n_blocks, [len(s) for s in blocks])
+    if predictor:
+        entry(317, 3, 1, 2)
+    if tile is not None:
+        entry(322, 3, 1, tw)  # TileWidth
+        entry(323, 3, 1, th)  # TileLength
+        entry(324, 4, n_blocks, None)  # TileOffsets, patched below
+        entry(325, 4, n_blocks, [len(s) for s in blocks])
+    strips = blocks
 
     # layout: header(8) + IFD + out-of-line values + strip data
     ifd_off = 8
@@ -288,9 +343,9 @@ def encode_tiff(
 
     # reserve space for out-of-line values first (two passes)
     serialized = []
-    so_reserved_at = None  # offset inside tail for the StripOffsets block
+    so_reserved_at = None  # offset inside tail for the Strip/TileOffsets block
     for tag, typ, count, value in entries:
-        if tag == 273:
+        if tag == data_off_tag:
             serialized.append(None)  # placeholder
             if count > 1:
                 so_reserved_at = len(tail)
@@ -310,8 +365,8 @@ def encode_tiff(
     for s in strips:
         offsets.append(pos)
         pos += len(s)
-    # fill the StripOffsets entry (and its out-of-line slot if any)
-    so_index = next(i for i, e in enumerate(entries) if e[0] == 273)
+    # fill the Strip/TileOffsets entry (and its out-of-line slot if any)
+    so_index = next(i for i, e in enumerate(entries) if e[0] == data_off_tag)
     so_bytes = pack_values(4, offsets)
     if len(so_bytes) <= 4:
         serialized[so_index] = so_bytes.ljust(4, b"\x00")
@@ -333,9 +388,10 @@ def encode_tiff(
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode a strip-based baseline 8-bit TIFF (gray / RGB / palette;
-    none / LZW / PackBits; II or MM byte order) into an ``(H, W, 3)``
-    uint8 RGB array — stdlib struct + numpy, no media library."""
+    """Decode a strip- or tile-based baseline 8-bit TIFF (gray / RGB /
+    palette; none / LZW / PackBits; optional horizontal predictor; II or
+    MM byte order) into an ``(H, W, 3)`` uint8 RGB array — stdlib struct
+    + numpy, no media library."""
     b = bytes(payload)
     if b[:4] not in TIFF_MAGICS:
         raise NotImplementedError(
@@ -383,14 +439,17 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     bits = tags.get(258, [8])
     offsets = tags.get(273)
     counts = tags.get(279)
-    if one(322, 0) or one(323, 0) or 324 in tags:
-        raise NotImplementedError("tiled TIFF is not supported")
+    tiled = 324 in tags
     if any(x != 8 for x in bits):
         raise NotImplementedError(
             f"only 8-bit TIFF is supported (BitsPerSample={bits})"
         )
-    if one(317, 1) != 1:
-        raise NotImplementedError("TIFF predictors are not supported")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"only the horizontal TIFF predictor is supported "
+            f"(predictor={predictor})"
+        )
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"only none/LZW/PackBits TIFF compression is supported "
@@ -402,29 +461,63 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"unsupported TIFF layout (photometric={photo}, samples={spp})"
         )
-    if w <= 0 or h <= 0 or not offsets or not counts:
-        raise ValueError("malformed TIFF payload: missing strip layout")
-    rowbytes = w * spp
-    raw = bytearray()
-    for si, (soff, scnt) in enumerate(zip(offsets, counts)):
-        strip = b[soff : soff + scnt]
-        if len(strip) != scnt:
-            raise ValueError("malformed TIFF payload: truncated strip")
-        rows = min(rps, h - si * rps)
-        need = rows * rowbytes
+    def expand(data: bytes, need: int, what: str) -> bytes:
         if comp == 5:
-            raw += lzw_decode_tiff(strip, need)
-        elif comp == 32773:
-            raw += packbits_decode(strip, need)
-        else:
-            if len(strip) < need:
-                raise ValueError("malformed TIFF payload: short strip")
-            raw += strip[:need]
-    if len(raw) != h * rowbytes:
-        raise ValueError(
-            f"malformed TIFF payload: {len(raw)} bytes, expected {h * rowbytes}"
-        )
-    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+            return lzw_decode_tiff(data, need)
+        if comp == 32773:
+            return packbits_decode(data, need)
+        if len(data) < need:
+            raise ValueError(f"malformed TIFF payload: short {what}")
+        return data[:need]
+
+    if tiled:
+        tw, th = one(322), one(323)
+        offsets, counts = tags.get(324), tags.get(325)
+        if tw <= 0 or th <= 0 or not offsets or not counts:
+            raise ValueError("malformed TIFF payload: missing tile layout")
+        n_x = -(-w // tw)
+        n_y = -(-h // th)
+        if len(offsets) < n_x * n_y or len(counts) < n_x * n_y:
+            raise ValueError("malformed TIFF payload: short tile tables")
+        px = np.zeros((h, w, spp), dtype=np.uint8)
+        for ty in range(n_y):
+            for tx in range(n_x):
+                ti = ty * n_x + tx
+                toff, tcnt = offsets[ti], counts[ti]
+                tdata = b[toff : toff + tcnt]
+                if len(tdata) != tcnt:
+                    raise ValueError("malformed TIFF payload: truncated tile")
+                block = np.frombuffer(
+                    expand(tdata, th * tw * spp, "tile"), dtype=np.uint8
+                ).reshape(th, tw, spp)
+                if predictor == 2:
+                    block = _unpredict_rows(block)
+                y0, x0 = ty * th, tx * tw
+                ch, cw = min(th, h - y0), min(tw, w - x0)
+                px[y0 : y0 + ch, x0 : x0 + cw] = block[:ch, :cw]
+    else:
+        if w <= 0 or h <= 0 or not offsets or not counts:
+            raise ValueError("malformed TIFF payload: missing strip layout")
+        rowbytes = w * spp
+        raw = bytearray()
+        for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+            strip = b[soff : soff + scnt]
+            if len(strip) != scnt:
+                raise ValueError("malformed TIFF payload: truncated strip")
+            rows = min(rps, h - si * rps)
+            need = rows * rowbytes
+            data = expand(strip, need, "strip")
+            if predictor == 2:
+                data = _unpredict_rows(
+                    np.frombuffer(data, dtype=np.uint8).reshape(rows, w, spp)
+                ).tobytes()
+            raw += data
+        if len(raw) != h * rowbytes:
+            raise ValueError(
+                f"malformed TIFF payload: {len(raw)} bytes, "
+                f"expected {h * rowbytes}"
+            )
+        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
     if photo == 2:
         return np.ascontiguousarray(px[:, :, :3])
     if photo == 3:

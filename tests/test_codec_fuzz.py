@@ -120,9 +120,14 @@ def test_fuzz_tiff_roundtrip(data):
     be = data.draw(st.booleans())
     rps = data.draw(st.one_of(st.none(), st.integers(1, 8)))
     gray = data.draw(st.booleans())
+    pred = data.draw(st.booleans())
+    tile = data.draw(st.one_of(st.none(), st.sampled_from([(16, 16), (32, 16)])))
     px = _img(data.draw, h, w, 1 if gray else 3)
     out = decode_tiff(
-        encode_tiff(px, compression=comp, big_endian=be, rows_per_strip=rps)
+        encode_tiff(
+            px, compression=comp, big_endian=be, rows_per_strip=rps,
+            predictor=pred, tile=tile,
+        )
     )
     want = px if not gray else np.repeat(px[:, :, None], 3, axis=2)
     np.testing.assert_array_equal(out, want)

@@ -205,3 +205,64 @@ def test_tiff_through_spark_extract_features(spark):
         np.testing.assert_allclose(
             out[did]["feature"][0], im.astype(np.float64).mean()
         )
+
+
+def test_tiff_predictor_roundtrip_and_tag():
+    """Horizontal predictor (tag 317 = 2): exact roundtrip for every
+    compression, and the tag is actually written (a predictor-encoded
+    LZW gradient must compress better than plain LZW — the point of the
+    predictor)."""
+    rng = _rng()
+    for comp in ("none", "lzw", "packbits"):
+        for shape in ((1, 1), (9, 13), (23, 31)):
+            g = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+            out = decode_tiff(encode_tiff(g, compression=comp, predictor=True))
+            np.testing.assert_array_equal(out, g)
+    # smooth gradient: predictor turns rows into tiny deltas -> LZW wins
+    grad = np.tile(np.arange(200, dtype=np.uint8), (40, 1))
+    plain = encode_tiff(grad, compression="lzw")
+    pred = encode_tiff(grad, compression="lzw", predictor=True)
+    assert len(pred) < len(plain)
+
+
+def test_tiff_tiled_roundtrip_edge_crop():
+    """Tiled TIFF (tags 322-325): non-multiple image dims exercise the
+    zero-padded edge tiles; predictor composes with tiling (applied per
+    tile row); both byte orders."""
+    rng = _rng()
+    for shape in ((16, 16), (17, 33), (45, 70), (5, 90)):
+        for comp in ("none", "lzw", "packbits"):
+            for pred in (False, True):
+                rgb = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+                out = decode_tiff(
+                    encode_tiff(
+                        rgb, compression=comp, tile=(16, 32), predictor=pred
+                    )
+                )
+                np.testing.assert_array_equal(out, rgb)
+    g = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(g, tile=(16, 16), big_endian=True))
+    np.testing.assert_array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_tiff_tile_dims_validated():
+    g = _rng().integers(0, 256, (8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(g, tile=(15, 16))
+    # unsupported predictor value still a named error
+    good = encode_tiff(g, compression="lzw", predictor=True)
+    bad = bytearray(good)
+    (n,) = struct.unpack_from("<H", bad, 8)
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", bad, off)[0] == 317:
+            struct.pack_into("<H", bad, off + 8, 3)  # floating-point predictor
+    with pytest.raises(NotImplementedError, match="horizontal TIFF predictor"):
+        decode_tiff(bytes(bad))
+
+
+def test_tiff_truncated_tile_named_error():
+    g = _rng().integers(0, 256, (33, 50), dtype=np.uint8)
+    tiled = encode_tiff(g, compression="none", tile=(16, 16))
+    with pytest.raises(ValueError, match="truncated tile|short tile|out of range"):
+        decode_tiff(tiled[: len(tiled) - 20])
