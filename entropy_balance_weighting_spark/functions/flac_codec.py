@@ -12,8 +12,10 @@ additionally handles LPC subframes and Rice partitions so real-world
 fixed-blocksize FLAC files decode too.
 
 FLAC is lossless: decode(encode(x)) == x exactly, which is what the
-``mm_flac_decode`` driver oracle pins.  Unsupported: variable blocking
-strategy, bps other than 8/16 (encode) / 4–24 (decode), >2 channels.
+``mm_flac_decode`` driver oracle pins.  Channels: 1-8 independent on
+both paths (the stereo-decorrelated left/right/mid-side assignments
+decode too).  Unsupported: variable blocking strategy, bps other than
+8/16 (encode) / 4–24 (decode).
 """
 
 from __future__ import annotations
@@ -253,17 +255,17 @@ def encode_flac(
     bits_per_sample: int = 16,
     block_size: int = 4096,
 ) -> bytes:
-    """Encode ``(N,)`` mono or ``(N, 2)`` stereo integer samples as a
-    fixed-blocksize FLAC stream: per-block best FIXED predictor
-    (order 0–4 by absolute-residual sum), Rice-coded residuals (single
-    partition), independent channels, correct CRC-8/CRC-16."""
+    """Encode ``(N,)`` mono or ``(N, C)`` multichannel (C ≤ 8) integer
+    samples as a fixed-blocksize FLAC stream: per-block best FIXED
+    predictor (order 0–4 by absolute-residual sum), Rice-coded residuals
+    (single partition), independent channels, correct CRC-8/CRC-16."""
     if bits_per_sample not in (8, 16):
         raise ValueError("encode_flac supports 8- or 16-bit samples")
     s = np.asarray(samples, dtype=np.int64)
     if s.ndim == 1:
         s = s[:, None]
-    if s.ndim != 2 or s.shape[1] not in (1, 2) or s.shape[0] == 0:
-        raise ValueError(f"expected (N,) or (N,1|2) samples, got {s.shape}")
+    if s.ndim != 2 or not 1 <= s.shape[1] <= 8 or s.shape[0] == 0:
+        raise ValueError(f"expected (N,) or (N,1..8) samples, got {s.shape}")
     lo, hi = -(1 << (bits_per_sample - 1)), (1 << (bits_per_sample - 1)) - 1
     if s.min() < lo or s.max() > hi:
         raise ValueError(f"samples exceed {bits_per_sample}-bit range")
@@ -372,8 +374,6 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     n_ch = si.read(3) + 1
     bps = si.read(5) + 1
     total = si.read(36)
-    if n_ch > 2:
-        raise NotImplementedError("FLAC with >2 channels is not supported")
     if not 4 <= bps <= 24:
         raise NotImplementedError(f"unsupported FLAC bit depth {bps}")
 

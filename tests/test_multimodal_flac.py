@@ -259,3 +259,30 @@ def test_resample_clips_24bit_samples_instead_of_wrapping(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(dec).ravel(), [32767, -32768, 1000, -1000]
     )
+
+
+def test_flac_multichannel_roundtrip():
+    """1-8 independent channels roundtrip exactly (the FLAC channel
+    field is 3 bits; the per-channel subframe loop is channel-generic),
+    and a 6-channel stream survives the decode_audio -> encode_wav
+    re-encode path (WAV takes any channel count)."""
+    from entropy_balance_weighting_spark.functions import multimodal
+    from entropy_balance_weighting_spark.functions.flac_codec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(5)
+    for ch in (3, 6, 8):
+        s = rng.integers(-32768, 32768, (3000, ch)).astype(np.int64)
+        out, rate = decode_flac(encode_flac(s, 48000, block_size=512))
+        assert out.shape == (3000, ch) and rate == 48000
+        np.testing.assert_array_equal(out, s)
+    s6 = rng.integers(-32768, 32768, (100, 6)).astype(np.int64)
+    wav = multimodal.encode_wav(
+        np.asarray(decode_flac(encode_flac(s6))[0], dtype=np.int16), 16000
+    )
+    dec, _ = multimodal.decode_wav(wav)
+    np.testing.assert_array_equal(np.asarray(dec), s6)
+    with pytest.raises(ValueError, match=r"\(N,1\.\.8\)"):
+        encode_flac(np.zeros((4, 9), dtype=np.int64))
