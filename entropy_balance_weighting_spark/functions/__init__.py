@@ -25,9 +25,11 @@ pipeline needs, built Spark-first as first-class engine components):
   :mod:`functions.tiff_codec`), uncompressed-AVI demux
   (:mod:`functions.avi_codec`), and EXIF metadata extract/GPS-scrub
   (:mod:`functions.exif_codec`); only formats that genuinely need a
-  media library (H.264/H.265 video, MP3/AAC audio entropy decode) remain
-  stubbed — though container-level metadata scrub (ID3v2, MP4 atoms,
-  :mod:`functions.container_meta`) works without decoding them.
+  media library (H.264/H.265 video, MP3/AAC/Vorbis audio entropy
+  decode) remain stubbed — though container-level metadata works without
+  decoding them: ID3v2 + MP4-atom extract/strip, MPEG frame-header
+  probing (duration/bitrate/VBR), and Ogg-page Vorbis-comment
+  extract/scrub (:mod:`functions.container_meta`).
 
 Everything is DataFrame/Column-expression first; Python reaches the hot
 path only through Arrow-batched ``mapInPandas`` where semantics require it.

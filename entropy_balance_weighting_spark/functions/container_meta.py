@@ -465,3 +465,263 @@ def build_mp3_frames(
             )
         out.extend(frame)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Ogg/Vorbis comment header — RFC 3533 page walk + Vorbis I comment packet.
+# Privacy scrub for .ogg audio: comments (ARTIST, GEO_LOCATION,
+# METADATA_BLOCK_PICTURE, ...) live in the stream's second packet; pages
+# are CRC-protected (CRC-32, poly 0x04c11db7, no reflection, init/xor 0),
+# so a rewrite must rebuild the segment table and re-checksum.
+# ---------------------------------------------------------------------------
+
+OGG_MAGIC = b"OggS"
+
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+            tbl.append(r)
+        _OGG_CRC_TABLE = tbl
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def _ogg_page(
+    serial: int,
+    seq: int,
+    granule: int,
+    packets: list[bytes],
+    *,
+    header_type: int = 0,
+) -> bytes:
+    """Serialize one Ogg page holding whole packets (each ends on this
+    page: lacing 255* + final <255 segment)."""
+    segs = bytearray()
+    body = bytearray()
+    for p in packets:
+        n = len(p)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        body += p
+    if len(segs) > 255:
+        raise ValueError("Ogg page overflow: too many segments")
+    hdr = (
+        OGG_MAGIC
+        + bytes([0, header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", serial)
+        + struct.pack("<I", seq)
+        + b"\x00\x00\x00\x00"  # CRC placeholder
+        + bytes([len(segs)])
+        + bytes(segs)
+    )
+    page = bytearray(hdr + bytes(body))
+    struct.pack_into("<I", page, 22, _ogg_crc(bytes(page)))
+    return bytes(page)
+
+
+def _walk_ogg_pages(b: bytes):
+    """Yield ``(page_start, page_end, header_type, granule, serial, seq,
+    body_start, seg_table)`` for each page; named ValueError on damage."""
+    pos = 0
+    while pos < len(b):
+        if b[pos : pos + 4] != OGG_MAGIC:
+            raise ValueError("malformed Ogg payload: lost page sync")
+        if pos + 27 > len(b):
+            raise ValueError("malformed Ogg payload: truncated page header")
+        version, htype = b[pos + 4], b[pos + 5]
+        if version != 0:
+            raise ValueError(f"malformed Ogg payload: version {version}")
+        (granule,) = struct.unpack_from("<q", b, pos + 6)
+        serial, seq, _crc = struct.unpack_from("<III", b, pos + 14)
+        n_segs = b[pos + 26]
+        seg_table = b[pos + 27 : pos + 27 + n_segs]
+        if len(seg_table) != n_segs:
+            raise ValueError("malformed Ogg payload: truncated segment table")
+        body_start = pos + 27 + n_segs
+        body_len = sum(seg_table)
+        if body_start + body_len > len(b):
+            raise ValueError("malformed Ogg payload: truncated page body")
+        page = bytearray(b[pos : body_start + body_len])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != _crc:
+            raise ValueError("malformed Ogg payload: page CRC mismatch")
+        yield (pos, body_start + body_len, htype, granule, serial, seq,
+               body_start, seg_table)
+        pos = body_start + body_len
+
+
+def _vorbis_packets(b: bytes, serial: int):
+    """Reassemble packets of one logical stream from its pages (packets
+    spanning pages are concatenated per the lacing rule)."""
+    pending = bytearray()
+    for (_s, _e, _ht, _gr, ser, _seq, body, segs) in _walk_ogg_pages(b):
+        if ser != serial:
+            continue
+        pos = body
+        for seg in segs:
+            pending += b[pos : pos + seg]
+            pos += seg
+            if seg < 255:
+                yield bytes(pending)
+                pending.clear()
+
+
+def build_ogg_vorbis(
+    *,
+    comments: dict[str, str] | None = None,
+    vendor: str = "ebw-spark",
+    sample_rate: int = 44100,
+    channels: int = 2,
+    n_audio_packets: int = 4,
+    seed: int = 0,
+) -> bytes:
+    """Deterministic Ogg Vorbis container for tests: real page structure
+    and real id/comment/setup headers; the audio packets are opaque
+    pseudo-random bytes (this module never decodes Vorbis audio)."""
+    ident = (
+        b"\x01vorbis"
+        + struct.pack("<I", 0)
+        + bytes([channels])
+        + struct.pack("<I", sample_rate)
+        + struct.pack("<iii", 0, 128000, 0)
+        + bytes([0xB8])  # blocksizes 2^8/2^11
+        + b"\x01"  # framing
+    )
+    c = bytearray(b"\x03vorbis")
+    v = vendor.encode()
+    c += struct.pack("<I", len(v)) + v
+    items = list((comments or {}).items())
+    c += struct.pack("<I", len(items))
+    for k, val in items:
+        kv = f"{k}={val}".encode()
+        c += struct.pack("<I", len(kv)) + kv
+    c += b"\x01"  # framing bit
+    setup = b"\x05vorbis" + bytes(
+        ((seed * 31 + i * 17) % 255 for i in range(40))
+    )
+    serial = 0x42424242
+    out = bytearray()
+    out += _ogg_page(serial, 0, 0, [ident], header_type=2)  # BOS
+    out += _ogg_page(serial, 1, 0, [bytes(c), setup])
+    for i in range(n_audio_packets):
+        pkt = bytes(((seed * 131 + i * 251 + j * 7) % 256 for j in range(120)))
+        ht = 4 if i == n_audio_packets - 1 else 0  # EOS on the last page
+        out += _ogg_page(serial, 2 + i, (i + 1) * 1024, [pkt], header_type=ht)
+    return bytes(out)
+
+
+def extract_vorbis_comments(payload: bytes) -> dict:
+    """Parse the first Vorbis stream's headers: returns ``channels``,
+    ``sample_rate``, ``vendor``, ``comments`` (upper-cased keys; later
+    duplicates win), and ``duration_sec`` from the final granule
+    position.  Named ValueError on structural damage."""
+    b = bytes(payload)
+    serial = None
+    last_granule = 0
+    for (_s, _e, ht, gr, ser, _seq, body, segs) in _walk_ogg_pages(b):
+        if serial is None and ht & 2 and b[body : body + 7] == b"\x01vorbis":
+            serial = ser
+        if serial == ser and gr > 0:
+            last_granule = max(last_granule, gr)
+    if serial is None:
+        raise ValueError("malformed Ogg payload: no Vorbis BOS page")
+    packets = _vorbis_packets(b, serial)
+    ident = next(packets, None)
+    comment = next(packets, None)
+    if ident is None or ident[:7] != b"\x01vorbis" or len(ident) < 16:
+        raise ValueError("malformed Ogg payload: bad identification header")
+    channels = ident[11]
+    (rate,) = struct.unpack_from("<I", ident, 12)
+    out = {
+        "channels": channels,
+        "sample_rate": rate,
+        "vendor": "",
+        "comments": {},
+        "duration_sec": last_granule / rate if rate else 0.0,
+    }
+    if comment is None or comment[:7] != b"\x03vorbis":
+        raise ValueError("malformed Ogg payload: bad comment header")
+    pos = 7
+    try:
+        (vlen,) = struct.unpack_from("<I", comment, pos)
+        pos += 4
+        out["vendor"] = comment[pos : pos + vlen].decode("utf-8", "replace")
+        pos += vlen
+        (n,) = struct.unpack_from("<I", comment, pos)
+        pos += 4
+        for _ in range(n):
+            (ln,) = struct.unpack_from("<I", comment, pos)
+            pos += 4
+            item = comment[pos : pos + ln].decode("utf-8", "replace")
+            pos += ln
+            if "=" in item:
+                k, _, val = item.partition("=")
+                out["comments"][k.upper()] = val
+    except struct.error:
+        raise ValueError("malformed Ogg payload: comment header out of range")
+    return out
+
+
+def strip_vorbis_comments(
+    payload: bytes, *, keep: tuple[str, ...] = ()
+) -> bytes:
+    """Rewrite the Vorbis comment packet with only the ``keep``-listed
+    keys (default: none — full privacy scrub, vendor string cleared),
+    rebuilding that page's segment table and CRC.  Every other page —
+    including all coded audio — is byte-identical."""
+    b = bytes(payload)
+    meta = extract_vorbis_comments(b)  # validates structure
+    kept = {k: v for k, v in meta["comments"].items() if k in keep}
+    newc = bytearray(b"\x03vorbis")
+    newc += struct.pack("<I", 0)  # vendor cleared
+    newc += struct.pack("<I", len(kept))
+    for k, v in kept.items():
+        kv = f"{k}={v}".encode()
+        newc += struct.pack("<I", len(kv)) + kv
+    newc += b"\x01"
+    serial = None
+    out = bytearray()
+    for (s, e, ht, gr, ser, seq, body, segs) in _walk_ogg_pages(b):
+        if serial is None and ht & 2 and b[body : body + 7] == b"\x01vorbis":
+            serial = ser
+            out += b[s:e]
+            continue
+        is_comment_page = (
+            serial == ser and b[body : body + 7] == b"\x03vorbis"
+        )
+        if not is_comment_page:
+            out += b[s:e]
+            continue
+        # split this page's packets, swap the comment packet, re-page
+        packets: list[bytes] = []
+        pending = bytearray()
+        pos = body
+        for seg in segs:
+            pending += b[pos : pos + seg]
+            pos += seg
+            if seg < 255:
+                packets.append(bytes(pending))
+                pending.clear()
+        if pending:
+            raise ValueError(
+                "malformed Ogg payload: comment packet spans pages "
+                "(unsupported by strip)"
+            )
+        packets = [
+            bytes(newc) if p[:7] == b"\x03vorbis" else p for p in packets
+        ]
+        out += _ogg_page(ser, seq, gr, packets, header_type=ht)
+    return bytes(out)

@@ -271,3 +271,75 @@ def test_mp3_probe_fuzz_roundtrip(n_frames, layer, mpeg1, mono, br_idx, sr_idx, 
     assert m["bitrate_kbps_avg"] == float(table[br_idx])
     assert m["channel_mode"] == ("mono" if mono else "stereo")
     assert m["resync_bytes"] == 0 and not m["truncated"]
+
+
+# -- Ogg/Vorbis comment walk ----------------------------------------------
+
+
+def test_ogg_vorbis_extract_exact():
+    ogg = cm.build_ogg_vorbis(
+        comments={"ARTIST": "Band", "GEO_LOCATION": "37.77,-122.41"},
+        sample_rate=48000, channels=1, n_audio_packets=3,
+    )
+    m = cm.extract_vorbis_comments(ogg)
+    assert m["channels"] == 1 and m["sample_rate"] == 48000
+    assert m["vendor"] == "ebw-spark"
+    assert m["comments"] == {"ARTIST": "Band", "GEO_LOCATION": "37.77,-122.41"}
+    assert abs(m["duration_sec"] - 3 * 1024 / 48000) < 1e-12
+
+
+def test_ogg_vorbis_strip_preserves_audio_pages():
+    """Scrub drops all comments and the vendor string; every non-header
+    page (all coded audio) is BYTE-IDENTICAL; a keep-list survives."""
+    ogg = cm.build_ogg_vorbis(
+        comments={"ARTIST": "x", "GEO_LOCATION": "1,2", "TITLE": "keepme"},
+        n_audio_packets=4,
+    )
+    clean = cm.strip_vorbis_comments(ogg)
+    m = cm.extract_vorbis_comments(clean)
+    assert m["comments"] == {} and m["vendor"] == ""
+    kept = cm.extract_vorbis_comments(
+        cm.strip_vorbis_comments(ogg, keep=("TITLE",))
+    )
+    assert kept["comments"] == {"TITLE": "keepme"}
+    # pages 2.. (audio) byte-identical
+    assert ogg.split(b"OggS")[3:] == clean.split(b"OggS")[3:]
+    # scrubbed container still fully CRC-valid
+    assert cm.extract_vorbis_comments(clean)["sample_rate"] == 44100
+
+
+def test_ogg_crc_validated():
+    ogg = bytearray(cm.build_ogg_vorbis(comments={"A": "b"}))
+    ogg[-1] ^= 0xFF  # corrupt the last audio byte
+    with pytest.raises(ValueError, match="page CRC mismatch"):
+        cm.extract_vorbis_comments(bytes(ogg))
+
+
+def test_ogg_malformed_named_errors():
+    with pytest.raises(ValueError, match="lost page sync"):
+        cm.extract_vorbis_comments(b"NotAnOggStream" + bytes(30))
+    ogg = cm.build_ogg_vorbis()
+    with pytest.raises(ValueError, match="truncated page"):
+        cm.extract_vorbis_comments(ogg[:40])
+
+
+@given(
+    n_comments=st.integers(0, 8),
+    n_audio=st.integers(1, 6),
+    rate=st.sampled_from([8000, 22050, 44100, 48000]),
+    ch=st.integers(1, 8),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_ogg_vorbis_fuzz_roundtrip(n_comments, n_audio, rate, ch, seed):
+    comments = {f"K{i}": f"value-{seed}-{i}" for i in range(n_comments)}
+    ogg = cm.build_ogg_vorbis(
+        comments=comments, sample_rate=rate, channels=ch,
+        n_audio_packets=n_audio, seed=seed,
+    )
+    m = cm.extract_vorbis_comments(ogg)
+    assert m["comments"] == comments
+    assert m["channels"] == ch and m["sample_rate"] == rate
+    clean = cm.strip_vorbis_comments(ogg)
+    assert cm.extract_vorbis_comments(clean)["comments"] == {}
+    assert ogg.split(b"OggS")[3:] == clean.split(b"OggS")[3:]
