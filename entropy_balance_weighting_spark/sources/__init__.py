@@ -1,10 +1,15 @@
 """Sources & sinks: problem-bundle serialization (SURVEY §2.1 S2/S3),
-storage layout (partitioned/bucketed parquet), and deterministic
-train/val/test split writing with an audit manifest."""
+storage layout (partitioned/bucketed parquet), deterministic
+train/val/test split writing with an audit manifest, and the
+training-export token-shard sink (Megatron-style .bin + manifest)."""
 
 from entropy_balance_weighting_spark.sources.layout import (
     write_bucketed,
     write_partitioned,
+)
+from entropy_balance_weighting_spark.sources.shards import (
+    read_token_shard,
+    write_token_shards,
 )
 from entropy_balance_weighting_spark.sources.splits import (
     split_column,
@@ -12,8 +17,10 @@ from entropy_balance_weighting_spark.sources.splits import (
 )
 
 __all__ = [
+    "read_token_shard",
     "split_column",
     "write_bucketed",
     "write_partitioned",
     "write_splits",
+    "write_token_shards",
 ]
