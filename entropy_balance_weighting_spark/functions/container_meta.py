@@ -169,11 +169,15 @@ def build_mp4(
     body: bytes,
     name: str | None = None,
     gps: tuple[float, float] | None = None,
+    *,
+    extra_moov_children: bytes = b"",
 ) -> bytes:
     """Build a minimal MP4: ``ftyp`` + ``moov`` (stub ``mvhd`` and, when
     metadata is given, a ``udta`` with 3GPP ``©xyz`` location and/or
     ``©nam`` title) + ``mdat`` carrying ``body`` (the opaque coded
-    bitstream this module never touches)."""
+    bitstream this module never touches).  ``extra_moov_children``
+    appends pre-serialized atoms (e.g. :func:`build_mp4_track` traks)
+    inside ``moov``."""
     ftyp = _atom(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
     mvhd = _atom(b"mvhd", bytes(100))  # version/flags + zeroed stub fields
     udta_children = b""
@@ -190,6 +194,7 @@ def build_mp4(
     moov_children = mvhd
     if udta_children:
         moov_children += _atom(b"udta", udta_children)
+    moov_children += extra_moov_children
     return ftyp + _atom(b"moov", moov_children) + _atom(b"mdat", body)
 
 
@@ -725,3 +730,151 @@ def strip_vorbis_comments(
         ]
         out += _ogg_page(ser, seq, gr, packets, header_type=ht)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample-table probe — ISO/IEC 14496-12 trak/mdia/stbl walk: per-track
+# codec-free stream stats (handler, timescale, duration, sample count and
+# bytes) from mdhd/hdlr/stts/stsz.  The coded samples stay opaque.
+# ---------------------------------------------------------------------------
+
+
+def build_mp4_track(
+    *,
+    handler: str = "vide",
+    timescale: int = 30000,
+    sample_deltas: list[tuple[int, int]] | None = None,
+    sample_sizes: list[int] | None = None,
+    fixed_sample_size: int = 0,
+) -> bytes:
+    """Serialize one ``trak`` atom with real ``mdhd``/``hdlr``/``stts``/
+    ``stsz`` boxes (fixture for :func:`probe_mp4_tracks`; pass the result
+    via ``build_mp4(extra_moov_children=...)``).  ``sample_deltas`` is
+    the stts run-length list ``[(count, delta), ...]``."""
+    deltas = sample_deltas or [(30, 1001)]
+    n_samples = sum(c for c, _ in deltas)
+    duration = sum(c * d for c, d in deltas)
+    mdhd = _atom(
+        b"mdhd",
+        struct.pack(">I", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime/mtime
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # lang 'und', pre_defined
+    )
+    hdlr = _atom(
+        b"hdlr",
+        struct.pack(">I", 0)
+        + b"\x00\x00\x00\x00"
+        + handler.encode("ascii")
+        + bytes(12)
+        + b"ebw\x00",
+    )
+    stts = _atom(
+        b"stts",
+        struct.pack(">II", 0, len(deltas))
+        + b"".join(struct.pack(">II", c, d) for c, d in deltas),
+    )
+    if sample_sizes is not None:
+        stsz = _atom(
+            b"stsz",
+            struct.pack(">III", 0, 0, len(sample_sizes))
+            + b"".join(struct.pack(">I", s) for s in sample_sizes),
+        )
+    else:
+        stsz = _atom(
+            b"stsz", struct.pack(">III", 0, fixed_sample_size, n_samples)
+        )
+    stbl = _atom(b"stbl", stts + stsz)
+    minf = _atom(b"minf", stbl)
+    mdia = _atom(b"mdia", mdhd + hdlr + minf)
+    tkhd = _atom(b"tkhd", bytes(84))
+    return _atom(b"trak", tkhd + mdia)
+
+
+def _find_atom(b: bytes, pos: int, end: int, typ: bytes):
+    for t, _hs, ds, de in _walk_atoms(b, pos, end):
+        if t == typ:
+            return ds, de
+    return None
+
+
+def probe_mp4_tracks(payload: bytes) -> list[dict]:
+    """Per-track stream stats from the sample tables, no codec: returns
+    one dict per ``trak`` with ``handler`` (``vide``/``soun``/...),
+    ``timescale``, ``duration_sec`` (mdhd duration over timescale),
+    ``n_samples`` (stts run-length sum), ``total_sample_bytes`` and
+    ``avg_sample_bytes`` (stsz fixed size or per-sample table).  Named
+    ValueError on a malformed atom tree or truncated tables."""
+    b = bytes(payload)
+    if not _is_mp4(b):
+        raise ValueError("malformed MP4 payload: missing ftyp")
+    tracks: list[dict] = []
+    moov = _find_atom(b, 0, len(b), b"moov")
+    if moov is None:
+        return tracks
+    for typ, _hs, ds, de in _walk_atoms(b, moov[0], moov[1]):
+        if typ != b"trak":
+            continue
+        mdia = _find_atom(b, ds, de, b"mdia")
+        if mdia is None:
+            continue
+        info: dict = {
+            "handler": "",
+            "timescale": 0,
+            "duration_sec": 0.0,
+            "n_samples": 0,
+            "total_sample_bytes": 0,
+            "avg_sample_bytes": 0.0,
+        }
+        mdhd = _find_atom(b, mdia[0], mdia[1], b"mdhd")
+        if mdhd is not None:
+            ds2, de2 = mdhd
+            if de2 - ds2 < 20:
+                raise ValueError("malformed MP4 payload: short mdhd")
+            version = b[ds2]
+            if version == 1:
+                if de2 - ds2 < 32:
+                    raise ValueError("malformed MP4 payload: short mdhd v1")
+                (ts,) = struct.unpack_from(">I", b, ds2 + 20)
+                (dur,) = struct.unpack_from(">Q", b, ds2 + 24)
+            else:
+                ts, dur = struct.unpack_from(">II", b, ds2 + 12)
+            info["timescale"] = ts
+            info["duration_sec"] = dur / ts if ts else 0.0
+        hdlr = _find_atom(b, mdia[0], mdia[1], b"hdlr")
+        if hdlr is not None:
+            ds2, _de2 = hdlr
+            info["handler"] = b[ds2 + 8 : ds2 + 12].decode("ascii", "replace")
+        minf = _find_atom(b, mdia[0], mdia[1], b"minf")
+        stbl = _find_atom(b, *minf, b"stbl") if minf else None
+        if stbl is not None:
+            stts = _find_atom(b, stbl[0], stbl[1], b"stts")
+            if stts is not None:
+                ds2, de2 = stts
+                (n_ent,) = struct.unpack_from(">I", b, ds2 + 4)
+                if ds2 + 8 + 8 * n_ent > de2:
+                    raise ValueError("malformed MP4 payload: short stts")
+                n = 0
+                for i in range(n_ent):
+                    c, _d = struct.unpack_from(">II", b, ds2 + 8 + 8 * i)
+                    n += c
+                info["n_samples"] = n
+            stsz = _find_atom(b, stbl[0], stbl[1], b"stsz")
+            if stsz is not None:
+                ds2, de2 = stsz
+                fixed, count = struct.unpack_from(">II", b, ds2 + 4)
+                if fixed:
+                    total = fixed * count
+                else:
+                    if ds2 + 12 + 4 * count > de2:
+                        raise ValueError("malformed MP4 payload: short stsz")
+                    total = sum(
+                        struct.unpack_from(">I", b, ds2 + 12 + 4 * i)[0]
+                        for i in range(count)
+                    )
+                info["total_sample_bytes"] = total
+                info["avg_sample_bytes"] = total / count if count else 0.0
+                if not info["n_samples"]:
+                    info["n_samples"] = count
+        tracks.append(info)
+    return tracks

@@ -343,3 +343,77 @@ def test_ogg_vorbis_fuzz_roundtrip(n_comments, n_audio, rate, ch, seed):
     clean = cm.strip_vorbis_comments(ogg)
     assert cm.extract_vorbis_comments(clean)["comments"] == {}
     assert ogg.split(b"OggS")[3:] == clean.split(b"OggS")[3:]
+
+
+# -- MP4 sample-table probe ------------------------------------------------
+
+
+def test_mp4_track_probe_exact():
+    """Per-track stats are exact arithmetic over the planted stts/stsz
+    tables: mixed-delta video track with a per-sample size table plus a
+    fixed-size audio track; the udta scrub preserves both tracks."""
+    trak_v = cm.build_mp4_track(
+        handler="vide", timescale=30000,
+        sample_deltas=[(30, 1001), (10, 2002)],
+        sample_sizes=list(range(100, 140)),
+    )
+    trak_a = cm.build_mp4_track(
+        handler="soun", timescale=44100,
+        sample_deltas=[(43, 1024)], fixed_sample_size=512,
+    )
+    mp4 = cm.build_mp4(
+        b"opaque" * 20, name="clip", gps=(12.5, -7.25),
+        extra_moov_children=trak_v + trak_a,
+    )
+    v, a = cm.probe_mp4_tracks(mp4)
+    assert v["handler"] == "vide" and v["n_samples"] == 40
+    assert abs(v["duration_sec"] - (30 * 1001 + 10 * 2002) / 30000) < 1e-12
+    assert v["total_sample_bytes"] == sum(range(100, 140))
+    assert a["handler"] == "soun" and a["n_samples"] == 43
+    assert a["total_sample_bytes"] == 43 * 512
+    assert abs(a["avg_sample_bytes"] - 512.0) < 1e-12
+    # scrub removes udta but keeps the sample tables byte-exact
+    clean = cm.strip_mp4_meta(mp4)
+    assert cm.extract_mp4_meta(clean) == {}
+    assert cm.probe_mp4_tracks(clean) == [v, a]
+
+
+def test_mp4_track_probe_no_tracks_and_malformed():
+    assert cm.probe_mp4_tracks(cm.build_mp4(b"x", name="n")) == []
+    with pytest.raises(ValueError, match="missing ftyp"):
+        cm.probe_mp4_tracks(b"notanmp4file" + bytes(20))
+    # truncated stsz table -> named error
+    trak = cm.build_mp4_track(sample_sizes=[10] * 8)
+    mp4 = bytearray(cm.build_mp4(b"x", extra_moov_children=trak))
+    idx = bytes(mp4).find(b"stsz")
+    struct.pack_into(">I", mp4, idx + 12, 10_000)  # claim 10k samples
+    with pytest.raises(ValueError, match="short stsz"):
+        cm.probe_mp4_tracks(bytes(mp4))
+
+
+@given(
+    timescale=st.sampled_from([1000, 30000, 44100, 90000]),
+    runs=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(1, 5000)),
+        min_size=1, max_size=5,
+    ),
+    fixed=st.integers(0, 4096),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_mp4_track_probe_fuzz(timescale, runs, fixed, seed):
+    n = sum(c for c, _ in runs)
+    sizes = None
+    if fixed == 0:
+        sizes = [(seed + i * 37) % 9000 for i in range(n)]
+    trak = cm.build_mp4_track(
+        handler="vide", timescale=timescale, sample_deltas=runs,
+        sample_sizes=sizes, fixed_sample_size=fixed,
+    )
+    (t,) = cm.probe_mp4_tracks(cm.build_mp4(b"body", extra_moov_children=trak))
+    assert t["n_samples"] == n
+    assert abs(
+        t["duration_sec"] - sum(c * d for c, d in runs) / timescale
+    ) < 1e-9
+    want = sum(sizes) if sizes is not None else fixed * n
+    assert t["total_sample_bytes"] == want
