@@ -1222,3 +1222,158 @@ def fingerprint_audio(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, FINGERPRINT_SCHEMA)
+
+
+def probe_image(payload: bytes) -> dict:
+    """Header-only image probe: ``{format, width, height}`` from the
+    first few hundred bytes, NO pixel decode — the scale path for
+    dimension/aspect filtering over a 100 TB image corpus (a filter pass
+    that full-decodes every blob pays 3-5 orders of magnitude more CPU
+    than one that reads headers; run this first, decode only survivors).
+
+    Formats: BMP, PNG (IHDR), GIF, JPEG (marker walk to any SOFn), TIFF
+    (IFD tags 256/257, II/MM), and WebP — lossy VP8 (keyframe sync +
+    14-bit dims), lossless VP8L (0x2F + packed 14-bit dims-minus-one),
+    and extended VP8X (24-bit canvas dims-minus-one) — dimensioned here
+    even though pixel decode needs libwebp.  Named ValueError on
+    truncated/malformed headers; NotImplementedError for unknown magics
+    (mirror of :func:`decode_image`)."""
+    import struct
+
+    b = bytes(payload)
+    if b[:2] == _BMP_MAGIC:
+        if len(b) < 26:
+            raise ValueError("malformed BMP payload: truncated header")
+        w, h = struct.unpack_from("<ii", b, 18)
+        return {"format": "bmp", "width": w, "height": abs(h)}
+    if b[:8] == _PNG_MAGIC:
+        if len(b) < 24 or b[12:16] != b"IHDR":
+            raise ValueError("malformed PNG payload: missing IHDR")
+        w, h = struct.unpack_from(">II", b, 16)
+        return {"format": "png", "width": w, "height": h}
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) < 10:
+            raise ValueError("malformed GIF payload: truncated header")
+        w, h = struct.unpack_from("<HH", b, 6)
+        return {"format": "gif", "width": w, "height": h}
+    if b[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                raise ValueError("malformed JPEG payload: lost marker sync")
+            marker = b[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seg_len,) = struct.unpack_from(">H", b, pos + 2)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 > len(b):
+                    raise ValueError("malformed JPEG payload: truncated SOF")
+                h, w = struct.unpack_from(">HH", b, pos + 5)
+                return {"format": "jpeg", "width": w, "height": h}
+            pos += 2 + seg_len
+        raise ValueError("malformed JPEG payload: no SOF marker")
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        bo = ">" if b[:2] == b"MM" else "<"
+        (ifd_off,) = struct.unpack_from(bo + "I", b, 4)
+        if ifd_off + 2 > len(b):
+            raise ValueError("malformed TIFF payload: IFD offset out of range")
+        (n,) = struct.unpack_from(bo + "H", b, ifd_off)
+        dims = {}
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            if off + 12 > len(b):
+                raise ValueError("malformed TIFF payload: truncated IFD")
+            tag, typ, _cnt = struct.unpack_from(bo + "HHI", b, off)
+            if tag in (256, 257):
+                fmt = {3: "H", 4: "I"}.get(typ)
+                if fmt is None:
+                    raise ValueError("malformed TIFF payload: bad dim type")
+                (v,) = struct.unpack_from(bo + fmt, b, off + 8)
+                dims[tag] = v
+        if 256 not in dims or 257 not in dims:
+            raise ValueError("malformed TIFF payload: missing dimensions")
+        return {"format": "tiff", "width": dims[256], "height": dims[257]}
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        fourcc = b[12:16]
+        if fourcc == b"VP8 ":
+            # lossy: 3-byte frame tag, then 9d 01 2a sync, then 14-bit dims
+            if len(b) < 30 or b[23:26] != b"\x9d\x01\x2a":
+                raise ValueError("malformed WebP payload: bad VP8 keyframe")
+            w = struct.unpack_from("<H", b, 26)[0] & 0x3FFF
+            h = struct.unpack_from("<H", b, 28)[0] & 0x3FFF
+            return {"format": "webp", "width": w, "height": h}
+        if fourcc == b"VP8L":
+            if len(b) < 25 or b[20] != 0x2F:
+                raise ValueError("malformed WebP payload: bad VP8L signature")
+            (bits,) = struct.unpack_from("<I", b, 21)
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return {"format": "webp", "width": w, "height": h}
+        if fourcc == b"VP8X":
+            if len(b) < 30:
+                raise ValueError("malformed WebP payload: truncated VP8X")
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            return {"format": "webp", "width": w, "height": h}
+        raise ValueError(f"malformed WebP payload: unknown chunk {fourcc!r}")
+    raise NotImplementedError(
+        "unsupported image format for header probe (BMP, PNG, GIF, JPEG, "
+        "TIFF, WebP)"
+    )
+
+
+def build_webp_header(
+    width: int, height: int, *, variant: str = "vp8"
+) -> bytes:
+    """Minimal WebP container with real dimension headers and an opaque
+    stub bitstream — fixture for :func:`probe_image` (this package never
+    decodes WebP pixels)."""
+    import struct
+
+    if not (1 <= width <= 16384 and 1 <= height <= 16384):
+        raise ValueError("WebP dims must be in [1, 16384]")
+    if variant == "vp8":
+        payload = (
+            bytes(3)  # frame tag (keyframe)
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+            + bytes(10)
+        )
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    elif variant == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)
+        payload = b"\x2f" + struct.pack("<I", bits) + bytes(8)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    elif variant == "vp8x":
+        payload = (
+            bytes(4)
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    else:
+        raise ValueError(f"variant must be vp8|vp8l|vp8x, got {variant!r}")
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def probe_image_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Header-only batch probe → ``(n_bytes, format, width, height)``
+    via :func:`probe_image` — the mapInPandas stage for corpus-scale
+    dimension filtering (no pixel decode; WebP included)."""
+    n_bytes, fmts, width, height = [], [], [], []
+    for b in payloads:
+        m = probe_image(bytes(b))
+        n_bytes.append(len(bytes(b)))
+        fmts.append(m["format"])
+        width.append(m["width"])
+        height.append(m["height"])
+    return pd.DataFrame(
+        {
+            "n_bytes": pd.Series(n_bytes, dtype="int32"),
+            "format": pd.Series(fmts, dtype="object"),
+            "width": pd.Series(width, dtype="int32"),
+            "height": pd.Series(height, dtype="int32"),
+        }
+    )
