@@ -835,6 +835,7 @@ def semantic_dedup_assignments(
     vec_col: str = "embedding",
     round_digits: int = 5,
     centers: DataFrame | None = None,
+    method: str = "pairs",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     deduplication by clustering embeddings and removing items whose
@@ -847,27 +848,77 @@ def semantic_dedup_assignments(
     semantic clique; lowest-id makes the choice reproducible and
     oracle-checkable).
 
-    ``centers``: cluster centroids ``(cell_id, c)`` — pass
-    :func:`fit_ivf_quantizer` output for the real k-means path.  Defaults
-    to the ``n_cells`` lowest-id input vectors as seed centroids, which
-    keeps the whole operator a closed-form function of the input (the
-    registered query's mode, mirrored exactly in SQL).
+    ``centers``: cluster centroids — either the ``(C, D)`` array
+    :func:`fit_ivf_quantizer` returns (the real k-means path; cell ids
+    are the row indices) or a DataFrame with ``(cell_id, c)`` columns.
+    Defaults to the ``n_cells`` lowest-id input vectors as seed
+    centroids, which keeps the whole operator a closed-form function of
+    the input (the registered query's mode, mirrored exactly in SQL).
 
     Plan (100 TB shape): centroids broadcast into a one-scan argmax
-    assignment (C·d flops per row, no shuffle); the dedup stage is a
-    within-cell self-join — volume Σ_cell |cell|², the same bound as the
-    paper's per-cluster pairwise pass, NOT N² (cells from a trained
-    quantizer are balanced by construction; cap cluster sizes upstream
-    for adversarial skew).  Contrast with
-    :func:`cosine_near_dup_pairs_bucketed`: that one is EXACT near-dup
-    (triangle-inequality cell-pair completeness), this one is the
-    recall-bounded-by-clustering semantic variant that scales to
-    billions of documents in one cheap pass.
+    assignment (C·d flops per row, no shuffle); the dedup stage is
+    bounded by Σ_cell |cell|², the same bound as the paper's per-cluster
+    pairwise pass, NOT N² (cells from a trained quantizer are balanced
+    by construction; cap cluster sizes upstream for adversarial skew).
+    ``method`` picks how that stage runs:
+
+    - ``"pairs"`` (default): within-cell hash-join with the JVM
+      fold-expression cosine — every arithmetic step mirrors the DuckDB
+      oracle bit-for-bit (the registered query's mode).
+    - ``"blas"``: per-cell ``applyInPandas`` — one normalized gram
+      matmul per cell (numpy/BLAS) and a lower-triangle reduction;
+      measured ~40× faster at 20k vectors (spikes/semantic_dedup_scale)
+      and the right physical form at corpus scale.  One cell must fit a
+      pandas frame — true by construction at C ≈ √N.
+
+    Contrast with :func:`cosine_near_dup_pairs_bucketed`: that one is
+    EXACT near-dup (triangle-inequality cell-pair completeness), this
+    one is the recall-bounded-by-clustering semantic variant that scales
+    to billions of documents in one cheap pass.
     """
+    if method not in ("pairs", "blas"):
+        raise ValueError(f"method must be 'pairs' or 'blas', got {method!r}")
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
-    if centers is None:
+    centers_arr = None
+    if centers is not None and not isinstance(centers, DataFrame):
+        import numpy as np
+
+        centers_arr = np.asarray(centers, dtype=float)
+    if method == "blas" and centers_arr is not None:
+        # fully vectorized path: the centroid matrix rides the closure
+        # (model-sized), assignment is one numpy matmul per Arrow batch
+        # — no crossJoin, no window, zero shuffle before the cell groupBy
+        import numpy as np
+        import pandas as pd
+
+        cu = centers_arr / np.linalg.norm(centers_arr, axis=1)[:, None]
+        rd = round_digits
+
+        def assign_batches(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf["v"].to_numpy())
+                nrm = np.linalg.norm(v, axis=1)
+                cos = np.round((v / nrm[:, None]) @ cu.T, rd)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(),
+                        "v": pdf["v"].to_numpy(),
+                        "nrm": nrm,
+                        # argmax returns the FIRST max -> lowest cell id,
+                        # the same tie-break as the windowed JVM path
+                        "cell_id": cos.argmax(axis=1).astype("int64"),
+                    }
+                )
+
+        asg = base.select("id", "v").mapInPandas(
+            assign_batches, "id long, v array<double>, nrm double, cell_id long"
+        )
+        asg = asg.localCheckpoint(eager=True)
+    elif centers is None:
         # lowest-id seeds via sorted limit (a TakeOrdered, not a global
         # single-partition window sort)
         seeds = (
@@ -880,25 +931,60 @@ def semantic_dedup_assignments(
             )
         )
     else:
+        if centers_arr is not None:
+            centers = emb.sparkSession.createDataFrame(
+                [
+                    (int(i), [float(x) for x in row])
+                    for i, row in enumerate(centers_arr)
+                ],
+                "cell_id long, c array<double>",
+            )
         seeds = centers.select(
             "cell_id",
             _as_double(F.col("c")).alias("c"),
         ).withColumn("c_nrm", _norm(F.col("c")))
-    cos_seed = F.round(
-        _dot(F.col("v"), F.col("c")) / (F.col("nrm") * F.col("c_nrm")),
-        round_digits,
-    )
-    w = Window.partitionBy("id").orderBy(
-        F.col("cos").desc(), F.col("cell_id")
-    )
-    asg = (
-        base.crossJoin(F.broadcast(seeds))
-        .select("id", "v", "nrm", "cell_id", cos_seed.alias("cos"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("id", "v", "nrm", "cell_id")
-    )
-    asg = asg.localCheckpoint(eager=True)  # assign once, reuse both sides
+    if not (method == "blas" and centers_arr is not None):
+        cos_seed = F.round(
+            _dot(F.col("v"), F.col("c")) / (F.col("nrm") * F.col("c_nrm")),
+            round_digits,
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("cos").desc(), F.col("cell_id")
+        )
+        asg = (
+            base.crossJoin(F.broadcast(seeds))
+            .select("id", "v", "nrm", "cell_id", cos_seed.alias("cos"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("id", "v", "nrm", "cell_id")
+        )
+        asg = asg.localCheckpoint(eager=True)  # assign once, reuse both sides
+    if method == "blas":
+        import numpy as np
+        import pandas as pd
+
+        thr = threshold
+        rd = round_digits
+
+        def cell_dedup(pdf):
+            order = pdf["id"].to_numpy().argsort()
+            ids = pdf["id"].to_numpy()[order]
+            v = np.stack(pdf["v"].to_numpy()[order])
+            nrm = pdf["nrm"].to_numpy()[order]
+            u = v / nrm[:, None]
+            g = np.round(u @ u.T, rd)
+            removed = np.tril(g >= thr, -1).any(axis=1)
+            return pd.DataFrame(
+                {
+                    "id": ids,
+                    "cell_id": pdf["cell_id"].to_numpy()[order],
+                    "removed": removed.astype("int64"),
+                }
+            )
+
+        return asg.groupBy("cell_id").applyInPandas(
+            cell_dedup, "id long, cell_id long, removed long"
+        )
     a = asg.select(
         "cell_id", F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"),

@@ -250,3 +250,55 @@ def test_semantic_dedup_assignments_geometry(spark):
     assert out[4] == (1, 1)
     # 45deg+0.02 -> cell 1 (barely), but cos to seed1 ~= 0.72 < 0.95: kept
     assert out[5] == (1, 0)
+
+
+def test_semantic_dedup_blas_mode_matches_pairs_mode(spark):
+    """The BLAS scale path (per-cell applyInPandas gram + vectorized
+    argmax assignment) must produce exactly the JVM pair-join mode's
+    assignments and removals — same centers, same rounding, same
+    lowest-cell-id tie-break — for both seed-mode and explicit k-means
+    centers."""
+    import numpy as np
+
+    from entropy_balance_weighting_spark.functions.similarity import (
+        semantic_dedup_assignments,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 120
+    vecs = rng.normal(size=(n, 8))
+    for i in range(0, n, 6):  # planted near-parallel copies
+        vecs[(i + 3) % n] = vecs[i] + rng.normal(scale=0.02, size=8)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    centers = vecs[:5] + 0.1  # explicit centroid array (k-means stand-in)
+    a = sorted(
+        (r["id"], r["cell_id"], r["removed"])
+        for r in semantic_dedup_assignments(
+            emb, threshold=0.9, centers=centers, method="pairs"
+        ).collect()
+    )
+    b = sorted(
+        (r["id"], r["cell_id"], r["removed"])
+        for r in semantic_dedup_assignments(
+            emb, threshold=0.9, centers=centers, method="blas"
+        ).collect()
+    )
+    assert a == b
+    assert sum(r[2] for r in a) > 0  # removals actually fired
+    # seed mode: blas falls back to the JVM assignment + pandas dedup
+    c = sorted(
+        (r["id"], r["cell_id"], r["removed"])
+        for r in semantic_dedup_assignments(
+            emb, n_cells=4, threshold=0.9, method="blas"
+        ).collect()
+    )
+    d = sorted(
+        (r["id"], r["cell_id"], r["removed"])
+        for r in semantic_dedup_assignments(
+            emb, n_cells=4, threshold=0.9, method="pairs"
+        ).collect()
+    )
+    assert c == d
