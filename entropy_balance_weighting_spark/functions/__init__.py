@@ -21,8 +21,8 @@ pipeline needs, built Spark-first as first-class engine components):
   :mod:`functions.flac_codec`), baseline AND progressive JPEG
   (:mod:`functions.jpeg_codec`), GIF87a/89a incl. animation with full
   variable-width LZW (:mod:`functions.gif_codec`), strip AND tiled TIFF
-  (TIFF-LZW, PackBits, horizontal predictor, II/MM,
-  :mod:`functions.tiff_codec`), uncompressed-AVI demux
+  (TIFF-LZW, Adobe Deflate, PackBits, horizontal predictor, II/MM,
+  :mod:`functions.tiff_codec`), uncompressed-DIB + Motion-JPEG AVI demux
   (:mod:`functions.avi_codec`), and EXIF metadata extract/GPS-scrub
   (:mod:`functions.exif_codec`); only formats that genuinely need a
   media library (H.264/H.265 video, MP3/AAC/Vorbis audio entropy

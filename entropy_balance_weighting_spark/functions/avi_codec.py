@@ -24,6 +24,7 @@ import struct
 import numpy as np
 
 AVI_MAGIC = b"RIFF"
+MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian, the biCompression value
 
 
 def _bmp_rows(frame: np.ndarray) -> bytes:
@@ -35,15 +36,34 @@ def _bmp_rows(frame: np.ndarray) -> bytes:
     return rows.tobytes()
 
 
-def encode_avi(frames: np.ndarray, fps: int = 30) -> bytes:
+def encode_avi(
+    frames: np.ndarray, fps: int = 30, *, codec: str = "dib", quality: int = 90
+) -> bytes:
     """Encode an ``(N, H, W, 3)`` uint8 RGB frame stack (or a list of
-    equal-shape frames) as an uncompressed 24-bit DIB AVI."""
+    equal-shape frames) as an AVI — uncompressed 24-bit DIB
+    (``codec="dib"``) or Motion-JPEG (``codec="mjpg"``: every frame is a
+    baseline JPEG from :mod:`functions.jpeg_codec`, the one compressed
+    AVI flavor this package can produce AND consume without a media
+    library)."""
+    if codec not in ("dib", "mjpg"):
+        raise ValueError(f"codec must be 'dib' or 'mjpg', got {codec!r}")
     fr = np.asarray(frames, dtype=np.uint8)
     if fr.ndim != 4 or fr.shape[3] != 3 or fr.shape[0] == 0:
         raise ValueError(f"expected (N,H,W,3) uint8 frames, got {fr.shape}")
     n, h, w, _ = fr.shape
     stride = (w * 3 + 3) // 4 * 4
-    frame_size = stride * h
+    if codec == "mjpg":
+        from entropy_balance_weighting_spark.functions.jpeg_codec import (
+            encode_jpeg,
+        )
+
+        frame_blobs = [encode_jpeg(f, quality=quality) for f in fr]
+        frame_size = max(len(fb) for fb in frame_blobs)
+        handler, compression, chunk_id = b"MJPG", MJPG_FOURCC, b"00dc"
+    else:
+        frame_blobs = None
+        frame_size = stride * h
+        handler, compression, chunk_id = b"DIB ", 0, b"00db"
 
     def chunk(fourcc: bytes, data: bytes) -> bytes:
         pad = b"\x00" if len(data) & 1 else b""
@@ -71,7 +91,7 @@ def encode_avi(frames: np.ndarray, fps: int = 30) -> bytes:
     )
     strh = (
         b"vids"
-        + b"DIB "
+        + handler
         + struct.pack(
             "<IHHIIIIIIIi4H",
             0,  # dwFlags
@@ -91,20 +111,25 @@ def encode_avi(frames: np.ndarray, fps: int = 30) -> bytes:
             h,  # rcFrame
         )
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size, 0, 0, 0, 0
+    )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi_children = b"".join(chunk(b"00db", _bmp_rows(f)) for f in fr)
+    blobs = (
+        frame_blobs if frame_blobs is not None else [_bmp_rows(f) for f in fr]
+    )
+    movi_children = b"".join(chunk(chunk_id, fb) for fb in blobs)
     movi = lst(b"movi", movi_children)
     # idx1: offsets relative to the start of the movi LIST data (i.e. the
     # position of 'movi' + 4)
     idx = bytearray()
     off = 4
-    for _ in range(n):
-        idx += b"00db" + struct.pack("<III", 0x10, off, frame_size)
-        off += 8 + frame_size + (frame_size & 1)
+    for fb in blobs:
+        idx += chunk_id + struct.pack("<III", 0x10, off, len(fb))
+        off += 8 + len(fb) + (len(fb) & 1)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
     return AVI_MAGIC + struct.pack("<I", len(body)) + body
 
@@ -175,9 +200,16 @@ def decode_avi_frames(payload: bytes) -> tuple[list[np.ndarray], float]:
     walk(12, len(b))
     if w is None or h is None:
         raise ValueError("malformed AVI payload: missing strf header")
+    if compression == MJPG_FOURCC:
+        from entropy_balance_weighting_spark.functions.jpeg_codec import (
+            decode_jpeg,
+        )
+
+        out = [decode_jpeg(raw) for raw in frames_raw]
+        return out, fps
     if compression != 0 or bpp != 24:
         raise NotImplementedError(
-            f"only uncompressed 24-bit DIB AVI is supported "
+            f"only uncompressed-DIB and Motion-JPEG AVI are supported "
             f"(biCompression={compression}, bpp={bpp})"
         )
     top_down = h < 0

@@ -1,8 +1,9 @@
 """Baseline TIFF codec in pure struct/numpy — no media libraries.
 
 Another REAL decoder for the multimodal layer: strip-based baseline TIFF
-(8-bit grayscale / RGB / palette) with the three classic compressions —
-none (1), LZW (5), and PackBits (32773) — in both byte orders ("II"
+(8-bit grayscale / RGB / palette) with the classic compressions —
+none (1), LZW (5), Adobe Deflate (8, legacy 32946 accepted; stdlib
+zlib), and PackBits (32773) — in both byte orders ("II"
 little-endian, "MM" big-endian).  TIFF LZW is NOT GIF LZW: codes pack
 MSB-first and the code width bumps one code EARLY (when the next free
 entry reaches ``2^w - 1``, per the TIFF 6.0 spec and libtiff), so the
@@ -19,7 +20,7 @@ replication, 16-bit ColorMap gather — all numpy).  Unsupported shapes
 raise named errors.
 
 Lossless, so tests and the ``mm_tiff_decode`` driver oracle assert
-EXACT pixel equality across all three compressions and both byte
+EXACT pixel equality across all compressions and both byte
 orders."""
 
 from __future__ import annotations
@@ -226,7 +227,7 @@ def packbits_decode(data: bytes, n_out: int) -> bytes:
 
 # -- container ----------------------------------------------------------------
 
-_COMPRESSIONS = {"none": 1, "lzw": 5, "packbits": 32773}
+_COMPRESSIONS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 
 
 def _predict_rows(block: np.ndarray) -> np.ndarray:
@@ -281,6 +282,10 @@ def encode_tiff(
         data = block.tobytes()
         if compression == "lzw":
             return lzw_encode_tiff(data)
+        if compression == "deflate":
+            import zlib
+
+            return zlib.compress(data)
         if compression == "packbits":
             return packbits_encode(data)
         return data
@@ -450,9 +455,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             f"only the horizontal TIFF predictor is supported "
             f"(predictor={predictor})"
         )
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"only none/LZW/PackBits TIFF compression is supported "
+            f"only none/LZW/Deflate/PackBits TIFF compression is supported "
             f"(compression={comp})"
         )
     if photo not in (0, 1, 2, 3) or (photo == 2 and spp < 3) or (
@@ -464,6 +469,18 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     def expand(data: bytes, need: int, what: str) -> bytes:
         if comp == 5:
             return lzw_decode_tiff(data, need)
+        if comp in (8, 32946):  # Adobe deflate / legacy deflate
+            import zlib
+
+            try:
+                out = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"malformed TIFF payload: bad deflate {what}"
+                ) from exc
+            if len(out) < need:
+                raise ValueError(f"malformed TIFF payload: short {what}")
+            return out[:need]
         if comp == 32773:
             return packbits_decode(data, need)
         if len(data) < need:

