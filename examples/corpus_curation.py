@@ -12,12 +12,17 @@ Stages (each one scan/shuffle-shaped for 100 TB, see PLANS.md):
 4. exact dedup: keep one doc per normalized text (hash groupBy);
 5. near-dup removal: MinHash+LSH pairs → connected components → keep
    cluster representatives;
-6. benchmark decontamination: n-gram overlap against a held-out slice;
-7. domain mixing: deterministic-hash downsample to an equal source mix;
-8. training layout: deterministic shard + fixed-budget context packing,
-   then a per-epoch shuffle key;
-9. RAG index prep: overlapping token-window chunks of the same curated
-   corpus.
+6. substring-span screen: drop docs that are mostly cross-corpus
+   verbatim boilerplate (Lee et al. span coverage > 0.5);
+7. benchmark decontamination: n-gram overlap against a held-out slice;
+8. semantic dedup: SemDeDup over the docs' embeddings (BLAS cell path);
+9. domain mixing: deterministic-hash downsample to an equal source mix;
+10. training layout: deterministic shard + fixed-budget context packing,
+    then a per-epoch shuffle key;
+11. training export: hashed token ids to Megatron-style uint16 .bin
+    shards with a CRC manifest;
+12. RAG index prep: overlapping token-window chunks of the same curated
+    corpus.
 
 Returns the funnel counts per stage plus the packed-context stats.
 """
@@ -31,8 +36,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import functions as F
 
-from entropy_balance_weighting_spark.functions import dedup, packing, sampling, text
+from entropy_balance_weighting_spark.functions import (
+    dedup,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
 from entropy_balance_weighting_spark.session import get_spark, load_table
+from entropy_balance_weighting_spark.sources import write_token_shards
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
@@ -79,14 +91,40 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     near_deduped = deduped.join(drop, "doc_id", "left_anti")
     n_near = near_deduped.count()
 
+    # 6. substring-span screen — docs that are >50% covered by verbatim
+    #    cross-corpus 6-gram spans are boilerplate shells, not content
+    spans = dedup.duplicated_span_profile(
+        near_deduped, id_col="doc_id", text_col="text", k=6, min_df=2
+    )
+    shells = spans.filter(F.col("coverage") > 0.5).select(
+        F.col("id").alias("doc_id")
+    )
+    span_clean = near_deduped.join(shells, "doc_id", "left_anti")
+    n_spans = span_clean.count()
+
     # 5. decontamination — drop training docs sharing any 3-gram with the
     #    held-out benchmark slice (doc_id < 20 stands in for the bench set)
     bench = docs.filter(F.col("doc_id") < 20)
     contaminated = dedup.decontaminate(
-        near_deduped, bench, id_col="doc_id", text_col="text"
+        span_clean, bench, id_col="doc_id", text_col="text"
     ).select(F.col("id").alias("doc_id"))
-    clean = near_deduped.join(contaminated, "doc_id", "left_anti")
+    clean = span_clean.join(contaminated, "doc_id", "left_anti")
     n_clean = clean.count()
+
+    # 8. semantic dedup — SemDeDup over the docs' embeddings (vec_id is
+    #    the doc key); BLAS cell path with explicit centroids
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = similarity.fit_ivf_quantizer(emb, n_cells=8)
+    sem = similarity.semantic_dedup_assignments(
+        emb, threshold=0.45, centers=np.asarray(centers), method="blas"
+    )
+    sem_drop = sem.filter(F.col("removed") == 1).select(
+        F.col("id").alias("doc_id")
+    )
+    clean = clean.join(sem_drop, "doc_id", "left_anti")
+    n_semantic = clean.count()
 
     # 7. domain mixing — equal source shares via the deterministic
     #    hash sampler (membership re-derivable from (doc_id, salt))
@@ -106,6 +144,26 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     n_contexts = ctx.count()
     fill = ctx.agg(F.avg("context_tokens")).first()[0]
 
+    # 11. training export — hashed token ids (uint16 vocab) to binary
+    #     shards; the CRC manifest is the export's acceptance record
+    import tempfile
+
+    tok_ids = mixed.select(
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: (F.pmod(F.xxhash64(t), F.lit(65535)) + 1).cast("int"),
+        ).alias("tokens"),
+    )
+    shard_dir = tempfile.mkdtemp(prefix="token_shards_")
+    manifest = write_token_shards(
+        tok_ids, shard_dir, n_shards=4, dtype="uint16", eos_id=0
+    )
+    exported = manifest.agg(
+        F.sum("n_docs").alias("docs"), F.sum("n_tokens").alias("toks")
+    ).first()
+    n_exported_docs, n_exported_tokens = int(exported[0]), int(exported[1])
+
     # 9. RAG index prep — overlapping token-window chunks of the curated
     #    corpus (the retrieval-side consumer of the same curation output)
     chunks = text.chunk_documents(mixed, chunk_tokens=64, overlap_tokens=16)
@@ -118,10 +176,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "n_policy": n_policy,
         "n_exact_dedup": n_exact,
         "n_near_dedup": n_near,
+        "n_span_screened": n_spans,
         "n_decontaminated": n_clean,
+        "n_semantic_dedup": n_semantic,
         "n_domain_mixed": n_mixed,
         "n_contexts": n_contexts,
         "avg_context_tokens": float(fill),
+        "n_exported_docs": n_exported_docs,
+        "n_exported_tokens": n_exported_tokens,
         "n_rag_chunks": n_chunks,
     }
     print(out)

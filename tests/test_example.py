@@ -40,7 +40,9 @@ def test_corpus_curation_example_end_to_end(spark):
         >= out["n_policy"]
         >= out["n_exact_dedup"]
         >= out["n_near_dedup"]
+        >= out["n_span_screened"]
         >= out["n_decontaminated"]
+        >= out["n_semantic_dedup"]
         >= out["n_domain_mixed"]
     )
     assert out["n_domain_mixed"] > 0
@@ -51,3 +53,6 @@ def test_corpus_curation_example_end_to_end(spark):
     assert 0 < out["n_decontaminated"] < out["n_raw"]
     assert out["n_contexts"] > 0
     assert out["avg_context_tokens"] > 0
+    # the shard export records exactly the mixed corpus
+    assert out["n_exported_docs"] == out["n_domain_mixed"]
+    assert out["n_exported_tokens"] > 0
