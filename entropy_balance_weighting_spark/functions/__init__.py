@@ -16,7 +16,7 @@ pipeline needs, built Spark-first as first-class engine components):
   sessionization, JSON property extraction.
 - :mod:`functions.multimodal` — opaque-binary column plumbing (schema,
   batching, Arrow UDF signatures) with REAL pure-numpy/stdlib codecs for
-  uncompressed BMP, PNG (all 5 filters, palette, Adam7 interlace), PCM +
+  uncompressed BMP, PNG (all 5 filters, palette, Adam7 interlace, 16-bit), PCM +
   G.711 WAV audio, FLAC (fixed predictors + Rice,
   :mod:`functions.flac_codec`), baseline AND progressive JPEG
   (:mod:`functions.jpeg_codec`), GIF87a/89a incl. animation with full

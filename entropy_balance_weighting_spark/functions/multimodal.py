@@ -267,11 +267,15 @@ def encode_png(
     filters: str = "cycle",
     palette: np.ndarray | None = None,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """Encode an ``(H, W)`` grayscale or ``(H, W, 3)`` RGB uint8 array —
     or, with ``palette`` given, an ``(H, W)`` index array + an ``(N, 3)``
     palette (color type 3 / PLTE) — as an 8-bit PNG, optionally
-    Adam7-interlaced.  Stdlib zlib + numpy only.
+    Adam7-interlaced.  ``depth=16`` takes uint16 gray/RGB samples
+    (big-endian on the wire per the spec; PNG filters then run over
+    2-byte units, handled here by doubling the byte-channel count — no
+    separate filter code path).  Stdlib zlib + numpy only.
 
     ``filters="cycle"`` assigns row ``y`` filter ``y % 5`` so a decoder
     roundtrip exercises every PNG filter type; ``"none"`` emits filter 0
@@ -281,6 +285,50 @@ def encode_png(
     import struct
     import zlib
 
+    if depth not in (8, 16):
+        raise ValueError(f"depth must be 8 or 16, got {depth}")
+    if depth == 16:
+        if palette is not None:
+            raise ValueError("16-bit palette PNG is not legal (PNG spec 11.2.2)")
+        px16 = np.asarray(pixels, dtype=np.uint16)
+        if px16.ndim == 2:
+            color_type, nch = 0, 1
+            px16 = px16[:, :, None]
+        elif px16.ndim == 3 and px16.shape[2] == 3:
+            color_type, nch = 2, 3
+        else:
+            raise ValueError(
+                f"expected (H,W) or (H,W,3) uint16, got {px16.shape}"
+            )
+        h, w, _ = px16.shape
+        bch = nch * 2  # byte-channels: each 16-bit sample is 2 filter bytes
+
+        def pass_bytes(sub16):
+            sh, sw, _ = sub16.shape
+            return (
+                sub16.astype(">u2").reshape(sh, sw * nch).view(np.uint8),
+                sh,
+                sw,
+            )
+
+        body = bytearray()
+        if interlace:
+            for x0, y0, dx, dy in _ADAM7:
+                sub = px16[y0::dy, x0::dx]
+                if sub.size == 0:
+                    continue
+                b8, _sh, _sw = pass_bytes(sub)
+                body += _png_filter_rows(b8, bch, filters)
+        else:
+            b8, _, _ = pass_bytes(px16)
+            body = _png_filter_rows(b8, bch, filters)
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, int(interlace))
+        return (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+            + _png_chunk(b"IEND", b"")
+        )
     px = np.asarray(pixels, dtype=np.uint8)
     plte = b""
     if palette is not None:
@@ -365,9 +413,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or color_type not in _PNG_NCH or comp != 0 or filt != 0:
+    if (
+        depth not in (8, 16)
+        or (depth == 16 and color_type == 3)
+        or color_type not in _PNG_NCH
+        or comp != 0
+        or filt != 0
+    ):
         raise NotImplementedError(
-            f"only 8-bit gray/RGB/RGBA/palette PNG is supported "
+            f"only 8/16-bit gray/RGB/RGBA (8-bit palette) PNG is supported "
             f"(depth={depth}, color_type={color_type})"
         )
     if interlace not in (0, 1):
@@ -375,20 +429,24 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color_type == 3 and plte is None:
         raise ValueError("malformed PNG payload: palette image missing PLTE")
     nch = _PNG_NCH[color_type]
+    # 16-bit samples are 2 filter BYTES each: reuse the byte-level
+    # unfilter machinery with a doubled channel count, then keep the
+    # big-endian high byte (x >> 8) — decode_png's contract is 8-bit RGB
+    bch = nch * (2 if depth == 16 else 1)
     if w <= 0 or h <= 0:
         raise ValueError(f"malformed PNG payload: w={w}, h={h}")
     raw = zlib.decompress(bytes(idat))
     if interlace:
-        recon = np.zeros((h, w, nch), dtype=np.uint8)
+        recon = np.zeros((h, w, bch), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             sh = (h - y0 + dy - 1) // dy
             sw = (w - x0 + dx - 1) // dx
             if sh <= 0 or sw <= 0:
                 continue
-            take = sh * (1 + sw * nch)
-            sub = _png_unfilter_rows(raw[off : off + take], sw, sh, nch)
-            recon[y0::dy, x0::dx] = sub.reshape(sh, sw, nch)
+            take = sh * (1 + sw * bch)
+            sub = _png_unfilter_rows(raw[off : off + take], sw, sh, bch)
+            recon[y0::dy, x0::dx] = sub.reshape(sh, sw, bch)
             off += take
         if off != len(raw):
             raise ValueError(
@@ -397,7 +455,9 @@ def decode_png(payload: bytes) -> np.ndarray:
             )
         px = recon
     else:
-        px = _png_unfilter_rows(raw, w, h, nch).reshape(h, w, nch)
+        px = _png_unfilter_rows(raw, w, h, bch).reshape(h, w, bch)
+    if depth == 16:
+        px = np.ascontiguousarray(px[:, :, 0::2])  # high bytes, per channel
     if color_type == 0:
         px = np.repeat(px, 3, axis=2)
     elif color_type == 3:

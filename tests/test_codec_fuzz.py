@@ -54,6 +54,17 @@ def test_fuzz_png_roundtrip(data):
     w = data.draw(st.integers(1, 24))
     interlace = data.draw(st.booleans())
     filters = data.draw(st.sampled_from(["cycle", "none"]))
+    depth = data.draw(st.sampled_from([8, 16]))
+    if depth == 16:
+        px16 = np.frombuffer(
+            data.draw(st.binary(min_size=h * w * 6, max_size=h * w * 6)),
+            dtype=">u2",
+        ).reshape(h, w, 3).astype(np.uint16)
+        out = mm.decode_png(
+            mm.encode_png(px16, filters=filters, interlace=interlace, depth=16)
+        )
+        np.testing.assert_array_equal(out, (px16 >> 8).astype(np.uint8))
+        return
     px = _img(data.draw, h, w)
     out = mm.decode_png(mm.encode_png(px, filters=filters, interlace=interlace))
     np.testing.assert_array_equal(out, px)

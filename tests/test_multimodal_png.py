@@ -118,10 +118,14 @@ def test_png_rejects_unsupported_and_malformed():
     # not a PNG at all
     with pytest.raises(NotImplementedError):
         decode_png(b"BM" + bytes(60))
-    # 16-bit depth
-    bad_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0))
+    # sub-byte depth (16-bit became REAL; 1/2/4 remain named gaps)
+    bad_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0))
     with pytest.raises(NotImplementedError, match="depth"):
         decode_png(_PNG_MAGIC + bad_ihdr + _png_chunk(b"IDAT", zlib.compress(b"x")) + _png_chunk(b"IEND", b""))
+    # 16-bit palette is spec-illegal and stays a named error
+    p16_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0))
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_png(_PNG_MAGIC + p16_ihdr + _png_chunk(b"IDAT", zlib.compress(b"x")) + _png_chunk(b"IEND", b""))
     # Adam7 is now REAL; a truncated interlaced stream is a named error
     il_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1))
     with pytest.raises(ValueError, match="filtered bytes"):
@@ -261,3 +265,35 @@ def test_png_palette_rejects_bad_inputs():
         encode_png(np.full((2, 2), 9, dtype=np.uint8), palette=pal)
     with pytest.raises(ValueError, match="palette mode expects"):
         encode_png(np.zeros((2, 2, 3), dtype=np.uint8), palette=pal)
+
+
+def test_png_16bit_roundtrip_all_filters_and_adam7():
+    """depth=16: samples are 2 filter bytes (byte-channel doubling, no
+    separate filter path); decode keeps the big-endian high byte.  Gray
+    and RGB, cycle/none filters, plain and Adam7."""
+    rng = _rng()
+    for shape in ((1, 1), (25, 33), (16, 5, 3), (7, 40, 3)):
+        px16 = rng.integers(0, 65536, shape, dtype=np.uint16)
+        want = (px16 >> 8).astype(np.uint8)
+        if px16.ndim == 2:
+            want = np.repeat(want[:, :, None], 3, axis=2)
+        for interlace in (False, True):
+            for filters in ("cycle", "none"):
+                out = decode_png(
+                    encode_png(
+                        px16, depth=16, interlace=interlace, filters=filters
+                    )
+                )
+                np.testing.assert_array_equal(out, want)
+
+
+def test_png_16bit_rejects_palette_and_bad_depth():
+    rng = _rng()
+    with pytest.raises(ValueError, match="16-bit palette"):
+        encode_png(
+            rng.integers(0, 4, (4, 4), dtype=np.uint16),
+            depth=16,
+            palette=np.zeros((4, 3), dtype=np.uint8),
+        )
+    with pytest.raises(ValueError, match="depth must be"):
+        encode_png(rng.integers(0, 256, (4, 4), dtype=np.uint8), depth=12)
