@@ -939,3 +939,103 @@ def duplicated_span_profile(
     out = out.localCheckpoint(eager=True)
     grams.unpersist()
     return out
+
+
+def bloom_build(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    normalize: bool = True,
+) -> DataFrame:
+    """Build a portable Bloom filter over a corpus as a DataFrame of SET
+    BIT POSITIONS — the membership sketch for incremental dedup at
+    corpus scale.  A 100 TB historical corpus reduces to ``<= m_bits``
+    rows ONCE; every later batch screens against the sketch with a
+    broadcast join (:func:`bloom_check`) instead of an anti-join that
+    rescans the archive (contrast :func:`incremental_dedup`, the exact
+    path for when the corpus is cheap to scan).
+
+    Hashing is engine-portable by construction: bit position ``i`` of a
+    document is ``xxhash64(norm_text, seed=i) mod m_bits`` — all JVM
+    expressions, no UDF; the build is one projection + explode +
+    distinct (output bounded by ``m_bits``, never corpus-sized).
+
+    Sizing: FPP ≈ (1 − e^(−k·n/m))^k; m_bits = 10·n with k = 5 gives
+    ~0.9%.  The positions DataFrame persists like any table — write it
+    with the corpus snapshot and union further increments (Bloom bits
+    are mergeable by construction).
+    """
+    key = (
+        F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    )
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    return (
+        df.select(F.explode(pos).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_check(
+    new_df: DataFrame,
+    bits: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    normalize: bool = True,
+) -> DataFrame:
+    """Screen a new batch against a :func:`bloom_build` sketch: returns
+    ``(id, might_exist)`` where ``might_exist = 1`` iff ALL ``k`` bit
+    positions are set.  No false negatives (a true duplicate always
+    flags); false positives at the sketch's FPP — route flagged docs to
+    the exact verifier, pass the rest straight through.  ``m_bits``/
+    ``k``/``normalize`` must match the build.
+
+    Plan: the new batch explodes to k rows/doc, joins the (≤ m_bits)
+    position table — AQE broadcasts it when it fits — and a doc is
+    flagged when its matched-position count reaches k.  The archive is
+    never touched.
+    """
+    key = (
+        F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    )
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+    exploded = new_df.select(
+        F.col(id_col).alias("id"), F.explode(pos).alias("bit")
+    )
+    hits = (
+        exploded.join(bits, "bit")
+        .groupBy("id")
+        .agg(F.countDistinct("bit").alias("n_hit"))
+    )
+    # distinct-bit counting vs k requires the doc's own distinct count
+    # (two seeds can collide into one bit for short keys)
+    own = (
+        new_df.select(
+            F.col(id_col).alias("id"),
+            F.array_size(F.array_distinct(pos)).alias("n_own"),
+        )
+    )
+    return (
+        own.join(hits, "id", "left")
+        .select(
+            "id",
+            F.when(F.coalesce(F.col("n_hit"), F.lit(0)) >= F.col("n_own"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("might_exist"),
+        )
+    )

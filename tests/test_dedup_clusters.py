@@ -302,3 +302,39 @@ def test_semantic_dedup_blas_mode_matches_pairs_mode(spark):
         ).collect()
     )
     assert c == d
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Every true duplicate flags (Bloom guarantees no false negatives);
+    FPP stays near the designed rate at m=10n, k=5; the empty-overlap
+    case passes docs through unflagged."""
+    corpus = spark.createDataFrame(
+        [(i, f"historical document number {i}") for i in range(500)],
+        "doc_id long, text string",
+    )
+    from entropy_balance_weighting_spark.functions.dedup import (
+        bloom_build,
+        bloom_check,
+    )
+
+    m, k = 5000 * 10, 5
+    bits = bloom_build(corpus, m_bits=m, k=k).cache()
+    n_bits = bits.count()
+    assert 0 < n_bits <= min(m, 500 * k)
+    new = spark.createDataFrame(
+        # 100 true dups (ids 0..99) + 400 fresh docs
+        [(i, f"historical document number {i}") for i in range(100)]
+        + [(1000 + i, f"brand new content {i}") for i in range(400)],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["might_exist"] for r in bloom_check(
+        new, bits, m_bits=m, k=k
+    ).collect()}
+    assert all(out[i] == 1 for i in range(100)), "false negative!"
+    fp = sum(out[1000 + i] for i in range(400))
+    assert fp <= 20  # designed FPP ~0.9% at n=500, m=10*5000; generous cap
+    # normalization: case/whitespace variants of archived docs still flag
+    variant = spark.createDataFrame(
+        [(5, "  HISTORICAL document NUMBER 5  ")], "doc_id long, text string"
+    )
+    assert bloom_check(variant, bits, m_bits=m, k=k).first()["might_exist"] == 1
