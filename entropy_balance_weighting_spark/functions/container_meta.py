@@ -238,11 +238,18 @@ def extract_mp4_meta(payload: bytes) -> dict:
         for t2, _, ds2, de2 in _walk_atoms(b, ds, de):
             if t2 != b"udta":
                 continue
-            out["has_gps"] = False
+            # setdefault, not assignment: a second udta without ©xyz must
+            # not reset has_gps recorded from an earlier sibling udta.
+            out.setdefault("has_gps", False)
             for t3, _, ds3, de3 in _walk_atoms(b, ds2, de2):
                 if de3 - ds3 < 4:
                     continue
                 (slen,) = struct.unpack_from(">H", b, ds3)
+                if ds3 + 4 + slen > de3:
+                    raise ValueError(
+                        f"malformed MP4 payload: udta {t3!r} string length "
+                        f"{slen} overruns atom"
+                    )
                 val = b[ds3 + 4 : ds3 + 4 + slen]
                 if t3 == b"\xa9nam":
                     out["name"] = val.decode("utf-8", "replace")
@@ -843,7 +850,9 @@ def probe_mp4_tracks(payload: bytes) -> list[dict]:
             info["duration_sec"] = dur / ts if ts else 0.0
         hdlr = _find_atom(b, mdia[0], mdia[1], b"hdlr")
         if hdlr is not None:
-            ds2, _de2 = hdlr
+            ds2, de2 = hdlr
+            if de2 - ds2 < 12:
+                raise ValueError("malformed MP4 payload: short hdlr")
             info["handler"] = b[ds2 + 8 : ds2 + 12].decode("ascii", "replace")
         minf = _find_atom(b, mdia[0], mdia[1], b"minf")
         stbl = _find_atom(b, *minf, b"stbl") if minf else None
@@ -851,6 +860,8 @@ def probe_mp4_tracks(payload: bytes) -> list[dict]:
             stts = _find_atom(b, stbl[0], stbl[1], b"stts")
             if stts is not None:
                 ds2, de2 = stts
+                if de2 - ds2 < 8:
+                    raise ValueError("malformed MP4 payload: short stts")
                 (n_ent,) = struct.unpack_from(">I", b, ds2 + 4)
                 if ds2 + 8 + 8 * n_ent > de2:
                     raise ValueError("malformed MP4 payload: short stts")
@@ -862,6 +873,8 @@ def probe_mp4_tracks(payload: bytes) -> list[dict]:
             stsz = _find_atom(b, stbl[0], stbl[1], b"stsz")
             if stsz is not None:
                 ds2, de2 = stsz
+                if de2 - ds2 < 12:
+                    raise ValueError("malformed MP4 payload: short stsz")
                 fixed, count = struct.unpack_from(">II", b, ds2 + 4)
                 if fixed:
                     total = fixed * count

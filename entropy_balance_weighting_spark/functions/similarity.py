@@ -836,17 +836,27 @@ def semantic_dedup_assignments(
     round_digits: int = 5,
     centers: DataFrame | None = None,
     method: str = "pairs",
+    rule: str = "any_lower",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
-    deduplication by clustering embeddings and removing items whose
-    within-cluster cosine to an already-kept item exceeds ``threshold``.
+    deduplication by clustering embeddings and removing within-cluster
+    cosine near-duplicates above ``threshold``.
 
-    Returns one row per input vector: ``(id, cell_id, removed)`` where
-    ``removed = 1`` iff the cell contains a LOWER-id vector with
-    ``round(cos, round_digits) >= threshold`` (the deterministic
-    keep-first greedy — the paper keeps one arbitrary representative per
-    semantic clique; lowest-id makes the choice reproducible and
-    oracle-checkable).
+    Returns one row per input vector: ``(id, cell_id, removed)``.
+    ``rule`` picks the removal predicate:
+
+    - ``"any_lower"`` (default): ``removed = 1`` iff the cell contains
+      ANY lower-id vector with ``round(cos, round_digits) >=
+      threshold`` — including one that is itself removed.  This is a
+      single relational pass (one within-cell join), deterministic and
+      oracle-checkable, but MORE AGGRESSIVE than the paper's greedy: in
+      a chain A~B, B~C with A≁C it removes both B and C, where the
+      paper's kept-set greedy keeps C.
+    - ``"greedy"``: the paper-faithful kept-set greedy — scan each cell
+      in id order, remove an item iff it is within ``threshold`` of an
+      already-KEPT lower-id item.  Inherently sequential per cell, so it
+      is implemented in the per-cell BLAS kernel and requires
+      ``method="blas"``.
 
     ``centers``: cluster centroids — either the ``(C, D)`` array
     :func:`fit_ivf_quantizer` returns (the real k-means path; cell ids
@@ -878,6 +888,13 @@ def semantic_dedup_assignments(
     """
     if method not in ("pairs", "blas"):
         raise ValueError(f"method must be 'pairs' or 'blas', got {method!r}")
+    if rule not in ("any_lower", "greedy"):
+        raise ValueError(f"rule must be 'any_lower' or 'greedy', got {rule!r}")
+    if rule == "greedy" and method != "blas":
+        raise ValueError(
+            "rule='greedy' is sequential within each cell and is only "
+            "implemented in the per-cell BLAS kernel — pass method='blas'"
+        )
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
@@ -965,6 +982,7 @@ def semantic_dedup_assignments(
 
         thr = threshold
         rd = round_digits
+        greedy = rule == "greedy"
 
         def cell_dedup(pdf):
             order = pdf["id"].to_numpy().argsort()
@@ -973,7 +991,18 @@ def semantic_dedup_assignments(
             nrm = pdf["nrm"].to_numpy()[order]
             u = v / nrm[:, None]
             g = np.round(u @ u.T, rd)
-            removed = np.tril(g >= thr, -1).any(axis=1)
+            near = np.tril(g >= thr, -1)
+            if greedy:
+                # paper-faithful kept-set greedy: one pass in id order,
+                # testing only against already-KEPT earlier items
+                n = len(ids)
+                removed = np.zeros(n, dtype=bool)
+                kept = np.zeros(n, dtype=bool)
+                for i in range(n):
+                    removed[i] = bool(near[i, :i][kept[:i]].any())
+                    kept[i] = not removed[i]
+            else:
+                removed = near.any(axis=1)
             return pd.DataFrame(
                 {
                     "id": ids,

@@ -313,9 +313,16 @@ def _flatten_rb(rb: pa.RecordBatch) -> tuple[np.ndarray, np.ndarray, np.ndarray]
 
 
 def _rb_col(rb: pa.RecordBatch, name: str) -> np.ndarray:
-    return rb.column(rb.schema.get_field_index(name)).to_numpy(
-        zero_copy_only=False
-    )
+    # Blob schemas are variable (wstar/dense-idx columns are conditional
+    # since r8), and get_field_index returns -1 for a missing name — which
+    # rb.column() silently resolves to the LAST column. Guard it.
+    i = rb.schema.get_field_index(name)
+    if i < 0:
+        raise KeyError(
+            f"blob batch is missing required column {name!r} "
+            f"(has: {rb.schema.names})"
+        )
+    return rb.column(i).to_numpy(zero_copy_only=False)
 
 
 def _rb_q(rb: pa.RecordBatch, sum_w0: float) -> np.ndarray:

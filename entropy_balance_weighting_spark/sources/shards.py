@@ -70,6 +70,13 @@ def write_token_shards(
     if not 0 <= eos_id <= limit:
         raise ValueError(f"eos_id {eos_id} out of range for {dtype}")
     os.makedirs(dest, exist_ok=True)
+    # Re-exporting with fewer non-empty shards must not leave stale
+    # shard files the new manifest doesn't cover — a consumer globbing
+    # dest/*.bin would read a corrupt export. Clear prior shard files.
+    import glob
+
+    for old in glob.glob(os.path.join(dest, "shard-*.bin")):
+        os.remove(old)
 
     d = df.select(
         F.col(id_col).alias("id"),

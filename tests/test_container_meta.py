@@ -148,6 +148,31 @@ def test_mp4_malformed_raises_named_valueerror():
         cm.extract_mp4_meta(bytes(bad2))
 
 
+def test_mp4_udta_slen_overrun_named_error():
+    """A hostile 16-bit string length that overruns the enclosing udta
+    atom must raise the named error, not silently slice neighbor bytes."""
+    good = cm.build_mp4(BODY, name="x", gps=(1.5, 2.5))
+    j = good.index(b"\xa9nam") + 4
+    bad = bytearray(good)
+    struct.pack_into(">H", bad, j, 0xFFFF)  # slen way past the atom end
+    with pytest.raises(ValueError, match="overruns atom"):
+        cm.extract_mp4_meta(bytes(bad))
+
+
+def test_mp4_second_udta_does_not_reset_has_gps():
+    """A moov with a gps-bearing udta followed by a second udta WITHOUT
+    ©xyz must keep has_gps=True (per-udta reset was a bug)."""
+    nm = b"tail"
+    extra_udta = cm._atom(
+        b"udta", cm._atom(b"\xa9nam", struct.pack(">HH", len(nm), 0x55C4) + nm)
+    )
+    mp4 = cm.build_mp4(BODY, gps=(3.5, -4.25), extra_moov_children=extra_udta)
+    meta = cm.extract_mp4_meta(mp4)
+    assert meta["has_gps"] is True
+    assert meta["gps_lat"] == 3.5
+    assert meta["name"] == "tail"
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     name=st.one_of(st.none(), st.text(min_size=0, max_size=30)),
@@ -389,6 +414,29 @@ def test_mp4_track_probe_no_tracks_and_malformed():
     struct.pack_into(">I", mp4, idx + 12, 10_000)  # claim 10k samples
     with pytest.raises(ValueError, match="short stsz"):
         cm.probe_mp4_tracks(bytes(mp4))
+    # hdlr atom shrunk below its 12-byte fixed header -> named error,
+    # not a silent read of the neighboring atom's bytes
+    trak2 = cm.build_mp4_track(sample_sizes=[10] * 4)
+    mp4b = bytearray(cm.build_mp4(b"x", extra_moov_children=trak2))
+    h = bytes(mp4b).find(b"hdlr")
+    # rewrite the hdlr atom in place as an 8-byte (empty-payload) atom
+    # followed by a free atom covering its old payload
+    (old_size,) = struct.unpack_from(">I", mp4b, h - 4)
+    struct.pack_into(">I", mp4b, h - 4, 8)
+    struct.pack_into(">I", mp4b, h + 4, old_size - 8)
+    mp4b[h + 8 : h + 12] = b"free"
+    with pytest.raises(ValueError, match="short hdlr"):
+        cm.probe_mp4_tracks(bytes(mp4b))
+    # stts atom too short to even hold its entry count -> named error
+    trak3 = cm.build_mp4_track(sample_sizes=[10] * 4)
+    mp4c = bytearray(cm.build_mp4(b"x", extra_moov_children=trak3))
+    s = bytes(mp4c).find(b"stts")
+    (old_size3,) = struct.unpack_from(">I", mp4c, s - 4)
+    struct.pack_into(">I", mp4c, s - 4, 10)  # 2-byte payload
+    struct.pack_into(">I", mp4c, s + 6, old_size3 - 10)
+    mp4c[s + 10 : s + 14] = b"free"
+    with pytest.raises(ValueError, match="short stts"):
+        cm.probe_mp4_tracks(bytes(mp4c))
 
 
 @given(

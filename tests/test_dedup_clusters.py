@@ -304,6 +304,51 @@ def test_semantic_dedup_blas_mode_matches_pairs_mode(spark):
     assert c == d
 
 
+def test_semantic_dedup_greedy_rule_keeps_chain_tail(spark):
+    """rule='greedy' is the paper's kept-set greedy: in a chain A~B, B~C
+    with A not~ C, B is removed (near kept A) but C survives (its only
+    near lower-id mate, B, was removed). The default any_lower rule
+    removes both. greedy requires method='blas' (named error otherwise)."""
+    import math
+
+    import pytest
+
+    from entropy_balance_weighting_spark.functions.similarity import (
+        semantic_dedup_assignments,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    # one cell (single centroid); thresholds tuned so cos(A,B) and
+    # cos(B,C) pass but cos(A,C) fails: angles 0, 0.25, 0.5 with
+    # threshold cos(0.3) ~ 0.9553
+    rows = [(0, unit(0.0)), (1, unit(0.25)), (2, unit(0.5))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    import numpy as np
+
+    centers = np.array([[1.0, 0.0]])
+    thr = math.cos(0.3)
+    greedy = {
+        r["id"]: r["removed"]
+        for r in semantic_dedup_assignments(
+            emb, threshold=thr, centers=centers, method="blas", rule="greedy"
+        ).collect()
+    }
+    assert greedy == {0: 0, 1: 1, 2: 0}
+    any_lower = {
+        r["id"]: r["removed"]
+        for r in semantic_dedup_assignments(
+            emb, threshold=thr, centers=centers, method="blas"
+        ).collect()
+    }
+    assert any_lower == {0: 0, 1: 1, 2: 1}
+    with pytest.raises(ValueError, match="blas"):
+        semantic_dedup_assignments(
+            emb, threshold=thr, centers=centers, method="pairs", rule="greedy"
+        )
+
+
 def test_bloom_membership_no_false_negatives(spark):
     """Every true duplicate flags (Bloom guarantees no false negatives);
     FPP stays near the designed rate at m=10n, k=5; the empty-overlap

@@ -86,3 +86,19 @@ def test_shard_uint32_and_range_guard(spark, tmp_path):
         ).collect()
     with pytest.raises(ValueError, match="dtype must be"):
         write_token_shards(big, str(tmp_path / "x"), dtype="float32")
+
+
+def test_shard_reexport_clears_stale_shards(spark, tmp_path):
+    """Re-exporting into the same dest with fewer shards must not leave
+    stale shard files the new manifest doesn't cover — a consumer
+    globbing dest/*.bin would read a corrupt export."""
+    import glob
+
+    df, _ = _docs(spark, n=30)
+    dest = str(tmp_path / "re")
+    man8 = write_token_shards(df, dest, n_shards=8).collect()
+    assert len(glob.glob(f"{dest}/shard-*.bin")) == len(man8) > 2
+    man = write_token_shards(df, dest, n_shards=2).collect()
+    files = sorted(glob.glob(f"{dest}/shard-*.bin"))
+    assert len(files) == len(man) == 2
+    assert {f"{dest}/shard-{r['shard']:05d}.bin" for r in man} == set(files)

@@ -129,3 +129,20 @@ def test_reduce_big_gates_on_partition_count_too():
     bs = BlockStructure.from_groups([f"g{i % 50_000}" for i in range(100_000)])
     assert not reduce_big(100_000, bs, 16)
     assert reduce_big(100_000, bs, 400)
+
+
+def test_rb_col_missing_column_raises_named_error():
+    """Blob schemas are variable (wstar is conditional since r8);
+    get_field_index returns -1 for a missing name, which rb.column()
+    would silently resolve to the LAST column — must raise instead."""
+    import pyarrow as pa
+    import pytest
+
+    from entropy_balance_weighting_spark.kernels.spark import _rb_col
+
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array([1.0, 2.0]), pa.array([3.0, 4.0])], ["w0", "other"]
+    )
+    np.testing.assert_array_equal(_rb_col(rb, "w0"), [1.0, 2.0])
+    with pytest.raises(KeyError, match="wstar"):
+        _rb_col(rb, "wstar")
