@@ -649,3 +649,82 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id")
     )
+
+
+@register(
+    "dd_bloom_screen",
+    survey="ext:dedup-bloom",
+    bench=True,
+    oracle="""
+WITH newb AS (
+  SELECT source, doc_id, 1 AS is_dup FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT source, doc_id, 0 AS is_dup FROM documents WHERE doc_id % 5 = 1
+)
+SELECT source,
+       count(*) AS n_new,
+       CAST(sum(is_dup) AS BIGINT) AS n_true_dup,
+       CAST(0 AS BIGINT) AS n_missed,
+       1 AS fp_ok
+FROM newb GROUP BY source ORDER BY source
+""",
+)
+def dd_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom corpus-membership screen — the incremental-dedup entry
+    point a 100 TB user hits first (r8 verdict gap #3): the archive
+    (here: the whole documents table) reduces ONCE to ≤ m_bits set-bit
+    rows (:func:`functions.dedup.bloom_build`), and each new batch
+    screens against that sketch via a broadcast join
+    (:func:`functions.dedup.bloom_check`) — the archive itself is never
+    rescanned, unlike the exact anti-join (``dd_incremental_new_docs``).
+
+    The synthetic new batch is exact-SQL-derivable: docs with
+    ``doc_id % 5 = 0`` re-submitted VERBATIM (true duplicates) plus docs
+    with ``doc_id % 5 = 1`` with a novel suffix appended (guaranteed
+    non-members, since the corpus' normalized texts are distinct).  The
+    Bloom bit positions are Spark ``xxhash64`` — not replicable in SQL —
+    so, like the sketch queries, the contract is verified IN-ENGINE and
+    the oracle hash-pins the exact part: per source, ``n_missed`` (true
+    duplicates the screen failed to flag) must be 0 — Bloom's
+    no-false-negative guarantee — and ``fp_ok=1`` iff false positives
+    stay under 5% of the batch (designed FPP here ≈ 1e-13)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m_bits, k = 1 << 20, 5
+    bits = dedup.bloom_build(docs, m_bits=m_bits, k=k)
+    verbatim = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "source", "text", F.lit(1).alias("is_dup")
+    )
+    perturbed = docs.filter(F.col("doc_id") % 5 == 1).select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), F.lit(" zq-novel-suffix")).alias("text"),
+        F.lit(0).alias("is_dup"),
+    )
+    newb = verbatim.unionByName(perturbed)
+    flags = dedup.bloom_check(newb, bits, m_bits=m_bits, k=k).withColumnRenamed(
+        "id", "doc_id"
+    )
+    joined = newb.select("doc_id", "source", "is_dup").join(flags, "doc_id")
+    missed = F.when(
+        (F.col("is_dup") == 1) & (F.col("might_exist") == 0), 1
+    ).otherwise(0)
+    false_pos = F.when(
+        (F.col("is_dup") == 0) & (F.col("might_exist") == 1), 1
+    ).otherwise(0)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum("is_dup").cast("long").alias("n_true_dup"),
+            F.sum(missed).cast("long").alias("n_missed"),
+            F.sum(false_pos).alias("n_fp"),
+        )
+        .select(
+            "source",
+            "n_new",
+            "n_true_dup",
+            "n_missed",
+            (F.col("n_fp") <= 0.05 * F.col("n_new")).cast("int").alias("fp_ok"),
+        )
+        .orderBy("source")
+    )

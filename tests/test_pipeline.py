@@ -627,3 +627,17 @@ def test_bigram_logprob_flags_scrambled_text(spark):
     # short docs (< 2 tokens) drop out instead of crashing
     one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
     assert bigram_doc_logprob(one).count() == 0
+
+
+def test_len_percentiles_rank_check_all_ok(spark):
+    """approx_percentile's rank-error contract (formerly the registered
+    txt_len_percentiles_approx query; pytest-proven since the r9
+    window-budget prune): every (source, p) satisfies the tie-robust
+    rank bound, so all ok flags are 1."""
+    from entropy_balance_weighting_spark.queries.pipeline_text_stats import (
+        len_percentiles_rank_check,
+    )
+
+    rows = len_percentiles_rank_check(spark, SF_SMOKE).collect()
+    assert len(rows) >= 3  # sources x 3 quantiles
+    assert all(r["ok"] == 1 for r in rows)

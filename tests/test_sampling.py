@@ -239,14 +239,24 @@ def test_samp_domain_mix_single_job_before_sampler(spark):
     from entropy_balance_weighting_spark.session import load_table
 
     tracker = spark.sparkContext.statusTracker()
+
+    # Count jobs via MAX job id deltas, not list length: job ids are
+    # monotonically increasing, but the tracker's list is capped at
+    # spark.ui.retainedJobs (default 1000) and EVICTS old entries once a
+    # long session passes that many jobs — len() then DECREASES between
+    # samples and the pin silently breaks (r8 full-suite flake).
+    def latest_job() -> int:
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
     # baseline: job cost of ONE aggregate-collect action on the same table
     # (AQE may split a single action into several jobs, so pin the ACTION
     # count by comparison, not a literal job count)
-    j0 = len(tracker.getJobIdsForGroup(None))
+    j0 = latest_job()
     docs = load_table(spark, SF_SMOKE, "documents")
     docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
-    one_action = len(tracker.getJobIdsForGroup(None)) - j0
-    j1 = len(tracker.getJobIdsForGroup(None))
+    one_action = latest_job() - j0
+    j1 = latest_job()
     out = samp_domain_mix(spark, SF_SMOKE)
-    assert len(tracker.getJobIdsForGroup(None)) - j1 == one_action
+    assert latest_job() - j1 == one_action
     assert out.count() > 0
