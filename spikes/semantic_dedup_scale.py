@@ -55,19 +55,32 @@ t0 = time.time()
 # cluster-count regime for dedup (adaptive_n_cells targets IVF top-k
 # recall and is far too coarse here).
 n_cells = max(adaptive_n_cells(N), int(N**0.5))
-centers = fit_ivf_quantizer(emb, n_cells=n_cells)
+# r9: the minibatch fit is the scale path (BLAS seeding + bincount
+# Lloyd on the same bounded sample); measure it as the headline and the
+# r8 full fit alongside for the removal-count-parity comparison.
+centers = fit_ivf_quantizer(emb, n_cells=n_cells, method="minibatch")
 t_fit = time.time() - t0
 
 t1 = time.time()
-asg = semantic_dedup_assignments(
-    emb, threshold=0.999, centers=centers, method="blas"
-)
-stats = asg.agg(
-    F.count(F.lit(1)).alias("n"),
-    F.sum("removed").alias("n_removed"),
-    F.countDistinct("cell_id").alias("n_cells_used"),
-).collect()[0]
-t_dedup = time.time() - t1
+centers_full = fit_ivf_quantizer(emb, n_cells=n_cells, method="full")
+t_fit_full = time.time() - t1
+
+
+def run_dedup(cent):
+    t = time.time()
+    asg = semantic_dedup_assignments(
+        emb, threshold=0.999, centers=cent, method="blas"
+    )
+    stats = asg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("removed").alias("n_removed"),
+        F.countDistinct("cell_id").alias("n_cells_used"),
+    ).collect()[0]
+    return stats, time.time() - t
+
+
+stats, t_dedup = run_dedup(centers)
+stats_full, _ = run_dedup(centers_full)
 
 out = {
     "metric": "semantic_dedup_wall",
@@ -78,8 +91,10 @@ out = {
     "n_cells": n_cells,
     "n_cells_used": stats["n_cells_used"],
     "quantizer_fit_sec": round(t_fit, 2),
+    "quantizer_fit_full_sec": round(t_fit_full, 2),
     "dedup_sec": round(t_dedup, 2),
     "n_removed": int(stats["n_removed"]),
+    "n_removed_full_fit": int(stats_full["n_removed"]),
     "planted_dups": N // 7,
     "vectors_per_sec": round(N / (t_fit + t_dedup), 1),
 }

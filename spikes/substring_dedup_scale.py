@@ -67,6 +67,16 @@ agg = prof.agg(
     F.avg("coverage").alias("avg_cov"),
 ).collect()[0]
 
+# r9: the no-cache recompute mode (flat memory profile — the gram table
+# is never persisted, the posexplode scan runs once per consumer); its
+# wall-vs-memory trade is the r8 verdict's watch item #3.
+t1 = time.time()
+prof_nc = duplicated_span_profile(
+    docs, id_col="doc_id", text_col="text", k=6, min_df=2, cache=False
+)
+rows_nc = prof_nc.count()
+wall_nc = time.time() - t1
+
 out = {
     "metric": "substring_span_profile_wall",
     "value": round(wall, 2),
@@ -77,6 +87,8 @@ out = {
     "avg_coverage": round(float(agg["avg_cov"]), 4),
     "docs_per_sec": round(n_docs / wall, 1),
     "k": 6,
+    "nocache_wall_sec": round(wall_nc, 2),
+    "nocache_rows_equal": rows_nc == rows,
 }
 print(json.dumps(out))
 spark.stop()

@@ -213,6 +213,44 @@ def test_duplicated_span_profile_short_docs_skipped(spark):
     assert duplicated_span_profile(docs, k=6, min_df=2).count() == 0
 
 
+def test_duplicated_span_profile_nocache_mode_identical(spark):
+    """cache=False (the flat-memory recompute mode) and an explicit
+    storage level must produce exactly the cached default's rows."""
+    from pyspark import StorageLevel
+
+    from entropy_balance_weighting_spark.functions.dedup import (
+        duplicated_span_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x a b c d e f g y z"),
+            (3, "p q r s t u v w aa bb"),
+        ],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        map(tuple, duplicated_span_profile(docs, k=6, min_df=2).collect())
+    )
+    got_nc = sorted(
+        map(
+            tuple,
+            duplicated_span_profile(docs, k=6, min_df=2, cache=False).collect(),
+        )
+    )
+    got_disk = sorted(
+        map(
+            tuple,
+            duplicated_span_profile(
+                docs, k=6, min_df=2, storage_level=StorageLevel.DISK_ONLY
+            ).collect(),
+        )
+    )
+    assert want == got_nc == got_disk
+    assert len(want) == 2  # docs 1 and 2 share the 6-gram "a b c d e f"
+
+
 def test_semantic_dedup_assignments_geometry(spark):
     """Two orthogonal seed cells; near-parallel vectors land in the same
     cell and every one except the lowest id is removed; an opposite-sign
@@ -302,6 +340,33 @@ def test_semantic_dedup_blas_mode_matches_pairs_mode(spark):
         ).collect()
     )
     assert c == d
+    from entropy_balance_weighting_spark.functions.similarity import (
+        fit_ivf_quantizer,
+    )
+
+    # r9: the sampled/minibatch quantizer fit feeds the same invariance —
+    # blas and pairs modes must agree exactly on ITS centers too (the
+    # centers differ from the full fit's, the mode-equivalence must not)
+    mb = sorted(
+        (r["id"], r["cell_id"], r["removed"])
+        for r in semantic_dedup_assignments(
+            emb,
+            threshold=0.9,
+            centers=fit_ivf_quantizer(emb, n_cells=5, method="minibatch"),
+            method="blas",
+        ).collect()
+    )
+    mb_pairs = sorted(
+        (r["id"], r["cell_id"], r["removed"])
+        for r in semantic_dedup_assignments(
+            emb,
+            threshold=0.9,
+            centers=fit_ivf_quantizer(emb, n_cells=5, method="minibatch"),
+            method="pairs",
+        ).collect()
+    )
+    assert mb == mb_pairs
+    assert sum(r[2] for r in mb) > 0
 
 
 def test_semantic_dedup_greedy_rule_keeps_chain_tail(spark):
