@@ -61,7 +61,13 @@ from entropy_balance_weighting_spark.kernels.spark import (
 )
 
 BASE_NAMES = ["row_id", "w0", "idx", "val"]
-STATE_NAMES = ["ratio", "s_lo", "s_hi", "lm_lo", "lm_hi"]
+# r9 narrow state: the bound slacks are NOT stored — the IP's own step
+# algebra maintains s_lo ≡ r − lb and s_hi ≡ ub − r exactly (ss_lo =
+# r_step + Ci_lo with Ci_lo ≡ 0 from a feasible start — the identity
+# pinned by tests/test_elastic.py::test_condensed_step_satisfies_full_kkt
+# _newton_system), so ``_cols`` derives them per pass and every state
+# commit writes 24 B/row instead of 40.
+STATE_NAMES = ["ratio", "lm_lo", "lm_hi"]
 
 # Both zip sides must carry the IDENTICAL batched serializer: ``RDD.zip``
 # falls back to an extra re-serialization pass over BOTH rdds whenever the
@@ -72,12 +78,15 @@ STATE_NAMES = ["ratio", "s_lo", "s_hi", "lm_lo", "lm_hi"]
 _ZIP_SER = BatchedSerializer(CPickleSerializer(), 1)
 
 
-def _cols(rb: pa.RecordBatch):
+def _cols(rb: pa.RecordBatch, lb: float, ub: float, has_ub: bool):
+    """State columns with the slacks DERIVED (see STATE_NAMES): s_lo =
+    r − lb, s_hi = ub − r (inert ones without an upper bound)."""
+    r = _rb_col(rb, "ratio")
     return (
         _rb_col(rb, "w0"),
-        _rb_col(rb, "ratio"),
-        _rb_col(rb, "s_lo"),
-        _rb_col(rb, "s_hi"),
+        r,
+        r - lb,
+        (ub - r) if has_ub else np.ones(len(r)),
         _rb_col(rb, "lm_lo"),
         _rb_col(rb, "lm_hi"),
     )
@@ -85,7 +94,7 @@ def _cols(rb: pa.RecordBatch):
 
 def _pieces(rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub):
     """Batch rendering of ElasticLocalKernel._pieces (kept in lockstep)."""
-    w0, r, s_lo, s_hi, lm_lo, lm_hi = _cols(rb)
+    w0, r, s_lo, s_hi, lm_lo, lm_hi = _cols(rb, lb, ub, has_ub)
     with np.errstate(divide="ignore", invalid="ignore"):
         lr = np.log(r)
     xlam = _x_dot(flat_idx, flat_val, lens, lam)
@@ -123,65 +132,92 @@ def _steps_arrays(pieces, flat_idx, flat_val, lens, dlam, mu_s, has_ub):
     return r_step, li_lo, li_hi, ss_lo, ss_hi
 
 
+class _EStatsAcc:
+    """Per-partition stats accumulator shared by the plain stats pass and
+    the fused commit+stats pass (``_ecommit_stats_pass``) — one body, no
+    math divergence between the two shapes."""
+
+    def __init__(self, k: int, blocks) -> None:
+        self.k = k
+        self.f_val = self.cd_sq = self.ci_sq = self.cs_sq = 0.0
+        self.alt_sq = self.nan_ct = 0.0
+        self.sl_sum = self.sl_sq = self.sl_cnt = 0.0
+        self.sl_min = np.inf
+        self.neg_lm_max = np.inf  # min(−λ) = −max(λ)
+        self.g1 = np.zeros(k)
+        self.rhs_leg = np.zeros(k)
+        self.rhs_mu_leg = np.zeros(k)
+        self.gram, self.gram_add = make_gram_accum(k, blocks)
+
+    def add(self, rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub):
+        k = self.k
+        pieces = _pieces(
+            rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
+        )
+        (w0, r, s_lo, s_hi, lm_lo, lm_hi, lr, xlam, lm_net, cd,
+         ci_lo, ci_hi, cs_lo, cs_hi, ht, zterm) = pieces
+        bad = ~np.isfinite(cd) | ~np.isfinite(ht) | (ht <= 0)
+        cdf = np.where(bad, 0.0, cd)
+        lrf = np.where(np.isfinite(lr), lr, 0.0)
+        with np.errstate(over="ignore"):
+            alt = np.exp(eta * (xlam + lm_net / w0)) - r
+        # Overflowing alt residual -> alt_sq=inf, NOT an abort (the
+        # reference keeps iterating, ebw_routines.py:586-600); only
+        # Cd/ht non-finiteness counts toward nan_ct.
+        alt_bad = ~np.isfinite(alt)
+        self.nan_ct += float(bad.sum())
+        altf = np.where(alt_bad, 0.0, alt)
+        inv_ht = np.where(bad, 0.0, 1.0 / ht)
+        self.f_val += float(np.sum(w0 * (r * lrf - r + 1.0)))
+        self.cd_sq += float(cdf @ cdf)
+        self.ci_sq += float(ci_lo @ ci_lo) + (
+            float(ci_hi @ ci_hi) if has_ub else 0.0
+        )
+        self.cs_sq += float(cs_lo @ cs_lo) + (
+            float(cs_hi @ cs_hi) if has_ub else 0.0
+        )
+        self.alt_sq += np.inf if alt_bad.any() else float(altf @ altf)
+        # μ_s decomposition legs + slack/multiplier stats of THIS state
+        # (post-commit when a lazy commit is pending — this scan applies
+        # it), so the driver updates μ_s/η with no separate pass
+        z1 = 1.0 / s_lo - (1.0 / s_hi if has_ub else 0.0)
+        sl = s_lo * lm_lo
+        lm_mx = float(lm_lo.max())
+        if has_ub:
+            sl = np.concatenate([sl, s_hi * lm_hi])
+            lm_mx = max(lm_mx, float(lm_hi.max()))
+        self.sl_sum += float(np.sum(sl))
+        self.sl_sq += float(sl @ sl)
+        self.sl_cnt += float(len(sl))
+        self.sl_min = min(self.sl_min, float(sl.min()))
+        self.neg_lm_max = min(self.neg_lm_max, -lm_mx)
+        self.g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
+        self.rhs_leg += _xt_v(
+            flat_idx, flat_val, lens, w0 * inv_ht * (cdf + zterm), k
+        )
+        self.rhs_mu_leg += _xt_v(flat_idx, flat_val, lens, w0 * inv_ht * z1, k)
+        self.gram_add(flat_idx, flat_val, lens, w0**2 * inv_ht)
+
+    def payload(self) -> pa.RecordBatch:
+        return _pack_rb(
+            [self.f_val, self.cd_sq, self.ci_sq, self.cs_sq, self.alt_sq,
+             self.nan_ct, self.sl_sum, self.sl_sq, self.sl_cnt, self.g1,
+             self.rhs_leg, self.rhs_mu_leg, self.gram],
+            [self.sl_min, self.neg_lm_max],
+        )
+
+
 def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub, blocks) -> Callable:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        f_val = cd_sq = ci_sq = cs_sq = alt_sq = nan_ct = 0.0
-        sl_sum = sl_sq = sl_cnt = 0.0
-        sl_min = np.inf
-        neg_lm_max = np.inf  # min(−λ) = −max(λ)
-        g1 = np.zeros(k)
-        rhs_leg = np.zeros(k)
-        rhs_mu_leg = np.zeros(k)
-        gram, gram_add = make_gram_accum(k, blocks)
+        acc = _EStatsAcc(k, blocks)
         for rb in batches:
             if not rb.num_rows:
                 continue
             flat_idx, flat_val, lens = _flatten_rb(rb)
-            pieces = _pieces(
+            acc.add(
                 rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
             )
-            (w0, r, s_lo, s_hi, lm_lo, lm_hi, lr, xlam, lm_net, cd,
-             ci_lo, ci_hi, cs_lo, cs_hi, ht, zterm) = pieces
-            bad = ~np.isfinite(cd) | ~np.isfinite(ht) | (ht <= 0)
-            cdf = np.where(bad, 0.0, cd)
-            lrf = np.where(np.isfinite(lr), lr, 0.0)
-            with np.errstate(over="ignore"):
-                alt = np.exp(eta * (xlam + lm_net / w0)) - r
-            # Overflowing alt residual -> alt_sq=inf, NOT an abort (the
-            # reference keeps iterating, ebw_routines.py:586-600); only
-            # Cd/ht non-finiteness counts toward nan_ct.
-            alt_bad = ~np.isfinite(alt)
-            nan_ct += float(bad.sum())
-            altf = np.where(alt_bad, 0.0, alt)
-            inv_ht = np.where(bad, 0.0, 1.0 / ht)
-            f_val += float(np.sum(w0 * (r * lrf - r + 1.0)))
-            cd_sq += float(cdf @ cdf)
-            ci_sq += float(ci_lo @ ci_lo) + (float(ci_hi @ ci_hi) if has_ub else 0.0)
-            cs_sq += float(cs_lo @ cs_lo) + (float(cs_hi @ cs_hi) if has_ub else 0.0)
-            alt_sq += np.inf if alt_bad.any() else float(altf @ altf)
-            # μ_s decomposition legs + slack/multiplier stats of THIS state
-            # (post-commit when a lazy commit is pending — this scan applies
-            # it), so the driver updates μ_s/η with no separate pass
-            z1 = 1.0 / s_lo - (1.0 / s_hi if has_ub else 0.0)
-            sl = s_lo * lm_lo
-            lm_mx = float(lm_lo.max())
-            if has_ub:
-                sl = np.concatenate([sl, s_hi * lm_hi])
-                lm_mx = max(lm_mx, float(lm_hi.max()))
-            sl_sum += float(np.sum(sl))
-            sl_sq += float(sl @ sl)
-            sl_cnt += float(len(sl))
-            sl_min = min(sl_min, float(sl.min()))
-            neg_lm_max = min(neg_lm_max, -lm_mx)
-            g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
-            rhs_leg += _xt_v(flat_idx, flat_val, lens, w0 * inv_ht * (cdf + zterm), k)
-            rhs_mu_leg += _xt_v(flat_idx, flat_val, lens, w0 * inv_ht * z1, k)
-            gram_add(flat_idx, flat_val, lens, w0**2 * inv_ht)
-        yield _pack_rb(
-            [f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct,
-             sl_sum, sl_sq, sl_cnt, g1, rhs_leg, rhs_mu_leg, gram],
-            [sl_min, neg_lm_max],
-        )
+        yield acc.payload()
 
     return fn
 
@@ -240,8 +276,13 @@ def _combined_iter(pair_iter) -> Iterator[pa.RecordBatch]:
     """zip pairs → one combined RecordBatch, zero-copy (same buffers).
     The combined schema inherits the BASE blob's schema (column names AND
     metadata — a dense-elided base has no idx column, and the stamp that
-    lets ``_flatten_rb`` resynthesize it must survive the zip)."""
+    lets ``_flatten_rb`` resynthesize it must survive the zip).  State
+    elements are either plain IPC bytes or the fused commit+stats cache's
+    ``(state_ipc, sums, mins)`` tuples (payload piggybacked on the last
+    batch — see ``_ecommit_stats_pass``); unwrap the latter."""
     for bb, sb in pair_iter:
+        if isinstance(sb, tuple):
+            sb = sb[0]
         base_rb = _ipc_deser(bytes(bb))
         st_rb = _ipc_deser(bytes(sb))
         fields = [
@@ -282,9 +323,10 @@ def _merge_payload(a, b):
 def _ecommit_state_pass(
     lam, dlam, eta, mu_s, alpha_p, alpha_d, lb, ub, has_ub
 ) -> Callable:
-    """Per-pair commit: recompute the step on the CURRENT state and emit
-    only the next state blob — the immutable base columns are never
-    rewritten."""
+    """Per-pair commit, RECOMPUTE form (the fallback when no matching
+    step cache exists — see ``elastic_commit``): recompute the step on
+    the CURRENT state and emit only the next state blob — the immutable
+    base columns are never rewritten."""
 
     def fn(pair_iter):
         for rb in _combined_iter(pair_iter):
@@ -292,21 +334,92 @@ def _ecommit_state_pass(
             pieces = _pieces(
                 rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
             )
-            r_step, li_lo, li_hi, ss_lo, ss_hi = _steps_arrays(
+            r_step, li_lo, li_hi, _ss_lo, _ss_hi = _steps_arrays(
                 pieces, flat_idx, flat_val, lens, dlam, mu_s, has_ub
             )
-            _, r, s_lo, s_hi, lm_lo, lm_hi = _cols(rb)
+            _, r, _s_lo, _s_hi, lm_lo, lm_hi = _cols(rb, lb, ub, has_ub)
             yield _ipc_ser(
                 _state_rb(
                     [
                         r + alpha_p * r_step,
-                        s_lo + alpha_p * ss_lo,
-                        s_hi + alpha_p * ss_hi if has_ub else s_hi,
                         lm_lo + alpha_d * li_lo,
                         lm_hi + alpha_d * li_hi if has_ub else lm_hi,
                     ]
                 )
             )
+
+    return fn
+
+
+def _ecommit_stats_pass(
+    k, clam, cdlam, ceta, cmu_s, alpha_p, alpha_d,
+    lam, eta, mu_s, lb, ub, has_ub, blocks,
+) -> Callable:
+    """FUSED commit+stats — the r9 commit-bandwidth cut.  One pass over
+    ``base.zip(old_state)`` per batch: replay the pending commit (step
+    recompute at the COMMIT-time parameters, then the α-combine), yield
+    the new state blob as a cache element (``("s", ipc, b"")``), and feed
+    the new state straight into the stats accumulation at the STATS-time
+    parameters; one ``("p", sums, mins)`` payload element closes the
+    partition.  The persisted RDD therefore IS the new state cache (a
+    element shape is ``(state_ipc, sums, mins)`` with the partition
+    payload piggybacked on the LAST batch's element (empty bytes on the
+    others), so the element count per partition equals the batch count —
+    later passes ``zip`` this cache with the base cache DIRECTLY at the
+    JVM level (an element-count-preserving view through a Python
+    ``filter`` would force every later read through an extra
+    Python→JVM→Python round trip, measured +2.3 s/pass at 100M)) AND the
+    stats source — versus the r8 shape (new state = nested
+    ``base.zip(prev)`` inside the outer stats zip) this reads the multi-GB
+    base cache ONCE instead of twice and flattens each batch once instead
+    of twice.  Payload bytes ride the state cache until the next commit
+    replaces it: K-sized per partition — negligible at small K, bounded
+    by partitions × (3K+Σk_b²)·8 B on the grouped huge-K path (~1.6 GB at
+    K=100k × 400 partitions, transient)."""
+
+    def fn(pair_iter):
+        acc = _EStatsAcc(k, blocks)
+        n_state = len(STATE_NAMES)
+        held = None
+        for rb in _combined_iter(pair_iter):
+            flat_idx, flat_val, lens = _flatten_rb(rb)
+            pieces = _pieces(
+                rb, flat_idx, flat_val, lens, clam, ceta, cmu_s, lb, ub,
+                has_ub,
+            )
+            r_step, li_lo, li_hi, _ss_lo, _ss_hi = _steps_arrays(
+                pieces, flat_idx, flat_val, lens, cdlam, cmu_s, has_ub
+            )
+            r, lm_lo, lm_hi = pieces[1], pieces[4], pieces[5]
+            st_rb = _state_rb(
+                [
+                    r + alpha_p * r_step,
+                    lm_lo + alpha_d * li_lo,
+                    lm_hi + alpha_d * li_hi if has_ub else lm_hi,
+                ]
+            )
+            if held is not None:
+                yield (held, b"", b"")
+            held = _ipc_ser(st_rb)
+            nb = rb.num_columns - n_state
+            fields = [rb.schema.field(i) for i in range(nb)] + [
+                st_rb.schema.field(j) for j in range(st_rb.num_columns)
+            ]
+            rb2 = pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in range(nb)] + list(st_rb.columns),
+                schema=pa.schema(fields, metadata=rb.schema.metadata),
+            )
+            acc.add(
+                rb2, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
+            )
+        if held is None:
+            return  # empty partition: no batches, no payload
+        pay = acc.payload()
+        yield (
+            held,
+            pay.column(0).to_pylist()[0],
+            pay.column(1).to_pylist()[0],
+        )
 
     return fn
 
@@ -345,6 +458,14 @@ class ElasticSparkKernel:
         self.block_structure = block_structure
         self._prev = None
         self._commits_since_ckpt = 0
+        # _store: the PERSISTED rdd behind the current state; _state may
+        # be a filter/map view of it (the fused commit+stats cache whose
+        # elements also carry the partition payloads)
+        self._store = state_rdd
+        # pending lazy commit parameters (lam, dlam, eta, mu_s, αp, αd) —
+        # applied by the next elastic_stats as the fused pass, or flushed
+        # into a chained lazy state swap by any other consumer
+        self._pending = None
 
     @classmethod
     def from_problem(
@@ -397,13 +518,10 @@ class ElasticSparkKernel:
             def init_state(payloads):
                 for b in payloads:
                     nr = _ipc_deser(bytes(b)).num_rows
-                    ratio = np.ones(nr)
                     yield _ipc_ser(
                         _state_rb(
                             [
-                                ratio,
-                                ratio - lb,
-                                (ub - ratio) if has_ub else ratio,
+                                np.ones(nr),
                                 np.full(nr, 0.05),
                                 np.full(nr, 0.05 if has_ub else 0.0),
                             ]
@@ -461,8 +579,6 @@ class ElasticSparkKernel:
                 st_rb = _state_rb(
                     [
                         ratio,
-                        s_lo,
-                        s_hi,
                         np.full(len(ratio), 0.05),
                         np.full(len(ratio), 0.05 if has_ub else 0.0),
                     ]
@@ -504,10 +620,11 @@ class ElasticSparkKernel:
         pair_rdd.unpersist(blocking=True)
         return base_rdd, state_rdd
 
-    def _reduce(self, fn, big: bool = False):
-        pairs = self._base.zip(self._state).mapPartitions(
-            _payload_adapter(fn), preservesPartitioning=True
-        )
+    def _reduce(self, fn, big: bool = False, pairs=None):
+        if pairs is None:
+            pairs = self._base.zip(self._state).mapPartitions(
+                _payload_adapter(fn), preservesPartitioning=True
+            )
         if big:
             # dense K² Gram payloads: merge executor-side so the driver
             # receives O(tree-fanout) blobs, same gate as collect_payload
@@ -516,33 +633,74 @@ class ElasticSparkKernel:
             mins = np.frombuffer(mins_b, dtype=np.float64).copy()
         else:
             rows = pairs.collect()
+            if not rows:
+                raise ValueError(
+                    "elastic kernel reduce returned no partition payloads "
+                    "(empty problem?)"
+                )
             sums = np.sum(
                 [np.frombuffer(s, dtype=np.float64) for s, _ in rows], axis=0
             )
             mins = np.min(
                 [np.frombuffer(m, dtype=np.float64) for _, m in rows], axis=0
             )
-        # the reduce materialized any pending lazy commit into its cache
+        # the reduce materialized any flushed lazy commit into its cache
         if self._prev is not None:
             self._prev.unpersist()
             self._prev = None
         return sums, mins
 
     def elastic_g1(self) -> np.ndarray:
+        self._flush_pending_lazy()
         sums, _ = self._reduce(_g1_pass(self.k))
         return sums
 
     def elastic_stats(self, lam, eta, mu_s) -> EStats:
         k = self.k
-        sums, mins = self._reduce(
-            _estats_pass(
-                k, lam, eta, mu_s, self.lb, self.ub, self.has_ub,
-                blocks_tuple(self.block_structure),
-            ),
-            big=reduce_big(
-                k, self.block_structure, self._base.getNumPartitions()
-            ),
+        big = reduce_big(
+            k, self.block_structure, self._base.getNumPartitions()
         )
+        if self._pending is not None:
+            # Fused commit+stats: ONE pass over base.zip(old_state) whose
+            # persisted elements are the new state blobs + partition
+            # payloads — the base cache crosses once, not twice (r9).
+            clam, cdlam, ceta, cmu_s, ap, ad = self._pending
+            self._pending = None
+            fused = (
+                self._base.zip(self._state)
+                .mapPartitions(
+                    _ecommit_stats_pass(
+                        k, clam, cdlam, ceta, cmu_s, ap, ad,
+                        lam, eta, mu_s, self.lb, self.ub, self.has_ub,
+                        blocks_tuple(self.block_structure),
+                    ),
+                    preservesPartitioning=True,
+                )
+                ._reserialize(_ZIP_SER)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self._commits_since_ckpt += 1
+            if self._commits_since_ckpt >= self._CKPT_EVERY:
+                fused.localCheckpoint()
+                self._commits_since_ckpt = 0
+            payloads = fused.map(lambda t: (t[1], t[2])).filter(
+                lambda t: len(t[0]) > 0
+            )
+            prev_store = self._store
+            sums, mins = self._reduce(None, big=big, pairs=payloads)
+            prev_store.unpersist()
+            self._store = fused
+            # consumers zip this cache with the base at the JVM level and
+            # unwrap the (state, sums, mins) tuples in _combined_iter
+            self._state = fused
+        else:
+            sums, mins = self._reduce(
+                _estats_pass(
+                    k, lam, eta, mu_s, self.lb, self.ub, self.has_ub,
+                    blocks_tuple(self.block_structure),
+                ),
+                big=big,
+            )
         (f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct,
          sl_sum, sl_sq, sl_cnt) = sums[:9]
         g1 = sums[9 : 9 + k]
@@ -568,6 +726,7 @@ class ElasticSparkKernel:
         )
 
     def elastic_step(self, lam, dlam, eta, mu_s) -> EStepStats:
+        self._flush_pending_lazy()
         sums, mins = self._reduce(
             _estep_pass(
                 self.k, lam, dlam, eta, mu_s, self.lb, self.ub, self.has_ub
@@ -581,22 +740,21 @@ class ElasticSparkKernel:
             has_nan=sums[1] > 0,
         )
 
-    def elastic_commit(
-        self, lam, dlam, eta, mu_s, alpha_p, alpha_d
-    ) -> None:
-        """Lazy transition — ZERO jobs here: the swapped-in state RDD
-        materializes (commit transform + state-cache write, ~40 B/row)
-        inside the NEXT ``elastic_stats`` reduce, which also returns the
-        post-commit slack/multiplier aggregates the μ/η rules need.  2 jobs
-        per iteration total (stats, step), same shape as the Newton solver.
-        Lineage is truncated every ``_CKPT_EVERY`` commits so the zip chain
-        (state_i = f(base, state_{i-1})) stays bounded."""
+    def _flush_pending_lazy(self) -> None:
+        """Convert a pending commit into the chained lazy state swap (zero
+        jobs) — for consumers other than ``elastic_stats`` (whose fused
+        pass is the fast path the solver loop always takes: commit is
+        invariably followed by stats there)."""
+        if self._pending is None:
+            return
+        clam, cdlam, ceta, cmu_s, ap, ad = self._pending
+        self._pending = None
         new_state = (
             self._base.zip(self._state)
             .mapPartitions(
                 _ecommit_state_pass(
-                    lam, dlam, eta, mu_s, alpha_p, alpha_d, self.lb,
-                    self.ub, self.has_ub,
+                    clam, cdlam, ceta, cmu_s, ap, ad, self.lb, self.ub,
+                    self.has_ub,
                 ),
                 preservesPartitioning=True,
             )
@@ -607,13 +765,39 @@ class ElasticSparkKernel:
         if self._commits_since_ckpt >= self._CKPT_EVERY:
             new_state.localCheckpoint()
             self._commits_since_ckpt = 0
-        self._prev = self._state
+        self._prev = self._store
+        self._store = new_state
         self._state = new_state
+
+    def elastic_commit(
+        self, lam, dlam, eta, mu_s, alpha_p, alpha_d
+    ) -> None:
+        """Lazy transition — ZERO jobs here: the swapped-in state RDD
+        materializes (commit transform + state-cache write, 24 B/row)
+        inside the NEXT ``elastic_stats`` reduce, which also returns the
+        post-commit slack/multiplier aggregates the μ/η rules need.  2 jobs
+        per iteration total (stats, step), same shape as the Newton solver.
+
+        The solver loop always follows a commit with ``elastic_stats``,
+        which applies it as the FUSED commit+stats pass (one base
+        crossing — see ``_ecommit_stats_pass``); any other next consumer
+        flushes it into the r8-style chained lazy swap first."""
+        if self._pending is not None:
+            self._flush_pending_lazy()
+        self._pending = (
+            np.array(lam, dtype=float, copy=True),
+            np.array(dlam, dtype=float, copy=True),
+            float(eta),
+            float(mu_s),
+            float(alpha_p),
+            float(alpha_d),
+        )
 
     def new_weights(self) -> DataFrame:
         """(row_id, new_weight = ratio·w0) as a DataFrame — Arrow blobs end
         to end; the per-batch IPC payloads cross the RDD→DataFrame seam as
         single binary rows, then ``mapInArrow`` explodes them JVM-side."""
+        self._flush_pending_lazy()
 
         def to_weights(pair_iter):
             for rb in _combined_iter(pair_iter):
@@ -641,8 +825,9 @@ class ElasticSparkKernel:
 
     def cleanup(self) -> None:
         self._base.unpersist(blocking=True)
-        self._state.unpersist(blocking=True)
+        self._store.unpersist(blocking=True)
         if self._prev is not None:
             self._prev.unpersist(blocking=True)
             self._prev = None
+        self._pending = None
         _post_cleanup_gc(self._spark.sparkContext)
