@@ -113,6 +113,36 @@ def bench(items: int) -> dict:
             "encode_raw_mb_s": _rate(raw * items, t_enc),
             "decode_raw_mb_s": _rate(raw * items, t_dec),
         }
+
+    # probe-vs-decode: the 100 TB triage ratio — a dimension filter that
+    # reads headers (probe_image) vs one that decodes pixels, measured on
+    # the same payloads.  This quantifies why the curation example probes
+    # FIRST and decodes survivors only.
+    probe_payloads = [
+        mm.encode_bmp(img),
+        mm.encode_png(smooth),
+        encode_jpeg(smooth, 90, "4:2:0"),
+        encode_gif(gif_idx, pal),
+        encode_tiff(smooth, compression="lzw"),
+    ]
+    reps = max(items * 20, 100)  # probes are fast; widen for timer floor
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for p in probe_payloads:
+            mm.probe_image(p)
+    t_probe = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(items):
+        for p in probe_payloads:
+            mm.decode_image(p)
+    t_decode = time.perf_counter() - t0
+    probes_s = reps * len(probe_payloads) / t_probe
+    decodes_s = items * len(probe_payloads) / t_decode
+    out["probe_vs_decode"] = {
+        "probe_items_s": round(probes_s, 1),
+        "decode_items_s": round(decodes_s, 1),
+        "speedup": round(probes_s / decodes_s, 1),
+    }
     return out
 
 

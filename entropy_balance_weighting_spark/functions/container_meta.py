@@ -891,3 +891,441 @@ def probe_mp4_tracks(payload: bytes) -> list[dict]:
                     info["n_samples"] = count
         tracks.append(info)
     return tracks
+
+
+# ---------------------------------------------------------------------------
+# AAC / ADTS frame-header probe — ISO/IEC 14496-3 ADTS headers are plain
+# bit fields like MP3's; stream duration/bitrate/channel metadata falls out
+# of a 7-byte header walk with NO entropy decode (mirrors probe_mp3 above;
+# r8 verdict gap #1 named this the next no-library slice).
+# ---------------------------------------------------------------------------
+
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+_ADTS_PROFILES = ("Main", "LC", "SSR", "LTP")
+
+
+def _adts_frame_params(b: bytes, pos: int):
+    """Decode one ADTS header at ``pos``: returns ``(frame_len, samples,
+    samplerate, channels, profile, crc)`` or ``None`` if the sync/fields
+    are invalid (the caller resyncs)."""
+    if b[pos] != 0xFF or (b[pos + 1] & 0xF6) != 0xF0:
+        return None  # 12-bit sync + layer must be 00
+    crc = (b[pos + 1] & 0x1) == 0
+    profile_idx = (b[pos + 2] >> 6) & 0x3
+    sr_idx = (b[pos + 2] >> 2) & 0xF
+    if sr_idx >= len(_ADTS_RATES):
+        return None
+    channels = ((b[pos + 2] & 0x1) << 2) | ((b[pos + 3] >> 6) & 0x3)
+    frame_len = (
+        ((b[pos + 3] & 0x3) << 11) | (b[pos + 4] << 3) | (b[pos + 5] >> 5)
+    )
+    n_blocks = (b[pos + 6] & 0x3) + 1
+    hdr_len = 9 if crc else 7
+    if frame_len < hdr_len:
+        return None
+    return (
+        frame_len,
+        1024 * n_blocks,
+        _ADTS_RATES[sr_idx],
+        channels,
+        _ADTS_PROFILES[profile_idx],
+        crc,
+    )
+
+
+def probe_adts(payload: bytes) -> dict:
+    """Walk ADTS frame headers and report AAC stream metadata without
+    decoding audio: frame count, duration, average bitrate, samplerate,
+    channel configuration, profile (audio object type), CRC presence,
+    resynced garbage bytes, and trailing truncation.  Skips a leading
+    ID3v2 tag.  Raises ``ValueError('malformed ADTS payload: no
+    frames')`` when no valid header exists — the package's named-error
+    convention."""
+    b = bytes(payload)
+    pos = _id3_tag_len(b)
+    end = len(b)
+    n_frames = 0
+    total_samples = 0
+    total_bytes = 0
+    samplerate = 0
+    channels = 0
+    profile = ""
+    crc_protected = False
+    resync_bytes = 0
+    truncated = False
+    while pos + 7 <= end:
+        params = _adts_frame_params(b, pos)
+        if params is None:
+            pos += 1
+            resync_bytes += 1
+            continue
+        frame_len, samples, sr, ch, prof, crc = params
+        if pos + frame_len > end:
+            truncated = True
+            break
+        n_frames += 1
+        total_samples += samples
+        total_bytes += frame_len
+        samplerate, channels, profile, crc_protected = sr, ch, prof, crc
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("malformed ADTS payload: no frames")
+    duration = total_samples / samplerate
+    return {
+        "n_frames": n_frames,
+        "duration_sec": duration,
+        "samplerate": samplerate,
+        "channels": channels,
+        "profile": profile,
+        "bitrate_kbps_avg": total_bytes * 8 / duration / 1000.0,
+        "crc_protected": crc_protected,
+        "resync_bytes": resync_bytes,
+        "truncated": truncated,
+    }
+
+
+def build_adts(
+    n_frames: int,
+    *,
+    samplerate: int = 44100,
+    channels: int = 2,
+    profile: str = "LC",
+    payload_len: int = 200,
+    crc: bool = False,
+    seed: int = 0,
+) -> bytes:
+    """Deterministic valid-header ADTS stream for tests: headers are real,
+    raw-data blocks are opaque pseudo-random bytes (the probe never reads
+    them)."""
+    if samplerate not in _ADTS_RATES:
+        raise ValueError(f"samplerate {samplerate} not an ADTS rate")
+    if profile not in _ADTS_PROFILES:
+        raise ValueError(f"profile must be one of {_ADTS_PROFILES}")
+    sr_idx = _ADTS_RATES.index(samplerate)
+    prof_idx = _ADTS_PROFILES.index(profile)
+    hdr_len = 9 if crc else 7
+    frame_len = hdr_len + payload_len
+    if frame_len >= 1 << 13:
+        raise ValueError("frame too long for the 13-bit length field")
+    out = bytearray()
+    for f in range(n_frames):
+        h = bytearray(hdr_len)
+        h[0] = 0xFF
+        h[1] = 0xF0 | (0 if crc else 1)
+        h[2] = (prof_idx << 6) | (sr_idx << 2) | ((channels >> 2) & 0x1)
+        h[3] = ((channels & 0x3) << 6) | ((frame_len >> 11) & 0x3)
+        h[4] = (frame_len >> 3) & 0xFF
+        h[5] = ((frame_len & 0x7) << 5) | 0x1F
+        h[6] = 0xFC  # buffer fullness low bits + 1 raw data block
+        out += h
+        out += bytes(
+            ((seed * 2654435761 + f * 40503 + i * 2246822519) >> 7) & 0xFF
+            for i in range(payload_len)
+        )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (EBML) container walk — RFC 8794 EBML element structure:
+# variable-length IDs and sizes, nested master elements.  Duration, title,
+# app strings, per-track codec/dimensions and a Tags privacy scrub fall out
+# of an element walk with NO codec work (mirrors the MP4 atom walk above;
+# r8 verdict gap #1 named this the second no-library slice).
+# ---------------------------------------------------------------------------
+
+_MKV_EBML = b"\x1a\x45\xdf\xa3"
+_MKV_SEGMENT = b"\x18\x53\x80\x67"
+_MKV_INFO = b"\x15\x49\xa9\x66"
+_MKV_TS_SCALE = b"\x2a\xd7\xb1"
+_MKV_DURATION = b"\x44\x89"
+_MKV_TITLE = b"\x7b\xa9"
+_MKV_MUXAPP = b"\x4d\x80"
+_MKV_WRITAPP = b"\x57\x41"
+_MKV_TRACKS = b"\x16\x54\xae\x6b"
+_MKV_TRACKENTRY = b"\xae"
+_MKV_TRACKTYPE = b"\x83"
+_MKV_CODECID = b"\x86"
+_MKV_VIDEO = b"\xe0"
+_MKV_PIXW = b"\xb0"
+_MKV_PIXH = b"\xba"
+_MKV_AUDIO = b"\xe1"
+_MKV_SAMPFREQ = b"\xb5"
+_MKV_CHANNELS = b"\x9f"
+_MKV_TAGS = b"\x12\x54\xc3\x67"
+_MKV_CLUSTER = b"\x1f\x43\xb6\x75"
+_MKV_TRACK_TYPES = {1: "video", 2: "audio", 17: "subtitle"}
+
+
+def _ebml_id(b: bytes, pos: int) -> tuple[bytes, int]:
+    """Read an EBML element ID (1-4 bytes, marker bit kept) at ``pos``."""
+    if pos >= len(b):
+        raise ValueError("malformed Matroska payload: truncated element id")
+    first = b[pos]
+    for n in range(1, 5):
+        if first & (0x80 >> (n - 1)):
+            if pos + n > len(b):
+                raise ValueError(
+                    "malformed Matroska payload: truncated element id"
+                )
+            return b[pos : pos + n], n
+    raise ValueError("malformed Matroska payload: invalid element id")
+
+
+def _ebml_size(b: bytes, pos: int) -> tuple[int | None, int]:
+    """Read an EBML data size (1-8 bytes, marker stripped) at ``pos``;
+    returns ``(size, n_bytes)`` with ``size=None`` for the all-ones
+    "unknown size" form."""
+    if pos >= len(b):
+        raise ValueError("malformed Matroska payload: truncated size")
+    first = b[pos]
+    for n in range(1, 9):
+        if first & (0x80 >> (n - 1)):
+            if pos + n > len(b):
+                raise ValueError("malformed Matroska payload: truncated size")
+            val = first & (0xFF >> n)
+            for i in range(1, n):
+                val = (val << 8) | b[pos + i]
+            if val == (1 << (7 * n)) - 1:
+                return None, n  # unknown size
+            return val, n
+    raise ValueError("malformed Matroska payload: invalid size")
+
+
+def _ebml_encode_size(n: int) -> bytes:
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            out = bytearray(ln)
+            for i in range(ln - 1, -1, -1):
+                out[i] = n & 0xFF
+                n >>= 8
+            out[0] |= 0x80 >> (ln - 1)
+            return bytes(out)
+    raise ValueError(f"EBML size out of range: {n}")
+
+
+def _ebml_el(eid: bytes, data: bytes) -> bytes:
+    return eid + _ebml_encode_size(len(data)) + data
+
+
+def _ebml_uint(n: int) -> bytes:
+    out = n.to_bytes(max(1, (n.bit_length() + 7) // 8), "big")
+    return out
+
+
+def _walk_ebml(b: bytes, pos: int, end: int):
+    """Yield ``(id_bytes, header_start, data_start, data_end)`` for each
+    element in ``b[pos:end]``.  Unknown-size elements are only legal for
+    the top-level Segment (streaming convention) where they extend to
+    ``end``; anywhere else they make a scrub un-resizable → named error."""
+    while pos < end:
+        eid, idn = _ebml_id(b, pos)
+        size, szn = _ebml_size(b, pos + idn)
+        ds = pos + idn + szn
+        if size is None:
+            if eid != _MKV_SEGMENT:
+                raise ValueError(
+                    "malformed Matroska payload: unknown-size element "
+                    f"{eid.hex()}"
+                )
+            de = end
+        else:
+            de = ds + size
+        if de > end:
+            raise ValueError(
+                f"malformed Matroska payload: element {eid.hex()} size "
+                "overruns parent"
+            )
+        yield eid, pos, ds, de
+        pos = de
+
+
+def _mkv_uint(b: bytes, ds: int, de: int) -> int:
+    if de - ds > 8:
+        raise ValueError("malformed Matroska payload: oversized uint")
+    return int.from_bytes(b[ds:de], "big")
+
+
+def _mkv_float(b: bytes, ds: int, de: int) -> float:
+    n = de - ds
+    if n == 4:
+        return struct.unpack(">f", b[ds:de])[0]
+    if n == 8:
+        return struct.unpack(">d", b[ds:de])[0]
+    if n == 0:
+        return 0.0
+    raise ValueError("malformed Matroska payload: bad float length")
+
+
+def _is_mkv(b: bytes) -> bool:
+    return b[: len(_MKV_EBML)] == _MKV_EBML
+
+
+def probe_mkv(payload: bytes) -> dict:
+    """Walk the EBML tree and report container metadata without any codec
+    work: ``timestamp_scale`` (ns/tick), ``duration_sec``, ``title``,
+    ``muxing_app``/``writing_app``, ``has_tags``, ``n_clusters``, and one
+    dict per track (``type``/``codec_id`` plus video ``width``/``height``
+    or audio ``samplerate``/``channels``).  Named ValueError on a
+    malformed tree."""
+    b = bytes(payload)
+    if not _is_mkv(b):
+        raise ValueError("malformed Matroska payload: missing EBML header")
+    out: dict = {
+        "timestamp_scale": 1_000_000,
+        "duration_sec": 0.0,
+        "title": "",
+        "muxing_app": "",
+        "writing_app": "",
+        "has_tags": False,
+        "n_clusters": 0,
+        "tracks": [],
+    }
+    duration_ticks = 0.0
+    for eid, _hs, ds, de in _walk_ebml(b, 0, len(b)):
+        if eid != _MKV_SEGMENT:
+            continue
+        for e2, _h2, d2, e2e in _walk_ebml(b, ds, de):
+            if e2 == _MKV_INFO:
+                for e3, _h3, d3, e3e in _walk_ebml(b, d2, e2e):
+                    if e3 == _MKV_TS_SCALE:
+                        out["timestamp_scale"] = _mkv_uint(b, d3, e3e)
+                    elif e3 == _MKV_DURATION:
+                        duration_ticks = _mkv_float(b, d3, e3e)
+                    elif e3 == _MKV_TITLE:
+                        out["title"] = b[d3:e3e].decode("utf-8", "replace")
+                    elif e3 == _MKV_MUXAPP:
+                        out["muxing_app"] = b[d3:e3e].decode("utf-8", "replace")
+                    elif e3 == _MKV_WRITAPP:
+                        out["writing_app"] = b[d3:e3e].decode(
+                            "utf-8", "replace"
+                        )
+            elif e2 == _MKV_TRACKS:
+                for e3, _h3, d3, e3e in _walk_ebml(b, d2, e2e):
+                    if e3 != _MKV_TRACKENTRY:
+                        continue
+                    tr: dict = {"type": "", "codec_id": ""}
+                    for e4, _h4, d4, e4e in _walk_ebml(b, d3, e3e):
+                        if e4 == _MKV_TRACKTYPE:
+                            tt = _mkv_uint(b, d4, e4e)
+                            tr["type"] = _MKV_TRACK_TYPES.get(tt, str(tt))
+                        elif e4 == _MKV_CODECID:
+                            tr["codec_id"] = b[d4:e4e].decode(
+                                "ascii", "replace"
+                            )
+                        elif e4 == _MKV_VIDEO:
+                            for e5, _h5, d5, e5e in _walk_ebml(b, d4, e4e):
+                                if e5 == _MKV_PIXW:
+                                    tr["width"] = _mkv_uint(b, d5, e5e)
+                                elif e5 == _MKV_PIXH:
+                                    tr["height"] = _mkv_uint(b, d5, e5e)
+                        elif e4 == _MKV_AUDIO:
+                            for e5, _h5, d5, e5e in _walk_ebml(b, d4, e4e):
+                                if e5 == _MKV_SAMPFREQ:
+                                    tr["samplerate"] = _mkv_float(b, d5, e5e)
+                                elif e5 == _MKV_CHANNELS:
+                                    tr["channels"] = _mkv_uint(b, d5, e5e)
+                    out["tracks"].append(tr)
+            elif e2 == _MKV_TAGS:
+                out["has_tags"] = True
+            elif e2 == _MKV_CLUSTER:
+                out["n_clusters"] += 1
+    out["duration_sec"] = duration_ticks * out["timestamp_scale"] / 1e9
+    return out
+
+
+def strip_mkv_meta(payload: bytes) -> bytes:
+    """Privacy scrub: drop every ``Tags`` element and the ``Title``/
+    ``MuxingApp``/``WritingApp`` strings from ``Info``, re-encoding the
+    Segment/Info sizes; ``Cluster`` elements (the coded A/V payload) pass
+    through byte-identical."""
+    b = bytes(payload)
+    if not _is_mkv(b):
+        raise ValueError("malformed Matroska payload: missing EBML header")
+    out = bytearray()
+    for eid, hs, ds, de in _walk_ebml(b, 0, len(b)):
+        if eid != _MKV_SEGMENT:
+            out += b[hs:de]
+            continue
+        seg = bytearray()
+        for e2, h2, d2, e2e in _walk_ebml(b, ds, de):
+            if e2 == _MKV_TAGS:
+                continue
+            if e2 == _MKV_INFO:
+                info = bytearray()
+                for e3, h3, _d3, e3e in _walk_ebml(b, d2, e2e):
+                    if e3 in (_MKV_TITLE, _MKV_MUXAPP, _MKV_WRITAPP):
+                        continue
+                    info += b[h3:e3e]
+                seg += _ebml_el(_MKV_INFO, bytes(info))
+            else:
+                seg += b[h2:e2e]
+        out += _ebml_el(_MKV_SEGMENT, bytes(seg))
+    return bytes(out)
+
+
+def build_mkv(
+    *,
+    title: str | None = None,
+    duration_ticks: float = 0.0,
+    timestamp_scale: int = 1_000_000,
+    muxing_app: str = "",
+    writing_app: str = "",
+    tracks: list[dict] | None = None,
+    tags: bytes = b"",
+    clusters: list[bytes] | None = None,
+) -> bytes:
+    """Serialize a minimal Matroska file for tests: EBML header + Segment
+    with Info / Tracks / optional Tags / Cluster elements (cluster bodies
+    are opaque bytes this module never inspects)."""
+    ebml_hdr = _ebml_el(
+        _MKV_EBML,
+        _ebml_el(b"\x42\x82", b"matroska")  # DocType
+        + _ebml_el(b"\x42\x86", b"\x01"),  # EBMLVersion
+    )
+    info = _ebml_el(_MKV_TS_SCALE, _ebml_uint(timestamp_scale))
+    if duration_ticks:
+        info += _ebml_el(_MKV_DURATION, struct.pack(">d", duration_ticks))
+    if title is not None:
+        info += _ebml_el(_MKV_TITLE, title.encode("utf-8"))
+    if muxing_app:
+        info += _ebml_el(_MKV_MUXAPP, muxing_app.encode("utf-8"))
+    if writing_app:
+        info += _ebml_el(_MKV_WRITAPP, writing_app.encode("utf-8"))
+    seg = _ebml_el(_MKV_INFO, info)
+    entries = b""
+    for tr in tracks or []:
+        te = _ebml_el(
+            _MKV_TRACKTYPE,
+            _ebml_uint(
+                {v: k for k, v in _MKV_TRACK_TYPES.items()}.get(
+                    tr.get("type", "video"), 1
+                )
+            ),
+        )
+        te += _ebml_el(_MKV_CODECID, tr.get("codec_id", "").encode("ascii"))
+        if tr.get("type") == "video":
+            te += _ebml_el(
+                _MKV_VIDEO,
+                _ebml_el(_MKV_PIXW, _ebml_uint(tr.get("width", 0)))
+                + _ebml_el(_MKV_PIXH, _ebml_uint(tr.get("height", 0))),
+            )
+        elif tr.get("type") == "audio":
+            te += _ebml_el(
+                _MKV_AUDIO,
+                _ebml_el(
+                    _MKV_SAMPFREQ,
+                    struct.pack(">d", float(tr.get("samplerate", 0.0))),
+                )
+                + _ebml_el(_MKV_CHANNELS, _ebml_uint(tr.get("channels", 0))),
+            )
+        entries += _ebml_el(_MKV_TRACKENTRY, te)
+    if entries:
+        seg += _ebml_el(_MKV_TRACKS, entries)
+    if tags:
+        seg += _ebml_el(_MKV_TAGS, tags)
+    for c in clusters or []:
+        seg += _ebml_el(_MKV_CLUSTER, c)
+    return ebml_hdr + _ebml_el(_MKV_SEGMENT, seg)

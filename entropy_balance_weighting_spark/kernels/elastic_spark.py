@@ -15,20 +15,28 @@ Data plane:
   - **base RDD** — one element per Arrow batch: the IPC-serialized
     immutable columns ``(row_id, w0, idx, val)``.  Cached ONCE, never
     rewritten.
-  - **state RDD** — IPC batches of the 5 mutable doubles
-    ``(ratio, s_lo, s_hi, lm_lo, lm_hi)`` (~40 B/row vs ~150 B/row for
-    full packed rows at K=8; the gap widens with K).  Re-cached per
-    commit; the hi block is inert (s_hi=1, lm_hi=0) without an upper
-    bound.
+  - **state RDD** — IPC batches of the 3 mutable doubles
+    ``(ratio, lm_lo, lm_hi)`` (24 B/row since r9 — the bound slacks are
+    DERIVED, see STATE_NAMES — vs ~150 B/row for full packed rows at
+    K=8; the gap widens with K).  Re-cached per commit; lm_hi is inert
+    (0) without an upper bound.
   - **passes** — ``base.zip(state).mapPartitions(pass_fn)`` where the
     pair batches are reassembled ZERO-COPY (same buffers, one combined
     RecordBatch) and fed to the same ``_estats``/``_estep`` math as
     before; K/K²-sized partials only; commits stay lazy (zero jobs) and
     materialize inside the next stats scan — 2 jobs per iteration, the
     same discipline the job-count pin (tests/test_elastic.py) enforces.
+  - **fused commit+stats (r9)** — a pending commit is applied BY the
+    next stats scan itself (``_ecommit_stats_pass``): one pass over
+    ``base.zip(old_state)`` yields the new state cache elements (with
+    the partition stats payload piggybacked on each partition's last
+    element) while accumulating the stats on the just-committed state —
+    the base cache crosses the JVM/Python boundary once per iteration's
+    stats job instead of twice, and each batch flattens once.
 
-Measured at N=5M, K=8 (solo box): full iteration 4.5–5.5 s vs 7.8–10 s for
-the packed-row design — the predicted commit-bandwidth saving.
+Measured at N=5M, K=8 (solo box, r7): full iteration 4.5–5.5 s vs
+7.8–10 s for the packed-row design.  At N=100M, K=8 (r9): stats+commit
+14.5 s → ~9.2 s, per-iteration ~19.5 s → ~14.5 s (PLANS.md §15).
 """
 
 from __future__ import annotations

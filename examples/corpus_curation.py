@@ -57,6 +57,57 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     docs = load_table(spark, sf_dir, "documents")
     n_raw = docs.count()
 
+    # 0. media triage — PROBE FIRST, decode survivors only (the 100 TB
+    #    pattern: a dimension/aspect filter that full-decodes every blob
+    #    pays orders of magnitude more CPU than one that reads headers;
+    #    see bench_media.py's probe_vs_decode row for the measured ratio).
+    #    The blobs here are synthetic stand-ins for an image-bearing
+    #    corpus column; probe and decode both run as Arrow mapInPandas
+    #    stages, map-only, no shuffle.
+    import numpy as np
+
+    from entropy_balance_weighting_spark.functions import multimodal as mm
+
+    def _img_blob(i: int) -> bytes:
+        side = 16 if i % 3 == 0 else 64  # every 3rd image is a thumbnail
+        g = ((np.arange(side)[:, None] * 3 + np.arange(side)[None, :] * 5 + i)
+             % 256).astype(np.uint8)
+        return mm.encode_bmp(np.stack([g, g, g], axis=-1))
+
+    imgs = spark.createDataFrame(
+        [(i, bytearray(_img_blob(i))) for i in range(24)],
+        "img_id long, payload binary",
+    )
+
+    def probe_stage(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = mm.probe_image_batch(pdf["payload"])
+            out.insert(0, "img_id", pdf["img_id"].to_numpy())
+            yield out[["img_id", "format", "width", "height"]]
+
+    probed = imgs.mapInPandas(
+        probe_stage, "img_id long, format string, width int, height int"
+    )
+    keep_ids = probed.filter(
+        (F.col("width") >= 32) & (F.col("height") >= 32)
+    ).select("img_id")
+    survivors = imgs.join(keep_ids, "img_id")
+
+    def decode_stage(it):
+        for pdf in it:
+            out = mm.decode_image_batch(pdf["payload"])
+            out.insert(0, "img_id", pdf["img_id"].to_numpy())
+            yield out[["img_id", "width", "height", "feature"]]
+
+    decoded = survivors.mapInPandas(
+        decode_stage,
+        "img_id long, width int, height int, feature array<double>",
+    )
+    n_img_raw = imgs.count()
+    n_img_kept = decoded.count()  # only survivors ever hit the decoder
+
     # 1. quality gate — all pure column expressions, zero shuffle
     scored = text.annotate_token_stats(docs)
     kept_q = scored.filter((F.col("n_tok") >= 10) & (F.col("q") > 0.3))
@@ -171,6 +222,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
 
     out = {
         "n_raw": n_raw,
+        "n_images_probed": n_img_raw,
+        "n_images_decoded": n_img_kept,
         "n_quality": n_quality,
         "n_lm_gate": n_lm,
         "n_policy": n_policy,

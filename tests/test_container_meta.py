@@ -465,3 +465,184 @@ def test_mp4_track_probe_fuzz(timescale, runs, fixed, seed):
     ) < 1e-9
     want = sum(sizes) if sizes is not None else fixed * n
     assert t["total_sample_bytes"] == want
+
+
+# --- AAC / ADTS ------------------------------------------------------------
+
+
+def test_adts_probe_cbr_exact():
+    b = cm.build_adts(43, samplerate=48000, channels=2, profile="LC",
+                      payload_len=313)
+    p = cm.probe_adts(b)
+    assert p["n_frames"] == 43
+    assert p["samplerate"] == 48000
+    assert p["channels"] == 2
+    assert p["profile"] == "LC"
+    assert abs(p["duration_sec"] - 43 * 1024 / 48000) < 1e-12
+    assert not p["crc_protected"] and not p["truncated"]
+    assert p["resync_bytes"] == 0
+
+
+def test_adts_probe_skips_id3_resyncs_and_flags_truncation():
+    body = cm.build_adts(10, crc=True, payload_len=100)
+    wrapped = cm.build_id3(title="t") + b"\x00garbage" + body + body[:20]
+    p = cm.probe_adts(wrapped)
+    assert p["n_frames"] == 10
+    assert p["crc_protected"]
+    assert p["resync_bytes"] >= 8
+    assert p["truncated"]
+
+
+def test_adts_no_frames_named_error():
+    with pytest.raises(ValueError, match="malformed ADTS payload: no frames"):
+        cm.probe_adts(b"\x00" * 64)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_frames=st.integers(1, 30),
+    sr=st.sampled_from([96000, 48000, 44100, 16000, 8000]),
+    ch=st.integers(1, 7),
+    prof=st.sampled_from(["Main", "LC", "SSR", "LTP"]),
+    plen=st.integers(1, 700),
+    crc=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_adts_fuzz_roundtrip(n_frames, sr, ch, prof, plen, crc, seed):
+    b = cm.build_adts(
+        n_frames, samplerate=sr, channels=ch, profile=prof,
+        payload_len=plen, crc=crc, seed=seed,
+    )
+    p = cm.probe_adts(b)
+    assert p["n_frames"] == n_frames
+    assert p["samplerate"] == sr and p["channels"] == ch
+    assert p["profile"] == prof and p["crc_protected"] == crc
+    hdr = 9 if crc else 7
+    assert abs(
+        p["bitrate_kbps_avg"]
+        - (hdr + plen) * n_frames * 8 / p["duration_sec"] / 1000.0
+    ) < 1e-9
+
+
+# --- Matroska / EBML ---------------------------------------------------------
+
+
+def _mkv_sample():
+    return cm.build_mkv(
+        title="home movie", duration_ticks=90_000.0, muxing_app="mux1",
+        writing_app="writer2",
+        tracks=[
+            {"type": "video", "codec_id": "V_VP9", "width": 1920,
+             "height": 1080},
+            {"type": "audio", "codec_id": "A_OPUS", "samplerate": 48000.0,
+             "channels": 2},
+        ],
+        tags=b"\x00\x01opaquetagdata",
+        clusters=[b"clusterbytes1", b"clusterbytes2"],
+    )
+
+
+def test_mkv_probe_exact():
+    p = cm.probe_mkv(_mkv_sample())
+    assert p["title"] == "home movie"
+    assert abs(p["duration_sec"] - 90.0) < 1e-9
+    assert p["muxing_app"] == "mux1" and p["writing_app"] == "writer2"
+    assert p["has_tags"] and p["n_clusters"] == 2
+    v, a = p["tracks"]
+    assert v == {"type": "video", "codec_id": "V_VP9", "width": 1920,
+                 "height": 1080}
+    assert a["type"] == "audio" and a["samplerate"] == 48000.0
+    assert a["channels"] == 2
+
+
+def test_mkv_scrub_drops_meta_keeps_clusters():
+    mkv = _mkv_sample()
+    clean = cm.strip_mkv_meta(mkv)
+    p = cm.probe_mkv(clean)
+    assert p["title"] == "" and p["muxing_app"] == "" and p["writing_app"] == ""
+    assert not p["has_tags"]
+    # coded payload and stream structure survive byte-identical
+    assert b"clusterbytes1" in clean and b"clusterbytes2" in clean
+    assert p["n_clusters"] == 2
+    assert p["tracks"] == cm.probe_mkv(mkv)["tracks"]
+    assert abs(p["duration_sec"] - 90.0) < 1e-9
+    # scrubbing an already-clean file is idempotent
+    assert cm.strip_mkv_meta(clean) == clean
+
+
+def test_mkv_malformed_named_errors():
+    with pytest.raises(ValueError, match="missing EBML header"):
+        cm.probe_mkv(b"notanebmlfile" + bytes(16))
+    mkv = bytearray(_mkv_sample())
+    # corrupt the Segment's first child size so it overruns the parent
+    seg_at = bytes(mkv).find(b"\x18\x53\x80\x67")
+    # Segment id(4) + size vint; find the Info element after it and blow
+    # its size byte up
+    info_at = bytes(mkv).find(b"\x15\x49\xa9\x66")
+    mkv[info_at + 4] = 0xFE  # 1-byte size form, near-max value
+    with pytest.raises(ValueError, match="overruns parent"):
+        cm.probe_mkv(bytes(mkv))
+    assert seg_at > 0
+
+
+def test_mkv_unknown_size_segment_tolerated_elsewhere_rejected():
+    # streaming muxers write the Segment with the unknown-size form
+    mkv = bytearray(_mkv_sample())
+    seg_at = bytes(mkv).find(b"\x18\x53\x80\x67")
+    size, n = cm._ebml_size(bytes(mkv), seg_at + 4)
+    assert n == 2  # build_mkv emitted a 2-byte size here
+    mkv[seg_at + 4 : seg_at + 6] = b"\x01" + b"\xff" * 7  # 8-byte unknown
+    streaming = bytes(mkv[: seg_at + 4]) + b"\x01" + b"\xff" * 7 + bytes(
+        mkv[seg_at + 6 + 8 - 2 :]
+    )
+    # rebuild properly: id + unknown-size + original segment body
+    body_start = seg_at + 4 + 2
+    streaming = bytes(mkv[:seg_at]) + b"\x18\x53\x80\x67" + b"\x01" + b"\xff" * 7 + bytes(_mkv_sample()[body_start:])
+    p = cm.probe_mkv(streaming)
+    assert p["title"] == "home movie" and p["n_clusters"] == 2
+    # unknown size on a NON-segment element is a named error
+    bad = bytearray(_mkv_sample())
+    info_at = bytes(bad).find(b"\x15\x49\xa9\x66")
+    sz, n2 = cm._ebml_size(bytes(bad), info_at + 4)
+    assert n2 == 1
+    del bad[info_at + 4]
+    bad[info_at + 4 : info_at + 4] = b"\x01" + b"\xff" * 7
+    with pytest.raises(ValueError, match="unknown-size element"):
+        cm.probe_mkv(bytes(bad))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    title=st.one_of(st.none(), st.text(min_size=0, max_size=40)),
+    dur=st.floats(0, 1e7, allow_nan=False),
+    w=st.integers(16, 7680),
+    h=st.integers(16, 4320),
+    rate=st.sampled_from([8000.0, 44100.0, 48000.0, 96000.0]),
+    ch=st.integers(1, 8),
+    n_clusters=st.integers(0, 5),
+    tag=st.binary(min_size=0, max_size=60),
+)
+def test_mkv_fuzz_roundtrip(title, dur, w, h, rate, ch, n_clusters, tag):
+    mkv = cm.build_mkv(
+        title=title, duration_ticks=dur,
+        tracks=[
+            {"type": "video", "codec_id": "V_AV1", "width": w, "height": h},
+            {"type": "audio", "codec_id": "A_VORBIS", "samplerate": rate,
+             "channels": ch},
+        ],
+        tags=tag,
+        clusters=[bytes([i] * (i + 1)) for i in range(n_clusters)],
+    )
+    p = cm.probe_mkv(mkv)
+    assert p["title"] == (title or "")
+    assert abs(p["duration_sec"] - dur * 1e6 / 1e9) < 1e-6 * max(1.0, dur)
+    assert p["tracks"][0]["width"] == w and p["tracks"][0]["height"] == h
+    assert p["tracks"][1]["samplerate"] == rate
+    assert p["tracks"][1]["channels"] == ch
+    assert p["has_tags"] == bool(tag)
+    assert p["n_clusters"] == n_clusters
+    clean = cm.strip_mkv_meta(mkv)
+    pc = cm.probe_mkv(clean)
+    assert pc["title"] == "" and not pc["has_tags"]
+    assert pc["tracks"] == p["tracks"]
+    assert pc["n_clusters"] == n_clusters
