@@ -281,12 +281,73 @@ def encode_png(
     roundtrip exercises every PNG filter type; ``"none"`` emits filter 0
     throughout.  All five forward filters are vectorized whole-block (the
     predictors read original bytes — encoding has no recurrence).
+
+    ``depth`` ∈ {1, 2, 4} takes an ``(H, W)`` SAMPLE array (grayscale
+    levels in ``[0, 2^depth)``, or palette indices with ``palette``
+    given); rows are bit-packed (PNG spec §7.2) and the filters run over
+    the packed bytes with bpp=1 — the same byte-level filter machinery.
     """
     import struct
     import zlib
 
-    if depth not in (8, 16):
-        raise ValueError(f"depth must be 8 or 16, got {depth}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"depth must be 1, 2, 4, 8 or 16, got {depth}")
+    if depth in (1, 2, 4):
+        px = np.asarray(pixels)
+        if px.ndim != 2:
+            raise ValueError(
+                f"sub-byte PNG takes an (H, W) sample array, got {px.shape}"
+            )
+        if px.size and not 0 <= int(px.min()) <= int(px.max()) < (1 << depth):
+            raise ValueError(
+                f"samples out of range for depth {depth}: "
+                f"[{int(px.min())}, {int(px.max())}]"
+            )
+        px = px.astype(np.uint8)
+        plte = b""
+        if palette is not None:
+            pal = np.asarray(palette, dtype=np.uint8)
+            if pal.ndim != 2 or pal.shape[1] != 3:
+                raise ValueError(f"palette must be (N, 3), got {pal.shape}")
+            if not 1 <= pal.shape[0] <= (1 << depth):
+                raise ValueError(
+                    f"palette must have 1..{1 << depth} entries at depth "
+                    f"{depth}, got {pal.shape[0]}"
+                )
+            if px.size and int(px.max()) >= pal.shape[0]:
+                raise ValueError("palette index out of range")
+            color_type = 3
+            plte = _png_chunk(b"PLTE", pal.tobytes())
+        else:
+            color_type = 0
+        h, w = px.shape
+
+        def packed_rows(sub):
+            sh, sw = sub.shape
+            bits = (
+                (sub[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).reshape(sh, sw * depth)
+            return np.packbits(bits.astype(np.uint8), axis=1)
+
+        body = bytearray()
+        if interlace:
+            for x0, y0, dx, dy in _ADAM7:
+                sub = px[y0::dy, x0::dx]
+                if sub.size == 0:
+                    continue
+                body += _png_filter_rows(packed_rows(sub), 1, filters)
+        else:
+            body = _png_filter_rows(packed_rows(px), 1, filters)
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
+        )
+        return (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + plte
+            + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+            + _png_chunk(b"IEND", b"")
+        )
     if depth == 16:
         if palette is not None:
             raise ValueError("16-bit palette PNG is not legal (PNG spec 11.2.2)")
@@ -414,20 +475,72 @@ def decode_png(payload: bytes) -> np.ndarray:
         ">IIBBBBB", ihdr
     )
     if (
-        depth not in (8, 16)
+        depth not in (1, 2, 4, 8, 16)
         or (depth == 16 and color_type == 3)
+        or (depth in (1, 2, 4) and color_type not in (0, 3))
         or color_type not in _PNG_NCH
         or comp != 0
         or filt != 0
     ):
         raise NotImplementedError(
-            f"only 8/16-bit gray/RGB/RGBA (8-bit palette) PNG is supported "
+            f"only 1/2/4-bit gray+palette, 8-bit gray/RGB/RGBA/palette and "
+            f"16-bit gray/RGB PNG is supported "
             f"(depth={depth}, color_type={color_type})"
         )
     if interlace not in (0, 1):
         raise ValueError(f"malformed PNG payload: interlace {interlace}")
     if color_type == 3 and plte is None:
         raise ValueError("malformed PNG payload: palette image missing PLTE")
+    if depth in (1, 2, 4):
+        # Sub-byte rows: the filters ran over bit-PACKED bytes with
+        # bpp=1 (PNG spec §7.2 / 9.2) — unfilter at the byte level with
+        # the row width = ceil(w·depth/8), then unpack bits to samples.
+        if w <= 0 or h <= 0:
+            raise ValueError(f"malformed PNG payload: w={w}, h={h}")
+        raw = zlib.decompress(bytes(idat))
+
+        def unpack_rows(rows, sw):
+            bits = np.unpackbits(rows, axis=1)[:, : sw * depth]
+            bits = bits.reshape(rows.shape[0], sw, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            return (bits * weights[None, None, :]).sum(
+                axis=2, dtype=np.uint16
+            ).astype(np.uint8)
+
+        if interlace:
+            samples = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                sh = (h - y0 + dy - 1) // dy
+                sw = (w - x0 + dx - 1) // dx
+                if sh <= 0 or sw <= 0:
+                    continue
+                sb = (sw * depth + 7) // 8
+                take = sh * (1 + sb)
+                rows = _png_unfilter_rows(
+                    raw[off : off + take], sb, sh, 1
+                ).reshape(sh, sb)
+                samples[y0::dy, x0::dx] = unpack_rows(rows, sw)
+                off += take
+            if off != len(raw):
+                raise ValueError(
+                    f"malformed PNG payload: {len(raw)} filtered bytes, "
+                    f"expected {off}"
+                )
+        else:
+            sb = (w * depth + 7) // 8
+            rows = _png_unfilter_rows(raw, sb, h, 1).reshape(h, sb)
+            samples = unpack_rows(rows, w)
+        if color_type == 0:
+            # exact 8-bit expansion: 255/(2^d−1) is integral for d=1,2,4
+            scale = 255 // ((1 << depth) - 1)
+            g = (samples * scale).astype(np.uint8)
+            return np.ascontiguousarray(
+                np.repeat(g[:, :, None], 3, axis=2)
+            )
+        if int(samples.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("malformed PNG payload: index beyond palette")
+        return np.ascontiguousarray(plte[samples])
     nch = _PNG_NCH[color_type]
     # 16-bit samples are 2 filter BYTES each: reuse the byte-level
     # unfilter machinery with a doubled channel count, then keep the

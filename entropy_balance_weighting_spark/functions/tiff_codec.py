@@ -13,11 +13,13 @@ Decode dataflow: header + IFD walk (stdlib ``struct``) → per-strip or
 per-tile decompression (LZW serial as in the spec; PackBits is a tiny
 run-length loop; tiled organization tags 322-325 with zero-padded edge
 tiles per TIFF 6.0 §15) → horizontal-predictor inversion (tag 317 = 2,
-per-row per-channel mod-256 cumsum) → reshape/paste to ``(H, W,
-samples)`` → photometric mapping (WhiteIsZero inversion, gray
-replication, 16-bit ColorMap gather — all numpy).  Unsupported shapes
-(bit depths ≠ 8, the floating-point predictor, other compressions)
-raise named errors.
+per-row per-channel mod-256 cumsum; tag 317 = 3 on float32 samples:
+the Adobe TechNote 3 byte-plane scheme, ``_fp_unpredict_rows``) →
+reshape/paste to ``(H, W, samples)`` → photometric mapping (WhiteIsZero
+inversion, gray replication, 16-bit ColorMap gather — all numpy).
+32-bit IEEE-float samples (SampleFormat 3, the scientific/HDR layout)
+decode to float32 (r9); remaining unsupported shapes (other bit depths,
+other compressions) raise named errors.
 
 Lossless, so tests and the ``mm_tiff_decode`` driver oracle assert
 EXACT pixel equality across all compressions and both byte
@@ -244,6 +246,45 @@ def _unpredict_rows(block: np.ndarray) -> np.ndarray:
     return (np.cumsum(block.astype(np.uint32), axis=1) & 0xFF).astype(np.uint8)
 
 
+def _fp_predict_rows(block: np.ndarray, spp: int) -> bytes:
+    """Apply the TIFF floating-point predictor (tag 317 = 3, Adobe
+    TechNote 3 / libtiff ``fpDiff``) to a ``(rows, w, spp)`` float32
+    block: per row, reorder each sample's big-endian bytes into byte
+    PLANES (all MSBs first), then mod-256 horizontal differencing with
+    stride = samples-per-pixel."""
+    rows, w, _ = block.shape
+    wc = w * spp
+    be = (
+        block.reshape(rows, wc)
+        .astype(">f4")
+        .view(np.uint8)
+        .reshape(rows, wc, 4)
+    )
+    planes = be.transpose(0, 2, 1).reshape(rows, 4 * wc).astype(np.int16)
+    out = planes.copy()
+    out[:, spp:] -= planes[:, :-spp]
+    return (out & 0xFF).astype(np.uint8).tobytes()
+
+
+def _fp_unpredict_rows(data: bytes, rows: int, w: int, spp: int) -> np.ndarray:
+    """Invert :func:`_fp_predict_rows` (libtiff ``fpAcc``): stride-spp
+    mod-256 cumsum per row, then reassemble the byte planes into
+    big-endian float32 samples → ``(rows, w, spp)`` float32."""
+    wc = w * spp
+    buf = np.frombuffer(data, np.uint8).reshape(rows, 4 * wc)
+    acc = (
+        buf.reshape(rows, 4 * w, spp).astype(np.uint32).cumsum(axis=1) & 0xFF
+    ).astype(np.uint8)
+    planes = acc.reshape(rows, 4, wc).transpose(0, 2, 1)  # (rows, wc, 4)
+    return (
+        np.ascontiguousarray(planes)
+        .reshape(rows, wc * 4)
+        .view(">f4")
+        .astype(np.float32)
+        .reshape(rows, w, spp)
+    )
+
+
 def encode_tiff(
     pixels: np.ndarray,
     *,
@@ -261,25 +302,44 @@ def encode_tiff(
     multiples of 16; edge tiles are zero-padded to full size as TIFF 6.0
     §15 prescribes).  ``predictor=True`` writes horizontal-differencing
     (tag 317 = 2) before compression — the layout real LZW TIFFs almost
-    always use."""
+    always use.
+
+    FLOAT32 input (any floating dtype) writes a 32-bit SampleFormat=3
+    TIFF; ``predictor=True`` then selects the FLOATING-POINT predictor
+    (tag 317 = 3: big-endian byte planes + stride-spp differencing, the
+    Adobe TechNote 3 / libtiff scheme) — the layout scientific/HDR TIFFs
+    use."""
     if compression not in _COMPRESSIONS:
         raise ValueError(
             f"compression must be one of {sorted(_COMPRESSIONS)}, "
             f"got {compression!r}"
         )
-    px = np.asarray(pixels, dtype=np.uint8)
+    arr = np.asarray(pixels)
+    is_float = np.issubdtype(arr.dtype, np.floating)
+    px = arr.astype(np.float32) if is_float else arr.astype(np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
-        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {px.shape}")
+        raise ValueError(
+            f"expected (H,W) or (H,W,3) {'float32' if is_float else 'uint8'},"
+            f" got {px.shape}"
+        )
     h, w = px.shape[:2]
     spp = 1 if gray else 3
     px3 = px.reshape(h, w, spp)
     bo = ">" if big_endian else "<"
 
     def compress(block: np.ndarray) -> bytes:
-        if predictor:
-            block = _predict_rows(block)
-        data = block.tobytes()
+        if is_float:
+            rows_n = block.shape[0]
+            data = (
+                _fp_predict_rows(block, spp)
+                if predictor
+                else block.reshape(rows_n, -1).astype(bo + "f4").tobytes()
+            )
+        else:
+            if predictor:
+                block = _predict_rows(block)
+            data = block.tobytes()
         if compression == "lzw":
             return lzw_encode_tiff(data)
         if compression == "deflate":
@@ -290,6 +350,7 @@ def encode_tiff(
             return packbits_encode(data)
         return data
 
+    blk_dtype = np.float32 if is_float else np.uint8
     if tile is not None:
         tw, th = tile
         if tw % 16 or th % 16 or tw <= 0 or th <= 0:
@@ -299,7 +360,7 @@ def encode_tiff(
         blocks = []
         for y0 in range(0, h, th):
             for x0 in range(0, w, tw):
-                t = np.zeros((th, tw, spp), dtype=np.uint8)
+                t = np.zeros((th, tw, spp), dtype=blk_dtype)
                 part = px3[y0 : y0 + th, x0 : x0 + tw]
                 t[: part.shape[0], : part.shape[1]] = part
                 blocks.append(compress(t))
@@ -318,7 +379,7 @@ def encode_tiff(
     data_off_tag = 324 if tile is not None else 273
     entry(256, 3, 1, w)  # ImageWidth SHORT
     entry(257, 3, 1, h)  # ImageLength
-    entry(258, 3, spp, [8] * spp)  # BitsPerSample
+    entry(258, 3, spp, [32 if is_float else 8] * spp)  # BitsPerSample
     entry(259, 3, 1, _COMPRESSIONS[compression])
     entry(262, 3, 1, 1 if gray else 2)  # BlackIsZero / RGB
     if tile is None:
@@ -328,12 +389,14 @@ def encode_tiff(
         entry(278, 3, 1, rps)  # RowsPerStrip
         entry(279, 4, n_blocks, [len(s) for s in blocks])
     if predictor:
-        entry(317, 3, 1, 2)
+        entry(317, 3, 1, 3 if is_float else 2)
     if tile is not None:
         entry(322, 3, 1, tw)  # TileWidth
         entry(323, 3, 1, th)  # TileLength
         entry(324, 4, n_blocks, None)  # TileOffsets, patched below
         entry(325, 4, n_blocks, [len(s) for s in blocks])
+    if is_float:
+        entry(339, 3, spp, [3] * spp)  # SampleFormat = IEEE float
     strips = blocks
 
     # layout: header(8) + IFD + out-of-line values + strip data
@@ -445,15 +508,23 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     offsets = tags.get(273)
     counts = tags.get(279)
     tiled = 324 in tags
-    if any(x != 8 for x in bits):
+    sample_format = one(339, 1)
+    is_float = sample_format == 3 and all(x == 32 for x in bits)
+    if is_float and photo not in (1, 2):
         raise NotImplementedError(
-            f"only 8-bit TIFF is supported (BitsPerSample={bits})"
+            f"float TIFF supports MinIsBlack/RGB only (photometric={photo})"
+        )
+    if not is_float and any(x != 8 for x in bits):
+        raise NotImplementedError(
+            f"only 8-bit uint and 32-bit float TIFF are supported "
+            f"(BitsPerSample={bits}, SampleFormat={sample_format})"
         )
     predictor = one(317, 1)
-    if predictor not in (1, 2):
+    if predictor not in ((1, 3) if is_float else (1, 2)):
         raise NotImplementedError(
-            f"only the horizontal TIFF predictor is supported "
-            f"(predictor={predictor})"
+            "only the horizontal predictor on uint8 samples and the "
+            "floating-point predictor on float32 samples are supported "
+            f"(predictor={predictor}, SampleFormat={sample_format})"
         )
     if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
@@ -496,7 +567,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         n_y = -(-h // th)
         if len(offsets) < n_x * n_y or len(counts) < n_x * n_y:
             raise ValueError("malformed TIFF payload: short tile tables")
-        px = np.zeros((h, w, spp), dtype=np.uint8)
+        bs = 4 if is_float else 1
+        px = np.zeros((h, w, spp), dtype=np.float32 if is_float else np.uint8)
         for ty in range(n_y):
             for tx in range(n_x):
                 ti = ty * n_x + tx
@@ -504,19 +576,30 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 tdata = b[toff : toff + tcnt]
                 if len(tdata) != tcnt:
                     raise ValueError("malformed TIFF payload: truncated tile")
-                block = np.frombuffer(
-                    expand(tdata, th * tw * spp, "tile"), dtype=np.uint8
-                ).reshape(th, tw, spp)
-                if predictor == 2:
-                    block = _unpredict_rows(block)
+                data = expand(tdata, th * tw * spp * bs, "tile")
+                if is_float:
+                    block = (
+                        _fp_unpredict_rows(data, th, tw, spp)
+                        if predictor == 3
+                        else np.frombuffer(data, dtype=bo + "f4")
+                        .astype(np.float32)
+                        .reshape(th, tw, spp)
+                    )
+                else:
+                    block = np.frombuffer(data, dtype=np.uint8).reshape(
+                        th, tw, spp
+                    )
+                    if predictor == 2:
+                        block = _unpredict_rows(block)
                 y0, x0 = ty * th, tx * tw
                 ch, cw = min(th, h - y0), min(tw, w - x0)
                 px[y0 : y0 + ch, x0 : x0 + cw] = block[:ch, :cw]
     else:
         if w <= 0 or h <= 0 or not offsets or not counts:
             raise ValueError("malformed TIFF payload: missing strip layout")
-        rowbytes = w * spp
-        raw = bytearray()
+        bs = 4 if is_float else 1
+        rowbytes = w * spp * bs
+        parts = []
         for si, (soff, scnt) in enumerate(zip(offsets, counts)):
             strip = b[soff : soff + scnt]
             if len(strip) != scnt:
@@ -524,17 +607,28 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             rows = min(rps, h - si * rps)
             need = rows * rowbytes
             data = expand(strip, need, "strip")
-            if predictor == 2:
-                data = _unpredict_rows(
-                    np.frombuffer(data, dtype=np.uint8).reshape(rows, w, spp)
-                ).tobytes()
-            raw += data
-        if len(raw) != h * rowbytes:
+            if is_float:
+                parts.append(
+                    _fp_unpredict_rows(data, rows, w, spp)
+                    if predictor == 3
+                    else np.frombuffer(data, dtype=bo + "f4")
+                    .astype(np.float32)
+                    .reshape(rows, w, spp)
+                )
+            else:
+                blk = np.frombuffer(data, dtype=np.uint8).reshape(rows, w, spp)
+                parts.append(
+                    _unpredict_rows(blk) if predictor == 2 else blk
+                )
+        px = np.concatenate(parts, axis=0)
+        if px.shape[0] != h:
             raise ValueError(
-                f"malformed TIFF payload: {len(raw)} bytes, "
-                f"expected {h * rowbytes}"
+                f"malformed TIFF payload: {px.shape[0]} rows, expected {h}"
             )
-        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if is_float:
+        if photo == 2:
+            return np.ascontiguousarray(px[:, :, :3])
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
     if photo == 2:
         return np.ascontiguousarray(px[:, :, :3])
     if photo == 3:

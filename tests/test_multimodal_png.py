@@ -118,8 +118,13 @@ def test_png_rejects_unsupported_and_malformed():
     # not a PNG at all
     with pytest.raises(NotImplementedError):
         decode_png(b"BM" + bytes(60))
-    # sub-byte depth (16-bit became REAL; 1/2/4 remain named gaps)
-    bad_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0))
+    # sub-byte depths became REAL in r9 — a truncated 4-bit stream is now
+    # the named malformed error, and the remaining gap is the spec-illegal
+    # combo (sub-byte RGB), still a named NotImplementedError
+    sb_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0))
+    with pytest.raises(ValueError, match="filtered bytes"):
+        decode_png(_PNG_MAGIC + sb_ihdr + _png_chunk(b"IDAT", zlib.compress(b"x")) + _png_chunk(b"IEND", b""))
+    bad_ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0))
     with pytest.raises(NotImplementedError, match="depth"):
         decode_png(_PNG_MAGIC + bad_ihdr + _png_chunk(b"IDAT", zlib.compress(b"x")) + _png_chunk(b"IEND", b""))
     # 16-bit palette is spec-illegal and stays a named error
@@ -297,3 +302,52 @@ def test_png_16bit_rejects_palette_and_bad_depth():
         )
     with pytest.raises(ValueError, match="depth must be"):
         encode_png(rng.integers(0, 256, (4, 4), dtype=np.uint8), depth=12)
+
+
+def test_png_subbyte_gray_and_palette_roundtrip():
+    """1/2/4-bit PNG (gray + palette), plain and Adam7, every filter
+    mode: decode reproduces the exact sample grid (gray expanded by the
+    integral 255/(2^d-1) factor) and the header probe reads dims."""
+    from entropy_balance_weighting_spark.functions.multimodal import (
+        probe_image,
+    )
+
+    rng = _rng()
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for interlace in (False, True):
+            for filters in ("cycle", "none"):
+                g = rng.integers(0, 1 << depth, (13, 17), dtype=np.uint8)
+                out = decode_png(
+                    encode_png(
+                        g, depth=depth, interlace=interlace, filters=filters
+                    )
+                )
+                want = np.repeat(
+                    (g * scale).astype(np.uint8)[:, :, None], 3, axis=2
+                )
+                np.testing.assert_array_equal(out, want)
+                pal = rng.integers(0, 256, (1 << depth, 3), dtype=np.uint8)
+                idx = rng.integers(0, 1 << depth, (9, 31), dtype=np.uint8)
+                out2 = decode_png(
+                    encode_png(
+                        idx, depth=depth, palette=pal,
+                        interlace=interlace, filters=filters,
+                    )
+                )
+                np.testing.assert_array_equal(out2, pal[idx])
+        p = probe_image(encode_png(np.zeros((5, 7), dtype=np.uint8), depth=depth))
+        assert (p["width"], p["height"]) == (7, 5)
+
+
+def test_png_subbyte_rejects_bad_inputs():
+    rng = _rng()
+    with pytest.raises(ValueError, match="out of range for depth 2"):
+        encode_png(np.array([[4]], dtype=np.uint8), depth=2)
+    with pytest.raises(ValueError, match="sample array"):
+        encode_png(rng.integers(0, 2, (4, 4, 3), dtype=np.uint8), depth=1)
+    with pytest.raises(ValueError, match="palette must have"):
+        encode_png(
+            np.zeros((4, 4), dtype=np.uint8), depth=2,
+            palette=np.zeros((8, 3), dtype=np.uint8),  # 8 > 2^2
+        )

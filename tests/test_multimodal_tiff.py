@@ -256,8 +256,8 @@ def test_tiff_tile_dims_validated():
     for i in range(n):
         off = 10 + 12 * i
         if struct.unpack_from("<H", bad, off)[0] == 317:
-            struct.pack_into("<H", bad, off + 8, 3)  # floating-point predictor
-    with pytest.raises(NotImplementedError, match="horizontal TIFF predictor"):
+            struct.pack_into("<H", bad, off + 8, 3)  # fp predictor on uint8
+    with pytest.raises(NotImplementedError, match="floating-point predictor"):
         decode_tiff(bytes(bad))
 
 
@@ -292,3 +292,58 @@ def test_tiff_deflate_roundtrip_and_legacy_tag():
     bad[-10] ^= 0xFF
     with pytest.raises(ValueError, match="bad deflate|short strip|truncated"):
         decode_tiff(bytes(bad))
+
+
+def test_tiff_float32_roundtrip_all_variants():
+    """32-bit IEEE-float TIFF (SampleFormat 3) with the floating-point
+    predictor (tag 317 = 3, the TechNote-3 byte-plane scheme): exact
+    float roundtrip across compressions, byte orders, strip and tile
+    layouts, gray and RGB."""
+    rng = _rng()
+    for shape in ((9, 13), (9, 13, 3)):
+        f = (rng.normal(size=shape) * 100).astype(np.float32)
+        want = (
+            np.repeat(f[:, :, None], 3, axis=2) if f.ndim == 2 else f
+        )
+        for comp in ("none", "lzw", "deflate", "packbits"):
+            for pred in (False, True):
+                for be in (False, True):
+                    out = decode_tiff(
+                        encode_tiff(
+                            f, compression=comp, predictor=pred,
+                            big_endian=be,
+                        )
+                    )
+                    assert out.dtype == np.float32
+                    np.testing.assert_array_equal(out, want)
+        out = decode_tiff(
+            encode_tiff(f, compression="deflate", predictor=True,
+                        tile=(16, 16))
+        )
+        np.testing.assert_array_equal(out, want)
+        out = decode_tiff(
+            encode_tiff(f, compression="lzw", predictor=True,
+                        rows_per_strip=4)
+        )
+        np.testing.assert_array_equal(out, want)
+
+
+def test_tiff_float_special_values_and_tag():
+    """NaN/inf/-0.0 survive the fp predictor bit-exactly, and the wire
+    carries SampleFormat=3 + predictor=3."""
+    f = np.array(
+        [[np.nan, np.inf, -np.inf], [-0.0, 1e-38, 3.4e38]], dtype=np.float32
+    )
+    t = encode_tiff(f, compression="deflate", predictor=True)
+    out = decode_tiff(t)
+    np.testing.assert_array_equal(
+        out.view(np.uint32), np.repeat(f[:, :, None], 3, axis=2).view(np.uint32)
+    )
+    # wire tags: 339 (SampleFormat) = 3 and 317 (Predictor) = 3
+    (n,) = struct.unpack_from("<H", t, 8)
+    tags = {}
+    for i in range(n):
+        off = 10 + 12 * i
+        tag = struct.unpack_from("<H", t, off)[0]
+        tags[tag] = struct.unpack_from("<H", t, off + 8)[0]
+    assert tags[339] == 3 and tags[317] == 3 and tags[258] == 32
