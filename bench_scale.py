@@ -54,6 +54,9 @@ def _min3(fn) -> float:
     return min(_timed(fn) for _ in range(3))
 
 
+_LOAD0 = os.getloadavg()
+
+
 def main() -> None:
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", 2_000_000))
     k = int(os.environ.get("SPARK_GRAFT_SCALE_K", 8))
@@ -155,6 +158,14 @@ def main() -> None:
                 "partitions": n_parts,
                 "queries": timings,
                 "throughput_rows_per_sec": throughput,
+                # contamination evidence: loadavg at start and end — this
+                # script has no sleep-retry gate like bench.py, so the
+                # reader (or the next session) judges cold-vs-steady and
+                # load pollution from the recorded numbers (PLANS.md §13:
+                # never compare a first-in-session run against a steady
+                # one; 1-min loadavg decays slowly after 32-core bursts)
+                "loadavg_start": [round(x, 2) for x in _LOAD0],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
