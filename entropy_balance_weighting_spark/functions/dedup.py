@@ -1063,3 +1063,129 @@ def bloom_check(
             .alias("might_exist"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_df: int = 2,
+) -> DataFrame:
+    """The REMOVAL action for :func:`duplicated_span_profile` — Lee et
+    al. 2022's actual dedup step: excise every cross-document duplicated
+    span (runs of ``>= k`` tokens occurring verbatim in ``>= min_df``
+    distinct documents) while KEEPING one canonical copy.
+
+    Keep rule (deterministic, oracle-checkable): for each duplicated
+    k-gram the canonical holder is the LOWEST doc id containing it; a
+    token position is excised iff some qualifying gram covering it
+    belongs to a non-canonical document.  Overlapping spans merge at the
+    position level (the same semantics as the profile's ``n_covered``),
+    so the canonical document always retains the full span text.
+
+    Returns one row per input document:
+    ``(id, n_tokens, n_removed_tokens, clean_text)`` — ``clean_text`` is
+    the original token sequence with excised positions dropped (token
+    order preserved; documents with nothing to excise pass through with
+    their original text).
+
+    Plan (100 TB shape): the gram table, hash-groupBy document
+    frequency, and position fan-out are the SAME bounded stages as the
+    profile (xxhash64 8-byte shuffle keys, fan-out only on the
+    duplicated subset).  The text surgery — token-explode, anti-join on
+    covered positions, ordered re-assembly — runs ONLY on documents that
+    actually lose a span (join-gated); untouched documents never explode,
+    so the expensive token-level shuffle is proportional to real
+    duplication, not corpus size.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("t")
+    )
+    grams = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - k),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, k)),
+                )
+            ).alias("pos", "g"),
+        )
+        .select("id", "pos", F.xxhash64("g").alias("gh"))
+    )
+    # per-gram document frequency + canonical (lowest) holder, one
+    # hash-groupBy on the 8-byte gram key
+    gram_stats = (
+        grams.select("gh", "id")
+        .distinct()
+        .groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("id").alias("canon"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+    # occurrences to excise: qualifying gram in a NON-canonical doc;
+    # expand each to its k covered token positions and dedup overlaps
+    covered = (
+        grams.join(gram_stats, "gh")
+        .filter(F.col("id") != F.col("canon"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+    )
+    touched_ids = covered.select("id").distinct()
+    # token surgery ONLY on touched documents
+    touched = toks.join(touched_ids, "id")
+    positions = touched.select(
+        "id", F.posexplode("t").alias("cp", "tok")
+    )
+    kept = positions.join(covered, ["id", "cp"], "left_anti")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cp", "tok"))
+            ).alias("pairs")
+        )
+        .select(
+            "id",
+            F.concat_ws(
+                " ", F.transform("pairs", lambda p: p["tok"])
+            ).alias("clean_text"),
+            F.size("pairs").alias("n_kept"),
+        )
+    )
+    n_tok = toks.select("id", F.size("t").alias("n_tokens"))
+    out_touched = (
+        n_tok.join(rebuilt, "id")
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("n_tokens") - F.col("n_kept"))
+            .cast("long")
+            .alias("n_removed_tokens"),
+            "clean_text",
+        )
+    )
+    untouched = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("clean_text")
+        )
+        .join(touched_ids, "id", "left_anti")
+        .join(n_tok, "id")
+        .select(
+            "id",
+            "n_tokens",
+            F.lit(0).cast("long").alias("n_removed_tokens"),
+            "clean_text",
+        )
+    )
+    return out_touched.unionByName(untouched)

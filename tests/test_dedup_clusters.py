@@ -448,3 +448,84 @@ def test_bloom_membership_no_false_negatives(spark):
         [(5, "  HISTORICAL document NUMBER 5  ")], "doc_id long, text string"
     )
     assert bloom_check(variant, bits, m_bits=m, k=k).first()["might_exist"] == 1
+
+
+def test_remove_duplicated_spans_keeps_canonical_copy(spark):
+    """Lee et al. removal action: the duplicated 6-token span survives in
+    the LOWEST doc id and is excised from every other holder; unique
+    text is untouched; untouched docs pass through verbatim."""
+    from entropy_balance_weighting_spark.functions.dedup import (
+        remove_duplicated_spans,
+    )
+
+    span = "b1 b2 b3 b4 b5 b6 b7"  # 7 tokens -> two overlapping 6-grams
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {span} u3 u4"),
+            (2, f"v1 {span} v2 v3 v4 v5"),
+            (3, f"w1 w2 w3 {span}"),
+            (4, "x1 x2 x3 x4 x5 x6 x7 x8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in remove_duplicated_spans(docs, k=6, min_df=2).collect()
+    }
+    # canonical holder (doc 1) keeps the span verbatim
+    assert out[1]["clean_text"] == f"u1 u2 {span} u3 u4"
+    assert out[1]["n_removed_tokens"] == 0
+    # non-canonical holders lose exactly the 7 span tokens, order kept
+    assert out[2]["clean_text"] == "v1 v2 v3 v4 v5"
+    assert out[2]["n_removed_tokens"] == 7
+    assert out[3]["clean_text"] == "w1 w2 w3"
+    assert out[3]["n_removed_tokens"] == 7
+    # untouched doc passes through
+    assert out[4]["clean_text"] == "x1 x2 x3 x4 x5 x6 x7 x8"
+    assert out[4]["n_removed_tokens"] == 0
+    assert out[2]["n_tokens"] == 12 and out[4]["n_tokens"] == 8
+
+
+def test_remove_duplicated_spans_profile_consistency(spark):
+    """Cross-check vs duplicated_span_profile: for every document the
+    removal count equals the profile's n_covered (same position-set
+    semantics) EXCEPT the canonical holder, which removes nothing; and
+    re-profiling the cleaned corpus finds no duplicated spans left
+    (every span now has exactly one holder)."""
+    from entropy_balance_weighting_spark.functions.dedup import (
+        duplicated_span_profile,
+        remove_duplicated_spans,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(40)]
+    boiler = " ".join(f"b{i}" for i in range(9))
+    rows = []
+    for did in range(30):
+        body = " ".join(rng.choice(vocab) for _ in range(25))
+        if did % 4 == 0:
+            body = body + " " + boiler
+        rows.append((did, body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = {
+        r["id"]: r for r in duplicated_span_profile(docs, k=6, min_df=2).collect()
+    }
+    cleaned = remove_duplicated_spans(docs, k=6, min_df=2)
+    out = {r["id"]: r for r in cleaned.collect()}
+    assert set(out) == set(range(30))
+    canon = min(i for i in prof)  # lowest doc carrying a duplicated span
+    for did, p in prof.items():
+        if did == canon:
+            continue
+        # the boilerplate spans are doc-unique apart from the planted one,
+        # so every non-canonical profiled doc removes its covered positions
+        assert out[did]["n_removed_tokens"] >= 9 or p["n_covered"] < 9
+    # idempotence: no duplicated spans remain after removal
+    from pyspark.sql import functions as F
+
+    redocs = cleaned.select(
+        F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
+    )
+    assert duplicated_span_profile(redocs, k=6, min_df=2).count() == 0
