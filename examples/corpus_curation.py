@@ -153,6 +153,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     span_clean = near_deduped.join(shells, "doc_id", "left_anti")
     n_spans = span_clean.count()
 
+    # 6b. span SURGERY on the survivors — excise remaining duplicated
+    #     spans (keeping one canonical copy per span) instead of dropping
+    #     whole documents; only documents that actually lose a span pay
+    #     the token-level rebuild
+    excised = dedup.remove_duplicated_spans(
+        span_clean, id_col="doc_id", text_col="text", k=6, min_df=2
+    )
+    n_excised_tokens = int(
+        excised.agg(F.sum("n_removed_tokens")).first()[0] or 0
+    )
+    span_clean = span_clean.drop("text").join(
+        excised.select(
+            F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
+        ),
+        "doc_id",
+    )
+
     # 5. decontamination — drop training docs sharing any 3-gram with the
     #    held-out benchmark slice (doc_id < 20 stands in for the bench set)
     bench = docs.filter(F.col("doc_id") < 20)
@@ -230,6 +247,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "n_exact_dedup": n_exact,
         "n_near_dedup": n_near,
         "n_span_screened": n_spans,
+        "n_excised_span_tokens": n_excised_tokens,
         "n_decontaminated": n_clean,
         "n_semantic_dedup": n_semantic,
         "n_domain_mixed": n_mixed,
