@@ -16,15 +16,24 @@ from pyspark.sql import SparkSession
 
 
 def _best_of(n: int, fn):
-    """min wall-clock over ``n`` full runs (same steady-state discipline as
-    the query bench: the first run absorbs session-wide one-time costs —
-    codegen, shuffle-service init, page cache — that are not the solve)."""
-    best, out = float("inf"), None
-    for _ in range(n):
+    """``(steady, cold, out)``: min wall-clock over ``n`` full runs plus
+    the FIRST run's time as a separate cold number (same steady-state
+    discipline as the query bench: the first run absorbs session-wide
+    one-time costs — codegen, shuffle-service init, page cache, JVM heap
+    growth — that are not the solve).  The r9 verdict measured the
+    first-in-session premium contaminating round-over-round comparison
+    (ebw_solve_distributed 6.35–12.1 s across six same-tree samples);
+    reporting steady (headline) and cold (diagnostic) separately is the
+    same split bench_scale.py uses for pack_cold/pack."""
+    best, cold, out = float("inf"), None, None
+    for i in range(n):
         t0 = time.perf_counter()
         out = fn()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 4), out
+        dt = time.perf_counter() - t0
+        if i == 0:
+            cold = dt
+        best = min(best, dt)
+    return round(best, 4), round(cold, 4), out
 
 
 def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
@@ -38,12 +47,12 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             r.new_weights.count()
         return r
 
-    timings["ebw_solve_distributed"], res = _best_of(2, run_dist)
+    timings["ebw_solve_distributed"], timings["ebw_solve_distributed_cold"], res = _best_of(3, run_dist)
     timings["ebw_solve_iterations"] = float(res.n_iterations)
     timings["ebw_solve_converged"] = float(res.converged)
 
-    timings["ebw_solve_localpath"], res_local = _best_of(
-        2, lambda: solve_lineitem_problem(spark, sf_dir, local_threshold=10**10)[2]
+    timings["ebw_solve_localpath"], timings["ebw_solve_localpath_cold"], res_local = _best_of(
+        3, lambda: solve_lineitem_problem(spark, sf_dir, local_threshold=10**10)[2]
     )
     timings["ebw_solve_localpath_converged"] = float(res_local.converged)
 
@@ -57,7 +66,7 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             r.new_weights.count()
         return r
 
-    timings["ebw_solve_bounded"], res_b = _best_of(2, run_bounded)
+    timings["ebw_solve_bounded"], timings["ebw_solve_bounded_cold"], res_b = _best_of(3, run_bounded)
     timings["ebw_solve_bounded_iterations"] = float(res_b.n_iterations)
     timings["ebw_solve_bounded_converged"] = float(res_b.converged)
 
@@ -90,7 +99,7 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         )
         return pt, res
 
-    timings["ebw_solve_grouped"], (pt_g, res_g) = _best_of(2, run_grouped)
+    timings["ebw_solve_grouped"], timings["ebw_solve_grouped_cold"], (pt_g, res_g) = _best_of(3, run_grouped)
     timings["ebw_solve_grouped_k"] = float(pt_g.k)
     timings["ebw_solve_grouped_converged"] = float(res_g.converged)
     max_viol = float(np.abs(res_g.constraint_violations).max())
@@ -117,9 +126,10 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             res.new_weights.count()
         return pt, res
 
-    timings["ebw_solve_bounded_grouped"], (pt_bg, res_bg) = _best_of(
-        2, run_bounded_grouped
-    )
+    timings["ebw_solve_bounded_grouped"], timings["ebw_solve_bounded_grouped_cold"], (
+        pt_bg,
+        res_bg,
+    ) = _best_of(3, run_bounded_grouped)
     timings["ebw_solve_bounded_grouped_k"] = float(pt_bg.k)
     timings["ebw_solve_bounded_grouped_iterations"] = float(res_bg.n_iterations)
     timings["ebw_solve_bounded_grouped_converged"] = float(res_bg.converged)

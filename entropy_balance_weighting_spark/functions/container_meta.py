@@ -1115,22 +1115,56 @@ def _ebml_uint(n: int) -> bytes:
     return out
 
 
-def _walk_ebml(b: bytes, pos: int, end: int):
+# Segment-level (level-1) element IDs a resync scan can anchor on when
+# resolving an unknown-size Cluster (live-muxed / streamed files): the
+# next Cluster or any other level-1 element terminates the open one.
+_MKV_LEVEL1_IDS = (
+    b"\x1f\x43\xb6\x75",  # Cluster
+    b"\x15\x49\xa9\x66",  # Info
+    b"\x16\x54\xae\x6b",  # Tracks
+    b"\x12\x54\xc3\x67",  # Tags
+    b"\x11\x4d\x9b\x74",  # SeekHead
+    b"\x1c\x53\xbb\x6b",  # Cues
+    b"\x10\x43\xa7\x70",  # Chapters
+    b"\x19\x41\xa4\x69",  # Attachments
+)
+
+
+def _ebml_resync(b: bytes, pos: int, end: int) -> int:
+    """Scan forward for the next level-1 element ID; returns its offset
+    (or ``end``).  Used only to bound unknown-size Clusters in the probe
+    path — a byte-pattern scan, the same strategy real demuxers use for
+    live-muxed streams."""
+    best = end
+    for eid in _MKV_LEVEL1_IDS:
+        i = b.find(eid, pos, best)
+        if i != -1:
+            best = i
+    return best
+
+
+def _walk_ebml(b: bytes, pos: int, end: int, unknown_ok=()):
     """Yield ``(id_bytes, header_start, data_start, data_end)`` for each
-    element in ``b[pos:end]``.  Unknown-size elements are only legal for
-    the top-level Segment (streaming convention) where they extend to
-    ``end``; anywhere else they make a scrub un-resizable → named error."""
+    element in ``b[pos:end]``.  Unknown-size elements are legal for the
+    top-level Segment (streaming convention, extends to ``end``) and for
+    any ID listed in ``unknown_ok`` (resolved by a forward resync scan to
+    the next level-1 ID — real-world live-muxed Matroska/WebM routinely
+    writes unknown-size Clusters); anywhere else they make a scrub
+    un-resizable → named error."""
     while pos < end:
         eid, idn = _ebml_id(b, pos)
         size, szn = _ebml_size(b, pos + idn)
         ds = pos + idn + szn
         if size is None:
-            if eid != _MKV_SEGMENT:
+            if eid == _MKV_SEGMENT:
+                de = end
+            elif eid in unknown_ok:
+                de = _ebml_resync(b, ds, end)
+            else:
                 raise ValueError(
                     "malformed Matroska payload: unknown-size element "
                     f"{eid.hex()}"
                 )
-            de = end
         else:
             de = ds + size
         if de > end:
@@ -1187,7 +1221,10 @@ def probe_mkv(payload: bytes) -> dict:
     for eid, _hs, ds, de in _walk_ebml(b, 0, len(b)):
         if eid != _MKV_SEGMENT:
             continue
-        for e2, _h2, d2, e2e in _walk_ebml(b, ds, de):
+        # The probe tolerates unknown-size Clusters (live-muxed/streamed
+        # files write them routinely; clusters are only COUNTED here).
+        # strip_mkv_meta stays strict — re-encoding needs known sizes.
+        for e2, _h2, d2, e2e in _walk_ebml(b, ds, de, unknown_ok=(_MKV_CLUSTER,)):
             if e2 == _MKV_INFO:
                 for e3, _h3, d3, e3e in _walk_ebml(b, d2, e2e):
                     if e3 == _MKV_TS_SCALE:

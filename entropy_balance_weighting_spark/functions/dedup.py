@@ -1081,15 +1081,23 @@ def remove_duplicated_spans(
     Keep rule (deterministic, oracle-checkable): for each duplicated
     k-gram the canonical holder is the LOWEST doc id containing it; a
     token position is excised iff some qualifying gram covering it
-    belongs to a non-canonical document.  Overlapping spans merge at the
-    position level (the same semantics as the profile's ``n_covered``),
-    so the canonical document always retains the full span text.
+    belongs to a non-canonical document AND no qualifying gram covering
+    it has this document as its canonical holder.  The second clause
+    (canonical protection) makes the keep guarantee hold at the
+    position level even when overlapping duplicated grams have
+    DIFFERENT canonical holders: a document never loses a position
+    inside a span it is canonical for, so every duplicated gram's full
+    text survives verbatim in its canonical document.  Overlapping
+    spans otherwise merge at the position level (the same semantics as
+    the profile's ``n_covered``).
 
     Returns one row per input document:
     ``(id, n_tokens, n_removed_tokens, clean_text)`` — ``clean_text`` is
     the original token sequence with excised positions dropped (token
     order preserved; documents with nothing to excise pass through with
-    their original text).
+    their original text; a document whose every position is excised —
+    e.g. an exact duplicate of a lower-id document — still emits its
+    row, with ``clean_text = ''`` and ``n_removed_tokens = n_tokens``).
 
     Plan (100 TB shape): the gram table, hash-groupBy document
     frequency, and position fan-out are the SAME bounded stages as the
@@ -1129,10 +1137,14 @@ def remove_duplicated_spans(
         .filter(F.col("df") >= min_df)
     )
     # occurrences to excise: qualifying gram in a NON-canonical doc;
-    # expand each to its k covered token positions and dedup overlaps
+    # expand each to its k covered token positions and dedup overlaps.
+    # Positions also covered by a gram this doc IS canonical for are
+    # protected (anti-join) so the canonical copy of every duplicated
+    # gram survives intact even under overlapping spans with different
+    # canonical holders.
+    hits = grams.join(gram_stats, "gh")
     covered = (
-        grams.join(gram_stats, "gh")
-        .filter(F.col("id") != F.col("canon"))
+        hits.filter(F.col("id") != F.col("canon"))
         .select(
             "id",
             F.explode(
@@ -1141,6 +1153,17 @@ def remove_duplicated_spans(
         )
         .distinct()
     )
+    protected = (
+        hits.filter(F.col("id") == F.col("canon"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+    )
+    covered = covered.join(protected, ["id", "cp"], "left_anti")
     touched_ids = covered.select("id").distinct()
     # token surgery ONLY on touched documents
     touched = toks.join(touched_ids, "id")
@@ -1164,15 +1187,19 @@ def remove_duplicated_spans(
         )
     )
     n_tok = toks.select("id", F.size("t").alias("n_tokens"))
+    # LEFT join: a fully-excised document (every position covered, e.g.
+    # an exact duplicate of a lower-id doc) produces no `rebuilt` row
+    # but must still emit its output row with empty clean_text.
     out_touched = (
-        n_tok.join(rebuilt, "id")
+        n_tok.join(touched_ids, "id")
+        .join(rebuilt, "id", "left")
         .select(
             "id",
             "n_tokens",
-            (F.col("n_tokens") - F.col("n_kept"))
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
             .cast("long")
             .alias("n_removed_tokens"),
-            "clean_text",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
     untouched = (

@@ -474,7 +474,15 @@ def fit_ivf_quantizer(
       QUALITY is equivalent (same sample, same objective) but bit-level
       centers differ, so downstream exactness must come from re-ranking
       (IVF top-k) or thresholding (SemDeDup), never the centers —
-      which is already the design contract."""
+      which is already the design contract.
+
+      NOT bit-identical, only mass-equivalent: at the 200k-vector spike
+      config the SemDeDup removal count under ``minibatch`` centers
+      drifted 0.14% vs ``full`` (24,361 vs 24,395 — centroid drift, not
+      a threshold bug).  Never pin an exact removal/assignment count
+      against ``minibatch`` output; pin a tolerance band (the
+      regression test holds the drift within a band at a smaller
+      config, tests/test_similarity_scale.py)."""
     if method not in ("full", "minibatch"):
         raise ValueError(
             f"method must be 'full' or 'minibatch', got {method!r}"

@@ -59,7 +59,17 @@ def write_token_shards(
     Ids outside the dtype's range raise a named ValueError rather than
     silently wrapping (a uint16 export of a 100k-vocab corpus is a
     bug, not a cast).
+
+    Crash safety: tasks write ``shard-NNNNN.bin.tmp`` files; only after
+    the export job completes does the driver delete the PREVIOUS
+    export's ``shard-*.bin`` files and rename the temps into place —
+    a failed or interrupted export leaves the prior good export intact
+    (at worst with stray ``.tmp`` files, which the next successful run
+    clears).  The write is therefore eager: this function runs the
+    Spark job before returning, and the returned manifest DataFrame is
+    built from the collected rows (tiny: one row per non-empty shard).
     """
+    import glob
     import os
     import zlib
 
@@ -70,12 +80,9 @@ def write_token_shards(
     if not 0 <= eos_id <= limit:
         raise ValueError(f"eos_id {eos_id} out of range for {dtype}")
     os.makedirs(dest, exist_ok=True)
-    # Re-exporting with fewer non-empty shards must not leave stale
-    # shard files the new manifest doesn't cover — a consumer globbing
-    # dest/*.bin would read a corrupt export. Clear prior shard files.
-    import glob
-
-    for old in glob.glob(os.path.join(dest, "shard-*.bin")):
+    # Clear temps from any previously-failed export so a stale .tmp
+    # can't be swapped in alongside this run's output.
+    for old in glob.glob(os.path.join(dest, "shard-*.bin.tmp")):
         os.remove(old)
 
     d = df.select(
@@ -105,7 +112,7 @@ def write_token_shards(
             else np.empty(0, dtype=np_dtype)
         )
         data = flat.tobytes()
-        path = os.path.join(dest, f"shard-{shard:05d}.bin")
+        path = os.path.join(dest, f"shard-{shard:05d}.bin.tmp")
         with open(path, "wb") as f:
             f.write(data)
         return pd.DataFrame(
@@ -119,7 +126,20 @@ def write_token_shards(
         )
 
     schema = "shard int, n_docs long, n_tokens long, n_bytes long, crc32 long"
-    return d.groupBy("shard").applyInPandas(write_shard, schema)
+    rows = d.groupBy("shard").applyInPandas(write_shard, schema).collect()
+    # Job succeeded: swap temps in, THEN drop stale shards the new
+    # manifest doesn't cover (a re-export with fewer non-empty shards
+    # must not leave old .bin files a consumer globbing dest/*.bin
+    # would read as part of this export).
+    new_names = set()
+    for tmp in sorted(glob.glob(os.path.join(dest, "shard-*.bin.tmp"))):
+        final = tmp[: -len(".tmp")]
+        os.replace(tmp, final)
+        new_names.add(os.path.basename(final))
+    for old in glob.glob(os.path.join(dest, "shard-*.bin")):
+        if os.path.basename(old) not in new_names:
+            os.remove(old)
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 def read_token_shard(path: str, *, dtype: str = "uint16") -> np.ndarray:

@@ -79,3 +79,28 @@ def test_fat_line_is_complete_diagnostics():
     diag = _diag(23)
     lines = bench.render_output_lines(diag)
     assert json.loads(lines[0]) == diag
+
+
+def test_meta_and_cold_entries_stay_off_the_short_line():
+    """_iterations/_converged/_k metadata and the r10 *_cold first-run
+    diagnostics are not steady-state wall-clock: the short line must
+    spend its budget on real timings only (the fat line keeps them)."""
+    diag = _diag(5)
+    diag["queries"].update(
+        {
+            "ebw_solve_distributed": 6.5,
+            "ebw_solve_distributed_cold": 12.1,
+            "ebw_solve_iterations": 4.0,
+            "ebw_solve_converged": 1.0,
+            "ebw_solve_grouped_k": 2000.0,
+        }
+    )
+    parsed = json.loads(bench.render_output_lines(diag)[-1])
+    assert "ebw_solve_distributed" in parsed["queries"]
+    for banned in (
+        "ebw_solve_distributed_cold",
+        "ebw_solve_iterations",
+        "ebw_solve_converged",
+        "ebw_solve_grouped_k",
+    ):
+        assert banned not in parsed["queries"]

@@ -646,3 +646,45 @@ def test_mkv_fuzz_roundtrip(title, dur, w, h, rate, ch, n_clusters, tag):
     assert pc["title"] == "" and not pc["has_tags"]
     assert pc["tracks"] == p["tracks"]
     assert pc["n_clusters"] == n_clusters
+
+
+def test_mkv_unknown_size_cluster_probe_ok_scrub_rejects():
+    """Live-muxed/streamed Matroska writes unknown-size Clusters; the
+    probe must tolerate them (clusters are only counted, bounded by a
+    resync scan to the next level-1 ID), while strip_mkv_meta keeps the
+    strict named error (re-encoding needs known sizes)."""
+    mkv = bytearray(_mkv_sample())
+    # make the Segment unknown-size (live-mux convention), as in the
+    # streaming test above
+    seg_at = bytes(mkv).find(b"\x18\x53\x80\x67")
+    body_start = seg_at + 4 + 2
+    live = bytearray(
+        bytes(mkv[:seg_at])
+        + b"\x18\x53\x80\x67"
+        + b"\x01" + b"\xff" * 7
+        + bytes(mkv[body_start:])
+    )
+    # make the FIRST Cluster unknown-size too
+    cl_at = bytes(live).find(b"\x1f\x43\xb6\x75")
+    assert cl_at > 0
+    sz, n = cm._ebml_size(bytes(live), cl_at + 4)
+    assert sz == len(b"clusterbytes1") and n == 1
+    del live[cl_at + 4]
+    live[cl_at + 4 : cl_at + 4] = b"\x01" + b"\xff" * 7
+    p = cm.probe_mkv(bytes(live))
+    assert p["n_clusters"] == 2  # resync found the second Cluster
+    assert p["title"] == "home movie"
+    assert [t["codec_id"] for t in p["tracks"]] == ["V_VP9", "A_OPUS"]
+    with pytest.raises(ValueError, match="unknown-size element"):
+        cm.strip_mkv_meta(bytes(live))
+    # unknown-size LAST cluster: bounded by end-of-file
+    live2 = bytearray(
+        bytes(mkv[:seg_at])
+        + b"\x18\x53\x80\x67"
+        + b"\x01" + b"\xff" * 7
+        + bytes(mkv[body_start:])
+    )
+    cl2 = bytes(live2).rfind(b"\x1f\x43\xb6\x75")
+    del live2[cl2 + 4]
+    live2[cl2 + 4 : cl2 + 4] = b"\x01" + b"\xff" * 7
+    assert cm.probe_mkv(bytes(live2))["n_clusters"] == 2

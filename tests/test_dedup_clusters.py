@@ -516,12 +516,19 @@ def test_remove_duplicated_spans_profile_consistency(spark):
     out = {r["id"]: r for r in cleaned.collect()}
     assert set(out) == set(range(30))
     canon = min(i for i in prof)  # lowest doc carrying a duplicated span
+    assert out[canon]["n_removed_tokens"] == 0  # canonical for all its grams
     for did, p in prof.items():
-        if did == canon:
-            continue
-        # the boilerplate spans are doc-unique apart from the planted one,
-        # so every non-canonical profiled doc removes its covered positions
-        assert out[did]["n_removed_tokens"] >= 9 or p["n_covered"] < 9
+        # removal is covered-minus-protected: never more than the
+        # profile's position count, and 0 for unprofiled docs
+        assert out[did]["n_removed_tokens"] <= p["n_covered"]
+    for did in set(out) - set(prof):
+        assert out[did]["n_removed_tokens"] == 0
+    # at least one non-canonical boiler holder loses its full boiler span
+    assert any(
+        out[did]["n_removed_tokens"] >= 9 for did in prof if did != canon
+    )
+    # the boiler text survives verbatim in the canonical doc
+    assert boiler in out[canon]["clean_text"]
     # idempotence: no duplicated spans remain after removal
     from pyspark.sql import functions as F
 
@@ -529,3 +536,57 @@ def test_remove_duplicated_spans_profile_consistency(spark):
         F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
     )
     assert duplicated_span_profile(redocs, k=6, min_df=2).count() == 0
+
+
+def test_remove_duplicated_spans_full_excision_keeps_row(spark):
+    """A document whose every position is excised (exact duplicate of a
+    lower-id doc) must still emit its output row: clean_text='' and
+    n_removed_tokens == n_tokens (one-row-per-input-document contract)."""
+    from entropy_balance_weighting_spark.functions.dedup import (
+        remove_duplicated_spans,
+    )
+
+    body = "d1 d2 d3 d4 d5 d6 d7 d8"
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, "q1 q2 q3 q4 q5 q6 q7")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in remove_duplicated_spans(docs, k=6, min_df=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["clean_text"] == body and out[1]["n_removed_tokens"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_removed_tokens"] == 8
+    assert out[2]["n_tokens"] == 8
+    assert out[3]["n_removed_tokens"] == 0
+
+
+def test_remove_duplicated_spans_canonical_protection(spark):
+    """Overlapping duplicated grams with DIFFERENT canonical holders:
+    gram Y (docs {1,2}, canon 1) overlaps gram X (docs {2,3}, canon 2)
+    inside doc 2.  Doc 2 must keep X's full text (it is X's canonical
+    holder) and lose only the Y-only prefix; X's text must survive
+    SOMEWHERE in the cleaned corpus."""
+    from entropy_balance_weighting_spark.functions.dedup import (
+        remove_duplicated_spans,
+    )
+
+    y = "y1 y2 y3 y4 y5 y6"          # gram Y
+    x = "y2 y3 y4 y5 y6 z"           # gram X, overlaps Y by 5 tokens
+    docs = spark.createDataFrame(
+        [(1, y), (2, f"y1 {x}"), (3, x)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in remove_duplicated_spans(docs, k=6, min_df=2).collect()
+    }
+    # doc 1 is canonical for Y -> untouched
+    assert out[1]["clean_text"] == y and out[1]["n_removed_tokens"] == 0
+    # doc 2 is canonical for X: protection keeps X intact; only the
+    # Y-only position (the leading y1) is excised
+    assert out[2]["clean_text"] == x
+    assert out[2]["n_removed_tokens"] == 1
+    # doc 3 (non-canonical for X) is fully excised but keeps its row
+    assert out[3]["clean_text"] == "" and out[3]["n_removed_tokens"] == 6

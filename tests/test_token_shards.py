@@ -102,3 +102,34 @@ def test_shard_reexport_clears_stale_shards(spark, tmp_path):
     files = sorted(glob.glob(f"{dest}/shard-*.bin"))
     assert len(files) == len(man) == 2
     assert {f"{dest}/shard-{r['shard']:05d}.bin" for r in man} == set(files)
+
+
+def test_shard_export_failure_preserves_previous_export(spark, tmp_path):
+    """A failed export (token id out of dtype range) must leave the
+    previous good export untouched: same files, same bytes — the swap
+    to final names happens only after the job succeeds."""
+    import glob
+    import os
+
+    df, _ = _docs(spark, n=20)
+    dest = str(tmp_path / "safe")
+    write_token_shards(df, dest, n_shards=3).collect()
+    before = {
+        p: open(p, "rb").read() for p in glob.glob(f"{dest}/shard-*.bin")
+    }
+    assert len(before) >= 2
+    bad = spark.createDataFrame(
+        [(1, [70000])], "doc_id long, tokens array<int>"
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        write_token_shards(bad, dest, n_shards=3, dtype="uint16")
+    after = {
+        p: open(p, "rb").read() for p in glob.glob(f"{dest}/shard-*.bin")
+    }
+    assert after == before
+    # a later successful export clears any stray temps
+    write_token_shards(df, dest, n_shards=2).collect()
+    assert glob.glob(f"{dest}/shard-*.bin.tmp") == []
+    assert len(glob.glob(f"{dest}/shard-*.bin")) == 2
