@@ -158,6 +158,12 @@ class _EStatsAcc:
         self.gram, self.gram_add = make_gram_accum(k, blocks)
 
     def add(self, rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub):
+        if not rb.num_rows:
+            # Zero-row batches contribute nothing; guarded HERE (not in
+            # each caller) so the plain and fused stats passes share one
+            # invariant — an empty batch would otherwise raise on the
+            # lm_lo.max()/sl.min() reductions below.
+            return
         k = self.k
         pieces = _pieces(
             rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
@@ -206,16 +212,41 @@ class _EStatsAcc:
         self.rhs_mu_leg += _xt_v(flat_idx, flat_val, lens, w0 * inv_ht * z1, k)
         self.gram_add(flat_idx, flat_val, lens, w0**2 * inv_ht)
 
-    def payload(self) -> pa.RecordBatch:
-        return _pack_rb(
-            [self.f_val, self.cd_sq, self.ci_sq, self.cs_sq, self.alt_sq,
-             self.nan_ct, self.sl_sum, self.sl_sq, self.sl_cnt, self.g1,
-             self.rhs_leg, self.rhs_mu_leg, self.gram],
-            [self.sl_min, self.neg_lm_max],
+    def payload(self, wire32: bool = False) -> pa.RecordBatch:
+        head = [self.f_val, self.cd_sq, self.ci_sq, self.cs_sq, self.alt_sq,
+                self.nan_ct, self.sl_sum, self.sl_sq, self.sl_cnt]
+        tail = [self.g1, self.rhs_leg, self.rhs_mu_leg, self.gram]
+        if not wire32:
+            return _pack_rb(head + tail, [self.sl_min, self.neg_lm_max])
+        # float32 WIRE for the K-sized tail (g1 + 2 RHS legs + gram flat)
+        # — the r10 payload-bandwidth cut: per-partition accumulation
+        # stays float64 (above); only the treeReduce bytes halve.  The
+        # 9 convergence-critical scalars keep full precision in the head
+        # so predicates (cd_sq, f_val, nan_ct, slack stats) never feel
+        # the wire.  The driver solve upcasts the tail to float64; Newton
+        # self-corrects the ~1e-7 relative direction error (iteration
+        # counts pinned unchanged at the 20M×100k config, PLANS §16).
+        hbuf = np.asarray(head, dtype=np.float64).tobytes()
+        tbuf = (
+            np.concatenate([np.asarray(t, dtype=np.float64).ravel() for t in tail])
+            .astype(np.float32)
+            .tobytes()
+        )
+        mbuf = np.asarray(
+            [self.sl_min, self.neg_lm_max], dtype=np.float64
+        ).tobytes()
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([hbuf + tbuf], type=pa.binary()),
+                pa.array([mbuf], type=pa.binary()),
+            ],
+            ["sums", "mins"],
         )
 
 
-def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub, blocks) -> Callable:
+def _estats_pass(
+    k, lam, eta, mu_s, lb, ub, has_ub, blocks, wire32: bool = False
+) -> Callable:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc = _EStatsAcc(k, blocks)
         for rb in batches:
@@ -225,7 +256,7 @@ def _estats_pass(k, lam, eta, mu_s, lb, ub, has_ub, blocks) -> Callable:
             acc.add(
                 rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub
             )
-        yield acc.payload()
+        yield acc.payload(wire32)
 
     return fn
 
@@ -328,6 +359,40 @@ def _merge_payload(a, b):
     return (sums.tobytes(), mins.tobytes())
 
 
+# The stats payload's mixed-precision wire layout: 9 float64 scalars
+# (convergence predicates — full precision always), then the K-sized
+# tail as float32 (see _EStatsAcc.payload wire32).
+_STATS_HEAD_BYTES = 9 * 8
+
+# Use the float32 wire only when the tail is big enough to matter: at
+# this threshold the f64→f32 halving saves ≥ 2 MB per partition per
+# pass (≥ 0.8 GB/iteration at 400 partitions).  Small-K paths — every
+# registered correctness query — keep the bit-stable float64 wire.
+_WIRE32_MIN_TAIL_BYTES = 4 * 1024 * 1024
+
+
+def _merge_payload_mixed(a, b):
+    h = np.frombuffer(a[0][:_STATS_HEAD_BYTES], dtype=np.float64) + (
+        np.frombuffer(b[0][:_STATS_HEAD_BYTES], dtype=np.float64)
+    )
+    t = np.frombuffer(a[0][_STATS_HEAD_BYTES:], dtype=np.float32) + (
+        np.frombuffer(b[0][_STATS_HEAD_BYTES:], dtype=np.float32)
+    )
+    mins = np.minimum(
+        np.frombuffer(a[1], dtype=np.float64),
+        np.frombuffer(b[1], dtype=np.float64),
+    )
+    return (h.tobytes() + t.tobytes(), mins.tobytes())
+
+
+def _decode_sums(buf: bytes, wire32: bool) -> np.ndarray:
+    if not wire32:
+        return np.frombuffer(buf, dtype=np.float64).copy()
+    head = np.frombuffer(buf[:_STATS_HEAD_BYTES], dtype=np.float64)
+    tail = np.frombuffer(buf[_STATS_HEAD_BYTES:], dtype=np.float32)
+    return np.concatenate([head, tail.astype(np.float64)])
+
+
 def _ecommit_state_pass(
     lam, dlam, eta, mu_s, alpha_p, alpha_d, lb, ub, has_ub
 ) -> Callable:
@@ -361,7 +426,7 @@ def _ecommit_state_pass(
 
 def _ecommit_stats_pass(
     k, clam, cdlam, ceta, cmu_s, alpha_p, alpha_d,
-    lam, eta, mu_s, lb, ub, has_ub, blocks,
+    lam, eta, mu_s, lb, ub, has_ub, blocks, wire32: bool = False,
 ) -> Callable:
     """FUSED commit+stats — the r9 commit-bandwidth cut.  One pass over
     ``base.zip(old_state)`` per batch: replay the pending commit (step
@@ -422,7 +487,7 @@ def _ecommit_stats_pass(
             )
         if held is None:
             return  # empty partition: no batches, no payload
-        pay = acc.payload()
+        pay = acc.payload(wire32)
         yield (
             held,
             pay.column(0).to_pylist()[0],
@@ -628,7 +693,7 @@ class ElasticSparkKernel:
         pair_rdd.unpersist(blocking=True)
         return base_rdd, state_rdd
 
-    def _reduce(self, fn, big: bool = False, pairs=None):
+    def _reduce(self, fn, big: bool = False, pairs=None, wire32: bool = False):
         if pairs is None:
             pairs = self._base.zip(self._state).mapPartitions(
                 _payload_adapter(fn), preservesPartitioning=True
@@ -636,8 +701,10 @@ class ElasticSparkKernel:
         if big:
             # dense K² Gram payloads: merge executor-side so the driver
             # receives O(tree-fanout) blobs, same gate as collect_payload
-            sums_b, mins_b = pairs.treeReduce(_merge_payload)
-            sums = np.frombuffer(sums_b, dtype=np.float64).copy()
+            sums_b, mins_b = pairs.treeReduce(
+                _merge_payload_mixed if wire32 else _merge_payload
+            )
+            sums = _decode_sums(sums_b, wire32)
             mins = np.frombuffer(mins_b, dtype=np.float64).copy()
         else:
             rows = pairs.collect()
@@ -646,9 +713,7 @@ class ElasticSparkKernel:
                     "elastic kernel reduce returned no partition payloads "
                     "(empty problem?)"
                 )
-            sums = np.sum(
-                [np.frombuffer(s, dtype=np.float64) for s, _ in rows], axis=0
-            )
+            sums = np.sum([_decode_sums(s, wire32) for s, _ in rows], axis=0)
             mins = np.min(
                 [np.frombuffer(m, dtype=np.float64) for _, m in rows], axis=0
             )
@@ -668,6 +733,11 @@ class ElasticSparkKernel:
         big = reduce_big(
             k, self.block_structure, self._base.getNumPartitions()
         )
+        # float32 wire for the K-sized payload tail, gated on size so
+        # every small-K (oracle-hashed) path stays bit-stable float64.
+        wire32 = (
+            3 * k * 8 + gram_bytes(k, self.block_structure)
+        ) >= _WIRE32_MIN_TAIL_BYTES
         if self._pending is not None:
             # Fused commit+stats: ONE pass over base.zip(old_state) whose
             # persisted elements are the new state blobs + partition
@@ -680,7 +750,7 @@ class ElasticSparkKernel:
                     _ecommit_stats_pass(
                         k, clam, cdlam, ceta, cmu_s, ap, ad,
                         lam, eta, mu_s, self.lb, self.ub, self.has_ub,
-                        blocks_tuple(self.block_structure),
+                        blocks_tuple(self.block_structure), wire32,
                     ),
                     preservesPartitioning=True,
                 )
@@ -695,7 +765,9 @@ class ElasticSparkKernel:
                 lambda t: len(t[0]) > 0
             )
             prev_store = self._store
-            sums, mins = self._reduce(None, big=big, pairs=payloads)
+            sums, mins = self._reduce(
+                None, big=big, pairs=payloads, wire32=wire32
+            )
             prev_store.unpersist()
             self._store = fused
             # consumers zip this cache with the base at the JVM level and
@@ -705,9 +777,10 @@ class ElasticSparkKernel:
             sums, mins = self._reduce(
                 _estats_pass(
                     k, lam, eta, mu_s, self.lb, self.ub, self.has_ub,
-                    blocks_tuple(self.block_structure),
+                    blocks_tuple(self.block_structure), wire32,
                 ),
                 big=big,
+                wire32=wire32,
             )
         (f_val, cd_sq, ci_sq, cs_sq, alt_sq, nan_ct,
          sl_sum, sl_sq, sl_cnt) = sums[:9]

@@ -365,3 +365,99 @@ def test_eta_growth_cannot_declare_convergence_below_max_multiplier():
         float(res.moment_slack_multipliers_estimate.max()),
     )
     assert res.eta >= mult_max - 1e-9
+
+
+def test_wire32_payload_roundtrip_and_merge():
+    """The float32 payload wire (r10): head scalars stay exact float64,
+    the K-sized tail round-trips at float32 precision, and the mixed
+    merge matches the float64 merge to float32 tolerance."""
+    import numpy as np
+
+    from entropy_balance_weighting_spark.kernels import elastic_spark as es
+
+    rng = np.random.default_rng(11)
+    k = 37
+
+    def fake_acc():
+        acc = es._EStatsAcc(k, None)
+        acc.f_val = float(rng.normal()) * 1e6
+        acc.cd_sq, acc.ci_sq, acc.cs_sq = 1.25e-9, 3.5, 0.125
+        acc.alt_sq, acc.nan_ct = 7.0, 0.0
+        acc.sl_sum, acc.sl_sq, acc.sl_cnt = 12.5, 8.25, 250.0
+        acc.sl_min, acc.neg_lm_max = 1e-7, -4.5
+        acc.g1 = rng.normal(size=k) * 1e5
+        acc.rhs_leg = rng.normal(size=k)
+        acc.rhs_mu_leg = rng.normal(size=k) * 1e-3
+        acc.gram = rng.normal(size=k * k)
+        return acc
+
+    a, b = fake_acc(), fake_acc()
+
+    def pair(acc, wire32):
+        rb = acc.payload(wire32)
+        return (
+            rb.column(0).to_pylist()[0],
+            rb.column(1).to_pylist()[0],
+        )
+
+    s64, m64 = es._merge_payload(pair(a, False), pair(b, False))
+    s32, m32 = es._merge_payload_mixed(pair(a, True), pair(b, True))
+    full64 = np.frombuffer(s64, dtype=np.float64)
+    full32 = es._decode_sums(s32, True)
+    assert full32.dtype == np.float64 and len(full32) == len(full64)
+    # head: bit-exact (scalars never touch the float32 wire)
+    np.testing.assert_array_equal(full32[:9], full64[:9])
+    # tail: float32 error model — each addend rounds to f32 (½ulp of its
+    # own magnitude) plus the f32 add, so the bound is ABSOLUTE in the
+    # input magnitudes, not relative to the (possibly cancelled) sum
+    def tail(acc):
+        return np.concatenate(
+            [acc.g1, acc.rhs_leg, acc.rhs_mu_leg, np.asarray(acc.gram).ravel()]
+        )
+
+    bound = 5e-7 * (np.abs(tail(a)) + np.abs(tail(b))) + 1e-30
+    assert np.all(np.abs(full32[9:] - full64[9:]) <= bound)
+    assert m32 == m64
+
+
+def test_wire32_solve_matches_float64_wire(spark, monkeypatch):
+    """Force the float32 wire at tiny K (threshold → 0) and re-run the
+    distributed bounded solve: iteration count identical and weights
+    within float32-direction tolerance of the float64-wire solve —
+    Newton self-corrects the ~1e-7 step-direction error."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.kernels import elastic_spark as es
+    from entropy_balance_weighting_spark.plans import (
+        MomentSpec,
+        build_problem_tables,
+    )
+
+    x, w0, m = _problem(n=250, seed=37)
+    pdf = pd.DataFrame(
+        {"rid": np.arange(250), "w": w0, "x0": x[:, 0], "x1": x[:, 1], "x2": x[:, 2]}
+    )
+    df = spark.createDataFrame(pdf)
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1", "x2"), row_key=("rid",))
+    opts = {"bounds": (0.5, 1.8), "force_distributed": True}
+
+    res64 = entropy_balance(
+        mean_population_moments=m,
+        x_sample=build_problem_tables(df, spec),
+        options=opts,
+    )
+    w64 = {r["row_id"]: r["new_weight"] for r in res64.new_weights.collect()}
+
+    monkeypatch.setattr(es, "_WIRE32_MIN_TAIL_BYTES", 0)
+    res32 = entropy_balance(
+        mean_population_moments=m,
+        x_sample=build_problem_tables(df, spec),
+        options=opts,
+    )
+    w32 = {r["row_id"]: r["new_weight"] for r in res32.new_weights.collect()}
+
+    assert res32.converged and res64.converged
+    assert res32.n_iterations == res64.n_iterations
+    a = np.array([w64[i] for i in sorted(w64)])
+    b = np.array([w32[i] for i in sorted(w64)])
+    np.testing.assert_allclose(b, a, rtol=5e-5)
