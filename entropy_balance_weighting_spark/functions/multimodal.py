@@ -781,6 +781,31 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(fn, RESIZED_SCHEMA)
 
 
+def probe_images(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Header-only probe stage over an opaque binary column
+    (:func:`probe_image_batch` under one ``mapInPandas`` pass):
+    ``(id, n_bytes, format, width, height)`` with NO pixel decode —
+    the triage-before-decode filter a 100 TB image corpus runs first
+    (measured ~760× cheaper than decoding, bench_media_r09.json)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = probe_image_batch(pdf[payload_col])
+            out.insert(0, id_col, pdf[id_col].astype("int64").values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, f"{id_col} long, n_bytes int, format string, width int, height int"
+    )
+
+
 # -- real WAV codec (pure struct/numpy — no media libraries needed) ---------
 #
 # RIFF/WAVE PCM is a chunked header + raw little-endian interleaved

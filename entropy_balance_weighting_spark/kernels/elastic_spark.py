@@ -365,10 +365,11 @@ def _merge_payload(a, b):
 _STATS_HEAD_BYTES = 9 * 8
 
 # Use the float32 wire only when the tail is big enough to matter: at
-# this threshold the f64→f32 halving saves ≥ 2 MB per partition per
-# pass (≥ 0.8 GB/iteration at 400 partitions).  Small-K paths — every
-# registered correctness query — keep the bit-stable float64 wire.
-_WIRE32_MIN_TAIL_BYTES = 4 * 1024 * 1024
+# this threshold the f64→f32 halving saves ≥ 1 MB per partition per
+# pass (≥ 0.4 GB/iteration at 400 partitions).  Small-K paths — every
+# registered correctness query (K ≤ ~2000: tail ≤ ~100 KB) — keep the
+# bit-stable float64 wire.
+_WIRE32_MIN_TAIL_BYTES = 2 * 1024 * 1024
 
 
 def _merge_payload_mixed(a, b):
@@ -539,6 +540,17 @@ class ElasticSparkKernel:
         # applied by the next elastic_stats as the fused pass, or flushed
         # into a chained lazy state swap by any other consumer
         self._pending = None
+        # mixed-precision wire (r10): when True (the DEFAULT), the
+        # stats payload tail is always float64.  The elastic solver
+        # flips it per-iteration only under options={"payload_wire32":
+        # True} — an opt-in for network-bound clusters, because the
+        # measured local trade is negative: the f32 wire halves payload
+        # bytes but the f32 step trajectory costs +1-2 IP iterations
+        # (20M×100k: f64 5 iters / hybrid-1e3 7 / hybrid-1e4 6, steady
+        # per-iteration within noise at 80 partitions — PLANS §16), and
+        # an always-f32 wire stalls above tolerance and hits the
+        # iteration cap.
+        self._wire_full = True
 
     @classmethod
     def from_problem(
@@ -723,6 +735,15 @@ class ElasticSparkKernel:
             self._prev = None
         return sums, mins
 
+    def set_wire_full(self, full: bool) -> None:
+        """Precision hint from the solver loop: ``True`` forces the
+        float64 payload wire for subsequent stats scans (the refinement
+        endgame — a float32 step direction cannot push the residual the
+        last decades to tolerance); ``False`` re-allows the float32 wire
+        for large tails.  No-op for small-K problems (the size gate in
+        :meth:`elastic_stats` already keeps those float64)."""
+        self._wire_full = bool(full)
+
     def elastic_g1(self) -> np.ndarray:
         self._flush_pending_lazy()
         sums, _ = self._reduce(_g1_pass(self.k))
@@ -734,8 +755,10 @@ class ElasticSparkKernel:
             k, self.block_structure, self._base.getNumPartitions()
         )
         # float32 wire for the K-sized payload tail, gated on size so
-        # every small-K (oracle-hashed) path stays bit-stable float64.
-        wire32 = (
+        # every small-K (oracle-hashed) path stays bit-stable float64,
+        # and on the solver's precision hint (f64 endgame — see
+        # set_wire_full / solvers/elastic.py).
+        wire32 = not self._wire_full and (
             3 * k * 8 + gram_bytes(k, self.block_structure)
         ) >= _WIRE32_MIN_TAIL_BYTES
         if self._pending is not None:

@@ -728,3 +728,78 @@ def dd_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dd_span_removal",
+    survey="ext:dedup-substring-removal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+), occ AS (
+  SELECT doc_id, i,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+              || ' ' || t[i+4] || ' ' || t[i+5] AS g
+  FROM toks, unnest(range(1, len(t) - 4)) AS r(i)
+), gs AS (
+  SELECT g, min(doc_id) AS canon
+  FROM (SELECT DISTINCT g, doc_id FROM occ)
+  GROUP BY g HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT o.doc_id, o.i + j.j AS cp
+  FROM occ o JOIN gs USING (g), unnest(range(0, 6)) AS j(j)
+  WHERE o.doc_id <> gs.canon
+), prot AS (
+  SELECT DISTINCT o.doc_id, o.i + j.j AS cp
+  FROM occ o JOIN gs USING (g), unnest(range(0, 6)) AS j(j)
+  WHERE o.doc_id = gs.canon
+), cut AS (
+  SELECT doc_id, cp FROM cov
+  ANTI JOIN prot USING (doc_id, cp)
+), touched AS (
+  SELECT DISTINCT doc_id FROM cut
+), pos AS (
+  SELECT k.doc_id, p.i AS cp, k.t[p.i] AS tok
+  FROM toks k JOIN touched USING (doc_id),
+       unnest(range(1, len(k.t) + 1)) AS p(i)
+), kept AS (
+  SELECT doc_id, cp, tok FROM pos ANTI JOIN cut USING (doc_id, cp)
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY cp) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), out_touched AS (
+  SELECT k.doc_id, len(k.t) AS n_tokens,
+         CAST(len(k.t) - coalesce(r.n_kept, 0) AS BIGINT)
+             AS n_removed_tokens,
+         coalesce(r.clean_text, '') AS clean_text
+  FROM toks k JOIN touched USING (doc_id)
+  LEFT JOIN rebuilt r USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_removed_tokens, clean_text FROM out_touched
+UNION ALL
+SELECT k.doc_id, len(k.t) AS n_tokens, CAST(0 AS BIGINT), k.text
+FROM toks k ANTI JOIN touched USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def dd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. 2022 REMOVAL action — the dedup step the span
+    profile (``dd_substring_spans``) only measures: excise every
+    cross-document duplicated 6-token span while keeping one canonical
+    copy (lowest doc id per gram; positions the doc is itself canonical
+    for are protected), one output row per input document with the
+    cleaned text (:func:`functions.dedup.remove_duplicated_spans`).
+    The token surgery is join-gated to documents that actually lose a
+    span, so the explode shuffle is proportional to real duplication,
+    not corpus size — the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.remove_duplicated_spans(
+        docs, id_col="doc_id", text_col="text", k=6, min_df=2
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_removed_tokens",
+        "clean_text",
+    ).orderBy("doc_id")

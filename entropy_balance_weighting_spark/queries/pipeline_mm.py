@@ -2004,3 +2004,92 @@ def mm_video_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_probe_dims",
+    survey="ext:multimodal-probe",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+           WHEN 3 THEN 'jpeg' ELSE 'tiff'
+         END AS format,
+         doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+  FROM documents
+)
+SELECT format,
+       count(*) AS n_docs,
+       round(avg(w), 6) AS avg_width,
+       round(avg(h), 6) AS avg_height,
+       CAST(min(w) AS BIGINT) AS min_width,
+       CAST(max(w) AS BIGINT) AS max_width,
+       CAST(sum(w * h) AS BIGINT) AS total_pixels
+FROM f GROUP BY format ORDER BY format
+""",
+)
+def mm_probe_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-first media triage as a registered query: every doc gets a
+    REAL encoded payload in one of five formats (BMP/PNG/GIF/JPEG/TIFF,
+    chosen by ``doc_id % 5``, dims a pure function of ``doc_id``), and
+    :func:`functions.multimodal.probe_images` reads ONLY the headers —
+    no pixel decode — to recover format and dimensions; the oracle
+    recomputes both arithmetically.  A probe that misparses any
+    header's magic, byte order, or dimension fields shifts the per-
+    format rollup and fails the hash.  This is the first pass a 100 TB
+    image corpus runs: dimension/format filtering at header-read cost
+    (~760× cheaper than decoding, bench_media_r09.json), decode only
+    survivors."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from entropy_balance_weighting_spark.functions import (
+            gif_codec,
+            jpeg_codec,
+            tiff_codec,
+        )
+
+        palette = np.stack([np.arange(4)] * 3, axis=1).astype(np.uint8) * 80
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                h, w = d % 12 + 4, d % 16 + 4
+                px = np.zeros((h, w), dtype=np.uint8)
+                kind = d % 5
+                if kind == 0:
+                    payloads.append(multimodal.encode_bmp(px))
+                elif kind == 1:
+                    payloads.append(multimodal.encode_png(px))
+                elif kind == 2:
+                    payloads.append(gif_codec.encode_gif(px, palette))
+                elif kind == 3:
+                    payloads.append(jpeg_codec.encode_jpeg(px))
+                else:
+                    payloads.append(tiff_codec.encode_tiff(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    probed = multimodal.probe_images(payloads)  # REAL header probe
+    return (
+        probed.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.min("width").cast("long").alias("min_width"),
+            F.max("width").cast("long").alias("max_width"),
+            F.sum(
+                (F.col("width") * F.col("height")).cast("long")
+            ).alias("total_pixels"),
+        )
+        .orderBy("format")
+    )

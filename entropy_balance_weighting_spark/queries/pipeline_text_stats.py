@@ -99,22 +99,18 @@ def txt_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "txt_vocab_size_approx",
-    survey="ext:text-stats",
-    oracle="""
-SELECT source, 1 AS ok
-FROM (SELECT DISTINCT source FROM documents) ORDER BY source
-""",
-)
-def txt_vocab_size_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def vocab_hll_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AT-SCALE vocabulary counter: ``approx_count_distinct``
     (HyperLogLog++ — a mergeable fixed-size sketch, map-side
     combinable, no token-level distinct shuffle).  Sketches can't
     hash-match an exact oracle, so — like the percentile sketch — the
     error contract is verified IN-ENGINE: ``ok=1`` iff the estimate is
     within 3× the configured 2% relative standard deviation of the
-    exact count, and the oracle expects every source row to say ok=1."""
+    exact count.  Was registered as ``txt_vocab_size_approx`` through
+    r9; pytest-proven since r10 (the exact ``txt_vocab_size`` and the
+    mergeable ``txt_vocab_sketch_rollup`` stay registered — the same
+    window-budget trade as the r9 percentile prune; the freed slots
+    fund ``dd_span_removal`` and ``mm_probe_dims``)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(text.tokens(F.col("text"))).alias("tok"))
     agg = toks.groupBy("source").agg(

@@ -40,6 +40,9 @@ _KNOWN_OPTIONS = {
     "force_distributed",
     "local_threshold",
     "validate",
+    # opt-in mixed-precision payload wire for the large-K elastic path
+    # (f32 while far from tolerance, f64 endgame — solvers/elastic.py)
+    "payload_wire32",
     # accepted for drop-in compatibility with reference scripts (the
     # reference reads options via .get and silently ignores these; its own
     # examples pass them — ref: examples/simple_examples.py:24,30).  They

@@ -103,6 +103,9 @@ def solve_elastic(
     max_steps = int(opts.get("max_steps", 100))
     opt_tol = float(opts.get("optimality_violation", 1e-5))
     step_tol = float(opts.get("step_tol", 1e-8))
+    # Opt-in mixed-precision payload wire (see the in-loop toggle and
+    # kernels/elastic_spark.py set_wire_full for the measured trade).
+    wire32_opt = bool(opts.get("payload_wire32", False))
 
     k = kernel.k
     sum_w0 = kernel.sum_w0
@@ -206,6 +209,18 @@ def solve_elastic(
         if st.has_nan or not math.isfinite(opt_viol):
             error_message = "NaN in elastic optimality conditions"
             break
+        # Mixed-precision refinement (OPT-IN, options["payload_wire32"]):
+        # large-K kernels wire the payload tail as float32 while the
+        # residual is far from tolerance (the bandwidth phase) and
+        # switch to float64 for the endgame — a float32 step direction
+        # floors the achievable residual ~3-4 decades above f64
+        # (kernels/elastic_spark.py set_wire_full).  The 1e4× switch
+        # sits a full decade above the measured f32 floor; even so the
+        # f32 phase costs ~+1 IP iteration (PLANS §16), which is why
+        # the default stays f64 — the trade only pays when the wire is
+        # genuinely the bottleneck (many-executor network reduces).
+        if wire32_opt and hasattr(kernel, "set_wire_full"):
+            kernel.set_wire_full(min(opt_viol, alt_viol) < 1e4 * opt_tol)
         if eta_next <= eta and min(opt_viol, alt_viol) < opt_tol:
             # When η grew this iteration the residuals above were evaluated
             # at the pre-growth η, so declaring convergence here could stop

@@ -688,3 +688,188 @@ def test_mkv_unknown_size_cluster_probe_ok_scrub_rejects():
     del live2[cl2 + 4]
     live2[cl2 + 4 : cl2 + 4] = b"\x01" + b"\xff" * 7
     assert cm.probe_mkv(bytes(live2))["n_clusters"] == 2
+
+
+# --- H.264 SPS probe ---------------------------------------------------------
+
+
+def test_h264_sps_exact():
+    sps = cm.build_h264_sps(
+        width=1920, height=1080, profile_idc=100, level_idc=41, fps=29.97
+    )
+    p = cm.parse_h264_sps(sps)
+    assert p["width"] == 1920 and p["height"] == 1080
+    assert p["profile"] == "High" and p["profile_idc"] == 100
+    assert p["level"] == "4.1"
+    assert p["chroma_format"] == "4:2:0"
+    assert p["bit_depth_luma"] == 8 and p["bit_depth_chroma"] == 8
+    assert abs(p["fps"] - 29.97) < 5e-4  # fps is quantized into the VUI tick
+    # 1080 does not fill 68 macroblock rows -> cropping was exercised
+    assert 1080 % 16 != 0
+
+
+def test_h264_annexb_probe_counts_and_sps():
+    sps = cm.build_h264_sps(width=640, height=480, profile_idc=66, level_idc=30)
+    pps = b"\x68\xce\x38\x80"
+    idr = b"\x65\x88\x84\x00"
+    nonidr = b"\x41\x9a\x00"
+    stream = cm.build_annexb([sps, pps, idr, nonidr, nonidr])
+    p = cm.probe_h264(stream)
+    assert p["n_nal_units"] == 5 and p["n_sps"] == 1 and p["n_pps"] == 1
+    assert p["n_idr"] == 1 and p["n_slices"] == 3
+    assert p["width"] == 640 and p["height"] == 480
+    assert p["profile"] == "Baseline" and p["level"] == "3"
+    assert p["fps"] == 0.0  # no VUI timing
+
+
+def test_h264_avcc_roundtrip():
+    sps = cm.build_h264_sps(
+        width=1280, height=720, profile_idc=77, level_idc=31, fps=60.0
+    )
+    p = cm.parse_avcc(cm.build_avcc(sps))
+    assert (p["width"], p["height"]) == (1280, 720)
+    assert p["profile"] == "Main" and p["level"] == "3.1"
+    assert p["nal_length_size"] == 4
+    assert abs(p["fps"] - 60.0) < 5e-4
+
+
+def test_h264_malformed_named_errors():
+    with pytest.raises(ValueError, match="no Annex-B start codes"):
+        cm.probe_h264(b"\xff" * 16)
+    with pytest.raises(ValueError, match="no SPS"):
+        cm.probe_h264(cm.build_annexb([b"\x68\xce\x38\x80"]))
+    sps = cm.build_h264_sps(width=320, height=240)
+    with pytest.raises(ValueError, match="nal_unit_type"):
+        cm.parse_h264_sps(b"\x68" + sps[1:])
+    with pytest.raises(ValueError, match="truncated bitstream"):
+        cm.parse_h264_sps(sps[:4])
+    with pytest.raises(ValueError, match="configurationVersion"):
+        cm.parse_avcc(b"\x02" + cm.build_avcc(sps)[1:])
+    with pytest.raises(ValueError, match="truncated SPS"):
+        cm.parse_avcc(cm.build_avcc(sps)[: 6 + 2 + 3])
+
+
+def test_h264_emulation_prevention_escape_unescape():
+    """The RBSP escape/unescape pair (ISO 14496-10 7.4.1): every
+    00 00 {00,01,02,03} run gains an emulation-prevention 0x03 on
+    encode and loses it exactly on decode."""
+    cases = [
+        b"\x00\x00\x01",
+        b"\x00\x00\x00\x00\x00",
+        b"\x00\x00\x03",        # data byte 03 also needs protection
+        b"\x7f\x00\x00\x02\x40",
+        b"\x00" * 16,
+        bytes(range(256)),
+    ]
+    for raw in cases:
+        esc = cm._rbsp_escape(raw)
+        # no start-code emulation (00 00 00/01/02) survives; 00 00 03
+        # is the emulation-prevention byte itself and is legal
+        assert not any(
+            esc[i] == 0 and esc[i + 1] == 0 and esc[i + 2] <= 2
+            for i in range(len(esc) - 2)
+        )
+        assert cm._rbsp_unescape(esc) == raw
+    assert cm._rbsp_escape(b"\x00\x00\x01") == b"\x00\x00\x03\x01"
+
+
+@settings(max_examples=80, deadline=None)
+@given(raw=st.binary(min_size=0, max_size=64))
+def test_h264_rbsp_escape_fuzz_roundtrip(raw):
+    esc = cm._rbsp_escape(raw)
+    assert cm._rbsp_unescape(esc) == raw
+    assert not any(
+        esc[i] == 0 and esc[i + 1] == 0 and esc[i + 2] <= 2
+        for i in range(len(esc) - 2)
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w_mbs=st.integers(1, 480),
+    h_mbs=st.integers(1, 270),
+    crop_w=st.integers(0, 7),
+    crop_h=st.integers(0, 7),
+    profile=st.sampled_from([66, 77, 100, 110, 122, 244]),
+    level=st.sampled_from([10, 21, 30, 31, 40, 41, 51, 62]),
+    fps=st.one_of(
+        st.none(), st.sampled_from([23.976, 24.0, 25.0, 29.97, 30.0, 60.0])
+    ),
+    frame_mbs_only=st.sampled_from([1, 0]),
+)
+def test_h264_sps_fuzz_roundtrip(
+    w_mbs, h_mbs, crop_w, crop_h, profile, level, fps, frame_mbs_only
+):
+    # express the target size in crop units so the builder accepts it
+    cw = 2  # 4:2:0 SubWidthC
+    chh = 2 * (2 - frame_mbs_only)
+    width = w_mbs * 16 - crop_w * cw
+    height = h_mbs * 16 * (2 - frame_mbs_only) - crop_h * chh
+    if width <= 0 or height <= 0:
+        return
+    sps = cm.build_h264_sps(
+        width=width, height=height, profile_idc=profile, level_idc=level,
+        fps=fps, frame_mbs_only=frame_mbs_only,
+    )
+    p = cm.parse_h264_sps(sps)
+    assert p["width"] == width and p["height"] == height
+    assert p["profile_idc"] == profile
+    assert p["level"] == f"{level // 10}.{level % 10}".removesuffix(".0")
+    assert p["frame_mbs_only"] == frame_mbs_only
+    if fps is None:
+        assert p["fps"] == 0.0
+    else:
+        assert abs(p["fps"] - fps) < 5e-4
+    # the avcC wrap parses to the same fields
+    pa_ = cm.parse_avcc(cm.build_avcc(sps))
+    assert pa_["width"] == width and pa_["height"] == height
+
+
+def test_h264_inside_mp4_stsd():
+    sps = cm.build_h264_sps(
+        width=1920, height=1080, profile_idc=100, level_idc=42, fps=24.0
+    )
+    trak = cm.build_mp4_track(
+        handler="vide", timescale=24000, sample_deltas=[(48, 1000)],
+        fixed_sample_size=900,
+        stsd_entry=cm.build_avc1_entry(
+            cm.build_avcc(sps), width=1920, height=1080
+        ),
+    )
+    mp4 = cm.build_mp4(b"mdatbytes", extra_moov_children=trak)
+    (v,) = cm.probe_mp4_tracks(mp4)
+    assert v["codec"] == "avc1"
+    h = v["h264"]
+    assert (h["width"], h["height"]) == (1920, 1080)
+    assert h["profile"] == "High" and h["level"] == "4.2"
+    assert abs(h["fps"] - 24.0) < 5e-4
+    # tracks without an stsd keep the stable schema (codec = "")
+    plain = cm.build_mp4(
+        b"x", extra_moov_children=cm.build_mp4_track(fixed_sample_size=10)
+    )
+    (t,) = cm.probe_mp4_tracks(plain)
+    assert t["codec"] == "" and "h264" not in t
+
+
+def test_h264_inside_mkv_codec_private():
+    sps = cm.build_h264_sps(
+        width=1280, height=720, profile_idc=77, level_idc=31, fps=50.0
+    )
+    mkv = cm.build_mkv(
+        tracks=[
+            {"type": "video", "codec_id": "V_MPEG4/ISO/AVC",
+             "width": 1280, "height": 720,
+             "codec_private": cm.build_avcc(sps)},
+            {"type": "audio", "codec_id": "A_OPUS", "samplerate": 48000.0,
+             "channels": 2},
+        ],
+    )
+    p = cm.probe_mkv(mkv)
+    v, a = p["tracks"]
+    assert v["codec_id"] == "V_MPEG4/ISO/AVC"
+    h = v["h264"]
+    assert (h["width"], h["height"]) == (1280, 720)
+    assert h["profile"] == "Main" and abs(h["fps"] - 50.0) < 5e-4
+    assert "h264" not in a
+    # the privacy scrub must not disturb CodecPrivate
+    assert cm.probe_mkv(cm.strip_mkv_meta(mkv))["tracks"] == p["tracks"]

@@ -422,9 +422,10 @@ def test_wire32_payload_roundtrip_and_merge():
 
 def test_wire32_solve_matches_float64_wire(spark, monkeypatch):
     """Force the float32 wire at tiny K (threshold → 0) and re-run the
-    distributed bounded solve: iteration count identical and weights
-    within float32-direction tolerance of the float64-wire solve —
-    Newton self-corrects the ~1e-7 step-direction error."""
+    distributed bounded solve: mixed-precision refinement (f32 early,
+    f64 endgame once the residual nears tolerance — see
+    solvers/elastic.py set_wire_full) must converge within one
+    iteration of the float64-wire solve with matching weights."""
     import pandas as pd
 
     from entropy_balance_weighting_spark.kernels import elastic_spark as es
@@ -439,7 +440,11 @@ def test_wire32_solve_matches_float64_wire(spark, monkeypatch):
     )
     df = spark.createDataFrame(pdf)
     spec = MomentSpec(weight_col="w", numeric=("x0", "x1", "x2"), row_key=("rid",))
-    opts = {"bounds": (0.5, 1.8), "force_distributed": True}
+    opts = {
+        "bounds": (0.5, 1.8),
+        "force_distributed": True,
+        "payload_wire32": True,  # the opt-in (default wire is pure f64)
+    }
 
     res64 = entropy_balance(
         mean_population_moments=m,
@@ -457,7 +462,8 @@ def test_wire32_solve_matches_float64_wire(spark, monkeypatch):
     w32 = {r["row_id"]: r["new_weight"] for r in res32.new_weights.collect()}
 
     assert res32.converged and res64.converged
-    assert res32.n_iterations == res64.n_iterations
+    # the f32 early trajectory may cost at most one extra iteration
+    assert abs(res32.n_iterations - res64.n_iterations) <= 1
     a = np.array([w64[i] for i in sorted(w64)])
     b = np.array([w32[i] for i in sorted(w64)])
     np.testing.assert_allclose(b, a, rtol=5e-5)

@@ -641,3 +641,17 @@ def test_len_percentiles_rank_check_all_ok(spark):
     rows = len_percentiles_rank_check(spark, SF_SMOKE).collect()
     assert len(rows) >= 3  # sources x 3 quantiles
     assert all(r["ok"] == 1 for r in rows)
+
+
+def test_vocab_hll_error_check_all_ok(spark):
+    """approx_count_distinct's 3-sigma error contract (formerly the
+    registered txt_vocab_size_approx query; pytest-proven since the r10
+    window-budget prune): every source's HLL estimate is within 6% of
+    the exact vocabulary count."""
+    from entropy_balance_weighting_spark.queries.pipeline_text_stats import (
+        vocab_hll_error_check,
+    )
+
+    rows = vocab_hll_error_check(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2  # one row per source
+    assert all(r["ok"] == 1 for r in rows)
