@@ -359,6 +359,16 @@ def _merge_payload(a, b):
     return (sums.tobytes(), mins.tobytes())
 
 
+# Fused commit+stats pays off only when the state cache is big enough
+# that reading the base cache ONCE (not twice) dominates its fixed
+# costs (payload piggyback elements, per-batch commit recompute inside
+# the stats scan).  Measured (r10): N=600k bounded at sf0.1 runs
+# ~10.8-11.2 s unfused vs 12.6-13.8 s fused (the r9 sf0.1 drift, now
+# adjudicated as REAL); N=100M runs ~9.2 s/iter fused vs ~14.5
+# unfused (PLANS §15).  Below this row count the commit flushes as a
+# chained lazy swap and stats runs the plain pass.
+_FUSED_MIN_ROWS = 2_000_000
+
 # The stats payload's mixed-precision wire layout: 9 float64 scalars
 # (convergence predicates — full precision always), then the K-sized
 # tail as float32 (see _EStatsAcc.payload wire32).
@@ -761,6 +771,13 @@ class ElasticSparkKernel:
         wire32 = not self._wire_full and (
             3 * k * 8 + gram_bytes(k, self.block_structure)
         ) >= _WIRE32_MIN_TAIL_BYTES
+        if self._pending is not None and self.n < _FUSED_MIN_ROWS:
+            # Small-N: the fused pass's fixed costs exceed its bandwidth
+            # savings (see _FUSED_MIN_ROWS) — flush the commit as a
+            # chained LAZY swap (zero jobs; the stats scan below
+            # materializes it through the RDD chain) and take the plain
+            # stats path.
+            self._flush_pending_lazy()
         if self._pending is not None:
             # Fused commit+stats: ONE pass over base.zip(old_state) whose
             # persisted elements are the new state blobs + partition

@@ -453,7 +453,10 @@ def test_wire32_solve_matches_float64_wire(spark, monkeypatch):
     )
     w64 = {r["row_id"]: r["new_weight"] for r in res64.new_weights.collect()}
 
+    # force BOTH the f32 wire and the fused commit+stats pass — the
+    # combination the 100M×100k grouped configuration actually runs
     monkeypatch.setattr(es, "_WIRE32_MIN_TAIL_BYTES", 0)
+    monkeypatch.setattr(es, "_FUSED_MIN_ROWS", 0)
     res32 = entropy_balance(
         mean_population_moments=m,
         x_sample=build_problem_tables(df, spec),
@@ -467,3 +470,63 @@ def test_wire32_solve_matches_float64_wire(spark, monkeypatch):
     a = np.array([w64[i] for i in sorted(w64)])
     b = np.array([w32[i] for i in sorted(w64)])
     np.testing.assert_allclose(b, a, rtol=5e-5)
+
+
+def test_fused_gate_small_n_takes_plain_path_same_answer(spark, monkeypatch):
+    """The r10 fused-pass N gate: below _FUSED_MIN_ROWS the commit
+    flushes as a chained lazy swap and stats runs the plain pass
+    (measured faster at sf0.1's 600k rows); forcing the fused path at
+    the same tiny N must give the same converged weights and the same
+    2-jobs-per-iteration reduce count — the gate is a physical-plan
+    choice, never a semantics change."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.kernels import elastic_spark as es
+    from entropy_balance_weighting_spark.plans import (
+        MomentSpec,
+        build_problem_tables,
+    )
+
+    x, w0, m = _problem(n=250, seed=37)
+    pdf = pd.DataFrame(
+        {"rid": np.arange(250), "w": w0, "x0": x[:, 0], "x1": x[:, 1], "x2": x[:, 2]}
+    )
+    df = spark.createDataFrame(pdf)
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1", "x2"), row_key=("rid",))
+    opts = {"bounds": (0.5, 1.8), "force_distributed": True}
+
+    def solve():
+        n_reduces = 0
+        orig_reduce = es.ElasticSparkKernel._reduce
+
+        def counting(self, fn, **kw):
+            nonlocal n_reduces
+            n_reduces += 1
+            return orig_reduce(self, fn, **kw)
+
+        es.ElasticSparkKernel._reduce = counting
+        try:
+            res = entropy_balance(
+                mean_population_moments=m,
+                x_sample=build_problem_tables(df, spec),
+                options=opts,
+            )
+        finally:
+            es.ElasticSparkKernel._reduce = orig_reduce
+        assert res.converged
+        assert n_reduces == 2 * res.n_iterations + 2, (
+            n_reduces, res.n_iterations,
+        )
+        return {
+            r["row_id"]: r["new_weight"] for r in res.new_weights.collect()
+        }, res.n_iterations
+
+    assert 250 < es._FUSED_MIN_ROWS  # default: plain path at this N
+    w_plain, it_plain = solve()
+    monkeypatch.setattr(es, "_FUSED_MIN_ROWS", 0)  # force the fused path
+    w_fused, it_fused = solve()
+    assert it_plain == it_fused
+    assert set(w_plain) == set(w_fused)
+    a = np.array([w_plain[i] for i in sorted(w_plain)])
+    b = np.array([w_fused[i] for i in sorted(w_plain)])
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-15)
