@@ -932,6 +932,14 @@ def probe_mp4_tracks(payload: bytes) -> list[dict]:
                             av = _find_atom(b, pos + 86, eend, b"avcC")
                             if av is not None:
                                 info["h264"] = parse_avcc(b[av[0] : av[1]])
+                        elif etype in (b"hvc1", b"hev1") and eend >= pos + 86:
+                            hv = _find_atom(b, pos + 86, eend, b"hvcC")
+                            if hv is not None:
+                                info["h265"] = parse_hvcc(b[hv[0] : hv[1]])
+                        elif etype == b"av01" and eend >= pos + 86:
+                            av1 = _find_atom(b, pos + 86, eend, b"av1C")
+                            if av1 is not None:
+                                info["av1"] = parse_av1c(b[av1[0] : av1[1]])
         tracks.append(info)
     return tracks
 
@@ -1311,13 +1319,20 @@ def probe_mkv(payload: bytes) -> dict:
                                     tr["samplerate"] = _mkv_float(b, d5, e5e)
                                 elif e5 == _MKV_CHANNELS:
                                     tr["channels"] = _mkv_uint(b, d5, e5e)
-                    # AVC CodecPrivate IS an avcC record: full stream
-                    # params (profile/level/fps/crop-true dims) with no
-                    # decode — same triage payload as the MP4 stsd walk
+                    # AVC/HEVC CodecPrivate IS an avcC/hvcC record: full
+                    # stream params (profile/level/crop-true dims) with
+                    # no decode — same triage payload as the MP4 stsd
+                    # walk
                     if codec_priv and tr["codec_id"].startswith(
                         "V_MPEG4/ISO/AVC"
                     ):
                         tr["h264"] = parse_avcc(codec_priv)
+                    elif codec_priv and tr["codec_id"].startswith(
+                        "V_MPEGH/ISO/HEVC"
+                    ):
+                        tr["h265"] = parse_hvcc(codec_priv)
+                    elif codec_priv and tr["codec_id"] == "V_AV1":
+                        tr["av1"] = parse_av1c(codec_priv)
                     out["tracks"].append(tr)
             elif e2 == _MKV_TAGS:
                 out["has_tags"] = True
@@ -1834,3 +1849,401 @@ def build_avcc(sps: bytes, pps: bytes = b"\x68\xce\x38\x80") -> bytes:
         + struct.pack(">H", len(sps)) + sps
         + bytes([1]) + struct.pack(">H", len(pps)) + pps
     )
+
+
+# ---------------------------------------------------------------------------
+# H.265 / HEVC SPS probe — the same pure bit-reader triage as the H.264
+# section above, for the second-dominant video codec (ITU-T H.265
+# §7.3.2.2).  The dimension/profile/level/bit-depth block sits at the
+# FRONT of the HEVC SPS (before the short-term ref-pic-set machinery),
+# so a triage probe reads exactly the prefix it needs and stops: width/
+# height (conformance-window-corrected), profile, tier, level, chroma
+# format, bit depths.  fps is NOT reported for HEVC — it lives in the
+# VUI behind the full st_ref_pic_set walk, which a header triage pass
+# has no business decoding (documented gap, not an oversight).
+
+_HEVC_PROFILES = {1: "Main", 2: "Main 10", 3: "Main Still Picture",
+                  4: "Format Range Extensions"}
+
+
+def parse_h265_sps(nal: bytes) -> dict:
+    """Parse one HEVC SPS NAL (2-byte NAL header included, emulation
+    bytes still in) → ``profile``/``profile_idc``/``tier``/``level``
+    (e.g. ``'5.1'``)/``width``/``height`` (conformance window applied)/
+    ``chroma_format``/``bit_depth_luma``/``bit_depth_chroma``.  Named
+    ValueError on malformed or non-SPS input."""
+    if len(nal) < 2:
+        raise ValueError("malformed HEVC SPS: truncated NAL header")
+    if nal[0] & 0x80:
+        raise ValueError("malformed HEVC SPS: forbidden_zero_bit set")
+    nal_type = (nal[0] >> 1) & 0x3F
+    if nal_type != 33:
+        raise ValueError(f"malformed HEVC SPS: nal_unit_type {nal_type} != 33")
+    r = _BitReader(_rbsp_unescape(nal[2:]))
+    r.u(4)  # sps_video_parameter_set_id
+    max_sub_layers_minus1 = r.u(3)
+    r.u(1)  # sps_temporal_id_nesting
+    # profile_tier_level(1, max_sub_layers_minus1)
+    r.u(2)  # general_profile_space
+    tier = r.u(1)
+    profile_idc = r.u(5)
+    r.u(32)  # general_profile_compatibility_flags
+    r.u(48)  # progressive/interlaced/non-packed/frame-only + 44 reserved
+    level_idc = r.u(8)
+    if max_sub_layers_minus1 > 0:
+        prof_present = [r.u(1) for _ in range(max_sub_layers_minus1)]
+        lvl_present = [r.u(1) for _ in range(max_sub_layers_minus1)]
+        if max_sub_layers_minus1 < 8:
+            r.u(2 * (8 - max_sub_layers_minus1))  # reserved_zero_2bits
+        for i in range(max_sub_layers_minus1):
+            if prof_present[i]:
+                r.u(88)
+            if lvl_present[i]:
+                r.u(8)
+    r.ue()  # sps_seq_parameter_set_id
+    chroma_format_idc = r.ue()
+    if chroma_format_idc > 3:
+        raise ValueError("malformed HEVC SPS: chroma_format_idc > 3")
+    if chroma_format_idc == 3:
+        r.u(1)  # separate_colour_plane
+    width = r.ue()  # pic_width_in_luma_samples
+    height = r.ue()  # pic_height_in_luma_samples
+    if r.u(1):  # conformance_window_flag
+        cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+        # crop offsets are in chroma units (spec 7.4.3.2.1 SubWidthC/
+        # SubHeightC); 4:2:0 scales both by 2, 4:2:2 width only
+        sw, sh = _H264_SUBWH.get(chroma_format_idc, (1, 1))
+        width -= sw * (cl + cr)
+        height -= sh * (ct + cb)
+    bit_depth_luma = r.ue() + 8
+    bit_depth_chroma = r.ue() + 8
+    if width <= 0 or height <= 0:
+        raise ValueError("malformed HEVC SPS: conformance window exceeds size")
+    return {
+        "profile_idc": profile_idc,
+        "profile": _HEVC_PROFILES.get(profile_idc, str(profile_idc)),
+        "tier": "High" if tier else "Main",
+        "level": f"{level_idc // 30}.{(level_idc % 30) // 3}",
+        "width": width,
+        "height": height,
+        "chroma_format": _H264_CHROMA[chroma_format_idc],
+        "bit_depth_luma": bit_depth_luma,
+        "bit_depth_chroma": bit_depth_chroma,
+    }
+
+
+def parse_hvcc(b: bytes) -> dict:
+    """Parse an ``hvcC`` (HEVCDecoderConfigurationRecord, ISO 14496-15
+    §8.3.3.1) — the SPS carrier inside MP4 ``stsd`` (``hvc1``/``hev1``)
+    and Matroska ``CodecPrivate``: finds the SPS NAL (type 33) in the
+    NAL arrays at offset 22 and returns :func:`parse_h265_sps` fields
+    plus ``nal_length_size``."""
+    b = bytes(b)
+    if len(b) < 23:
+        raise ValueError("malformed hvcC: record shorter than 23 bytes")
+    if b[0] != 1:
+        raise ValueError(f"malformed hvcC: configurationVersion {b[0]} != 1")
+    nal_length_size = (b[21] & 0x03) + 1
+    n_arrays = b[22]
+    pos = 23
+    for _ in range(n_arrays):
+        if pos + 3 > len(b):
+            raise ValueError("malformed hvcC: truncated NAL array header")
+        a_type = b[pos] & 0x3F
+        (n_nalus,) = struct.unpack_from(">H", b, pos + 1)
+        pos += 3
+        for _ in range(n_nalus):
+            if pos + 2 > len(b):
+                raise ValueError("malformed hvcC: truncated NAL length")
+            (ln,) = struct.unpack_from(">H", b, pos)
+            pos += 2
+            if pos + ln > len(b):
+                raise ValueError("malformed hvcC: truncated NAL")
+            if a_type == 33:
+                out = parse_h265_sps(b[pos : pos + ln])
+                out["nal_length_size"] = nal_length_size
+                return out
+            pos += ln
+    raise ValueError("malformed hvcC: no SPS NAL array")
+
+
+def build_h265_sps(
+    *,
+    width: int,
+    height: int,
+    profile_idc: int = 1,
+    level_idc: int = 123,
+    tier: int = 0,
+    chroma_format_idc: int = 1,
+    bit_depth: int = 8,
+    crop: tuple[int, int, int, int] = (0, 0, 0, 0),
+) -> bytes:
+    """Build the SPS NAL *prefix* the probe reads (through the bit
+    depths) padded with rbsp trailing bits — a test fixture for
+    :func:`parse_h265_sps`, not a decodable SPS (the st_ref_pic_set /
+    VUI tail is absent; the probe never reads past the prefix).
+    ``crop`` is (left, right, top, bottom) in chroma units; the coded
+    size is inflated accordingly so the parsed output equals
+    ``width × height``."""
+    w = _BitWriter()
+    w.u(0, 4)   # vps id
+    w.u(0, 3)   # max_sub_layers_minus1
+    w.u(1, 1)   # temporal_id_nesting
+    w.u(0, 2)   # profile_space
+    w.u(tier, 1)
+    w.u(profile_idc, 5)
+    w.u(1 << (31 - profile_idc) if profile_idc < 32 else 0, 32)  # compat
+    w.u(1, 1)   # progressive_source
+    w.u(0, 1)   # interlaced
+    w.u(0, 1)   # non_packed
+    w.u(1, 1)   # frame_only
+    w.u(0, 32)  # reserved 44 bits (32 + 12)
+    w.u(0, 12)
+    w.u(level_idc, 8)
+    w.ue(0)     # sps id
+    w.ue(chroma_format_idc)
+    if chroma_format_idc == 3:
+        w.u(0, 1)
+    cl, cr, ct, cb = crop
+    sw, sh = _H264_SUBWH.get(chroma_format_idc, (1, 1))
+    w.ue(width + sw * (cl + cr))
+    w.ue(height + sh * (ct + cb))
+    if any(crop):
+        w.u(1, 1)
+        w.ue(cl)
+        w.ue(cr)
+        w.ue(ct)
+        w.ue(cb)
+    else:
+        w.u(0, 1)
+    w.ue(bit_depth - 8)
+    w.ue(bit_depth - 8)
+    # NAL header: type 33, layer 0, temporal id 1
+    return bytes([33 << 1, 1]) + _rbsp_escape(w.rbsp())
+
+
+def build_hvcc(sps: bytes) -> bytes:
+    """Build a minimal hvcC record carrying one SPS (array type 33)."""
+    return (
+        bytes([1]) + bytes(20) + bytes([0x03])  # version + 20 cfg + lenSize-1
+        + bytes([1])  # numOfArrays
+        + bytes([0x80 | 33]) + struct.pack(">H", 1)
+        + struct.pack(">H", len(sps)) + sps
+    )
+
+
+# ---------------------------------------------------------------------------
+# AV1 sequence-header probe — OBU bit parse (AV1 spec §5.5) for the
+# third leg of modern-codec triage after H.264/H.265: profile, level,
+# tier, width/height, and fps (when the header carries timing info with
+# equal picture intervals).  The color-config flag soup past the frame
+# sizes is not read — triage stops at the prefix it needs.  The
+# ISOBMFF/Matroska carrier (av1C, AV1CodecConfigurationRecord) exposes
+# profile/level/tier/bit-depth in fixed bytes plus the raw sequence
+# header OBU; parse_av1c reads both.
+
+_AV1_PROFILES = {0: "Main", 1: "High", 2: "Professional"}
+
+
+def _leb128(b: bytes, pos: int) -> tuple[int, int]:
+    v, shift = 0, 0
+    for i in range(8):
+        if pos + i >= len(b):
+            raise ValueError("malformed AV1 OBU: truncated leb128")
+        byte = b[pos + i]
+        v |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return v, i + 1
+        shift += 7
+    raise ValueError("malformed AV1 OBU: leb128 too long")
+
+
+def parse_av1_sequence_header(obu: bytes) -> dict:
+    """Parse an AV1 sequence-header OBU (header byte(s) included) →
+    ``profile``/``level`` (e.g. ``'4.0'``)/``tier``/``width``/
+    ``height``/``fps`` (0.0 without equal-interval timing info).
+    Named ValueError on malformed or non-sequence-header input."""
+    b = bytes(obu)
+    if not b:
+        raise ValueError("malformed AV1 OBU: empty")
+    if b[0] & 0x80:
+        raise ValueError("malformed AV1 OBU: forbidden bit set")
+    obu_type = (b[0] >> 3) & 0x0F
+    if obu_type != 1:
+        raise ValueError(f"malformed AV1 OBU: obu_type {obu_type} != 1")
+    ext = (b[0] >> 2) & 1
+    has_size = (b[0] >> 1) & 1
+    pos = 1 + (1 if ext else 0)
+    if has_size:
+        _, n = _leb128(b, pos)
+        pos += n
+    r = _BitReader(b[pos:])
+    profile = r.u(3)
+    if profile > 2:
+        raise ValueError("malformed AV1 OBU: seq_profile > 2")
+    r.u(1)  # still_picture
+    reduced = r.u(1)
+    fps = 0.0
+    if reduced:
+        level_idx = r.u(5)
+        tier = 0
+    else:
+        if r.u(1):  # timing_info_present
+            num_units = r.u(32)
+            time_scale = r.u(32)
+            if r.u(1) and num_units:  # equal_picture_interval
+                ticks = r.ue() + 1  # uvlc num_ticks_per_picture_minus_1
+                fps = time_scale / (num_units * ticks)
+            if r.u(1):  # decoder_model_info_present
+                raise ValueError(
+                    "unsupported AV1 OBU: decoder_model_info present "
+                    "(triage probe reads the dimension prefix only)"
+                )
+        # spec §5.5.1: without timing_info the decoder_model flag is
+        # INFERRED 0, not read — no bit is consumed here
+        initial_delay = r.u(1)
+        op_cnt = r.u(5) + 1
+        level_idx = tier = 0
+        for i in range(op_cnt):
+            r.u(12)  # operating_point_idc
+            li = r.u(5)
+            ti = r.u(1) if li > 7 else 0
+            if i == 0:
+                level_idx, tier = li, ti
+            if initial_delay and r.u(1):
+                r.u(4)
+    wbits = r.u(4) + 1
+    hbits = r.u(4) + 1
+    width = r.u(wbits) + 1
+    height = r.u(hbits) + 1
+    return {
+        "profile": _AV1_PROFILES[profile],
+        "profile_idc": profile,
+        # seq_level_idx = 2*(X-2)+Y for level X.Y (spec A.3)
+        "level": f"{level_idx // 4 + 2}.{level_idx % 4}",
+        "tier": "High" if tier else "Main",
+        "width": width,
+        "height": height,
+        "fps": fps,
+    }
+
+
+def parse_av1c(b: bytes) -> dict:
+    """Parse an ``av1C`` (AV1CodecConfigurationRecord, AV1-ISOBMFF §2.3)
+    — the carrier inside MP4 ``av01`` sample entries and Matroska
+    ``CodecPrivate`` for V_AV1: fixed-byte profile/level/tier/bit-depth
+    plus :func:`parse_av1_sequence_header` dims from the configOBUs."""
+    b = bytes(b)
+    if len(b) < 4:
+        raise ValueError("malformed av1C: record shorter than 4 bytes")
+    if b[0] != 0x81:
+        raise ValueError(
+            f"malformed av1C: marker/version byte {b[0]:#x} != 0x81"
+        )
+    profile = b[1] >> 5
+    level_idx = b[1] & 0x1F
+    tier = (b[2] >> 7) & 1
+    high_bd = (b[2] >> 6) & 1
+    twelve = (b[2] >> 5) & 1
+    mono = (b[2] >> 4) & 1
+    depth = 12 if (profile == 2 and high_bd and twelve) else (
+        10 if high_bd else 8
+    )
+    out = {
+        "profile": _AV1_PROFILES.get(profile, str(profile)),
+        "profile_idc": profile,
+        "level": f"{level_idx // 4 + 2}.{level_idx % 4}",
+        "tier": "High" if tier else "Main",
+        "bit_depth": depth,
+        "monochrome": bool(mono),
+    }
+    # configOBUs: scan for the sequence-header OBU to recover dims
+    pos = 4
+    while pos < len(b):
+        if b[pos] & 0x80:
+            break
+        t = (b[pos] >> 3) & 0x0F
+        ext = (b[pos] >> 2) & 1
+        has_size = (b[pos] >> 1) & 1
+        hdr = 1 + (1 if ext else 0)
+        if not has_size:
+            if t == 1:
+                out.update(parse_av1_sequence_header(b[pos:]))
+            break
+        size, n = _leb128(b, pos + hdr)
+        end = pos + hdr + n + size
+        if end > len(b):
+            raise ValueError("malformed av1C: configOBU overruns record")
+        if t == 1:
+            out.update(parse_av1_sequence_header(b[pos:end]))
+            break
+        pos = end
+    return out
+
+
+def build_av1_sequence_header(
+    *,
+    width: int,
+    height: int,
+    profile: int = 0,
+    level_idx: int = 8,
+    tier: int = 0,
+    fps: float | None = None,
+) -> bytes:
+    """Build a sequence-header OBU *prefix* through the frame sizes
+    (test fixture for :func:`parse_av1_sequence_header`; the
+    color-config tail is absent — the probe never reads past the
+    sizes)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    w = _BitWriter()
+    w.u(profile, 3)
+    w.u(0, 1)  # still_picture
+    w.u(0, 1)  # reduced_still_picture_header
+    if fps is None:
+        w.u(0, 1)  # timing_info_present
+    else:
+        w.u(1, 1)
+        num_units = 1000
+        w.u(num_units, 32)
+        w.u(int(round(fps * num_units)), 32)
+        w.u(1, 1)  # equal_picture_interval
+        w.ue(0)    # num_ticks_per_picture_minus_1 (uvlc)
+        w.u(0, 1)  # decoder_model_info_present
+    w.u(0, 1)  # initial_display_delay_present
+    w.u(0, 5)  # operating_points_cnt_minus_1
+    w.u(0, 12)  # operating_point_idc[0]
+    w.u(level_idx, 5)
+    if level_idx > 7:
+        w.u(tier, 1)
+    wbits = max((width - 1).bit_length(), 1)
+    hbits = max((height - 1).bit_length(), 1)
+    w.u(wbits - 1, 4)
+    w.u(hbits - 1, 4)
+    w.u(width - 1, wbits)
+    w.u(height - 1, hbits)
+    payload = w.rbsp()
+    # OBU header: type 1, has_size_field, + leb128 size
+    size = bytearray()
+    v = len(payload)
+    while True:
+        byte = v & 0x7F
+        v >>= 7
+        size.append(byte | (0x80 if v else 0))
+        if not v:
+            break
+    return bytes([0x0A]) + bytes(size) + payload
+
+
+def build_av1c(
+    seq_obu: bytes, *, profile: int = 0, level_idx: int = 8, tier: int = 0,
+    high_bitdepth: int = 0, twelve_bit: int = 0, monochrome: int = 0,
+) -> bytes:
+    """Build an av1C record wrapping one sequence-header OBU."""
+    return bytes([
+        0x81,
+        (profile << 5) | level_idx,
+        (tier << 7) | (high_bitdepth << 6) | (twelve_bit << 5)
+        | (monochrome << 4),
+        0,
+    ]) + seq_obu

@@ -108,6 +108,53 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     n_img_raw = imgs.count()
     n_img_kept = decoded.count()  # only survivors ever hit the decoder
 
+    # 0b. VIDEO triage — the same probe-first pattern for the codec a
+    #     100 TB video corpus is actually full of: each MP4 carries an
+    #     avcC record whose SPS gives true (crop-corrected) dimensions,
+    #     profile, level and fps from HEADER BYTES ALONE
+    #     (functions/container_meta.py parse_h264_sps; HEVC/AV1 probes
+    #     are the same shape).  Filter on resolution without a single
+    #     frame decode.
+    from entropy_balance_weighting_spark.functions import container_meta as cmx
+
+    def _vid_blob(i: int) -> bytes:
+        w, h = (1920, 1080) if i % 2 else (320, 240)
+        sps = cmx.build_h264_sps(
+            width=w, height=h, profile_idc=100, level_idc=41, fps=30.0
+        )
+        trak = cmx.build_mp4_track(
+            handler="vide", fixed_sample_size=512,
+            stsd_entry=cmx.build_avc1_entry(cmx.build_avcc(sps), width=w, height=h),
+        )
+        return cmx.build_mp4(b"fake-mdat", extra_moov_children=trak)
+
+    vids = spark.createDataFrame(
+        [(i, bytearray(_vid_blob(i))) for i in range(8)],
+        "vid_id long, payload binary",
+    )
+
+    def video_probe_stage(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for vid, blob in zip(pdf["vid_id"], pdf["payload"]):
+                (tr,) = cmx.probe_mp4_tracks(bytes(blob))
+                h264 = tr.get("h264", {})
+                rows.append(
+                    (int(vid), tr["codec"], h264.get("width", 0),
+                     h264.get("height", 0), h264.get("fps", 0.0))
+                )
+            yield pd.DataFrame(
+                rows, columns=["vid_id", "codec", "width", "height", "fps"]
+            )
+
+    vprobed = vids.mapInPandas(
+        video_probe_stage,
+        "vid_id long, codec string, width int, height int, fps double",
+    )
+    n_vid_hd = vprobed.filter(F.col("height") >= 720).count()
+
     # 1. quality gate — all pure column expressions, zero shuffle
     scored = text.annotate_token_stats(docs)
     kept_q = scored.filter((F.col("n_tok") >= 10) & (F.col("q") > 0.3))
@@ -241,6 +288,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "n_raw": n_raw,
         "n_images_probed": n_img_raw,
         "n_images_decoded": n_img_kept,
+        "n_videos_hd": n_vid_hd,
         "n_quality": n_quality,
         "n_lm_gate": n_lm,
         "n_policy": n_policy,

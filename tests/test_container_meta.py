@@ -873,3 +873,172 @@ def test_h264_inside_mkv_codec_private():
     assert "h264" not in a
     # the privacy scrub must not disturb CodecPrivate
     assert cm.probe_mkv(cm.strip_mkv_meta(mkv))["tracks"] == p["tracks"]
+
+
+# --- H.265 / HEVC SPS probe --------------------------------------------------
+
+
+def test_h265_sps_exact():
+    sps = cm.build_h265_sps(
+        width=3840, height=2160, profile_idc=2, level_idc=153,
+        bit_depth=10, tier=1,
+    )
+    p = cm.parse_h265_sps(sps)
+    assert (p["width"], p["height"]) == (3840, 2160)
+    assert p["profile"] == "Main 10" and p["tier"] == "High"
+    assert p["level"] == "5.1"
+    assert p["bit_depth_luma"] == 10 and p["bit_depth_chroma"] == 10
+    assert p["chroma_format"] == "4:2:0"
+
+
+def test_h265_conformance_window_crop():
+    # 1920x1080 coded, 1x1 chroma-unit crop right/bottom -> 1918x1078
+    p = cm.parse_h265_sps(
+        cm.build_h265_sps(width=1918, height=1078, crop=(0, 1, 0, 1))
+    )
+    assert (p["width"], p["height"]) == (1918, 1078)
+
+
+def test_h265_hvcc_and_containers():
+    sps = cm.build_h265_sps(width=1280, height=720, level_idc=120)
+    h = cm.parse_hvcc(cm.build_hvcc(sps))
+    assert (h["width"], h["height"]) == (1280, 720)
+    assert h["level"] == "4.0" and h["nal_length_size"] == 4
+    # MKV CodecPrivate
+    mkv = cm.build_mkv(
+        tracks=[{"type": "video", "codec_id": "V_MPEGH/ISO/HEVC",
+                 "width": 1280, "height": 720,
+                 "codec_private": cm.build_hvcc(sps)}],
+    )
+    (tr,) = cm.probe_mkv(mkv)["tracks"]
+    assert tr["h265"]["width"] == 1280 and tr["h265"]["profile"] == "Main"
+    # MP4 stsd: reuse the avc1 VisualSampleEntry layout with hvc1 fourcc
+    entry = cm.build_avc1_entry(b"", width=1280, height=720)
+    body = entry[8:]  # strip size+type, keep 78-byte body + child atom
+    hvc1 = cm._atom(b"hvc1", body[:78] + cm._atom(b"hvcC", cm.build_hvcc(sps)))
+    trak = cm.build_mp4_track(
+        handler="vide", fixed_sample_size=100, stsd_entry=hvc1
+    )
+    (v,) = cm.probe_mp4_tracks(cm.build_mp4(b"x", extra_moov_children=trak))
+    assert v["codec"] == "hvc1"
+    assert v["h265"]["width"] == 1280 and v["h265"]["bit_depth_luma"] == 8
+
+
+def test_h265_malformed_named_errors():
+    sps = cm.build_h265_sps(width=640, height=360)
+    with pytest.raises(ValueError, match="nal_unit_type"):
+        cm.parse_h265_sps(bytes([32 << 1, 1]) + sps[2:])
+    with pytest.raises(ValueError, match="truncated bitstream"):
+        cm.parse_h265_sps(sps[:6])
+    with pytest.raises(ValueError, match="configurationVersion"):
+        cm.parse_hvcc(b"\x02" + cm.build_hvcc(sps)[1:])
+    with pytest.raises(ValueError, match="no SPS NAL array"):
+        cm.parse_hvcc(bytes([1]) + bytes(20) + bytes([3, 0]))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(2, 8192),
+    h=st.integers(2, 4320),
+    prof=st.sampled_from([1, 2, 3, 4]),
+    lvl=st.sampled_from([30, 60, 63, 90, 120, 123, 150, 153, 156, 180, 183]),
+    tier=st.integers(0, 1),
+    depth=st.sampled_from([8, 10, 12]),
+    crop_r=st.integers(0, 3),
+    crop_b=st.integers(0, 3),
+)
+def test_h265_sps_fuzz_roundtrip(w, h, prof, lvl, tier, depth, crop_r, crop_b):
+    sps = cm.build_h265_sps(
+        width=w, height=h, profile_idc=prof, level_idc=lvl, tier=tier,
+        bit_depth=depth, crop=(0, crop_r, 0, crop_b),
+    )
+    p = cm.parse_h265_sps(sps)
+    assert (p["width"], p["height"]) == (w, h)
+    assert p["profile_idc"] == prof
+    assert p["level"] == f"{lvl // 30}.{(lvl % 30) // 3}"
+    assert p["tier"] == ("High" if tier else "Main")
+    assert p["bit_depth_luma"] == depth
+    pv = cm.parse_hvcc(cm.build_hvcc(sps))
+    assert (pv["width"], pv["height"]) == (w, h)
+
+
+# --- AV1 sequence-header probe ------------------------------------------------
+
+
+def test_av1_sequence_header_exact():
+    obu = cm.build_av1_sequence_header(
+        width=1920, height=1080, level_idx=12, fps=30.0
+    )
+    p = cm.parse_av1_sequence_header(obu)
+    assert (p["width"], p["height"]) == (1920, 1080)
+    assert p["profile"] == "Main" and p["level"] == "5.0"
+    assert p["fps"] == 30.0 and p["tier"] == "Main"
+
+
+def test_av1c_and_containers():
+    obu = cm.build_av1_sequence_header(
+        width=3840, height=2160, profile=2, level_idx=16, tier=1
+    )
+    rec = cm.build_av1c(
+        obu, profile=2, level_idx=16, tier=1, high_bitdepth=1, twelve_bit=1
+    )
+    p = cm.parse_av1c(rec)
+    assert (p["width"], p["height"]) == (3840, 2160)
+    assert p["profile"] == "Professional" and p["bit_depth"] == 12
+    assert p["level"] == "6.0" and p["tier"] == "High"
+    # MKV V_AV1 CodecPrivate
+    mkv = cm.build_mkv(
+        tracks=[{"type": "video", "codec_id": "V_AV1", "width": 3840,
+                 "height": 2160, "codec_private": rec}],
+    )
+    (tr,) = cm.probe_mkv(mkv)["tracks"]
+    assert tr["av1"]["width"] == 3840 and tr["av1"]["bit_depth"] == 12
+    # MP4 av01 sample entry
+    entry = cm.build_avc1_entry(b"", width=3840, height=2160)
+    av01 = cm._atom(b"av01", entry[8:][:78] + cm._atom(b"av1C", rec))
+    trak = cm.build_mp4_track(
+        handler="vide", fixed_sample_size=64, stsd_entry=av01
+    )
+    (v,) = cm.probe_mp4_tracks(cm.build_mp4(b"x", extra_moov_children=trak))
+    assert v["codec"] == "av01" and v["av1"]["height"] == 2160
+
+
+def test_av1_malformed_named_errors():
+    obu = cm.build_av1_sequence_header(width=640, height=360)
+    with pytest.raises(ValueError, match="obu_type"):
+        cm.parse_av1_sequence_header(bytes([0x32]) + obu[1:])
+    with pytest.raises(ValueError, match="marker/version"):
+        cm.parse_av1c(b"\x01" + cm.build_av1c(obu)[1:])
+    with pytest.raises(ValueError, match="truncated leb128"):
+        cm.parse_av1_sequence_header(obu[:1] + b"\xff")
+    with pytest.raises(ValueError, match="decoder_model_info"):
+        # timing info present AND decoder_model_info_present set
+        w = cm._BitWriter()
+        w.u(0, 3); w.u(0, 1); w.u(0, 1)
+        w.u(1, 1); w.u(1000, 32); w.u(30000, 32); w.u(0, 1)  # timing, no EPI
+        w.u(1, 1)  # decoder_model_info_present
+        cm.parse_av1_sequence_header(bytes([0x08]) + w.rbsp())
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 65536),
+    h=st.integers(1, 65536),
+    prof=st.integers(0, 2),
+    lvl=st.integers(0, 23),
+    tier=st.integers(0, 1),
+    fps=st.one_of(st.none(), st.sampled_from([24.0, 25.0, 30.0, 60.0, 120.0])),
+)
+def test_av1_fuzz_roundtrip(w, h, prof, lvl, tier, fps):
+    obu = cm.build_av1_sequence_header(
+        width=w, height=h, profile=prof, level_idx=lvl, tier=tier, fps=fps
+    )
+    p = cm.parse_av1_sequence_header(obu)
+    assert (p["width"], p["height"]) == (w, h)
+    assert p["profile_idc"] == prof
+    assert p["level"] == f"{lvl // 4 + 2}.{lvl % 4}"
+    if lvl > 7:
+        assert p["tier"] == ("High" if tier else "Main")
+    assert p["fps"] == (fps or 0.0)
+    pv = cm.parse_av1c(cm.build_av1c(obu, profile=prof, level_idx=lvl))
+    assert (pv["width"], pv["height"]) == (w, h)

@@ -56,3 +56,6 @@ def test_corpus_curation_example_end_to_end(spark):
     # the shard export records exactly the mixed corpus
     assert out["n_exported_docs"] == out["n_domain_mixed"]
     assert out["n_exported_tokens"] > 0
+    # video triage: exactly the 1080p half of the synthetic MP4s survives
+    # the header-only resolution filter (no frame decode anywhere)
+    assert out["n_videos_hd"] == 4
