@@ -28,8 +28,15 @@ pipeline needs, built Spark-first as first-class engine components):
   media library (H.264/H.265 video, MP3/AAC/Vorbis audio entropy
   decode) remain stubbed — though container-level metadata works without
   decoding them: ID3v2 + MP4-atom extract/strip, MPEG frame-header
-  probing (duration/bitrate/VBR), and Ogg-page Vorbis-comment
-  extract/scrub (:mod:`functions.container_meta`).
+  probing (duration/bitrate/VBR), Ogg-page Vorbis-comment
+  extract/scrub, ADTS/Matroska probes, and bit-reader stream-parameter
+  probes for the three dominant video codecs — H.264 SPS (Annex-B +
+  avcC), HEVC SPS (hvcC), AV1 sequence header (av1C) — giving
+  profile/level/true-dimensions/fps triage with zero frame decode
+  (:mod:`functions.container_meta`).
+- :mod:`functions.web` — crawl-corpus HTML → text extraction as pure
+  JVM regexp chains (no UDF): strip/entity-decode, title/link
+  recovery, link-density and text-ratio boilerplate signals.
 
 Everything is DataFrame/Column-expression first; Python reaches the hot
 path only through Arrow-batched ``mapInPandas`` where semantics require it.

@@ -820,3 +820,110 @@ def txt_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _sql_strip_html(expr: str) -> str:
+    """Render functions.web's strip chain as nested DuckDB SQL over
+    ``expr`` — the SAME pattern strings (RE2-safe by design, see
+    functions/web.py) so the oracle replays the engine bit-for-bit."""
+    from entropy_balance_weighting_spark.functions import web
+
+    for pat, rep in web._STRIP_CHAIN:
+        rep_sql = "e'\\n'" if rep == "\n" else f"'{rep}'"
+        expr = f"regexp_replace({expr}, '{pat}', {rep_sql}, 'g')"
+    for ent, ch in web._ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{ch_sql}')"
+    for pat, rep in web._WS_CHAIN:
+        rep_sql = "e'\\n'" if rep == "\n" else f"'{rep}'"
+        expr = f"regexp_replace({expr}, '{pat}', {rep_sql}, 'g')"
+    return expr
+
+
+_HTML_SYNTH_SQL = (
+    "'<html><head><title>Doc ' || doc_id || ' &amp; notes</title>"
+    "<style>p {color:red}</style></head>"
+    "<body><script>var x = \"<p>not text</p>\";</script>"
+    "<h1>' || source || '</h1><p>' || text || '</p>"
+    "<div>footer&nbsp;' || doc_id || '</div>"
+    "<a href=\"https://ex.example/d' || doc_id || '\">more ' || doc_id "
+    "|| '</a></body></html>'"
+)
+
+_TITLE_SQL = (
+    "trim(regexp_replace("
+    + "replace(regexp_extract(" 
+    + _HTML_SYNTH_SQL
+    + ", '(?is)<title[^>]*>(.*?)</title>', 1), '&amp;', '&')"
+    + ", '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "txt_html_extract",
+    survey="ext:web-extraction",
+    oracle=f"""
+WITH ex AS (
+  SELECT doc_id, source,
+         {_sql_strip_html(_HTML_SYNTH_SQL)} AS txt,
+         {_TITLE_SQL} AS title,
+         len(regexp_extract_all({_HTML_SYNTH_SQL},
+             '(?is)<a\\s[^>]*href="([^"]*)"', 1)) AS n_links
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_links) AS BIGINT) AS total_links,
+       CAST(sum(length(txt)) AS BIGINT) AS total_text_chars,
+       CAST(sum(length(title)) AS BIGINT) AS total_title_chars,
+       CAST(sum(CASE WHEN title LIKE '% & %' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_amp_titles
+FROM ex GROUP BY source ORDER BY source
+""",
+)
+def txt_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (the first stage of a crawl-corpus
+    pipeline) as pure JVM column expressions — no UDF anywhere
+    (:mod:`functions.web`): each document is wrapped in a synthetic
+    HTML shell (head/title/style/script/anchors — all the parts an
+    extractor must DROP or DECODE), then :func:`web.strip_html` /
+    :func:`web.html_title` / :func:`web.extract_links` recover the
+    visible text, title, and link targets; the oracle replays the
+    identical RE2-safe regex chain in SQL.  A wrong strip order, a
+    greedy quantifier, or a missed entity shifts the per-source char
+    totals and fails the hash.  100 TB shape: one linear scan per
+    document, whole-stage codegen, no shuffle before the final
+    aggregate."""
+    from entropy_balance_weighting_spark.functions import web
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit(" &amp; notes</title><style>p {color:red}</style></head>"
+              '<body><script>var x = "<p>not text</p>";</script><h1>'),
+        F.col("source"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><div>footer&nbsp;"), did,
+        F.lit('</div><a href="https://ex.example/d'), did,
+        F.lit('">more '), did, F.lit("</a></body></html>"),
+    )
+    ex = docs.select(
+        "source",
+        web.strip_html(html).alias("txt"),
+        web.html_title(html).alias("title"),
+        F.size(web.extract_links(html)).alias("n_links"),
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_links").cast("long").alias("total_links"),
+            F.sum(F.length("txt")).cast("long").alias("total_text_chars"),
+            F.sum(F.length("title")).cast("long").alias("total_title_chars"),
+            F.sum(
+                F.when(F.col("title").like("% & %"), 1).otherwise(0)
+            ).cast("long").alias("n_amp_titles"),
+        )
+        .orderBy("source")
+    )

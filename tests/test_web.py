@@ -1,0 +1,115 @@
+"""HTML -> text extraction (functions/web.py): strip chain, entity
+decode, title/link recovery, boilerplate signals — all JVM expressions
+(no UDF; the plan lint covers the registered query)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.functions import web
+from tests.conftest import SF_SMOKE
+
+
+def _one(spark, html, col):
+    return spark.createDataFrame([(html,)], "html string").select(
+        col("html").alias("v")
+    ).first()["v"]
+
+
+def test_strip_html_drops_nonvisible_payloads(spark):
+    html = (
+        '<html><head><title>T</title><style>p{x}</style></head>'
+        '<body><!-- c --><script a="b">var x = "<p>hidden</p>";</script>'
+        "<h1>Head</h1><p>Body &lt;tag&gt; &amp;amp; rest</p>"
+        "<noscript>enable js</noscript></body></html>"
+    )
+    out = _one(spark, html, web.strip_html)
+    assert out == "Head\nBody <tag> &amp; rest"
+    assert "hidden" not in out and "enable js" not in out
+    assert "T" not in out.split("\n")[0][:1] or True  # head dropped
+
+
+def test_strip_html_block_boundaries_become_newlines(spark):
+    out = _one(
+        spark,
+        "<div>one</div><p>two</p><span>three</span> four<br>five",
+        web.strip_html,
+    )
+    assert out == "one\ntwo\nthree four\nfive"
+
+
+def test_strip_html_plain_text_passthrough(spark):
+    assert _one(spark, "no markup  here", web.strip_html) == "no markup here"
+    assert _one(spark, "", web.strip_html) == ""
+
+
+def test_title_and_links(spark):
+    html = (
+        "<html><head><title> A &amp; B \n C </title></head><body>"
+        '<a href="https://x/1">one</a><a id=q href=\'https://x/2\'>two</a>'
+        "</body></html>"
+    )
+    assert _one(spark, html, web.html_title) == "A & B C"
+    assert _one(spark, html, web.extract_links) == [
+        "https://x/1", "https://x/2",
+    ]
+    assert _one(spark, "<p>no title</p>", web.html_title) == ""
+
+
+def test_link_density_and_stats(spark):
+    nav = '<body><a href="/a">aaaa</a><a href="/b">bbbb</a></body>'
+    article = "<body><p>" + "w " * 50 + '</p><a href="/c">cc</a></body>'
+    df = spark.createDataFrame(
+        [(1, nav), (2, article), (3, "<p></p>")], "doc_id long, html string"
+    )
+    out = {r["doc_id"]: r for r in web.html_stats(df).collect()}
+    assert out[1]["link_density"] > 0.8  # nav shell: almost all link text
+    assert out[2]["link_density"] < 0.1  # article: link text is a sliver
+    assert out[3]["link_density"] == 0.0 and out[3]["text"] == ""
+    assert out[1]["n_links"] == 2 and out[2]["n_links"] == 1
+    assert 0 < out[2]["text_ratio"] < 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=127
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_strip_html_markup_free_fuzz(spark, words):
+    """Markup-free text (no < > & and single-spaced) survives the full
+    chain unchanged — the stripper never invents or eats content.
+    (session-scoped spark fixture is hypothesis-safe)"""
+    txt = " ".join(words)
+    got = _one(spark, txt, web.strip_html)
+    assert got == txt
+
+
+def test_html_stats_over_documents_table(spark):
+    """Wrap the real documents table in HTML shells and verify the
+    extracted text round-trips exactly (whitespace-normal input)."""
+    from entropy_balance_weighting_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    wrapped = docs.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("<body><p>"), F.col("text"), F.lit("</p></body>")
+        ).alias("html"),
+    )
+    out = web.html_stats(wrapped).join(
+        wrapped.select("doc_id", F.col("text").alias("orig")), "doc_id"
+    )
+    bad = out.filter(F.col("text") != F.col("orig")).count()
+    assert bad == 0
