@@ -3,7 +3,8 @@
 pipeline needs, built Spark-first as first-class engine components):
 
 - :mod:`functions.text` — tokenization, shingling, engine-portable hashing,
-  quality scoring, language-ID heuristics, fingerprinting.
+  quality scoring, language-ID heuristics (incl. a multilingual
+  function-word router, ``langid_best``), fingerprinting.
 - :mod:`functions.dedup` — exact dedup, MinHash+LSH banded near-dup
   detection (never all-pairs), SimHash clustering, n-gram Jaccard verify,
   connected-components dup clustering (iterative min-label propagation).

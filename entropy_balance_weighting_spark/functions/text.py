@@ -460,3 +460,54 @@ def redact_pii(text: Column | str, replacement: str = "[PII]") -> Column:
     for name in PII_REDACTION_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[name], replacement)
     return out
+
+
+# Per-language function-word tables for the multi-language router —
+# the same plan shape langid_en_score documents ("one array per
+# language"), now actually provided for the languages a multilingual
+# crawl most commonly routes.  Deliberately DISJOINT-leaning marker
+# sets (e.g. english "the/and" vs german "der/und") so short texts
+# still separate; shared romance words ("de", "la") appear for the
+# language they most distinguish.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "was", "with"),
+    "es": ("el", "los", "las", "que", "por", "una", "para", "como"),
+    "fr": ("le", "les", "des", "est", "dans", "pour", "une", "sur"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "it": ("il", "che", "di", "della", "per", "sono", "con", "una"),
+    "pt": ("o", "os", "da", "do", "em", "uma", "não", "mais"),
+}
+
+
+def langid_scores(text: Column | str) -> Column:
+    """``struct<en,es,fr,de,it,pt: double>`` of per-language
+    function-word hit-rates over lower-cased tokens — the multilingual
+    generalization of :func:`langid_en_score`, still a single JVM
+    expression tree (one ``filter``/``array_contains`` per language, no
+    UDF, no shuffle).  A corpus router thresholds or argmaxes these; a
+    real production system would swap in fastText-style n-gram models
+    behind the same column contract."""
+    t = F.transform(tokens(text), lambda x: F.lower(x))
+    n = F.greatest(F.size(t), F.lit(1))
+    fields = []
+    for lang, words in LANG_MARKERS.items():
+        sw = F.array([F.lit(w) for w in words])
+        hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+        fields.append((hits / n).alias(lang))
+    return F.struct(*fields)
+
+
+def langid_best(text: Column | str, min_score: float = 0.02) -> Column:
+    """Best-scoring language code from :func:`langid_scores`, or
+    ``'und'`` (undetermined) when no language clears ``min_score`` —
+    ties break by the fixed LANG_MARKERS order, deterministically."""
+    s = langid_scores(text)
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_score = F.lit(float(min_score))
+    # fold right-to-left so earlier languages win exact ties
+    for lang in reversed(langs):
+        better = s[lang] > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, s[lang]).otherwise(best_score)
+    return best

@@ -150,3 +150,40 @@ def html_stats(
             6,
         ).alias("text_ratio"),
     )
+
+
+def url_host(col: Column | str) -> Column:
+    """Lower-cased host of a URL ('' when unparseable) — the grouping
+    key for per-site corpus stats and crawl politeness accounting.
+    Registrable-domain (PSL) grouping needs the public-suffix list — a
+    lookup table join, not a string function — and is intentionally not
+    faked here."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.coalesce(F.try_parse_url(c, F.lit("HOST")), F.lit("")))
+
+
+def url_path(col: Column | str) -> Column:
+    """Path component of a URL ('' when absent/unparseable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
+
+
+def url_normalize(col: Column | str) -> Column:
+    """Canonical URL form for exact URL-level dedup of a crawl frontier:
+    scheme and host lower-cased, default ports dropped (``:80`` http /
+    ``:443`` https), fragment dropped, trailing ``/`` trimmed from
+    non-root paths.  Query strings are KEPT (they are content-bearing
+    for many sites); session-id stripping is site policy, not a default.
+    Pure expression chain — dedup is then a plain hash groupBy."""
+    c = F.col(col) if isinstance(col, str) else col
+    # drop the fragment first so later regexes see a bounded string
+    c = F.regexp_replace(c, r"#.*$", "")
+    # lower-case scheme://host (authority ends at /, ?, or end)
+    c = F.concat(
+        F.lower(F.regexp_extract(c, r"^([^/?#]*//[^/?#]*)", 1)),
+        F.regexp_replace(c, r"^[^/?#]*//[^/?#]*", ""),
+    )
+    c = F.regexp_replace(c, r"^(https?://[^/?#]*?):(?:80|443)(?=[/?#]|$)", r"$1")
+    # trim one trailing slash from a non-root path (keep "host/" root)
+    c = F.regexp_replace(c, r"^([^?#]*[^/?#])/(\?|#|$)", r"$1$2")
+    return c

@@ -655,3 +655,43 @@ def test_vocab_hll_error_check_all_ok(spark):
     rows = vocab_hll_error_check(spark, SF_SMOKE).collect()
     assert len(rows) >= 2  # one row per source
     assert all(r["ok"] == 1 for r in rows)
+
+
+def test_langid_multilingual_scores_and_routing(spark):
+    """Multi-language function-word router (functions.text.LANG_MARKERS):
+    each planted sentence routes to its language, markerless text routes
+    to 'und', and the winning score is the struct's max."""
+    from entropy_balance_weighting_spark.functions import text as T
+
+    rows = [
+        (1, "the cat sat on the mat and that was that", "en"),
+        (2, "el perro corre por la calle y las casas que vemos", "es"),
+        (3, "le chat est dans la maison pour une nuit sur le toit", "fr"),
+        (4, "der hund und die katze das ist nicht ein problem", "de"),
+        (5, "il gatto che dorme sono contento di una bella casa", "it"),
+        (6, "o menino foi em uma casa do lado mais bonito da rua", "pt"),
+        (7, "qwzx bla foo bar baz", "und"),
+        (8, "", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "id long, text string"
+    )
+    got = {
+        r["id"]: (r["lang"], r["s"].asDict())
+        for r in df.select(
+            "id",
+            T.langid_best("text").alias("lang"),
+            T.langid_scores("text").alias("s"),
+        ).collect()
+    }
+    for i, _t, want in rows:
+        lang, scores = got[i]
+        assert lang == want, (i, lang, want, scores)
+        if want != "und":
+            # the routed language carries the strict max score
+            assert scores[want] == max(scores.values())
+    # uppercase text routes identically (tokens are lower-cased)
+    up = spark.createDataFrame(
+        [(1, "THE CAT AND THE DOG WAS OF IT")], "id long, text string"
+    )
+    assert up.select(T.langid_best("text")).first()[0] == "en"

@@ -113,3 +113,46 @@ def test_html_stats_over_documents_table(spark):
     )
     bad = out.filter(F.col("text") != F.col("orig")).count()
     assert bad == 0
+
+
+def test_url_host_path_normalize(spark):
+    cases = [
+        ("HTTP://Example.COM:80/Path/?q=1#frag",
+         "example.com", "/Path/", "http://example.com/Path?q=1"),
+        ("https://a.example:443/x/", "a.example", "/x/",
+         "https://a.example/x"),
+        ("https://a.example", "a.example", "", "https://a.example"),
+        # non-default port survives normalization
+        ("http://b.example:8080/y", "b.example", "/y",
+         "http://b.example:8080/y"),
+        # junk input: host '' (try_parse_url), normalize passes through
+        ("not a url", "", "", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "u string")
+    got = {
+        r["u"]: (r["h"], r["p"], r["n"])
+        for r in df.select(
+            "u",
+            web.url_host("u").alias("h"),
+            web.url_path("u").alias("p"),
+            web.url_normalize("u").alias("n"),
+        ).collect()
+    }
+    for u, h, p, n in cases:
+        assert got[u] == (h, p, n), (u, got[u])
+
+
+def test_url_normalize_enables_exact_dedup(spark):
+    """Equivalent crawl-frontier spellings collapse to one canonical
+    form, distinct resources stay distinct — URL dedup is then a plain
+    groupBy on the normalized column."""
+    urls = [
+        "http://Site.example/a/",
+        "http://site.example:80/a",
+        "http://site.example/a#sec2",
+        "http://site.example/b",
+        "https://site.example/a",   # different scheme = different resource
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    n = df.select(web.url_normalize("u").alias("n")).distinct().count()
+    assert n == 3  # {http .../a, http .../b, https .../a}
