@@ -38,6 +38,10 @@ pipeline needs, built Spark-first as first-class engine components):
 - :mod:`functions.web` — crawl-corpus HTML → text extraction as pure
   JVM regexp chains (no UDF): strip/entity-decode, title/link
   recovery, link-density and text-ratio boilerplate signals.
+- :mod:`functions.subtitles` — SRT/WebVTT caption parsing as JVM
+  array expressions (cue recovery, transcript text, on-screen span):
+  the text-bearing sidecar of a video corpus, extracted with zero
+  frame decode.
 
 Everything is DataFrame/Column-expression first; Python reaches the hot
 path only through Arrow-batched ``mapInPandas`` where semantics require it.

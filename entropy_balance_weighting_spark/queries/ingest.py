@@ -198,3 +198,68 @@ def s10_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "s11_warc_scan",
+    survey="ext:source-warc",
+    oracle="""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS body_bytes,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def s11_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500 / Common Crawl) sink + source roundtrip — the
+    on-disk format of a 100 TB web corpus.  ``documents`` rows become
+    spec-shaped ``response`` records (gzip member-per-record, the
+    streamable Common Crawl convention) via
+    :func:`sources.warc.write_warc`, are read back with
+    :func:`sources.warc.read_warc` (binaryFile scan → one map stage,
+    file = task: gzip is not splittable, so file-level sharding is the
+    production parallelism unit), and aggregated per source with the
+    doc id recovered from the target URI.  The oracle computes the same
+    aggregate from the original parquet; any record loss, payload
+    corruption, or URI drift fails the hash."""
+    from entropy_balance_weighting_spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("http://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("text").alias("body"),
+    )
+    scratch = os.path.join(_SCRATCH, "s11_warc")
+    shutil.rmtree(scratch, ignore_errors=True)
+    write_warc(docs, scratch, n_files=4, id_col="doc_id")
+    back = read_warc(spark, scratch, glob="*.warc.gz")
+    return (
+        back.filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"http://([^.]+)\.", 1).alias(
+                "source"
+            ),
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.length("payload").alias("nbytes"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nbytes").cast("long").alias("body_bytes"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )

@@ -927,3 +927,110 @@ def txt_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "txt_subtitle_extract",
+    survey="ext:subtitle-extraction",
+    oracle="""
+WITH ex AS (
+  SELECT doc_id, source, n_chars,
+         translate(text,
+                   chr(10)||chr(13)||chr(9)||chr(11)||chr(12),
+                   '     ') AS clean
+  FROM documents
+), per AS (
+  SELECT source,
+         CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 0 END AS n_seq,
+         3 * ((doc_id % 3600) * 1000) + 42000 AS sum_start,
+         2700 + (n_chars % 100) * 6 AS span,
+         length(rtrim(substr(clean, 1, 25), ' '))
+           + length(rtrim(substr(clean, 26, 25), ' '))
+           + length(rtrim(substr(clean, 51, 25), ' ')) AS chars
+  FROM ex
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(3 * count(*) AS BIGINT) AS n_cues,
+       CAST(sum(n_seq) AS BIGINT) AS n_srt_cues,
+       CAST(sum(sum_start) AS BIGINT) AS sum_start_ms,
+       CAST(sum(span) AS BIGINT) AS span_ms,
+       CAST(sum(chars) AS BIGINT) AS text_chars
+FROM per GROUP BY source ORDER BY source
+""",
+)
+def txt_subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle/caption extraction (SRT + WebVTT) as pure JVM
+    expressions (:mod:`functions.subtitles`): each document becomes a
+    deterministic 3-cue caption file — SRT for even doc ids, WebVTT
+    (header, identifier lines, cue settings) for odd — then
+    :func:`subtitles.subtitle_cues` sniffs the format and recovers
+    every cue, and the per-source aggregate checks cue counts, summed
+    start timestamps, on-screen span, and text chars against the SQL
+    derivation from the base table.  A timestamp-arithmetic slip, a
+    mis-skipped VTT identifier line, or a lost cue shifts a total and
+    fails the hash.  100 TB shape: one codegen'd map per document, no
+    shuffle before the final aggregate."""
+    from entropy_balance_weighting_spark.functions import subtitles as sub
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.translate(F.col("text"), "\n\r\t\x0b\x0c", "     ")
+    did = F.col("doc_id")
+    base = (did % 3600) * 1000
+
+    def seg(k: int):
+        return F.substring(clean, (k - 1) * 25 + 1, 25)
+
+    def times(k: int):
+        start = base + k * 7000
+        end = start + 900 + (F.col("n_chars") % 100) * k
+        return start, end
+
+    def srt_block(k: int):
+        start, end = times(k)
+        return F.concat(
+            F.lit(f"{k}\n"),
+            sub.format_srt_timestamp(start),
+            F.lit(" --> "),
+            sub.format_srt_timestamp(end),
+            F.lit("\n"),
+            seg(k),
+        )
+
+    def vtt_block(k: int):
+        start, end = times(k)
+        settings = " align:start position:0%" if k == 1 else ""
+        return F.concat(
+            F.lit(f"cue-{k}\n"),  # identifier line: not cue text
+            F.translate(sub.format_srt_timestamp(start), ",", "."),
+            F.lit(" --> "),
+            F.translate(sub.format_srt_timestamp(end), ",", "."),
+            F.lit(settings + "\n"),
+            seg(k),
+        )
+
+    srt_doc = F.concat_ws("\n\n", *[srt_block(k) for k in (1, 2, 3)])
+    vtt_doc = F.concat(
+        F.lit("WEBVTT\n\nNOTE\nsynthetic caption fixture\n\n"),
+        F.concat_ws("\n\n", *[vtt_block(k) for k in (1, 2, 3)]),
+    )
+    payload = F.when(did % 2 == 0, srt_doc).otherwise(vtt_doc)
+    ex = docs.select(
+        "source", sub.subtitle_cues(payload).alias("cues")
+    ).select("source", F.explode("cues").alias("c"))
+    return (
+        ex.groupBy("source")
+        .agg(
+            (F.count(F.lit(1)) / 3).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_cues"),
+            F.sum(
+                F.when(F.col("c.seq").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_srt_cues"),
+            F.sum("c.start_ms").cast("long").alias("sum_start_ms"),
+            F.sum(F.col("c.end_ms") - F.col("c.start_ms"))
+            .cast("long")
+            .alias("span_ms"),
+            F.sum(F.length("c.text")).cast("long").alias("text_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1,7 +1,8 @@
 """Sources & sinks: problem-bundle serialization (SURVEY §2.1 S2/S3),
 storage layout (partitioned/bucketed parquet), deterministic
-train/val/test split writing with an audit manifest, and the
-training-export token-shard sink (Megatron-style .bin + manifest)."""
+train/val/test split writing with an audit manifest, the
+training-export token-shard sink (Megatron-style .bin + manifest),
+and the WARC web-archive source/sink (ISO 28500 / Common Crawl)."""
 
 from entropy_balance_weighting_spark.sources.layout import (
     write_bucketed,
@@ -15,12 +16,18 @@ from entropy_balance_weighting_spark.sources.splits import (
     split_column,
     write_splits,
 )
+from entropy_balance_weighting_spark.sources.warc import (
+    read_warc,
+    write_warc,
+)
 
 __all__ = [
     "read_token_shard",
+    "read_warc",
     "split_column",
     "write_bucketed",
     "write_partitioned",
     "write_splits",
     "write_token_shards",
+    "write_warc",
 ]

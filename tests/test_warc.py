@@ -1,0 +1,203 @@
+"""WARC source/sink (sources/warc.py): spec-shaped record round-trip,
+gzip member-per-record streaming, HTTP payload split, malformed-record
+tolerance, and the write→read→aggregate identity the registered query
+relies on."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.sources import warc
+
+
+def _fixture_records():
+    recs = []
+    for i in range(5):
+        body = f"<html><body>doc {i} body text</body></html>".encode()
+        recs.append(
+            warc.build_warc_record(
+                "response",
+                record_id=f"id-{i}",
+                date="2026-01-01T00:00:00Z",
+                target_uri=f"http://ex.com/{i}",
+                content=warc.build_http_response(body),
+                content_type="application/http; msgtype=response",
+            )
+        )
+    recs.append(
+        warc.build_warc_record(
+            "warcinfo",
+            record_id="info-0",
+            date="2026-01-01T00:00:00Z",
+            content=b"software: test\r\n",
+            content_type="application/warc-fields",
+        )
+    )
+    return recs
+
+
+def test_parse_roundtrip_plain():
+    data = b"".join(_fixture_records())
+    out = list(warc.parse_warc_records(data))
+    assert len(out) == 6
+    types = [h["warc-type"] for _, h, _ in out]
+    assert types == ["response"] * 5 + ["warcinfo"]
+    # content blocks are exact: the HTTP split recovers each body
+    for i, (_, h, block) in enumerate(out[:5]):
+        status, ctype, body = warc._parse_http_block(block)
+        assert status == 200 and ctype == "text/html"
+        assert body == f"<html><body>doc {i} body text</body></html>".encode()
+        assert h["warc-target-uri"] == f"http://ex.com/{i}"
+
+
+def test_gzip_member_per_record_splits():
+    recs = _fixture_records()
+    data = b"".join(warc.gzip_member(r) for r in recs)
+    members = list(warc._split_members(data))
+    assert len(members) == 6
+    assert [m for _, m in members] == recs
+    # offsets are strictly increasing file positions
+    offs = [o for o, _ in members]
+    assert offs == sorted(offs) and offs[0] == 0
+
+
+def test_read_warc_plain_and_gz(spark, tmp_path):
+    recs = _fixture_records()
+    plain = tmp_path / "a.warc"
+    plain.write_bytes(b"".join(recs))
+    gz = tmp_path / "b.warc.gz"
+    gz.write_bytes(b"".join(warc.gzip_member(r) for r in recs))
+
+    df = warc.read_warc(spark, str(tmp_path / "*")).cache()
+    try:
+        assert df.count() == 12
+        resp = df.filter(F.col("warc_type") == "response")
+        assert resp.count() == 10
+        row = (
+            resp.filter(F.col("target_uri") == "http://ex.com/3")
+            .orderBy("warc_file")
+            .first()
+        )
+        assert row["http_status"] == 200
+        assert row["http_content_type"] == "text/html"
+        assert bytes(row["payload"]) == (
+            b"<html><body>doc 3 body text</body></html>"
+        )
+        assert row["record_id"] == "urn:uuid:id-3"
+        assert df.filter(F.col("warc_type") == "invalid").count() == 0
+    finally:
+        df.unpersist()
+
+
+def test_read_warc_surfaces_corruption_as_rows(spark, tmp_path):
+    recs = _fixture_records()
+    # file 1: one good member, one member whose record has no
+    # Content-Length, one truncated gzip member at the tail
+    bad_rec = (
+        b"WARC/1.1\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:x>\r\n\r\nbody\r\n\r\n"
+    )
+    data = (
+        warc.gzip_member(recs[0])
+        + warc.gzip_member(bad_rec)
+        + warc.gzip_member(recs[1])[:20]
+    )
+    (tmp_path / "c.warc.gz").write_bytes(data)
+    df = warc.read_warc(spark, str(tmp_path / "c.warc.gz")).cache()
+    try:
+        by_type = dict(
+            df.groupBy("warc_type").count().collect()
+        )
+        assert by_type.get("response") == 1
+        assert by_type.get("invalid", 0) == 2
+        errs = [
+            r["error"]
+            for r in df.filter(F.col("warc_type") == "invalid").collect()
+        ]
+        assert any("Content-Length" in e for e in errs)
+        assert any("truncated gzip member" in e for e in errs)
+    finally:
+        df.unpersist()
+
+
+def test_write_warc_roundtrip_and_crash_safety(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(f"http://ex.com/{i}", f"body {i} " * (i + 1)) for i in range(20)],
+        "url string, body string",
+    )
+    dest = str(tmp_path / "out")
+    manifest = warc.write_warc(docs, dest, n_files=3)
+    m = {r["file_no"]: r for r in manifest.collect()}
+    assert sum(r["n_records"] for r in m.values()) == 20
+    files = sorted(os.listdir(dest))
+    assert files == [f"part-{i:05d}.warc.gz" for i in sorted(m)]
+    assert not any(f.endswith(".tmp") for f in files)
+
+    back = warc.read_warc(spark, os.path.join(dest, "*.warc.gz"))
+    got = {
+        r["target_uri"]: bytes(r["payload"]).decode()
+        for r in back.collect()
+    }
+    assert len(got) == 20
+    for i in range(20):
+        assert got[f"http://ex.com/{i}"] == f"body {i} " * (i + 1)
+
+    # determinism: a re-export writes byte-identical files
+    before = {f: (tmp_path / "out" / f).read_bytes() for f in files}
+    warc.write_warc(docs, dest, n_files=3)
+    after = {f: (tmp_path / "out" / f).read_bytes() for f in files}
+    assert before == after
+
+    # a re-export with fewer rows drops stale part files
+    warc.write_warc(docs.limit(1), dest, n_files=3)
+    remaining = sorted(os.listdir(dest))
+    assert len(remaining) == 1 and remaining[0].startswith("part-")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    bodies=st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=8
+    ),
+    compress=st.booleans(),
+)
+def test_record_roundtrip_fuzz(bodies, compress):
+    """Arbitrary binary bodies survive the record→parse round trip
+    bit-exactly, compressed or not (bodies may contain CRLF CRLF and
+    fake WARC version lines — Content-Length framing must win)."""
+    recs = [
+        warc.build_warc_record(
+            "resource",
+            record_id=f"r{i}",
+            date="2026-01-01T00:00:00Z",
+            target_uri=f"http://f.com/{i}",
+            content=b,
+        )
+        for i, b in enumerate(bodies)
+    ]
+    if compress:
+        data = b"".join(warc.gzip_member(r) for r in recs)
+        parsed = []
+        for _, member in warc._split_members(data):
+            parsed.extend(warc.parse_warc_records(member))
+    else:
+        parsed = list(warc.parse_warc_records(b"".join(recs)))
+    assert [blk for _, _, blk in parsed] == bodies
+    assert [h["warc-target-uri"] for _, h, _ in parsed] == [
+        f"http://f.com/{i}" for i in range(len(bodies))
+    ]
+
+
+def test_whole_file_gzip_also_reads(spark, tmp_path):
+    """A .warc.gz written as ONE gzip member (not member-per-record —
+    some tools do this) still parses: the member walk yields one big
+    member and the record walk inside it finds every record."""
+    recs = _fixture_records()
+    (tmp_path / "w.warc.gz").write_bytes(gzip.compress(b"".join(recs)))
+    df = warc.read_warc(spark, str(tmp_path / "w.warc.gz"))
+    assert df.filter(F.col("warc_type") == "response").count() == 5
