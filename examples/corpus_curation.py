@@ -5,6 +5,9 @@ Run:  python examples/corpus_curation.py [sf_dir]
 
 Stages (each one scan/shuffle-shaped for 100 TB, see PLANS.md):
 
+0. ingest + triage: WARC crawl round-trip (gzip member-per-record,
+   file = task) → HTML → text extraction; probe-first image/video
+   filters (header bytes, no decode); SRT/WebVTT caption transcripts;
 1. quality gate: token/stopword/quality-score columns, pure projection;
 2. LM-surprise gate: corpus-unigram mean log-probability, drop the
    bottom tail (the CCNet-style model-based quality screen);
@@ -155,6 +158,68 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     )
     n_vid_hd = vprobed.filter(F.col("height") >= 720).count()
 
+    # 0c. crawl ingest — the corpus as it actually ARRIVES: WARC files
+    #     (ISO 28500, the Common Crawl shape).  Round-trip the documents
+    #     through a gzip member-per-record WARC export, re-read with the
+    #     binaryFile → mapInPandas source (file = task), and recover the
+    #     visible text with the pure-JVM HTML strip chain.  At 100 TB
+    #     this stage is the ENTIRE ingest: everything downstream is the
+    #     same funnel.
+    import os
+    import shutil as _sh
+
+    from entropy_balance_weighting_spark.functions import web
+    from entropy_balance_weighting_spark.sources import read_warc, write_warc
+
+    warc_dir = os.path.join(
+        str(Path(__file__).resolve().parents[1]), ".scratch", "example_warc"
+    )
+    _sh.rmtree(warc_dir, ignore_errors=True)
+    crawl = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+        ).alias("body"),
+    )
+    write_warc(crawl, warc_dir, n_files=4, id_col="doc_id")
+    fetched = read_warc(spark, warc_dir, glob="*.warc.gz")
+    n_warc_records = fetched.filter(F.col("warc_type") == "response").count()
+
+    extracted = fetched.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        web.strip_html(F.col("payload").cast("string")).alias("text"),
+    )
+    n_extracted = extracted.filter(F.length("text") > 0).count()
+
+    # 0d. caption sidecar — the text a VIDEO corpus contributes without
+    #     decoding a frame: parse SRT/WebVTT subtitle payloads into cue
+    #     arrays (JVM array expressions) and surface transcripts +
+    #     on-screen-span quality signals for the text funnel.
+    from entropy_balance_weighting_spark.functions import subtitles as subf
+
+    caps = docs.limit(40).select(
+        "doc_id",
+        F.concat(
+            F.lit("1\n00:00:01,000 --> 00:00:03,000\n"),
+            F.substring("text", 1, 30),
+            F.lit("\n\n2\n00:00:03,500 --> 00:00:06,000\n"),
+            F.substring("text", 31, 30),
+        ).alias("srt"),
+    )
+    transcripts = caps.select(
+        "doc_id",
+        subf.subtitle_text(subf.srt_cues("srt")).alias("transcript"),
+        subf.subtitle_span_ms(subf.srt_cues("srt")).alias("span_ms"),
+    )
+    n_caption_docs = transcripts.filter(
+        (F.col("span_ms") >= 4000) & (F.length("transcript") > 0)
+    ).count()
+
     # 1. quality gate — all pure column expressions, zero shuffle
     scored = text.annotate_token_stats(docs)
     kept_q = scored.filter((F.col("n_tok") >= 10) & (F.col("q") > 0.3))
@@ -289,6 +354,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "n_images_probed": n_img_raw,
         "n_images_decoded": n_img_kept,
         "n_videos_hd": n_vid_hd,
+        "n_warc_records": n_warc_records,
+        "n_html_extracted": n_extracted,
+        "n_caption_docs": n_caption_docs,
         "n_quality": n_quality,
         "n_lm_gate": n_lm,
         "n_policy": n_policy,

@@ -59,3 +59,10 @@ def test_corpus_curation_example_end_to_end(spark):
     # video triage: exactly the 1080p half of the synthetic MP4s survives
     # the header-only resolution filter (no frame decode anywhere)
     assert out["n_videos_hd"] == 4
+    # crawl ingest: every document survives the WARC round trip and the
+    # HTML strip recovers non-empty text for each
+    assert out["n_warc_records"] == out["n_raw"]
+    assert out["n_html_extracted"] == out["n_raw"]
+    # caption sidecar: every synthetic SRT doc yields a transcript with
+    # the full 4.5 s on-screen span
+    assert out["n_caption_docs"] == 40
