@@ -29,8 +29,9 @@ pipeline needs, built Spark-first as first-class engine components):
   media library (H.264/H.265 video, MP3/AAC/Vorbis audio entropy
   decode) remain stubbed — though container-level metadata works without
   decoding them: ID3v2 + MP4-atom extract/strip, MPEG frame-header
-  probing (duration/bitrate/VBR), Ogg-page Vorbis-comment
-  extract/scrub, ADTS/Matroska probes, and bit-reader stream-parameter
+  probing (duration/bitrate/VBR), Ogg-page Vorbis-comment and Opus
+  (RFC 7845 OpusHead/OpusTags) extract/scrub, ADTS/Matroska probes,
+  and bit-reader stream-parameter
   probes for the three dominant video codecs — H.264 SPS (Annex-B +
   avcC), HEVC SPS (hvcC), AV1 sequence header (av1C) — giving
   profile/level/true-dimensions/fps triage with zero frame decode

@@ -740,6 +740,164 @@ def strip_vorbis_comments(
 
 
 # ---------------------------------------------------------------------------
+# Ogg Opus probe — RFC 7845: the BOS page's first packet is "OpusHead"
+# (version, channels, pre-skip, original input rate, output gain,
+# mapping family); the second packet is "OpusTags" (Vorbis-comment
+# layout, no framing bit).  Granule positions are ALWAYS 48 kHz ticks
+# regardless of the input rate, and pre-skip samples are trimmed from
+# the front — the duration arithmetic the probe implements.
+# ---------------------------------------------------------------------------
+
+
+def build_ogg_opus(
+    *,
+    channels: int = 2,
+    input_rate: int = 48000,
+    pre_skip: int = 312,
+    tags: dict | None = None,
+    n_audio_pages: int = 3,
+    granules_per_page: int = 960,
+    serial: int = 0x5EED,
+) -> bytes:
+    """Deterministic Ogg Opus container for tests: real page/packet
+    structure (RFC 7845 headers, CRC-correct pages); the "audio"
+    packets are deterministic pseudo-random bytes (this module never
+    decodes Opus audio)."""
+    head = (
+        b"OpusHead"
+        + bytes([1, channels])
+        + struct.pack("<H", pre_skip)
+        + struct.pack("<I", input_rate)
+        + struct.pack("<h", 0)  # output gain
+        + bytes([0])  # mapping family 0
+    )
+    tagp = bytearray(b"OpusTags")
+    vendor = b"ebw-test"
+    tagp += struct.pack("<I", len(vendor)) + vendor
+    items = [f"{k}={v}".encode() for k, v in (tags or {}).items()]
+    tagp += struct.pack("<I", len(items))
+    for it in items:
+        tagp += struct.pack("<I", len(it)) + it
+    out = bytearray()
+    out += _ogg_page(serial, 0, 0, [head], header_type=2)  # BOS
+    out += _ogg_page(serial, 1, 0, [bytes(tagp)])
+    g = pre_skip
+    for i in range(n_audio_pages):
+        g += granules_per_page
+        body = bytes(((i * 37 + j * 11) % 256) for j in range(64))
+        ht = 4 if i == n_audio_pages - 1 else 0  # EOS on the last page
+        out += _ogg_page(serial, 2 + i, g, [body], header_type=ht)
+    return bytes(out)
+
+
+def probe_opus(payload: bytes) -> dict:
+    """Header-only Ogg Opus probe: ``channels``, ``input_sample_rate``,
+    ``pre_skip``, ``output_gain_db``, ``mapping_family``, ``vendor``,
+    ``comments`` (upper-cased keys) and ``duration_sec`` —
+    ``(last_granule − pre_skip) / 48000`` per RFC 7845 §4/§5, with no
+    packet decoded.  Named ValueError on structural damage."""
+    b = bytes(payload)
+    serial = None
+    last_granule = 0
+    for (_s, _e, ht, gr, ser, _seq, body, _segs) in _walk_ogg_pages(b):
+        if serial is None and ht & 2 and b[body : body + 8] == b"OpusHead":
+            serial = ser
+        if serial == ser and gr > 0:
+            last_granule = max(last_granule, gr)
+    if serial is None:
+        raise ValueError("malformed Ogg payload: no Opus BOS page")
+    packets = _vorbis_packets(b, serial)
+    head = next(packets, None)
+    tags = next(packets, None)
+    if head is None or len(head) < 19:
+        raise ValueError("malformed Ogg payload: short OpusHead")
+    version = head[8]
+    if version >> 4 != 0:  # RFC 7845 §5.1: major version must be 0
+        raise ValueError(f"malformed Ogg payload: OpusHead version {version}")
+    channels = head[9]
+    (pre_skip,) = struct.unpack_from("<H", head, 10)
+    (input_rate,) = struct.unpack_from("<I", head, 12)
+    (gain_q8,) = struct.unpack_from("<h", head, 16)
+    out = {
+        "channels": channels,
+        "input_sample_rate": input_rate,
+        "pre_skip": pre_skip,
+        "output_gain_db": gain_q8 / 256.0,
+        "mapping_family": head[18],
+        "vendor": "",
+        "comments": {},
+        "duration_sec": max(0, last_granule - pre_skip) / 48000.0,
+    }
+    if tags is None or tags[:8] != b"OpusTags":
+        raise ValueError("malformed Ogg payload: bad OpusTags packet")
+    pos = 8
+    try:
+        (vlen,) = struct.unpack_from("<I", tags, pos)
+        pos += 4
+        out["vendor"] = tags[pos : pos + vlen].decode("utf-8", "replace")
+        pos += vlen
+        (n,) = struct.unpack_from("<I", tags, pos)
+        pos += 4
+        for _ in range(n):
+            (ln,) = struct.unpack_from("<I", tags, pos)
+            pos += 4
+            item = tags[pos : pos + ln].decode("utf-8", "replace")
+            pos += ln
+            if "=" in item:
+                k, _, val = item.partition("=")
+                out["comments"][k.upper()] = val
+    except struct.error:
+        raise ValueError("malformed Ogg payload: OpusTags out of range")
+    return out
+
+
+def strip_opus_tags(payload: bytes, *, keep: tuple[str, ...] = ()) -> bytes:
+    """Privacy scrub for Ogg Opus: rewrite the OpusTags packet with only
+    the ``keep``-listed keys (vendor cleared), rebuilding that page's
+    segment table and CRC; every other page — including all coded
+    audio — is byte-identical.  Same contract as
+    :func:`strip_vorbis_comments`."""
+    b = bytes(payload)
+    meta = probe_opus(b)  # validates structure
+    kept = {k: v for k, v in meta["comments"].items() if k in keep}
+    newc = bytearray(b"OpusTags")
+    newc += struct.pack("<I", 0)  # vendor cleared
+    newc += struct.pack("<I", len(kept))
+    for k, v in kept.items():
+        kv = f"{k}={v}".encode()
+        newc += struct.pack("<I", len(kv)) + kv
+    serial = None
+    out = bytearray()
+    for (s, e, ht, gr, ser, seq, body, segs) in _walk_ogg_pages(b):
+        if serial is None and ht & 2 and b[body : body + 8] == b"OpusHead":
+            serial = ser
+            out += b[s:e]
+            continue
+        if not (serial == ser and b[body : body + 8] == b"OpusTags"):
+            out += b[s:e]
+            continue
+        packets = []
+        pending = bytearray()
+        pos = body
+        for seg in segs:
+            pending += b[pos : pos + seg]
+            pos += seg
+            if seg < 255:
+                packets.append(bytes(pending))
+                pending.clear()
+        if pending:
+            raise ValueError(
+                "malformed Ogg payload: OpusTags packet spans pages "
+                "(unsupported by strip)"
+            )
+        packets = [
+            bytes(newc) if p[:8] == b"OpusTags" else p for p in packets
+        ]
+        out += _ogg_page(ser, seq, gr, packets, header_type=ht)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # MP4 sample-table probe — ISO/IEC 14496-12 trak/mdia/stbl walk: per-track
 # codec-free stream stats (handler, timescale, duration, sample count and
 # bytes) from mdhd/hdlr/stts/stsz.  The coded samples stay opaque.

@@ -157,26 +157,80 @@ def _split_members(data: bytes):
         pos += consumed
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer coding body (hex size line,
+    chunk, CRLF, ..., 0-size terminator).  Raises ValueError on frame
+    damage — callers keep the raw body and record the error."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked body: missing size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()  # drop chunk exts
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"chunked body: bad size line {size_tok[:16]!r}")
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out)  # trailers (if any) are not payload
+        if pos + size > len(body):
+            raise ValueError("chunked body: truncated chunk")
+        out.append(body[pos : pos + size])
+        pos += size
+        if body[pos : pos + 2] != _CRLF:
+            raise ValueError("chunked body: missing chunk terminator")
+        pos += 2
+
+
 def _parse_http_block(block: bytes):
-    """Split an HTTP response block into (status, content_type, body).
-    Returns (None, None, block) when the block is not HTTP."""
+    """Split an HTTP response block into (status, content_type, body,
+    decode_error).  Chunked transfer coding is reassembled and
+    gzip/deflate content coding decompressed — the shapes real crawls
+    actually contain; when either decode fails the RAW body is kept
+    and the error surfaced, so one damaged record never costs the rest
+    of the file.  Returns (None, None, block, None) when the block is
+    not HTTP."""
     if not block.startswith(b"HTTP/"):
-        return None, None, block
+        return None, None, block, None
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
-        return None, None, block
+        return None, None, block, None
     head, body = block[:sep], block[sep + 4 :]
     lines = head.split(_CRLF)
     try:
         status = int(lines[0].split(b" ", 2)[1])
     except (IndexError, ValueError):
-        return None, None, block
-    ctype = None
+        return None, None, block, None
+    hdrs: dict[bytes, bytes] = {}
     for ln in lines[1:]:
-        if ln.lower().startswith(b"content-type:"):
-            ctype = ln.split(b":", 1)[1].strip().decode("latin-1")
-            break
-    return status, ctype, body
+        if b":" in ln:
+            k, v = ln.split(b":", 1)
+            hdrs[k.strip().lower()] = v.strip()
+    ctype = hdrs.get(b"content-type")
+    ctype = ctype.decode("latin-1") if ctype is not None else None
+    err = None
+    if b"chunked" in hdrs.get(b"transfer-encoding", b"").lower():
+        try:
+            body = _dechunk(body)
+        except ValueError as e:
+            err = f"http body decode: {e}"
+    enc = hdrs.get(b"content-encoding", b"").lower().strip()
+    if err is None and enc in (b"gzip", b"x-gzip", b"deflate"):
+        try:
+            if enc == b"deflate":
+                # zlib-wrapped per RFC 9110; raw-deflate servers exist,
+                # so fall back to wbits=-15
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:
+                    body = zlib.decompress(body, wbits=-15)
+            else:
+                body = zlib.decompress(body, wbits=31)
+        except zlib.error as e:
+            err = f"http body decode: {enc.decode()}: {e}"
+    return status, ctype, body, err
 
 
 def parse_warc_records(data: bytes):
@@ -233,10 +287,10 @@ def _records_of_file(path: str, data: bytes, batch_records: int):
 
     def row_of(offset: int, headers: dict, block: bytes) -> dict:
         wtype = headers.get("warc-type", "unknown")
-        status = ctype = None
+        status = ctype = err = None
         payload = block
         if wtype in ("response", "revisit"):
-            status, ctype, payload = _parse_http_block(block)
+            status, ctype, payload, err = _parse_http_block(block)
         rid = headers.get("warc-record-id", "")
         return {
             "warc_file": path,
@@ -250,7 +304,7 @@ def _records_of_file(path: str, data: bytes, batch_records: int):
             "http_status": status,
             "http_content_type": ctype,
             "payload": payload,
-            "error": None,
+            "error": err,
         }
 
     def invalid(offset: int, err: Exception) -> dict:

@@ -1042,3 +1042,90 @@ def test_av1_fuzz_roundtrip(w, h, prof, lvl, tier, fps):
     assert p["fps"] == (fps or 0.0)
     pv = cm.parse_av1c(cm.build_av1c(obu, profile=prof, level_idx=lvl))
     assert (pv["width"], pv["height"]) == (w, h)
+
+
+# ---------------------------------------------------------------------------
+# Ogg Opus (RFC 7845)
+# ---------------------------------------------------------------------------
+
+
+def test_opus_probe_exact():
+    ogg = cm.build_ogg_opus(
+        channels=2, input_rate=44100, pre_skip=312,
+        tags={"ARTIST": "Band", "GEO_LOCATION": "37.77,-122.41"},
+        n_audio_pages=3, granules_per_page=960,
+    )
+    m = cm.probe_opus(ogg)
+    assert m["channels"] == 2
+    assert m["input_sample_rate"] == 44100
+    assert m["pre_skip"] == 312
+    assert m["output_gain_db"] == 0.0
+    assert m["mapping_family"] == 0
+    assert m["vendor"] == "ebw-test"
+    assert m["comments"]["GEO_LOCATION"] == "37.77,-122.41"
+    # granules are 48 kHz ticks regardless of input rate; pre-skip is
+    # trimmed (the builder bakes it into the granule positions)
+    assert abs(m["duration_sec"] - 3 * 960 / 48000) < 1e-12
+
+
+def test_opus_strip_tags_preserves_audio_pages():
+    ogg = cm.build_ogg_opus(
+        tags={"ARTIST": "x", "GEO_LOCATION": "1,2", "TITLE": "keepme"},
+        n_audio_pages=4,
+    )
+    clean = cm.strip_opus_tags(ogg)
+    m = cm.probe_opus(clean)
+    assert m["comments"] == {} and m["vendor"] == ""
+    kept = cm.probe_opus(cm.strip_opus_tags(ogg, keep=("TITLE",)))
+    assert kept["comments"] == {"TITLE": "keepme"}
+    # pages 2.. (audio) byte-identical; stream params untouched
+    assert ogg.split(b"OggS")[3:] == clean.split(b"OggS")[3:]
+    assert m["channels"] == 2 and m["pre_skip"] == 312
+
+
+def test_opus_malformed_named_errors():
+    with pytest.raises(ValueError, match="no Opus BOS page"):
+        cm.probe_opus(cm.build_ogg_vorbis())  # Vorbis is not Opus
+    ogg = bytearray(cm.build_ogg_opus())
+    ogg[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="page CRC mismatch"):
+        cm.probe_opus(bytes(ogg))
+    # major version nibble must be 0
+    bad = cm.build_ogg_opus()
+    head_at = bad.find(b"OpusHead")
+    bad = bytearray(bad)
+    bad[head_at + 8] = 0x10
+    # re-CRC the tampered page so the version check (not CRC) fires
+    seg0_end = bad.find(b"OggS", 4)
+    page = bytearray(bad[:seg0_end])
+    page[22:26] = b"\x00\x00\x00\x00"
+    struct.pack_into("<I", page, 22, cm._ogg_crc(bytes(page)))
+    bad[:seg0_end] = page
+    with pytest.raises(ValueError, match="OpusHead version"):
+        cm.probe_opus(bytes(bad))
+
+
+@given(
+    n_tags=st.integers(0, 6),
+    n_audio=st.integers(1, 5),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    ch=st.integers(1, 8),
+    pre_skip=st.integers(0, 3840),
+    gpp=st.integers(120, 5760),
+)
+@settings(max_examples=40, deadline=None)
+def test_opus_fuzz_roundtrip(n_tags, n_audio, rate, ch, pre_skip, gpp):
+    tags = {f"K{i}": f"v-{i}" for i in range(n_tags)}
+    ogg = cm.build_ogg_opus(
+        channels=ch, input_rate=rate, pre_skip=pre_skip, tags=tags,
+        n_audio_pages=n_audio, granules_per_page=gpp,
+    )
+    m = cm.probe_opus(ogg)
+    assert m["channels"] == ch
+    assert m["input_sample_rate"] == rate
+    assert m["pre_skip"] == pre_skip
+    assert m["comments"] == tags
+    assert abs(m["duration_sec"] - n_audio * gpp / 48000) < 1e-12
+    clean = cm.strip_opus_tags(ogg)
+    mc = cm.probe_opus(clean)
+    assert mc["comments"] == {} and mc["duration_sec"] == m["duration_sec"]

@@ -49,8 +49,8 @@ def test_parse_roundtrip_plain():
     assert types == ["response"] * 5 + ["warcinfo"]
     # content blocks are exact: the HTTP split recovers each body
     for i, (_, h, block) in enumerate(out[:5]):
-        status, ctype, body = warc._parse_http_block(block)
-        assert status == 200 and ctype == "text/html"
+        status, ctype, body, err = warc._parse_http_block(block)
+        assert status == 200 and ctype == "text/html" and err is None
         assert body == f"<html><body>doc {i} body text</body></html>".encode()
         assert h["warc-target-uri"] == f"http://ex.com/{i}"
 
@@ -201,3 +201,90 @@ def test_whole_file_gzip_also_reads(spark, tmp_path):
     (tmp_path / "w.warc.gz").write_bytes(gzip.compress(b"".join(recs)))
     df = warc.read_warc(spark, str(tmp_path / "w.warc.gz"))
     assert df.filter(F.col("warc_type") == "response").count() == 5
+
+
+def _http_resp(raw_headers: str, body: bytes) -> bytes:
+    return (f"HTTP/1.1 200 OK\r\n{raw_headers}\r\n\r\n").encode() + body
+
+
+def test_http_chunked_and_content_encoding():
+    body = b"hello chunked world " * 10
+    chunked = (
+        b"c8;ext=1\r\n" + body[:200] + b"\r\n"
+        b"0\r\n\r\n"
+    )
+    s, ct, out, err = warc._parse_http_block(
+        _http_resp("Transfer-Encoding: chunked\r\nContent-Type: text/plain", chunked)
+    )
+    assert (s, ct, err) == (200, "text/plain", None)
+    assert out == body[:200]
+
+    import gzip as _gz
+    import zlib as _zl
+
+    gz = _gz.compress(body)
+    s, ct, out, err = warc._parse_http_block(
+        _http_resp("Content-Encoding: gzip", gz)
+    )
+    assert err is None and out == body
+
+    # zlib-wrapped deflate AND raw deflate both decode
+    co = _zl.compressobj(wbits=-15)
+    raw = co.compress(body) + co.flush()
+    for blob in (_zl.compress(body), raw):
+        s, ct, out, err = warc._parse_http_block(
+            _http_resp("Content-Encoding: deflate", blob)
+        )
+        assert err is None and out == body
+
+    # chunked THEN gzip (Transfer-Encoding applies outermost)
+    inner = _gz.compress(body)
+    chunked_gz = (
+        hex(len(inner))[2:].encode() + b"\r\n" + inner + b"\r\n0\r\n\r\n"
+    )
+    s, ct, out, err = warc._parse_http_block(
+        _http_resp(
+            "Transfer-Encoding: chunked\r\nContent-Encoding: gzip", chunked_gz
+        )
+    )
+    assert err is None and out == body
+
+
+def test_http_decode_failure_keeps_raw_body():
+    bad_chunked = b"zz\r\nnot hex\r\n0\r\n\r\n"
+    s, ct, out, err = warc._parse_http_block(
+        _http_resp("Transfer-Encoding: chunked", bad_chunked)
+    )
+    assert s == 200 and out == bad_chunked
+    assert "bad size line" in err
+
+    s, ct, out, err = warc._parse_http_block(
+        _http_resp("Content-Encoding: gzip", b"\x00not gzip")
+    )
+    assert s == 200 and out == b"\x00not gzip"
+    assert "gzip" in err
+
+
+def test_read_warc_decodes_chunked_gzip_records(spark, tmp_path):
+    import gzip as _gz
+
+    body = b"<html>compressed page</html>"
+    inner = _gz.compress(body)
+    chunked = hex(len(inner))[2:].encode() + b"\r\n" + inner + b"\r\n0\r\n\r\n"
+    rec = warc.build_warc_record(
+        "response",
+        record_id="gz-1",
+        date="2026-01-01T00:00:00Z",
+        target_uri="http://ex.com/gz",
+        content=_http_resp(
+            "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n"
+            "Content-Type: text/html",
+            chunked,
+        ),
+        content_type="application/http; msgtype=response",
+    )
+    (tmp_path / "gz.warc.gz").write_bytes(warc.gzip_member(rec))
+    row = warc.read_warc(spark, str(tmp_path / "gz.warc.gz")).first()
+    assert row["error"] is None
+    assert bytes(row["payload"]) == body
+    assert row["http_content_type"] == "text/html"
