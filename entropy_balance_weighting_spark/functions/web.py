@@ -187,3 +187,55 @@ def url_normalize(col: Column | str) -> Column:
     # trim one trailing slash from a non-root path (keep "host/" root)
     c = F.regexp_replace(c, r"^([^?#]*[^/?#])/(\?|#|$)", r"$1$2")
     return c
+
+
+# ---------------------------------------------------------------------------
+# Content-type sniffing — magic-byte dispatch for crawl payloads
+# ---------------------------------------------------------------------------
+
+# (mime, offset, magic) — first match wins, ordered so containers that
+# embed other magics (RIFF variants, MP4's offset-4 ftyp) are decided
+# before the generic fallbacks.  Public magic numbers only.
+_MAGIC_TABLE: list[tuple[str, int, bytes]] = [
+    ("application/pdf", 0, b"%PDF"),
+    ("image/png", 0, b"\x89PNG\r\n\x1a\n"),
+    ("image/jpeg", 0, b"\xff\xd8\xff"),
+    ("image/gif", 0, b"GIF8"),
+    ("image/bmp", 0, b"BM"),
+    ("image/tiff", 0, b"II*\x00"),
+    ("image/tiff", 0, b"MM\x00*"),
+    ("image/webp", 8, b"WEBP"),  # RIFF....WEBP
+    ("audio/wav", 8, b"WAVE"),  # RIFF....WAVE
+    ("video/avi", 8, b"AVI "),  # RIFF....AVI
+    ("audio/flac", 0, b"fLaC"),
+    ("audio/ogg", 0, b"OggS"),
+    ("audio/mpeg", 0, b"ID3"),
+    ("audio/mpeg", 0, b"\xff\xfb"),
+    ("video/mp4", 4, b"ftyp"),
+    ("video/x-matroska", 0, b"\x1a\x45\xdf\xa3"),
+    ("application/zip", 0, b"PK\x03\x04"),
+    ("application/gzip", 0, b"\x1f\x8b"),
+]
+
+
+def sniff_mime(col: Column | str) -> Column:
+    """Magic-byte content-type sniff over a binary payload column — the
+    triage step between crawl ingest (WARC bodies arrive with missing
+    or lying ``Content-Type`` headers) and the typed decode pipelines.
+    Pure JVM expression: a first-match ``when`` chain over binary
+    ``substring`` prefix compares (no UDF, codegen-friendly, prefix
+    reads only).  HTML is detected structurally (leading ``<!doctype``
+    / ``<html`` after optional whitespace/BOM); everything unmatched is
+    ``application/octet-stream``."""
+    c = F.col(col) if isinstance(col, str) else col
+    expr = None
+    for mime, off, magic in _MAGIC_TABLE:
+        cond = F.substring(c, off + 1, len(magic)) == F.lit(magic)
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    # HTML: decode a bounded prefix and match the document shell
+    # a UTF-8 BOM decodes to one U+FEFF char after the string cast
+    head = F.lower(F.substring(c, 1, 256).cast("string"))
+    is_html = head.rlike("^\\s*\uFEFF?\\s*<(!doctype\\s+html|html)")
+    return expr.when(is_html, "text/html").otherwise(
+        "application/octet-stream"
+    )

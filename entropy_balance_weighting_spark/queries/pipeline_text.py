@@ -1034,3 +1034,61 @@ def txt_subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "txt_mime_sniff",
+    survey="ext:web-mime-sniff",
+    oracle="""
+SELECT source,
+       CASE doc_id % 8
+         WHEN 0 THEN 'application/pdf'
+         WHEN 1 THEN 'image/png'
+         WHEN 2 THEN 'image/jpeg'
+         WHEN 3 THEN 'image/gif'
+         WHEN 4 THEN 'audio/wav'
+         WHEN 5 THEN 'text/html'
+         WHEN 6 THEN 'video/mp4'
+         ELSE 'application/octet-stream'
+       END AS mime,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source, mime ORDER BY source, mime
+""",
+)
+def txt_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type sniffing (:func:`web.sniff_mime`) — the
+    triage step between WARC ingest (Content-Type headers lie or are
+    absent) and the typed decode pipelines.  Each document becomes a
+    payload whose real type is fixed by ``doc_id % 8`` (seven magic
+    prefixes + one unmarked byte stream); the sniff must recover every
+    type from prefix bytes alone, first-match ``when`` chain, no UDF.
+    The oracle derives the expected type from the id arithmetic — any
+    magic-table slip or when-chain ordering bug shifts a count and
+    fails the hash."""
+    from entropy_balance_weighting_spark.functions.web import sniff_mime
+
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.encode(F.col("text"), "UTF-8")
+    magics = [
+        F.lit(b"%PDF-1.7\n"),
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        F.lit(b"\xff\xd8\xff\xe0"),
+        F.lit(b"GIF89a"),
+        F.lit(b"RIFF0000WAVE"),
+        F.encode(F.lit("<!DOCTYPE html><body>"), "UTF-8"),
+        F.lit(b"\x00\x00\x00\x18ftypisom"),
+        F.lit(b"\x00"),  # unmarked: must fall through to octet-stream
+    ]
+    sel = F.col("doc_id") % 8
+    prefix = F.when(sel == 0, magics[0])
+    for i in range(1, 7):
+        prefix = prefix.when(sel == i, magics[i])
+    prefix = prefix.otherwise(magics[7])
+    payload = F.concat(prefix, body)
+    return (
+        docs.select("source", sniff_mime(payload).alias("mime"))
+        .groupBy("source", "mime")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "mime")
+    )

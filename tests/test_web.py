@@ -156,3 +156,43 @@ def test_url_normalize_enables_exact_dedup(spark):
     df = spark.createDataFrame([(u,) for u in urls], "u string")
     n = df.select(web.url_normalize("u").alias("n")).distinct().count()
     assert n == 3  # {http .../a, http .../b, https .../a}
+
+
+def test_sniff_mime_magic_table(spark):
+    import gzip
+
+    cases = [
+        (b"%PDF-1.7 x", "application/pdf"),
+        (b"\x89PNG\r\n\x1a\n00", "image/png"),
+        (b"\xff\xd8\xff\xe0", "image/jpeg"),
+        (b"GIF89a", "image/gif"),
+        (b"RIFF1234WAVEfmt", "audio/wav"),
+        (b"RIFF1234WEBPVP8", "image/webp"),
+        (b"RIFF1234AVI LIST", "video/avi"),
+        (b"\x00\x00\x00\x18ftypisom", "video/mp4"),
+        (b"ID3\x04", "audio/mpeg"),
+        (b"\xff\xfb\x90\x00", "audio/mpeg"),
+        (b"OggS\x00", "audio/ogg"),
+        (b"fLaC\x00", "audio/flac"),
+        (b"\x1a\x45\xdf\xa3mkv", "video/x-matroska"),
+        (b"II*\x00tiff", "image/tiff"),
+        (b"MM\x00*tiff", "image/tiff"),
+        (b"BMxx", "image/bmp"),
+        (b"PK\x03\x04", "application/zip"),
+        (gzip.compress(b"x"), "application/gzip"),
+        (b"  <!DOCTYPE html><p>hi", "text/html"),
+        (b"<html lang=en>", "text/html"),
+        (b"\xef\xbb\xbf<html>", "text/html"),
+        (b"plain words here", "application/octet-stream"),
+        (b"", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, (b, _) in enumerate(cases)],
+        "id int, payload binary",
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in df.select("id", web.sniff_mime("payload").alias("m")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
