@@ -36,6 +36,10 @@ pipeline needs, built Spark-first as first-class engine components):
   avcC), HEVC SPS (hvcC), AV1 sequence header (av1C) — giving
   profile/level/true-dimensions/fps triage with zero frame decode
   (:mod:`functions.container_meta`).
+- :mod:`functions.pdf_codec` — PDF text extraction (pure stdlib):
+  tolerant object walk, FlateDecode content streams, the full
+  literal/hex string escape set, show/positioning operators, Info
+  metadata; CID/Type0 (multi-byte) fonts are flagged, not garbled.
 - :mod:`functions.web` — crawl-corpus HTML → text extraction as pure
   JVM regexp chains (no UDF): strip/entity-decode, title/link
   recovery, link-density and text-ratio boilerplate signals.

@@ -2093,3 +2093,73 @@ def mm_probe_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("format")
     )
+
+
+@register(
+    "mm_pdf_text",
+    survey="ext:multimodal-pdf",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(2 * count(*) AS BIGINT) AS n_pages,
+       CAST(2 * count(*) AS BIGINT) AS n_streams,
+       CAST(sum(length('Doc ' || CAST(doc_id AS VARCHAR)) + 
+                length(substr(text, 1, 40))) AS BIGINT) AS text_chars,
+       CAST(sum(length('Doc ' || CAST(doc_id AS VARCHAR))) AS BIGINT)
+           AS title_chars,
+       CAST(0 AS BIGINT) AS n_cid
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def mm_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF build + text-extraction round trip (pure stdlib, no PDF
+    library): each document becomes a spec-correct two-page PDF 1.4
+    (valid xref/trailer, FlateDecode content streams, Info dictionary)
+    via :func:`functions.pdf_codec.build_pdf`, then the REAL extractor
+    recovers page count, per-stream text, and the Info title through
+    the tolerant object walk + content-stream operator parse.  The
+    oracle recomputes every extracted length from the base table — a
+    slipped escape, a mis-parsed literal string, or a lost stream
+    shifts a char total and fails the hash.  100 TB shape: one Arrow
+    ``mapInPandas`` map stage, no shuffle before the tiny aggregate."""
+    from entropy_balance_weighting_spark.functions import pdf_codec as pdf
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def gen(batches):
+        for p in batches:
+            payloads = [
+                pdf.build_pdf(
+                    [[f"Doc {int(i)}"], [str(t)[:40]]],
+                    title=f"Doc {int(i)}",
+                )
+                for i, t in zip(p["doc_id"], p["text"])
+            ]
+            out = pdf.extract_pdf_text_batch(payloads)
+            out.insert(0, "source", p["source"].to_numpy())
+            yield out[
+                ["source", "n_pages", "n_streams", "n_chars", "title",
+                 "has_cid_font"]
+            ]
+
+    ex = docs.mapInPandas(
+        gen,
+        "source string, n_pages int, n_streams int, n_chars long, "
+        "title string, has_cid_font boolean",
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pages").cast("long").alias("n_pages"),
+            F.sum("n_streams").cast("long").alias("n_streams"),
+            F.sum("n_chars").cast("long").alias("text_chars"),
+            F.sum(F.length("title")).cast("long").alias("title_chars"),
+            F.sum(F.when(F.col("has_cid_font"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cid"),
+        )
+        .orderBy("source")
+    )
