@@ -36,6 +36,12 @@ pipeline needs, built Spark-first as first-class engine components):
   avcC), HEVC SPS (hvcC), AV1 sequence header (av1C) — giving
   profile/level/true-dimensions/fps triage with zero frame decode
   (:mod:`functions.container_meta`).
+- :mod:`functions.markdown` — Markdown → text extraction as the same
+  RE2-safe JVM regexp-chain discipline as the HTML path (code fences,
+  links/images, emphasis, lists, tables), with an SQL renderer of the
+  identical chain for the oracle; license detection
+  (``text.detect_license``: SPDX tag first, then canonical header
+  phrases) gates corpus compliance.
 - :mod:`functions.pdf_codec` — PDF text extraction (pure stdlib):
   tolerant object walk, FlateDecode content streams, the full
   literal/hex string escape set, show/positioning operators, Info

@@ -511,3 +511,42 @@ def langid_best(text: Column | str, min_score: float = 0.02) -> Column:
         best = F.when(better, F.lit(lang)).otherwise(best)
         best_score = F.when(better, s[lang]).otherwise(best_score)
     return best
+
+
+# ---------------------------------------------------------------------------
+# License detection — compliance filtering for code/doc corpora
+# ---------------------------------------------------------------------------
+
+_SPDX_RE = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)"
+
+# (license id, RE2-safe phrase pattern) — first match wins; more
+# specific family members (LGPL/AGPL) precede the generic GPL phrase.
+_LICENSE_PHRASES: list[tuple[str, str]] = [
+    ("MIT", r"(?i)Permission is hereby granted, free of charge"),
+    ("Apache-2.0", r"(?i)Apache License,?[ \t]*Version 2\.0"),
+    ("LGPL", r"(?i)GNU (Lesser|Library) General Public License"),
+    ("AGPL-3.0", r"(?i)GNU Affero General Public License"),
+    ("GPL-3.0", r"(?is)GNU General Public License.{0,40}version 3"),
+    ("GPL-2.0", r"(?is)GNU General Public License.{0,40}version 2"),
+    ("BSD", r"(?i)Redistribution and use in source and binary forms"),
+    ("CC-BY", r"(?i)Creative Commons Attribution"),
+    ("Unlicense", r"(?i)free and unencumbered software released into"),
+]
+
+
+def detect_license(col: Column | str) -> Column:
+    """License identification for corpus compliance filtering — the
+    gate a code/document training set runs before anything else (a
+    copyleft document in a permissive-only corpus is a legal bug, not
+    a quality bug).  An explicit ``SPDX-License-Identifier`` tag wins
+    verbatim; otherwise the canonical header phrases decide
+    (:data:`_LICENSE_PHRASES`, first match wins, LGPL/AGPL before the
+    generic GPL phrase); ``'unknown'`` otherwise.  Pure JVM expression
+    (one regexp_extract + a when-chain of rlikes), RE2-safe so an SQL
+    oracle can replay it."""
+    c = F.col(col) if isinstance(col, str) else col
+    spdx = F.regexp_extract(c, _SPDX_RE, 1)
+    expr = F.when(spdx != "", spdx)
+    for lic, pat in _LICENSE_PHRASES:
+        expr = expr.when(c.rlike(pat), lic)
+    return expr.otherwise("unknown")

@@ -1092,3 +1092,150 @@ def txt_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "mime")
     )
+
+
+from entropy_balance_weighting_spark.functions.markdown import (
+    sql_strip_chain as _md_sql_chain,
+)
+
+# synthetic Markdown shell (SQL form); the Spark side builds the same
+# string with F.concat — every construct the strip chain must handle
+_MD_SYNTH_SQL = (
+    "'# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || "
+    "'**' || source || '** intro with a [link here](http://ex.com/' || "
+    "CAST(doc_id AS VARCHAR) || ') and ![an image](img.png).' || "
+    "chr(10) || chr(10) || '- first ' || substr(text, 1, 30) || chr(10) || "
+    "'- second item' || chr(10) || chr(10) || '> quote ' || "
+    "substr(text, 31, 30) || chr(10) || chr(10) || '`code span` end'"
+)
+
+# oracle rendered at import time from the SAME chain the Spark side
+# runs (sql_strip_chain translates only the replacement dialect) — one
+# source of truth, no hand-copied regex text to drift
+_MD_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, source, {_MD_SYNTH_SQL} AS md
+  FROM documents
+), ex AS (
+  SELECT source,
+         {_md_sql_chain("m.md")} AS txt,
+         len(regexp_extract_all(m.md,
+             '\\[[^\\]]*\\]\\([^)]*\\)')) AS n_all,
+         len(regexp_extract_all(m.md,
+             '!\\[[^\\]]*\\]\\([^)]*\\)')) AS n_img
+  FROM m
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(length(txt)) AS BIGINT) AS text_chars,
+       CAST(sum(n_all - n_img) AS BIGINT) AS total_links,
+       CAST(sum(n_img) AS BIGINT) AS total_images
+FROM ex GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "txt_markdown_extract",
+    survey="ext:markdown-extraction",
+    oracle=_MD_ORACLE,
+)
+def txt_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown -> text extraction (:mod:`functions.markdown`) as pure
+    JVM regexp chains: each document is wrapped in a synthetic Markdown
+    shell (header, bold, link, image, list, blockquote, code span --
+    every construct the strip chain must handle), then
+    :func:`markdown.strip_markdown` recovers the visible text and
+    :func:`markdown.md_stats`-style counts recover link/image totals;
+    the oracle replays the IDENTICAL RE2-safe chain in SQL (rendered by
+    :func:`markdown.sql_strip_chain` -- replacement-dialect translation
+    only), so a pattern slip on either side fails the hash.  100 TB
+    shape: one linear codegen scan per document, no shuffle before the
+    final aggregate."""
+    from entropy_balance_weighting_spark.functions import markdown as mdf
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    mdoc = F.concat(
+        F.lit("# Doc "), did, F.lit("\n\n**"),
+        F.col("source"),
+        F.lit("** intro with a [link here](http://ex.com/"), did,
+        F.lit(") and ![an image](img.png).\n\n- first "),
+        F.substring("text", 1, 30),
+        F.lit("\n- second item\n\n> quote "),
+        F.substring("text", 31, 30),
+        F.lit("\n\n`code span` end"),
+    )
+    n_all = F.regexp_count(mdoc, F.lit(r"\[[^\]]*\]\([^)]*\)"))
+    n_img = F.regexp_count(mdoc, F.lit(r"!\[[^\]]*\]\([^)]*\)"))
+    ex = docs.select(
+        "source",
+        mdf.strip_markdown(mdoc).alias("txt"),
+        (n_all - n_img).alias("n_links"),
+        n_img.alias("n_images"),
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("txt")).cast("long").alias("text_chars"),
+            F.sum("n_links").cast("long").alias("total_links"),
+            F.sum("n_images").cast("long").alias("total_images"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "txt_license_scan",
+    survey="ext:license-detection",
+    oracle="""
+SELECT source,
+       CASE doc_id % 7
+         WHEN 0 THEN 'MPL-2.0'
+         WHEN 1 THEN 'MIT'
+         WHEN 2 THEN 'Apache-2.0'
+         WHEN 3 THEN 'GPL-3.0'
+         WHEN 4 THEN 'LGPL'
+         WHEN 5 THEN 'CC-BY'
+         ELSE 'unknown'
+       END AS license,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source, license ORDER BY source, license
+""",
+)
+def txt_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License identification (:func:`text.detect_license`) — the
+    compliance gate a code/document corpus runs first.  Each document
+    gets a license header fixed by ``doc_id % 7`` (an SPDX tag, five
+    canonical phrases, one unlicensed); the detector must recover every
+    one (SPDX verbatim first, then the phrase chain with LGPL before
+    the generic GPL).  The oracle derives the expected license from the
+    id arithmetic — a phrase-pattern slip or a when-chain ordering bug
+    shifts a count and fails the hash."""
+    from entropy_balance_weighting_spark.functions.text import (
+        detect_license,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    heads = [
+        "SPDX-License-Identifier: MPL-2.0\n",
+        "Permission is hereby granted, free of charge, to any person. ",
+        "Licensed under the Apache License, Version 2.0 (the License). ",
+        "Under the GNU General Public License, either version 3 of it. ",
+        "Under the GNU Lesser General Public License v2.1 terms. ",
+        "Licensed under a Creative Commons Attribution 4.0 License. ",
+        "",
+    ]
+    sel = F.col("doc_id") % 7
+    prefix = F.when(sel == 0, heads[0])
+    for i in range(1, 6):
+        prefix = prefix.when(sel == i, heads[i])
+    prefix = prefix.otherwise(heads[6])
+    payload = F.concat(prefix, F.col("text"))
+    return (
+        docs.select("source", detect_license(payload).alias("license"))
+        .groupBy("source", "license")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "license")
+    )
