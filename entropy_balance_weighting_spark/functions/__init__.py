@@ -36,6 +36,11 @@ pipeline needs, built Spark-first as first-class engine components):
   avcC), HEVC SPS (hvcC), AV1 sequence header (av1C) — giving
   profile/level/true-dimensions/fps triage with zero frame decode
   (:mod:`functions.container_meta`).
+- :mod:`functions.bpe` — a REAL byte-pair-encoding tokenizer: the
+  word-frequency table is built distributed and capped, the
+  inherently-sequential merge loop runs driver-side on that
+  model-sized table (incremental pair-count index), and encoding is
+  one Arrow map stage with per-batch word memoization.
 - :mod:`functions.markdown` — Markdown → text extraction as the same
   RE2-safe JVM regexp-chain discipline as the HTML path (code fences,
   links/images, emphasis, lists, tables), with an SQL renderer of the

@@ -324,14 +324,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     n_contexts = ctx.count()
     fill = ctx.agg(F.avg("context_tokens")).first()[0]
 
-    # 11. training export — hashed token ids (uint16 vocab) to binary
-    #     shards; the CRC manifest is the export's acceptance record
+    # 11. training export — REAL BPE subword tokens (fit distributed,
+    #     merge loop driver-side on the capped word-frequency table,
+    #     apply as one Arrow map stage), hashed into a uint16 id space
+    #     for the shard writer; the CRC manifest is the export's
+    #     acceptance record
     import tempfile
 
-    tok_ids = mixed.select(
+    from entropy_balance_weighting_spark.functions import bpe
+
+    merges = bpe.fit_bpe(mixed, n_merges=200)
+    tok_ids = bpe.bpe_encode(mixed, merges).select(
         "doc_id",
         F.transform(
-            F.split(F.col("text"), " "),
+            F.col("tokens"),
             lambda t: (F.pmod(F.xxhash64(t), F.lit(65535)) + 1).cast("int"),
         ).alias("tokens"),
     )
