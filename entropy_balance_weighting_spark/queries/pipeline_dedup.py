@@ -803,3 +803,61 @@ def dd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed_tokens",
         "clean_text",
     ).orderBy("doc_id")
+
+
+@register(
+    "dd_url_dedup",
+    survey="ext:dedup-url-frontier",
+    oracle="""
+SELECT source,
+       count(*) AS n_urls,
+       count(DISTINCT 'http://' || source || '.example.com/p/' ||
+             CAST(doc_id % 25 AS VARCHAR)) AS n_canonical
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def dd_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup (:func:`functions.web.url_normalize`):
+    each document carries one of three MESSY renderings of a canonical
+    URL (upper-cased scheme/host with an explicit :80, a #fragment, a
+    trailing slash — the variants real frontiers drown in), and exact
+    dedup is a plain groupBy on the normalized column.  The oracle
+    counts distinct CANONICAL urls directly from the id arithmetic, so
+    any normalization miss (a variant that fails to collapse) inflates
+    the Spark-side distinct count and fails the hash."""
+    from entropy_balance_weighting_spark.functions.web import url_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    pid = (F.col("doc_id") % 25).cast("string")
+    sel = F.col("doc_id") % 3
+    messy = (
+        F.when(
+            sel == 0,
+            F.concat(
+                F.lit("HTTP://"), F.upper("source"),
+                F.lit(".EXAMPLE.COM:80/p/"), pid,
+            ),
+        )
+        .when(
+            sel == 1,
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".example.com/p/"), pid, F.lit("#section-2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".example.com/p/"), pid, F.lit("/"),
+            )
+        )
+    )
+    return (
+        docs.select("source", url_normalize(messy).alias("canon"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("canon").alias("n_canonical"),
+        )
+        .orderBy("source")
+    )

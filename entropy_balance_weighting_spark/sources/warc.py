@@ -365,14 +365,17 @@ def read_warc(
     unparseable records/members become ``warc_type='invalid'`` rows
     carrying the error, so corruption is queryable instead of fatal.
     """
-    import pandas as pd
-
     reader = spark.read.format("binaryFile")
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_parse_gen(batch_records), WARC_RECORD_SCHEMA)
 
+
+def _parse_gen(batch_records: int):
     def gen(batches):
+        import pandas as pd
+
         for pdf in batches:
             for path_, data in zip(pdf["path"], pdf["content"]):
                 for rows in _records_of_file(
@@ -380,7 +383,36 @@ def read_warc(
                 ):
                     yield pd.DataFrame(rows)
 
-    return files.mapInPandas(gen, WARC_RECORD_SCHEMA)
+    return gen
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    batch_records: int = 1024,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming variant of :func:`read_warc`: new WARC
+    files landing under ``path`` become record micro-batches — the
+    live-crawl ingest shape (crawler writes files, the pipeline tails
+    the directory; checkpointing gives exactly-once file accounting).
+    Same parse, same schema, same corruption-as-rows contract; pace a
+    backfill with ``max_files_per_trigger``."""
+    # streaming file sources require an explicit schema; binaryFile's
+    # is fixed by the format
+    bf_schema = (
+        "path string, modificationTime timestamp, length long, "
+        "content binary"
+    )
+    reader = spark.readStream.format("binaryFile").schema(bf_schema)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_parse_gen(batch_records), WARC_RECORD_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

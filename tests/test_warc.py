@@ -288,3 +288,50 @@ def test_read_warc_decodes_chunked_gzip_records(spark, tmp_path):
     assert row["error"] is None
     assert bytes(row["payload"]) == body
     assert row["http_content_type"] == "text/html"
+
+
+def test_read_warc_stream_tails_new_files(spark, tmp_path):
+    """Streaming ingest: files landing across micro-batches all arrive,
+    with the same parse/corruption contract as the batch reader."""
+    src = tmp_path / "crawl"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    recs = _fixture_records()
+    (src / "a.warc.gz").write_bytes(
+        b"".join(warc.gzip_member(r) for r in recs[:3])
+    )
+
+    def drain():
+        stream = warc.read_warc_stream(
+            spark, str(src), glob="*.warc.gz", max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got1 = spark.read.parquet(str(out))
+    assert got1.count() == 3
+
+    # a second file lands; only ITS records are new in the next drain
+    (src / "b.warc.gz").write_bytes(
+        b"".join(warc.gzip_member(r) for r in recs[3:])
+    )
+    drain()
+    got2 = spark.read.parquet(str(out))
+    assert got2.count() == 6
+    assert (
+        got2.filter(F.col("warc_type") == "response").count() == 5
+    )
+    uris = {
+        r["target_uri"]
+        for r in got2.filter(F.col("warc_type") == "response").collect()
+    }
+    assert uris == {f"http://ex.com/{i}" for i in range(5)}
