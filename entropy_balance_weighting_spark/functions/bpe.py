@@ -203,3 +203,21 @@ def detokenize(tokens: Column | str) -> Column:
     encode for whitespace-normalized input — pinned by test."""
     c = F.col(tokens) if isinstance(tokens, str) else tokens
     return F.trim(F.replace(F.concat_ws("", c), F.lit(_EOW), F.lit(" ")))
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge list as JSON in rank order (engine-portable,
+    no pickle) — same model-artifact discipline as
+    :func:`similarity.save_quantizer`."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"version": 1, "merges": [list(p) for p in merges]}, f)
+
+
+def load_bpe(path: str) -> list[tuple[str, str]]:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return [tuple(p) for p in d["merges"]]

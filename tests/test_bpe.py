@@ -90,3 +90,15 @@ def test_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="no words"):
         bpe.fit_bpe(empty)
+
+
+def test_bpe_persistence_roundtrip(corpus, tmp_path):
+    from entropy_balance_weighting_spark.functions.bpe import (
+        load_bpe,
+        save_bpe,
+    )
+
+    merges = bpe.fit_bpe(corpus, n_merges=25)
+    p = str(tmp_path / "bpe.json")
+    save_bpe(merges, p)
+    assert load_bpe(p) == merges

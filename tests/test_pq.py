@@ -140,3 +140,16 @@ def test_quantization_error_shrinks_with_k(corpus):
         return float(((u - rec) ** 2).sum(axis=1).mean())
 
     assert mse(32) < mse(4) * 0.5
+
+
+def test_pq_codebook_persistence_roundtrip(corpus, tmp_path):
+    """save_quantizer/load_quantizer are shape-generic: the (m, k, ds)
+    PQ codebook persists through the same JSON artifact as the IVF
+    centroids."""
+    df, _ = corpus
+    cb = sim.fit_pq(df, m=8, k=16, seed=3)
+    p = str(tmp_path / "pq.json")
+    sim.save_quantizer(cb, p)
+    back = sim.load_quantizer(p)
+    assert back.shape == cb.shape
+    assert np.array_equal(back, cb)
