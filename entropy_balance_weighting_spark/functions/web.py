@@ -239,3 +239,105 @@ def sniff_mime(col: Column | str) -> Column:
     return expr.when(is_html, "text/html").otherwise(
         "application/octet-stream"
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) — crawl politeness as expressions
+# ---------------------------------------------------------------------------
+
+
+def robots_rules(col: Column | str, agent: str) -> Column:
+    """Parse a robots.txt payload into the rule array that APPLIES to
+    ``agent``: ``array<struct<allow:boolean, path:string>>``.
+
+    Pure expression-level stateful fold (``aggregate`` over lines — no
+    UDF): a run of consecutive ``User-agent`` lines opens a group
+    (blank lines are NOT group separators under RFC 9309 — two UA
+    lines with only whitespace between them share one group, unlike
+    the legacy 1994 REP); groups NAMING the agent (case-insensitive)
+    win outright, and the ``*`` groups apply only when no group names
+    the agent (§2.2.1).  Comments are stripped; unknown directives
+    (Crawl-delay, Sitemap) end a user-agent run but contribute no
+    rules.  Wildcard patterns (``*``/``$``) inside paths are NOT
+    interpreted (they need regex translation — named out of scope);
+    they still participate as literal prefixes."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(
+        F.transform(
+            F.split(F.regexp_replace(c, r"\r\n?", "\n"), r"\n"),
+            lambda l: F.trim(F.regexp_replace(l, r"#.*$", "")),
+        ),
+        lambda l: l != "",
+    )
+    a = F.lit(agent.lower())
+    rules_t = "array<struct<allow:boolean,path:string>>"
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("agents"),
+        F.lit(False).alias("ua_run"),
+        F.array().cast(rules_t).alias("named"),
+        F.array().cast(rules_t).alias("star"),
+        F.lit(False).alias("named_seen"),
+    )
+
+    def step(acc, l):
+        low = F.lower(l)
+        val = F.trim(F.regexp_extract(l, r"^[^:]*:(.*)$", 1))
+        is_ua = low.rlike(r"^user-agent[ \t]*:")
+        is_dis = low.rlike(r"^disallow[ \t]*:")
+        is_alw = low.rlike(r"^allow[ \t]*:")
+        agents = F.when(
+            is_ua & acc["ua_run"],
+            F.array_append(acc["agents"], F.lower(val)),
+        ).when(is_ua, F.array(F.lower(val))).otherwise(acc["agents"])
+        in_named = F.array_contains(acc["agents"], a)
+        in_star = F.array_contains(acc["agents"], "*")
+        rule = F.struct(is_alw.alias("allow"), val.alias("path"))
+        is_rule = (is_dis | is_alw) & (val != "")
+        named = F.when(
+            is_rule & in_named, F.array_append(acc["named"], rule)
+        ).otherwise(acc["named"])
+        star = F.when(
+            is_rule & in_star, F.array_append(acc["star"], rule)
+        ).otherwise(acc["star"])
+        return F.struct(
+            agents.alias("agents"),
+            is_ua.alias("ua_run"),
+            named.alias("named"),
+            star.alias("star"),
+            # an (even empty) group NAMING the agent makes * inapplicable
+            (acc["named_seen"] | (is_ua & (F.lower(val) == a))).alias(
+                "named_seen"
+            ),
+        )
+
+    # RFC 9309 §2.2.1: use the group(s) naming the agent when any
+    # exist; only otherwise fall back to the '*' group(s)
+    return F.aggregate(
+        lines,
+        acc0,
+        step,
+        lambda acc: F.when(acc["named_seen"], acc["named"]).otherwise(
+            acc["star"]
+        ),
+    )
+
+
+def robots_allows(rules: Column, path: Column | str) -> Column:
+    """RFC 9309 longest-match evaluation of a parsed rule array against
+    a URL path: the most specific (longest) matching rule wins; an
+    Allow beats a Disallow of equal length; no match ⇒ allowed.  Pure
+    expressions — two folds over the (tiny) per-group rule array."""
+    p = F.col(path) if isinstance(path, str) else path
+
+    def best_len(allow: bool) -> Column:
+        return F.aggregate(
+            F.filter(
+                rules,
+                lambda r: (r["allow"] == F.lit(allow))
+                & p.startswith(r["path"]),
+            ),
+            F.lit(-1),
+            lambda acc, r: F.greatest(acc, F.length(r["path"])),
+        )
+
+    return best_len(True) >= best_len(False)

@@ -1239,3 +1239,60 @@ def txt_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "license")
     )
+
+
+@register(
+    "txt_robots_filter",
+    survey="ext:web-robots",
+    oracle="""
+SELECT source,
+       CAST(sum(CASE WHEN doc_id % 4 <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_allowed,
+       CAST(sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_denied
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def txt_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-politeness filtering (:func:`web.robots_rules` /
+    :func:`web.robots_allows`, RFC 9309): each document carries a URL
+    path whose allowed-ness under a fixture robots file is fixed by
+    ``doc_id % 4`` (public path, disallowed prefix, the Allow override
+    inside it, root), and the expression-level fold + longest-match
+    evaluation must reproduce exactly the id arithmetic the oracle
+    computes.  Production shape note: rules are parsed once per
+    distinct host (groupBy host → parse → broadcast join back), not
+    per row; the per-row parse here exists so the oracle sees one
+    self-contained expression."""
+    from entropy_balance_weighting_spark.functions import web
+
+    docs = load_table(spark, sf_dir, "documents")
+    robots = F.lit(
+        "User-agent: crawler\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok\n\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    pid = F.col("doc_id").cast("string")
+    sel = F.col("doc_id") % 4
+    path = (
+        F.when(sel == 0, F.concat(F.lit("/public/"), pid))
+        .when(sel == 1, F.concat(F.lit("/private/"), pid))
+        .when(sel == 2, F.concat(F.lit("/private/ok"), pid))
+        .otherwise(F.lit("/"))
+    )
+    allowed = web.robots_allows(web.robots_rules(robots, "crawler"), path)
+    return (
+        docs.select("source", allowed.alias("ok"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_allowed"),
+            F.sum(F.when(F.col("ok"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_denied"),
+        )
+        .orderBy("source")
+    )

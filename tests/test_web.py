@@ -196,3 +196,75 @@ def test_sniff_mime_magic_table(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+_ROBOTS = """# politeness file
+User-agent: badbot
+Disallow: /
+
+User-agent: goodbot
+User-agent: okbot
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 3
+
+User-agent: *
+Disallow: /tmp/
+"""
+
+
+def _allowed(spark, agent, path):
+    return (
+        spark.createDataFrame([(_ROBOTS,)], "r string")
+        .select(
+            web.robots_allows(
+                web.robots_rules("r", agent), F.lit(path)
+            ).alias("a")
+        )
+        .first()["a"]
+    )
+
+
+def test_robots_longest_match_and_group_selection(spark):
+    # named group: longest match wins, Allow beats equal Disallow
+    assert _allowed(spark, "goodbot", "/public/x") is True
+    assert _allowed(spark, "goodbot", "/private/x") is False
+    assert _allowed(spark, "goodbot", "/private/ok/page") is True
+    assert _allowed(spark, "okbot", "/private/x") is False
+    # RFC 9309 2.2.1: a named group makes the * group inapplicable
+    assert _allowed(spark, "goodbot", "/tmp/y") is True
+    # blanket ban group
+    assert _allowed(spark, "badbot", "/anything") is False
+    # unnamed agents fall back to *
+    assert _allowed(spark, "newbot", "/public") is True
+    assert _allowed(spark, "newbot", "/tmp/z") is False
+
+
+def test_robots_rfc_group_merging_and_edge_cases(spark):
+    # consecutive UA lines merge across blank lines (RFC 9309, unlike
+    # the legacy REP where a blank line ended the group)
+    merged = "User-agent: a\n\nUser-agent: *\nDisallow: /x/\n"
+    df = spark.createDataFrame([(merged,)], "r string")
+    got = df.select(
+        web.robots_allows(web.robots_rules("r", "a"), F.lit("/x/1")).alias("v")
+    ).first()["v"]
+    assert got is False
+    # empty file / no matching group => everything allowed
+    for payload in ("", "# only comments\n", "User-agent: other\nDisallow: /\n"):
+        df = spark.createDataFrame([(payload,)], "r string")
+        got = df.select(
+            web.robots_allows(
+                web.robots_rules("r", "me"), F.lit("/any")
+            ).alias("v")
+        ).first()["v"]
+        assert got is True, payload
+    # empty Disallow value is not a rule
+    df = spark.createDataFrame([("User-agent: *\nDisallow:\n",)], "r string")
+    assert (
+        df.select(
+            web.robots_allows(
+                web.robots_rules("r", "me"), F.lit("/p")
+            ).alias("v")
+        ).first()["v"]
+        is True
+    )
