@@ -341,3 +341,40 @@ def robots_allows(rules: Column, path: Column | str) -> Column:
         )
 
     return best_len(True) >= best_len(False)
+
+
+def sitemap_locs(col: Column | str) -> Column:
+    """``array<struct<loc:string, lastmod:string>>`` from a sitemap XML
+    payload (plain urlset or sitemapindex — both use ``<loc>``):
+    frontier seeding without an XML library.  Entity-decoding of
+    ``&amp;`` in URLs is applied (the one entity sitemaps commonly
+    carry); ``lastmod`` is '' when absent."""
+    c = F.col(col) if isinstance(col, str) else col
+    blocks = F.concat(
+        F.regexp_extract_all(
+            c, F.lit(r"(?is)<url>(.*?)</url>"), F.lit(1)
+        ),
+        F.regexp_extract_all(
+            c, F.lit(r"(?is)<sitemap>(.*?)</sitemap>"), F.lit(1)
+        ),
+    )
+    return F.filter(
+        F.transform(
+            blocks,
+            lambda b: F.struct(
+                F.replace(
+                    F.trim(
+                        F.regexp_extract(
+                            b, r"(?is)<loc>(.*?)</loc>", 1
+                        )
+                    ),
+                    F.lit("&amp;"),
+                    F.lit("&"),
+                ).alias("loc"),
+                F.trim(
+                    F.regexp_extract(b, r"(?is)<lastmod>(.*?)</lastmod>", 1)
+                ).alias("lastmod"),
+            ),
+        ),
+        lambda s: s["loc"] != "",
+    )

@@ -335,3 +335,43 @@ def test_read_warc_stream_tails_new_files(spark, tmp_path):
         for r in got2.filter(F.col("warc_type") == "response").collect()
     }
     assert uris == {f"http://ex.com/{i}" for i in range(5)}
+
+
+def test_wet_conversion_records_read(spark, tmp_path):
+    """Common Crawl WET files are WARC with 'conversion' records whose
+    block is plain extracted text — the reader must surface them
+    verbatim (no HTTP split) alongside the warcinfo header."""
+    recs = [
+        warc.build_warc_record(
+            "warcinfo",
+            record_id="winfo",
+            date="2026-01-01T00:00:00Z",
+            content=b"software: wet-test\r\n",
+            content_type="application/warc-fields",
+        )
+    ]
+    for i in range(4):
+        recs.append(
+            warc.build_warc_record(
+                "conversion",
+                record_id=f"c{i}",
+                date="2026-01-01T00:00:00Z",
+                target_uri=f"http://ex.com/{i}",
+                content=f"extracted text of page {i}\nsecond line".encode(),
+                content_type="text/plain",
+            )
+        )
+    (tmp_path / "f.warc.wet.gz").write_bytes(
+        b"".join(warc.gzip_member(r) for r in recs)
+    )
+    df = warc.read_warc(spark, str(tmp_path), glob="*.wet.gz")
+    conv = df.filter(F.col("warc_type") == "conversion").orderBy(
+        "target_uri"
+    )
+    rows = conv.collect()
+    assert len(rows) == 4
+    assert bytes(rows[2]["payload"]).decode() == (
+        "extracted text of page 2\nsecond line"
+    )
+    assert rows[0]["content_type"] == "text/plain"
+    assert rows[0]["http_status"] is None

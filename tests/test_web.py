@@ -268,3 +268,30 @@ def test_robots_rfc_group_merging_and_edge_cases(spark):
         ).first()["v"]
         is True
     )
+
+
+def test_sitemap_locs(spark):
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://ex.com/a?x=1&amp;y=2</loc>
+       <lastmod>2026-01-02</lastmod></url>
+  <url><loc> http://ex.com/b </loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>"""
+    locs = (
+        spark.createDataFrame([(xml,)], "x string")
+        .select(web.sitemap_locs("x").alias("v"))
+        .first()["v"]
+    )
+    assert [(s["loc"], s["lastmod"]) for s in locs] == [
+        ("http://ex.com/a?x=1&y=2", "2026-01-02"),
+        ("http://ex.com/b", ""),
+    ]
+    # sitemapindex files use <sitemap> blocks
+    idx = "<sitemapindex><sitemap><loc>http://ex.com/s1.xml</loc></sitemap></sitemapindex>"
+    locs = (
+        spark.createDataFrame([(idx,)], "x string")
+        .select(web.sitemap_locs("x").alias("v"))
+        .first()["v"]
+    )
+    assert locs[0]["loc"] == "http://ex.com/s1.xml"
