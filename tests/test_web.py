@@ -295,3 +295,42 @@ def test_sitemap_locs(spark):
         .first()["v"]
     )
     assert locs[0]["loc"] == "http://ex.com/s1.xml"
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 2), (4, 0),
+        # node 5 is dangling (no outlinks); node 6 links to it
+        (6, 5), (2, 6),
+    ]
+    n = 7
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["rank"]
+        for r in web.pagerank(df, n_iters=12, damping=0.85).collect()
+    }
+    assert len(got) == n
+
+    # numpy reference: same dangling-redistribution convention
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.ones(n)
+    for _ in range(12):
+        inflow = np.zeros(n)
+        for s, d in edges:
+            inflow[d] += r[s] / deg[s]
+        dangling = r[deg == 0].sum()
+        r = (1 - 0.85) + 0.85 * (inflow + dangling / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    # mass conservation and ordering sanity: the hub (2) outranks all
+    assert abs(sum(got.values()) - n) < 1e-6
+    assert got[2] == max(got.values())
+
+
+def test_pagerank_empty_graph(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert web.pagerank(df).count() == 0
