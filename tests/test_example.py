@@ -66,3 +66,23 @@ def test_corpus_curation_example_end_to_end(spark):
     # caption sidecar: every synthetic SRT doc yields a transcript with
     # the full 4.5 s on-screen span
     assert out["n_caption_docs"] == 40
+
+
+def test_crawl_frontier_example_end_to_end(spark):
+    from examples.crawl_frontier import main as frontier_main
+
+    out = frontier_main(SF_DIR, spark=spark)
+    # 500 docs: +100 upper-cased duplicate seeds (ids %4==0, %5!=0)
+    assert out["n_seeds"] == 600
+    # robots walls off the 100 /private/ ids (%5==0)
+    assert out["n_polite"] == 500
+    # url_normalize collapses the 100 case-variant duplicates
+    assert out["n_frontier"] == 400
+    # every canonical allowed page fetches, extracts, and links once
+    assert out["n_fetched"] == 400
+    assert out["n_edges"] == 400
+    # the ring links stay inside the fetched set ((id+20)%500 keeps the
+    # id%5 class, so no edge points at a never-fetched private page)
+    assert out["n_ranked"] == 400
+    # PageRank conserves mass to the node count
+    assert abs(out["rank_mass"] - 400.0) < 1e-6

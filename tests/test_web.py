@@ -334,3 +334,33 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert web.pagerank(df).count() == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["http://", "HTTPS://", "Ex.COM", ":80", ":443", ":8080",
+             "/path", "/", "?q=1", "#frag", "a", "B", ".", "//"]
+        ),
+        min_size=1,
+        max_size=8,
+    ).map("".join)
+)
+def test_url_normalize_is_idempotent(url):
+    """normalize(normalize(x)) == normalize(x) — canonical forms must
+    be fixed points, or frontier dedup keys drift across passes."""
+    from entropy_balance_weighting_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ebw_tests", master="local[4]", shuffle_partitions=4
+    )
+    row = (
+        spark.createDataFrame([(url,)], "u string")
+        .select(
+            web.url_normalize("u").alias("once"),
+            web.url_normalize(web.url_normalize("u")).alias("twice"),
+        )
+        .first()
+    )
+    assert row["once"] == row["twice"], (url, row["once"], row["twice"])
