@@ -1349,3 +1349,103 @@ def pq_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    centers,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """ONE-pass IVF+PQ index build (the FAISS IVFPQ layout): every
+    vector gets its coarse cell (argmax against the broadcast IVF
+    centroids) AND its byte-packed PQ code in a single Arrow map stage
+    — no second corpus scan, no id join.  Returns
+    ``(id_col, cell int, pq_code binary)``: the persistable compressed
+    index (≈ m+4 bytes/vector).  Both model artifacts ride the closure
+    (centers C×D, codebooks m×k×D/m — KBs)."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.ascontiguousarray(centers, dtype=np.float64)
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, kc, ds = cb.shape
+    half_c2 = 0.5 * (cb * cb).sum(axis=2)
+    half_cent2 = 0.5 * (cent * cent).sum(axis=1)[None, :]
+    schema = f"{id_col} long, cell int, pq_code binary"
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if x.ndim != 2 or x.shape[1] != m * ds:
+                raise ValueError(
+                    f"embedding dim mismatch vs codebooks (m={m}, ds={ds})"
+                )
+            if normalize:
+                nrm = np.linalg.norm(x, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                x = x / nrm
+            cells = (x @ cent.T - half_cent2).argmax(axis=1).astype(
+                np.int32
+            )
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                scores = x[:, j * ds : (j + 1) * ds] @ cb[j].T - half_c2[j]
+                codes[:, j] = scores.argmax(axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "cell": cells,
+                    "pq_code": [c.tobytes() for c in codes],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def pq_topk_ivf(
+    index: DataFrame,
+    centers,
+    codebooks,
+    query,
+    *,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    normalize: bool = True,
+) -> DataFrame:
+    """IVF+PQ top-k (the production ANN shape): the query picks its
+    ``n_probe`` nearest coarse cells DRIVER-SIDE (C-sized arithmetic),
+    the compressed index is filtered to those cells (a partition-
+    prunable ``isin`` over ~n_probe/C of the corpus), and the ADC scan
+    of :func:`pq_topk` ranks only the survivors — candidate volume and
+    bytes touched both shrink by the same factor.  Recall is tuned by
+    ``n_probe`` exactly as in :func:`cosine_topk_ivf`; the shortlist
+    should be exact-re-ranked downstream."""
+    import numpy as np
+
+    cent = np.ascontiguousarray(centers, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64).ravel()
+    if normalize:
+        n = np.linalg.norm(q)
+        if n > 0:
+            q = q / n
+    d2 = ((cent - q[None, :]) ** 2).sum(axis=1)
+    short = [int(c) for c in np.argsort(d2)[:n_probe]]
+    cands = index.filter(F.col("cell").isin(short))
+    return pq_topk(
+        cands,
+        codebooks,
+        query,
+        k=k,
+        id_col=id_col,
+        code_col=code_col,
+        normalize=normalize,
+    )

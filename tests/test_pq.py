@@ -153,3 +153,61 @@ def test_pq_codebook_persistence_roundtrip(corpus, tmp_path):
     back = sim.load_quantizer(p)
     assert back.shape == cb.shape
     assert np.array_equal(back, cb)
+
+
+def test_ivfpq_index_and_search(corpus):
+    """IVF+PQ: the one-pass index carries correct cells and codes, the
+    cell filter prunes candidate volume by ~n_probe/C, and shortlist
+    recall vs exact cosine stays high on clustered data."""
+    df, x = corpus
+    centers = sim.fit_ivf_quantizer(df, n_cells=12, seed=5)
+    cb = sim.fit_pq(df, m=8, k=32, seed=3)
+    idx = sim.build_ivfpq_index(df, centers, cb).cache()
+    try:
+        assert idx.count() == len(x)
+        # codes identical to the PQ-only encode; cells identical to the
+        # IVF assignment arithmetic
+        codes_only = {
+            r["vec_id"]: bytes(r["pq_code"])
+            for r in sim.pq_encode(df, cb).collect()
+        }
+        import numpy as np
+
+        cent = np.asarray(centers)
+        u = x / np.linalg.norm(x, axis=1, keepdims=True)
+        want_cells = (
+            u @ cent.T - 0.5 * (cent * cent).sum(1)[None, :]
+        ).argmax(1)
+        for r in idx.collect():
+            assert bytes(r["pq_code"]) == codes_only[r["vec_id"]]
+            assert r["cell"] == want_cells[r["vec_id"]]
+
+        # search: pruned candidate volume + shortlist recall
+        recalls = []
+        for qi in (5, 123, 777):
+            exact = set(np.argsort(-(u @ u[qi]))[:10].tolist())
+            short = [
+                r["vec_id"]
+                for r in sim.pq_topk_ivf(
+                    idx, centers, cb, x[qi], n_probe=4, k=100
+                ).collect()
+            ]
+            assert len(short) <= 100
+            recalls.append(len(exact & set(short)) / 10)
+        assert sum(recalls) / len(recalls) >= 0.7, recalls
+        # n_probe=C degenerates to the full PQ scan (same top ids)
+        full = [
+            r["vec_id"]
+            for r in sim.pq_topk(
+                idx.select("vec_id", "pq_code"), cb, x[5], k=20
+            ).collect()
+        ]
+        allp = [
+            r["vec_id"]
+            for r in sim.pq_topk_ivf(
+                idx, centers, cb, x[5], n_probe=12, k=20
+            ).collect()
+        ]
+        assert full == allp
+    finally:
+        idx.unpersist()
