@@ -550,3 +550,99 @@ def detect_license(col: Column | str) -> Column:
     for lic, pat in _LICENSE_PHRASES:
         expr = expr.when(c.rlike(pat), lic)
     return expr.otherwise("unknown")
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A) — the standard
+# document-level filter bundle LLM corpora are screened with
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Append the Gopher rule flags (one boolean column per rule, TRUE
+    = passes) plus ``gopher_pass`` (all rules) — the document-level
+    quality screen of Rae et al. 2021 Appendix A, with their published
+    default thresholds.  One materialized token split per document;
+    every rule is a JVM expression over it (conditional counts, no
+    UDF), so the whole bundle is one codegen'd scan AND each rule is
+    SQL-replayable for the oracle.
+
+    Rules: word count in [min, max]; mean word length in [3, 10];
+    ``#``/``...`` symbol-to-word ratio ≤ 0.1; ≤ 90% of lines starting
+    with a bullet; ≤ 30% of lines ending in an ellipsis; ≥ 80% of
+    words containing at least one alphabetic character; at least 2
+    distinct common-stopword hits (the "harmful boilerplate" proxy)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = df.withColumn("__tk", toks)
+    tk = F.col("__tk")
+    n = F.size(tk)
+    nd = n.cast("double")
+    mean_wl = (
+        F.aggregate(
+            F.transform(tk, lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / F.greatest(nd, F.lit(1.0))
+    )
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"#", ""))
+        + (
+            F.length(F.col(text_col))
+            - F.length(
+                F.regexp_replace(F.col(text_col), r"\.\.\.|…", "")
+            )
+        )
+        / 3
+    )
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(lines, lambda l: F.ltrim(l).rlike(r"^([-*•]|\d+\.)"))
+        )
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(tk, lambda x: x.rlike(r"[A-Za-z]")))
+        / F.greatest(nd, F.lit(1.0))
+    )
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    stop_hits = F.size(
+        F.array_distinct(F.filter(tk, lambda x: F.array_contains(sw, x)))
+    )
+    flags = {
+        "g_word_count": (n >= min_words) & (n <= max_words),
+        "g_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "g_symbol_ratio": (n_symbols / F.greatest(nd, F.lit(1.0)))
+        <= max_symbol_word_ratio,
+        "g_bullet_lines": bullet_frac <= max_bullet_line_frac,
+        "g_ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
+        "g_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "g_stopwords": stop_hits >= min_stopword_hits,
+    }
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    gate = None
+    for name in flags:
+        gate = F.col(name) if gate is None else gate & F.col(name)
+    return out.withColumn("gopher_pass", gate).drop("__tk")

@@ -1296,3 +1296,102 @@ def txt_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_GOPHER_SW_SQL = "['the','a','of','and','to','in','is','it']"
+
+_GOPHER_ORACLE = f"""
+WITH ex AS (
+  SELECT source,
+         string_split_regex(trim(text), '\\s+') AS tk,
+         string_split(text, chr(10)) AS lines,
+         text
+  FROM documents
+), m AS (
+  SELECT source,
+         len(tk) AS n,
+         list_sum(list_transform(tk, t -> length(t)))
+           / greatest(len(tk), 1) AS mean_wl,
+         (length(text) - length(replace(text, '#', ''))
+          + (length(text)
+             - length(regexp_replace(text, '\\.\\.\\.|…', '', 'g'))) / 3)
+           / greatest(CAST(len(tk) AS DOUBLE), 1) AS sym_ratio,
+         len(list_filter(lines,
+             l -> regexp_matches(ltrim(l), '^([-*•]|\\d+\\.)')))
+           / greatest(CAST(len(lines) AS DOUBLE), 1) AS bullet_frac,
+         len(list_filter(lines,
+             l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+           / greatest(CAST(len(lines) AS DOUBLE), 1) AS ellipsis_frac,
+         len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+           / greatest(CAST(len(tk) AS DOUBLE), 1) AS alpha_frac,
+         len(list_distinct(list_filter(tk,
+             t -> list_contains({_GOPHER_SW_SQL}, t)))) AS stop_hits
+  FROM ex
+), f AS (
+  SELECT source,
+         CASE WHEN n BETWEEN 30 AND 100000 THEN 1 ELSE 0 END AS g_word_count,
+         CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+             AS g_mean_word_len,
+         CASE WHEN sym_ratio <= 0.1 THEN 1 ELSE 0 END AS g_symbol_ratio,
+         CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS g_bullet_lines,
+         CASE WHEN ellipsis_frac <= 0.3 THEN 1 ELSE 0 END
+             AS g_ellipsis_lines,
+         CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS g_alpha_words,
+         CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS g_stopwords
+  FROM m
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(g_word_count) AS BIGINT) AS n_word_count,
+       CAST(sum(g_mean_word_len) AS BIGINT) AS n_mean_word_len,
+       CAST(sum(g_symbol_ratio) AS BIGINT) AS n_symbol_ratio,
+       CAST(sum(g_bullet_lines) AS BIGINT) AS n_bullet_lines,
+       CAST(sum(g_ellipsis_lines) AS BIGINT) AS n_ellipsis_lines,
+       CAST(sum(g_alpha_words) AS BIGINT) AS n_alpha_words,
+       CAST(sum(g_stopwords) AS BIGINT) AS n_stopwords,
+       CAST(sum(g_word_count * g_mean_word_len * g_symbol_ratio
+                * g_bullet_lines * g_ellipsis_lines * g_alpha_words
+                * g_stopwords) AS BIGINT) AS n_pass
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "txt_gopher_flags",
+    survey="ext:quality-gopher",
+    oracle=_GOPHER_ORACLE,
+)
+def txt_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule bundle (Rae et al. 2021
+    Appendix A) — per-rule pass counts per source
+    (:func:`text.gopher_quality_flags`: word count, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, stopword hits — ONE codegen'd scan, one token split,
+    conditional counts, no UDF).  The oracle replays every rule in
+    SQL over the same token/line splits; a threshold slip or a
+    mis-counted conditional shifts a per-rule total and fails the
+    hash."""
+    from entropy_balance_weighting_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = gopher_quality_flags(docs, min_words=30)
+    rules = [
+        "g_word_count", "g_mean_word_len", "g_symbol_ratio",
+        "g_bullet_lines", "g_ellipsis_lines", "g_alpha_words",
+        "g_stopwords",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for r in rules:
+        aggs.append(
+            F.sum(F.when(F.col(r), 1).otherwise(0))
+            .cast("long")
+            .alias("n" + r[1:])
+        )
+    aggs.append(
+        F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass")
+    )
+    return flagged.groupBy("source").agg(*aggs).orderBy("source")
