@@ -1449,3 +1449,89 @@ def pq_topk_ivf(
         code_col=code_col,
         normalize=normalize,
     )
+
+
+def pq_topk_batch(
+    codes: DataFrame,
+    codebooks,
+    queries,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    normalize: bool = True,
+) -> DataFrame:
+    """Batched ADC top-k: ALL Q queries scan the compressed corpus in
+    ONE pass (a Q×m×k' distance-table stack rides the closure; per
+    batch the lookup is one vectorized gather giving a (B, Q) distance
+    matrix), then a per-query window ranks.  Q single-query
+    :func:`pq_topk` calls cost Q corpus scans; this costs one — the
+    shape an offline kNN-join (dedup, retrieval eval) actually runs.
+    Returns ``(query_id, id_col, adc_dist)``, k rows per query."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, kc, ds = cb.shape
+    q = np.ascontiguousarray(queries, dtype=np.float64)
+    if q.ndim != 2 or q.shape[1] != m * ds:
+        raise ValueError(
+            f"queries must be (Q, {m * ds}); got {q.shape}"
+        )
+    if normalize:
+        # per-row 1-D norm (BLAS dot), NOT the axis= reduction: the two
+        # differ in the last ulp and must match pq_topk bit-for-bit
+        q = np.stack(
+            [
+                qi / n if (n := np.linalg.norm(qi)) > 0 else qi
+                for qi in q
+            ]
+        )
+    # table[qi, j, c] = ||q_sub - cb[j, c]||² — built with the IDENTICAL
+    # per-subspace reduction as pq_topk so batched results are
+    # bit-equal to single-query results (a fused broadcast sum differs
+    # in the last ulp and breaks ranking ties)
+    table = np.stack(
+        [
+            np.stack(
+                [
+                    ((cb[j] - q[qi, j * ds : (j + 1) * ds]) ** 2).sum(axis=1)
+                    for j in range(m)
+                ]
+            )
+            for qi in range(len(q))
+        ]
+    )  # (Q, m, kc)
+    nq = len(q)
+    schema = f"query_id int, {id_col} long, adc_dist double"
+
+    def gen(batches):
+        for pdf in batches:
+            raw = np.frombuffer(
+                b"".join(pdf[code_col]), dtype=np.uint8
+            ).reshape(-1, m)
+            # per-query 2-D gather+sum — the EXACT single-query
+            # arithmetic (a fused 3-D gather is non-contiguous and its
+            # strided reduction differs in the last ulp, breaking
+            # bit-parity with pq_topk); Q is small, B stays vectorized
+            gi = np.arange(m)[None, :]
+            dist = np.stack(
+                [table[qi][gi, raw].sum(axis=1) for qi in range(nq)]
+            )
+            b = raw.shape[0]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(np.arange(nq, dtype=np.int32), b),
+                    id_col: np.tile(ids, nq),
+                    "adc_dist": dist.ravel(),
+                }
+            )
+
+    scored = codes.select(id_col, code_col).mapInPandas(gen, schema)
+    w = Window.partitionBy("query_id").orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "adc_dist")
+    )

@@ -211,3 +211,27 @@ def test_ivfpq_index_and_search(corpus):
         assert full == allp
     finally:
         idx.unpersist()
+
+
+def test_batched_adc_matches_single_query(corpus):
+    df, x = corpus
+    cb = sim.fit_pq(df, m=8, k=16, seed=3)
+    codes = sim.pq_encode(df, cb).cache()
+    codes.count()
+    try:
+        qs = [x[5], x[123], x[777]]
+        batch = sim.pq_topk_batch(codes, cb, qs, k=15).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["vec_id"], r["adc_dist"])
+            )
+        assert set(by_q) == {0, 1, 2}
+        for qi, qv in enumerate(qs):
+            single = [
+                (r["vec_id"], r["adc_dist"])
+                for r in sim.pq_topk(codes, cb, qv, k=15).collect()
+            ]
+            assert by_q[qi] == single
+    finally:
+        codes.unpersist()
