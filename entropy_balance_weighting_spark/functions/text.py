@@ -646,3 +646,60 @@ def gopher_quality_flags(
     for name in flags:
         gate = F.col(name) if gate is None else gate & F.col(name)
     return out.withColumn("gopher_pass", gate).drop("__tk")
+
+
+def c4_quality_flags(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+    blocked_phrases: tuple[str, ...] = (
+        "lorem ipsum",
+        "terms of use",
+        "privacy policy",
+        "cookie policy",
+    ),
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) as flag
+    columns — the other canonical filter bundle next to Gopher's
+    (:func:`gopher_quality_flags`); C4 screens STRUCTURE (sentence
+    punctuation, boilerplate phrases, code leakage) where Gopher
+    screens STATISTICS.
+
+    Appended columns (TRUE = passes): ``c4_sentences`` (≥ 3
+    terminal-punctuated sentences), ``c4_terminal_lines`` (every
+    ≥5-word line ends in terminal punctuation — the C4 rule is
+    line-level DROP; the flag form marks documents that would lose
+    nothing), ``c4_no_blocked`` (none of the boilerplate phrases,
+    case-insensitive), ``c4_no_brace`` (no ``{`` — the code-leakage
+    proxy), ``c4_pass`` (all).  One scan, pure expressions, each rule
+    SQL-replayable."""
+    c = F.col(text_col)
+    n_sentences = F.size(
+        F.regexp_extract_all(c, F.lit(r"[^.!?]+[.!?]"), F.lit(0))
+    )
+    lines = F.split(c, r"\n")
+    long_lines = F.filter(
+        lines, lambda l: F.size(F.split(F.trim(l), r"\s+")) >= min_line_words
+    )
+    bad_lines = F.filter(
+        long_lines, lambda l: ~F.rtrim(l).rlike(r"[.!?\"']$")
+    )
+    blocked = F.lit(False)
+    low = F.lower(c)
+    for p in blocked_phrases:
+        blocked = blocked | low.contains(p)
+    return (
+        df.withColumn("c4_sentences", n_sentences >= min_sentences)
+        .withColumn("c4_terminal_lines", F.size(bad_lines) == 0)
+        .withColumn("c4_no_blocked", ~blocked)
+        .withColumn("c4_no_brace", ~c.contains("{"))
+        .withColumn(
+            "c4_pass",
+            F.col("c4_sentences")
+            & F.col("c4_terminal_lines")
+            & F.col("c4_no_blocked")
+            & F.col("c4_no_brace"),
+        )
+    )

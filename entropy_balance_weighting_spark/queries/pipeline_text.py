@@ -1395,3 +1395,106 @@ def txt_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pass")
     )
     return flagged.groupBy("source").agg(*aggs).orderBy("source")
+
+
+_C4_SYNTH_SQL = """
+'Alpha one two three four.'
+|| CASE WHEN doc_id % 3 <> 0
+        THEN ' Beta five six seven eight! Gamma nine ten eleven twelve?'
+        ELSE '' END
+|| chr(10)
+|| CASE WHEN doc_id % 5 = 0
+        THEN 'delta bad line no punct words'
+        ELSE 'epsilon good line ends here.' END
+|| CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'see Lorem Ipsum text.'
+        ELSE '' END
+|| CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'x{y.' ELSE '' END
+"""
+
+_C4_ORACLE = f"""
+WITH p AS (
+  SELECT source, ({_C4_SYNTH_SQL}) AS t FROM documents
+), f AS (
+  SELECT source,
+         CASE WHEN len(regexp_extract_all(t, '[^.!?]+[.!?]')) >= 3
+              THEN 1 ELSE 0 END AS c4_sentences,
+         CASE WHEN len(list_filter(string_split(t, chr(10)),
+                  l -> len(string_split_regex(trim(l), '\\s+')) >= 5
+                       AND NOT regexp_matches(rtrim(l), '[.!?"'']$')
+              )) = 0 THEN 1 ELSE 0 END AS c4_terminal_lines,
+         CASE WHEN NOT (contains(lower(t), 'lorem ipsum')
+                        OR contains(lower(t), 'terms of use')
+                        OR contains(lower(t), 'privacy policy')
+                        OR contains(lower(t), 'cookie policy'))
+              THEN 1 ELSE 0 END AS c4_no_blocked,
+         CASE WHEN NOT contains(t, '{{') THEN 1 ELSE 0 END AS c4_no_brace
+  FROM p
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(c4_sentences) AS BIGINT) AS n_sentences,
+       CAST(sum(c4_terminal_lines) AS BIGINT) AS n_terminal_lines,
+       CAST(sum(c4_no_blocked) AS BIGINT) AS n_no_blocked,
+       CAST(sum(c4_no_brace) AS BIGINT) AS n_no_brace,
+       CAST(sum(c4_sentences * c4_terminal_lines * c4_no_blocked
+                * c4_no_brace) AS BIGINT) AS n_pass
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "txt_c4_flags",
+    survey="ext:quality-c4",
+    oracle=_C4_ORACLE,
+)
+def txt_c4_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2,
+    :func:`text.c4_quality_flags`) — the structural filter bundle next
+    to Gopher's statistical one.  Each document gets a deterministic
+    fixture exercising every rule independently (sentence count by
+    ``id%3``, a non-terminal ≥5-word line by ``id%5``, a blocked
+    boilerplate phrase by ``id%7``, a brace by ``id%11``); the oracle
+    REPLAYS each rule in SQL over the same synthesized payload (same
+    RE2-safe patterns), so a pattern or threshold slip on either side
+    fails the hash."""
+    from entropy_balance_weighting_spark.functions.text import (
+        c4_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("Alpha one two three four."),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.lit(" Beta five six seven eight! Gamma nine ten eleven twelve?"),
+        ).otherwise(F.lit("")),
+        F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("delta bad line no punct words"),
+        ).otherwise(F.lit("epsilon good line ends here.")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("\nsee Lorem Ipsum text.")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\nx{y.")).otherwise(
+            F.lit("")
+        ),
+    )
+    flagged = c4_quality_flags(
+        docs.select("source", payload.alias("text"))
+    )
+    rules = ["c4_sentences", "c4_terminal_lines", "c4_no_blocked",
+             "c4_no_brace"]
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for r in rules:
+        aggs.append(
+            F.sum(F.when(F.col(r), 1).otherwise(0))
+            .cast("long")
+            .alias("n" + r[2:])
+        )
+    aggs.append(
+        F.sum(F.when(F.col("c4_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass")
+    )
+    return flagged.groupBy("source").agg(*aggs).orderBy("source")
