@@ -598,16 +598,13 @@ def gopher_quality_flags(
         )
         / F.greatest(nd, F.lit(1.0))
     )
+    # Each '#' and each ellipsis OCCURRENCE ('...' or '…') counts as one
+    # symbol — occurrence counts, not char-length deltas, so the 1-char
+    # unicode ellipsis isn't undercounted at 1/3 weight.
     n_symbols = (
         F.length(F.col(text_col))
         - F.length(F.regexp_replace(F.col(text_col), r"#", ""))
-        + (
-            F.length(F.col(text_col))
-            - F.length(
-                F.regexp_replace(F.col(text_col), r"\.\.\.|…", "")
-            )
-        )
-        / 3
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.|…"))
     )
     lines = F.split(F.col(text_col), r"\n")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")

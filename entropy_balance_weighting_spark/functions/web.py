@@ -11,10 +11,17 @@ Design notes (the scale lens):
   Spark's Java regex AND DuckDB's RE2 — the registered query's oracle
   replays the exact chain in SQL.
 - **Entity decoding** covers the named entities that dominate real
-  crawl text (``&amp; &lt; &gt; &quot; &#39; &apos; &nbsp;``).  Numeric
-  character references beyond ``&#39;`` need arithmetic-to-codepoint,
-  i.e. a UDF — out of scope for the no-UDF path and documented here
-  rather than half-done.
+  crawl text (``&amp; &lt; &gt; &quot; &#39; &apos; &nbsp;``) AND all
+  numeric character references (``&#960;`` decimal / ``&#x3C0;`` hex),
+  still UDF-free: the arithmetic-to-codepoint step is
+  ``conv``/``unhex``/``decode(…, 'UTF-32')`` — a pure expression that
+  covers the full Unicode range including astral planes (Spark's
+  ``char()`` is mod-256 and CANNOT do this).  The oracle replays with
+  DuckDB ``chr()``.  Known single-pass quirk, same philosophy as
+  ``&amp;`` ordering last: ``&#38;lt;`` decodes in two passes to ``<``
+  where a spec parser yields ``&lt;`` — double-escaped AMPERSAND forms
+  (``&amp;#960;``) are handled correctly because numeric decode runs
+  before the named-entity chain.
 - **Block structure** is preserved as newlines (block-level tags emit
   ``\\n`` before stripping) so paragraph-aware downstream stages
   (chunking, span dedup) see real boundaries instead of one soup line.
@@ -193,28 +200,34 @@ def url_normalize(col: Column | str) -> Column:
 # Content-type sniffing — magic-byte dispatch for crawl payloads
 # ---------------------------------------------------------------------------
 
-# (mime, offset, magic) — first match wins, ordered so containers that
-# embed other magics (RIFF variants, MP4's offset-4 ftyp) are decided
-# before the generic fallbacks.  Public magic numbers only.
-_MAGIC_TABLE: list[tuple[str, int, bytes]] = [
-    ("application/pdf", 0, b"%PDF"),
-    ("image/png", 0, b"\x89PNG\r\n\x1a\n"),
-    ("image/jpeg", 0, b"\xff\xd8\xff"),
-    ("image/gif", 0, b"GIF8"),
-    ("image/bmp", 0, b"BM"),
-    ("image/tiff", 0, b"II*\x00"),
-    ("image/tiff", 0, b"MM\x00*"),
-    ("image/webp", 8, b"WEBP"),  # RIFF....WEBP
-    ("audio/wav", 8, b"WAVE"),  # RIFF....WAVE
-    ("video/avi", 8, b"AVI "),  # RIFF....AVI
-    ("audio/flac", 0, b"fLaC"),
-    ("audio/ogg", 0, b"OggS"),
-    ("audio/mpeg", 0, b"ID3"),
-    ("audio/mpeg", 0, b"\xff\xfb"),
-    ("video/mp4", 4, b"ftyp"),
-    ("video/x-matroska", 0, b"\x1a\x45\xdf\xa3"),
-    ("application/zip", 0, b"PK\x03\x04"),
-    ("application/gzip", 0, b"\x1f\x8b"),
+# (mime, [(offset, magic), ...]) — ALL (offset, magic) pairs must match;
+# first matching entry wins, ordered so containers that embed other
+# magics (RIFF variants, MP4's offset-4 ftyp) are decided before the
+# generic fallbacks.  RIFF-family entries require BOTH the 'RIFF'
+# prefix at 0 and the family tag at 8 (tag alone misclassifies
+# unrelated payloads that happen to carry those bytes at offset 8);
+# mp4 requires the ftyp box-size high bytes to be zero (the ftyp box
+# is tens of bytes in every real file) next to the offset-4 tag.
+# Public magic numbers only.
+_MAGIC_TABLE: list[tuple[str, list[tuple[int, bytes]]]] = [
+    ("application/pdf", [(0, b"%PDF")]),
+    ("image/png", [(0, b"\x89PNG\r\n\x1a\n")]),
+    ("image/jpeg", [(0, b"\xff\xd8\xff")]),
+    ("image/gif", [(0, b"GIF8")]),
+    ("image/bmp", [(0, b"BM")]),
+    ("image/tiff", [(0, b"II*\x00")]),
+    ("image/tiff", [(0, b"MM\x00*")]),
+    ("image/webp", [(0, b"RIFF"), (8, b"WEBP")]),
+    ("audio/wav", [(0, b"RIFF"), (8, b"WAVE")]),
+    ("video/avi", [(0, b"RIFF"), (8, b"AVI ")]),
+    ("audio/flac", [(0, b"fLaC")]),
+    ("audio/ogg", [(0, b"OggS")]),
+    ("audio/mpeg", [(0, b"ID3")]),
+    ("audio/mpeg", [(0, b"\xff\xfb")]),
+    ("video/mp4", [(0, b"\x00\x00"), (4, b"ftyp")]),
+    ("video/x-matroska", [(0, b"\x1a\x45\xdf\xa3")]),
+    ("application/zip", [(0, b"PK\x03\x04")]),
+    ("application/gzip", [(0, b"\x1f\x8b")]),
 ]
 
 
@@ -229,8 +242,11 @@ def sniff_mime(col: Column | str) -> Column:
     ``application/octet-stream``."""
     c = F.col(col) if isinstance(col, str) else col
     expr = None
-    for mime, off, magic in _MAGIC_TABLE:
-        cond = F.substring(c, off + 1, len(magic)) == F.lit(magic)
+    for mime, checks in _MAGIC_TABLE:
+        cond = None
+        for off, magic in checks:
+            one = F.substring(c, off + 1, len(magic)) == F.lit(magic)
+            cond = one if cond is None else cond & one
         expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
     # HTML: decode a bounded prefix and match the document shell
     # a UTF-8 BOM decodes to one U+FEFF char after the string cast

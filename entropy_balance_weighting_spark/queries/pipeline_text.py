@@ -1313,8 +1313,7 @@ WITH ex AS (
          list_sum(list_transform(tk, t -> length(t)))
            / greatest(len(tk), 1) AS mean_wl,
          (length(text) - length(replace(text, '#', ''))
-          + (length(text)
-             - length(regexp_replace(text, '\\.\\.\\.|…', '', 'g'))) / 3)
+          + len(regexp_extract_all(text, '\\.\\.\\.|…')))
            / greatest(CAST(len(tk) AS DOUBLE), 1) AS sym_ratio,
          len(list_filter(lines,
              l -> regexp_matches(ltrim(l), '^([-*•]|\\d+\\.)')))

@@ -145,11 +145,17 @@ def gzip_member(record: bytes) -> bytes:
 
 def _split_members(data: bytes):
     """Yield decompressed gzip members from concatenated-member data
-    (``wbits=31`` stops at each member boundary)."""
+    (``wbits=31`` stops at each member boundary).  All decode damage —
+    truncation, non-gzip trailing bytes, corrupted member payload —
+    surfaces as ValueError so callers can record one invalid row and
+    keep the rest of the file."""
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(data[pos:])
+        try:
+            out = d.decompress(data[pos:])
+        except zlib.error as e:
+            raise ValueError(f"bad gzip member at offset {pos}: {e}")
         if not d.eof:
             raise ValueError(f"truncated gzip member at offset {pos}")
         consumed = len(data) - pos - len(d.unused_data)
@@ -230,6 +236,11 @@ def _parse_http_block(block: bytes):
                 body = zlib.decompress(body, wbits=31)
         except zlib.error as e:
             err = f"http body decode: {enc.decode()}: {e}"
+    elif err is None and enc not in (b"", b"identity"):
+        # br / zstd / … — keep the raw body but make the undecoded state
+        # queryable, so downstream extraction can route these records
+        # instead of consuming compressed bytes as text.
+        err = f"http body decode: unsupported encoding {enc.decode('latin-1')}"
     return status, ctype, body, err
 
 
@@ -333,8 +344,8 @@ def _records_of_file(path: str, data: bytes, batch_records: int):
                             yield from flush()
                 except ValueError as e:
                     rows.append(invalid(off, e))
-        except ValueError as e:  # truncated member: keep what we have
-            rows.append(invalid(len(data), e))
+        except (ValueError, zlib.error) as e:  # damaged member stream:
+            rows.append(invalid(len(data), e))  # keep what we have
     else:
         try:
             for off, headers, block in parse_warc_records(data):
@@ -521,9 +532,13 @@ def write_warc(
         final = tmp[: -len(".tmp")]
         os.replace(tmp, final)
         new_names.add(os.path.basename(final))
-    for old in glob.glob(os.path.join(dest, f"part-*{ext}")):
-        if os.path.basename(old) not in new_names:
-            os.remove(old)
+    # Sweep stale outputs of BOTH compression modes: toggling `compress`
+    # between exports must not leave the previous run's parts behind for
+    # a later read_warc over the directory to pick up.
+    for pat in ("part-*.warc", "part-*.warc.gz"):
+        for old in glob.glob(os.path.join(dest, pat)):
+            if os.path.basename(old) not in new_names:
+                os.remove(old)
     spark = df.sparkSession
     return spark.createDataFrame(
         [(r["file_no"], r["n_records"], r["n_bytes"]) for r in rows],

@@ -265,6 +265,62 @@ def test_http_decode_failure_keeps_raw_body():
     assert "gzip" in err
 
 
+def test_http_unsupported_content_encoding_is_queryable():
+    """br / zstd bodies (common in real crawls) stay raw but carry an
+    error, so downstream extraction can route instead of consuming
+    compressed bytes as text."""
+    for enc in ("br", "zstd"):
+        s, ct, out, err = warc._parse_http_block(
+            _http_resp(f"Content-Encoding: {enc}", b"\x8b\x02\x80compressed")
+        )
+        assert s == 200 and out == b"\x8b\x02\x80compressed"
+        assert err is not None and f"unsupported encoding {enc}" in err
+    # identity / absent header: no error
+    for hdrs in ("Content-Encoding: identity", "X-Other: 1"):
+        _, _, _, err = warc._parse_http_block(_http_resp(hdrs, b"plain"))
+        assert err is None
+
+
+def test_corrupt_gzip_member_data_is_one_invalid_row(spark, tmp_path):
+    """A valid member followed by non-gzip garbage (or a corrupted
+    member payload) must yield an invalid ROW, not crash the task —
+    zlib.error from decompress is mapped to the same queryable path
+    as truncation."""
+    recs = _fixture_records()
+    good = warc.gzip_member(recs[0])
+    # case 1: valid member + garbage trailing bytes (bad magic)
+    (tmp_path / "g1.warc.gz").write_bytes(good + b"\x1f\x8bGARBAGE-NOT-GZIP")
+    # case 2: valid member + member with corrupted deflate payload
+    broken = bytearray(warc.gzip_member(recs[1]))
+    broken[15] ^= 0xFF  # flip a byte inside the deflate stream
+    (tmp_path / "g2.warc.gz").write_bytes(good + bytes(broken))
+    for name in ("g1.warc.gz", "g2.warc.gz"):
+        df = warc.read_warc(spark, str(tmp_path / name))
+        by_type = dict(df.groupBy("warc_type").count().collect())
+        assert by_type.get("response") == 1, name
+        assert by_type.get("invalid", 0) == 1, name
+        errs = [
+            r["error"]
+            for r in df.filter(F.col("warc_type") == "invalid").collect()
+        ]
+        assert all("gzip member" in e for e in errs), (name, errs)
+
+
+def test_write_warc_compress_toggle_sweeps_other_extension(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(f"http://ex.com/{i}", f"body {i}") for i in range(6)],
+        "url string, body string",
+    )
+    dest = str(tmp_path / "out")
+    warc.write_warc(docs, dest, n_files=2, compress=False)
+    assert all(f.endswith(".warc") for f in os.listdir(dest))
+    warc.write_warc(docs, dest, n_files=2, compress=True)
+    files = sorted(os.listdir(dest))
+    assert files and all(f.endswith(".warc.gz") for f in files)
+    # the directory reads back exactly one export's records
+    assert warc.read_warc(spark, dest).count() == 6
+
+
 def test_read_warc_decodes_chunked_gzip_records(spark, tmp_path):
     import gzip as _gz
 

@@ -185,6 +185,12 @@ def test_sniff_mime_magic_table(spark):
         (b"\xef\xbb\xbf<html>", "text/html"),
         (b"plain words here", "application/octet-stream"),
         (b"", "application/octet-stream"),
+        # family tag at offset 8 WITHOUT the RIFF prefix must not match
+        (b"XXXX1234WAVEfmt", "application/octet-stream"),
+        (b"notRIFFxWEBPVP8", "application/octet-stream"),
+        (b"________AVI LIST", "application/octet-stream"),
+        # 'ftyp' at offset 4 with an implausible box size is not mp4
+        (b"ZZZZftypisom", "application/octet-stream"),
     ]
     df = spark.createDataFrame(
         [(i, bytearray(b)) for i, (b, _) in enumerate(cases)],
