@@ -57,6 +57,106 @@ _STRIP_CHAIN: list[tuple[str, str]] = [
     (r"(?s)<[^>]*>", " "),
 ]
 
+# numeric character references — the SAME RE2-safe pattern strings run
+# under Spark's Java regex and DuckDB (sql_decode_charrefs renders the
+# oracle replay from these constants).  Bounded repetition keeps the
+# match well inside int range; longer digit runs simply don't match and
+# stay literal in BOTH dialects.
+_CHARREF_DEC = r"&#([0-9]{1,7});"
+_CHARREF_HEX = r"&#[xX]([0-9a-fA-F]{1,6});"
+
+# valid decode range: [1, 0x10FFFF] minus the UTF-16 surrogate block —
+# outside it the ref is kept as literal text in both dialects (DuckDB
+# chr() errors on surrogates; Java decode would emit U+FFFD — keeping
+# the literal is the one behavior both engines can express identically)
+_CP_MIN, _CP_MAX = 1, 0x10FFFF
+_SURR_LO, _SURR_HI = 0xD800, 0xDFFF
+
+
+def _cp_char(cp: Column) -> Column:
+    """Codepoint (bigint column) → one-char string, full Unicode range,
+    pure expression: decimal → hex → 4-byte big-endian binary →
+    ``decode(…, 'UTF-32')``.  (Spark's ``char()`` is mod-256 and cannot
+    reach beyond Latin-1.)"""
+    return F.decode(
+        F.unhex(F.lpad(F.conv(cp.cast("string"), 10, 16), 8, "0")),
+        "UTF-32",
+    )
+
+
+def _decode_ref_form(c: Column, pat: str, hex_form: bool) -> Column:
+    """Decode every occurrence of one numeric-ref form in ``c``:
+    split on the pattern, decode each captured ref, stitch back
+    ``parts[0] + ch0 + parts[1] + ch1 + …`` with zip_with/aggregate —
+    one scan, no UDF."""
+    parts = F.split(c, pat)
+    refs = F.regexp_extract_all(c, F.lit(pat), F.lit(1))
+
+    def one(r: Column) -> Column:
+        cp = (F.conv(r, 16, 10) if hex_form else r).cast("bigint")
+        valid = (
+            (cp >= _CP_MIN)
+            & (cp <= _CP_MAX)
+            & ((cp < _SURR_LO) | (cp > _SURR_HI))
+        )
+        literal = F.concat(
+            F.lit("&#x" if hex_form else "&#"), r, F.lit(";")
+        )
+        return F.when(valid, _cp_char(cp)).otherwise(literal)
+
+    pieces = F.zip_with(
+        F.transform(refs, one),
+        F.slice(parts, 2, F.size(refs)),
+        lambda ch, p: F.concat(ch, p),
+    )
+    return F.concat(
+        F.element_at(parts, 1),
+        F.aggregate(pieces, F.lit(""), lambda a, x: F.concat(a, x)),
+    )
+
+
+def decode_charrefs(col: Column | str) -> Column:
+    """Decode HTML numeric character references (``&#960;`` and
+    ``&#x3C0;`` / ``&#X3C0;``) to their Unicode characters — full
+    codepoint range, expression-only.  Out-of-range / surrogate refs
+    stay literal (hex literals canonicalized to lower-case ``x``).
+    Runs decimal first, then hex; neither pattern can match the other
+    form's output, so the passes compose."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = _decode_ref_form(c, _CHARREF_DEC, hex_form=False)
+    c = _decode_ref_form(c, _CHARREF_HEX, hex_form=True)
+    return c
+
+
+def _sql_decode_ref_form(expr: str, pat: str, hex_form: bool) -> str:
+    """DuckDB rendering of :func:`_decode_ref_form` — same pattern
+    string, same validity guard, same literal-keep fallback."""
+    cp = (
+        "CAST('0x' || r AS BIGINT)" if hex_form else "CAST(r AS BIGINT)"
+    )
+    lit = f"'&#{'x' if hex_form else ''}' || r || ';'"
+    dec = (
+        f"list_transform(regexp_extract_all({expr}, '{pat}', 1), "
+        f"r -> CASE WHEN {cp} BETWEEN {_CP_MIN} AND {_CP_MAX} "
+        f"AND NOT ({cp} BETWEEN {_SURR_LO} AND {_SURR_HI}) "
+        f"THEN chr(CAST({cp} AS INTEGER)) ELSE {lit} END)"
+    )
+    parts = f"string_split_regex({expr}, '{pat}')"
+    return (
+        f"array_to_string(list_prepend(({parts})[1], "
+        f"list_transform(list_zip({dec}, ({parts})[2:]), "
+        f"z -> z[1] || z[2])), '')"
+    )
+
+
+def sql_decode_charrefs(expr: str) -> str:
+    """DuckDB SQL replay of :func:`decode_charrefs` over ``expr`` —
+    rendered from the same pattern constants so the oracle and the
+    engine cannot drift."""
+    expr = _sql_decode_ref_form(expr, _CHARREF_DEC, hex_form=False)
+    return _sql_decode_ref_form(expr, _CHARREF_HEX, hex_form=True)
+
+
 _ENTITIES: list[tuple[str, str]] = [
     ("&lt;", "<"),
     ("&gt;", ">"),
@@ -86,6 +186,10 @@ def strip_html(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     for pat, rep in _STRIP_CHAIN:
         c = F.regexp_replace(c, pat, rep)
+    # numeric refs BEFORE the named chain: '&amp;#960;' must yield the
+    # literal '&#960;' (double-escaped), which only works if the
+    # numeric pass no longer sees it after '&amp;' → '&'
+    c = decode_charrefs(c)
     for ent, ch in _ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
     for pat, rep in _WS_CHAIN:
@@ -97,6 +201,7 @@ def html_title(col: Column | str) -> Column:
     """``<title>`` text ('' when absent), entity-decoded and trimmed."""
     c = F.col(col) if isinstance(col, str) else col
     t = F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    t = decode_charrefs(t)
     for ent, ch in _ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
@@ -403,12 +508,21 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     n_iters: int = 10,
+    tol: float | None = 1e-6,
     checkpoint_every: int = 4,
+    info: dict | None = None,
 ) -> DataFrame:
     """PageRank over the crawl link graph — the classic page-quality
     prior a corpus curator mixes into sampling weights.  Returns
     ``(id, rank)`` with Σrank = number of nodes (the standard
-    unnormalized convention).
+    unnormalized convention; mass conservation is pinned by test).
+
+    Convergence: iterate until the per-node-normalized L¹ delta
+    ``Σ|rank − prev| ≤ tol·n`` or ``n_iters``, whichever first; the
+    residual is ONE extra scalar agg per iteration (same driver-sized
+    shape as the dangling agg — never a vector collect).  Pass
+    ``tol=None`` for exactly ``n_iters`` fixed iterations, or an empty
+    dict as ``info`` to receive ``{'iterations', 'residual'}`` back.
 
     Plan shape (the 100 TB lens): per iteration ONE join of the rank
     vector against the out-degree-annotated edge list on ``src`` and
@@ -427,12 +541,16 @@ def pagerank(
         .distinct()
     ).cache()
     n = nodes.count()
+    if info is not None:
+        info["iterations"] = 0
+        info["residual"] = 0.0
     if n == 0:
         return nodes.select("id", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     links = e.join(out_deg, "src").cache()
     links.count()
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    cached_prev = None
     try:
         for i in range(n_iters):
             contrib = (
@@ -452,7 +570,7 @@ def pagerank(
                 .first()[0]
             )
             base = (1.0 - damping) + damping * dangling / n
-            ranks = nodes.join(contrib, "id", "left").select(
+            new_ranks = nodes.join(contrib, "id", "left").select(
                 "id",
                 (
                     F.lit(base)
@@ -460,7 +578,39 @@ def pagerank(
                 ).alias("rank"),
             )
             if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
-                ranks = ranks.localCheckpoint()
+                new_ranks = new_ranks.localCheckpoint()
+            if tol is not None:
+                # materialize the new vector once (cache), then the L¹
+                # delta vs the previous vector is a scalar agg over one
+                # same-key join — the early-stop signal
+                new_ranks = new_ranks.cache()
+                resid = (
+                    new_ranks.join(
+                        ranks.select(
+                            "id", F.col("rank").alias("__prev")
+                        ),
+                        "id",
+                    )
+                    .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))))
+                    .first()[0]
+                )
+                if cached_prev is not None:
+                    cached_prev.unpersist()
+                cached_prev = new_ranks
+                ranks = new_ranks
+                if info is not None:
+                    info["iterations"] = i + 1
+                    info["residual"] = float(resid)
+                if resid <= tol * n:
+                    break
+            else:
+                ranks = new_ranks
+                if info is not None:
+                    info["iterations"] = i + 1
+        if cached_prev is not None:
+            # hand back a lineage-free result and release the loop cache
+            ranks = ranks.localCheckpoint()
+            cached_prev.unpersist()
         return ranks
     finally:
         nodes.unpersist()

@@ -831,6 +831,7 @@ def _sql_strip_html(expr: str) -> str:
     for pat, rep in web._STRIP_CHAIN:
         rep_sql = "e'\\n'" if rep == "\n" else f"'{rep}'"
         expr = f"regexp_replace({expr}, '{pat}', {rep_sql}, 'g')"
+    expr = web.sql_decode_charrefs(expr)
     for ent, ch in web._ENTITIES:
         ch_sql = ch.replace("'", "''")
         expr = f"replace({expr}, '{ent}', '{ch_sql}')"
@@ -845,6 +846,10 @@ _HTML_SYNTH_SQL = (
     "<style>p {color:red}</style></head>"
     "<body><script>var x = \"<p>not text</p>\";</script>"
     "<h1>' || source || '</h1><p>' || text || '</p>"
+    # numeric character references: decimal (π), hex (emoji, astral
+    # plane), double-escaped (&amp;#960; must stay literal '&#960;'),
+    # and an out-of-range ref that must stay literal
+    "<p>pi &#960; grin &#x1F600; amp-esc &amp;#960; bad &#1114112;</p>"
     "<div>footer&nbsp;' || doc_id || '</div>"
     "<a href=\"https://ex.example/d' || doc_id || '\">more ' || doc_id "
     "|| '</a></body></html>'"
@@ -852,7 +857,7 @@ _HTML_SYNTH_SQL = (
 
 _TITLE_SQL = (
     "trim(regexp_replace("
-    + "replace(regexp_extract(" 
+    + "replace(regexp_extract("
     + _HTML_SYNTH_SQL
     + ", '(?is)<title[^>]*>(.*?)</title>', 1), '&amp;', '&')"
     + ", '\\s+', ' ', 'g'))"
@@ -904,7 +909,8 @@ def txt_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
               '<body><script>var x = "<p>not text</p>";</script><h1>'),
         F.col("source"),
         F.lit("</h1><p>"), F.col("text"),
-        F.lit("</p><div>footer&nbsp;"), did,
+        F.lit("</p><p>pi &#960; grin &#x1F600; amp-esc &amp;#960;"
+              " bad &#1114112;</p><div>footer&nbsp;"), did,
         F.lit('</div><a href="https://ex.example/d'), did,
         F.lit('">more '), did, F.lit("</a></body></html>"),
     )

@@ -158,7 +158,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         web.url_normalize("url").alias("src"),
         web.url_normalize("out_url").alias("dst"),
     )
-    ranks = web.pagerank(edges, n_iters=6)
+    pr_info: dict = {}
+    ranks = web.pagerank(edges, n_iters=30, tol=1e-8, info=pr_info)
     top = ranks.orderBy(F.desc("rank"), "id").limit(5).collect()
     rank_mass = ranks.agg(F.sum("rank")).first()[0]
 
@@ -170,6 +171,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "n_edges": n_edges,
         "n_ranked": ranks.count(),
         "rank_mass": float(rank_mass),
+        "pr_iterations": pr_info["iterations"],
+        "pr_residual": pr_info["residual"],
         "top_url": top[0]["id"],
     }
     print(out)

@@ -95,6 +95,84 @@ def test_strip_html_markup_free_fuzz(spark, words):
     assert got == txt
 
 
+def test_decode_charrefs_forms(spark):
+    cases = [
+        ("pi &#960; ok", "pi π ok"),
+        ("hex &#x3C0; ok", "hex π ok"),
+        ("upper &#X3C0; ok", "upper π ok"),
+        ("astral &#x1F600;!", "astral \U0001F600!"),
+        ("ascii &#65;&#66;", "ascii AB"),
+        # out-of-range and surrogate refs stay literal
+        ("bad &#1114112; x", "bad &#1114112; x"),
+        ("surr &#xD800; x", "surr &#xD800; x"),
+        ("zero &#0; x", "zero &#0; x"),
+        # 8-digit run: pattern bounded at 7, stays literal
+        ("long &#12345678; x", "long &#12345678; x"),
+        # no semicolon: not a ref
+        ("amp &#960 x", "amp &#960 x"),
+        ("plain text", "plain text"),
+        ("", ""),
+    ]
+    for src, want in cases:
+        assert _one(spark, src, web.decode_charrefs) == want, src
+
+
+def test_strip_html_decodes_numeric_refs(spark):
+    html = (
+        "<p>pi &#960; grin &#x1F600;</p>"
+        "<p>double &amp;#960; stays literal</p>"
+    )
+    out = _one(spark, html, web.strip_html)
+    assert out == "pi π grin \U0001F600\ndouble &#960; stays literal"
+    # title path decodes too
+    t = "<head><title>x &#x41;&#66; &amp; y</title></head>"
+    assert _one(spark, t, web.html_title) == "x AB & y"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    cps=st.lists(
+        st.integers(min_value=1, max_value=0x10FFFF).filter(
+            lambda c: not (0xD800 <= c <= 0xDFFF)
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    hexform=st.booleans(),
+)
+def test_decode_charrefs_fuzz_matches_python(spark, cps, hexform):
+    """Random valid codepoints, rendered as decimal or hex refs with
+    plain-text separators, decode exactly to Python's chr()."""
+    src = "s".join(
+        (f"&#x{c:x};" if hexform else f"&#{c};") for c in cps
+    )
+    want = "s".join(chr(c) for c in cps)
+    assert _one(spark, src, web.decode_charrefs) == want
+
+
+def test_sql_decode_charrefs_matches_spark(spark, duck):
+    """The DuckDB rendering replays the Spark expression exactly over
+    a mixed fixture (the oracle-drift guard for the shared chain)."""
+    fixtures = [
+        "pi &#960; grin &#x1F600; bad &#1114112; surr &#xdfff;",
+        "plain", "", "&#65;&#x42;&#67;", "edge &#960",
+        "&#0;&#55296;&#9999999;",
+    ]
+    got_spark = [
+        _one(spark, s, web.decode_charrefs) for s in fixtures
+    ]
+    got_duck = [
+        duck.execute(
+            "WITH x AS (SELECT ?::VARCHAR AS s) SELECT "
+            + web.sql_decode_charrefs("s")
+            + " FROM x",
+            [s],
+        ).fetchone()[0]
+        for s in fixtures
+    ]
+    assert got_spark == got_duck
+
+
 def test_html_stats_over_documents_table(spark):
     """Wrap the real documents table in HTML shells and verify the
     extracted text round-trips exactly (whitespace-normal input)."""
@@ -340,6 +418,36 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert web.pagerank(df).count() == 0
+
+
+def test_pagerank_tol_early_stop_and_mass_invariant(spark):
+    """With a tolerance the loop stops when the L1 delta drops under
+    tol*n — fewer iterations than the cap — and the mass invariant
+    sum(rank) == n holds at the stopping point."""
+    edges = [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (3, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    info: dict = {}
+    ranks = web.pagerank(df, n_iters=200, tol=1e-10, info=info)
+    rows = ranks.collect()
+    n = len(rows)
+    assert n == 8
+    assert 0 < info["iterations"] < 200  # converged before the cap
+    assert info["residual"] <= 1e-10 * n
+    assert abs(sum(r["rank"] for r in rows) - n) < 1e-6
+
+    # tol=None runs exactly n_iters and reports the residual-free path
+    info2: dict = {}
+    web.pagerank(df, n_iters=3, tol=None, info=info2).collect()
+    assert info2["iterations"] == 3
+
+    # converged answer agrees with a long fixed-iteration run
+    fixed = {
+        r["id"]: r["rank"]
+        for r in web.pagerank(df, n_iters=120, tol=None).collect()
+    }
+    got = {r["id"]: r["rank"] for r in rows}
+    for i in got:
+        assert abs(got[i] - fixed[i]) < 1e-7, i
 
 
 @settings(max_examples=40, deadline=None)
