@@ -35,11 +35,14 @@ LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0"))
 # 5-min gate (r8 verdict watch item #2 + r9 observation: a decaying
 # 32-core burst leaves the 1-min average low while the box is still
 # draining — r9 measured two bench_scale configs reading 1.5-2× high
-# with 1-min loadavg < 2 but 5-min > 4).  Looser than the 1-min gate
-# because it decays slowly; it only has to catch "just finished a
-# multi-minute burst", not steady background load.
-LOAD_GATE_5MIN = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE5", "8.0"))
-LOAD_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRIES", "5"))
+# with 1-min loadavg < 2 but 5-min > 4).  The gate matches that
+# measured noise model: 4.0, the level at which contamination was
+# actually observed (r10 verdict item #1 — the old 8.0 admitted the
+# documented contamination regime).  The retry budget is deeper than
+# the 1-min gate needs, because a 5-min average takes minutes to
+# decay below 4 after a burst.
+LOAD_GATE_5MIN = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE5", "4.0"))
+LOAD_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRIES", "12"))
 LOAD_RETRY_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRY_SEC", "60"))
 
 
@@ -119,7 +122,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    extra = _solver_bench(spark, sf_dir)
+    extra, solver_stamps = _solver_bench(spark, sf_dir)
     timings.update(extra)
 
     duck_proxy, duck_queries, duck_per_query = _duck_proxy(sf_dir, bench_queries)
@@ -148,6 +151,9 @@ def main() -> None:
         "loadavg_at_launch": START_LOADAVG,
         "loadavg_start": start_load,
         "loadavg_end": _loadavg(),
+        # (1-min, 5-min) loadavg at each solver entry's start — outlier
+        # attribution without a re-run (r10 verdict item #1)
+        "loadavg_at_entry": solver_stamps,
         "n_cpus": os.cpu_count(),
         # True iff the box never drained below the load gate before
         # the timed region started — timings are contended and must
@@ -277,18 +283,22 @@ def _duck_proxy(
     return round(total, 4), n, per_query
 
 
-def _solver_bench(spark, sf_dir: str) -> dict[str, float]:
-    """Solver end-to-end bench entries; populated as solvers land (M2+)."""
+def _solver_bench(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
+    """Solver end-to-end bench entries; populated as solvers land (M2+).
+    Also returns per-entry (1-min, 5-min) loadavg stamps taken at the
+    moment each solver entry STARTED, so any single outlier timing is
+    attributable to host load post hoc (r10 verdict item #1)."""
     timings: dict[str, float] = {}
+    stamps: dict = {}
     try:
         from entropy_balance_weighting_spark.bench_solver import run_solver_bench
     except ImportError:
-        return timings
+        return timings, stamps
     try:
-        timings.update(run_solver_bench(spark, sf_dir))
+        timings.update(run_solver_bench(spark, sf_dir, stamps=stamps))
     except Exception as exc:  # pragma: no cover - bench must always print JSON
         print(f"solver bench failed: {exc}", file=sys.stderr)
-    return timings
+    return timings, stamps
 
 
 if __name__ == "__main__":

@@ -10,12 +10,24 @@ headline number again (VERDICT r1 'what's wrong' #2).
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import SparkSession
 
 
-def _best_of(n: int, fn):
+def _loadavg_1_5() -> list[float]:
+    """(1-min, 5-min) loadavg, or [-1, -1] off-platform — stamped per
+    solver entry so a single outlier timing is attributable to host
+    load post hoc without a re-run (r10 verdict item #1)."""
+    try:
+        la = os.getloadavg()
+        return [round(la[0], 2), round(la[1], 2)]
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return [-1.0, -1.0]
+
+
+def _best_of(n: int, fn, *, name: str | None = None, stamps: dict | None = None):
     """``(steady, cold, out)``: min wall-clock over ``n`` full runs plus
     the FIRST run's time as a separate cold number (same steady-state
     discipline as the query bench: the first run absorbs session-wide
@@ -25,6 +37,8 @@ def _best_of(n: int, fn):
     (ebw_solve_distributed 6.35–12.1 s across six same-tree samples);
     reporting steady (headline) and cold (diagnostic) separately is the
     same split bench_scale.py uses for pack_cold/pack."""
+    if stamps is not None and name is not None:
+        stamps[name] = _loadavg_1_5()
     best, cold, out = float("inf"), None, None
     for i in range(n):
         t0 = time.perf_counter()
@@ -36,7 +50,9 @@ def _best_of(n: int, fn):
     return round(best, 4), round(cold, 4), out
 
 
-def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def run_solver_bench(
+    spark: SparkSession, sf_dir: str, *, stamps: dict | None = None
+) -> dict[str, float]:
     from entropy_balance_weighting_spark.queries.solver import solve_lineitem_problem
 
     timings: dict[str, float] = {}
@@ -47,12 +63,15 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             r.new_weights.count()
         return r
 
-    timings["ebw_solve_distributed"], timings["ebw_solve_distributed_cold"], res = _best_of(3, run_dist)
+    timings["ebw_solve_distributed"], timings["ebw_solve_distributed_cold"], res = _best_of(3, run_dist, name="ebw_solve_distributed", stamps=stamps)
     timings["ebw_solve_iterations"] = float(res.n_iterations)
     timings["ebw_solve_converged"] = float(res.converged)
 
     timings["ebw_solve_localpath"], timings["ebw_solve_localpath_cold"], res_local = _best_of(
-        3, lambda: solve_lineitem_problem(spark, sf_dir, local_threshold=10**10)[2]
+        3,
+        lambda: solve_lineitem_problem(spark, sf_dir, local_threshold=10**10)[2],
+        name="ebw_solve_localpath",
+        stamps=stamps,
     )
     timings["ebw_solve_localpath_converged"] = float(res_local.converged)
 
@@ -66,7 +85,7 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             r.new_weights.count()
         return r
 
-    timings["ebw_solve_bounded"], timings["ebw_solve_bounded_cold"], res_b = _best_of(3, run_bounded)
+    timings["ebw_solve_bounded"], timings["ebw_solve_bounded_cold"], res_b = _best_of(3, run_bounded, name="ebw_solve_bounded", stamps=stamps)
     timings["ebw_solve_bounded_iterations"] = float(res_b.n_iterations)
     timings["ebw_solve_bounded_converged"] = float(res_b.converged)
 
@@ -99,7 +118,7 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         )
         return pt, res
 
-    timings["ebw_solve_grouped"], timings["ebw_solve_grouped_cold"], (pt_g, res_g) = _best_of(3, run_grouped)
+    timings["ebw_solve_grouped"], timings["ebw_solve_grouped_cold"], (pt_g, res_g) = _best_of(3, run_grouped, name="ebw_solve_grouped", stamps=stamps)
     timings["ebw_solve_grouped_k"] = float(pt_g.k)
     timings["ebw_solve_grouped_converged"] = float(res_g.converged)
     max_viol = float(np.abs(res_g.constraint_violations).max())
@@ -129,7 +148,9 @@ def run_solver_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     timings["ebw_solve_bounded_grouped"], timings["ebw_solve_bounded_grouped_cold"], (
         pt_bg,
         res_bg,
-    ) = _best_of(3, run_bounded_grouped)
+    ) = _best_of(
+        3, run_bounded_grouped, name="ebw_solve_bounded_grouped", stamps=stamps
+    )
     timings["ebw_solve_bounded_grouped_k"] = float(pt_bg.k)
     timings["ebw_solve_bounded_grouped_iterations"] = float(res_bg.n_iterations)
     timings["ebw_solve_bounded_grouped_converged"] = float(res_bg.converged)
