@@ -23,6 +23,7 @@ plumbing with arbitrary payloads.
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
+from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
@@ -804,6 +805,84 @@ def probe_images(
     return df.select(id_col, payload_col).mapInPandas(
         fn, f"{id_col} long, n_bytes int, format string, width int, height int"
     )
+
+
+VIDEO_PROBE_SCHEMA = (
+    "doc_id long, kind string, codec string, profile string, "
+    "level string, width int, height int, error string"
+)
+
+
+def probe_video_streams(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Stream-parameter probe over video codec payloads — the video leg
+    of probe-first triage (profile/level/dimensions WITHOUT frame
+    decode).  ``kind_col`` says what each payload IS — the container
+    demux already knows (MP4 ``stsd`` fourcc / Matroska CodecID):
+
+    - ``'h264'``: Annex-B H.264 elementary stream (SPS bit-parse)
+    - ``'avcc'``: avcC record (ISO 14496-15 §5.2.4.1)
+    - ``'hvcc'``: hvcC record (ISO 14496-15 §8.3.3.1)
+    - ``'av1c'``: av1C record (AV1-ISOBMFF §2.3)
+
+    One ``mapInPandas`` pass, no shuffle; malformed payloads become
+    rows with ``error`` set (corruption-as-rows, same discipline as
+    the WARC reader).  Probes: ``container_meta.probe_h264`` /
+    ``parse_avcc`` / ``parse_hvcc`` / ``parse_av1c``."""
+    from entropy_balance_weighting_spark.functions import container_meta as cm
+
+    parsers: dict[str, tuple[str, Callable]] = {
+        "h264": ("h264", cm.probe_h264),
+        "avcc": ("h264", cm.parse_avcc),
+        "hvcc": ("hevc", cm.parse_hvcc),
+        "av1c": ("av1", cm.parse_av1c),
+    }
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did, kind, payload in zip(
+                pdf[id_col], pdf[kind_col], pdf[payload_col]
+            ):
+                row = {
+                    "doc_id": int(did), "kind": str(kind), "codec": None,
+                    "profile": None, "level": None, "width": None,
+                    "height": None, "error": None,
+                }
+                entry = parsers.get(str(kind))
+                if entry is None:
+                    row["error"] = f"unknown stream kind {kind!r}"
+                else:
+                    codec, parse = entry
+                    try:
+                        p = parse(bytes(payload))
+                        row.update(
+                            codec=codec,
+                            profile=p.get("profile"),
+                            level=p.get("level"),
+                            width=p.get("width"),
+                            height=p.get("height"),
+                        )
+                    except (ValueError, IndexError, struct_error) as e:
+                        row["codec"] = codec
+                        row["error"] = str(e)
+                rows.append(row)
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(kind_col).alias("kind"),
+        payload_col,
+    ).mapInPandas(fn, VIDEO_PROBE_SCHEMA)
 
 
 # -- real WAV codec (pure struct/numpy — no media libraries needed) ---------

@@ -2163,3 +2163,111 @@ def mm_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_probe_video",
+    survey="ext:multimodal-video-probe",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 2 THEN 'hevc' WHEN 3 THEN 'av1'
+              ELSE 'h264' END AS codec,
+         CASE doc_id % 4 WHEN 0 THEN 'h264' WHEN 1 THEN 'avcc'
+              WHEN 2 THEN 'hvcc' ELSE 'av1c' END AS kind,
+         CASE doc_id % 4 WHEN 2 THEN 'Main' WHEN 3 THEN 'Main'
+              ELSE 'Baseline' END AS profile,
+         CASE doc_id % 4 WHEN 2 THEN '4.1' WHEN 3 THEN '4.0'
+              ELSE '4' END AS level,
+         64 + (doc_id % 50) * 2 AS w,
+         48 + (doc_id % 30) * 2 AS h
+  FROM documents
+)
+SELECT codec, kind, profile, level,
+       count(*) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS total_width,
+       CAST(sum(h) AS BIGINT) AS total_height,
+       CAST(min(w) AS BIGINT) AS min_width,
+       CAST(max(w) AS BIGINT) AS max_width,
+       CAST(0 AS BIGINT) AS n_errors
+FROM f GROUP BY codec, kind, profile, level ORDER BY codec, kind
+""",
+)
+def mm_probe_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video stream-parameter triage as a registered query — the third
+    leg of probe-first curation after image headers (mm_probe_dims)
+    and audio containers: every doc gets a REAL codec-parameter
+    payload in one of four carrier forms (Annex-B H.264 / avcC / hvcC
+    / av1C by ``doc_id % 4``, dims a pure even function of doc_id so
+    the H.264 4:2:0 crop arithmetic is exercised), and
+    :func:`multimodal.probe_video_streams` bit-parses profile, level,
+    and dimensions WITHOUT frame decode.  The oracle recomputes every
+    field arithmetically from the id — a bit-reader slip in any of the
+    three SPS/OBU parsers shifts a per-codec rollup and fails the
+    hash.  100 TB shape: generate + probe are one fused mapInPandas
+    map stage; the only shuffle is the final rollup."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from entropy_balance_weighting_spark.functions import (
+            container_meta as cm,
+        )
+
+        for p in batches:
+            if not len(p):
+                continue
+            kinds, payloads = [], []
+            for did in p["doc_id"]:
+                d = int(did)
+                w, h = 64 + (d % 50) * 2, 48 + (d % 30) * 2
+                sel = d % 4
+                if sel == 0:
+                    sps = cm.build_h264_sps(width=w, height=h)
+                    kinds.append("h264")
+                    payloads.append(
+                        cm.build_annexb([sps, b"\x68\xce\x38\x80",
+                                         b"\x65\x88\x84\x00"])
+                    )
+                elif sel == 1:
+                    kinds.append("avcc")
+                    payloads.append(
+                        cm.build_avcc(cm.build_h264_sps(width=w, height=h))
+                    )
+                elif sel == 2:
+                    kinds.append("hvcc")
+                    payloads.append(
+                        cm.build_hvcc(cm.build_h265_sps(width=w, height=h))
+                    )
+                else:
+                    kinds.append("av1c")
+                    payloads.append(
+                        cm.build_av1c(
+                            cm.build_av1_sequence_header(width=w, height=h)
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": p["doc_id"].astype("int64"),
+                    "kind": kinds,
+                    "payload": payloads,
+                }
+            )
+
+    streams = docs.mapInPandas(gen, "doc_id long, kind string, payload binary")
+    probed = multimodal.probe_video_streams(streams)  # REAL bit parse
+    return (
+        probed.groupBy("codec", "kind", "profile", "level")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("width").cast("long").alias("total_width"),
+            F.sum("height").cast("long").alias("total_height"),
+            F.min("width").cast("long").alias("min_width"),
+            F.max("width").cast("long").alias("max_width"),
+            F.sum(
+                F.when(F.col("error").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_errors"),
+        )
+        .orderBy("codec", "kind")
+    )

@@ -1129,3 +1129,38 @@ def test_opus_fuzz_roundtrip(n_tags, n_audio, rate, ch, pre_skip, gpp):
     clean = cm.strip_opus_tags(ogg)
     mc = cm.probe_opus(clean)
     assert mc["comments"] == {} and mc["duration_sec"] == m["duration_sec"]
+
+
+def test_probe_video_streams_wrapper(spark):
+    """DataFrame-level video probe: all four carrier kinds parse, and
+    malformed payloads / unknown kinds become error ROWS (never a task
+    failure) — the corruption-as-rows discipline."""
+    from entropy_balance_weighting_spark.functions.multimodal import (
+        probe_video_streams,
+    )
+
+    sps264 = cm.build_h264_sps(width=640, height=360)
+    rows = [
+        (0, "h264", cm.build_annexb([sps264, b"\x68\xce\x38\x80"])),
+        (1, "avcc", cm.build_avcc(sps264)),
+        (2, "hvcc", cm.build_hvcc(cm.build_h265_sps(width=1280, height=720))),
+        (3, "av1c", cm.build_av1c(
+            cm.build_av1_sequence_header(width=320, height=240))),
+        (4, "hvcc", b"\x00bad"),          # malformed -> error row
+        (5, "mpeg2", b"\x00\x00\x01\xb3"),  # unknown kind -> error row
+    ]
+    df = spark.createDataFrame(
+        [(i, k, bytearray(p)) for i, k, p in rows],
+        "doc_id long, kind string, payload binary",
+    )
+    got = {r["doc_id"]: r for r in probe_video_streams(df).collect()}
+    assert (got[0]["codec"], got[0]["width"], got[0]["height"]) == (
+        "h264", 640, 360)
+    assert got[1]["codec"] == "h264" and got[1]["width"] == 640
+    assert (got[2]["codec"], got[2]["width"], got[2]["profile"]) == (
+        "hevc", 1280, "Main")
+    assert (got[3]["codec"], got[3]["width"], got[3]["level"]) == (
+        "av1", 320, "4.0")
+    assert got[4]["error"] is not None and got[4]["codec"] == "hevc"
+    assert got[5]["error"] is not None and "unknown stream kind" in got[5]["error"]
+    assert all(got[i]["error"] is None for i in (0, 1, 2, 3))
