@@ -20,10 +20,20 @@ Scale split, same shape as the IVF/PQ quantizers in
   rank-greedy merge loop, memoized per batch (crawl text repeats words
   heavily).
 
-Vocabulary convention: word-internal tokens are plain strings and the
-end-of-word marker is ``</w>`` appended to each word's final symbol —
-the original paper's convention, which makes detokenization a plain
-concat+split.
+Two alphabets (``alphabet=`` on fit/encode/detokenize):
+
+- ``"word"`` (default, Sennrich et al. 2016): whitespace words,
+  characters as base symbols, ``</w>`` end-of-word marker on each
+  word's final symbol — detokenization is a plain concat+replace.
+- ``"byte"`` (GPT-2 lineage, Radford et al. 2019): a regex
+  pretokenizer splits text into space-prefixed pieces, each piece's
+  UTF-8 BYTES map through the published GPT-2 byte↔unicode table to
+  printable stand-in characters, and merges run over those — no
+  marker needed (spaces are in-band), no out-of-alphabet token is
+  possible, and token counts match what a modern trainer sees on
+  non-ASCII/whitespace-heavy text.  Detokenize stays a JVM
+  expression: ``translate`` (256-char stand-in → latin-1) →
+  ``encode(ISO-8859-1)`` → ``decode(UTF-8)``.
 
 Reference parity: /root/reference has no tokenizer surface — §7.5
 extension scope (training-data export).
@@ -31,9 +41,63 @@ extension scope (training-data export).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 _EOW = "</w>"
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte→unicode stand-in table (public encoder.py
+    algorithm): printable bytes map to themselves, the rest to
+    codepoints 256+ — a bijection so byte-level merges operate on
+    ordinary strings."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_BYTE_ENC = _bytes_to_unicode()
+_BYTE_DEC = {v: k for k, v in _BYTE_ENC.items()}
+# translate() args for the expression-level byte-mode detokenizer:
+# stand-in char at position i ↔ the latin-1 char of byte i
+_BYTE_SRC = "".join(_BYTE_ENC[b] for b in range(256))
+_BYTE_DST = "".join(chr(b) for b in range(256))
+
+# GPT-2's pretokenizer re-expressed in stdlib ``re`` (the published
+# pattern uses \p{L}/\p{N} from the third-party ``regex`` module):
+# [^\W\d_] is unicode-letters, \d unicode-decimal-digits, the punct
+# class adds back the underscore \w steals.  Contractions, the
+# leading-space convention, and the trailing-whitespace lookahead are
+# verbatim.  Used IDENTICALLY at fit (freq-table map stage) and apply,
+# so the two can never disagree on a boundary.
+_PRETOK = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+)
+
+
+def pretokenize(text: str) -> list[str]:
+    """GPT-2-style pretokens of ``text`` (byte alphabet's word units:
+    space-prefixed pieces, contractions split, whitespace runs kept)."""
+    return _PRETOK.findall(text)
+
+
+def _byte_syms(piece: str) -> list[str]:
+    """Base symbols of one pretoken in the byte alphabet: its UTF-8
+    bytes through the stand-in table (never fails — every byte maps)."""
+    return [_BYTE_ENC[b] for b in piece.encode("utf-8")]
 
 
 def word_frequencies(
@@ -42,17 +106,36 @@ def word_frequencies(
     text_col: str = "text",
     max_words: int = 50_000,
     lowercase: bool = True,
+    alphabet: str = "word",
 ) -> DataFrame:
     """Distributed word-frequency table ``(word, freq)``, capped to the
     ``max_words`` most frequent (the fit's bounded input).  One
     explode + one groupBy shuffle; the cap is a driver-memory bound,
-    not a sampling step — counts are exact for the words kept."""
-    c = F.col(text_col)
-    if lowercase:
-        c = F.lower(c)
-    words = df.select(
-        F.explode(F.split(F.trim(c), r"\s+")).alias("word")
-    ).filter(F.col("word") != "")
+    not a sampling step — counts are exact for the words kept.
+
+    ``alphabet="byte"`` counts GPT-2 pretokens instead of whitespace
+    words, produced by the SAME Python :func:`pretokenize` the encode
+    path uses (an Arrow map stage rather than a JVM split — fit-time
+    only, and boundary-identical to apply by construction)."""
+    if alphabet == "byte":
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                out: list[str] = []
+                for t in pdf[text_col]:
+                    t = str(t)
+                    out.extend(pretokenize(t.lower() if lowercase else t))
+                yield pd.DataFrame({"word": out})
+
+        words = df.select(text_col).mapInPandas(gen, "word string")
+    else:
+        c = F.col(text_col)
+        if lowercase:
+            c = F.lower(c)
+        words = df.select(
+            F.explode(F.split(F.trim(c), r"\s+")).alias("word")
+        ).filter(F.col("word") != "")
     return (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -68,6 +151,7 @@ def fit_bpe(
     n_merges: int = 500,
     max_words: int = 50_000,
     lowercase: bool = True,
+    alphabet: str = "word",
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus and return them in
     rank order (the model artifact — persist it like the PQ/IVF
@@ -76,17 +160,30 @@ def fit_bpe(
     driver with an incrementally-maintained pair-count index (only the
     words containing the merged pair are re-counted per step — the
     standard fit optimization, O(affected words) per merge, not
-    O(vocabulary))."""
+    O(vocabulary)).  ``alphabet="byte"`` learns byte-level merges over
+    GPT-2 pretokens (stand-in-character base symbols, no ``</w>``)."""
+    if alphabet not in ("word", "byte"):
+        raise ValueError(f"unknown BPE alphabet {alphabet!r}")
     rows = word_frequencies(
-        df, text_col=text_col, max_words=max_words, lowercase=lowercase
+        df,
+        text_col=text_col,
+        max_words=max_words,
+        lowercase=lowercase,
+        alphabet=alphabet,
     ).collect()
     if not rows:
         raise ValueError("cannot fit BPE: corpus has no words")
-    # word -> (symbol tuple, freq); last symbol carries the </w> marker
+    # word -> (symbol list, freq); word mode marks the last symbol with
+    # </w>, byte mode maps UTF-8 bytes through the stand-in table
     vocab: dict[int, tuple[list[str], int]] = {}
     for i, r in enumerate(rows):
-        syms = list(r["word"])
-        syms[-1] = syms[-1] + _EOW
+        if alphabet == "byte":
+            syms = _byte_syms(r["word"])
+        else:
+            syms = list(r["word"])
+            syms[-1] = syms[-1] + _EOW
+        if not syms:
+            continue
         vocab[i] = (syms, int(r["freq"]))
 
     from collections import defaultdict
@@ -134,14 +231,24 @@ def fit_bpe(
     return merges
 
 
-def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    """Encode ONE word (no whitespace) with rank-greedy BPE: repeatedly
-    merge the lowest-rank adjacent pair.  Reference implementation for
-    the distributed path and the tests."""
-    syms = list(word)
+def encode_word(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    *,
+    alphabet: str = "word",
+) -> list[str]:
+    """Encode ONE word (word mode: no whitespace; byte mode: one
+    pretoken) with rank-greedy BPE: repeatedly merge the lowest-rank
+    adjacent pair.  Reference implementation for the distributed path
+    and the tests."""
+    if alphabet == "byte":
+        syms = _byte_syms(word)
+    else:
+        syms = list(word)
+        if syms:
+            syms[-1] = syms[-1] + _EOW
     if not syms:
         return []
-    syms[-1] = syms[-1] + _EOW
     while len(syms) > 1:
         best_rank = None
         best_i = -1
@@ -163,14 +270,18 @@ def bpe_encode(
     text_col: str = "text",
     out_col: str = "tokens",
     lowercase: bool = True,
+    alphabet: str = "word",
 ) -> DataFrame:
     """Tokenize the corpus: ``(id_col, out_col array<string>, n_tokens)``
-    via one Arrow ``mapInPandas`` stage.  Words are encoded through a
-    per-batch memo (crawl text repeats words heavily, so the amortized
-    cost per occurrence is a dict hit), documents are the concatenation
-    of their words' tokens."""
+    via one Arrow ``mapInPandas`` stage.  Words (word mode) or GPT-2
+    pretokens (byte mode) are encoded through a per-batch memo (crawl
+    text repeats them heavily, so the amortized cost per occurrence is
+    a dict hit); documents are the concatenation of their pieces'
+    tokens."""
     import pandas as pd
 
+    if alphabet not in ("word", "byte"):
+        raise ValueError(f"unknown BPE alphabet {alphabet!r}")
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     schema = f"{id_col} long, {out_col} array<string>, n_tokens int"
 
@@ -180,11 +291,12 @@ def bpe_encode(
             ids, toks, counts = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 t = str(t).lower() if lowercase else str(t)
+                pieces = pretokenize(t) if alphabet == "byte" else t.split()
                 doc: list[str] = []
-                for w in t.split():
+                for w in pieces:
                     enc = memo.get(w)
                     if enc is None:
-                        enc = encode_word(w, ranks)
+                        enc = encode_word(w, ranks, alphabet=alphabet)
                         memo[w] = enc
                     doc.extend(enc)
                 ids.append(int(i))
@@ -197,22 +309,56 @@ def bpe_encode(
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 
 
-def detokenize(tokens: Column | str) -> Column:
-    """Tokens → text (JVM expression): concat everything, then turn
-    each ``</w>`` marker back into a space.  Exact inverse of the
-    encode for whitespace-normalized input — pinned by test."""
+def detokenize(tokens: Column | str, *, alphabet: str = "word") -> Column:
+    """Tokens → text, still a JVM expression in BOTH modes.  Word mode:
+    concat everything, each ``</w>`` marker back to a space.  Byte
+    mode: concat, 256-char ``translate`` (stand-in → latin-1), encode
+    ISO-8859-1 (char i → byte i, exact), decode UTF-8 — the inverse of
+    the byte→stand-in mapping, EXACT for any valid-UTF-8 input (word
+    mode is exact only for whitespace-normalized input).  Pinned by
+    test in both modes."""
     c = F.col(tokens) if isinstance(tokens, str) else tokens
-    return F.trim(F.replace(F.concat_ws("", c), F.lit(_EOW), F.lit(" ")))
+    joined = F.concat_ws("", c)
+    if alphabet == "byte":
+        return F.decode(
+            F.encode(
+                F.translate(joined, _BYTE_SRC, _BYTE_DST), "ISO-8859-1"
+            ),
+            "UTF-8",
+        )
+    return F.trim(F.replace(joined, F.lit(_EOW), F.lit(" ")))
 
 
-def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
+def bpe_vocab(
+    merges: list[tuple[str, str]], *, alphabet: str = "byte"
+) -> list[str]:
+    """Token-string → id table: the 256 byte stand-ins (ids 0–255, the
+    GPT-2 convention) followed by each merge's product in rank order.
+    Byte mode only — its alphabet is closed, so EVERY token a
+    :func:`bpe_encode` run emits has an id (word mode's base alphabet
+    is open-ended; hash ids there instead)."""
+    if alphabet != "byte":
+        raise ValueError("bpe_vocab is defined for the byte alphabet only")
+    return [_BYTE_ENC[b] for b in range(256)] + [a + b for a, b in merges]
+
+
+def save_bpe(
+    merges: list[tuple[str, str]], path: str, *, alphabet: str = "word"
+) -> None:
     """Persist the merge list as JSON in rank order (engine-portable,
     no pickle) — same model-artifact discipline as
     :func:`similarity.save_quantizer`."""
     import json
 
     with open(path, "w") as f:
-        json.dump({"version": 1, "merges": [list(p) for p in merges]}, f)
+        json.dump(
+            {
+                "version": 2,
+                "alphabet": alphabet,
+                "merges": [list(p) for p in merges],
+            },
+            f,
+        )
 
 
 def load_bpe(path: str) -> list[tuple[str, str]]:
@@ -221,3 +367,13 @@ def load_bpe(path: str) -> list[tuple[str, str]]:
     with open(path) as f:
         d = json.load(f)
     return [tuple(p) for p in d["merges"]]
+
+
+def load_bpe_full(path: str) -> tuple[list[tuple[str, str]], str]:
+    """(merges, alphabet) — version-1 files predate the alphabet field
+    and were always word-mode."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return [tuple(p) for p in d["merges"]], d.get("alphabet", "word")

@@ -333,12 +333,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
 
     from entropy_balance_weighting_spark.functions import bpe
 
-    merges = bpe.fit_bpe(mixed, n_merges=200)
-    tok_ids = bpe.bpe_encode(mixed, merges).select(
+    # byte-level alphabet (GPT-2 lineage): the vocab is CLOSED (256 byte
+    # stand-ins + one id per merge), so ids are true vocab indices, not
+    # hashes — what a real trainer consumes
+    merges = bpe.fit_bpe(mixed, n_merges=200, alphabet="byte")
+    vocab = bpe.bpe_vocab(merges)
+    id_of = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in vocab]),
+        F.array(*[F.lit(i) for i in range(len(vocab))]),
+    )
+    tok_ids = bpe.bpe_encode(mixed, merges, alphabet="byte").select(
         "doc_id",
         F.transform(
             F.col("tokens"),
-            lambda t: (F.pmod(F.xxhash64(t), F.lit(65535)) + 1).cast("int"),
+            # +1 shifts past the shard writer's eos_id=0; vocab ids are
+            # dense so uint16 holds 256+200+1 comfortably
+            lambda t: (F.element_at(id_of, t) + 1).cast("int"),
         ).alias("tokens"),
     )
     shard_dir = tempfile.mkdtemp(prefix="token_shards_")

@@ -102,3 +102,117 @@ def test_bpe_persistence_roundtrip(corpus, tmp_path):
     p = str(tmp_path / "bpe.json")
     save_bpe(merges, p)
     assert load_bpe(p) == merges
+
+
+# --- byte-level alphabet (GPT-2 lineage) ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def byte_corpus(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat can't sit on the mat today"),
+        (2, "naïve café résumé — déjà vu"),
+        (3, "tabs\tand\nnewlines   and runs of spaces"),
+        (4, "emoji \U0001F600 and CJK 你好世界 mix in"),
+        (5, "numbers 12345 and punct!!! and snake_case_ids"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_byte_table_is_a_bijection():
+    enc = bpe._BYTE_ENC
+    assert len(enc) == 256 and len(set(enc.values())) == 256
+    assert all(len(v) == 1 for v in enc.values())
+    # round trip through the translate-args strings byte-for-byte
+    assert [bpe._BYTE_DEC[ch] for ch in bpe._BYTE_SRC] == list(range(256))
+    assert bpe._BYTE_DST == "".join(chr(b) for b in range(256))
+
+
+def test_byte_fit_deterministic_and_matches_reference(byte_corpus):
+    m1 = bpe.fit_bpe(byte_corpus, n_merges=40, alphabet="byte", lowercase=False)
+    m2 = bpe.fit_bpe(byte_corpus, n_merges=40, alphabet="byte", lowercase=False)
+    assert m1 == m2 and len(m1) > 0
+    # no merge product contains the </w> marker — byte mode has none
+    assert all("</w>" not in a + b for a, b in m1)
+
+    # distributed encode == reference rank-greedy encode over pretokens
+    ranks = {tuple(p): i for i, p in enumerate(m1)}
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe.bpe_encode(
+            byte_corpus, m1, alphabet="byte", lowercase=False
+        ).collect()
+    }
+    for row in byte_corpus.collect():
+        want = []
+        for piece in bpe.pretokenize(row["text"]):
+            want.extend(bpe.encode_word(piece, ranks, alphabet="byte"))
+        assert got[row["doc_id"]] == (want, len(want))
+
+
+def test_byte_detokenize_exact_inverse(byte_corpus):
+    """Byte mode's detokenize (translate -> ISO-8859-1 -> UTF-8, all JVM
+    expressions) is an EXACT inverse for arbitrary text — tabs, runs of
+    spaces, emoji, CJK — where word mode is only whitespace-normal
+    exact."""
+    merges = bpe.fit_bpe(
+        byte_corpus, n_merges=30, alphabet="byte", lowercase=False
+    )
+    enc = bpe.bpe_encode(byte_corpus, merges, alphabet="byte", lowercase=False)
+    back = enc.join(byte_corpus, "doc_id").select(
+        "doc_id", bpe.detokenize("tokens", alphabet="byte").alias("rt"), "text"
+    )
+    for r in back.collect():
+        assert r["rt"] == r["text"], r["doc_id"]
+
+
+def test_byte_zero_merges_is_raw_bytes(byte_corpus):
+    """With no merges every token is one stand-in char, so n_tokens ==
+    UTF-8 byte length of the pretokens' concatenation == the document."""
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe.bpe_encode(
+            byte_corpus, [], alphabet="byte", lowercase=False
+        ).collect()
+    }
+    for row in byte_corpus.collect():
+        assert got[row["doc_id"]] == len(row["text"].encode("utf-8"))
+
+
+def test_byte_pretokenizer_shapes():
+    assert bpe.pretokenize("the cat") == ["the", " cat"]
+    assert bpe.pretokenize("can't go") == ["can", "'t", " go"]
+    assert bpe.pretokenize("a  b") == ["a", " ", " b"]  # run keeps in-band
+    assert bpe.pretokenize("x123!y") == ["x", "123", "!", "y"]
+    assert "".join(bpe.pretokenize("weird   \t mix 12x_3")) == "weird   \t mix 12x_3"
+
+
+def test_byte_vocab_ids_closed(byte_corpus):
+    merges = bpe.fit_bpe(
+        byte_corpus, n_merges=20, alphabet="byte", lowercase=False
+    )
+    vocab = bpe.bpe_vocab(merges)
+    assert len(vocab) == 256 + len(merges)
+    ids = {t: i for i, t in enumerate(vocab)}
+    # every emitted token has an id (closed alphabet)
+    toks = (
+        bpe.bpe_encode(byte_corpus, merges, alphabet="byte", lowercase=False)
+        .select(F.explode("tokens").alias("t"))
+        .distinct()
+        .collect()
+    )
+    assert all(r["t"] in ids for r in toks)
+    with pytest.raises(ValueError, match="byte alphabet"):
+        bpe.bpe_vocab(merges, alphabet="word")
+
+
+def test_byte_persistence_keeps_alphabet(byte_corpus, tmp_path):
+    merges = bpe.fit_bpe(
+        byte_corpus, n_merges=15, alphabet="byte", lowercase=False
+    )
+    p = str(tmp_path / "bpe_byte.json")
+    bpe.save_bpe(merges, p, alphabet="byte")
+    got_m, got_a = bpe.load_bpe_full(p)
+    assert got_m == merges and got_a == "byte"
+    assert bpe.load_bpe(p) == merges  # legacy accessor still works
