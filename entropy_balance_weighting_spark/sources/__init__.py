@@ -19,6 +19,7 @@ from entropy_balance_weighting_spark.sources.splits import (
 from entropy_balance_weighting_spark.sources.warc import (
     read_warc,
     write_warc,
+    write_wet,
 )
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "write_splits",
     "write_token_shards",
     "write_warc",
+    "write_wet",
 ]

@@ -458,6 +458,78 @@ def write_warc(
     member-per-record convention (mtime pinned to 0), so the export is
     byte-stable and re-readable record-at-a-time by :func:`read_warc`.
     """
+    sel_ctype = (
+        F.col(content_type_col) if content_type_col else F.lit("text/html")
+    )
+    return _write_record_sink(
+        df,
+        dest,
+        url_col=url_col,
+        payload_expr=F.col(body_col).cast("binary"),
+        date_col=date_col,
+        id_col=id_col,
+        ctype_expr=sel_ctype,
+        n_files=n_files,
+        compress=compress,
+        salt=salt,
+        conversion=False,
+    )
+
+
+def write_wet(
+    df: DataFrame,
+    dest: str,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str | None = None,
+    id_col: str | None = None,
+    n_files: int = 4,
+    compress: bool = True,
+    salt: str = "warc",
+) -> DataFrame:
+    """Export extracted text as WET — WARC ``conversion`` records whose
+    block is the plain UTF-8 text (``Content-Type: text/plain``), the
+    interchange format downstream corpus tools consume (Common Crawl's
+    WET convention).  Closes the acquisition→extraction roundtrip:
+    :func:`read_warc` → ``strip_html`` → ``write_wet`` → re-readable by
+    :func:`read_warc` (conversion records surface the text as
+    ``payload``).  Same sink discipline and manifest as
+    :func:`write_warc` (salt-hash sharding, one applyInPandas exchange,
+    ``.tmp`` + swap-after-success, deterministic bytes)."""
+    return _write_record_sink(
+        df,
+        dest,
+        url_col=url_col,
+        payload_expr=F.encode(F.col(text_col), "UTF-8"),
+        date_col=date_col,
+        id_col=id_col,
+        ctype_expr=F.lit("text/plain"),
+        n_files=n_files,
+        compress=compress,
+        salt=salt,
+        conversion=True,
+    )
+
+
+def _write_record_sink(
+    df: DataFrame,
+    dest: str,
+    *,
+    url_col: str,
+    payload_expr,
+    date_col: str | None,
+    id_col: str | None,
+    ctype_expr,
+    n_files: int,
+    compress: bool,
+    salt: str,
+    conversion: bool,
+) -> DataFrame:
+    """Shared WARC/WET sink machinery (see :func:`write_warc` for the
+    discipline).  ``conversion=True`` writes bare ``conversion``
+    records (block = payload, WET); otherwise ``response`` records
+    wrapping the payload in an HTTP/1.1 response."""
     import glob
     import os
 
@@ -469,10 +541,11 @@ def write_warc(
     for old in glob.glob(os.path.join(dest, "part-*.tmp")):
         os.remove(old)
 
-    ext = ".warc.gz" if compress else ".warc"
+    base = ".warc"
+    ext = base + (".gz" if compress else "")
     sel = [
         F.col(url_col).alias("url"),
-        F.col(body_col).cast("binary").alias("body"),
+        payload_expr.alias("body"),
         (
             F.col(date_col)
             if date_col
@@ -483,11 +556,7 @@ def write_warc(
             if id_col
             else F.md5(F.col(url_col))
         ).alias("rid"),
-        (
-            F.col(content_type_col)
-            if content_type_col
-            else F.lit("text/html")
-        ).alias("ctype"),
+        ctype_expr.alias("ctype"),
         shard_of(url_col, n_files, salt).alias("file_no"),
     ]
     d = df.select(*sel)
@@ -499,16 +568,26 @@ def write_warc(
         for url, body, date, rid, ctype in zip(
             pdf["url"], pdf["body"], pdf["date"], pdf["rid"], pdf["ctype"]
         ):
-            rec = build_warc_record(
-                "response",
-                record_id=str(rid),
-                date=str(date),
-                target_uri=str(url),
-                content=build_http_response(
-                    bytes(body), content_type=str(ctype)
-                ),
-                content_type="application/http; msgtype=response",
-            )
+            if conversion:
+                rec = build_warc_record(
+                    "conversion",
+                    record_id=str(rid),
+                    date=str(date),
+                    target_uri=str(url),
+                    content=bytes(body),
+                    content_type=str(ctype),
+                )
+            else:
+                rec = build_warc_record(
+                    "response",
+                    record_id=str(rid),
+                    date=str(date),
+                    target_uri=str(url),
+                    content=build_http_response(
+                        bytes(body), content_type=str(ctype)
+                    ),
+                    content_type="application/http; msgtype=response",
+                )
             chunks.append(gzip_member(rec) if compress else rec)
         data = b"".join(chunks)
         path = os.path.join(dest, f"part-{file_no:05d}{ext}.tmp")

@@ -431,3 +431,42 @@ def test_wet_conversion_records_read(spark, tmp_path):
     )
     assert rows[0]["content_type"] == "text/plain"
     assert rows[0]["http_status"] is None
+
+
+def test_write_wet_roundtrip_through_read_warc(spark, tmp_path):
+    """WET export (conversion records, text/plain) reads back through
+    read_warc with the text as payload — the acquisition->extraction
+    interchange roundtrip."""
+    docs = spark.createDataFrame(
+        [
+            (f"http://ex.com/{i}", f"extracted text {i} — naïve café\nline2")
+            for i in range(12)
+        ],
+        "url string, text string",
+    )
+    dest = str(tmp_path / "wet")
+    manifest = warc.write_wet(docs, dest, n_files=3)
+    assert sum(r["n_records"] for r in manifest.collect()) == 12
+
+    back = warc.read_warc(spark, os.path.join(dest, "*.warc.gz")).cache()
+    try:
+        assert back.count() == 12
+        rows = {r["target_uri"]: r for r in back.collect()}
+        for i in range(12):
+            r = rows[f"http://ex.com/{i}"]
+            assert r["warc_type"] == "conversion"
+            assert r["content_type"] == "text/plain"
+            assert r["http_status"] is None  # no HTTP envelope in WET
+            assert bytes(r["payload"]).decode("utf-8") == (
+                f"extracted text {i} — naïve café\nline2"
+            )
+            assert r["error"] is None
+    finally:
+        back.unpersist()
+
+    # determinism: re-export writes byte-identical files
+    files = sorted(os.listdir(dest))
+    before = {f: (tmp_path / "wet" / f).read_bytes() for f in files}
+    warc.write_wet(docs, dest, n_files=3)
+    after = {f: (tmp_path / "wet" / f).read_bytes() for f in files}
+    assert before == after
