@@ -140,12 +140,16 @@ def _steps_arrays(pieces, flat_idx, flat_val, lens, dlam, mu_s, has_ub):
     return r_step, li_lo, li_hi, ss_lo, ss_hi
 
 
+def _gram_noop(flat_idx, flat_val, lens, d) -> None:
+    """Gram accumulation stub for lagged-Jacobian stats scans."""
+
+
 class _EStatsAcc:
     """Per-partition stats accumulator shared by the plain stats pass and
     the fused commit+stats pass (``_ecommit_stats_pass``) — one body, no
     math divergence between the two shapes."""
 
-    def __init__(self, k: int, blocks) -> None:
+    def __init__(self, k: int, blocks, skip_gram: bool = False) -> None:
         self.k = k
         self.f_val = self.cd_sq = self.ci_sq = self.cs_sq = 0.0
         self.alt_sq = self.nan_ct = 0.0
@@ -155,7 +159,15 @@ class _EStatsAcc:
         self.g1 = np.zeros(k)
         self.rhs_leg = np.zeros(k)
         self.rhs_mu_leg = np.zeros(k)
-        self.gram, self.gram_add = make_gram_accum(k, blocks)
+        if skip_gram:
+            # Lagged-Jacobian iteration (gram frozen driver-side): the
+            # pass accumulates NO gram — deletes both the bincount/BLAS
+            # accumulate CPU and the Σk_b²/K² payload bytes, the two
+            # measured per-iteration walls at grouped huge K (PLANS §16)
+            self.gram = np.zeros(0)
+            self.gram_add = _gram_noop
+        else:
+            self.gram, self.gram_add = make_gram_accum(k, blocks)
 
     def add(self, rb, flat_idx, flat_val, lens, lam, eta, mu_s, lb, ub, has_ub):
         if not rb.num_rows:
@@ -245,10 +257,11 @@ class _EStatsAcc:
 
 
 def _estats_pass(
-    k, lam, eta, mu_s, lb, ub, has_ub, blocks, wire32: bool = False
+    k, lam, eta, mu_s, lb, ub, has_ub, blocks, wire32: bool = False,
+    skip_gram: bool = False,
 ) -> Callable:
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        acc = _EStatsAcc(k, blocks)
+        acc = _EStatsAcc(k, blocks, skip_gram)
         for rb in batches:
             if not rb.num_rows:
                 continue
@@ -438,6 +451,7 @@ def _ecommit_state_pass(
 def _ecommit_stats_pass(
     k, clam, cdlam, ceta, cmu_s, alpha_p, alpha_d,
     lam, eta, mu_s, lb, ub, has_ub, blocks, wire32: bool = False,
+    skip_gram: bool = False,
 ) -> Callable:
     """FUSED commit+stats — the r9 commit-bandwidth cut.  One pass over
     ``base.zip(old_state)`` per batch: replay the pending commit (step
@@ -462,7 +476,7 @@ def _ecommit_stats_pass(
     K=100k × 400 partitions, transient)."""
 
     def fn(pair_iter):
-        acc = _EStatsAcc(k, blocks)
+        acc = _EStatsAcc(k, blocks, skip_gram)
         n_state = len(STATE_NAMES)
         held = None
         for rb in _combined_iter(pair_iter):
@@ -525,6 +539,9 @@ def _g1_pass(k) -> Callable:
 
 class ElasticSparkKernel:
     _CKPT_EVERY = 8
+    # the solver's gram-reuse policy may call elastic_stats(need_gram=
+    # False) — lagged-Jacobian iterations (solvers/elastic.py)
+    supports_gram_skip = True
 
     def __init__(
         self, base_rdd, state_rdd, spark, k: int, sum_w0: float, n: int,
@@ -745,6 +762,12 @@ class ElasticSparkKernel:
             self._prev = None
         return sums, mins
 
+    @property
+    def gram_payload_bytes(self) -> int:
+        """Per-partition gram payload size — the solver's gram-reuse
+        auto-gate reads this (Σk_b²·8 blocked, K²·8 dense)."""
+        return gram_bytes(self.k, self.block_structure)
+
     def set_wire_full(self, full: bool) -> None:
         """Precision hint from the solver loop: ``True`` forces the
         float64 payload wire for subsequent stats scans (the refinement
@@ -759,18 +782,30 @@ class ElasticSparkKernel:
         sums, _ = self._reduce(_g1_pass(self.k))
         return sums
 
-    def elastic_stats(self, lam, eta, mu_s) -> EStats:
+    def elastic_stats(self, lam, eta, mu_s, *, need_gram: bool = True) -> EStats:
+        """One stats scan.  ``need_gram=False`` is the lagged-Jacobian
+        iteration (solvers/elastic.py gram-reuse policy): the pass skips
+        the gram accumulate entirely — no Σk_b²/K² bincount CPU, no gram
+        payload bytes — and the returned ``EStats.gram`` is ``None`` (the
+        driver reuses its frozen copy).  Every residual/leg the
+        convergence predicates and the RHS need is still computed
+        exactly, so a skipped scan can never mis-report convergence."""
         k = self.k
+        g_bytes = gram_bytes(k, self.block_structure) if need_gram else 0
         big = reduce_big(
-            k, self.block_structure, self._base.getNumPartitions()
+            k,
+            self.block_structure,
+            self._base.getNumPartitions(),
+            gram_nbytes=g_bytes,
         )
         # float32 wire for the K-sized payload tail, gated on size so
         # every small-K (oracle-hashed) path stays bit-stable float64,
         # and on the solver's precision hint (f64 endgame — see
         # set_wire_full / solvers/elastic.py).
         wire32 = not self._wire_full and (
-            3 * k * 8 + gram_bytes(k, self.block_structure)
+            3 * k * 8 + g_bytes
         ) >= _WIRE32_MIN_TAIL_BYTES
+        skip_gram = not need_gram
         if self._pending is not None and self.n < _FUSED_MIN_ROWS:
             # Small-N: the fused pass's fixed costs exceed its bandwidth
             # savings (see _FUSED_MIN_ROWS) — flush the commit as a
@@ -791,6 +826,7 @@ class ElasticSparkKernel:
                         k, clam, cdlam, ceta, cmu_s, ap, ad,
                         lam, eta, mu_s, self.lb, self.ub, self.has_ub,
                         blocks_tuple(self.block_structure), wire32,
+                        skip_gram,
                     ),
                     preservesPartitioning=True,
                 )
@@ -817,7 +853,7 @@ class ElasticSparkKernel:
             sums, mins = self._reduce(
                 _estats_pass(
                     k, lam, eta, mu_s, self.lb, self.ub, self.has_ub,
-                    blocks_tuple(self.block_structure), wire32,
+                    blocks_tuple(self.block_structure), wire32, skip_gram,
                 ),
                 big=big,
                 wire32=wire32,
@@ -827,7 +863,11 @@ class ElasticSparkKernel:
         g1 = sums[9 : 9 + k]
         rhs_leg = sums[9 + k : 9 + 2 * k]
         rhs_mu_leg = sums[9 + 2 * k : 9 + 3 * k]
-        gram = gram_from_sums(sums[9 + 3 * k :], k, self.block_structure)
+        gram = (
+            gram_from_sums(sums[9 + 3 * k :], k, self.block_structure)
+            if need_gram
+            else None
+        )
         return EStats(
             f_val=float(f_val),
             cd_sq=float(cd_sq),

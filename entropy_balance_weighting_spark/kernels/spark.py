@@ -441,13 +441,19 @@ def gram_bytes(k: int, block_structure) -> int:
     return k * k * 8
 
 
-def reduce_big(k: int, block_structure, n_parts: int) -> bool:
+def reduce_big(
+    k: int, block_structure, n_parts: int, *, gram_nbytes: int | None = None
+) -> bool:
     """Whether a kernel reduce must merge executor-side (treeReduce):
     either one payload is large, or n_partitions × payload would overrun
     the driver's collect budget.  Payload bound: a handful of scalars +
     up to 8 K-vectors + the gram buffer (generous for every pass shape
-    across the three kernels)."""
-    per_part = (32 + 8 * k) * 8 + gram_bytes(k, block_structure)
+    across the three kernels).  ``gram_nbytes`` overrides the gram term
+    (0 for a gram-skipped stats scan — see the elastic kernel's lagged-
+    Jacobian path)."""
+    if gram_nbytes is None:
+        gram_nbytes = gram_bytes(k, block_structure)
+    per_part = (32 + 8 * k) * 8 + gram_nbytes
     return (
         per_part > _TREE_REDUCE_BYTES
         or per_part * max(n_parts, 1) > _COLLECT_BUDGET_BYTES

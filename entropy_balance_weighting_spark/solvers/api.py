@@ -43,6 +43,11 @@ _KNOWN_OPTIONS = {
     # opt-in mixed-precision payload wire for the large-K elastic path
     # (f32 while far from tolerance, f64 endgame — solvers/elastic.py)
     "payload_wire32",
+    # lagged-Jacobian gram reuse across IP iterations (auto-on for
+    # block-structured huge-K problems — solvers/elastic.py)
+    "gram_reuse",
+    "gram_refresh_every",
+    "gram_stall_ratio",
     # accepted for drop-in compatibility with reference scripts (the
     # reference reads options via .get and silently ignores these; its own
     # examples pass them — ref: examples/simple_examples.py:24,30).  They

@@ -54,6 +54,12 @@ logger = logging.getLogger("entropy_balance_weighting_spark")
 
 TAU = 0.995
 
+# gram-reuse auto-gate: freeze/skip only pays when the gram accumulate +
+# payload is a real per-iteration cost.  1 MiB of gram payload ≈ K=128k
+# flat doubles — the grouped huge-K regime (K=100k at k_b=2 is 1.6 MiB);
+# the sf0.1 bench entries (K≈2000 grouped → 32 KiB) stay below it.
+_GRAM_REUSE_MIN_BYTES = 1 << 20
+
 
 def _ftb_k(point: np.ndarray, step: np.ndarray) -> float:
     """Fraction-to-boundary for a driver-side K block (ref: shared.py:76-91)."""
@@ -107,6 +113,43 @@ def solve_elastic(
     # kernels/elastic_spark.py set_wire_full for the measured trade).
     wire32_opt = bool(opts.get("payload_wire32", False))
 
+    # Gram reuse across IP iterations (lagged Jacobian / quasi-Newton IP
+    # steps): on frozen iterations the stats scan SKIPS the gram
+    # accumulate — no Σk_b² bincount CPU, no gram payload bytes — and
+    # the Schur system is assembled from the last fresh gram.  Residuals
+    # are exact every scan regardless (the gram only shapes the step),
+    # so the convergence test never sees a stale quantity.  OPT-IN
+    # (default False): measured at 20M×100k grouped, skipping cuts
+    # ~24% off a frozen iteration's wall but the lagged trajectory costs
+    # +2–3 IP iterations (5 → 7/8) — a NET LOSS for the short
+    # superlinear solves this engine runs (PLANS §18, the wire32 lesson
+    # again: the IP path is where the iterations are).  The machinery
+    # stays for regimes where the gram truly dominates an iteration
+    # (wider per-group blocks — the accumulate scales with Σk_b², the
+    # penalty with iteration count).  "auto" applies the block-
+    # structured ≥ _GRAM_REUSE_MIN_BYTES heuristic.
+    gram_reuse_opt = opts.get("gram_reuse", False)
+    gram_refresh_every = int(opts.get("gram_refresh_every", 3))
+    # refresh when a frozen-gram iteration fails to cut the violation to
+    # ≤ this fraction of the previous one (stalled contraction)
+    gram_stall_ratio = float(opts.get("gram_stall_ratio", 0.5))
+    # freeze only while the violation is ≥ this many decades above
+    # tolerance: the endgame's superlinear contraction needs the true
+    # Jacobian (a lagged one measurably costs iterations exactly there —
+    # the same lesson as the wire32 f64 endgame, PLANS §16)
+    gram_endgame_factor = float(opts.get("gram_endgame_factor", 1e4))
+    if gram_reuse_opt == "auto":
+        gram_reuse = (
+            getattr(kernel, "supports_gram_skip", False)
+            and getattr(kernel, "block_structure", None) is not None
+            and getattr(kernel, "gram_payload_bytes", 0)
+            >= _GRAM_REUSE_MIN_BYTES
+        )
+    else:
+        gram_reuse = bool(gram_reuse_opt) and getattr(
+            kernel, "supports_gram_skip", False
+        )
+
     k = kernel.k
     sum_w0 = kernel.sum_w0
     b = m * sum_w0
@@ -129,12 +172,37 @@ def solve_elastic(
     commit_pending = False
     history: list[dict] = []  # per-iteration trace (reference logging parity)
 
+    # gram-reuse state: the last fresh gram, its age in iterations, and
+    # the refresh triggers (age cap / stalled contraction / η growth)
+    frozen_gram = None
+    iters_since_fresh = 0
+    force_refresh = False
+    last_viol: float | None = None
+
     while True:
         # ONE scan per iteration start: materializes any pending lazy commit
         # AND returns the post-commit slack/multiplier aggregates plus the
         # μ_s-decomposition legs (EStats), so the barrier update needs no
         # separate pass.
-        st = kernel.elastic_stats(lam, eta, mu_s)
+        if gram_reuse:
+            need_gram = (
+                frozen_gram is None
+                or force_refresh
+                or iters_since_fresh >= gram_refresh_every
+                or (
+                    last_viol is not None
+                    and last_viol < gram_endgame_factor * opt_tol
+                )
+            )
+            st = kernel.elastic_stats(lam, eta, mu_s, need_gram=need_gram)
+        else:
+            st = kernel.elastic_stats(lam, eta, mu_s)
+        if st.gram is not None:
+            frozen_gram = st.gram
+            iters_since_fresh = 0
+            force_refresh = False
+        else:
+            iters_since_fresh += 1
         rhs_leg = st.rhs_leg
         cs_sq = st.cs_sq
         if commit_pending:
@@ -167,6 +235,11 @@ def solve_elastic(
                 # by the same scan — uses the pre-growth η consistently);
                 # the reference applies it one pass earlier.
                 eta_next = 2.0 * max_lm
+                # η rescales the (1/η)·w0/r leg of h̃, i.e. the gram's
+                # diagonal weights — a frozen gram computed under the old
+                # η is materially stale: refresh at the next scan (the
+                # first one that runs at the grown η).
+                force_refresh = True
             else:
                 eta_next = eta
         else:
@@ -186,6 +259,15 @@ def solve_elastic(
         )
         opt_viol = math.sqrt(st.cd_sq + st.ci_sq + cs_sq + k_sq)
         alt_viol = math.sqrt(st.alt_sq + st.ci_sq + cs_sq + k_sq)
+        # stalled contraction under a frozen gram → refresh next scan
+        cur_viol = min(opt_viol, alt_viol)
+        if (
+            st.gram is None
+            and last_viol is not None
+            and cur_viol > gram_stall_ratio * last_viol
+        ):
+            force_refresh = True
+        last_viol = cur_viol
         logger.info(
             "elastic iter=%d f=%.6e |Ce|=%.3e viol=%.3e alt=%.3e eta=%.3e",
             n_steps,
@@ -204,6 +286,7 @@ def solve_elastic(
                 "alt_violation": alt_viol,
                 "eta": eta,
                 "mu_s": mu_s,
+                "gram_fresh": st.gram is not None,
             }
         )
         if st.has_nan or not math.isfinite(opt_viol):
@@ -256,12 +339,13 @@ def solve_elastic(
             - (u / lu) * (cu + clu / u)
             - rhs_leg
         )
+        gram_cur = st.gram if st.gram is not None else frozen_gram
         try:
-            if isinstance(st.gram, BlockGram):
-                lhs = st.gram.with_added_diag(u / lu + v / lv)
+            if isinstance(gram_cur, BlockGram):
+                lhs = gram_cur.with_added_diag(u / lu + v / lv)
                 dlam = -solve_regularized(lhs, rhs, delta)
             else:
-                lhs = st.gram + np.diag(u / lu + v / lv)
+                lhs = gram_cur + np.diag(u / lu + v / lv)
                 eye = np.eye(k)
                 while True:
                     try:

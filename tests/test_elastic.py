@@ -530,3 +530,139 @@ def test_fused_gate_small_n_takes_plain_path_same_answer(spark, monkeypatch):
     a = np.array([w_plain[i] for i in sorted(w_plain)])
     b = np.array([w_fused[i] for i in sorted(w_plain)])
     np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-15)
+
+
+def test_gram_reuse_skips_gram_and_converges_to_same_solution(spark):
+    """Lagged-Jacobian gram reuse (r11): with gram_reuse forced on, some
+    stats scans skip the gram accumulate (history records gram_fresh=
+    False), the 2-jobs-per-iteration pin still holds, the solve still
+    converges under the UNCHANGED exact-residual test, and the weights
+    agree with the fresh-gram-every-iteration solve (unique optimum of
+    a strictly convex problem)."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.kernels.elastic_spark import (
+        ElasticSparkKernel,
+    )
+    from entropy_balance_weighting_spark.plans import (
+        MomentSpec,
+        build_problem_tables,
+    )
+
+    x, w0, m = _problem(n=250, seed=37)
+    pdf = pd.DataFrame(
+        {"rid": np.arange(250), "w": w0, "x0": x[:, 0], "x1": x[:, 1], "x2": x[:, 2]}
+    )
+    df = spark.createDataFrame(pdf)
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1", "x2"), row_key=("rid",))
+
+    def solve(opts):
+        n_reduces = 0
+        orig_reduce = ElasticSparkKernel._reduce
+
+        def counting(self, fn, **kw):
+            nonlocal n_reduces
+            n_reduces += 1
+            return orig_reduce(self, fn, **kw)
+
+        ElasticSparkKernel._reduce = counting
+        try:
+            res = entropy_balance(
+                mean_population_moments=m,
+                x_sample=build_problem_tables(df, spec),
+                options={
+                    "bounds": (0.5, 1.8),
+                    "force_distributed": True,
+                    **opts,
+                },
+            )
+        finally:
+            ElasticSparkKernel._reduce = orig_reduce
+        assert res.converged
+        assert n_reduces == 2 * res.n_iterations + 2
+        w = {r["row_id"]: r["new_weight"] for r in res.new_weights.collect()}
+        return res, w
+
+    res_fresh, w_fresh = solve({"gram_reuse": False})
+    res_reuse, w_reuse = solve({"gram_reuse": True, "gram_refresh_every": 3})
+
+    hist = res_reuse.diagnostics["history"]
+    frozen_iters = [h for h in hist if not h["gram_fresh"]]
+    assert frozen_iters, "gram reuse never skipped a scan"
+    assert hist[0]["gram_fresh"]  # first scan always fresh
+    # lagged steps may cost a few extra iterations, never runaway
+    assert res_reuse.n_iterations <= res_fresh.n_iterations + 3
+    a = np.array([w_fresh[i] for i in sorted(w_fresh)])
+    b = np.array([w_reuse[i] for i in sorted(w_fresh)])
+    np.testing.assert_allclose(b, a, rtol=2e-3, atol=1e-8)
+    # both land inside the same moment-match tolerance
+    assert float(np.abs(res_reuse.constraint_violations).max()) < 1e-4
+
+
+def test_gram_reuse_grouped_block_path(spark):
+    """Gram reuse over the BLOCK-structured (grouped huge-K shape) path:
+    frozen BlockGram steps still converge and the per-group moments
+    match (the regime the r11 freeze actually targets, scaled down)."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.plans import (
+        MomentSpec,
+        build_problem_tables,
+        targets_from_problem,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "w": rng.uniform(0.5, 2.0, size=n),
+            "g": rng.integers(0, 20, size=n),
+            "x0": rng.uniform(size=n),
+            "x1": rng.uniform(size=n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    spec = MomentSpec(
+        weight_col="w", numeric=("x0", "x1"), group=("g",), row_key=("rid",)
+    )
+    pt = build_problem_tables(df, spec)
+    res = entropy_balance(
+        mean_population_moments=targets_from_problem(pt, perturb=0.01),
+        x_sample=pt,
+        options={
+            "bounds": (0.2, 5.0),
+            "force_distributed": True,
+            "gram_reuse": True,
+            "gram_refresh_every": 3,
+        },
+    )
+    assert res.converged
+    hist = res.diagnostics["history"]
+    assert any(not h["gram_fresh"] for h in hist)
+    assert float(np.abs(res.constraint_violations).max()) < 1e-4
+
+
+def test_gram_reuse_auto_off_at_small_k(spark):
+    """The auto gate: at small K (every bench/oracle config) gram_reuse
+    stays OFF — every scan is fresh, r10 behavior bit-for-bit."""
+    import pandas as pd
+
+    from entropy_balance_weighting_spark.plans import (
+        MomentSpec,
+        build_problem_tables,
+    )
+
+    x, w0, m = _problem(n=200, seed=5)
+    pdf = pd.DataFrame(
+        {"rid": np.arange(200), "w": w0, "x0": x[:, 0], "x1": x[:, 1], "x2": x[:, 2]}
+    )
+    df = spark.createDataFrame(pdf)
+    spec = MomentSpec(weight_col="w", numeric=("x0", "x1", "x2"), row_key=("rid",))
+    res = entropy_balance(
+        mean_population_moments=m,
+        x_sample=build_problem_tables(df, spec),
+        options={"bounds": (0.5, 1.8), "force_distributed": True},
+    )
+    assert res.converged
+    assert all(h["gram_fresh"] for h in res.diagnostics["history"])
