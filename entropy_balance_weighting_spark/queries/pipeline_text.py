@@ -1503,3 +1503,122 @@ def txt_c4_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pass")
     )
     return flagged.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def _pagerank_oracle_sql(n_iters: int = 4, damping: float = 0.85) -> str:
+    """DuckDB replay of :func:`web.pagerank` with the iteration loop
+    UNROLLED into chained CTEs (recursive CTEs cannot reference the
+    working table twice — the dangling-mass leg needs a second read),
+    generated from the same (n_iters, damping) the Spark query passes —
+    the shared-chain discipline, applied to an iterative operator.
+    Literals are cast to DOUBLE so DuckDB's DECIMAL inference never
+    enters the arithmetic."""
+    d = f"CAST({damping} AS DOUBLE)"
+    sql = """
+WITH e AS (
+  SELECT DISTINCT doc_id % 97 AS src, (doc_id * 7 + 1) % 97 AS dst
+  FROM documents WHERE doc_id % 97 < 90
+), nodes AS (
+  SELECT src AS id FROM e UNION SELECT dst FROM e
+), outdeg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), nn AS (SELECT count(*) AS c FROM nodes),
+pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+    for i in range(1, n_iters + 1):
+        sql += f""",
+inf{i} AS (
+  SELECT e.dst AS id, sum(p.rank / od.deg) AS s
+  FROM e JOIN pr{i - 1} p ON p.id = e.src
+  JOIN outdeg od ON od.src = e.src
+  GROUP BY e.dst
+), dang{i} AS (
+  SELECT COALESCE(sum(p.rank), CAST(0 AS DOUBLE)) AS dm FROM pr{i - 1} p
+  LEFT JOIN outdeg od ON od.src = p.id WHERE od.src IS NULL
+), pr{i} AS (
+  SELECT n.id,
+         (1 - {d}) + {d} * dang{i}.dm / nn.c
+         + {d} * COALESCE(inf{i}.s, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n
+  LEFT JOIN inf{i} ON inf{i}.id = n.id
+  CROSS JOIN dang{i} CROSS JOIN nn
+)"""
+    return (
+        sql
+        + f"""
+SELECT id, round(rank, 6) AS rank FROM pr{n_iters} ORDER BY id"""
+    )
+
+
+@register(
+    "web_pagerank",
+    survey="ext:web-pagerank",
+    oracle=_pagerank_oracle_sql(),
+)
+def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic link graph derived from doc_id
+    arithmetic (97 nodes; residues 90–96 never link out, so the
+    dangling-mass redistribution leg is exercised), fixed 4 iterations
+    (``tol=None``) so the oracle — the SAME recurrence unrolled into
+    chained SQL CTEs — replays it exactly.  Per-node ranks to 6
+    decimals: a slip in damping, dangling handling, out-degree
+    weighting, or iteration count shifts a rank and fails the hash.
+    100 TB shape (:func:`web.pagerank`): per iteration one stable-key
+    join + one groupBy plus a scalar dangling agg; rank vector never
+    collects to the driver."""
+    from entropy_balance_weighting_spark.functions import web
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    edges = docs.select(
+        (did % 97).alias("src"), ((did * 7 + 1) % 97).alias("dst")
+    ).filter(F.col("src") < 90)
+    ranks = web.pagerank(edges, n_iters=4, tol=None)
+    return ranks.select(
+        "id", F.round("rank", 6).alias("rank")
+    ).orderBy("id")
+
+
+@register(
+    "txt_byte_bpe_identity",
+    survey="ext:tokenizer-bpe-byte",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS utf8_bytes,
+       count(*) AS n_roundtrip
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def txt_byte_bpe_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE plumbing under an EXACT arithmetic oracle: with
+    zero merges every token is one byte stand-in, so the distributed
+    encode's token count must equal each document's UTF-8 byte length
+    (``octet_length`` in the oracle) — any pretokenizer character loss,
+    stand-in table slip, or Arrow batching bug breaks the equality —
+    and the expression-level byte detokenizer (translate → ISO-8859-1 →
+    UTF-8) must round-trip every document exactly (``n_roundtrip`` =
+    ``n_docs``).  The learned-merge path is pytest-proven
+    (tests/test_bpe.py: fit determinism, distributed == reference,
+    exact inverse); this query pins the distributed alphabet layer the
+    merges sit on.  100 TB shape: one Arrow map stage + one rollup, the
+    merges table is a closure constant."""
+    from entropy_balance_weighting_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe.bpe_encode(docs, [], alphabet="byte", lowercase=False)
+    joined = enc.join(docs.select("doc_id", "source", "text"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("utf8_bytes"),
+            F.sum(
+                F.when(
+                    bpe.detokenize("tokens", alphabet="byte")
+                    == F.col("text"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_roundtrip"),
+        )
+        .orderBy("source")
+    )
