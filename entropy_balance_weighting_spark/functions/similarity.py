@@ -80,6 +80,99 @@ def cosine_topk(
     )
 
 
+BINARY_BITS_PER_WORD = 32  # packed sign bits per BIGINT word: 32 keeps
+# every per-bit value (1 << j) positive in BOTH engines, so the
+# disjoint-bit sum the DuckDB oracle uses equals the bitwise OR with no
+# two's-complement edge at bit 63
+
+
+def binary_quantize_bits(vec) -> "F.Column":
+    """Sign-bit binary quantization of an embedding — ``array<long>``
+    where bit ``j`` of word ``w`` is 1 iff ``vec[w·32 + j] > 0``.  The
+    32×-compression ANN path next to PQ (binary embeddings: a 100 TB
+    float32 store becomes ~3 TB of bits, and distance becomes XOR +
+    popcount — pure codegen'd integer ops, no UDF anywhere).  Unlike
+    :func:`signature_bits` (random-hyperplane LSH for banding), this
+    keeps one bit PER DIMENSION, the convention binary-embedding
+    models are trained for."""
+    B = BINARY_BITS_PER_WORD
+    n_words = ((F.size(vec) + (B - 1)) / B).cast("int")  # floor division
+    words = F.sequence(F.lit(0), n_words - 1)
+    return F.transform(
+        words,
+        lambda w: F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(B - 1)),
+                lambda j: F.when(
+                    F.coalesce(
+                        F.try_element_at(vec, (w * B + j + 1).cast("int"))
+                        > 0,
+                        F.lit(False),
+                    ),
+                    # 2^j exact in double for j ≤ 31 (shiftleft takes
+                    # only a literal shift, not a per-element Column)
+                    F.pow(F.lit(2.0), j).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(x),
+        ),
+    )
+
+
+def hamming_distance(a, b) -> "F.Column":
+    """Popcount distance between two packed-bits arrays (XOR +
+    ``bit_count`` per word, summed) — whole-stage-codegen integer
+    arithmetic end to end."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def hamming_topk(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest neighbors under sign-bit Hamming distance for each
+    probe id: quantize once (:func:`binary_quantize_bits`), broadcast
+    the probes' bit rows, score with XOR+popcount, rank (distance asc,
+    neighbor_id asc — integer distances, so ranking is hash-exact with
+    no float rounding discipline needed).  Returns ``(probe_id,
+    neighbor_id, hamming)``, k rows per probe.  At scale the bits
+    column is the SCAN (32× fewer bytes than the float store); the
+    probe side is model-sized and broadcast."""
+    base = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        binary_quantize_bits(_as_double(F.col(vec_col))).alias("bits"),
+    )
+    probes = base.filter(F.col("neighbor_id").isin(probe_ids)).select(
+        F.col("neighbor_id").alias("probe_id"),
+        F.col("bits").alias("p_bits"),
+    )
+    joined = base.crossJoin(F.broadcast(probes)).filter(
+        F.col("neighbor_id") != F.col("probe_id")
+    )
+    scored = joined.select(
+        "probe_id",
+        "neighbor_id",
+        hamming_distance(F.col("p_bits"), F.col("bits")).alias("hamming"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "hamming")
+    )
+
+
 def _plane_coeff(plane: int, dim_idx):
     """Deterministic pseudo-hyperplane coefficient in [−0.5, 0.5)."""
     h = F.conv(

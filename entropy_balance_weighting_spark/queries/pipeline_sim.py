@@ -226,3 +226,49 @@ def emb_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "sim_hamming_topk",
+    survey="ext:similarity-binary-hamming",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), packed AS (
+  SELECT vec_id,
+         list_transform(range(0, CAST(ceil(len(v) / 32.0) AS BIGINT)),
+           w -> CAST(list_sum(list_transform(range(0, 32),
+                  j -> CASE WHEN w * 32 + j < len(v)
+                             AND v[CAST(w * 32 + j + 1 AS BIGINT)] > 0
+                       THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS BIGINT)
+         ) AS bits
+  FROM e
+), probes AS (
+  SELECT vec_id AS probe_id, bits AS p_bits FROM packed WHERE vec_id < 5
+), scored AS (
+  SELECT probe_id, packed.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(p_bits, bits),
+              z -> bit_count(xor(z[1], z[2])))) AS INT) AS hamming
+  FROM probes, packed WHERE packed.vec_id != probe_id
+), ranked AS (
+  SELECT *, row_number() OVER
+      (PARTITION BY probe_id ORDER BY hamming, neighbor_id) AS rk
+  FROM scored
+)
+SELECT probe_id, neighbor_id, hamming FROM ranked WHERE rk <= 5
+ORDER BY probe_id, hamming, neighbor_id
+""",
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding ANN: sign-bit quantization (1 bit/dimension,
+    32 bits per packed BIGINT word) + XOR-popcount Hamming top-5 for
+    probe ids 0–4 (:func:`similarity.binary_quantize_bits` /
+    :func:`similarity.hamming_topk`).  Distances are INTEGERS, so
+    ranking is hash-exact with no rounding discipline; the oracle
+    replays the identical pack (disjoint-bit sum ≡ bitwise OR) and
+    popcount in SQL.  100 TB shape: the bits column is 32× smaller
+    than the float store — the scan IS the index; probes broadcast,
+    whole-stage-codegen integer ops, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.hamming_topk(emb, [0, 1, 2, 3, 4], k=5)
+    return out.orderBy("probe_id", "hamming", "neighbor_id")

@@ -33,6 +33,8 @@ _SCALAR_CROSSJOIN_OK = {
     "t2_largest_miss",  # 1-row national-mean aggregate
     "m1_feasible_targets",  # 1-row global weight total
     "sim_cosine_topk",  # 5 probe rows, documented brute-force baseline
+    "sim_hamming_topk",  # 5 probe rows broadcast; the 32×-smaller bits
+    # column is the scale lever, not the join shape
     "dd_semantic_dedup",  # 8 seed-centroid rows broadcast into assignment
 }
 

@@ -183,3 +183,55 @@ def test_minibatch_quantizer_mass_equivalent_removals(spark):
     assert counts["full"] > 100  # the corpus is genuinely near-dup-heavy
     drift = abs(counts["minibatch"] - counts["full"]) / counts["full"]
     assert drift <= 0.05, counts
+
+
+def test_binary_quantize_and_hamming_match_numpy(spark):
+    """Sign-bit packing and XOR+popcount distance, pinned against a
+    plain numpy reference on random vectors (incl. a dim that is not a
+    multiple of the 32-bit word) — integer arithmetic, exact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(42)
+    for dim in (64, 40):  # word-aligned and ragged tail
+        vecs = rng.normal(size=(30, dim)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+            "vec_id long, embedding array<float>",
+        )
+        # numpy reference pack
+        bits_ref = (vecs > 0)
+        def ham(a, b):
+            return int(np.sum(a != b))
+
+        got = {
+            r["vec_id"]: list(r["bits"])
+            for r in df.select(
+                "vec_id",
+                sim.binary_quantize_bits(
+                    F.col("embedding").cast("array<double>")
+                ).alias("bits"),
+            ).collect()
+        }
+        n_words = (dim + 31) // 32
+        for i in range(len(vecs)):
+            assert len(got[i]) == n_words
+            packed = 0
+            for w, word in enumerate(got[i]):
+                packed |= int(word) << (32 * w)
+            want = sum(1 << j for j in range(dim) if bits_ref[i, j])
+            assert packed == want, i
+
+        # distances against every probe
+        out = sim.hamming_topk(df, probe_ids=[0, 1], k=29)
+        got_d = {
+            (r["probe_id"], r["neighbor_id"]): r["hamming"]
+            for r in out.collect()
+        }
+        for p in (0, 1):
+            for j in range(len(vecs)):
+                if j == p:
+                    continue
+                assert got_d[(p, j)] == ham(bits_ref[p], bits_ref[j]), (p, j)
