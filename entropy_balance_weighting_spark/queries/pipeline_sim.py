@@ -231,6 +231,7 @@ def emb_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_hamming_topk",
     survey="ext:similarity-binary-hamming",
+    bench=True,
     oracle="""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
