@@ -1622,3 +1622,57 @@ def txt_byte_bpe_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "txt_unigram_identity",
+    survey="ext:tokenizer-unigram",
+    oracle="""
+WITH w AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(list_sum(list_transform(ws, x -> strlen(x) + 1)))
+            AS BIGINT) AS marked_chars,
+       count(*) AS n_roundtrip
+FROM w GROUP BY source ORDER BY source
+""",
+)
+def txt_unigram_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer plumbing under an EXACT arithmetic oracle:
+    a singles-only piece table (``max_piece_len=1``) makes the Viterbi
+    segmentation the character sequence, so the distributed encode's
+    piece count must equal Σ(word length + 1 boundary marker) per
+    document — any lattice, marker, or Arrow-batching slip breaks the
+    equality — and the expression-level detokenizer must recover the
+    whitespace-normalized text for every document (``n_roundtrip`` =
+    ``n_docs``).  The learned-piece path (hard-EM fit, pruning,
+    compression) is pytest-proven (tests/test_unigram.py: Viterbi ==
+    brute force, distributed == reference, fit determinism); this
+    query pins the distributed layer the model sits on.  100 TB
+    shape: fit collects only the capped word-frequency table; apply
+    is one Arrow map stage + rollup."""
+    from entropy_balance_weighting_spark.functions import unigram as ug
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = ug.fit_unigram(docs, vocab_size=100_000, max_piece_len=1)
+    enc = ug.unigram_encode(docs, model)
+    joined = enc.join(docs.select("doc_id", "source", "text"), "doc_id")
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").cast("long").alias("marked_chars"),
+            F.sum(
+                F.when(
+                    ug.unigram_detokenize("pieces") == normalized, 1
+                ).otherwise(0)
+            ).cast("long").alias("n_roundtrip"),
+        )
+        .orderBy("source")
+    )
