@@ -295,7 +295,15 @@ def url_normalize(col: Column | str) -> Column:
         F.lower(F.regexp_extract(c, r"^([^/?#]*//[^/?#]*)", 1)),
         F.regexp_replace(c, r"^[^/?#]*//[^/?#]*", ""),
     )
-    c = F.regexp_replace(c, r"^(https?://[^/?#]*?):(?:80|443)(?=[/?#]|$)", r"$1")
+    # default-port strip only when the authority is well-formed
+    # ([userinfo@] host-with-no-colon | [bracketed-ipv6]) — a lax
+    # non-greedy form stripped ':80' twice from the malformed
+    # 'http://:80:80' and broke idempotence (hypothesis-found)
+    c = F.regexp_replace(
+        c,
+        r"^(https?://(?:[^/?#@]*@)?(?:\[[^\]/?#]*\]|[^/?#:]+)):(?:80|443)(?=[/?#]|$)",
+        r"$1",
+    )
     # trim one trailing slash from a non-root path (keep "host/" root)
     c = F.regexp_replace(c, r"^([^?#]*[^/?#])/(\?|#|$)", r"$1$2")
     return c

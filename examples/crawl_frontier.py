@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from entropy_balance_weighting_spark.functions import web
 from entropy_balance_weighting_spark.session import get_spark, load_table
-from entropy_balance_weighting_spark.sources import read_warc, write_warc
+from entropy_balance_weighting_spark.sources import (
+    read_warc,
+    write_warc,
+    write_wet,
+)
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
@@ -153,6 +157,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     )
     n_edges = extracted.count()
 
+    # 5b. interchange export — the extracted text as WET conversion
+    #     records (what downstream corpus tools consume), re-readable
+    #     by read_warc
+    wet_dir = os.path.join(
+        str(Path(__file__).resolve().parents[1]), ".scratch",
+        "example_frontier_wet",
+    )
+    shutil.rmtree(wet_dir, ignore_errors=True)
+    wet_docs = html_pages.select(
+        "url", web.strip_html("html").alias("text")
+    ).dropDuplicates(["url"])
+    wet_manifest = write_wet(wet_docs, wet_dir, n_files=2)
+    n_wet = int(wet_manifest.agg(F.sum("n_records")).first()[0] or 0)
+
     # 6. quality prior — PageRank over the discovered graph
     edges = extracted.select(
         web.url_normalize("url").alias("src"),
@@ -171,6 +189,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "n_edges": n_edges,
         "n_ranked": ranks.count(),
         "rank_mass": float(rank_mass),
+        "n_wet_records": n_wet,
         "pr_iterations": pr_info["iterations"],
         "pr_residual": pr_info["residual"],
         "top_url": top[0]["id"],

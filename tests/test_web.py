@@ -5,7 +5,7 @@ decode, title/link recovery, boilerplate signals — all JVM expressions
 from __future__ import annotations
 
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from entropy_balance_weighting_spark.functions import web
@@ -461,6 +461,10 @@ def test_pagerank_tol_early_stop_and_mass_invariant(spark):
         max_size=8,
     ).map("".join)
 )
+@example("http://:80:80")
+@example("http://u:p@Host.EX:80/a/")
+@example("http://[::1]:443/x")
+@example("http://foo:80:80/")
 def test_url_normalize_is_idempotent(url):
     """normalize(normalize(x)) == normalize(x) — canonical forms must
     be fixed points, or frontier dedup keys drift across passes."""
