@@ -10,6 +10,7 @@ from entropy_balance_weighting_spark.sources.layout import (
 )
 from entropy_balance_weighting_spark.sources.shards import (
     read_token_shard,
+    read_token_shards,
     write_token_shards,
 )
 from entropy_balance_weighting_spark.sources.splits import (
@@ -24,6 +25,7 @@ from entropy_balance_weighting_spark.sources.warc import (
 
 __all__ = [
     "read_token_shard",
+    "read_token_shards",
     "read_warc",
     "split_column",
     "write_bucketed",

@@ -148,3 +148,80 @@ def read_token_shard(path: str, *, dtype: str = "uint16") -> np.ndarray:
     if dtype not in _DTYPES:
         raise ValueError(f"dtype must be one of {sorted(_DTYPES)}, got {dtype!r}")
     return np.fromfile(path, dtype="<" + np.dtype(_DTYPES[dtype]).str[1:])
+
+
+def read_token_shards(
+    spark,
+    src: str,
+    *,
+    dtype: str = "uint16",
+    eos_id: int = 0,
+) -> DataFrame:
+    """Distributed reader for a token-shard export: ``binaryFile`` scan
+    over ``shard-*.bin`` → one Arrow map stage splitting each shard on
+    ``eos_id`` → ``(shard, doc_idx, tokens array<int>, n_tokens)``, one
+    row per document (``doc_idx`` is the document's position within its
+    shard — the layout stores no ids; positions are deterministic
+    because the writer sorts by id within each shard).
+
+    This is the training loader's view of the export, distributed: one
+    task per shard file (the same unit the writer produced), no
+    shuffle, so a verification pass over a full export is a map-only
+    job.  Trailing partial documents (no final EOS — a truncated file)
+    surface as a row with ``truncated=true`` rather than vanishing:
+    corruption is queryable, same discipline as the WARC reader."""
+    import pandas as pd
+
+    if dtype not in _DTYPES:
+        raise ValueError(f"dtype must be one of {sorted(_DTYPES)}, got {dtype!r}")
+    np_dtype = "<" + np.dtype(_DTYPES[dtype]).str[1:]
+
+    def gen(batches):
+        for pdf in batches:
+            for path, data in zip(pdf["path"], pdf["content"]):
+                name = path.rsplit("/", 1)[-1]
+                try:
+                    shard = int(name.split("-")[1].split(".")[0])
+                except (IndexError, ValueError):
+                    shard = -1
+                ids = np.frombuffer(bytes(data), dtype=np_dtype)
+                rows = []
+                start = 0
+                doc_idx = 0
+                ends = np.nonzero(ids == eos_id)[0]
+                for e in ends:
+                    rows.append(
+                        {
+                            "shard": shard,
+                            "doc_idx": doc_idx,
+                            "tokens": ids[start:e].astype("int32"),
+                            "n_tokens": int(e - start),
+                            "truncated": False,
+                        }
+                    )
+                    doc_idx += 1
+                    start = int(e) + 1
+                if start < len(ids):  # tail with no EOS: truncation
+                    rows.append(
+                        {
+                            "shard": shard,
+                            "doc_idx": doc_idx,
+                            "tokens": ids[start:].astype("int32"),
+                            "n_tokens": int(len(ids) - start),
+                            "truncated": True,
+                        }
+                    )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.bin")
+        .load(src)
+        .select("path", "content")
+    )
+    return files.mapInPandas(
+        gen,
+        "shard int, doc_idx int, tokens array<int>, n_tokens int, "
+        "truncated boolean",
+    )

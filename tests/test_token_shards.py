@@ -133,3 +133,45 @@ def test_shard_export_failure_preserves_previous_export(spark, tmp_path):
     write_token_shards(df, dest, n_shards=2).collect()
     assert glob.glob(f"{dest}/shard-*.bin.tmp") == []
     assert len(glob.glob(f"{dest}/shard-*.bin")) == 2
+
+
+def test_read_token_shards_roundtrip_and_truncation(spark, tmp_path):
+    """Distributed reader: write -> read recovers every document's ids
+    (as a multiset of token lists - the layout stores positions, not
+    ids), and a truncated shard tail surfaces as a truncated=true row
+    instead of vanishing."""
+    from entropy_balance_weighting_spark.sources.shards import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    docs = [(i, [int(x) for x in range(1, 2 + i % 5)]) for i in range(23)]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    dest = str(tmp_path / "shards")
+    write_token_shards(df, dest, n_shards=4, dtype="uint16", eos_id=0)
+
+    back = read_token_shards(spark, dest, dtype="uint16", eos_id=0)
+    rows = back.collect()
+    assert all(not r["truncated"] for r in rows)
+    got = sorted(tuple(r["tokens"]) for r in rows)
+    want = sorted(tuple(t) for _, t in docs)
+    assert got == want
+    # doc_idx is dense per shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["doc_idx"])
+    for shard, idxs in by_shard.items():
+        assert sorted(idxs) == list(range(len(idxs))), shard
+
+    # truncate one shard mid-document: the tail becomes a flagged row
+    import glob as _g
+    import os as _os
+
+    victim = sorted(_g.glob(_os.path.join(dest, "shard-*.bin")))[0]
+    data = open(victim, "rb").read()
+    open(victim, "wb").write(data[:-2] + b"\x07\x00")  # last id, no EOS
+    back2 = read_token_shards(spark, dest).collect()
+    trunc = [r for r in back2 if r["truncated"]]
+    assert len(trunc) == 1
+    assert trunc[0]["tokens"][-1] == 7
+    assert len(back2) == len(rows)  # same row count: tail kept as a doc
