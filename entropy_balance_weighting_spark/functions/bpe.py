@@ -124,9 +124,13 @@ def word_frequencies(
             for pdf in batches:
                 out: list[str] = []
                 for t in pdf[text_col]:
+                    if t is None or (isinstance(t, float) and pd.isna(t)):
+                        continue  # NULL text contributes no pretokens
+                        # (the word-mode JVM path drops nulls the same
+                        # way via explode(split(null)))
                     t = str(t)
                     out.extend(pretokenize(t.lower() if lowercase else t))
-                yield pd.DataFrame({"word": out})
+                yield pd.DataFrame({"word": pd.Series(out, dtype="object")})
 
         words = df.select(text_col).mapInPandas(gen, "word string")
     else:
@@ -290,6 +294,8 @@ def bpe_encode(
         for pdf in batches:
             ids, toks, counts = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    t = ""  # NULL text tokenizes to zero tokens
                 t = str(t).lower() if lowercase else str(t)
                 pieces = pretokenize(t) if alphabet == "byte" else t.split()
                 doc: list[str] = []
@@ -333,13 +339,23 @@ def bpe_vocab(
     merges: list[tuple[str, str]], *, alphabet: str = "byte"
 ) -> list[str]:
     """Token-string → id table: the 256 byte stand-ins (ids 0–255, the
-    GPT-2 convention) followed by each merge's product in rank order.
+    GPT-2 convention) followed by each merge's product in rank order,
+    DEDUPLICATED keeping the first (lowest-rank) occurrence — two
+    distinct merges can yield the same product string (e.g. ('a','bc')
+    and ('ab','c')), and an id table must map each token string once.
     Byte mode only — its alphabet is closed, so EVERY token a
     :func:`bpe_encode` run emits has an id (word mode's base alphabet
     is open-ended; hash ids there instead)."""
     if alphabet != "byte":
         raise ValueError("bpe_vocab is defined for the byte alphabet only")
-    return [_BYTE_ENC[b] for b in range(256)] + [a + b for a, b in merges]
+    vocab = [_BYTE_ENC[b] for b in range(256)]
+    seen = set(vocab)
+    for a, b in merges:
+        tok = a + b
+        if tok not in seen:
+            seen.add(tok)
+            vocab.append(tok)
+    return vocab
 
 
 def save_bpe(

@@ -859,6 +859,9 @@ def probe_video_streams(
                 entry = parsers.get(str(kind))
                 if entry is None:
                     row["error"] = f"unknown stream kind {kind!r}"
+                elif payload is None:
+                    row["codec"] = entry[0]
+                    row["error"] = "null payload"
                 else:
                     codec, parse = entry
                     try:

@@ -97,8 +97,10 @@ def binary_quantize_bits(vec) -> "F.Column":
     models are trained for."""
     B = BINARY_BITS_PER_WORD
     n_words = ((F.size(vec) + (B - 1)) / B).cast("int")  # floor division
-    words = F.sequence(F.lit(0), n_words - 1)
-    return F.transform(
+    # guard the empty vector: sequence(0, -1) would count BACKWARDS in
+    # Spark (auto-negative step) and index word -1
+    words = F.sequence(F.lit(0), F.greatest(n_words, F.lit(1)) - 1)
+    packed = F.transform(
         words,
         lambda w: F.aggregate(
             F.transform(
@@ -117,6 +119,9 @@ def binary_quantize_bits(vec) -> "F.Column":
             F.lit(0).cast("long"),
             lambda acc, x: acc.bitwiseOR(x),
         ),
+    )
+    return F.when(F.size(vec) > 0, packed).otherwise(
+        F.array().cast("array<long>")
     )
 
 

@@ -38,8 +38,12 @@ WORD_MARK = "▁"  # SentencePiece word-boundary marker
 
 def _viterbi(word: str, logp: dict[str, float], max_len: int) -> list[str]:
     """Best segmentation of ``word`` under piece log-probs — O(n·L).
-    Single characters are always in the vocab (coverage invariant), so
-    a segmentation always exists."""
+    The fit keeps every single character IT SAW, so words over the
+    fit's charset always segment; a word containing a character the
+    fit never saw (outside the capped frequency table) is UNSEGMENTABLE
+    and is returned as ONE out-of-vocabulary piece — the SentencePiece
+    UNK convention, made explicit here rather than left to backpointer
+    defaults.  Curation pipelines should charset-filter or refit."""
     n = len(word)
     best = [0.0] + [-math.inf] * n
     back = [0] * (n + 1)
@@ -53,6 +57,8 @@ def _viterbi(word: str, logp: dict[str, float], max_len: int) -> list[str]:
             if cand > best[i]:
                 best[i] = cand
                 back[i] = j
+    if best[n] == -math.inf:
+        return [word]  # explicit OOV: one unsegmentable piece
     out = []
     i = n
     while i > 0:

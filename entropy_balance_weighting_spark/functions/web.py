@@ -298,11 +298,15 @@ def url_normalize(col: Column | str) -> Column:
     # default-port strip only when the authority is well-formed
     # ([userinfo@] host-with-no-colon | [bracketed-ipv6]) — a lax
     # non-greedy form stripped ':80' twice from the malformed
-    # 'http://:80:80' and broke idempotence (hypothesis-found)
+    # 'http://:80:80' and broke idempotence (hypothesis-found) — and
+    # only for the port that is ACTUALLY the scheme's default
+    # (http://host:443 is a distinct resource and must survive)
+    _AUTH = r"(?:[^/?#@]*@)?(?:\[[^\]/?#]*\]|[^/?#:]+)"
     c = F.regexp_replace(
-        c,
-        r"^(https?://(?:[^/?#@]*@)?(?:\[[^\]/?#]*\]|[^/?#:]+)):(?:80|443)(?=[/?#]|$)",
-        r"$1",
+        c, rf"^(http://{_AUTH}):80(?=[/?#]|$)", r"$1"
+    )
+    c = F.regexp_replace(
+        c, rf"^(https://{_AUTH}):443(?=[/?#]|$)", r"$1"
     )
     # trim one trailing slash from a non-root path (keep "host/" root)
     c = F.regexp_replace(c, r"^([^?#]*[^/?#])/(\?|#|$)", r"$1$2")

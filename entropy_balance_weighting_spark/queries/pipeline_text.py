@@ -1636,7 +1636,7 @@ WITH w AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       CAST(sum(list_sum(list_transform(ws, x -> strlen(x) + 1)))
+       CAST(sum(list_sum(list_transform(ws, x -> length(x) + 1)))
             AS BIGINT) AS marked_chars,
        count(*) AS n_roundtrip
 FROM w GROUP BY source ORDER BY source
@@ -1659,7 +1659,11 @@ def txt_unigram_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entropy_balance_weighting_spark.functions import unigram as ug
 
     docs = load_table(spark, sf_dir, "documents")
-    model = ug.fit_unigram(docs, vocab_size=100_000, max_piece_len=1)
+    # max_words above any sf's distinct-word count: the singles fit must
+    # see EVERY character or the identity breaks on the missing ones
+    model = ug.fit_unigram(
+        docs, vocab_size=1_000_000, max_piece_len=1, max_words=2_000_000
+    )
     enc = ug.unigram_encode(docs, model)
     joined = enc.join(docs.select("doc_id", "source", "text"), "doc_id")
     normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")

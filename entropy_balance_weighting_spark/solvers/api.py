@@ -48,6 +48,7 @@ _KNOWN_OPTIONS = {
     "gram_reuse",
     "gram_refresh_every",
     "gram_stall_ratio",
+    "gram_endgame_factor",
     # accepted for drop-in compatibility with reference scripts (the
     # reference reads options via .get and silently ignores these; its own
     # examples pass them — ref: examples/simple_examples.py:24,30).  They

@@ -159,7 +159,7 @@ def read_token_shards(
 ) -> DataFrame:
     """Distributed reader for a token-shard export: ``binaryFile`` scan
     over ``shard-*.bin`` → one Arrow map stage splitting each shard on
-    ``eos_id`` → ``(shard, doc_idx, tokens array<int>, n_tokens)``, one
+    ``eos_id`` → ``(shard, doc_idx, tokens array<long>, n_tokens)``, one
     row per document (``doc_idx`` is the document's position within its
     shard — the layout stores no ids; positions are deterministic
     because the writer sorts by id within each shard).
@@ -169,7 +169,10 @@ def read_token_shards(
     shuffle, so a verification pass over a full export is a map-only
     job.  Trailing partial documents (no final EOS — a truncated file)
     surface as a row with ``truncated=true`` rather than vanishing:
-    corruption is queryable, same discipline as the WARC reader."""
+    corruption is queryable, same discipline as the WARC reader.
+    Token ids widen to int64 on read — a uint32 id ≥ 2³¹ must round-
+    trip exactly (the writer raises on out-of-dtype ids precisely so
+    no silent wrap exists anywhere on this path)."""
     import pandas as pd
 
     if dtype not in _DTYPES:
@@ -194,7 +197,7 @@ def read_token_shards(
                         {
                             "shard": shard,
                             "doc_idx": doc_idx,
-                            "tokens": ids[start:e].astype("int32"),
+                            "tokens": ids[start:e].astype("int64"),
                             "n_tokens": int(e - start),
                             "truncated": False,
                         }
@@ -206,7 +209,7 @@ def read_token_shards(
                         {
                             "shard": shard,
                             "doc_idx": doc_idx,
-                            "tokens": ids[start:].astype("int32"),
+                            "tokens": ids[start:].astype("int64"),
                             "n_tokens": int(len(ids) - start),
                             "truncated": True,
                         }
@@ -222,6 +225,6 @@ def read_token_shards(
     )
     return files.mapInPandas(
         gen,
-        "shard int, doc_idx int, tokens array<int>, n_tokens int, "
+        "shard int, doc_idx int, tokens array<long>, n_tokens int, "
         "truncated boolean",
     )

@@ -193,8 +193,12 @@ def test_byte_vocab_ids_closed(byte_corpus):
         byte_corpus, n_merges=20, alphabet="byte", lowercase=False
     )
     vocab = bpe.bpe_vocab(merges)
-    assert len(vocab) == 256 + len(merges)
+    # deduplicated: distinct merges may share a product string
+    assert 256 < len(vocab) <= 256 + len(merges)
+    assert len(set(vocab)) == len(vocab)
     ids = {t: i for i, t in enumerate(vocab)}
+    # duplicate products collapse to the first rank's id
+    assert bpe.bpe_vocab([("a", "bc"), ("ab", "c")])[256:] == ["abc"]
     # every emitted token has an id (closed alphabet)
     toks = (
         bpe.bpe_encode(byte_corpus, merges, alphabet="byte", lowercase=False)

@@ -1164,3 +1164,17 @@ def test_probe_video_streams_wrapper(spark):
     assert got[4]["error"] is not None and got[4]["codec"] == "hevc"
     assert got[5]["error"] is not None and "unknown stream kind" in got[5]["error"]
     assert all(got[i]["error"] is None for i in (0, 1, 2, 3))
+
+
+def test_probe_video_streams_null_payload_is_error_row(spark):
+    from entropy_balance_weighting_spark.functions.multimodal import (
+        probe_video_streams,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "h264", bytearray(b"")), (1, "hvcc", None)],
+        "doc_id long, kind string, payload binary",
+    )
+    got = {r["doc_id"]: r for r in probe_video_streams(df).collect()}
+    assert got[1]["error"] == "null payload" and got[1]["codec"] == "hevc"
+    assert got[0]["error"] is not None  # empty payload: parse error row

@@ -235,3 +235,21 @@ def test_binary_quantize_and_hamming_match_numpy(spark):
                 if j == p:
                     continue
                 assert got_d[(p, j)] == ham(bits_ref[p], bits_ref[j]), (p, j)
+
+
+def test_binary_quantize_empty_vector_is_empty_bits(spark):
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.functions import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, []), (1, [1.0, -1.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: list(r["bits"])
+        for r in df.select(
+            "vec_id", sim.binary_quantize_bits(F.col("embedding")).alias("bits")
+        ).collect()
+    }
+    assert got[0] == []
+    assert got[1] == [1]  # bit 0 set only

@@ -133,19 +133,20 @@ def test_single_char_model_is_identity_count(corpus):
         assert got[row["doc_id"]] == want
 
 
-def test_unknown_char_word_still_segments(corpus, spark):
-    """Coverage only guarantees seen characters; a word with an UNSEEN
-    char yields an empty segmentation for that word rather than a
-    crash (documented: curation should pre-filter to the fit's charset
-    or refit)."""
+def test_unknown_char_word_is_one_oov_piece(corpus, spark):
+    """Coverage only guarantees characters the fit SAW; a word with an
+    unseen char comes back as ONE out-of-vocabulary piece (explicit
+    SentencePiece-style UNK convention), never a crash or a silent
+    drop — curation should charset-filter or refit."""
     model = ug.fit_unigram(corpus, vocab_size=50)
+    assert ug._viterbi("▁l¤w", model, 4) == ["▁l¤w"]
     df = spark.createDataFrame(
         [(0, "low ¤¤¤ widest")], "doc_id long, text string"
     )
     out = ug.unigram_encode(df, model).first()
-    assert ug.WORD_MARK + "low" in out["pieces"] or "low" in "".join(
-        out["pieces"]
-    )
+    pieces = list(out["pieces"])
+    assert (ug.WORD_MARK + "¤¤¤") in pieces  # the OOV word, whole
+    assert "".join(pieces) == "▁low▁¤¤¤▁widest"  # nothing lost
 
 
 def test_persistence_roundtrip(corpus, tmp_path):

@@ -203,6 +203,11 @@ def test_url_host_path_normalize(spark):
         # non-default port survives normalization
         ("http://b.example:8080/y", "b.example", "/y",
          "http://b.example:8080/y"),
+        # the OTHER scheme's default port is NOT this scheme's default
+        ("http://c.example:443/z", "c.example", "/z",
+         "http://c.example:443/z"),
+        ("https://d.example:80/z", "d.example", "/z",
+         "https://d.example:80/z"),
         # junk input: host '' (try_parse_url), normalize passes through
         ("not a url", "", "", "not a url"),
     ]
