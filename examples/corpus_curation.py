@@ -306,6 +306,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     clean = clean.join(sem_drop, "doc_id", "left_anti")
     n_semantic = clean.count()
 
+    # 8b. binary-embedding neighbor screen — sign-bit quantization +
+    #     XOR-popcount Hamming (the 32x-smaller scan next to the PQ
+    #     path): count probe neighbors inside a Hamming radius as the
+    #     cheap near-dup telemetry a 100 TB embedding store runs first
+    ham = similarity.hamming_topk(emb, probe_ids=[0, 1, 2], k=10)
+    n_ham_close = ham.filter(F.col("hamming") <= 24).count()
+
     # 7. domain mixing — equal source shares via the deterministic
     #    hash sampler (membership re-derivable from (doc_id, salt))
     sources = [r.source for r in clean.select("source").distinct().collect()]
@@ -360,6 +367,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
     ).first()
     n_exported_docs, n_exported_tokens = int(exported[0]), int(exported[1])
 
+    # 11b. the OTHER tokenizer family on the same curated text — a
+    #      unigram LM (SentencePiece lineage); trainers disagree on
+    #      tokenizers, a curation pipeline should speak both
+    from entropy_balance_weighting_spark.functions import unigram as ug
+
+    upieces = ug.unigram_encode(
+        mixed, ug.fit_unigram(mixed, vocab_size=400, n_em_iters=2)
+    )
+    avg_unigram_pieces = float(
+        upieces.agg(F.avg("n_pieces")).first()[0] or 0.0
+    )
+
     # 9. RAG index prep — overlapping token-window chunks of the curated
     #    corpus (the retrieval-side consumer of the same curation output)
     chunks = text.chunk_documents(mixed, chunk_tokens=64, overlap_tokens=16)
@@ -387,6 +406,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", spark=None) -> dict:
         "avg_context_tokens": float(fill),
         "n_exported_docs": n_exported_docs,
         "n_exported_tokens": n_exported_tokens,
+        "avg_unigram_pieces": avg_unigram_pieces,
+        "n_hamming_close_pairs": n_ham_close,
         "n_rag_chunks": n_chunks,
     }
     print(out)
