@@ -36,11 +36,18 @@ pipeline needs, built Spark-first as first-class engine components):
   avcC), HEVC SPS (hvcC), AV1 sequence header (av1C) — giving
   profile/level/true-dimensions/fps triage with zero frame decode
   (:mod:`functions.container_meta`).
-- :mod:`functions.bpe` — a REAL byte-pair-encoding tokenizer: the
-  word-frequency table is built distributed and capped, the
-  inherently-sequential merge loop runs driver-side on that
-  model-sized table (incremental pair-count index), and encoding is
-  one Arrow map stage with per-batch word memoization.
+- :mod:`functions.bpe` — a REAL byte-pair-encoding tokenizer in both
+  alphabets (Sennrich word-level with ``</w>``; GPT-2 byte-level with
+  the published byte↔unicode table, closed vocab, expression-level
+  exact detokenize): the word-frequency table is built distributed and
+  capped, the inherently-sequential merge loop runs driver-side on
+  that model-sized table (incremental pair-count index), and encoding
+  is one Arrow map stage with per-batch word memoization.
+- :mod:`functions.unigram` — the OTHER tokenizer family (Kudo 2018 /
+  SentencePiece): hard-EM unigram-LM fit over the same capped
+  distributed frequency table, Viterbi segmentation as a memoized
+  Arrow stage, ``▁`` word-boundary convention so detokenize stays a
+  JVM expression.
 - :mod:`functions.markdown` — Markdown → text extraction as the same
   RE2-safe JVM regexp-chain discipline as the HTML path (code fences,
   links/images, emphasis, lists, tables), with an SQL renderer of the
