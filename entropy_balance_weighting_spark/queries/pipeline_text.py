@@ -1780,3 +1780,53 @@ def txt_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("moment_name")
     )
+
+
+@register(
+    "txt_heavy_hitters",
+    survey="ext:sketch-heavy-hitters",
+    oracle="""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS item
+  FROM documents
+), thr AS (
+  SELECT greatest(1, CAST(count(*) // 500 AS BIGINT)) AS t FROM w
+)
+SELECT item, count(*) AS n_occurrences
+FROM w GROUP BY item
+HAVING count(*) >= (SELECT t FROM thr)
+ORDER BY n_occurrences DESC, item
+""",
+)
+def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent corpus terms via the two-pass heavy-hitter plan
+    (:func:`heavy_hitters.heavy_hitters`): Misra–Gries candidate
+    sketches per partition (tokenization INSIDE the map stage — no
+    exploded row shuffles in pass 1), then an exact verify pass over
+    the broadcast candidate set; threshold = total words / 500
+    (integer floor, identical arithmetic in the oracle).  Output is
+    EXACT — the sketch only bounds the candidate set — so the plain
+    SQL aggregate replays it; a candidate-guarantee break (a missed
+    heavy item) would show as a missing row and fail the hash.
+    100 TB shape: pass 1 map-only, pass 2 shuffles candidate
+    occurrences only — never a groupBy over every distinct term."""
+    from entropy_balance_weighting_spark.functions.heavy_hitters import (
+        heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda x: x != "",
+    )
+    tok_df = docs.select(toks.alias("toks"))
+    total = int(
+        tok_df.agg(F.sum(F.size("toks"))).first()[0] or 0
+    )
+    out = heavy_hitters(
+        tok_df, "toks", min_count=max(1, total // 500)
+    )
+    return out.select(
+        "item", F.col("count").alias("n_occurrences")
+    ).orderBy(F.col("n_occurrences").desc(), "item")
