@@ -66,3 +66,87 @@ def running_key_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy-hitter candidates — Misra–Gries summaries in the state
+# store, sharded by item hash (the streaming front half of the two-pass
+# plan in functions/heavy_hitters.py; a periodic batch verify pass over
+# the emitted candidates gives exact counts)
+# ---------------------------------------------------------------------------
+
+HH_STATE_SCHEMA = "items array<string>, counts array<long>, n_seen long"
+HH_OUTPUT_SCHEMA = "shard int, item string, est long, shard_seen long"
+
+
+def _hh_update_factory(capacity: int):
+    from entropy_balance_weighting_spark.functions.heavy_hitters import (
+        _mg_update,
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            items, counts, n_seen = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, n_seen = {}, 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for it in pdf["item"]:
+                _mg_update(counters, it, 1, capacity)
+        state.update(
+            (list(counters.keys()), list(counters.values()), n_seen)
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counters),
+                "item": list(counters.keys()),
+                "est": list(counters.values()),
+                "shard_seen": [n_seen] * len(counters),
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitter_candidates(
+    stream: DataFrame,
+    items,
+    *,
+    n_shards: int = 8,
+    capacity: int = 64,
+) -> DataFrame:
+    """Streaming candidate generation for heavy hitters: explode the
+    ``items`` array column, shard each item by hash (an item lives in
+    exactly ONE shard, so per-shard Misra–Gries of capacity ``c``
+    guarantees any item with cumulative count > shard_seen/c is among
+    that shard's counters — no false negatives at that threshold, ever,
+    regardless of arrival order), and keep one MG summary per shard in
+    the state store.  Each micro-batch emits every touched shard's
+    current counters with the shard's cumulative item count, so the
+    consumer can evaluate the guarantee threshold per shard and run
+    the EXACT verify pass (functions/heavy_hitters.py pass 2) over the
+    union whenever it wants exact numbers.
+
+    State per shard is ≤ ``capacity`` (item, count) pairs — the state
+    store holds n_shards × capacity entries TOTAL, independent of the
+    stream's distinct-item cardinality (the reason to sketch at all:
+    a raw streaming groupBy(item) state grows with the vocabulary)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(items) if isinstance(items, str) else items
+    shaped = stream.select(F.explode(c).alias("item")).select(
+        "item",
+        F.pmod(F.xxhash64("item"), F.lit(n_shards)).cast("int").alias(
+            "shard"
+        ),
+    )
+    return shaped.groupBy("shard").applyInPandasWithState(
+        _hh_update_factory(capacity),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -103,3 +103,90 @@ def test_candidate_superset_guarantee_tight_capacity(spark):
     ).repartition(8)
     out = hh.heavy_hitters(df, "toks", min_count=60).collect()
     assert [(r["item"], r["count"]) for r in out] == [("hub", 60)]
+
+
+def test_streaming_candidates_guarantee_and_exact_verify(spark, tmp_path):
+    """Streaming MG candidates across ≥2 micro-batches: the per-shard
+    guarantee holds (every item with count > shard_seen/capacity is
+    among the final candidates), estimates never exceed truth, and the
+    batch verify pass over the emitted union reproduces the exact
+    brute-force heavy set — the full streaming→verify pipeline."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.streaming import (
+        streaming_heavy_hitter_candidates,
+    )
+
+    rows = []
+    words = ["hub"] * 30 + ["spoke"] * 9 + [f"r{i}" for i in range(50)]
+    for i in range(0, len(words), 4):
+        rows.append((i, words[i : i + 4]))
+    full = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    full.filter(F.col("doc_id") % 8 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    full.filter(F.col("doc_id") % 8 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_heavy_hitter_candidates(
+        stream, "toks", n_shards=4, capacity=8
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_cand")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (
+        len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    )
+
+    mem = spark.sql("SELECT * FROM hh_cand").toPandas()
+    # last emission per (shard, item) = final MG state of that shard
+    fin = mem.groupby(["shard", "item"]).last().reset_index()
+    truth = Counter(w for _, ws in rows for w in ws)
+    shard_seen = fin.groupby("shard")["shard_seen"].max()
+    for _, r in fin.iterrows():
+        assert r["est"] <= truth[r["item"]]  # MG never overestimates
+    # guarantee: count > shard_seen/capacity => candidate present
+    cand = set(fin["item"])
+    from pyspark.sql import functions as F2
+
+    shard_of = {
+        r["item"]: r["shard"]
+        for r in spark.createDataFrame(
+            [(w,) for w in truth], "item string"
+        ).select(
+            "item",
+            F2.pmod(F2.xxhash64("item"), F2.lit(4)).cast("int").alias("shard"),
+        ).collect()
+    }
+    for w, n in truth.items():
+        s = shard_of[w]
+        if s in shard_seen.index and n > shard_seen[s] / 8:
+            assert w in cand, (w, n)
+
+    # exact verify over the emitted union == brute-force heavy set
+    from entropy_balance_weighting_spark.functions.heavy_hitters import (
+        heavy_hitters,
+    )
+
+    exact = {
+        r["item"]: r["count"]
+        for r in heavy_hitters(full, "toks", min_count=9).collect()
+    }
+    assert exact == {w: n for w, n in truth.items() if n >= 9}
+    assert set(exact) <= cand  # the streaming union carried them all
