@@ -133,6 +133,7 @@ def main() -> None:
     meta_suffixes = ("_iterations", "_converged", "_k", "_cold")
     wall = {k: v for k, v in timings.items() if not k.endswith(meta_suffixes)}
     total = round(sum(wall.values()), 4)
+    gate_ratio_cb, gate_cb_entries = _compute_bound_ratio(wall, duck_per_query)
     diagnostics = {
         "metric": "headline_queries_diagnostics",
         "value": total,
@@ -179,6 +180,13 @@ def main() -> None:
             ),
             4,
         ),
+        # Spark/DuckDB ratio restricted to COMPUTE-BOUND entries (DuckDB
+        # > 1 s), where Spark's fixed ~0.3-0.8 s job-launch overhead no
+        # longer dominates — the honest baseline comparison as one field
+        # instead of a per-round re-derivation from raw numbers (r11
+        # verdict item #8).  -1.0 = no compute-bound entry at this SF.
+        "gate_ratio_compute_bound": gate_ratio_cb,
+        "gate_compute_bound_entries": gate_cb_entries,
         "queries": timings,
         "sf": sf,
     }
@@ -217,6 +225,9 @@ def render_output_lines(diagnostics: dict) -> list[str]:
         "contaminated": diagnostics["contaminated"],
         "duck_proxy_sec": diagnostics["duck_proxy_sec"],
         "spark_same_queries_sec": diagnostics["spark_same_queries_sec"],
+        "gate_ratio_compute_bound": diagnostics.get(
+            "gate_ratio_compute_bound", -1.0
+        ),
         "queries": {},
         "queries_truncated": False,
     }
@@ -243,6 +254,27 @@ def render_output_lines(diagnostics: dict) -> list[str]:
     short_line = json.dumps(short)
     assert len(short_line) <= FINAL_LINE_BUDGET, len(short_line)
     return [fat_line, short_line]
+
+
+def _compute_bound_ratio(
+    wall: dict[str, float], duck_per_query: dict[str, float]
+) -> tuple[float, dict[str, float]]:
+    """Spark/DuckDB wall ratio over entries whose DuckDB oracle time
+    exceeds 1 s — the regime where fixed Spark job-launch overhead is
+    amortized and the ratio measures the PLAN, not the launch.  Returns
+    (ratio, {entry: duck_sec}); ratio -1.0 when no entry qualifies."""
+    qualifying = {
+        n: d
+        for n, d in duck_per_query.items()
+        if d > 1.0 and n in wall
+    }
+    if not qualifying:
+        return -1.0, {}
+    spark_sec = sum(wall[n] for n in qualifying)
+    duck_sec = sum(qualifying.values())
+    return round(spark_sec / duck_sec, 3), {
+        n: round(d, 3) for n, d in qualifying.items()
+    }
 
 
 def _duck_proxy(

@@ -30,8 +30,14 @@ Two alphabets (``alphabet=`` on fit/encode/detokenize):
   UTF-8 BYTES map through the published GPT-2 byte↔unicode table to
   printable stand-in characters, and merges run over those — no
   marker needed (spaces are in-band), no out-of-alphabet token is
-  possible, and token counts match what a modern trainer sees on
-  non-ASCII/whitespace-heavy text.  Detokenize stays a JVM
+  possible, and token boundaries track what a modern trainer sees on
+  non-ASCII/whitespace-heavy text, with one known divergence: the
+  stdlib-``re`` approximation of GPT-2's pretokenizer classifies
+  Unicode No/Nl characters ('²', '½', roman numerals) as letters
+  (``[^\\W\\d_]``) where GPT-2's ``\\p{N}`` groups them with digits,
+  shifting piece boundaries when such characters abut letters or
+  digits.  Fit and apply share ``pretokenize()``, so the tokenizer
+  stays self-consistent either way.  Detokenize stays a JVM
   expression: ``translate`` (256-char stand-in → latin-1) →
   ``encode(ISO-8859-1)`` → ``decode(UTF-8)``.
 
@@ -77,7 +83,10 @@ _BYTE_DST = "".join(chr(b) for b in range(256))
 
 # GPT-2's pretokenizer re-expressed in stdlib ``re`` (the published
 # pattern uses \p{L}/\p{N} from the third-party ``regex`` module):
-# [^\W\d_] is unicode-letters, \d unicode-decimal-digits, the punct
+# [^\W\d_] is unicode-letters PLUS the non-decimal numeric categories
+# No/Nl ('²', '½', 'Ⅳ') that \p{N} would group with digits — a known
+# boundary divergence from GPT-2 when such characters abut letters or
+# digits; \d is unicode-decimal-digits, the punct
 # class adds back the underscore \w steals.  Contractions, the
 # leading-space convention, and the trailing-whitespace lookahead are
 # verbatim.  Used IDENTICALLY at fit (freq-table map stage) and apply,

@@ -120,8 +120,15 @@ def binary_quantize_bits(vec) -> "F.Column":
             lambda acc, x: acc.bitwiseOR(x),
         ),
     )
-    return F.when(F.size(vec) > 0, packed).otherwise(
-        F.array().cast("array<long>")
+    # NULL in → NULL out (filterable), never an empty bit row: size(NULL)
+    # is NULL, so without the isNotNull gate a NULL embedding would fall
+    # through to the empty-array branch and survive into hamming_topk as
+    # a zero-length bits row whose zip_with null-pads against real probes
+    return F.when(
+        vec.isNotNull(),
+        F.when(F.size(vec) > 0, packed).otherwise(
+            F.array().cast("array<long>")
+        ),
     )
 
 
@@ -155,7 +162,7 @@ def hamming_topk(
     base = emb.select(
         F.col(id_col).alias("neighbor_id"),
         binary_quantize_bits(_as_double(F.col(vec_col))).alias("bits"),
-    )
+    ).filter(F.col("bits").isNotNull())  # NULL embeddings never rank
     probes = base.filter(F.col("neighbor_id").isin(probe_ids)).select(
         F.col("neighbor_id").alias("probe_id"),
         F.col("bits").alias("p_bits"),

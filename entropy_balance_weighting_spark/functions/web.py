@@ -57,13 +57,16 @@ _STRIP_CHAIN: list[tuple[str, str]] = [
     (r"(?s)<[^>]*>", " "),
 ]
 
-# numeric character references — the SAME RE2-safe pattern strings run
+# numeric character references — the SAME RE2-safe pattern string runs
 # under Spark's Java regex and DuckDB (sql_decode_charrefs renders the
-# oracle replay from these constants).  Bounded repetition keeps the
-# match well inside int range; longer digit runs simply don't match and
-# stay literal in BOTH dialects.
-_CHARREF_DEC = r"&#([0-9]{1,7});"
-_CHARREF_HEX = r"&#[xX]([0-9a-fA-F]{1,6});"
+# oracle replay from this constant).  ONE combined alternation so both
+# forms decode in a SINGLE leftmost-match pass: a decoded character can
+# never splice with following text into a new ref (running decimal then
+# hex as two passes made '&#38;#x3C0;' decode to 'π' where a spec parser
+# yields the literal '&#x3C0;' — the r11 ADVICE finding).  Bounded
+# repetition keeps the match well inside int range; longer digit runs
+# simply don't match and stay literal in BOTH dialects.
+_CHARREF = r"&#([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
 
 # valid decode range: [1, 0x10FFFF] minus the UTF-16 surrogate block —
 # outside it the ref is kept as literal text in both dialects (DuckDB
@@ -84,24 +87,27 @@ def _cp_char(cp: Column) -> Column:
     )
 
 
-def _decode_ref_form(c: Column, pat: str, hex_form: bool) -> Column:
-    """Decode every occurrence of one numeric-ref form in ``c``:
-    split on the pattern, decode each captured ref, stitch back
-    ``parts[0] + ch0 + parts[1] + ch1 + …`` with zip_with/aggregate —
-    one scan, no UDF."""
+def _decode_ref_form(c: Column, pat: str) -> Column:
+    """Decode every numeric ref (both forms — the capture is either
+    ``960`` or ``x3C0``) in ``c`` in ONE pass: split on the pattern,
+    decode each captured ref, stitch back ``parts[0] + ch0 + parts[1]
+    + ch1 + …`` with zip_with/aggregate — one scan, no UDF."""
     parts = F.split(c, pat)
     refs = F.regexp_extract_all(c, F.lit(pat), F.lit(1))
 
     def one(r: Column) -> Column:
-        cp = (F.conv(r, 16, 10) if hex_form else r).cast("bigint")
+        is_hex = F.substring(r, 1, 1).isin("x", "X")
+        cp = F.when(is_hex, F.conv(F.substring(r, 2, 6), 16, 10)).otherwise(
+            r
+        ).cast("bigint")
         valid = (
             (cp >= _CP_MIN)
             & (cp <= _CP_MAX)
             & ((cp < _SURR_LO) | (cp > _SURR_HI))
         )
-        literal = F.concat(
-            F.lit("&#x" if hex_form else "&#"), r, F.lit(";")
-        )
+        # out-of-range refs stay literal, ORIGINAL spelling preserved
+        # (the capture includes the x/X for hex form)
+        literal = F.concat(F.lit("&#"), r, F.lit(";"))
         return F.when(valid, _cp_char(cp)).otherwise(literal)
 
     pieces = F.zip_with(
@@ -119,22 +125,24 @@ def decode_charrefs(col: Column | str) -> Column:
     """Decode HTML numeric character references (``&#960;`` and
     ``&#x3C0;`` / ``&#X3C0;``) to their Unicode characters — full
     codepoint range, expression-only.  Out-of-range / surrogate refs
-    stay literal (hex literals canonicalized to lower-case ``x``).
-    Runs decimal first, then hex; neither pattern can match the other
-    form's output, so the passes compose."""
+    stay literal with their original spelling.  Both forms decode in a
+    SINGLE leftmost-match pass over one combined pattern, so a decoded
+    character can never splice with following text into a second ref
+    (``&#38;#x3C0;`` yields the literal ``&#x3C0;``, matching a spec
+    parser — the two-pass r11 rendering decoded it to ``π``)."""
     c = F.col(col) if isinstance(col, str) else col
-    c = _decode_ref_form(c, _CHARREF_DEC, hex_form=False)
-    c = _decode_ref_form(c, _CHARREF_HEX, hex_form=True)
-    return c
+    return _decode_ref_form(c, _CHARREF)
 
 
-def _sql_decode_ref_form(expr: str, pat: str, hex_form: bool) -> str:
-    """DuckDB rendering of :func:`_decode_ref_form` — same pattern
-    string, same validity guard, same literal-keep fallback."""
+def _sql_decode_ref_form(expr: str, pat: str) -> str:
+    """DuckDB rendering of :func:`_decode_ref_form` — same combined
+    pattern string, same hex/decimal dispatch on the capture's first
+    character, same validity guard, same literal-keep fallback."""
     cp = (
-        "CAST('0x' || r AS BIGINT)" if hex_form else "CAST(r AS BIGINT)"
+        "(CASE WHEN lower(r[1]) = 'x' THEN CAST('0x' || r[2:] AS BIGINT) "
+        "ELSE CAST(r AS BIGINT) END)"
     )
-    lit = f"'&#{'x' if hex_form else ''}' || r || ';'"
+    lit = "'&#' || r || ';'"
     dec = (
         f"list_transform(regexp_extract_all({expr}, '{pat}', 1), "
         f"r -> CASE WHEN {cp} BETWEEN {_CP_MIN} AND {_CP_MAX} "
@@ -151,10 +159,9 @@ def _sql_decode_ref_form(expr: str, pat: str, hex_form: bool) -> str:
 
 def sql_decode_charrefs(expr: str) -> str:
     """DuckDB SQL replay of :func:`decode_charrefs` over ``expr`` —
-    rendered from the same pattern constants so the oracle and the
+    rendered from the same pattern constant so the oracle and the
     engine cannot drift."""
-    expr = _sql_decode_ref_form(expr, _CHARREF_DEC, hex_form=False)
-    return _sql_decode_ref_form(expr, _CHARREF_HEX, hex_form=True)
+    return _sql_decode_ref_form(expr, _CHARREF)
 
 
 _ENTITIES: list[tuple[str, str]] = [

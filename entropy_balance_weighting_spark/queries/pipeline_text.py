@@ -1805,12 +1805,18 @@ def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches per partition (tokenization INSIDE the map stage — no
     exploded row shuffles in pass 1), then an exact verify pass over
     the broadcast candidate set; threshold = total words / 500
-    (integer floor, identical arithmetic in the oracle).  Output is
+    (integer floor, identical arithmetic in the oracle — the callable
+    ``min_count`` receives the corpus total that pass 1's sentinel
+    rows carried, so no separate total scan runs).  Output is
     EXACT — the sketch only bounds the candidate set — so the plain
     SQL aggregate replays it; a candidate-guarantee break (a missed
     heavy item) would show as a missing row and fail the hash.
-    100 TB shape: pass 1 map-only, pass 2 shuffles candidate
-    occurrences only — never a groupBy over every distinct term."""
+    100 TB shape: exactly TWO corpus scans (pinned by test) — pass 1
+    map-only (totals ride along as sentinel rows), pass 2 shuffles
+    candidate occurrences only — never a groupBy over every distinct
+    term.  capacity=2048 > N/max(1,⌊N/500⌋) for EVERY N (the ratio
+    peaks at 999, at N=999), so the MG superset guarantee holds
+    unconditionally at this threshold."""
     from entropy_balance_weighting_spark.functions.heavy_hitters import (
         heavy_hitters,
     )
@@ -1821,11 +1827,11 @@ def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: x != "",
     )
     tok_df = docs.select(toks.alias("toks"))
-    total = int(
-        tok_df.agg(F.sum(F.size("toks"))).first()[0] or 0
-    )
     out = heavy_hitters(
-        tok_df, "toks", min_count=max(1, total // 500)
+        tok_df,
+        "toks",
+        min_count=lambda n: max(1, n // 500),
+        capacity=2048,
     )
     return out.select(
         "item", F.col("count").alias("n_occurrences")

@@ -65,6 +65,20 @@ PINNED: list[str] = [
     "a1_weighted_moment_totals",
 ]
 
+# Queries whose PLAN or ORACLE changed in the CURRENT round: forced into
+# the driver window right after PINNED, regardless of rotation staleness
+# (r11 ADVICE: the rotation once left the only two just-modified queries
+# out of the round's sample, so the round's green evidence for exactly
+# the changed code was stale).  Reset to the new round's changes each
+# round; stale entries are harmless (they just pin freshness one extra
+# round).
+FORCE_FRESH: list[str] = [
+    # r12 changes:
+    "txt_html_extract",   # charref decode: two passes → one combined pass
+    "txt_heavy_hitters",  # callable threshold, sentinel-row totals (2 scans)
+    "sim_hamming_topk",   # NULL-embedding gate in binary_quantize_bits
+]
+
 # Observed driver window size (rounds 4-6 all recorded exactly 50 rows).
 DRIVER_WINDOW = 50
 
@@ -107,14 +121,20 @@ def driver_history() -> dict[str, int]:
 
 
 def enumeration_priority() -> list[str]:
-    """Mechanically derived driver enumeration order (see module comment)."""
+    """Mechanically derived driver enumeration order (see module comment):
+    PINNED, then FORCE_FRESH (this round's plan/oracle changes), then
+    everything else stalest-first."""
     hist = driver_history()
     reg_order = {name: i for i, name in enumerate(QUERIES)}
     pinned = [n for n in PINNED if n in QUERIES]
-    pinned_set = set(pinned)
-    rest = [n for n in QUERIES if n not in pinned_set]
+    head_set = set(pinned)
+    forced = [
+        n for n in FORCE_FRESH if n in QUERIES and n not in head_set
+    ]
+    head_set.update(forced)
+    rest = [n for n in QUERIES if n not in head_set]
     rest.sort(key=lambda n: (hist.get(n, -1), reg_order[n]))
-    return pinned + rest
+    return pinned + forced + rest
 
 
 def __getattr__(name: str):

@@ -34,6 +34,8 @@ def _diag(n_queries: int) -> dict:
             for i in range(n_queries)
         },
         "spark_same_queries_sec": 15.87,
+        "gate_ratio_compute_bound": 0.79,
+        "gate_compute_bound_entries": {"m1_problem_table_stats": 2.98},
         "queries": {
             f"some_quite_long_query_name_{i:03d}": round(0.123 * (i + 1), 4)
             for i in range(n_queries)
@@ -58,6 +60,19 @@ def test_final_line_under_budget_even_with_200_queries():
         assert parsed["contaminated"] is False
         assert parsed["loadavg_start"] == [1.08, 2.3, 3.4]
         assert parsed["loadavg_end"] == [25.1, 14.2, 8.9]
+        # the one-field honest baseline comparison rides the final line
+        assert parsed["gate_ratio_compute_bound"] == 0.79
+
+
+def test_compute_bound_ratio_filters_sub_second_entries():
+    wall = {"fast": 0.6, "slow": 2.4, "other": 1.0}
+    duck = {"fast": 0.05, "slow": 3.0, "missing_in_wall": 5.0}
+    ratio, entries = bench._compute_bound_ratio(wall, duck)
+    assert entries == {"slow": 3.0}
+    assert ratio == 0.8
+    assert bench._compute_bound_ratio({}, {}) == (-1.0, {})
+    # nothing over 1 s → sentinel
+    assert bench._compute_bound_ratio(wall, {"fast": 0.05}) == (-1.0, {})
 
 
 def test_final_line_keeps_most_expensive_queries_when_truncating():

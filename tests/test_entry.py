@@ -37,8 +37,10 @@ def test_enumeration_priority_matches_registry():
 def test_enumeration_rotation_invariants():
     """Invariants of the round-7 mechanical rotation:
 
-    1. the pinned solver proofs enumerate first, in order;
-    2. the non-pinned tail is sorted by staleness (least-recently
+    1. the pinned solver proofs enumerate first, in order, then this
+       round's FORCE_FRESH plan/oracle changes (r11 ADVICE: a changed
+       query must re-green in the SAME round, regardless of rotation);
+    2. the remaining tail is sorted by staleness (least-recently
        driver-checked first), so the driver's 50-slot window always
        takes the stalest queries;
     3. two consecutive rounds union to full coverage whenever capacity
@@ -51,6 +53,7 @@ def test_enumeration_rotation_invariants():
     """
     from entropy_balance_weighting_spark.queries.registry import (
         DRIVER_WINDOW,
+        FORCE_FRESH,
         PINNED,
         QUERIES,
         driver_history,
@@ -59,18 +62,25 @@ def test_enumeration_rotation_invariants():
 
     order = enumeration_priority()
     assert order[: len(PINNED)] == [n for n in PINNED if n in QUERIES]
+    forced = [
+        n for n in FORCE_FRESH if n in QUERIES and n not in PINNED
+    ]
+    head = len(PINNED) + len(forced)
+    assert order[len(PINNED) : head] == forced
+    assert head <= DRIVER_WINDOW, "forced-fresh set larger than the window"
 
     hist = driver_history()
-    tail_rounds = [hist.get(n, -1) for n in order[len(PINNED) :]]
+    head_names = set(order[:head])
+    tail_rounds = [hist.get(n, -1) for n in order[head:]]
     assert tail_rounds == sorted(tail_rounds), "rotation tail not staleness-sorted"
 
     if hist:
         latest = max(hist.values())
-        capacity = DRIVER_WINDOW - len(PINNED)
+        capacity = DRIVER_WINDOW - head
         demand = sum(
             1
             for n in QUERIES
-            if n not in PINNED and hist.get(n, -1) < latest
+            if n not in head_names and hist.get(n, -1) < latest
         )
         overflow = max(0, demand - capacity)
         below = order[DRIVER_WINDOW:]

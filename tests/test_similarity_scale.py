@@ -253,3 +253,28 @@ def test_binary_quantize_empty_vector_is_empty_bits(spark):
     }
     assert got[0] == []
     assert got[1] == [1]  # bit 0 set only
+
+
+def test_binary_quantize_null_vector_is_null_and_never_ranks(spark):
+    """NULL embedding → NULL bits (filterable), and hamming_topk drops
+    the row instead of ranking a null-padded distance (r11 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.functions import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -1.0]), (1, None), (2, [1.0, 1.0]), (3, [-1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = df.select(
+        "vec_id", sim.binary_quantize_bits(F.col("embedding")).alias("bits")
+    ).collect()
+    by_id = {r["vec_id"]: r["bits"] for r in rows}
+    assert by_id[1] is None
+    assert by_id[0] is not None
+
+    out = sim.hamming_topk(df, probe_ids=[0], k=10).collect()
+    neighbors = {r["neighbor_id"] for r in out}
+    assert 1 not in neighbors  # NULL row never ranked
+    assert neighbors == {2, 3}
+    assert all(r["hamming"] is not None for r in out)

@@ -112,6 +112,14 @@ def test_decode_charrefs_forms(spark):
         ("amp &#960 x", "amp &#960 x"),
         ("plain text", "plain text"),
         ("", ""),
+        # single-pass: a decoded '&' must NOT splice into a second ref
+        # (the r11 two-pass chain decoded both of these to 'π')
+        ("splice &#38;#x3C0; x", "splice &#x3C0; x"),
+        ("splice &#x26;#960; x", "splice &#960; x"),
+        # literal keep preserves the original hex spelling (incl. case)
+        ("surr &#XD800; x", "surr &#XD800; x"),
+        # mixed forms interleaved decode in one leftmost pass
+        ("&#65;&#x42;&#67;", "ABC"),
     ]
     for src, want in cases:
         assert _one(spark, src, web.decode_charrefs) == want, src
