@@ -48,6 +48,13 @@ pipeline needs, built Spark-first as first-class engine components):
   distributed frequency table, Viterbi segmentation as a memoized
   Arrow stage, ``▁`` word-boundary convention so detokenize stays a
   JVM expression.
+- :mod:`functions.langid_nb` — FITTED language ID: multinomial Naive
+  Bayes over char n-grams (Cavnar-Trenkle features, McCallum-Nigam
+  model) with quantized integer log-probs (``round(ln p·10⁶)``) so
+  scoring is exact integer arithmetic — engine-replayable, order-
+  independent argmax; capped distributed fit → JSON-persistable driver
+  model → broadcast-join relational apply (or a pure-expression map-
+  literal apply for map-only pipelines).
 - :mod:`functions.markdown` — Markdown → text extraction as the same
   RE2-safe JVM regexp-chain discipline as the HTML path (code fences,
   links/images, emphasis, lists, tables), with an SQL renderer of the

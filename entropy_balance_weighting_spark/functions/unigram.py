@@ -13,11 +13,17 @@ Same scale split as the BPE fit (and the PQ/IVF codebooks):
   ``mapInPandas`` map stage; the piece table rides as a closure
   constant, segmentations are memoized per batch.
 
-Documented deviation from the reference algorithm: the E-step uses
-VITERBI (hard) counts rather than full forward-backward expectations —
-the standard "hard-EM" simplification; it keeps the fit deterministic
-and an order of magnitude simpler, and the pruning objective (drop the
-pieces whose removal costs the least total log-likelihood) is the same.
+The E-step is selectable (``em=`` on :func:`fit_unigram`): the default
+``"hard"`` uses VITERBI counts — the standard hard-EM simplification,
+deterministic and an order of magnitude simpler — while ``"full"`` runs
+true forward-backward over the segmentation lattice (posterior-weighted
+expected piece counts, log-space), matching Kudo 2018's E-step proper.
+The two agree on which pieces matter but diverge in piece
+probabilities (and occasionally segmentations) — the divergence is
+pinned by test; a training export that must match an external
+SentencePiece model should fit with ``em="full"``.  The pruning
+objective (drop the pieces whose removal costs the least total
+log-likelihood) is the same in both modes.
 Pieces use the SentencePiece ``▁`` (U+2581) word-boundary convention:
 each whitespace word is prefixed with ``▁``, so detokenization is a
 pure JVM expression (concat → replace ``▁`` with space → trim), exactly
@@ -69,6 +75,57 @@ def _viterbi(word: str, logp: dict[str, float], max_len: int) -> list[str]:
     return out
 
 
+def _logsumexp(terms: list[float]) -> float:
+    if not terms:
+        return -math.inf
+    m = max(terms)
+    if m == -math.inf:
+        return m
+    return m + math.log(sum(math.exp(t - m) for t in terms))
+
+
+def _expected_counts(
+    word: str, logp: dict[str, float], max_len: int
+) -> tuple[dict[str, float], float] | None:
+    """Forward-backward over the segmentation lattice: posterior
+    expected count of every piece occurrence in ``word`` plus the
+    word's total log-likelihood (the full-EM E-step, Kudo 2018 §3.2).
+    Log-space throughout — words are short, so the O(n·L) lattice is
+    tiny.  Returns None when the word is unsegmentable under the
+    current pieces (same contract as Viterbi's OOV path)."""
+    n = len(word)
+    NEG = -math.inf
+    arcs: list[tuple[int, int, str, float]] = []
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        terms = []
+        for j in range(max(0, i - max_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None:
+                continue
+            arcs.append((j, i, word[j:i], lp))
+            if alpha[j] != NEG:
+                terms.append(alpha[j] + lp)
+        alpha[i] = _logsumexp(terms)
+    total = alpha[n]
+    if total == NEG:
+        return None
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for j in range(n - 1, -1, -1):
+        beta[j] = _logsumexp(
+            [lp + beta[i] for (jj, i, _p, lp) in arcs if jj == j and beta[i] != NEG]
+        )
+    exp_counts: dict[str, float] = {}
+    for j, i, piece, lp in arcs:
+        if alpha[j] == NEG or beta[i] == NEG:
+            continue
+        post = math.exp(alpha[j] + lp + beta[i] - total)
+        exp_counts[piece] = exp_counts.get(piece, 0.0) + post
+    return exp_counts, total
+
+
 def fit_unigram(
     df: DataFrame,
     *,
@@ -79,15 +136,20 @@ def fit_unigram(
     n_em_iters: int = 3,
     seed_size_factor: int = 4,
     lowercase: bool = True,
+    em: str = "hard",
 ) -> dict[str, float]:
     """Learn a unigram piece table ``{piece: log_prob}`` of (at most)
     ``vocab_size`` pieces.  Seed = every substring of the marked words
     up to ``max_piece_len`` chars, kept to the ``seed_size_factor ×
-    vocab_size`` most frequent; then ``n_em_iters`` rounds of hard-EM
-    (Viterbi counts → re-estimated probabilities) with a prune to
+    vocab_size`` most frequent; then ``n_em_iters`` rounds of EM
+    (``em="hard"``: Viterbi counts — the default, bit-for-bit the
+    historical behavior; ``em="full"``: forward-backward expected
+    counts, SentencePiece's E-step proper) with a prune to
     ``vocab_size`` after the last round.  Single characters are NEVER
     pruned (any text stays tokenizable).  Deterministic: ties break
     lexicographically everywhere."""
+    if em not in ("hard", "full"):
+        raise ValueError(f"em must be 'hard' or 'full', got {em!r}")
     from entropy_balance_weighting_spark.functions.bpe import (
         word_frequencies,
     )
@@ -123,11 +185,20 @@ def fit_unigram(
 
     logp = to_logp(counts)
     for _ in range(n_em_iters):
-        # hard E-step: Viterbi counts over the (bounded) word table
         new_counts: dict[str, float] = defaultdict(float)
-        for w, f in words:
-            for piece in _viterbi(w, logp, max_piece_len):
-                new_counts[piece] += f
+        if em == "hard":
+            # hard E-step: Viterbi counts over the (bounded) word table
+            for w, f in words:
+                for piece in _viterbi(w, logp, max_piece_len):
+                    new_counts[piece] += f
+        else:
+            # full E-step: posterior expected counts (forward-backward)
+            for w, f in words:
+                ec = _expected_counts(w, logp, max_piece_len)
+                if ec is None:
+                    continue  # unsegmentable under current pieces
+                for piece, c in ec[0].items():
+                    new_counts[piece] += f * c
         # coverage floor: unused single chars survive with count 0+
         for c in chars:
             new_counts[c] += 1e-9

@@ -672,6 +672,101 @@ def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txt_langid_nb_confusion",
+    survey="ext:text-langid-fit",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, substr(lower(text), 1, 200) AS t FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, length(t) - 1),
+                               i -> substr(t, i, 2))) AS g
+  FROM d WHERE length(t) >= 2
+), cnt AS (
+  SELECT lang AS mlang, g, count(*) AS c FROM g GROUP BY 1, 2
+), vocab AS (
+  SELECT DISTINCT g FROM (
+    SELECT mlang, g,
+           row_number() OVER (PARTITION BY mlang ORDER BY c DESC, g) AS rk
+    FROM cnt
+  ) WHERE rk <= 64
+), nv AS (SELECT count(*) AS nv FROM vocab),
+langs AS (SELECT lang AS mlang, count(*) AS n_docs FROM d GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM d),
+vc AS (
+  SELECT l.mlang, v.g, coalesce(c.c, 0) AS c
+  FROM langs l CROSS JOIN vocab v
+  LEFT JOIN cnt c ON c.mlang = l.mlang AND c.g = v.g
+), denom AS (
+  SELECT mlang, sum(c) + (SELECT nv FROM nv) AS dn FROM vc GROUP BY mlang
+), model AS (
+  SELECT vc.mlang, vc.g,
+         CAST(round(ln((vc.c + 1) / CAST(dn.dn AS DOUBLE)) * 1000000)
+              AS BIGINT) AS q
+  FROM vc JOIN denom dn USING (mlang)
+), prior AS (
+  SELECT mlang,
+         CAST(round(ln(n_docs / CAST((SELECT n FROM tot) AS DOUBLE))
+                    * 1000000) AS BIGINT) AS pq
+  FROM langs
+), scores AS (
+  SELECT g.doc_id, g.lang, m.mlang,
+         sum(m.q) + any_value(p.pq) AS score
+  FROM g JOIN model m USING (g) JOIN prior p ON p.mlang = m.mlang
+  GROUP BY g.doc_id, g.lang, m.mlang
+), best AS (
+  SELECT doc_id, mlang AS pred,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, mlang) AS rk
+  FROM scores
+), labeled AS (
+  SELECT d.lang, coalesce(b.pred, 'und') AS pred
+  FROM d LEFT JOIN (SELECT doc_id, pred FROM best WHERE rk = 1) b
+  USING (doc_id)
+)
+SELECT lang, pred, count(*) AS n
+FROM labeled GROUP BY lang, pred ORDER BY lang, pred
+""",
+)
+def txt_langid_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FITTED language ID (r11 verdict task #5): a multinomial Naive
+    Bayes over char bigrams is fit from the table's labeled ``lang``
+    column (:func:`functions.langid_nb.fit_langid` — capped distributed
+    freq fit, driver model, quantized integer log-probs), applied back
+    relationally (:func:`predict_langid`: explode → broadcast model
+    join → integer sum → deterministic argmax), and evaluated as a
+    confusion matrix against the labels.  The oracle replays the ENTIRE
+    fit+score arithmetic in SQL — same top-64-per-lang vocabulary
+    window (count desc, gram asc), same Laplace smoothing, same
+    ``round(ln(p)·10⁶)`` quantization, same tie-break — so a drift
+    anywhere in the pipeline (vocab selection, smoothing, prior,
+    argmax) fails the hash.  Note the fixture's labels are synthetic
+    noise (every doc is the same word distribution), so the LEARNED
+    accuracy is chance — the classifier's discriminative power is
+    proven on a controlled multilingual fixture in
+    ``tests/test_langid_nb.py``; THIS query proves the distributed
+    fit/apply machinery exactly.  100 TB shape: fit collects only
+    model-sized tables; scoring is one broadcast hash join over a
+    prefix-bounded explode with map-side partial aggregation."""
+    from entropy_balance_weighting_spark.functions.langid_nb import (
+        fit_langid,
+        predict_langid,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_langid(
+        docs, text_col="text", label_col="lang", n=2, k_per_lang=64,
+        prefix=200,
+    )
+    pred = predict_langid(docs, model, text_col="text")
+    return (
+        pred.groupBy("lang", F.col("pred_lang").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
 
 
 @register(

@@ -11,6 +11,12 @@ split, and the final max |violation| for each run.
 Run:
   SPARK_GRAFT_SCALE_N=20000000 SPARK_GRAFT_SCALE_GROUPS=50000 \
       python spikes/gram_reuse_ab.py
+
+``SPARK_GRAFT_SCALE_FEATS`` (default 2) sets the number of numeric
+moments per group, so K = FEATS·groups and the per-group block width
+k_b = FEATS — the r12 flip-point question (PLANS §18: accumulate cost
+scales with Σk_b², the frozen-scan saving should WIN at k_b ≳ 8) is one
+run with FEATS=8.
 """
 
 from __future__ import annotations
@@ -29,6 +35,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> None:
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", 20_000_000))
     n_groups = int(os.environ.get("SPARK_GRAFT_SCALE_GROUPS", 50_000))
+    n_feats = int(os.environ.get("SPARK_GRAFT_SCALE_FEATS", 2))
     repeats = int(os.environ.get("SPARK_GRAFT_AB_REPEATS", 2))
 
     from pyspark.sql import functions as F
@@ -44,13 +51,22 @@ def main() -> None:
     spark = get_spark(app_name="gram_reuse_ab")
     cpus = spark.sparkContext.defaultParallelism
     n_parts = max(cpus, n // 250_000)
+    feat_cols = [
+        (F.pmod(F.hash("id", F.lit(i + 1)), F.lit(1000)) / 1000.0).alias(
+            f"f{i + 1}"
+        )
+        for i in range(n_feats)
+    ]
     df = spark.range(0, n, 1, n_parts).select(
         (0.5 + F.pmod(F.hash("id"), F.lit(1000)) / 1000.0).alias("w"),
-        (F.pmod(F.hash("id", F.lit(1)), F.lit(1000)) / 1000.0).alias("f1"),
-        (F.pmod(F.hash("id", F.lit(2)), F.lit(1000)) / 1000.0).alias("f2"),
+        *feat_cols,
         F.pmod(F.col("id"), F.lit(n_groups)).alias("g"),
     )
-    spec = MomentSpec(weight_col="w", numeric=("f1", "f2"), group=("g",))
+    spec = MomentSpec(
+        weight_col="w",
+        numeric=tuple(f"f{i + 1}" for i in range(n_feats)),
+        group=("g",),
+    )
     pt = build_problem_tables(df, spec)
     targets = targets_from_problem(pt, perturb=0.01)
 
@@ -95,6 +111,8 @@ def main() -> None:
         "metric": "gram_reuse_ab",
         "n": n,
         "k": int(pt.k),
+        "groups": n_groups,
+        "k_b": n_feats,
         "partitions": n_parts,
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
         "runs": [],

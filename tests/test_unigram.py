@@ -160,3 +160,48 @@ def test_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="no words"):
         ug.fit_unigram(empty)
+
+
+def test_expected_counts_hand_case():
+    """Forward-backward on a 2-char word with pieces {a, b, ab}: two
+    segmentations [a,b] (p_a·p_b) and [ab] (p_ab); posteriors must be
+    the normalized products exactly."""
+    import math
+
+    logp = {"a": math.log(0.4), "b": math.log(0.4), "ab": math.log(0.2)}
+    ec, total = ug._expected_counts("ab", logp, max_len=2)
+    p_split = 0.4 * 0.4
+    p_whole = 0.2
+    z = p_split + p_whole
+    assert math.isclose(math.exp(total), z)
+    assert math.isclose(ec["a"], p_split / z)
+    assert math.isclose(ec["b"], p_split / z)
+    assert math.isclose(ec["ab"], p_whole / z)
+
+
+def test_full_em_diverges_from_hard_but_stays_consistent(corpus):
+    """em='full' (forward-backward) must (1) be deterministic, (2)
+    produce a model whose encode→detokenize stays an identity, and
+    (3) DIVERGE from hard-EM in piece probabilities — the documented
+    deviation, pinned (r11 verdict task #7)."""
+    hard = ug.fit_unigram(corpus, vocab_size=60, em="hard")
+    full1 = ug.fit_unigram(corpus, vocab_size=60, em="full")
+    full2 = ug.fit_unigram(corpus, vocab_size=60, em="full")
+    assert full1 == full2  # deterministic
+    shared = set(hard) & set(full1)
+    assert shared  # same piece universe largely survives
+    max_div = max(abs(hard[p] - full1[p]) for p in shared)
+    assert max_div > 1e-6, "full-EM unexpectedly identical to hard-EM"
+
+    enc = ug.unigram_encode(corpus, full1)
+    back = enc.select(
+        "doc_id", ug.unigram_detokenize("pieces").alias("t")
+    )
+    orig = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for r in back.collect():
+        assert r["t"] == orig[r["doc_id"]]
+
+
+def test_fit_em_rejects_unknown_mode(corpus):
+    with pytest.raises(ValueError, match="em must be"):
+        ug.fit_unigram(corpus, vocab_size=60, em="soft")
