@@ -2103,25 +2103,31 @@ SELECT source,
        count(*) AS n_docs,
        CAST(2 * count(*) AS BIGINT) AS n_pages,
        CAST(2 * count(*) AS BIGINT) AS n_streams,
-       CAST(sum(length('Doc ' || CAST(doc_id AS VARCHAR)) + 
+       CAST(sum(length('Doc ' || CAST(doc_id AS VARCHAR)) +
                 length(substr(text, 1, 40))) AS BIGINT) AS text_chars,
        CAST(sum(length('Doc ' || CAST(doc_id AS VARCHAR))) AS BIGINT)
            AS title_chars,
-       CAST(0 AS BIGINT) AS n_cid
+       CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cid,
+       CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cid_decoded
 FROM documents GROUP BY source ORDER BY source
 """,
 )
 def mm_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF build + text-extraction round trip (pure stdlib, no PDF
-    library): each document becomes a spec-correct two-page PDF 1.4
-    (valid xref/trailer, FlateDecode content streams, Info dictionary)
-    via :func:`functions.pdf_codec.build_pdf`, then the REAL extractor
-    recovers page count, per-stream text, and the Info title through
-    the tolerant object walk + content-stream operator parse.  The
-    oracle recomputes every extracted length from the base table — a
-    slipped escape, a mis-parsed literal string, or a lost stream
-    shifts a char total and fails the hash.  100 TB shape: one Arrow
-    ``mapInPandas`` map stage, no shuffle before the tiny aggregate."""
+    library): every third document (doc_id % 3 == 0) becomes a
+    two-page Type0/CID PDF — Identity-H 2-byte hex show strings plus an
+    embedded FlateDecode ``/ToUnicode`` CMap
+    (:func:`functions.pdf_codec.build_pdf_cid`) — and the rest simple
+    Type1 PDFs (:func:`build_pdf`); the REAL extractor recovers page
+    count, per-stream text (CID text THROUGH the CMap — the r11
+    verdict's CID task), and the Info title.  ``text_chars`` uses one
+    arithmetic for both variants, so a CID decode that garbles or drops
+    a single character shifts a char total and fails the hash;
+    ``n_cid``/``n_cid_decoded`` pin that every CID doc both flags AND
+    decodes.  100 TB shape: one Arrow ``mapInPandas`` map stage, no
+    shuffle before the tiny aggregate."""
     from entropy_balance_weighting_spark.functions import pdf_codec as pdf
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2130,24 +2136,22 @@ def mm_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gen(batches):
         for p in batches:
-            payloads = [
-                pdf.build_pdf(
-                    [[f"Doc {int(i)}"], [str(t)[:40]]],
-                    title=f"Doc {int(i)}",
-                )
-                for i, t in zip(p["doc_id"], p["text"])
-            ]
+            payloads = []
+            for i, t in zip(p["doc_id"], p["text"]):
+                pages = [[f"Doc {int(i)}"], [str(t)[:40]]]
+                build = pdf.build_pdf_cid if int(i) % 3 == 0 else pdf.build_pdf
+                payloads.append(build(pages, title=f"Doc {int(i)}"))
             out = pdf.extract_pdf_text_batch(payloads)
             out.insert(0, "source", p["source"].to_numpy())
             yield out[
                 ["source", "n_pages", "n_streams", "n_chars", "title",
-                 "has_cid_font"]
+                 "has_cid_font", "cid_decoded"]
             ]
 
     ex = docs.mapInPandas(
         gen,
         "source string, n_pages int, n_streams int, n_chars long, "
-        "title string, has_cid_font boolean",
+        "title string, has_cid_font boolean, cid_decoded boolean",
     )
     return (
         ex.groupBy("source")
@@ -2160,6 +2164,9 @@ def mm_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("has_cid_font"), 1).otherwise(0))
             .cast("long")
             .alias("n_cid"),
+            F.sum(F.when(F.col("cid_decoded"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cid_decoded"),
         )
         .orderBy("source")
     )

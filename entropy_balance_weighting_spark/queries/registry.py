@@ -77,6 +77,7 @@ FORCE_FRESH: list[str] = [
     "txt_html_extract",   # charref decode: two passes → one combined pass
     "txt_heavy_hitters",  # callable threshold, sentinel-row totals (2 scans)
     "sim_hamming_topk",   # NULL-embedding gate in binary_quantize_bits
+    "mm_pdf_text",        # CID/ToUnicode decode; every 3rd doc now Type0
 ]
 
 # Observed driver window size (rounds 4-6 all recorded exactly 50 rows).

@@ -123,11 +123,15 @@ def solve_elastic(
     # ~24% off a frozen iteration's wall but the lagged trajectory costs
     # +2–3 IP iterations (5 → 7/8) — a NET LOSS for the short
     # superlinear solves this engine runs (PLANS §18, the wire32 lesson
-    # again: the IP path is where the iterations are).  The machinery
-    # stays for regimes where the gram truly dominates an iteration
-    # (wider per-group blocks — the accumulate scales with Σk_b², the
-    # penalty with iteration count).  "auto" applies the block-
-    # structured ≥ _GRAM_REUSE_MIN_BYTES heuristic.
+    # again: the IP path is where the iterations are).  r12 TESTED the
+    # "wider blocks flip the trade" hypothesis at 20M×100k with k_b=8
+    # and k_b=16 (bench_gram_reuse_ab_r12.json): REFUTED — the frozen-
+    # scan saving grows with k_b (−28%/iter at 8, −32% at 16) but the
+    # lagged-Hessian iteration penalty grows with it (+3 → +4 iters),
+    # so k_b=8 is a wash and k_b=16 a 6% net loss.  The remaining
+    # opt-in regime is LONG solves (20+ iterations), where per-iter
+    # savings amortize a bounded trajectory cost.  "auto" applies the
+    # block-structured ≥ _GRAM_REUSE_MIN_BYTES heuristic.
     gram_reuse_opt = opts.get("gram_reuse", False)
     gram_refresh_every = int(opts.get("gram_refresh_every", 3))
     # refresh when a frozen-gram iteration fails to cut the violation to

@@ -117,3 +117,121 @@ def test_roundtrip_fuzz(pages, compress):
     m = pdf.extract_pdf_text(doc)
     assert m["n_pages"] == len(pages)
     assert m["pages"] == ["\n".join(lines) for lines in pages]
+
+
+def test_cid_tounicode_roundtrip_bfchar_and_bfrange():
+    """Type0/Identity-H text with an embedded ToUnicode CMap decodes to
+    real text — both CMap forms, both compressions (r11 verdict task:
+    CID text recovered, not just flagged)."""
+    pages = [["Héllo 世界", "第二 line"], ["π and ΣΔ"]]
+    for use_bfrange in (False, True):
+        for compress in (True, False):
+            b = pdf.build_pdf_cid(
+                pages, title="CID doc", use_bfrange=use_bfrange,
+                compress=compress,
+            )
+            m = pdf.extract_pdf_text(b)
+            assert m["has_cid_font"] is True
+            assert m["cid_decoded"] is True
+            assert m["pages"] == ["Héllo 世界\n第二 line", "π and ΣΔ"], (
+                use_bfrange, compress,
+            )
+            assert m["title"] == "CID doc"
+            assert m["n_pages"] == 2
+
+
+def test_cid_without_tounicode_stays_flagged_undecoded():
+    b = pdf.build_pdf_cid([["没有映射"]], with_tounicode=False)
+    m = pdf.extract_pdf_text(b)
+    assert m["has_cid_font"] is True
+    assert m["cid_decoded"] is False
+    # hex shows fall back to latin-1 bytes — garble, but never a crash
+    assert m["n_pages"] == 1
+
+
+def test_cid_unmapped_cid_becomes_replacement_char():
+    b = pdf.build_pdf_cid([["ab"]])
+    # CID 0x7FFF is not in the CMap: splice an extra show into the page
+    # content is complex; instead exercise the decode helper directly
+    cmap = {1: "a", 2: "b"}
+    assert pdf._decode_shown(b"\x00\x01\x7f\xff\x00\x02", cmap) == "a�b"
+    assert pdf._decode_shown(b"\x00\x01\x00", cmap) == "a�"  # odd tail
+    assert pdf._decode_shown(b"\x00\x01", None) == "\x00\x01"  # latin-1 path
+
+
+def test_bfrange_array_form_and_increment_carry():
+    """The explicit-array bfrange form and the incrementing form both
+    parse; the incrementing form bumps the LAST UTF-16 code unit."""
+    cm = (
+        b"begincmap\n"
+        b"2 beginbfrange\n"
+        b"<0001> <0003> [<0041> <00420043> <0044>]\n"
+        b"<0010> <0012> <4E00>\n"
+        b"endbfrange\nendcmap"
+    )
+    body = (
+        b"<< /Length " + str(len(cm)).encode() + b" >>\nstream\n"
+        + cm + b"\nendstream"
+    )
+    m = pdf._parse_tounicode(body)
+    assert m[1] == "A" and m[2] == "BC" and m[3] == "D"
+    assert m[0x10] == "一" and m[0x12] == "丂"
+
+
+def test_mixed_simple_and_cid_fonts_route_by_tf():
+    """Two fonts in one document: the CID font's shows decode via its
+    CMap, the simple font's shows stay latin-1 — routing follows the
+    Tf operator, not a document-global guess."""
+    cid_doc = pdf.build_pdf_cid([["一二"]], compress=False)
+    m = pdf.extract_pdf_text(cid_doc)
+    assert m["pages"] == ["一二"]
+    # splice a second, simple-font show AFTER switching fonts
+    content_marker = b"ET"
+    patched = cid_doc.replace(
+        content_marker,
+        b"/F9 12 Tf (plain) Tj ET",
+        1,
+    )
+    # /F9 has no CMap entry -> latin-1 path; stream /Length is now wrong
+    # but the tolerant regex fallback still frames the stream
+    m2 = pdf.extract_pdf_text(patched)
+    assert m2["pages"] == ["一二plain"]
+
+
+def test_batch_helper_carries_cid_decoded_column():
+    good = pdf.build_pdf([["alpha"]], title="T")
+    cid = pdf.build_pdf_cid([["中文"]], title="C")
+    out = pdf.extract_pdf_text_batch([good, cid, b"junk"])
+    assert out["has_cid_font"].tolist() == [False, True, False]
+    assert out["cid_decoded"].tolist() == [False, True, False]
+    assert out["n_chars"].tolist() == [5, 2, 0]
+    assert out["text"].tolist()[1] == "中文"
+
+
+def test_build_pdf_cid_rejects_astral_chars():
+    with pytest.raises(ValueError, match="BMP"):
+        pdf.build_pdf_cid([["\U0001F600"]])
+
+
+def test_tounicode_cmap_survives_newline_final_zlib_byte():
+    """A compressed CMap whose zlib bytes END in 0x0A must still parse:
+    regex stream framing strips that byte (fatal to decompression); the
+    /Length-honoring framing keeps it.  Search a few payload variants
+    until one compresses to a trailing-newline byte, then roundtrip."""
+    import zlib as _z
+
+    found = None
+    for pad in range(400):
+        pages = [[f"界世 pad{pad}"]]
+        doc = pdf.build_pdf_cid(pages, compress=True)
+        # locate the CMap stream's compressed bytes (object 4)
+        m = pdf._OBJ_RE.search(doc[doc.find(b"4 0 obj") :])
+        raw = pdf._stream_bytes(m.group(3))
+        if raw is not None and raw.endswith((b"\n", b"\r")):
+            found = (pages, doc)
+            break
+    assert found is not None, "no trailing-newline zlib variant in 400 tries"
+    pages, doc = found
+    m = pdf.extract_pdf_text(doc)
+    assert m["cid_decoded"] is True
+    assert m["pages"] == ["\n".join(pages[0])]
