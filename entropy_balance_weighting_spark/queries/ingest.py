@@ -408,3 +408,61 @@ def s13_token_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "s14_schema_evolution_scan",
+    survey="ext:source-schema-evolution",
+    oracle="""
+SELECT p_type, count(*) AS n_parts,
+       CAST(sum(CASE WHEN p_partkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS with_brand,
+       CAST(sum(CASE WHEN p_partkey % 2 = 1 THEN length(p_brand)
+                     ELSE 0 END) AS BIGINT) AS brand_chars,
+       round(sum(p_retailprice), 2) AS price_sum
+FROM part GROUP BY p_type ORDER BY p_type
+""",
+)
+def s14_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION scan — the ingest reality of any corpus
+    that accretes for years: an early batch written WITHOUT a column
+    (here ``p_brand``), a later batch WITH it, one ``mergeSchema`` read
+    over both (old rows surface the new column as NULL — no rewrite of
+    petabytes of history).  Scale notes baked into the plan:
+    ``mergeSchema`` is a FOOTER-merge pass over files (cheap but not
+    free — production pins the merged schema in a catalog once rather
+    than re-deriving it per query; this query demonstrates the read
+    path), and evolved columns stay prunable/pushable like any other.
+    The oracle recomputes the same aggregate from the original table
+    with the batch-split arithmetic inlined, so a lost batch, a
+    mis-merged schema, or a non-NULL backfill fails the hash."""
+    part = load_table(spark, sf_dir, "part")
+    scratch = os.path.join(_SCRATCH, "s14_evo")
+    shutil.rmtree(scratch, ignore_errors=True)
+    old = part.filter(F.col("p_partkey") % 2 == 0).select(
+        "p_partkey", "p_type", "p_retailprice"
+    )
+    new = part.filter(F.col("p_partkey") % 2 == 1).select(
+        "p_partkey", "p_type", "p_retailprice", "p_brand"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(scratch, "batch=0"))
+    new.write.mode("overwrite").parquet(os.path.join(scratch, "batch=1"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(scratch, "batch=0"), os.path.join(scratch, "batch=1")
+    )
+    return (
+        back.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_brand").isNotNull().cast("long")).alias(
+                "with_brand"
+            ),
+            F.sum(
+                F.when(
+                    F.col("p_brand").isNotNull(), F.length("p_brand")
+                ).otherwise(0)
+            ).cast("long").alias("brand_chars"),
+            F.round(F.sum("p_retailprice"), 2).alias("price_sum"),
+        )
+        .orderBy("p_type")
+    )
