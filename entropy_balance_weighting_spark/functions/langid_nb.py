@@ -109,6 +109,11 @@ def fit_langid(
         .collect()
     )
     vocab = sorted(r["g"] for r in vocab_rows)
+    if not vocab:
+        raise ValueError(
+            "cannot fit langid: corpus yields no character n-grams "
+            f"(every text shorter than n={n}?)"
+        )
     vc = {
         (r["lang"], r["g"]): r["c"]
         for r in cnt.filter(F.col("g").isin(vocab)).collect()

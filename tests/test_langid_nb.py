@@ -141,3 +141,11 @@ def test_model_is_deterministic_across_partitionings(labeled):
     a = L.fit_langid(labeled.repartition(7), n=2, k_per_lang=32, prefix=120)
     b = L.fit_langid(labeled.coalesce(1), n=2, k_per_lang=32, prefix=120)
     assert a == b
+
+
+def test_fit_rejects_gramless_corpus(spark):
+    df = spark.createDataFrame(
+        [(0, "en", "x"), (1, "de", "")], "doc_id long, lang string, text string"
+    )
+    with pytest.raises(ValueError, match="no character n-grams"):
+        L.fit_langid(df, n=2)
