@@ -1216,3 +1216,65 @@ def remove_duplicated_spans(
         )
     )
     return out_touched.unionByName(untouched)
+
+
+def fuzzy_join_jaccard(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    threshold: float = 0.5,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Cross-TABLE fuzzy join (record linkage) on word-token Jaccard:
+    the two-table sibling of :func:`ngram_jaccard_pairs`.  Blocking +
+    verify: candidate pairs share ≥1 token (complete for any threshold
+    > 0), exact Jaccard over the full distinct-token sets decides.
+    Returns ``(left_id, right_id, jaccard)`` for pairs ≥ ``threshold``.
+
+    100 TB shape: the block join keys on the token value (volume
+    Σ_token df_left·df_right — real overlap, never |L|·|R|); the verify
+    join pulls each side's token ARRAY back by id (the right side is
+    typically the small probe/query table — it broadcasts).
+    ``max_token_df`` is the same skew defense as the dedup family:
+    tokens whose LEFT-side document frequency exceeds it are excluded
+    from candidate generation only (a pair whose shared tokens are all
+    ubiquitous is missed; Jaccard stays exact for surviving pairs).
+    """
+
+    def tokset(col):
+        return F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+                lambda x: x != "",
+            )
+        )
+
+    lt = left.select(F.col(left_id).alias("__lid"), tokset(left_text).alias("__ltoks"))
+    rt = right.select(F.col(right_id).alias("__rid"), tokset(right_text).alias("__rtoks"))
+    lx = lt.select("__lid", F.explode("__ltoks").alias("__tok"))
+    if max_token_df is not None:
+        hot = (
+            lx.groupBy("__tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_token_df)
+            .select("__tok")
+        )
+        lx = lx.join(F.broadcast(hot), "__tok", "left_anti")
+    rx = rt.select("__rid", F.explode("__rtoks").alias("__tok"))
+    cand = lx.join(rx, "__tok").select("__lid", "__rid").distinct()
+    pairs = cand.join(lt, "__lid").join(F.broadcast(rt), "__rid")
+    jac = F.size(F.array_intersect("__ltoks", "__rtoks")) / F.size(
+        F.array_union("__ltoks", "__rtoks")
+    )
+    return (
+        pairs.select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

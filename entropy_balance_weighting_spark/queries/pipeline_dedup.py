@@ -861,3 +861,67 @@ def dd_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dd_fuzzy_join",
+    survey="ext:fuzzy-join-linkage",
+    oracle="""
+WITH dtok AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(trim(lower(text)),
+                                                      '\\s+'),
+                       x -> x <> '')) AS toks
+  FROM documents
+), qtok AS (
+  SELECT doc_id AS query_id, list_distinct(t[1:40]) AS qtoks FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents WHERE doc_id % 5 = 0) s
+), pairs AS (
+  SELECT d.doc_id, q.query_id,
+         round(CAST(len(list_intersect(d.toks, q.qtoks)) AS DOUBLE)
+               / (len(d.toks) + len(q.qtoks)
+                  - len(list_intersect(d.toks, q.qtoks))), 6) AS jaccard
+  FROM dtok d, qtok q
+)
+SELECT doc_id, query_id, jaccard
+FROM pairs WHERE jaccard >= 0.8
+ORDER BY query_id, doc_id
+""",
+)
+def dd_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FUZZY JOIN (record linkage): a probe table of
+    truncated queries (every 5th document's first 40 words — the
+    noisy-derivative-to-canonical matching shape) links back to the
+    corpus by exact word-token Jaccard ≥ 0.8 via
+    :func:`functions.dedup.fuzzy_join_jaccard` — token-block candidate
+    generation (pairs must share ≥1 token; join volume is
+    Σ_token df_L·df_R, never |L|·|R|) then exact verify over the full
+    distinct-token sets, probe side broadcast.  The ORACLE replays the
+    same arithmetic from a cross join — correct single-node, the exact
+    plan shape the blocked join exists to avoid at corpus scale.
+    Integer intersection/union arithmetic → one rounded division, so
+    the hash is float-discipline-safe; the threshold applies to the
+    ROUNDED value in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    queries = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 40)).alias("qtext"),
+    )
+    out = dedup.fuzzy_join_jaccard(
+        docs,
+        queries,
+        left_id="doc_id",
+        left_text="text",
+        right_id="query_id",
+        right_text="qtext",
+        threshold=0.8,
+    )
+    return out.select("doc_id", "query_id", "jaccard").orderBy(
+        "query_id", "doc_id"
+    )

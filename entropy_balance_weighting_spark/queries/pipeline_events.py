@@ -526,3 +526,52 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "ev_cdc_compact",
+    survey="ext:cdc-compaction",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id, event_type AS last_type,
+       round(value, 2) AS last_value,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked
+WHERE rk = 1 AND event_type <> 'error'
+ORDER BY user_id
+""",
+)
+def ev_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → snapshot compaction (MERGE/upsert semantics):
+    ``events`` is read as a change log keyed by ``user_id`` and
+    versioned by ``(ts, event_id)``; :func:`functions.events.
+    compact_changelog` keeps each key's LATEST full record via
+    ``max_by(row_struct, version_struct)`` — a declarative aggregate
+    with MAP-SIDE PARTIAL MERGE, so each task pre-compacts its local
+    changes and the exchange carries one candidate per (task, key)
+    instead of the whole log (the window-rank rendering the ORACLE
+    uses would shuffle every change record — fine for DuckDB's single
+    node, a scale bug on a year of CDC).  Tombstone semantics: keys
+    whose last record is an ``'error'`` event drop from the snapshot,
+    applied as a plain filter over the compacted row.  The oracle
+    replays latest-per-key + tombstone + change counts exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    snap = events.compact_changelog(
+        ev, keys=("user_id",), version=("ts", "event_id")
+    )
+    return (
+        snap.filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+        .orderBy("user_id")
+    )

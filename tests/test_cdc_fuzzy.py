@@ -1,0 +1,143 @@
+"""CDC changelog compaction (functions/events.compact_changelog) and
+cross-table fuzzy join (functions/dedup.fuzzy_join_jaccard): brute-force
+equivalence, plan shape (aggregate not window), skew-cap contract."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from entropy_balance_weighting_spark.functions import dedup, events
+
+
+def test_compact_changelog_matches_bruteforce(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        key = rng.randrange(25)
+        rows.append((i, key, rng.choice("abcd"), rng.random()))
+    df = spark.createDataFrame(
+        rows, "seq long, key long, op string, val double"
+    ).repartition(5)
+    out = {
+        r["key"]: (r["seq"], r["op"], r["n_changes"])
+        for r in events.compact_changelog(
+            df, keys=("key",), version=("seq",)
+        ).collect()
+    }
+    # brute force: max seq per key
+    want: dict = {}
+    counts: dict = {}
+    for seq, key, op, _v in rows:
+        counts[key] = counts.get(key, 0) + 1
+        if key not in want or seq > want[key][0]:
+            want[key] = (seq, op)
+    assert out == {k: (s, o, counts[k]) for k, (s, o) in want.items()}
+
+
+def test_compact_changelog_plan_is_aggregate_not_window(spark):
+    """The scale contract: latest-per-key plans as a partial-merge
+    aggregate (map-side pre-compaction), NOT a window sort over every
+    change record."""
+    df = spark.createDataFrame(
+        [(0, 1, "a"), (1, 1, "b")], "seq long, key long, op string"
+    )
+    out = events.compact_changelog(df, keys=("key",), version=("seq",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan
+    assert "Window" not in plan, plan[:1500]
+    # partial + final aggregate pair around the exchange
+    assert plan.count("Aggregate") >= 2, plan[:1500]
+
+
+def test_compact_changelog_multi_column_version_and_keys(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, 1, 0, "old"),
+            (1, 10, 1, 1, "new"),   # same ts, higher seq wins
+            (1, 10, 2, 0, "newer"),  # higher ts wins over seq
+            (2, 10, 1, 9, "other-key"),
+        ],
+        "a long, b long, ts long, seq long, tag string",
+    )
+    out = {
+        (r["a"], r["b"]): (r["tag"], r["n_changes"])
+        for r in events.compact_changelog(
+            df, keys=("a", "b"), version=("ts", "seq")
+        ).collect()
+    }
+    assert out == {(1, 10): ("newer", 3), (2, 10): ("other-key", 1)}
+
+
+def _brute_jaccard(lrows, rrows, threshold):
+    def toks(t):
+        return set(t.lower().split())
+
+    out = set()
+    for lid, lt in lrows:
+        for rid, rt in rrows:
+            a, b = toks(lt), toks(rt)
+            if not a | b:
+                continue
+            j = round(len(a & b) / len(a | b), 6)
+            if j >= threshold:
+                out.add((lid, rid, j))
+    return out
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    lrows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randrange(3, 12))))
+        for i in range(40)
+    ]
+    rrows = [
+        (100 + i, " ".join(rng.choices(vocab, k=rng.randrange(1, 8))))
+        for i in range(15)
+    ] + [(999, "")]  # empty probe: must never match / never crash
+    left = spark.createDataFrame(lrows, "lid long, ltext string")
+    right = spark.createDataFrame(rrows, "rid long, rtext string")
+    got = {
+        (r["lid"], r["rid"], r["jaccard"])
+        for r in dedup.fuzzy_join_jaccard(
+            left, right,
+            left_id="lid", left_text="ltext",
+            right_id="rid", right_text="rtext",
+            threshold=0.4,
+        ).collect()
+    }
+    assert got == _brute_jaccard(lrows, rrows, 0.4)
+
+
+def test_fuzzy_join_max_token_df_contract(spark):
+    """The skew cap drops candidates whose shared tokens are ALL hot;
+    pairs sharing at least one rare token keep their EXACT jaccard."""
+    left = spark.createDataFrame(
+        [(1, "hot rare1 x"), (2, "hot y"), (3, "hot z"), (4, "hot w")],
+        "lid long, ltext string",
+    )
+    right = spark.createDataFrame(
+        [(10, "hot rare1 x")], "rid long, rtext string"
+    )
+    full = {
+        (r["lid"], r["rid"])
+        for r in dedup.fuzzy_join_jaccard(
+            left, right, left_id="lid", left_text="ltext",
+            right_id="rid", right_text="rtext", threshold=0.01,
+        ).collect()
+    }
+    assert full == {(1, 10), (2, 10), (3, 10), (4, 10)}
+    capped = {
+        (r["lid"], r["rid"]): r["jaccard"]
+        for r in dedup.fuzzy_join_jaccard(
+            left, right, left_id="lid", left_text="ltext",
+            right_id="rid", right_text="rtext", threshold=0.01,
+            max_token_df=2,
+        ).collect()
+    }
+    # 'hot' (df 4) is blocked: only the rare1/x-sharing pair survives,
+    # with its exact (uncapped) jaccard of 1.0
+    assert set(capped) == {(1, 10)}
+    assert capped[(1, 10)] == 1.0
