@@ -13,12 +13,14 @@ from entropy_balance_weighting_spark.streaming.incremental import (
 )
 from entropy_balance_weighting_spark.streaming.stateful import (
     running_key_stats,
+    streaming_cdc_compact,
     streaming_heavy_hitter_candidates,
 )
 
 __all__ = [
     "IncrementalReweighter",
     "running_key_stats",
+    "streaming_cdc_compact",
     "streaming_heavy_hitter_candidates",
     "streaming_asof_join",
     "streaming_exact_dedup",

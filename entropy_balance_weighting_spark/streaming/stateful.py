@@ -150,3 +150,95 @@ def streaming_heavy_hitter_candidates(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC compaction — the stateful sibling of
+# functions/events.compact_changelog: the state store holds ONE row per
+# key (the latest record under the version ordering), so state is
+# bounded by the key space regardless of how much changelog streams
+# through; each micro-batch emits the keys it touched with their new
+# latest record (update output mode = the live snapshot delta)
+# ---------------------------------------------------------------------------
+
+CDC_STATE_SCHEMA = (
+    "ver_major long, ver_minor long, last_type string, last_value double, "
+    "n_changes long"
+)
+CDC_OUTPUT_SCHEMA = (
+    "key long, last_type string, last_value double, n_changes long"
+)
+
+
+def _cdc_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        vmaj, vmin, ltype, lval, n = state.get
+    else:
+        vmaj, vmin, ltype, lval, n = None, None, None, None, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        for maj, mnr, typ, val in zip(
+            pdf["ver_major"], pdf["ver_minor"], pdf["op_type"], pdf["value"]
+        ):
+            maj, mnr = int(maj), int(mnr)
+            if vmaj is None or (maj, mnr) > (vmaj, vmin):
+                vmaj, vmin, ltype, lval = maj, mnr, str(typ), float(val)
+    state.update((vmaj, vmin, ltype, lval, n))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "last_type": [ltype],
+            "last_value": [lval],
+            "n_changes": [n],
+        }
+    )
+
+
+def streaming_cdc_compact(
+    changes: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ver_major_col: str = "ts",
+    ver_minor_col: str = "event_id",
+    op_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming MERGE-to-snapshot: per-key latest record maintained in
+    the state store across micro-batches.  State is ONE tuple per key
+    (version, latest payload, change count) — bounded by the key space,
+    never by changelog volume; out-of-order arrivals are handled by the
+    version comparison, not arrival order, so the result equals the
+    batch :func:`functions.events.compact_changelog` over the same
+    records (pinned by the streamed≡batch fuzz test).  Write with
+    update output mode: each micro-batch emits the live snapshot delta
+    (keys touched, with their new latest record).  Tombstone semantics
+    stay a downstream filter, same as the batch operator."""
+    from pyspark.sql import functions as F
+
+    # timestamps order at MICROSECOND fidelity (cast-to-long would
+    # truncate to seconds and silently re-order sub-second versions)
+    dtypes = dict(changes.dtypes)
+    maj = F.col(ver_major_col)
+    maj = (
+        F.unix_micros(maj)
+        if dtypes.get(ver_major_col) == "timestamp"
+        else maj.cast("long")
+    )
+    shaped = changes.select(
+        F.col(key_col).cast("long").alias("key"),
+        maj.alias("ver_major"),
+        F.col(ver_minor_col).cast("long").alias("ver_minor"),
+        F.col(op_col).cast("string").alias("op_type"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return shaped.groupBy("key").applyInPandasWithState(
+        _cdc_update,
+        outputStructType=CDC_OUTPUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

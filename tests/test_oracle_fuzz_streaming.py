@@ -242,3 +242,81 @@ def test_streamed_running_stats_match_batch_agg(spark, tmp_path, seed):
         assert f.n_events == r.n_events
         assert f.value_sum == pytest.approx(r.value_sum, rel=1e-12)
         assert f.max_ts == r.max_ts
+
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_streamed_cdc_compact_matches_batch_compact(spark, tmp_path, seed):
+    """Streaming CDC compaction: out-of-order, multi-micro-batch
+    changelog → the update-mode emission with the highest n_changes per
+    key must equal the BATCH compact_changelog over the same rows
+    (version ordering decides, never arrival order)."""
+    from entropy_balance_weighting_spark.functions import events as ev
+    from entropy_balance_weighting_spark.streaming import (
+        streaming_cdc_compact,
+    )
+
+    rng = np.random.default_rng(seed)
+    types = ["click", "view", "purchase", "error"]
+    n = 40 + int(rng.integers(60))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                # deliberately coarse timestamps: sub-second ties forced,
+                # resolved by the event_id minor version
+                T0 + dt.timedelta(seconds=int(rng.integers(20))),
+                int(rng.integers(8)),
+                types[int(rng.integers(len(types)))],
+                round(float(rng.uniform(0, 50)), 3),
+            )
+        )
+    rng.shuffle(rows := np.array(rows, dtype=object))  # out-of-order arrival
+    rows = [tuple(r) for r in rows]
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    for chunk in _chunks(rng, rows, 4):
+        pdf = pd.DataFrame(
+            chunk, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        spark.createDataFrame(pdf, CDC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    got = _drain(
+        spark, src, CDC_SCHEMA, streaming_cdc_compact, "update", tmp_path,
+        f"cdc_fuzz_{seed}",
+    )
+    final = {}
+    for r in got.collect():
+        if r.key not in final or r.n_changes > final[r.key].n_changes:
+            final[r.key] = r
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    batch = {
+        r["user_id"]: r
+        for r in ev.compact_changelog(
+            spark.createDataFrame(pdf, CDC_SCHEMA),
+            keys=("user_id",),
+            version=("ts", "event_id"),
+        ).collect()
+    }
+    assert set(batch) == set(final)
+    for k, b in batch.items():
+        f = final[k]
+        assert f.n_changes == b["n_changes"], k
+        assert f.last_type == b["event_type"], k
+        assert f.last_value == pytest.approx(b["value"], rel=1e-12), k
