@@ -1245,6 +1245,12 @@ def fuzzy_join_jaccard(
     ubiquitous is missed; Jaccard stays exact for surviving pairs).
     """
 
+    if left_id == right_id:
+        raise ValueError(
+            "fuzzy_join_jaccard: left_id and right_id must differ "
+            f"(both {left_id!r}) — the output carries one column per side"
+        )
+
     def tokset(col):
         return F.array_distinct(
             F.filter(

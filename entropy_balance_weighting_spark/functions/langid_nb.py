@@ -158,15 +158,21 @@ def predict_langid(
     *,
     text_col: str = "text",
     output_col: str = "pred_lang",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Relational NB scoring: explode grams → broadcast-join the model
     table → integer sum per (row, lang) + prior → deterministic argmax
     (score desc, lang asc); rows with zero in-vocab grams get
-    ``'und'``.  Adds ``output_col`` to ``df`` (joined back on a
-    transient row id — callers at scale should carry their own key and
-    use the parts directly)."""
+    ``'und'``.  Adds ``output_col`` to ``df``.  Pass ``id_col`` (a
+    unique row key) whenever one exists — the fallback is a transient
+    ``monotonically_increasing_id``, which is only join-back-safe when
+    the source recomputes with identical partitioning and row order
+    (true of deterministic file scans, NOT of arbitrary upstreams)."""
     spark = df.sparkSession
-    keyed = df.withColumn("__rid", F.monotonically_increasing_id())
+    if id_col is not None:
+        keyed = df.withColumn("__rid", F.col(id_col))
+    else:
+        keyed = df.withColumn("__rid", F.monotonically_increasing_id())
     grams = keyed.select(
         "__rid",
         F.explode(

@@ -759,7 +759,7 @@ def txt_langid_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, text_col="text", label_col="lang", n=2, k_per_lang=64,
         prefix=200,
     )
-    pred = predict_langid(docs, model, text_col="text")
+    pred = predict_langid(docs, model, text_col="text", id_col="doc_id")
     return (
         pred.groupBy("lang", F.col("pred_lang").alias("pred"))
         .agg(F.count(F.lit(1)).alias("n"))

@@ -141,3 +141,14 @@ def test_fuzzy_join_max_token_df_contract(spark):
     # with its exact (uncapped) jaccard of 1.0
     assert set(capped) == {(1, 10)}
     assert capped[(1, 10)] == 1.0
+
+
+def test_fuzzy_join_rejects_same_id_names(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], "id long, t string")
+    with _pytest.raises(ValueError, match="must differ"):
+        dedup.fuzzy_join_jaccard(
+            df, df, left_id="id", left_text="t",
+            right_id="id", right_text="t",
+        )

@@ -149,3 +149,16 @@ def test_fit_rejects_gramless_corpus(spark):
     )
     with pytest.raises(ValueError, match="no character n-grams"):
         L.fit_langid(df, n=2)
+
+
+def test_predict_with_explicit_id_col_matches_fallback(labeled):
+    model = L.fit_langid(labeled, n=2, k_per_lang=32, prefix=120)
+    a = {
+        r["doc_id"]: r["pred_lang"]
+        for r in L.predict_langid(labeled, model).collect()
+    }
+    b = {
+        r["doc_id"]: r["pred_lang"]
+        for r in L.predict_langid(labeled, model, id_col="doc_id").collect()
+    }
+    assert a == b
