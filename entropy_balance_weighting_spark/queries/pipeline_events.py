@@ -531,6 +531,7 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ev_cdc_compact",
     survey="ext:cdc-compaction",
+    bench=True,  # r12: partial-merge max_by vs the window the oracle uses
     oracle="""
 WITH ranked AS (
   SELECT user_id, event_type, value,

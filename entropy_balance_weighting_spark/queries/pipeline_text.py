@@ -1880,6 +1880,7 @@ def txt_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "txt_heavy_hitters",
     survey="ext:sketch-heavy-hitters",
+    bench=True,  # r12: tracks the 2-scan rework round over round
     oracle="""
 WITH w AS (
   SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
