@@ -7,14 +7,19 @@ pipeline needs, built Spark-first as first-class engine components):
   function-word router, ``langid_best``), fingerprinting.
 - :mod:`functions.dedup` — exact dedup, MinHash+LSH banded near-dup
   detection (never all-pairs), SimHash clustering, n-gram Jaccard verify,
-  connected-components dup clustering (iterative min-label propagation).
+  connected-components dup clustering (iterative min-label propagation),
+  and cross-table fuzzy joins for record linkage (token-blocked exact
+  Jaccard with a document-frequency skew cap).
 - :mod:`functions.sampling` — deterministic hash-based Bernoulli and
   stratified sampling (reproducible at 100 TB; zero-shuffle map-side
   filters; disjoint salts → independent train/val/test splits).
 - :mod:`functions.similarity` — brute-force cosine top-k baseline and the
   LSH-bucketed approximate variant (the scale path).
 - :mod:`functions.events` — event-time tumbling windows, gap-based
-  sessionization, JSON property extraction.
+  sessionization, JSON property extraction, and CDC changelog →
+  snapshot compaction (latest-per-key MERGE semantics as a map-side-
+  partial ``max_by`` aggregate; streaming sibling in
+  :mod:`streaming.stateful`).
 - :mod:`functions.multimodal` — opaque-binary column plumbing (schema,
   batching, Arrow UDF signatures) with REAL pure-numpy/stdlib codecs for
   uncompressed BMP, PNG (all 5 filters, palette, Adam7 interlace, 16-bit), PCM +
