@@ -220,12 +220,15 @@ def streaming_cdc_compact(
     from pyspark.sql import functions as F
 
     # timestamps order at MICROSECOND fidelity (cast-to-long would
-    # truncate to seconds and silently re-order sub-second versions)
+    # truncate to seconds and silently re-order sub-second versions);
+    # covers timestamp_ntz too — parquet STREAM sources surface NTZ
+    # (session tz is pinned UTC, so the NTZ→TZ cast is deterministic),
+    # and a plain long-cast of NTZ is an AnalysisException
     dtypes = dict(changes.dtypes)
     maj = F.col(ver_major_col)
     maj = (
-        F.unix_micros(maj)
-        if dtypes.get(ver_major_col) == "timestamp"
+        F.unix_micros(maj.cast("timestamp"))
+        if dtypes.get(ver_major_col, "").startswith("timestamp")
         else maj.cast("long")
     )
     shaped = changes.select(

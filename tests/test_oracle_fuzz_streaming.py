@@ -320,3 +320,41 @@ def test_streamed_cdc_compact_matches_batch_compact(spark, tmp_path, seed):
         assert f.n_changes == b["n_changes"], k
         assert f.last_type == b["event_type"], k
         assert f.last_value == pytest.approx(b["value"], rel=1e-12), k
+
+
+def test_streamed_cdc_compact_handles_timestamp_ntz(spark, tmp_path):
+    """Parquet STREAM sources surface timestamp_ntz; the version column
+    must still order at microsecond fidelity (a plain long-cast of NTZ
+    is an AnalysisException — regression found by the cdc example)."""
+    from entropy_balance_weighting_spark.streaming import (
+        streaming_cdc_compact,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (0, T0, 1, "click", 1.0),
+        # same second, later microsecond: must win
+        (1, T0 + dt.timedelta(microseconds=500), 1, "view", 2.0),
+        (2, T0 - dt.timedelta(seconds=5), 2, "purchase", 3.0),
+    ]
+    src = tmp_path / "ntz_src"
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    got = _drain(
+        spark, src, schema, streaming_cdc_compact, "update", tmp_path,
+        "cdc_ntz",
+    )
+    final = {r.key: (r.last_type, r.n_changes) for r in got.collect()}
+    assert final == {1: ("view", 2), 2: ("purchase", 1)}
