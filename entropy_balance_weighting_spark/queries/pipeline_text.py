@@ -1932,3 +1932,77 @@ def txt_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "item", F.col("count").alias("n_occurrences")
     ).orderBy(F.col("n_occurrences").desc(), "item")
+
+
+@register(
+    "txt_quality_deciles",
+    survey="ext:ranking-curriculum",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), per_doc AS (
+  SELECT doc_id, source,
+    len(toks) AS n_tok,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
+        * 1.0 / len(toks) AS swr,
+    list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mtl
+  FROM t
+), scored AS (
+  SELECT doc_id, source,
+    round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * least(swr / 0.3, 1.0)
+          + 0.3 * least(mtl / 8.0, 1.0), 6) AS q
+  FROM per_doc
+), ranked AS (
+  SELECT source, q,
+         row_number() OVER (ORDER BY q, doc_id) AS rk,
+         count(*) OVER () AS n
+  FROM scored
+)
+SELECT source, CAST((rk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+       count(*) AS n_docs,
+       round(min(q), 6) AS min_q, round(max(q), 6) AS max_q
+FROM ranked GROUP BY source, decile ORDER BY source, decile
+""",
+)
+def txt_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordering deciles by quality score via DISTRIBUTED
+    EXACT GLOBAL RANKING (:func:`functions.ranking.global_rank`): the
+    corpus ranks under (rounded quality, doc_id) with the two-pass
+    range-partition pattern — P-way parallel sort, partition-offset
+    cumsum, one Arrow stage adds offsets — where the oracle's
+    ``row_number() OVER (ORDER BY …)`` rendering would collapse 100 TB
+    into ONE partition to sort it (fine for DuckDB's single node; the
+    exact scale bug this operator exists to avoid).  Decile is integer
+    arithmetic over the exact rank (``(rk−1)·10 // n + 1``), so the
+    bucketing is engine-replayable with no float cut-point discipline;
+    ranking keys are the ROUNDED scores (6 dp) with doc_id tiebreak.
+    N comes from one parquet-footer count.  Output: per (source,
+    decile) doc counts with min/max score — the curriculum
+    data-ordering table a staged training run consumes."""
+    from entropy_balance_weighting_spark.functions.ranking import (
+        global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.annotate_token_stats(docs).select(
+        "doc_id", "source", F.round("q", 6).alias("q")
+    )
+    n = docs.count()
+    ranked = global_rank(scored, order_by=("q", "doc_id"))
+    return (
+        ranked.select(
+            "source",
+            "q",
+            ((F.col("rank") - 1) * 10 / F.lit(n)).cast("long").alias(
+                "decile0"
+            ),
+        )
+        .select("source", "q", (F.col("decile0") + 1).alias("decile"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.round(F.max("q"), 6).alias("max_q"),
+        )
+        .orderBy("source", "decile")
+    )
