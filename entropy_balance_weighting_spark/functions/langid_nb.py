@@ -164,15 +164,23 @@ def predict_langid(
     table → integer sum per (row, lang) + prior → deterministic argmax
     (score desc, lang asc); rows with zero in-vocab grams get
     ``'und'``.  Adds ``output_col`` to ``df``.  Pass ``id_col`` (a
-    unique row key) whenever one exists — the fallback is a transient
-    ``monotonically_increasing_id``, which is only join-back-safe when
-    the source recomputes with identical partitioning and row order
-    (true of deterministic file scans, NOT of arbitrary upstreams)."""
+    unique row key) whenever one exists — the fallback derives a
+    transient ``monotonically_increasing_id`` and PERSISTS the keyed
+    relation (MEMORY_AND_DISK) before it is used on both sides of the
+    join-back, so the ids cannot differ between the two evaluations
+    even over a nondeterministic upstream (same recompute-consistency
+    class as ``functions/ranking.py``; the cache holds one copy of the
+    input until the session ends — pass ``id_col`` to avoid it)."""
+    from pyspark.storagelevel import StorageLevel
+
     spark = df.sparkSession
     if id_col is not None:
         keyed = df.withColumn("__rid", F.col(id_col))
     else:
-        keyed = df.withColumn("__rid", F.monotonically_increasing_id())
+        keyed = df.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        keyed.count()  # materialize: pin ids before either join side reads
     grams = keyed.select(
         "__rid",
         F.explode(

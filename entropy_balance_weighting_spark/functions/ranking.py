@@ -8,19 +8,28 @@ two-pass range-partition pattern instead:
 
 1. ``repartitionByRange(order_by)`` + ``sortWithinPartitions`` — every
    partition holds a contiguous, internally-sorted slice of the global
-   order (P-way parallel sort);
+   order (P-way parallel sort) — **persisted** (MEMORY_AND_DISK) so
+   the two downstream jobs read ONE materialized partitioning;
 2. a scalar job counts rows per partition (P numbers to the driver —
-   the only driver inflow);
+   the only driver inflow); this action also materializes the cache,
+   pinning the sampler's boundary placement;
 3. one Arrow map stage adds ``offset[pid] + local_index + 1`` — the
    exact global rank, no global shuffle of ranked rows anywhere.
 
-The ranked relation is evaluated twice (once for counts, once for
-assignment) — the same trade ``zipWithIndex`` makes; persist the input
-upstream if recomputation is expensive.  Ranks are EXACT and
-deterministic provided ``order_by`` is a total order (give it a unique
-tiebreaker column, same discipline as every ORDER BY in this engine);
-they do not depend on where the range sampler places partition
-boundaries.
+The persist in step 1 is load-bearing, not a convenience: Spark's
+``RangePartitioner`` seeds its reservoir sample from the RDD id, and
+each *action* on an unpersisted DataFrame compiles a fresh physical
+plan (fresh RDD ids, fresh sample, different boundaries).  Counts
+taken under one boundary placement applied to rows placed under
+another yields duplicate/missing ranks.  With the slice cached, both
+the counts job and the assignment job read identical partitions (and
+a partition evicted under memory pressure recomputes through the SAME
+RDD lineage / retained shuffle output, so boundaries stay fixed).
+The cache holds one copy of the ranked slice (spilling to disk) until
+the session ends or the caller materializes + evicts it; ``zipWithIndex``
+makes the same trade.  Ranks are EXACT and deterministic provided
+``order_by`` is a total order (give it a unique tiebreaker column,
+same discipline as every ORDER BY in this engine).
 
 Reference parity: /root/reference sorts single-node (polars); this is
 §7.5 extension surface for the curriculum-ordering / exact-percentile
@@ -30,6 +39,20 @@ shapes a training pipeline needs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def ranged_slice(
+    df: DataFrame, order_by: tuple[str, ...], n_partitions: int
+) -> DataFrame:
+    """The range-partitioned, within-partition-sorted slice underlying
+    :func:`global_rank` — exposed so plan tests can pin the
+    ``rangepartitioning`` exchange that the persist otherwise hides
+    behind an ``InMemoryTableScan`` in the outer executed plan."""
+    cols = [F.col(c) for c in order_by]
+    return df.repartitionByRange(n_partitions, *cols).sortWithinPartitions(
+        *cols
+    )
 
 
 def global_rank(
@@ -50,8 +73,12 @@ def global_rank(
         n_partitions
         or spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    cols = [F.col(c) for c in order_by]
-    ranged = df.repartitionByRange(p, *cols).sortWithinPartitions(*cols)
+    # Persist BEFORE the counts action: both downstream jobs must read
+    # one materialized boundary placement (module docstring has the
+    # failure mode — resampled boundaries => non-permutation ranks).
+    ranged = ranged_slice(df, order_by, p).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     sizes = {
         r["pid"]: r["n"]
