@@ -1218,6 +1218,89 @@ def remove_duplicated_spans(
     return out_touched.unionByName(untouched)
 
 
+def _fuzzy_tokset(col):
+    return F.array_distinct(
+        F.filter(
+            F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+
+
+def fuzzy_join_candidates(
+    lt: DataFrame,
+    rt: DataFrame,
+    *,
+    threshold: float,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Candidate (``__lid``, ``__rid``) pairs for
+    :func:`fuzzy_join_jaccard` via RAREST-k PREFIX BLOCKING (prefix
+    filtering: Chaudhuri/Ganti/Kaushik ICDE 2006; Bayardo/Ma/Srikant
+    WWW 2007; Xiao et al. ppjoin, WWW 2008).  Inputs are the internal
+    ``(__lid, __ltoks)`` / ``(__rid, __rtoks)`` token-set relations;
+    exposed module-level so plan/volume tests can pin candidate counts
+    on hot-token fixtures.
+
+    Both sides' distinct-token sets are ordered by ONE global total
+    order — ascending left-corpus document frequency, token-value
+    tiebreak, df 0 for tokens unseen on the left — and each doc blocks
+    on only its first ``⌊(1−t)·n⌋+1`` tokens (n = distinct-token
+    count).  Prefix-filtering lemma: under any fixed total order, two
+    sets with ``|x∩y| ≥ α`` must share a token within their first
+    ``|x|−α+1`` elements, and Jaccard ≥ t implies ``|x∩y| ≥ ⌈t·|x|⌉``
+    per side — so the blocking is COMPLETE for the declared threshold
+    while a stopword shared by every document lands at the END of the
+    order and never enters a prefix unless a doc is almost nothing but
+    stopwords.  This is what keeps the candidate join off the
+    df_L·df_R stopword block that a share-any-token scheme generates
+    at corpus scale.  The float prefix length carries a +1e-9 nudge so
+    binary rounding can only ever LENGTHEN a prefix (longer prefix =
+    superset of candidates = still complete).
+
+    ``max_token_df`` remains the LOSSY knob on top: tokens whose
+    left-side df exceeds it are excluded from both prefix streams (a
+    pair whose shared tokens are all ubiquitous is missed; surviving
+    pairs keep exact Jaccard).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"fuzzy_join_jaccard: threshold must be in (0, 1], got {threshold}"
+        )
+    lx = lt.select("__lid", F.explode("__ltoks").alias("__tok"))
+    rx = rt.select("__rid", F.explode("__rtoks").alias("__tok"))
+    tok_df = lx.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+
+    def prefix_stream(exploded, id_col):
+        # token-keyed shuffle join (vocabulary never broadcasts), then
+        # rebuild each doc's (df, tok)-sorted array and keep the prefix
+        keyed = exploded.join(tok_df, "__tok", "left").select(
+            id_col,
+            F.struct(
+                F.coalesce(F.col("__df"), F.lit(0)).alias("__df"),
+                F.col("__tok").alias("__tok"),
+            ).alias("__o"),
+        )
+        per_doc = keyed.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("__o")).alias("__ord")
+        )
+        n = F.size("__ord")
+        plen = F.least(
+            (F.floor((1.0 - threshold) * n + 1e-9) + 1).cast("int"), n
+        )
+        pref = per_doc.select(
+            id_col,
+            F.explode(F.slice("__ord", 1, plen)).alias("__p"),
+        ).select(id_col, F.col("__p.__tok").alias("__tok"), F.col("__p.__df").alias("__df"))
+        if max_token_df is not None:
+            pref = pref.filter(F.col("__df") <= max_token_df)
+        return pref.select(id_col, "__tok")
+
+    lpref = prefix_stream(lx, "__lid")
+    rpref = prefix_stream(rx, "__rid")
+    return lpref.join(rpref, "__tok").select("__lid", "__rid").distinct()
+
+
 def fuzzy_join_jaccard(
     left: DataFrame,
     right: DataFrame,
@@ -1228,18 +1311,25 @@ def fuzzy_join_jaccard(
     right_text: str,
     threshold: float = 0.5,
     max_token_df: int | None = None,
+    broadcast_right: bool = True,
 ) -> DataFrame:
     """Cross-TABLE fuzzy join (record linkage) on word-token Jaccard:
     the two-table sibling of :func:`ngram_jaccard_pairs`.  Blocking +
-    verify: candidate pairs share ≥1 token (complete for any threshold
-    > 0), exact Jaccard over the full distinct-token sets decides.
-    Returns ``(left_id, right_id, jaccard)`` for pairs ≥ ``threshold``.
+    verify: candidates come from rarest-k PREFIX blocking
+    (:func:`fuzzy_join_candidates` — complete for the declared
+    threshold, stopword blocks never materialize), exact Jaccard over
+    the full distinct-token sets decides.  Returns ``(left_id,
+    right_id, jaccard)`` for pairs ≥ ``threshold`` (must be > 0).
 
-    100 TB shape: the block join keys on the token value (volume
-    Σ_token df_left·df_right — real overlap, never |L|·|R|); the verify
-    join pulls each side's token ARRAY back by id (the right side is
-    typically the small probe/query table — it broadcasts).
-    ``max_token_df`` is the same skew defense as the dedup family:
+    100 TB shape: candidate volume is Σ over PREFIX tokens of
+    df_L·df_R — rare tokens by construction — never the stopword
+    df_L·df_R block a share-any-token scheme pays; the verify join
+    pulls each side's token ARRAY back by id.  ``broadcast_right=True``
+    (default) broadcasts the right side for the verify join — right is
+    typically the small probe/query table; pass ``False`` when the
+    right side is too large for executor memory and the verify join
+    degrades to a shuffle hash join instead of an OOM.
+    ``max_token_df`` is the same LOSSY skew knob as the dedup family:
     tokens whose LEFT-side document frequency exceeds it are excluded
     from candidate generation only (a pair whose shared tokens are all
     ubiquitous is missed; Jaccard stays exact for surviving pairs).
@@ -1251,28 +1341,17 @@ def fuzzy_join_jaccard(
             f"(both {left_id!r}) — the output carries one column per side"
         )
 
-    def tokset(col):
-        return F.array_distinct(
-            F.filter(
-                F.split(F.trim(F.lower(F.col(col))), r"\s+"),
-                lambda x: x != "",
-            )
-        )
-
-    lt = left.select(F.col(left_id).alias("__lid"), tokset(left_text).alias("__ltoks"))
-    rt = right.select(F.col(right_id).alias("__rid"), tokset(right_text).alias("__rtoks"))
-    lx = lt.select("__lid", F.explode("__ltoks").alias("__tok"))
-    if max_token_df is not None:
-        hot = (
-            lx.groupBy("__tok")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_token_df)
-            .select("__tok")
-        )
-        lx = lx.join(F.broadcast(hot), "__tok", "left_anti")
-    rx = rt.select("__rid", F.explode("__rtoks").alias("__tok"))
-    cand = lx.join(rx, "__tok").select("__lid", "__rid").distinct()
-    pairs = cand.join(lt, "__lid").join(F.broadcast(rt), "__rid")
+    lt = left.select(
+        F.col(left_id).alias("__lid"), _fuzzy_tokset(left_text).alias("__ltoks")
+    )
+    rt = right.select(
+        F.col(right_id).alias("__rid"), _fuzzy_tokset(right_text).alias("__rtoks")
+    )
+    cand = fuzzy_join_candidates(
+        lt, rt, threshold=threshold, max_token_df=max_token_df
+    )
+    rside = F.broadcast(rt) if broadcast_right else rt
+    pairs = cand.join(lt, "__lid").join(rside, "__rid")
     jac = F.size(F.array_intersect("__ltoks", "__rtoks")) / F.size(
         F.array_union("__ltoks", "__rtoks")
     )

@@ -896,10 +896,13 @@ def dd_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated queries (every 5th document's first 40 words — the
     noisy-derivative-to-canonical matching shape) links back to the
     corpus by exact word-token Jaccard ≥ 0.8 via
-    :func:`functions.dedup.fuzzy_join_jaccard` — token-block candidate
-    generation (pairs must share ≥1 token; join volume is
-    Σ_token df_L·df_R, never |L|·|R|) then exact verify over the full
-    distinct-token sets, probe side broadcast.  The ORACLE replays the
+    :func:`functions.dedup.fuzzy_join_jaccard` — RAREST-k PREFIX
+    blocking (r13: each side blocks only on its ⌊(1−t)·n⌋+1
+    rarest-by-left-df tokens — COMPLETE for the threshold by the
+    prefix-filtering lemma, and a stopword in every document never
+    generates its df_L·df_R block, the skew that killed the old
+    share-any-token scheme at corpus scale) then exact verify over the
+    full distinct-token sets, probe side broadcast.  The ORACLE replays the
     same arithmetic from a cross join — correct single-node, the exact
     plan shape the blocked join exists to avoid at corpus scale.
     Integer intersection/union arithmetic → one rounded division, so

@@ -143,6 +143,85 @@ def test_fuzzy_join_max_token_df_contract(spark):
     assert capped[(1, 10)] == 1.0
 
 
+def test_fuzzy_join_prefix_blocking_starves_stopword_block(spark):
+    """The r12→r13 skew fix, pinned on candidate VOLUME: a stopword
+    shared by EVERY doc on both sides must not drive the candidate
+    join to |L|·|R|.  With rarest-k prefix blocking the stopword sorts
+    last in the global df order and never enters a prefix (every doc
+    here has n=4 distinct tokens, t=0.8 → prefix length 1 = its rarest
+    token), so candidates collapse to the true near-matches instead of
+    the 60·20 cross block a share-any-token scheme generates."""
+    n_l, n_r = 60, 20
+    lrows = [(i, f"the la{i} lb{i} lc{i}") for i in range(n_l)]
+    # right probe r matches left doc r exactly (plus the stopword)
+    rrows = [(1000 + i, f"the la{i} lb{i} lc{i}") for i in range(n_r)]
+    left = spark.createDataFrame(lrows, "lid long, ltext string")
+    right = spark.createDataFrame(rrows, "rid long, rtext string")
+    lt = left.select(
+        F.col("lid").alias("__lid"),
+        dedup._fuzzy_tokset("ltext").alias("__ltoks"),
+    )
+    rt = right.select(
+        F.col("rid").alias("__rid"),
+        dedup._fuzzy_tokset("rtext").alias("__rtoks"),
+    )
+    cand = dedup.fuzzy_join_candidates(lt, rt, threshold=0.8).collect()
+    got = {(r["__lid"], r["__rid"]) for r in cand}
+    # exactly the 20 true pairs — the 1200-pair stopword block is gone
+    assert got == {(i, 1000 + i) for i in range(n_r)}
+    # and the end-to-end join still finds every true pair (completeness)
+    full = {
+        (r["lid"], r["rid"])
+        for r in dedup.fuzzy_join_jaccard(
+            left, right, left_id="lid", left_text="ltext",
+            right_id="rid", right_text="rtext", threshold=0.8,
+        ).collect()
+    }
+    assert full == {(i, 1000 + i) for i in range(n_r)}
+
+
+def test_fuzzy_join_prefix_complete_across_thresholds(spark):
+    """Prefix blocking must stay COMPLETE (identical result set to the
+    brute force) across thresholds — the lemma's ⌊(1−t)·n⌋+1 prefix
+    length, including the float-rounding nudge at t where (1−t)·n
+    lands on an integer in exact arithmetic."""
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(25)]
+    lrows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randrange(2, 10))))
+        for i in range(35)
+    ]
+    rrows = [
+        (100 + i, " ".join(rng.choices(vocab, k=rng.randrange(1, 10))))
+        for i in range(12)
+    ]
+    left = spark.createDataFrame(lrows, "lid long, ltext string")
+    right = spark.createDataFrame(rrows, "rid long, rtext string")
+    for t in (0.2, 0.25, 0.5, 0.8, 1.0):
+        got = {
+            (r["lid"], r["rid"], r["jaccard"])
+            for r in dedup.fuzzy_join_jaccard(
+                left, right, left_id="lid", left_text="ltext",
+                right_id="rid", right_text="rtext", threshold=t,
+                broadcast_right=(t < 0.5),  # exercise both verify paths
+            ).collect()
+        }
+        assert got == _brute_jaccard(lrows, rrows, t), t
+
+
+def test_fuzzy_join_rejects_bad_threshold(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], "id long, t string")
+    df2 = spark.createDataFrame([(1, "a")], "id2 long, t string")
+    for t in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError, match="threshold"):
+            dedup.fuzzy_join_jaccard(
+                df, df2, left_id="id", left_text="t",
+                right_id="id2", right_text="t", threshold=t,
+            ).collect()
+
+
 def test_fuzzy_join_rejects_same_id_names(spark):
     import pytest as _pytest
 
