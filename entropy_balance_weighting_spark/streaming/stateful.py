@@ -181,12 +181,24 @@ def _cdc_update(
         vmaj, vmin, ltype, lval, n = None, None, None, None, 0
     for pdf in pdfs:
         n += len(pdf)
-        for maj, mnr, typ, val in zip(
-            pdf["ver_major"], pdf["ver_minor"], pdf["op_type"], pdf["value"]
-        ):
-            maj, mnr = int(maj), int(mnr)
-            if vmaj is None or (maj, mnr) > (vmaj, vmin):
-                vmaj, vmin, ltype, lval = maj, mnr, str(typ), float(val)
+        # vectorized composite-version argmax (no per-row Python loop):
+        # max ver_major, then idxmax of ver_minor within that slice.
+        # Rows with a NULL version component are unorderable — skipped
+        # from latest-record selection (still counted in n_changes),
+        # mirroring the batch sibling's max_by NULL tolerance instead
+        # of killing the stream on one malformed change record.
+        valid = pdf.dropna(subset=["ver_major", "ver_minor"])
+        if len(valid) == 0:
+            continue
+        top_major = valid["ver_major"].max()
+        sub = valid[valid["ver_major"] == top_major]
+        row = sub.loc[sub["ver_minor"].idxmax()]
+        maj, mnr = int(row["ver_major"]), int(row["ver_minor"])
+        if vmaj is None or (maj, mnr) > (vmaj, vmin):
+            typ, val = row["op_type"], row["value"]
+            vmaj, vmin = maj, mnr
+            ltype = None if pd.isna(typ) else str(typ)
+            lval = None if pd.isna(val) else float(val)
     state.update((vmaj, vmin, ltype, lval, n))
     yield pd.DataFrame(
         {

@@ -358,3 +358,42 @@ def test_streamed_cdc_compact_handles_timestamp_ntz(spark, tmp_path):
     )
     final = {r.key: (r.last_type, r.n_changes) for r in got.collect()}
     assert final == {1: ("view", 2), 2: ("purchase", 1)}
+
+
+def test_streamed_cdc_compact_tolerates_null_records(spark, tmp_path):
+    """r12 ADVICE: one malformed change record (NULL version or value)
+    must not kill the streaming query.  NULL-version rows are skipped
+    from latest-record selection (unorderable) but still counted in
+    n_changes; a NULL value/op on the WINNING version surfaces as NULL
+    in the snapshot — mirroring the batch compact_changelog's max_by
+    tolerance."""
+    from entropy_balance_weighting_spark.streaming import (
+        streaming_cdc_compact,
+    )
+
+    rows = [
+        (0, T0, 1, "click", 1.0),
+        (None, T0 - dt.timedelta(seconds=9), 1, "view", 2.0),  # null minor
+        (2, None, 1, "purchase", 3.0),                         # null major
+        (3, T0 + dt.timedelta(seconds=1), 1, None, None),      # null payload
+        (4, T0, 2, "view", 5.0),
+    ]
+    src = tmp_path / "nulls_src"
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    spark.createDataFrame(pdf, CDC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    got = _drain(
+        spark, src, CDC_SCHEMA, streaming_cdc_compact, "update", tmp_path,
+        "cdc_nulls",
+    )
+    final = {
+        r.key: (r.last_type, r.last_value, r.n_changes)
+        for r in got.collect()
+    }
+    # key 1: event 3 (T0+1s, id 3) is the latest ORDERABLE version —
+    # its NULL payload wins through; 4 changes counted incl. malformed
+    assert final[1] == (None, None, 4)
+    assert final[2] == ("view", 5.0, 1)
