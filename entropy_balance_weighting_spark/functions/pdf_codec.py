@@ -23,9 +23,11 @@ Scope (honest coverage, like the other ``*_codec`` modules):
   through their ``/ToUnicode`` CMap when one is embedded (bfchar +
   both bfrange forms, UTF-16BE destinations incl. multi-code-unit
   ligatures; 2-byte Identity-H CID convention): the extractor maps
-  font NAMES to CMaps via the ``/Font`` resource dictionaries (merged
-  document-wide — a per-page name collision between different CID
-  fonts is the one mis-routing this tolerant linear scan admits),
+  font NAMES to CMaps via each PAGE's ``/Font`` resource dictionary
+  (inline or one ``/Resources N 0 R`` hop; same-named fonts on
+  different pages route to their own CMaps — r13 closed the old
+  document-wide-merge collision; a document-wide merged map remains
+  the fallback for content streams no parsed page claims),
   tracks the active font across ``Tf`` operators, and decodes show
   strings pairwise through the active font's CMap (unmapped CIDs →
   U+FFFD).  ``has_cid_font`` still reports Type0 presence;
@@ -52,6 +54,10 @@ _CID_RE = re.compile(rb"/Subtype\s*/Type0\b")
 _TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONTREF_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+_RESREF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
+_CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_OBJREF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _TF_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+[\d.]+\s+Tf\b")
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
@@ -338,10 +344,9 @@ def extract_pdf_text(payload: bytes) -> dict:
     objects = [(int(m.group(1)), m.group(3)) for m in _OBJ_RE.finditer(b)]
     by_num = dict(objects)  # last definition wins, like real readers
 
-    # ToUnicode CMaps: font OBJECT → CMap, then font resource NAME →
-    # CMap via the /Font dictionaries (merged document-wide — the one
-    # mis-routing this tolerant linear scan admits is a per-page name
-    # collision between different CID fonts)
+    # ToUnicode CMaps: font OBJECT → CMap, then a document-wide merged
+    # font-NAME → CMap map (fallback only — per-page tables below take
+    # precedence for content streams a parsed Page object claims)
     obj_cmap: dict[int, dict[int, str]] = {}
     for num, body in objects:
         head = body.split(b"stream", 1)[0]
@@ -361,6 +366,51 @@ def extract_pdf_text(payload: bytes) -> dict:
                         font_cmaps.setdefault(
                             name.decode("latin-1"), obj_cmap[fn]
                         )
+
+    # PER-PAGE routing (r13): each Page object's /Contents stream(s)
+    # decode through THAT page's own /Font → CMap table (inline
+    # resources or a /Resources N 0 R indirection), so two different
+    # CID fonts that share a resource name on different pages no
+    # longer route through one document-wide merged map.  Pages whose
+    # font dictionary the tolerant scan cannot locate fall back to the
+    # merged map (old behavior); pages whose fonts carry no parseable
+    # ToUnicode get an EMPTY table — flagged-undecoded, never
+    # mis-decoded through another page's same-named font.
+    stream_fontmaps: dict[int, dict[str, dict[int, str]]] = {}
+    if obj_cmap:
+        for _num, body in objects:
+            head = body.split(b"stream", 1)[0]
+            if not _PAGE_RE.search(head):
+                continue
+            fonts_src = head
+            if _FONTDICT_RE.search(fonts_src) is None:
+                mres = _RESREF_RE.search(head)
+                if mres is None:
+                    continue  # no locatable resources: merged-map fallback
+                ref_body = by_num.get(int(mres.group(1)))
+                if ref_body is None:
+                    continue
+                fonts_src = ref_body.split(b"stream", 1)[0]
+                if _FONTDICT_RE.search(fonts_src) is None:
+                    continue
+            pagemap: dict[str, dict[int, str]] = {}
+            for fm in _FONTDICT_RE.finditer(fonts_src):
+                for name, fnum in _FONTREF_RE.findall(fm.group(1)):
+                    fn = int(fnum)
+                    if fn in obj_cmap:
+                        pagemap.setdefault(
+                            name.decode("latin-1"), obj_cmap[fn]
+                        )
+            marr = _CONTENTS_ARR_RE.search(head)
+            refs = (
+                _OBJREF_RE.findall(marr.group(1))
+                if marr is not None
+                else [
+                    m.group(1) for m in _CONTENTS_REF_RE.finditer(head)
+                ]
+            )
+            for ref in refs:
+                stream_fontmaps[int(ref)] = pagemap
 
     n_pages = 0
     pages: list[str] = []
@@ -403,7 +453,8 @@ def extract_pdf_text(payload: bytes) -> dict:
                 continue  # image or damaged stream: not text
         if b"beginbfchar" in data or b"beginbfrange" in data:
             continue  # a ToUnicode CMap stream is metadata, not page text
-        t = _stream_text(data, font_cmaps or None)
+        fm = stream_fontmaps.get(_num, font_cmaps)
+        t = _stream_text(data, fm or None)
         if t:
             pages.append(t)
     return {
@@ -505,47 +556,34 @@ def build_pdf(
     return bytes(out)
 
 
-def build_pdf_cid(
-    pages: list[list[str]],
-    *,
-    compress: bool = True,
-    title: str = "",
-    author: str = "",
-    producer: str = "ebw-spark",
-    with_tounicode: bool = True,
-    use_bfrange: bool = False,
-) -> bytes:
-    """Serialize a PDF whose text uses a Type0 (CID) font with
-    Identity-H 2-byte show strings and an embedded ``/ToUnicode`` CMap —
-    the fixture for the CID decode path (and a minimal CJK-capable
-    report export).  Each distinct character across ``pages`` gets CID
-    = 1 + its index in sorted order; the CMap carries the inverse
-    mapping as ``bfchar`` pairs (or, with ``use_bfrange=True``, one
-    incrementing ``bfrange`` per contiguous codepoint run — both forms
-    the extractor must parse).  ``with_tounicode=False`` omits the CMap:
-    the document still flags ``has_cid_font`` but stays undecodable —
-    the flagged-row routing fixture.  Supplementary-plane characters
-    are rejected (UTF-16BE surrogate pairs would need 2 code units per
-    bfchar dst — out of fixture scope)."""
-    chars = sorted({c for lines in pages for ln in lines for c in ln})
-    if any(ord(c) > 0xFFFF for c in chars):
-        raise ValueError("build_pdf_cid: BMP characters only")
-    cid_of = {c: i + 1 for i, c in enumerate(chars)}
+def _utf16_hex(c: str) -> str:
+    """UTF-16BE hex of one character — 4 hex digits for BMP, 8 (a
+    surrogate pair) for supplementary-plane characters; exactly what a
+    spec-correct ``/ToUnicode`` bfchar destination carries."""
+    return c.encode("utf-16-be").hex().upper()
 
+
+def _cid_cmap_data(chars: list[str], cid_of: dict[str, int], use_bfrange: bool) -> bytes:
+    """The ToUnicode CMap stream body for a char→CID assignment."""
     if use_bfrange:
-        # contiguous CID runs whose chars are ALSO codepoint-contiguous
+        # contiguous CID runs whose chars are ALSO codepoint-contiguous;
+        # the incrementing form bumps the LAST UTF-16 code unit, so runs
+        # only chain within the BMP — a supplementary-plane char becomes
+        # its own 1-length range with a surrogate-pair destination
+        # (prefix + last-unit arithmetic is exact at k=0)
         entries: list[bytes] = []
         i = 0
         while i < len(chars):
             j = i
             while (
                 j + 1 < len(chars)
+                and ord(chars[j]) < 0xFFFF
                 and ord(chars[j + 1]) == ord(chars[j]) + 1
             ):
                 j += 1
             entries.append(
                 f"<{cid_of[chars[i]]:04X}> <{cid_of[chars[j]]:04X}> "
-                f"<{ord(chars[i]):04X}>".encode()
+                f"<{_utf16_hex(chars[i])}>".encode()
             )
             i = j + 1
         body_lines = (
@@ -555,14 +593,14 @@ def build_pdf_cid(
         )
     else:
         entries = [
-            f"<{cid_of[c]:04X}> <{ord(c):04X}>".encode() for c in chars
+            f"<{cid_of[c]:04X}> <{_utf16_hex(c)}>".encode() for c in chars
         ]
         body_lines = (
             [f"{len(entries)} beginbfchar".encode()]
             + entries
             + [b"endbfchar"]
         )
-    cmap_data = b"\n".join(
+    return b"\n".join(
         [
             b"/CIDInit /ProcSet findresource begin",
             b"begincmap",
@@ -573,6 +611,48 @@ def build_pdf_cid(
         + body_lines
         + [b"endcmap", b"end"]
     )
+
+
+def build_pdf_cid(
+    pages: list[list[str]],
+    *,
+    compress: bool = True,
+    title: str = "",
+    author: str = "",
+    producer: str = "ebw-spark",
+    with_tounicode: bool = True,
+    use_bfrange: bool = False,
+    per_page_fonts: bool = False,
+) -> bytes:
+    """Serialize a PDF whose text uses a Type0 (CID) font with
+    Identity-H 2-byte show strings and an embedded ``/ToUnicode`` CMap —
+    the fixture for the CID decode path (and a minimal CJK-capable
+    report export).  Each distinct character gets CID = 1 + its index
+    in sorted order; the CMap carries the inverse mapping as ``bfchar``
+    pairs (or, with ``use_bfrange=True``, one incrementing ``bfrange``
+    per contiguous codepoint run — both forms the extractor must
+    parse).  Supplementary-plane characters encode as UTF-16BE
+    surrogate-pair destinations (spec-correct; no BMP restriction).
+    ``with_tounicode=False`` omits the CMap: the document still flags
+    ``has_cid_font`` but stays undecodable — the flagged-row routing
+    fixture.  ``per_page_fonts=True`` gives EVERY page its own Type0
+    font object + CMap with CIDs assigned per page, all under the SAME
+    resource name ``/F1`` — the cross-page name-collision fixture the
+    extractor's per-page routing exists for (a document-wide merged
+    map decodes at most one of the pages correctly)."""
+    if per_page_fonts:
+        return _build_pdf_cid_per_page(
+            pages,
+            compress=compress,
+            title=title,
+            author=author,
+            producer=producer,
+            with_tounicode=with_tounicode,
+            use_bfrange=use_bfrange,
+        )
+    chars = sorted({c for lines in pages for ln in lines for c in ln})
+    cid_of = {c: i + 1 for i, c in enumerate(chars)}
+    cmap_data = _cid_cmap_data(chars, cid_of, use_bfrange)
 
     objs: list[bytes] = []
     n_pg = len(pages)
@@ -623,6 +703,106 @@ def build_pdf_cid(
             + data
             + b"\nendstream"
         )  # 6 + 2i
+    objs.append(
+        b"<< /Title ("
+        + _escape_literal(title)
+        + b") /Author ("
+        + _escape_literal(author)
+        + b") /Producer ("
+        + _escape_literal(producer)
+        + b") >>"
+    )
+    info_num = len(objs)
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R "
+        f"/Info {info_num} 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _build_pdf_cid_per_page(
+    pages: list[list[str]],
+    *,
+    compress: bool,
+    title: str,
+    author: str,
+    producer: str,
+    with_tounicode: bool,
+    use_bfrange: bool,
+) -> bytes:
+    """``build_pdf_cid(per_page_fonts=True)`` body: one Type0 font +
+    ToUnicode CMap PER PAGE, CIDs assigned per page's own sorted char
+    set, every page's resource dictionary naming its font ``/F1`` —
+    so the same (name, CID) pair means different characters on
+    different pages unless the extractor routes per page."""
+    n_pg = len(pages)
+    objs: list[bytes] = []
+    kids = " ".join(f"{5 + 4 * i} 0 R" for i in range(n_pg))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pg} >>".encode()
+    )  # 2
+    for i, lines in enumerate(pages):
+        font_num, cmap_num = 3 + 4 * i, 4 + 4 * i
+        page_num, content_num = 5 + 4 * i, 6 + 4 * i
+        chars = sorted({c for ln in lines for c in ln})
+        cid_of = {c: k + 1 for k, c in enumerate(chars)}
+        touni = (
+            f"/ToUnicode {cmap_num} 0 R ".encode()
+            if with_tounicode
+            else b""
+        )
+        objs.append(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth{i} "
+            f"/Encoding /Identity-H ".encode() + touni + b">>"
+        )  # font_num
+        cm = _cid_cmap_data(chars, cid_of, use_bfrange)
+        cm_filt = b""
+        if compress:
+            cm = zlib.compress(cm)
+            cm_filt = b"/Filter /FlateDecode "
+        objs.append(
+            b"<< "
+            + cm_filt
+            + f"/Length {len(cm)} >>\nstream\n".encode()
+            + cm
+            + b"\nendstream"
+        )  # cmap_num
+        content = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td\n")
+        for j, ln in enumerate(lines):
+            if j:
+                content += b"T*\n"
+            hexs = "".join(f"{cid_of[c]:04X}" for c in ln)
+            content += b"<" + hexs.encode() + b"> Tj\n"
+        content += b"ET"
+        data = bytes(content)
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {content_num} 0 R >>".encode()
+        )  # page_num
+        objs.append(
+            b"<< "
+            + filt
+            + f"/Length {len(data)} >>\nstream\n".encode()
+            + data
+            + b"\nendstream"
+        )  # content_num
     objs.append(
         b"<< /Title ("
         + _escape_literal(title)

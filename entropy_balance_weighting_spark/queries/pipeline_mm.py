@@ -2122,12 +2122,17 @@ def mm_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`functions.pdf_codec.build_pdf_cid`) — and the rest simple
     Type1 PDFs (:func:`build_pdf`); the REAL extractor recovers page
     count, per-stream text (CID text THROUGH the CMap — the r11
-    verdict's CID task), and the Info title.  ``text_chars`` uses one
-    arithmetic for both variants, so a CID decode that garbles or drops
-    a single character shifts a char total and fails the hash;
-    ``n_cid``/``n_cid_decoded`` pin that every CID doc both flags AND
-    decodes.  100 TB shape: one Arrow ``mapInPandas`` map stage, no
-    shuffle before the tiny aggregate."""
+    verdict's CID task), and the Info title.  Every SIXTH document
+    (doc_id % 6 == 0) builds with ``per_page_fonts=True``: each page
+    carries its OWN Type0 font + CMap under the SAME ``/F1`` resource
+    name with page-local CID assignment — the cross-page
+    name-collision shape r13's per-page routing closed (a
+    document-wide merged font map garbles one of the two pages and
+    shifts ``text_chars``).  ``text_chars`` uses one arithmetic for
+    all variants, so a CID decode that garbles or drops a single
+    character fails the hash; ``n_cid``/``n_cid_decoded`` pin that
+    every CID doc both flags AND decodes.  100 TB shape: one Arrow
+    ``mapInPandas`` map stage, no shuffle before the tiny aggregate."""
     from entropy_balance_weighting_spark.functions import pdf_codec as pdf
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2139,8 +2144,18 @@ def mm_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for i, t in zip(p["doc_id"], p["text"]):
                 pages = [[f"Doc {int(i)}"], [str(t)[:40]]]
-                build = pdf.build_pdf_cid if int(i) % 3 == 0 else pdf.build_pdf
-                payloads.append(build(pages, title=f"Doc {int(i)}"))
+                if int(i) % 3 == 0:
+                    payloads.append(
+                        pdf.build_pdf_cid(
+                            pages,
+                            title=f"Doc {int(i)}",
+                            per_page_fonts=(int(i) % 6 == 0),
+                        )
+                    )
+                else:
+                    payloads.append(
+                        pdf.build_pdf(pages, title=f"Doc {int(i)}")
+                    )
             out = pdf.extract_pdf_text_batch(payloads)
             out.insert(0, "source", p["source"].to_numpy())
             yield out[

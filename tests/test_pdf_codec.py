@@ -208,9 +208,57 @@ def test_batch_helper_carries_cid_decoded_column():
     assert out["text"].tolist()[1] == "中文"
 
 
-def test_build_pdf_cid_rejects_astral_chars():
-    with pytest.raises(ValueError, match="BMP"):
-        pdf.build_pdf_cid([["\U0001F600"]])
+def test_build_pdf_cid_astral_chars_roundtrip():
+    """r12 ADVICE: the builder used to reject supplementary-plane
+    characters (and mm_pdf_text called it outside per-row error
+    handling — one astral char in a corpus text would have failed the
+    whole query).  Now they encode as spec-correct UTF-16BE
+    surrogate-pair CMap destinations and round-trip, in BOTH CMap
+    forms (a non-BMP char never chains into an incrementing bfrange —
+    it gets its own 1-length range)."""
+    text = "ok \U0001F600\U00010000 end"
+    for bf in (False, True):
+        m = pdf.extract_pdf_text(
+            pdf.build_pdf_cid([[text]], use_bfrange=bf)
+        )
+        assert m["text"] == text, (bf, m["text"])
+        assert m["cid_decoded"]
+
+
+def test_cid_per_page_fonts_no_cross_page_collision():
+    """r12 verdict task: two DIFFERENT CID fonts sharing the resource
+    name /F1 on different pages must each decode through their own
+    CMap.  per_page_fonts=True assigns CIDs per page, so page 2's CID
+    1 is a different character than page 1's — a document-wide merged
+    font map (the pre-r13 behavior) decodes page 2 through page 1's
+    CMap and garbles it."""
+    pages = [["zebra"], ["apple"]]  # page-local CID 1 = 'a' vs 'a'?
+    # ensure genuinely colliding assignments: distinct sorted char sets
+    assert sorted(set("zebra")) != sorted(set("apple"))
+    m = pdf.extract_pdf_text(
+        pdf.build_pdf_cid(pages, per_page_fonts=True)
+    )
+    assert m["pages"] == ["zebra", "apple"], m["pages"]
+    assert m["n_pages"] == 2 and m["cid_decoded"]
+    # bfrange form routes per page too
+    m2 = pdf.extract_pdf_text(
+        pdf.build_pdf_cid(
+            [["abc xyz"], ["mnop qrs"]],
+            per_page_fonts=True,
+            use_bfrange=True,
+        )
+    )
+    assert m2["pages"] == ["abc xyz", "mnop qrs"], m2["pages"]
+
+
+def test_cid_per_page_without_tounicode_stays_flagged():
+    m = pdf.extract_pdf_text(
+        pdf.build_pdf_cid(
+            [["aa"], ["bb"]], per_page_fonts=True, with_tounicode=False
+        )
+    )
+    assert m["has_cid_font"] and not m["cid_decoded"]
+    assert m["n_pages"] == 2
 
 
 def test_tounicode_cmap_survives_newline_final_zlib_byte():
