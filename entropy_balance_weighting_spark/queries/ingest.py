@@ -466,3 +466,106 @@ def s14_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@register(
+    "s15_zorder_skip",
+    survey="ext:layout-zorder",
+    oracle="""
+WITH e AS (
+  SELECT CAST(min(l_orderkey) AS BIGINT) AS mn_ok,
+         CAST(max(l_orderkey) AS BIGINT) AS mx_ok,
+         CAST(min(l_partkey) AS BIGINT) AS mn_pk,
+         CAST(max(l_partkey) AS BIGINT) AS mx_pk
+  FROM lineitem
+), k AS (
+  SELECT ((CAST(l_orderkey AS BIGINT) - mn_ok) * 256)
+             // (mx_ok - mn_ok + 1) AS bok,
+         ((CAST(l_partkey AS BIGINT) - mn_pk) * 256)
+             // (mx_pk - mn_pk + 1) AS bpk,
+         l_orderkey, l_partkey, mn_ok, mx_ok
+  FROM lineitem, e
+), z AS (
+  SELECT CAST(((bpk >> 7) & 1) * 8 + ((bok >> 7) & 1) * 4
+            + ((bpk >> 6) & 1) * 2 + ((bok >> 6) & 1) AS INT) AS zfile,
+         l_orderkey, l_partkey, mn_ok, mx_ok
+  FROM k
+)
+SELECT zfile,
+       count(*) AS n_rows,
+       CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+       CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+       CAST(min(l_partkey) AS BIGINT) AS min_pk,
+       CAST(max(l_partkey) AS BIGINT) AS max_pk,
+       (max(l_orderkey) < mn_ok + (mx_ok - mn_ok + 1) // 2
+        OR min(l_orderkey) > mn_ok + 3 * (mx_ok - mn_ok + 1) // 4 - 1)
+           AS skipped
+FROM z GROUP BY zfile, mn_ok, mx_ok ORDER BY zfile
+""",
+)
+def s15_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout + FILE-SKIPPING roundtrip (the OPTIMIZE ZORDER
+    maintenance op, driver-checked end to end): ``lineitem`` is
+    re-laid-out clustered on (l_orderkey, l_partkey) via the
+    ENGINE-REPLAYABLE integer Morton key
+    (:func:`sources.layout.zorder_key_int`, bin edges from parquet
+    FOOTER stats — :func:`parquet_column_edges`, zero Spark jobs), one
+    output file per top-4-bit curve segment
+    (:func:`sources.layout.write_partitioned`), then read back as
+    per-FILE footer statistics (:func:`parquet_file_stats` — the
+    metadata table a skip decision consumes) with each file's
+    skip-vs-touch verdict for a fixed orderkey range predicate
+    ([mn + span/2, mn + 3·span/4), integer arithmetic).  The ORACLE
+    recomputes every file's row count, min/max envelope, and skip flag
+    from the RAW table by replaying the Morton-bin arithmetic — so a
+    row landing in the wrong file, a footer-stat drift, or a wrong
+    skip decision all fail the hash.  100 TB: the write is one
+    hash-exchange on the segment id; the skip table is footer-metadata
+    only; a real scan with that predicate touches only files with
+    ``skipped = false`` (12 of 16 segments skip — min/max envelopes
+    in BOTH dimensions at once are what a lexicographic sort cannot
+    give the trailing column)."""
+    import re as _re
+
+    from entropy_balance_weighting_spark.sources import layout
+
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    cols = ("l_orderkey", "l_partkey")
+    edges = layout.parquet_column_edges(src_path, cols)
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    key = layout.zorder_key_int(li, cols, bits=8, edges=edges)
+    zdf = li.withColumn("zfile", F.shiftright(key, 12).cast("int"))
+    scratch = os.path.join(_SCRATCH, "s15_zorder")
+    shutil.rmtree(scratch, ignore_errors=True)
+    layout.write_partitioned(zdf, scratch, ("zfile",))
+
+    mn_ok, mx_ok = int(edges["l_orderkey"][0]), int(edges["l_orderkey"][1])
+    span = mx_ok - mn_ok + 1
+    lo, hi = mn_ok + span // 2, mn_ok + (3 * span) // 4 - 1
+    per_file: dict[int, list] = {}
+    for fpath, n_rows, st in layout.parquet_file_stats(scratch, cols):
+        m = _re.search(r"zfile=(\d+)", fpath)
+        zf = int(m.group(1))
+        okmn, okmx = st["l_orderkey"]
+        pkmn, pkmx = st["l_partkey"]
+        cur = per_file.setdefault(zf, [0, okmn, okmx, pkmn, pkmx])
+        cur[0] += int(n_rows)
+        cur[1], cur[2] = min(cur[1], okmn), max(cur[2], okmx)
+        cur[3], cur[4] = min(cur[3], pkmn), max(cur[4], pkmx)
+    rows = [
+        (
+            zf,
+            c[0],
+            int(c[1]),
+            int(c[2]),
+            int(c[3]),
+            int(c[4]),
+            bool(int(c[2]) < lo or int(c[1]) > hi),
+        )
+        for zf, c in sorted(per_file.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "zfile int, n_rows long, min_ok long, max_ok long, "
+        "min_pk long, max_pk long, skipped boolean",
+    ).orderBy("zfile")

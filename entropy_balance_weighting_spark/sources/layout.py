@@ -124,6 +124,91 @@ def zorder_key(
     return key
 
 
+def zorder_key_int(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    *,
+    bits: int = 8,
+    edges: dict[str, tuple[float, float]],
+) -> Column:
+    """ENGINE-REPLAYABLE Morton key for INTEGER columns — the
+    deterministic sibling of :func:`zorder_key`: bins are pure int64
+    arithmetic, ``bin = ((x − mn) · 2^bits) div (mx − mn + 1)``, so any
+    engine (Spark, DuckDB, a validation notebook) recomputes the exact
+    same key bit-for-bit, where the float ``width_bucket`` path can
+    flip a boundary bin by one ULP between engines.  ``edges`` is
+    required (use :func:`parquet_column_edges` — footer metadata, no
+    Spark job) and is truncated to ints; values outside the edges clamp
+    into the boundary bins.  Same interleave layout as
+    :func:`zorder_key`: bit ``i`` of column ``j`` lands at key bit
+    ``i·len(cols)+j``."""
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)}) for a 64-bit key")
+    n_bins = 1 << bits
+    bin_cols = []
+    for c in cols:
+        mn, mx = int(edges[c][0]), int(edges[c][1])
+        span = mx - mn + 1
+        if span <= 1:
+            bin_cols.append(F.lit(0).cast("long"))
+            continue
+        # SQL `div` keeps the quotient in integer arithmetic end-to-end
+        # (float `/` + floor can round up one ULP at large magnitudes)
+        b = F.expr(
+            f"((CAST(`{c}` AS BIGINT) - CAST({mn} AS BIGINT)) * {n_bins}) "
+            f"div CAST({span} AS BIGINT)"
+        )
+        bin_cols.append(
+            F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+        )
+    m = len(bin_cols)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, bc in enumerate(bin_cols):
+            bit = F.shiftright(bc, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * m + j))
+    return key
+
+
+def parquet_file_stats(
+    path: str, cols: tuple[str, ...]
+) -> list[tuple[str, int, dict[str, tuple]]]:
+    """Per-FILE parquet footer statistics: ``[(file_path, num_rows,
+    {col: (min, max)}), ...]`` — the metadata table a file-skipping
+    decision consumes, read driver-side with zero Spark jobs (footers
+    are a few KB per file; this is the same metadata a table format's
+    stats index stores).  Raises on missing min/max like
+    :func:`parquet_column_edges`."""
+    import pyarrow.dataset as ds
+
+    out: list[tuple[str, int, dict[str, tuple]]] = []
+    dataset = ds.dataset(path, format="parquet", partitioning="hive")
+    for frag in dataset.get_fragments():
+        md = frag.metadata
+        names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        stats: dict[str, tuple] = {}
+        for c in cols:
+            if c not in names:
+                raise ValueError(
+                    f"column {c!r} not in parquet schema; footer has "
+                    f"{sorted(names)}"
+                )
+            i = names[c]
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"parquet footer lacks min/max stats for column {c!r}"
+                    )
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            stats[c] = (mn, mx)
+        out.append((frag.path, md.num_rows, stats))
+    return out
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

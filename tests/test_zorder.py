@@ -153,3 +153,62 @@ def test_zorder_bits_autoshrink():
     with pytest.raises(ValueError, match="too many"):
         zorder_key(None, tuple(f"c{i}" for i in range(64)), bits=10,
                    edges={f"c{i}": (0.0, 1.0) for i in range(64)})
+
+
+def test_zorder_key_int_matches_direct_arithmetic(spark):
+    """zorder_key_int must be pure integer arithmetic: bin =
+    ((x−mn)·2^bits) div span, interleaved bit i of col j at key bit
+    i·m+j — recomputed here in Python ints and compared row for row
+    (the engine-replayability contract the s15 oracle relies on)."""
+    from entropy_balance_weighting_spark.sources.layout import (
+        zorder_key_int,
+    )
+
+    rows = [(i, (i * 37) % 101, (i * 91) % 53) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    edges = {"a": (0.0, 100.0), "b": (0.0, 52.0)}
+    got = {
+        r["id"]: r["k"]
+        for r in df.withColumn(
+            "k", zorder_key_int(df, ("a", "b"), bits=4, edges=edges)
+        ).collect()
+    }
+    n_bins = 16
+    for i, a, b in rows:
+        ba = min(max((a - 0) * n_bins // 101, 0), n_bins - 1)
+        bb = min(max((b - 0) * n_bins // 53, 0), n_bins - 1)
+        want = 0
+        for bit in range(4):
+            want |= ((ba >> bit) & 1) << (2 * bit)
+            want |= ((bb >> bit) & 1) << (2 * bit + 1)
+        assert got[i] == want, (i, a, b, got[i], want)
+
+
+def test_parquet_file_stats_per_file_envelopes(spark, tmp_path):
+    """parquet_file_stats returns one row per physical file with
+    row-group-merged min/max — checked against the data itself after a
+    hive-partitioned write."""
+    from entropy_balance_weighting_spark.sources.layout import (
+        parquet_file_stats,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 2) for i in range(90)], "v long, part int, w long"
+    )
+    path = str(tmp_path / "pf")
+    write_partitioned(df, path, ("part",))
+    stats = parquet_file_stats(path, ("v", "w"))
+    assert len(stats) == 3
+    by_part = {}
+    for fpath, n_rows, st in stats:
+        import re
+
+        p = int(re.search(r"part=(\d+)", fpath).group(1))
+        by_part[p] = (n_rows, st)
+    for p in range(3):
+        vals = [i for i in range(90) if i % 3 == p]
+        n_rows, st = by_part[p]
+        assert n_rows == len(vals)
+        assert st["v"] == (min(vals), max(vals))
+        assert st["w"] == (2 * min(vals), 2 * max(vals))
