@@ -255,3 +255,87 @@ def ebw_penalty_gap_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("moment_name")
     )
+
+
+@register(
+    "ebw_estimator_match",
+    survey="C1,C9 (MLlib Estimator/Model end-to-end)",
+    oracle="""
+WITH base AS (
+  SELECT * FROM lineitem WHERE l_quantity > 0
+), tot AS (
+  SELECT sum(l_quantity) AS s FROM base
+), long AS (
+  SELECT 'l_discount' AS moment_name, l_discount AS value, l_quantity AS w0 FROM base
+  UNION ALL SELECT 'l_tax', l_tax, l_quantity FROM base
+  UNION ALL SELECT 'l_returnflag=' || l_returnflag, 1.0, l_quantity FROM base
+)
+SELECT moment_name,
+       round(sum(value * w0) / (SELECT s FROM tot) * 1.02, 6) AS achieved_wmean,
+       1 AS converged
+FROM long GROUP BY moment_name ORDER BY moment_name
+""",
+)
+def ebw_estimator_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NORTH-STAR API surface end to end:
+    ``EntropyBalanceEstimator.fit()`` → ``EntropyBalanceModel
+    .transform()`` (``ml.py`` — MLlib Estimator/Model, ref README
+    headline usage), with the achieved weighted means computed FROM THE
+    TRANSFORMED ROWS, not from solver internals — so the row-key hash
+    join-back that ``transform`` performs is itself under the hash
+    check.  Same problem and oracle as ``ebw_solver_moment_match``
+    (targets = population weighted means × 1.02 via
+    ``targetScale=1.02`` self-calibration): the two queries hashing
+    equal pins Estimator ≡ direct ``entropy_balance`` API.  Row key =
+    the full 8-column tuple (unique at every shipped SF; hashed by
+    ``xxhash64`` on both the fit and transform sides).  100 TB shape:
+    fit is the same 2-map-jobs/iteration distributed kernel; transform
+    is one hash join of the weight table onto the scored relation."""
+    from entropy_balance_weighting_spark.ml import EntropyBalanceEstimator
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = (
+        EntropyBalanceEstimator(
+            weightCol="l_quantity",
+            numericCols=["l_discount", "l_tax"],
+            onehotCols=["l_returnflag"],
+            rowKeyCols=[
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            ],
+            targetScale=1.02,
+            outputCol="ebw_weight",
+        )
+    )
+    model = est.fit(li)
+    tr = model.transform(li).filter(F.col("l_quantity") > 0)
+    sum_w0 = tr.agg(F.sum("l_quantity")).first()[0]
+    long = (
+        tr.select(
+            F.lit("l_discount").alias("moment_name"),
+            (F.col("l_discount") * F.col("ebw_weight")).alias("xw"),
+        )
+        .unionByName(
+            tr.select(
+                F.lit("l_tax").alias("moment_name"),
+                (F.col("l_tax") * F.col("ebw_weight")).alias("xw"),
+            )
+        )
+        .unionByName(
+            tr.select(
+                F.concat(F.lit("l_returnflag="), F.col("l_returnflag")).alias(
+                    "moment_name"
+                ),
+                F.col("ebw_weight").alias("xw"),
+            )
+        )
+    )
+    converged = 1 if model.summary.converged else 0
+    return (
+        long.groupBy("moment_name")
+        .agg(
+            F.round(F.sum("xw") / F.lit(sum_w0), 6).alias("achieved_wmean")
+        )
+        .withColumn("converged", F.lit(converged))
+        .orderBy("moment_name")
+    )

@@ -208,3 +208,23 @@ def test_estimator_save_load_roundtrip(tmp_path):
     assert loaded.getOrDefault(loaded.maxSteps) == 17
     assert loaded.getOrDefault(loaded.numericCols) == ["bdsp"]
     assert loaded.getOrDefault(loaded.rowKeyCols) == ["serialno"]
+
+
+def test_estimator_query_matches_direct_api_query(spark):
+    """r12 verdict item #3 companion: the registered
+    ``ebw_estimator_match`` (fit → transform → achieved means from the
+    TRANSFORMED rows) must produce row-identical output to
+    ``ebw_solver_moment_match`` (direct entropy_balance API) — the two
+    share one oracle, and this pins Estimator ≡ direct API inside the
+    test suite too."""
+    from entropy_balance_weighting_spark.queries.solver import (
+        ebw_estimator_match,
+        ebw_solver_moment_match,
+    )
+    from tests.conftest import SF_SMOKE
+
+    a = ebw_estimator_match(spark, SF_SMOKE).collect()
+    b = ebw_solver_moment_match(spark, SF_SMOKE).collect()
+    got = [(r["moment_name"], r["achieved_wmean"], r["converged"]) for r in a]
+    want = [(r["moment_name"], r["achieved_wmean"], r["converged"]) for r in b]
+    assert got == want
