@@ -83,6 +83,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the benched set — used for
+    # the sf1 scaling point, where only the compute-bound entries (and
+    # tables whose sf1 replication is distribution-faithful) run; the
+    # full set remains the default so driver rounds are unaffected.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = keep - set(bench_queries)
+        if unknown:
+            print(f"bench: unknown SPARK_GRAFT_BENCH_ONLY entries {sorted(unknown)}",
+                  file=sys.stderr)
+        bench_queries = {n: q for n, q in bench_queries.items() if n in keep}
 
     # Steady-state discipline: run each query once at the smoke SF first so
     # whole-stage codegen compiles outside the timed region (the 64-dim

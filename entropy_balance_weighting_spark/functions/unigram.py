@@ -24,6 +24,21 @@ pinned by test; a training export that must match an external
 SentencePiece model should fit with ``em="full"``.  The pruning
 objective (drop the pieces whose removal costs the least total
 log-likelihood) is the same in both modes.
+
+FINAL pruning-parity scope (r13): SentencePiece's reference trainer
+prunes by re-Viterbi-ing each candidate's alternative segmentation and
+shrinks the pool by a fixed 25% per outer round
+(``shrinking_factor=0.75``, Kudo 2018 §3.2); this implementation
+prunes by each piece's direct loss contribution with a
+caller-controlled schedule.  Both satisfy the same invariants (every
+single-char piece kept, any text stays tokenizable, least-loss-first
+order) but can retain different multi-char tails for the same corpus —
+so a fitted model is NOT guaranteed piece-for-piece identical to a
+SentencePiece binary's, and no such bound is claimed.  This is
+recorded as final: the container has no sentencepiece build to pin a
+fixture against, and the engine's contract is the tokenizer's OWN
+fit→apply→detokenize round trip (oracle-verified), not binary model
+interchange.
 Pieces use the SentencePiece ``▁`` (U+2581) word-boundary convention:
 each whitespace word is prefixed with ``▁``, so detokenization is a
 pure JVM expression (concat → replace ``▁`` with space → trim), exactly

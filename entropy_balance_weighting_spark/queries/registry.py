@@ -73,11 +73,11 @@ PINNED: list[str] = [
 # round; stale entries are harmless (they just pin freshness one extra
 # round).
 FORCE_FRESH: list[str] = [
-    # r12 changes:
-    "txt_html_extract",   # charref decode: two passes → one combined pass
-    "txt_heavy_hitters",  # callable threshold, sentinel-row totals (2 scans)
-    "sim_hamming_topk",   # NULL-embedding gate in binary_quantize_bits
-    "mm_pdf_text",        # CID/ToUnicode decode; every 3rd doc now Type0
+    # r13 changes:
+    "txt_quality_deciles",  # global_rank: ranged slice now persisted
+    "dd_fuzzy_join",        # rarest-k prefix blocking (skew-safe default)
+    "mm_pdf_text",          # per-page CID font routing; %6==0 docs collide
+    "txt_langid_nb_confusion",  # fallback row-key persist hardening
 ]
 
 # Observed driver window size (rounds 4-6 all recorded exactly 50 rows).
