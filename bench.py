@@ -306,7 +306,14 @@ def _duck_proxy(
         "events documents embeddings"
     ).split():
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark writes a DIRECTORY of part files; DuckDB needs a glob
+            # (the driver's testdata are single files — this is for
+            # engine-written SFs like the sf1 scaling point)
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}/*.parquet'"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{p}'")
     total, n, per_query = 0.0, 0, {}
     for name, q in bench_queries.items():
