@@ -569,3 +569,63 @@ def s15_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zfile int, n_rows long, min_ok long, max_ok long, "
         "min_pk long, max_pk long, skipped boolean",
     ).orderBy("zfile")
+
+
+@register(
+    "s16_bucketed_join",
+    survey="ext:layout-bucketed",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l.l_quantity), 2) AS qty_sum,
+       round(sum(l.l_extendedprice), 2) AS price_sum
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+""",
+)
+def s16_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED-TABLE write + exchange-free co-located join (the
+    amortized-shuffle layout contract, driver-checked end to end):
+    ``orders`` and ``lineitem`` are written as parquet tables bucketed
+    the SAME way on the join key (:func:`sources.layout.write_bucketed`
+    — 8 buckets on orderkey, within-bucket sorted, external tables
+    under the repo scratch dir), read back THROUGH THE CATALOG, joined
+    on the bucket key, and aggregated per order priority.  The ORACLE
+    replays the join + aggregate from the raw parquet, so a row lost or
+    duplicated by the bucketed write/read path fails the hash.  100 TB:
+    bucketing pre-pays the join shuffle ONCE at write time — every
+    later join or groupBy on the bucket key runs with zero Exchange on
+    that key (`tests/test_layout.py` pins the exchange-free plan with
+    broadcast disabled; at driver SF Spark may elect a broadcast join,
+    which is also shuffle-free) — the standard layout for a fact table
+    joined on the same key by every downstream pipeline."""
+    from entropy_balance_weighting_spark.sources import layout
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    scratch = os.path.join(_SCRATCH, "s16_bucketed")
+    shutil.rmtree(scratch, ignore_errors=True)
+    layout.write_bucketed(
+        orders, "ebw_s16_orders", buckets=8, bucket_by="o_orderkey",
+        sort_by="o_orderkey", path=os.path.join(scratch, "orders"),
+    )
+    layout.write_bucketed(
+        li, "ebw_s16_lineitem", buckets=8, bucket_by="l_orderkey",
+        sort_by="l_orderkey", path=os.path.join(scratch, "lineitem"),
+    )
+    ot = spark.table("ebw_s16_orders")
+    lt = spark.table("ebw_s16_lineitem")
+    return (
+        ot.join(lt, ot["o_orderkey"] == lt["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -197,3 +197,63 @@ def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@register(
+    "dq_skew_profile",
+    survey="ext:dq-skew-profile",
+    oracle="""
+WITH per_key AS (
+  SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id
+), tot AS (
+  SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS n_max
+  FROM per_key
+)
+SELECT CAST(key AS BIGINT) AS key,
+       n,
+       CAST((n * 1000000) // n_rows AS BIGINT) AS share_ppm,
+       round(n * 1.0 * n_keys / n_rows, 4) AS skew_x,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_max AS BIGINT) AS key_max_n
+FROM per_key, tot
+ORDER BY n DESC, key LIMIT 10
+""",
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-SKEW diagnosis (the pre-flight every 100 TB shuffle wants):
+    per-key cardinality profile of ``events.user_id`` — the top-10
+    heaviest keys with exact count, integer-ppm share (``div``
+    arithmetic on both engines, no float rounding in the hash), and
+    ``skew_x`` = count ÷ mean-per-key (how many average keys this key
+    is worth — the number that decides a salt factor: a key at skew_x
+    ≈ partition count is the one that serializes a stage).  ``n_keys``
+    / ``key_max_n`` ride along so one row answers "how bad, out of how
+    many".  Plan: one partial-agg groupBy on the key, then a scalar
+    broadcast cross join (allowlisted shape) for the totals — the
+    profile costs ONE shuffle of per-key partials regardless of table
+    width, which is why it's cheap enough to run before any expensive
+    keyed job.  The ORACLE replays count, ppm, and ratio arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("n_max"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("key").cast("long").alias("key"),
+            "n",
+            F.expr("(n * 1000000) div n_rows").cast("long").alias("share_ppm"),
+            F.round(
+                F.col("n") * F.lit(1.0) * F.col("n_keys") / F.col("n_rows"), 4
+            ).alias("skew_x"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_max").cast("long").alias("key_max_n"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(10)
+    )

@@ -267,14 +267,22 @@ def write_bucketed(
     bucket_by: str,
     sort_by: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed parquet table (catalog-registered — bucketing metadata
     lives in the table catalog, not the files).  Join/groupBy on
     ``bucket_by`` between tables bucketed the same way is exchange-free;
-    ``sort_by`` additionally removes the sort from sort-merge joins."""
+    ``sort_by`` additionally removes the sort from sort-merge joins.
+    ``path`` makes it an EXTERNAL table (data at ``path``, metadata in
+    the catalog) — without it the files land under the session's
+    warehouse dir.  An existing table is dropped first so a changed
+    ``path``/bucket spec never collides with stale catalog metadata."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     w = df.write.format("parquet").mode(mode).bucketBy(buckets, bucket_by)
     if sort_by is not None:
         w = w.sortBy(sort_by)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

@@ -173,3 +173,35 @@ def test_compact_parquet_reduces_files_losslessly(spark, tmp_path):
     # non-overlapping (or barely touching) user_id ranges across files
     overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] < a[1])
     assert overlaps <= 1
+
+
+def test_s16_bucketed_join_plan_no_exchange_on_join_key(spark):
+    """The registered ``s16_bucketed_join`` rides catalog bucketing:
+    with broadcast disabled (the regime bucketing targets — at real
+    fact-table sizes broadcast isn't on the table) the join over the
+    two bucketed tables must be a SortMergeJoin with ZERO Exchange on
+    the join key; the only exchange in the whole plan is the
+    aggregate's own hashpartitioning on o_orderpriority."""
+    from entropy_balance_weighting_spark.queries.ingest import (
+        s16_bucketed_join,
+    )
+    from tests.conftest import SF_SMOKE
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = s16_bucketed_join(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "o_orderpriority" in line, (
+                    f"unexpected exchange (join-key shuffle?):\n{line}"
+                )
+        # and the result itself is non-degenerate
+        rows = df.collect()
+        assert len(rows) == 5 and all(r["n_items"] > 0 for r in rows)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS ebw_s16_orders")
+        spark.sql("DROP TABLE IF EXISTS ebw_s16_lineitem")

@@ -36,6 +36,7 @@ _SCALAR_CROSSJOIN_OK = {
     "sim_hamming_topk",  # 5 probe rows broadcast; the 32×-smaller bits
     # column is the scale lever, not the join shape
     "dd_semantic_dedup",  # 8 seed-centroid rows broadcast into assignment
+    "dq_skew_profile",  # 1-row totals aggregate broadcast into the profile
 }
 
 
