@@ -700,3 +700,99 @@ def c4_quality_flags(
             & F.col("c4_no_brace"),
         )
     )
+
+
+def bm25_topk(
+    docs,
+    queries,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quant: int = 1_000_000,
+):
+    """BM25 top-k retrieval over an inverted index — the sparse sibling
+    of the embedding ANN family (Robertson & Zaragoza 2009, the
+    Okapi BM25 formulation with the +1 idf floor Lucene uses so idf is
+    always positive): for each query, the ``k`` highest-scoring
+    documents under
+
+        score(q, d) = Σ_{t ∈ q∩d} ln(1 + (N − df_t + ½)/(df_t + ½))
+                      · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+
+    with query-term multiplicity collapsed (qtf = 1 — standard for
+    short queries).  ENGINE-PORTABLE scoring: each (query, doc, term)
+    contribution is quantized to ``round(x·quant)`` BIGINT **before**
+    the per-document sum, so the sum is exact integer arithmetic and
+    the ranking cannot flip on float summation order across engines —
+    the same discipline as the quantized NB lang-ID.  ``score`` is the
+    integer sum divided back by ``quant`` (exact: the sum is far below
+    2^53).
+
+    Plan shape at 100 TB: the postings list (tf) and doc-length tables
+    are one explode + two partial-agg shuffles on the corpus; df joins
+    ON THE TERM KEY (shuffle join — the vocabulary never broadcasts);
+    the query-term table is tiny and BROADCAST into the postings scan,
+    so candidate volume is Σ_{t ∈ queries} df_t — only documents
+    sharing a term with some query are ever scored; the per-query
+    top-k ranks with ``row_number() ≤ literal k`` so Spark plans a
+    PARTIAL WindowGroupLimit before the rank exchange.  Returns
+    ``(query_id, doc_id, score, rk)``.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # one scalar to the driver, folded as a literal
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # avgdl as one driver scalar (sum/count over the dl table) — a
+    # literal in the scoring expression, not a keyless cross join
+    tot = dl.agg(
+        F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")
+    ).first()
+    avgdl = float(tot["s"]) / float(tot["c"])
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qtoks = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(tokens(F.col(query_text_col))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = F.round(idf * tf_norm * F.lit(float(quant)), 0).cast("long")
+    scored = (
+        tf.join(dl, id_col)
+        .join(dfreq, "tok")
+        .join(F.broadcast(qtoks), "tok")
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(contrib).alias("score_q"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_q").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("score_q") / F.lit(float(quant))).alias("score"),
+            "rk",
+        )
+    )

@@ -2006,3 +2006,70 @@ def txt_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+@register(
+    "txt_bm25_topk",
+    survey="ext:text-bm25-retrieval",
+    oracle="""
+WITH q AS (
+  SELECT doc_id AS query_id,
+         array_to_string(string_split(text, ' ')[1:6], ' ') AS qtext
+  FROM documents WHERE doc_id < 5
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks WHERE tok <> '' GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), qt AS (
+  SELECT DISTINCT query_id, tok FROM (
+    SELECT query_id, unnest(string_split(qtext, ' ')) AS tok FROM q
+  ) WHERE tok <> ''
+), contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+              * 1000000.0) AS BIGINT) AS c
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (tok)
+       JOIN qt ON qt.tok = tf.tok CROSS JOIN stats
+), scored AS (
+  SELECT query_id, doc_id, sum(c) AS score_q FROM contrib GROUP BY 1, 2
+), ranked AS (
+  SELECT *, CAST(row_number() OVER
+      (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, doc_id, score_q / 1000000.0 AS score, rk
+FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+""",
+)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval (:func:`functions.text.bm25_topk` — the
+    SPARSE retrieval sibling of the embedding ANN family; Robertson &
+    Zaragoza 2009 with Lucene's +1 idf floor): 5 probe queries — the
+    first 6 tokens of documents 0–4, the canonical
+    find-the-source-of-this-snippet shape — retrieve over the full
+    corpus via an inverted-index broadcast join.  Each (query, doc,
+    term) contribution is QUANTIZED to round(x·10⁶) BIGINT before the
+    per-doc sum, so ranking is exact integer arithmetic (float
+    summation order can't flip it — same discipline as the quantized
+    NB lang-ID) and the DuckDB oracle replays score and rank
+    bit-for-bit.  100 TB: postings/df/dl are partial-agg shuffles on
+    the term and doc keys; the query-term table broadcasts, so only
+    docs sharing a query term are scored; top-k plans a partial
+    WindowGroupLimit."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(text.tokens(F.col("text")), 1, 6), " ").alias(
+            "qtext"
+        ),
+    )
+    out = text.bm25_topk(docs, queries, k=5)
+    return out.orderBy("query_id", "rk")

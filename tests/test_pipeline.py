@@ -695,3 +695,51 @@ def test_langid_multilingual_scores_and_routing(spark):
         [(1, "THE CAT AND THE DOG WAS OF IT")], "id long, text string"
     )
     assert up.select(T.langid_best("text")).first()[0] == "en"
+
+
+def test_bm25_semantics_self_retrieval_and_exact_scores(spark):
+    """BM25 semantics pinned on a hand-sized corpus: (1) a query that IS
+    a document's prefix retrieves that document first; (2) a term
+    present in every document (df = N) still contributes positively
+    (the +1 idf floor — plain idf ln(N/df) would zero it out); (3) the
+    quantized integer score equals a NumPy replay of the Okapi formula
+    to 1e-6."""
+    import math
+
+    from entropy_balance_weighting_spark.functions.text import bm25_topk
+
+    corpus = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown cat sleeps all day long"),
+        (2, "a completely different document about spark plans"),
+        (3, "the the the the the the the the the"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "quick brown fox"), (1, "the")], "query_id long, qtext string"
+    )
+    got = bm25_topk(docs, queries, k=4)
+    rows = {
+        (r["query_id"], r["rk"]): (r["doc_id"], r["score"])
+        for r in got.collect()
+    }
+    # (1) doc 0 contains all three query terms — must rank first
+    assert rows[(0, 1)][0] == 0
+    # (2) 'the' occurs in 3 of 4 docs; every containing doc must score > 0
+    the_hits = [v for (qid, _rk), v in rows.items() if qid == 1]
+    assert len(the_hits) == 3 and all(s > 0 for _d, s in the_hits)
+
+    # (3) exact replay of doc 0 / query 0
+    n, k1, b = 4.0, 1.2, 0.75
+    dls = {d: len(t.split()) for d, t in corpus}
+    avgdl = sum(dls.values()) / 4.0
+    dfs = {"quick": 2, "brown": 2, "fox": 1}
+    tfs = {"quick": 1, "brown": 1, "fox": 1}
+    expect = 0
+    for t in ("quick", "brown", "fox"):
+        idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        tfn = (tfs[t] * (k1 + 1)) / (
+            tfs[t] + k1 * (1 - b + b * dls[0] / avgdl)
+        )
+        expect += round(idf * tfn * 1_000_000)
+    assert abs(rows[(0, 1)][1] - expect / 1_000_000) < 1e-9

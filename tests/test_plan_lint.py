@@ -61,7 +61,9 @@ def test_no_forbidden_plan_nodes(spark, name):
     assert not hits, f"{name}: forbidden plan nodes {hits}\n{plan[:2000]}"
 
 
-@pytest.mark.parametrize("name", ["sim_hamming_topk", "sim_cosine_topk"])
+@pytest.mark.parametrize(
+    "name", ["sim_hamming_topk", "sim_cosine_topk", "txt_bm25_topk"]
+)
 def test_topk_rank_shuffle_is_partial(spark, name):
     """The brute-force ANN baselines rank via row_number ≤ k; Spark's
     window-group-limit pushdown must plan a PARTIAL WindowGroupLimit
