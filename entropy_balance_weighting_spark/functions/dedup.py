@@ -1312,6 +1312,7 @@ def fuzzy_join_jaccard(
     threshold: float = 0.5,
     max_token_df: int | None = None,
     broadcast_right: bool = True,
+    blocking: str = "prefix",
 ) -> DataFrame:
     """Cross-TABLE fuzzy join (record linkage) on word-token Jaccard:
     the two-table sibling of :func:`ngram_jaccard_pairs`.  Blocking +
@@ -1333,6 +1334,18 @@ def fuzzy_join_jaccard(
     tokens whose LEFT-side document frequency exceeds it are excluded
     from candidate generation only (a pair whose shared tokens are all
     ubiquitous is missed; Jaccard stays exact for surviving pairs).
+
+    ``blocking``: ``"prefix"`` (default) or ``"any"`` (the simple
+    share-any-token candidate stage).  Both are complete; the choice is
+    a measured corpus-shape trade (``bench_fuzzy_ab_r13.json``): on
+    natural-language df profiles (few ubiquitous tokens, long rare
+    tail) ``"any"`` degenerates to the |L|·|R| stopword block — 1081×
+    more candidates, 16× slower e2e on the zipf fixture — while on
+    DENSE near-duplicate corpora (tiny vocabulary, most pairs truly
+    similar) candidate volume is dominated by true pairs no complete
+    blocking can remove, and ``"any"`` skips the prefix path's
+    df-join/sort overhead (~1.9× faster there).  Reach for ``"any"``
+    only when you know the corpus is dense and small-vocabulary.
     """
 
     if left_id == right_id:
@@ -1347,9 +1360,30 @@ def fuzzy_join_jaccard(
     rt = right.select(
         F.col(right_id).alias("__rid"), _fuzzy_tokset(right_text).alias("__rtoks")
     )
-    cand = fuzzy_join_candidates(
-        lt, rt, threshold=threshold, max_token_df=max_token_df
-    )
+    if blocking == "prefix":
+        cand = fuzzy_join_candidates(
+            lt, rt, threshold=threshold, max_token_df=max_token_df
+        )
+    elif blocking == "any":
+        if not 0.0 < threshold <= 1.0:
+            raise ValueError(
+                f"fuzzy_join_jaccard: threshold must be in (0, 1], got {threshold}"
+            )
+        lx = lt.select("__lid", F.explode("__ltoks").alias("__tok"))
+        if max_token_df is not None:
+            hot = (
+                lx.groupBy("__tok")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > max_token_df)
+                .select("__tok")
+            )
+            lx = lx.join(F.broadcast(hot), "__tok", "left_anti")
+        rx = rt.select("__rid", F.explode("__rtoks").alias("__tok"))
+        cand = lx.join(rx, "__tok").select("__lid", "__rid").distinct()
+    else:
+        raise ValueError(
+            f"fuzzy_join_jaccard: blocking must be 'prefix' or 'any', got {blocking!r}"
+        )
     rside = F.broadcast(rt) if broadcast_right else rt
     pairs = cand.join(lt, "__lid").join(rside, "__rid")
     jac = F.size(F.array_intersect("__ltoks", "__rtoks")) / F.size(

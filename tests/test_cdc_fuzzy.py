@@ -231,3 +231,40 @@ def test_fuzzy_join_rejects_same_id_names(spark):
             df, df, left_id="id", left_text="t",
             right_id="id", right_text="t",
         )
+
+
+def test_fuzzy_join_blocking_modes_agree(spark):
+    """`blocking="any"` (the dense-corpus escape hatch) must produce the
+    identical result set as the default prefix blocking — both are
+    complete; they differ only in candidate volume."""
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(30)]
+    lrows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randrange(2, 9))))
+        for i in range(30)
+    ]
+    rrows = [
+        (100 + i, " ".join(rng.choices(vocab, k=rng.randrange(1, 9))))
+        for i in range(10)
+    ]
+    left = spark.createDataFrame(lrows, "lid long, ltext string")
+    right = spark.createDataFrame(rrows, "rid long, rtext string")
+    kw = dict(
+        left_id="lid", left_text="ltext", right_id="rid",
+        right_text="rtext", threshold=0.5,
+    )
+    a = {
+        (r["lid"], r["rid"], r["jaccard"])
+        for r in dedup.fuzzy_join_jaccard(left, right, **kw).collect()
+    }
+    b = {
+        (r["lid"], r["rid"], r["jaccard"])
+        for r in dedup.fuzzy_join_jaccard(
+            left, right, blocking="any", **kw
+        ).collect()
+    }
+    assert a == b == _brute_jaccard(lrows, rrows, 0.5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="blocking"):
+        dedup.fuzzy_join_jaccard(left, right, blocking="xor", **kw)
