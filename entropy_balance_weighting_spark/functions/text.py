@@ -702,6 +702,23 @@ def c4_quality_flags(
     )
 
 
+def _bm25_contrib(n_docs: float, avgdl: float, *, k1: float, b: float, quant: int):
+    """The per-(query, doc, term) BM25 contribution as a quantized
+    BIGINT Column over (tf, df, dl) — factored out so the from-scratch
+    ranker and the prebuilt-index ranker score through ONE expression
+    tree (bit-identical doubles, identical quantization)."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    return F.round(idf * tf_norm * F.lit(float(quant)), 0).cast("long")
+
+
 def bm25_topk(
     docs,
     queries,
@@ -766,20 +783,140 @@ def bm25_topk(
         .filter(F.col("tok") != "")
         .distinct()
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    tf_norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-    )
-    contrib = F.round(idf * tf_norm * F.lit(float(quant)), 0).cast("long")
+    contrib = _bm25_contrib(n_docs, avgdl, k1=k1, b=b, quant=quant)
     scored = (
         tf.join(dl, id_col)
         .join(dfreq, "tok")
         .join(F.broadcast(qtoks), "tok")
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(contrib).alias("score_q"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_q").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("score_q") / F.lit(float(quant))).alias("score"),
+            "rk",
+        )
+    )
+
+
+def build_bm25_index(
+    docs,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> dict:
+    """Materialize the BM25 inverted index ONCE so retrieval never
+    re-tokenizes the corpus — the build-once/query-many layout a
+    100 TB search or hard-negative-mining pipeline actually runs.
+
+    Layout under ``path``:
+
+    - ``postings/`` — (tok, doc_id, tf, df, dl) parquet, HIVE-PARTITIONED
+      on ``shard = portable_hash32(tok) % n_shards``: a query touching
+      a handful of terms prunes to their shards at FILE-LISTING time
+      (PartitionFilters — no row I/O for the other shards), the same
+      directory-pruning contract as `write_partitioned`.  df and dl are
+      denormalized onto the posting row so scoring is a single scan +
+      broadcast join, no side joins at query time.
+    - ``stats.json`` — ``{n_docs, avgdl, n_shards}`` with the floats
+      ``repr``-round-tripped, so the query path folds in EXACTLY the
+      doubles the build measured (scores stay bit-identical to the
+      from-scratch ranker).
+
+    Returns the stats dict.  100 TB: the build is the same two
+    partial-agg shuffles as one from-scratch query; everything after is
+    amortized to zero.
+    """
+    import json as _json
+    import os as _os
+
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")).first()
+    avgdl = float(tot["s"]) / float(tot["c"])
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    postings = (
+        tf.join(dfreq, "tok")
+        .join(dl, id_col)
+        .withColumn(
+            "shard", (portable_hash32(F.col("tok")) % n_shards).cast("int")
+        )
+    )
+    postings.repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(_os.path.join(path, "postings"))
+    stats = {"n_docs": n_docs, "avgdl": avgdl, "n_shards": n_shards}
+    with open(_os.path.join(path, "stats.json"), "w") as fh:
+        _json.dump(stats, fh)
+    return stats
+
+
+def bm25_query_index(
+    spark,
+    path: str,
+    queries,
+    *,
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    id_col: str = "doc_id",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    quant: int = 1_000_000,
+):
+    """Top-k BM25 retrieval against a :func:`build_bm25_index` layout:
+    scores are BIT-IDENTICAL to :func:`bm25_topk` on the same corpus
+    (shared quantized expression tree, stats folded from the build).
+
+    The probe terms' shard ids are computed DRIVER-SIDE (a few md5s)
+    and pushed as a partition filter, so the postings scan touches only
+    the probe terms' shards — at 100 TB that is the difference between
+    scanning a vocabulary-wide index and a few directories."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "stats.json")) as fh:
+        stats = _json.load(fh)
+    qtoks = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(tokens(F.col(query_text_col))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    terms = [r["tok"] for r in qtoks.select("tok").distinct().collect()]
+    shards = sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            % stats["n_shards"]
+            for t in terms
+        }
+    )
+    from pyspark.sql import Window
+
+    postings = spark.read.parquet(_os.path.join(path, "postings")).filter(
+        F.col("shard").isin(shards)
+    )
+    contrib = _bm25_contrib(
+        stats["n_docs"], stats["avgdl"], k1=k1, b=b, quant=quant
+    )
+    scored = (
+        postings.join(F.broadcast(qtoks), "tok")
         .groupBy(query_id_col, id_col)
         .agg(F.sum(contrib).alias("score_q"))
     )

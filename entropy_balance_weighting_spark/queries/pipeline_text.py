@@ -2073,3 +2073,76 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = text.bm25_topk(docs, queries, k=5)
     return out.orderBy("query_id", "rk")
+
+
+@register(
+    "txt_bm25_index_roundtrip",
+    survey="ext:text-bm25-index-sink",
+    oracle="""
+WITH q AS (
+  SELECT doc_id AS query_id,
+         array_to_string(string_split(text, ' ')[1:6], ' ') AS qtext
+  FROM documents WHERE doc_id < 5
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks WHERE tok <> '' GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) * 1.0 / count(*) FROM dl) AS avgdl
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), qt AS (
+  SELECT DISTINCT query_id, tok FROM (
+    SELECT query_id, unnest(string_split(qtext, ' ')) AS tok FROM q
+  ) WHERE tok <> ''
+), contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+              * 1000000.0) AS BIGINT) AS c
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (tok)
+       JOIN qt ON qt.tok = tf.tok CROSS JOIN stats
+), scored AS (
+  SELECT query_id, doc_id, sum(c) AS score_q FROM contrib GROUP BY 1, 2
+), ranked AS (
+  SELECT *, CAST(row_number() OVER
+      (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, doc_id, score_q / 1000000.0 AS score, rk
+FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+""",
+)
+def txt_bm25_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 INDEX SINK roundtrip (:func:`functions.text.build_bm25_index`
+    → :func:`bm25_query_index`): the build-once/query-many layout — the
+    inverted index materializes as shard-partitioned parquet postings
+    (df and dl denormalized onto the posting row; probe-term shards
+    computed driver-side and pushed as a PARTITION filter, so the scan
+    lists only the probe terms' directories), and the SAME 5
+    document-prefix probes as ``txt_bm25_topk`` retrieve through it.
+    The oracle is IDENTICAL to ``txt_bm25_topk``'s from-scratch SQL
+    replay — the two queries hashing equal pins sink→scan→score
+    end-to-end: a posting lost by the write, a stats-float drift, or a
+    shard mis-route all fail the hash."""
+    import os
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch", "bm25_index",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    text.build_bm25_index(docs, scratch)
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(text.tokens(F.col("text")), 1, 6), " ").alias(
+            "qtext"
+        ),
+    )
+    out = text.bm25_query_index(spark, scratch, queries, k=5)
+    return out.orderBy("query_id", "rk")

@@ -743,3 +743,41 @@ def test_bm25_semantics_self_retrieval_and_exact_scores(spark):
         )
         expect += round(idf * tfn * 1_000_000)
     assert abs(rows[(0, 1)][1] - expect / 1_000_000) < 1e-9
+
+
+def test_bm25_index_prunes_shards_and_matches_from_scratch(spark, tmp_path):
+    """The prebuilt-index ranker must (1) score bit-identically to the
+    from-scratch ranker on the same corpus, and (2) push the probe
+    terms' shard ids as a PARTITION filter so the postings scan lists
+    only those directories (the build-once/query-many contract)."""
+    from entropy_balance_weighting_spark.functions.text import (
+        bm25_query_index,
+        bm25_topk,
+        build_bm25_index,
+    )
+
+    corpus = [
+        (i, f"alpha w{i} w{i+1} beta common w{i*7%50}") for i in range(60)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "alpha w3"), (1, "beta w14 w15")], "query_id long, qtext string"
+    )
+    idx = str(tmp_path / "bm25idx")
+    stats = build_bm25_index(docs, idx, n_shards=16)
+    assert stats["n_docs"] == 60
+
+    direct = {
+        (r["query_id"], r["rk"]): (r["doc_id"], r["score"])
+        for r in bm25_topk(docs, queries, k=4).collect()
+    }
+    via_idx_df = bm25_query_index(spark, idx, queries, k=4)
+    via_idx = {
+        (r["query_id"], r["rk"]): (r["doc_id"], r["score"])
+        for r in via_idx_df.collect()
+    }
+    assert direct == via_idx  # bit-identical scores and ranks
+
+    plan = via_idx_df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "shard" in pf, f"shard filter not pushed to pruning:\n{plan[:1200]}"
