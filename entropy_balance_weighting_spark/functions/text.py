@@ -767,7 +767,10 @@ def bm25_topk(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # dl derives from the tf TABLE (Σ tf per doc IS the doc length), so
+    # the corpus is scanned exactly once and the follow-on aggregates
+    # run over tf-table rows
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     # avgdl as one driver scalar (sum/count over the dl table) — a
     # literal in the scoring expression, not a keyless cross join
     tot = dl.agg(
@@ -844,7 +847,8 @@ def build_bm25_index(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # single corpus scan: doc length = Σ tf per doc (see bm25_topk)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     tot = dl.agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")).first()
     avgdl = float(tot["s"]) / float(tot["c"])
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))

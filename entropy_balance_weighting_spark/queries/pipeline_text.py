@@ -2011,6 +2011,7 @@ def txt_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "txt_bm25_topk",
     survey="ext:text-bm25-retrieval",
+    bench=True,
     oracle="""
 WITH q AS (
   SELECT doc_id AS query_id,
