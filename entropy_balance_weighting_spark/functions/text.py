@@ -766,10 +766,21 @@ def bm25_topk(
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    # dl derives from the tf TABLE (Σ tf per doc IS the doc length), so
-    # the corpus is scanned exactly once and the follow-on aggregates
-    # run over tf-table rows
+    from pyspark.storagelevel import StorageLevel
+
+    # tf is consumed three times (dl, df, scoring); without a persist
+    # Spark compiles three independent subtrees and re-scans + re-explodes
+    # the CORPUS once per consumer (verified on the executed plan: three
+    # FileScans, no ReusedExchange).  Persisting the tf relation caps the
+    # whole ranker at ONE corpus scan; tf is the postings list — exactly
+    # what build_bm25_index materializes durably for the query-many path.
+    tf = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # dl derives from the tf TABLE (Σ tf per doc IS the doc length) and
+    # the follow-on aggregates run over tf-table rows
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     # avgdl as one driver scalar (sum/count over the dl table) — a
     # literal in the scoring expression, not a keyless cross join
