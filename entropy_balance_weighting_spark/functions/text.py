@@ -857,7 +857,15 @@ def build_bm25_index(
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted for the same reason as bm25_topk: tf feeds dl, df, and
+    # the postings join — one corpus scan, three cache reads
+    tf = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # single corpus scan: doc length = Σ tf per doc (see bm25_topk)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     tot = dl.agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")).first()
