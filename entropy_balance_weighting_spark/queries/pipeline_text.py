@@ -2008,6 +2008,20 @@ def txt_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _bm25_probes(docs):
+    """The 5 fixed document-prefix probes both BM25 queries retrieve
+    with (first 6 tokens of documents 0-4) — one derivation so the
+    from-scratch and index-path queries can never drift apart."""
+    return docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(text.tokens(F.col("text")), 1, 6), " ").alias(
+            "qtext"
+        ),
+    )
+
+
 @register(
     "txt_bm25_topk",
     survey="ext:text-bm25-retrieval",
@@ -2066,12 +2080,7 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs sharing a query term are scored; top-k plans a partial
     WindowGroupLimit."""
     docs = load_table(spark, sf_dir, "documents")
-    queries = docs.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"),
-        F.array_join(F.slice(text.tokens(F.col("text")), 1, 6), " ").alias(
-            "qtext"
-        ),
-    )
+    queries = _bm25_probes(docs)
     out = text.bm25_topk(docs, queries, k=5)
     return out.orderBy("query_id", "rk")
 
@@ -2139,11 +2148,6 @@ def txt_bm25_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(scratch, ignore_errors=True)
     text.build_bm25_index(docs, scratch)
-    queries = docs.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"),
-        F.array_join(F.slice(text.tokens(F.col("text")), 1, 6), " ").alias(
-            "qtext"
-        ),
-    )
+    queries = _bm25_probes(docs)
     out = text.bm25_query_index(spark, scratch, queries, k=5)
     return out.orderBy("query_id", "rk")
