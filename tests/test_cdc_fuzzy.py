@@ -268,3 +268,39 @@ def test_fuzzy_join_blocking_modes_agree(spark):
 
     with _pytest.raises(ValueError, match="blocking"):
         dedup.fuzzy_join_jaccard(left, right, blocking="xor", **kw)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 10**9),
+    threshold=st.sampled_from([0.15, 0.34, 0.5, 0.67, 0.99, 1.0]),
+)
+def test_fuzzy_join_prefix_completeness_fuzz(spark, seed, threshold):
+    """Property: prefix blocking NEVER loses a pair the brute force
+    finds, for random corpora (1-token docs, duplicate docs, universal
+    stopwords, empty-ish probes) and thresholds including the exact-1.0
+    edge where the prefix collapses to a single token per doc."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(rng.randrange(5, 40))] + ["the", "of"]
+    def doc():
+        base = rng.choices(vocab, k=rng.randrange(1, 12))
+        if rng.random() < 0.7:
+            base += ["the"]  # universal-ish stopword
+        return " ".join(base)
+    lrows = [(i, doc()) for i in range(rng.randrange(5, 30))]
+    rrows = [(1000 + i, doc()) for i in range(rng.randrange(1, 12))]
+    left = spark.createDataFrame(lrows, "lid long, ltext string")
+    right = spark.createDataFrame(rrows, "rid long, rtext string")
+    got = {
+        (r["lid"], r["rid"])
+        for r in dedup.fuzzy_join_jaccard(
+            left, right, left_id="lid", left_text="ltext",
+            right_id="rid", right_text="rtext", threshold=threshold,
+        ).collect()
+    }
+    want = {(l, r) for l, r, _j in _brute_jaccard(lrows, rrows, threshold)}
+    assert got == want
