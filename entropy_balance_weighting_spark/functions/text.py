@@ -820,6 +820,56 @@ def bm25_topk(
     )
 
 
+def _bm25_write_segment(
+    docs,
+    path: str,
+    seg: str,
+    *,
+    text_col: str,
+    id_col: str,
+    n_shards: int,
+) -> dict:
+    """Write one immutable index SEGMENT: (tok, doc_id, tf, dl) parquet
+    hive-partitioned on the token-hash shard, plus the segment's exact
+    integer corpus stats.  df is deliberately NOT on the row — it is a
+    GLOBAL quantity that every future segment append would invalidate;
+    the query path recomputes it exactly from the (shard-pruned) union
+    of segments instead."""
+    import os as _os
+
+    from pyspark.storagelevel import StorageLevel
+
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    # persisted for the same reason as bm25_topk: tf feeds dl and the
+    # postings write — one corpus scan, two cache reads
+    tf = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    tot = dl.agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")).first()
+    postings = (
+        tf.join(dl, id_col)
+        .withColumn(
+            "shard", (portable_hash32(F.col("tok")) % n_shards).cast("int")
+        )
+    )
+    postings.repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(_os.path.join(path, "segments", seg, "postings"))
+    tf.unpersist()
+    return {
+        "name": seg,
+        "n_docs": n_docs,
+        "sum_dl": int(tot["s"]),
+        "n_dl": int(tot["c"]),
+    }
+
+
 def build_bm25_index(
     docs,
     path: str,
@@ -832,56 +882,63 @@ def build_bm25_index(
     re-tokenizes the corpus — the build-once/query-many layout a
     100 TB search or hard-negative-mining pipeline actually runs.
 
-    Layout under ``path``:
+    SEGMENTED layout (Lucene-style) under ``path``:
 
-    - ``postings/`` — (tok, doc_id, tf, df, dl) parquet, HIVE-PARTITIONED
-      on ``shard = portable_hash32(tok) % n_shards``: a query touching
-      a handful of terms prunes to their shards at FILE-LISTING time
-      (PartitionFilters — no row I/O for the other shards), the same
-      directory-pruning contract as `write_partitioned`.  df and dl are
-      denormalized onto the posting row so scoring is a single scan +
-      broadcast join, no side joins at query time.
-    - ``stats.json`` — ``{n_docs, avgdl, n_shards}`` with the floats
-      ``repr``-round-tripped, so the query path folds in EXACTLY the
-      doubles the build measured (scores stay bit-identical to the
-      from-scratch ranker).
+    - ``segments/<seg>/postings/`` — (tok, doc_id, tf, dl) parquet,
+      HIVE-PARTITIONED on ``shard = portable_hash32(tok) % n_shards``:
+      a query touching a handful of terms prunes to their shards at
+      FILE-LISTING time (PartitionFilters — no row I/O for the other
+      shards).  Segments are IMMUTABLE; :func:`update_bm25_index`
+      appends a new one, so incremental ingest never rewrites a byte
+      of existing index.
+    - ``stats.json`` — ``{n_shards, segments: [{name, n_docs, sum_dl,
+      n_dl}]}`` with the corpus stats as EXACT INTEGERS, merged at
+      query time with the same one-division arithmetic the
+      from-scratch ranker uses (scores stay bit-identical).
 
-    Returns the stats dict.  100 TB: the build is the same two
-    partial-agg shuffles as one from-scratch query; everything after is
-    amortized to zero.
+    Returns the stats dict.  100 TB: the build is the same partial-agg
+    shuffles as one from-scratch query; everything after is amortized
+    to zero, and ingest is append-only.
     """
     import json as _json
     import os as _os
 
-    n_docs = docs.count()
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).filter(F.col("tok") != "")
-    from pyspark.storagelevel import StorageLevel
+    seg = _bm25_write_segment(
+        docs, path, "seg-000000",
+        text_col=text_col, id_col=id_col, n_shards=n_shards,
+    )
+    stats = {"n_shards": n_shards, "segments": [seg]}
+    with open(_os.path.join(path, "stats.json"), "w") as fh:
+        _json.dump(stats, fh)
+    return stats
 
-    # persisted for the same reason as bm25_topk: tf feeds dl, df, and
-    # the postings join — one corpus scan, three cache reads
-    tf = (
-        toks.groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+
+def update_bm25_index(
+    docs,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Append NEW documents to a :func:`build_bm25_index` layout as one
+    more immutable segment — incremental ingest without touching any
+    existing posting (the reason df lives off-row): write the new
+    segment's postings, then extend ``stats.json``.  Queries issued
+    after the stats rewrite see the union; a crash between the two
+    steps leaves a dangling (unreferenced, harmless) segment directory.
+    Document ids must be NEW — re-adding an existing id would score it
+    as two documents (append-only contract; dedup upstream)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "stats.json")) as fh:
+        stats = _json.load(fh)
+    seg_name = f"seg-{len(stats['segments']):06d}"
+    seg = _bm25_write_segment(
+        docs, path, seg_name,
+        text_col=text_col, id_col=id_col, n_shards=stats["n_shards"],
     )
-    # single corpus scan: doc length = Σ tf per doc (see bm25_topk)
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    tot = dl.agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")).first()
-    avgdl = float(tot["s"]) / float(tot["c"])
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    postings = (
-        tf.join(dfreq, "tok")
-        .join(dl, id_col)
-        .withColumn(
-            "shard", (portable_hash32(F.col("tok")) % n_shards).cast("int")
-        )
-    )
-    postings.repartition("shard").write.mode("overwrite").partitionBy(
-        "shard"
-    ).parquet(_os.path.join(path, "postings"))
-    stats = {"n_docs": n_docs, "avgdl": avgdl, "n_shards": n_shards}
+    stats["segments"].append(seg)
     with open(_os.path.join(path, "stats.json"), "w") as fh:
         _json.dump(stats, fh)
     return stats
@@ -900,20 +957,32 @@ def bm25_query_index(
     b: float = 0.75,
     quant: int = 1_000_000,
 ):
-    """Top-k BM25 retrieval against a :func:`build_bm25_index` layout:
-    scores are BIT-IDENTICAL to :func:`bm25_topk` on the same corpus
-    (shared quantized expression tree, stats folded from the build).
+    """Top-k BM25 retrieval against a (possibly multi-segment)
+    :func:`build_bm25_index` layout: scores are BIT-IDENTICAL to
+    :func:`bm25_topk` on the same total corpus — n_docs and avgdl merge
+    from the segments' exact integer stats with the same one-division
+    arithmetic, and df for the probe terms is recomputed EXACTLY from
+    the shard-pruned union (every posting for a probe term is in the
+    pruned scan, so the count is the global df).
 
     The probe terms' shard ids are computed DRIVER-SIDE (a few md5s)
     and pushed as a partition filter, so the postings scan touches only
-    the probe terms' shards — at 100 TB that is the difference between
-    scanning a vocabulary-wide index and a few directories."""
+    the probe terms' shards in every segment — at 100 TB that is the
+    difference between scanning a vocabulary-wide index and a few
+    directories per segment."""
     import hashlib
     import json as _json
     import os as _os
 
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
     with open(_os.path.join(path, "stats.json")) as fh:
         stats = _json.load(fh)
+    n_docs = sum(s["n_docs"] for s in stats["segments"])
+    avgdl = float(sum(s["sum_dl"] for s in stats["segments"])) / float(
+        sum(s["n_dl"] for s in stats["segments"])
+    )
     qtoks = (
         queries.select(
             F.col(query_id_col),
@@ -930,16 +999,32 @@ def bm25_query_index(
             for t in terms
         }
     )
-    from pyspark.sql import Window
-
-    postings = spark.read.parquet(_os.path.join(path, "postings")).filter(
-        F.col("shard").isin(shards)
+    seg_paths = [
+        _os.path.join(path, "segments", s["name"], "postings")
+        for s in stats["segments"]
+    ]
+    # one read per segment root, unioned — multi-root partition
+    # discovery would otherwise conflict (each segment is its own
+    # hive-partitioned table); shard pruning applies per segment
+    seg_dfs = [
+        spark.read.parquet(p).filter(F.col("shard").isin(shards))
+        for p in seg_paths
+    ]
+    postings = seg_dfs[0]
+    for sdf in seg_dfs[1:]:
+        postings = postings.unionByName(sdf)
+    probe_terms = spark.createDataFrame([(t,) for t in terms], "tok string")
+    # pruned = every posting of every probe term, across all segments —
+    # persisted because it feeds both the df recount and the scoring
+    # join (volume = Σ df over probe terms, the candidate set itself)
+    pruned = postings.join(F.broadcast(probe_terms), "tok").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    contrib = _bm25_contrib(
-        stats["n_docs"], stats["avgdl"], k1=k1, b=b, quant=quant
-    )
+    dfreq = pruned.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = _bm25_contrib(n_docs, avgdl, k1=k1, b=b, quant=quant)
     scored = (
-        postings.join(F.broadcast(qtoks), "tok")
+        pruned.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(qtoks), "tok")
         .groupBy(query_id_col, id_col)
         .agg(F.sum(contrib).alias("score_q"))
     )

@@ -765,7 +765,7 @@ def test_bm25_index_prunes_shards_and_matches_from_scratch(spark, tmp_path):
     )
     idx = str(tmp_path / "bm25idx")
     stats = build_bm25_index(docs, idx, n_shards=16)
-    assert stats["n_docs"] == 60
+    assert stats["segments"][0]["n_docs"] == 60
 
     direct = {
         (r["query_id"], r["rk"]): (r["doc_id"], r["score"])
@@ -781,3 +781,42 @@ def test_bm25_index_prunes_shards_and_matches_from_scratch(spark, tmp_path):
     plan = via_idx_df._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "shard" in pf, f"shard filter not pushed to pruning:\n{plan[:1200]}"
+
+
+def test_bm25_incremental_update_matches_from_scratch_on_union(spark, tmp_path):
+    """Lucene-style segment append: build on corpus A, update with
+    corpus B (new doc ids), query — results must be bit-identical to
+    the from-scratch ranker on A∪B.  This is the property the off-row
+    df design exists for: appending B changes every shared term's
+    global df, and the query path must pick that up without rewriting
+    segment A."""
+    from entropy_balance_weighting_spark.functions.text import (
+        bm25_query_index,
+        bm25_topk,
+        build_bm25_index,
+        update_bm25_index,
+    )
+
+    a = [(i, f"alpha shared{i % 7} w{i} common") for i in range(40)]
+    b = [(100 + i, f"beta shared{i % 7} w{100 + i} common") for i in range(25)]
+    da = spark.createDataFrame(a, "doc_id long, text string")
+    db = spark.createDataFrame(b, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, "alpha shared3"), (1, "common beta"), (2, "w105")],
+        "query_id long, qtext string",
+    )
+    idx = str(tmp_path / "bm25seg")
+    build_bm25_index(da, idx, n_shards=8)
+    stats = update_bm25_index(db, idx)
+    assert [s["name"] for s in stats["segments"]] == ["seg-000000", "seg-000001"]
+
+    union = da.unionByName(db)
+    direct = {
+        (r["query_id"], r["rk"]): (r["doc_id"], r["score"])
+        for r in bm25_topk(union, queries, k=5).collect()
+    }
+    via_idx = {
+        (r["query_id"], r["rk"]): (r["doc_id"], r["score"])
+        for r in bm25_query_index(spark, idx, queries, k=5).collect()
+    }
+    assert direct == via_idx
