@@ -50,14 +50,36 @@ def main() -> None:
     li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
     key_cols = ["l_orderkey", "l_partkey", "l_suppkey"]
     maxes = li.agg(*[F.max(c).alias(c) for c in key_cols]).first()
+    omax_pre = int(
+        spark.read.parquet(os.path.join(src, "orders.parquet"))
+        .agg(F.max("o_orderkey")).first()[0]
+    )
     shifted = None
     for i in range(COPIES):
         cp = li
         for c in key_cols:
-            cp = cp.withColumn(c, F.col(c) + F.lit(i * (int(maxes[c]) + 1)))
+            step = (
+                max(int(maxes[c]), omax_pre) + 1
+                if c == "l_orderkey"
+                else int(maxes[c]) + 1
+            )
+            cp = cp.withColumn(c, F.col(c) + F.lit(i * step))
         shifted = cp if shifted is None else shifted.unionByName(cp)
     shifted.repartition(32).write.mode("overwrite").parquet(
         str(dest / "lineitem.parquet")
+    )
+
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    # SAME per-copy o_orderkey shift as lineitem's l_orderkey above, so
+    # referential joins stay exact across copies
+    shift = max(int(orders.agg(F.max("o_orderkey")).first()[0]),
+                int(maxes["l_orderkey"])) + 1
+    oshift = None
+    for i in range(COPIES):
+        cp = orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * shift))
+        oshift = cp if oshift is None else oshift.unionByName(cp)
+    oshift.repartition(16).write.mode("overwrite").parquet(
+        str(dest / "orders.parquet")
     )
 
     docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
