@@ -522,17 +522,28 @@ def _ecommit_stats_pass(
     return fn
 
 
-def _g1_pass(k) -> Callable:
+def _g1_pass(k, validate: bool = False) -> Callable:
+    """``validate``: append the V1 bad-entry counts to the payload — the
+    deferred validation rides this first pass (which also materializes
+    both blob caches) instead of running its own aggregate."""
+    from entropy_balance_weighting_spark.kernels.spark import count_bad_entries
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         g1 = np.zeros(k)
+        bad_x = bad_w = 0.0
         for rb in batches:
             if not rb.num_rows:
                 continue
             flat_idx, flat_val, lens = _flatten_rb(rb)
             w0 = _rb_col(rb, "w0")
+            if validate:
+                bx, bw = count_bad_entries(flat_val, lens, w0)
+                bad_x += bx
+                bad_w += bw
             r = _rb_col(rb, "ratio")
             g1 += _xt_v(flat_idx, flat_val, lens, w0 * r, k)
-        yield _pack_rb([g1], [np.inf])
+        sums = [g1, bad_x, bad_w] if validate else [g1]
+        yield _pack_rb(sums, [np.inf])
 
     return fn
 
@@ -567,6 +578,9 @@ class ElasticSparkKernel:
         # applied by the next elastic_stats as the fused pass, or flushed
         # into a chained lazy state swap by any other consumer
         self._pending = None
+        # deferred V1 validation flag — armed by the API layer, consumed
+        # by the first elastic_g1 pass (see defer_validation)
+        self._validate_first_pass = False
         # mixed-precision wire (r10): when True (the DEFAULT), the
         # stats payload tail is always float64.  The elastic solver
         # flips it per-iteration only under options={"payload_wire32":
@@ -620,8 +634,21 @@ class ElasticSparkKernel:
                 df.select(*BASE_NAMES)
                 .mapInArrow(to_base, "payload binary")
                 .rdd.map(lambda r: bytes(r[0]))
-                ._reserialize(_ZIP_SER)
-                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            from entropy_balance_weighting_spark.kernels.spark import (
+                adaptive_blob_partitions,
+            )
+
+            p = adaptive_blob_partitions(
+                df.sparkSession, n, base_rdd.getNumPartitions()
+            )
+            if p is not None:
+                # small problem: encode at full parallelism, move the
+                # finished blobs once; every pass then runs p tasks
+                # (guide §2.2 — see adaptive_blob_partitions)
+                base_rdd = base_rdd.coalesce(p, shuffle=True)
+            base_rdd = base_rdd._reserialize(_ZIP_SER).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
             # no base_rdd.count(): the state-init job below computes base
             # partitions through the persist, materializing BOTH caches in
@@ -645,10 +672,14 @@ class ElasticSparkKernel:
                 ._reserialize(_ZIP_SER)
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            state_rdd.count()  # reads the base cache, not the source scan
+            # no eager count: the solve's first pass (elastic_g1's
+            # base.zip(state) reduce) materializes BOTH caches in one job
+            # — one fewer job per solve (r13 optimization; the
+            # warm-start path below keeps its eager count because the
+            # bounds-validation raise must surface at construction)
         else:
             base_rdd, state_rdd = cls._build_with_guess(
-                df, ratio_guess, k, lb, ub, has_ub
+                df, ratio_guess, k, lb, ub, has_ub, n
             )
         from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
 
@@ -659,7 +690,7 @@ class ElasticSparkKernel:
         )
 
     @staticmethod
-    def _build_with_guess(df, ratio_guess, k, lb, ub, has_ub):
+    def _build_with_guess(df, ratio_guess, k, lb, ub, has_ub, n):
         """Warm-start path: the per-row start ratio comes from a DataFrame,
         so one Arrow pass renders each batch into aligned (base, state) IPC
         blobs and the per-row bounds validation rides that same scan."""
@@ -707,8 +738,18 @@ class ElasticSparkKernel:
             df.select("row_id", "w0", "idx", "val", "ratio")
             .mapInArrow(to_pair, "base binary, state binary")
             .rdd.map(lambda r: (bytes(r[0]), bytes(r[1])))
-            ._reserialize(_ZIP_SER)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        from entropy_balance_weighting_spark.kernels.spark import (
+            adaptive_blob_partitions,
+        )
+
+        p = adaptive_blob_partitions(
+            df.sparkSession, n, pair_rdd.getNumPartitions()
+        )
+        if p is not None:
+            pair_rdd = pair_rdd.coalesce(p, shuffle=True)
+        pair_rdd = pair_rdd._reserialize(_ZIP_SER).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
         base_rdd = (
             pair_rdd.map(lambda t: t[0], preservesPartitioning=True)
@@ -777,9 +818,23 @@ class ElasticSparkKernel:
         :meth:`elastic_stats` already keeps those float64)."""
         self._wire_full = bool(full)
 
+    def defer_validation(self) -> None:
+        """Arm the fused V1 check: the next ``elastic_g1`` pass (the
+        solve's first job, which also materializes both blob caches)
+        counts bad X rows / bad weights in its payload and raises the
+        same ValueError the eager aggregate would."""
+        self._validate_first_pass = True
+
     def elastic_g1(self) -> np.ndarray:
+        from entropy_balance_weighting_spark.kernels.spark import raise_if_bad
+
         self._flush_pending_lazy()
-        sums, _ = self._reduce(_g1_pass(self.k))
+        validate = getattr(self, "_validate_first_pass", False)
+        sums, _ = self._reduce(_g1_pass(self.k, validate=validate))
+        if validate:
+            self._validate_first_pass = False
+            raise_if_bad(sums[-2], sums[-1])
+            sums = sums[:-2]
         return sums
 
     def elastic_stats(self, lam, eta, mu_s, *, need_gram: bool = True) -> EStats:

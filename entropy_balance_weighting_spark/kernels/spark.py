@@ -106,6 +106,44 @@ def maybe_elide_idx(rb: pa.RecordBatch, k: int) -> pa.RecordBatch:
 # already a multi-MB Arrow IPC blob.
 BLOB_SER = BatchedSerializer(CPickleSerializer(), 1)
 
+# Scale-adaptive blob partitioning (r13 optimization, guide §2.2 "fewer,
+# larger partitions"): an iteration pass's per-task numpy work on a
+# ~19k-row blob is sub-millisecond, so at small N the per-task fixed cost
+# (scheduling + Python-worker round trip) dominates every pass — measured
+# 276 ms/job at 32 partitions vs 162 ms at 4 for identical work on this
+# box.  Packing therefore coalesces the encoded blobs down to
+# ceil(N / rows-per-partition) partitions (shuffle=True so the ENCODE
+# still runs at full input parallelism and only the finished blobs move,
+# once, at setup).  At real scale N/rows_target >> defaultParallelism, the
+# target clamps to the core count, the condition p < current is false and
+# the coalesce never fires — cluster plans are unchanged.
+_BLOB_ROWS_PER_PARTITION_CONF = "spark.ebw.blobRowsPerPartition"
+_BLOB_ROWS_PER_PARTITION_DEFAULT = 150_000
+
+
+def adaptive_blob_partitions(spark, n: int, current: int) -> int | None:
+    """Target blob-partition count for an N-row packed problem, or None
+    when the current partitioning should stand (large problems, or the
+    knob disabled with a non-positive value)."""
+    try:
+        rows_target = int(
+            spark.conf.get(
+                _BLOB_ROWS_PER_PARTITION_CONF,
+                str(_BLOB_ROWS_PER_PARTITION_DEFAULT),
+            )
+        )
+    except Exception:  # pragma: no cover - conf unavailable
+        rows_target = _BLOB_ROWS_PER_PARTITION_DEFAULT
+    if rows_target <= 0 or n <= 0:
+        return None
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    p = max(1, -(-n // rows_target))
+    if p > par:
+        # not a small problem: N already exceeds rows_target per core —
+        # moving blobs around would shuffle real data for no pass savings
+        return None
+    return p if p < current else None
+
 def _post_cleanup_gc(sc) -> None:
     """Nudge the JVM after dropping a multi-GB blob cache.  A solve's
     caches die at cleanup; without a collection hint the dead byte[]
@@ -643,12 +681,49 @@ def _w_state(rb, q, flat_idx, flat_val, lens, wprog):
     return w
 
 
+def count_bad_entries(
+    flat_val: np.ndarray, lens: np.ndarray, w0: np.ndarray
+) -> tuple[float, float]:
+    """V1 validation counts for one packed batch: rows with any
+    non-finite X value, and weights that are non-finite or ≤ 0 (nulls
+    arrive as NaN through the Arrow conversion, so one finiteness check
+    covers null/NaN/±Inf — the same predicate set as the eager
+    DataFrame validation in solvers/api.py)."""
+    bad_x = 0.0
+    if flat_val.size:
+        bad_x = float(
+            np.count_nonzero(
+                _segsum((~np.isfinite(flat_val)).astype(np.float64), lens)
+            )
+        )
+    with np.errstate(invalid="ignore"):
+        bad_w = float(np.count_nonzero(~np.isfinite(w0) | (w0 <= 0)))
+    return bad_x, bad_w
+
+
+def raise_if_bad(bad_x: float, bad_w: float) -> None:
+    """Same error contract as the eager V1 aggregate (solvers/api.py)."""
+    if bad_x or bad_w:
+        raise ValueError(
+            f"Inputs include invalid values ({int(bad_x)} bad X "
+            f"rows, {int(bad_w)} bad weights)"
+        )
+
+
 def _stats_pass(
-    k: int, lam: np.ndarray, blocks=None, wprog=None, sum_w0: float = 1.0
+    k: int,
+    lam: np.ndarray,
+    blocks=None,
+    wprog=None,
+    sum_w0: float = 1.0,
+    validate: bool = False,
 ) -> Callable:
     """``blocks``: None → dense K×K Gram scratch; else the
     (block_of, local, sizes, flat_offsets, total_flat) arrays → flat Σk_b²
-    per-block accumulation (the huge-K path)."""
+    per-block accumulation (the huge-K path).  ``validate``: append the V1
+    bad-entry counts (bad X rows, bad weights) to the payload tail — the
+    deferred-validation pass that rides the cache-materializing first
+    stats scan instead of running its own aggregate (r13 optimization)."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         f_val = 0.0
@@ -658,11 +733,16 @@ def _stats_pass(
         xt_wcd = np.zeros(k)
         gram, gram_add = make_gram_accum(k, blocks)
         min_w = np.inf
+        bad_x = bad_w = 0.0
         for rb in batches:
             if not rb.num_rows:
                 continue
             flat_idx, flat_val, lens = _flatten_rb(rb)
             w0 = _rb_col(rb, "w0")
+            if validate:
+                bx, bw = count_bad_entries(flat_val, lens, w0)
+                bad_x += bx
+                bad_w += bw
             q = _rb_q(rb, sum_w0)
             w = _w_state(rb, q, flat_idx, flat_val, lens, wprog)
             r = w / q
@@ -679,7 +759,10 @@ def _stats_pass(
             gram_add(flat_idx, flat_val, lens, w)
             if len(w):
                 min_w = min(min_w, float(w.min()))
-        yield _pack_rb([f_val, cd_sq, nan_ct, xt_w, xt_wcd, gram], [min_w])
+        sums = [f_val, cd_sq, nan_ct, xt_w, xt_wcd, gram]
+        if validate:
+            sums += [bad_x, bad_w]
+        yield _pack_rb(sums, [min_w])
 
     return fn
 
@@ -806,6 +889,11 @@ class SparkKernel:
         self._wprog: list | None = None
         self._prev_wprog: list | None = None
         self._last_commit: str | None = None
+        # deferred V1 validation: armed by the API layer, consumed by the
+        # first stats pass (which also materializes the blob cache) — the
+        # bad-entry counts ride the payload tail, so validation costs zero
+        # extra jobs (r13 optimization)
+        self._validate_first_stats = False
 
     @classmethod
     def from_problem(
@@ -865,9 +953,14 @@ class SparkKernel:
             df.select(*cols)
             .mapInArrow(to_blob, "payload binary")
             .rdd.map(lambda r: bytes(r[0]))
-            ._reserialize(BLOB_SER)
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        p = adaptive_blob_partitions(df.sparkSession, n, rdd.getNumPartitions())
+        if p is not None:
+            # small problem: encode at full parallelism, then move the
+            # finished blobs once so every iteration pass runs p tasks
+            # instead of one per input split (see adaptive_blob_partitions)
+            rdd = rdd.coalesce(p, shuffle=True)
+        rdd = rdd._reserialize(BLOB_SER).persist(StorageLevel.MEMORY_AND_DISK)
         from entropy_balance_weighting_spark.solvers.linalg import BlockStructure
 
         bs = (
@@ -905,8 +998,15 @@ class SparkKernel:
             self.k, self.block_structure, self._rdd.getNumPartitions()
         )
 
+    def defer_validation(self) -> None:
+        """Arm the fused V1 check: the next ``stats`` pass counts bad X
+        rows / bad weights in its payload and raises the same ValueError
+        the eager aggregate would — one fewer full scan per solve."""
+        self._validate_first_stats = True
+
     def stats(self, lam: np.ndarray) -> IterStats:
         k = self.k
+        validate = self._validate_first_stats
         sums, mins = self._reduce(
             _stats_pass(
                 k,
@@ -914,9 +1014,14 @@ class SparkKernel:
                 blocks_tuple(self.block_structure),
                 self._wprog,
                 self.sum_w0,
+                validate=validate,
             ),
             big=self._gram_big,
         )
+        if validate:
+            self._validate_first_stats = False
+            raise_if_bad(sums[-2], sums[-1])
+            sums = sums[:-2]
         # the reduce materialized any pending lazy commit into its cache —
         # the superseded state's CACHE can go; the RDD handle is kept so a
         # zero-weight guard can roll back via lineage recompute (bounded by

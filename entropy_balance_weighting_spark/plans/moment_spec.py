@@ -104,6 +104,11 @@ class ProblemTables:
     # Weighted per-moment aggregations read this directly and skip the
     # row_id re-join shuffle (one column of redundancy for one fewer
     # shuffle — the right trade at scale).
+    weighted_sums: dict[str, float] | None = None  # moment_name → Σ value·w0,
+    # derived driver-side from the builder's per-combo aggregate (no extra
+    # scan); targets_from_problem divides by sum_w0 to get weighted means
+    # with ZERO Spark jobs.  None when the builder ran the uniqueness-guard
+    # aggregate instead (row_key specs).
     packed_arrays: DataFrame | None = None  # (row_id, w0, idx, val) — the
     # per-row CSR arrays derived by PURE PROJECTION from the prepared rows
     # (each row's moment ids come from literals / tiny category maps, no
@@ -304,6 +309,57 @@ def _moment_names(spec: MomentSpec, combos: list[dict]) -> list[str]:
     return sorted(names)
 
 
+def _weighted_sums_from_combo_stats(
+    spec: MomentSpec, crows: list[dict]
+) -> dict[str, float]:
+    """moment_name → Σ value·w0 from the builder's per-combo aggregate
+    rows — the driver-side mirror of what ``targets_from_problem``'s
+    relational path sums over the long table (null aggregates, i.e.
+    all-null value columns within a combo, contribute nothing)."""
+
+    def grouped(base: str, cd: dict) -> str:
+        if not spec.group:
+            return base
+        grp = "/".join(
+            s for s in (cd[c] for c in spec.group) if s is not None
+        )
+        return f"grp={grp}|{base}"
+
+    sums: dict[str, float] = {}
+
+    def add(name: str | None, v) -> None:
+        if name is None or v is None:
+            return
+        sums[name] = sums.get(name, 0.0) + float(v)
+
+    combo_cols = [*spec.group, *spec.onehot]
+    for r in crows:
+        cd = {c: r[c] for c in combo_cols}
+        for j, c in enumerate(spec.numeric):
+            add(grouped(c, cd), r[f"__s{j}"])
+        if spec.intercept:
+            add(grouped("_count", cd), r["__sw"])
+        for c in spec.onehot:
+            nm = grouped(f"{c}={cd[c]}", cd) if cd[c] is not None else None
+            add(nm, r["__sw"])
+        for j, (a, b) in enumerate(spec.interactions):
+            a_cat, b_cat = a in spec.onehot, b in spec.onehot
+            if a_cat and b_cat:
+                nm = (
+                    grouped(f"{a}={cd[a]}:{b}={cd[b]}", cd)
+                    if cd[a] is not None and cd[b] is not None
+                    else None
+                )
+            elif a_cat:
+                nm = grouped(f"{a}={cd[a]}:{b}", cd) if cd[a] is not None else None
+            elif b_cat:
+                nm = grouped(f"{a}:{b}={cd[b]}", cd) if cd[b] is not None else None
+            else:
+                nm = grouped(f"{a}:{b}", cd)
+            add(nm, r[f"__i{j}"])
+    return sums
+
+
 def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
     """Full data layer: input rows → (x_long, w0, moments) with integer ids.
 
@@ -325,40 +381,91 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
     target = spark_ctx.defaultParallelism
     if rows.rdd.getNumPartitions() < max(2, target // 2):
         rows = rows.repartition(target)
-    rows = rows.localCheckpoint(eager=True)
+    # LAZY checkpoint: the counts aggregate right below is the first action
+    # and materializes it — one source scan instead of two (separate
+    # checkpoint pass + counts pass).  Ids are pinned at that first
+    # materialization, before any other consumer exists, so the
+    # determinism argument is unchanged (guide §1.2: remove passes).
+    rows = rows.localCheckpoint(eager=False)
 
     # ONE aggregate job yields everything the dictionary build needs: n, Σw0,
     # the hashed-id uniqueness guard, AND the distinct (group, one-hot value)
     # combinations — collected as Spark-cast strings so the Python-side name
     # rendering below agrees exactly with the Spark expressions long_moments
     # uses (the cast happens executor-side either way).
+    #
+    # Without the uniqueness guard (the common path), the aggregate runs
+    # GROUPED BY the combo columns and additionally carries every
+    # per-combo weighted sum the moment set needs — the driver can then
+    # derive target weighted means with ZERO further scans
+    # (``targets_from_problem`` fast path; r13 optimization, guide §1.2).
+    # The guard path keeps the single global aggregate because a global
+    # countDistinct does not decompose over combo groups.
     combo_cols = [*spec.group, *spec.onehot]
-    agg_exprs = [F.count(F.lit(1)).alias("n"), F.sum("w0").alias("s")]
     check_unique = bool(spec.row_key) and not spec.dedupe_row_key
+    weighted_sums: dict[str, float] | None = None
     if check_unique:
-        agg_exprs.append(F.countDistinct("row_id").alias("nd"))
-    if combo_cols:
-        agg_exprs.append(
-            F.collect_set(
-                F.struct(
-                    *[F.col(c).cast("string").alias(c) for c in combo_cols]
+        agg_exprs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w0").alias("s"),
+            F.countDistinct("row_id").alias("nd"),
+        ]
+        if combo_cols:
+            agg_exprs.append(
+                F.collect_set(
+                    F.struct(
+                        *[F.col(c).cast("string").alias(c) for c in combo_cols]
+                    )
+                ).alias("combos")
+            )
+        counts = rows.agg(*agg_exprs).first()
+        n = int(counts["n"])
+        sum_w0 = float(counts["s"]) if counts["s"] is not None else None
+        if n != int(counts["nd"]):
+            raise ValueError(
+                f"row_key {spec.row_key} is not unique ({n} rows, "
+                f"{int(counts['nd'])} distinct ids) — pass dedupe_row_key="
+                "True or supply a unique key"
+            )
+        combos = (
+            [r.asDict() for r in counts["combos"]] if combo_cols else []
+        )
+    else:
+        gexprs = [
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum("w0").alias("__sw"),
+        ]
+        for j, c in enumerate(spec.numeric):
+            gexprs.append(F.sum(F.col(c) * F.col("w0")).alias(f"__s{j}"))
+        for j, (a, b) in enumerate(spec.interactions):
+            a_cat, b_cat = a in spec.onehot, b in spec.onehot
+            if a_cat and b_cat:
+                e = F.sum("w0")
+            elif a_cat:
+                e = F.sum(F.col(b).cast("double") * F.col("w0"))
+            elif b_cat:
+                e = F.sum(F.col(a).cast("double") * F.col("w0"))
+            else:
+                e = F.sum(
+                    F.col(a).cast("double")
+                    * F.col(b).cast("double")
+                    * F.col("w0")
                 )
-            ).alias("combos")
+            gexprs.append(e.alias(f"__i{j}"))
+        keys = [F.col(c).cast("string").alias(c) for c in combo_cols]
+        crows = [r.asDict() for r in rows.groupBy(*keys).agg(*gexprs).collect()]
+        n = sum(int(r["__cnt"]) for r in crows)
+        sw_vals = [r["__sw"] for r in crows if r["__sw"] is not None]
+        sum_w0 = float(sum(sw_vals)) if sw_vals else None
+        combos = (
+            [{c: r[c] for c in combo_cols} for r in crows]
+            if combo_cols
+            else []
         )
-    counts = rows.agg(*agg_exprs).first()
-    n = int(counts["n"])
-    sum_w0 = float(counts["s"]) if counts["s"] is not None else None
-    if check_unique and n != int(counts["nd"]):
-        raise ValueError(
-            f"row_key {spec.row_key} is not unique ({n} rows, "
-            f"{int(counts['nd'])} distinct ids) — pass dedupe_row_key=True "
-            "or supply a unique key"
-        )
+        weighted_sums = _weighted_sums_from_combo_stats(spec, crows)
 
     long = long_moments(rows, spec)
-    names = _moment_names(
-        spec, [r.asDict() for r in counts["combos"]] if combo_cols else []
-    )
+    names = _moment_names(spec, combos)
     spark = df.sparkSession
     moments = spark.createDataFrame(
         [(i, nm) for i, nm in enumerate(names)],
@@ -374,7 +481,6 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
     )
     x_long = x_long_w0.select("row_id", "moment_id", "value")
     w0 = rows.select("row_id", "w0")
-    combos = [r.asDict() for r in counts["combos"]] if combo_cols else []
     packed = _packed_arrays(rows, spec, names, combos)
     groups = [
         nm.split("|", 1)[0] if nm.startswith("grp=") else "" for nm in names
@@ -392,6 +498,7 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
         moment_groups=groups,
         sum_w0=sum_w0,
         x_long_w0=x_long_w0,
+        weighted_sums=weighted_sums,
         packed_arrays=packed,
     )
 
@@ -545,7 +652,8 @@ def vector_to_problem_tables(
     target = spark_ctx.defaultParallelism
     if rows.rdd.getNumPartitions() < max(2, target // 2):
         rows = rows.repartition(target)
-    rows = rows.localCheckpoint(eager=True)
+    # lazy: the counts agg below materializes the checkpoint (one scan)
+    rows = rows.localCheckpoint(eager=False)
     counts = rows.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("row_id").alias("nd"),
@@ -623,7 +731,24 @@ def targets_from_problem(
 ) -> DataFrame:
     """Same as :func:`targets_from_weighted_means` but over already-built
     problem tables — reuses the materialized x_long/w0 instead of re-running
-    the prep plan.  Returns ``(moment_name, target)``."""
+    the prep plan.  Returns ``(moment_name, target)``.
+
+    Fast path: when the builder recorded per-moment weighted sums from its
+    combo-stats aggregate (``pt.weighted_sums``), the targets come from
+    driver arithmetic and a local relation — ZERO cluster scans (r13
+    optimization); the relational aggregate below is the fallback for
+    tables built without them (row_key specs, hand-built ProblemTables)."""
+    if pt.weighted_sums is not None and pt.sum_w0:
+        spark = pt.moments.sparkSession
+        factor = 1.0 + float(perturb)
+        data = [
+            (nm, pt.weighted_sums[nm] / pt.sum_w0 * factor)
+            for nm in pt.moment_names
+            if nm in pt.weighted_sums
+        ]
+        return spark.createDataFrame(
+            data, "moment_name string, target double"
+        )
     long_w = (
         pt.x_long_w0
         if pt.x_long_w0 is not None

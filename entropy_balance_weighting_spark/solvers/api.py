@@ -352,8 +352,6 @@ def _resolve_problem(x_sample, weights0, mean_population_moments, opts):
         pt = x_sample
         if pt.k == 0:
             raise ValueError("Problem has no moments (K=0)")
-        if validate:
-            _validate_distributed_inputs(pt)
         m = _moments_vector(pt, mean_population_moments)
 
         n = pt.n if pt.n is not None else pt.w0.count()
@@ -371,10 +369,19 @@ def _resolve_problem(x_sample, weights0, mean_population_moments, opts):
             and nnz <= threshold
             and dense_cells <= 8 * threshold
         ):
+            if validate:
+                _validate_distributed_inputs(pt)
             x, w0, row_ids, spark = _collect_dense(pt)
             wrap = lambda kernel: _LocalKernelAsDataFrame(kernel, row_ids, spark)  # noqa: E731
             return "local", (x, w0, m, original, wrap)
-        return "spark", (pt, m, original)
+        # V1 validation for the distributed kernels is DEFERRED into the
+        # kernel's first pass (r13 optimization, guide §1.2): the pass that
+        # materializes the blob cache counts bad X rows / bad weights in
+        # its payload and raises the same ValueError — one fewer full scan
+        # per solve than a separate validation aggregate.  Kernels that do
+        # not support the fused check run the eager aggregate instead
+        # (see the factories below).
+        return "spark", (pt, m, original, validate)
 
     raise TypeError(
         "x_sample must be numpy.ndarray, a scipy-like CSR/CSC sparse matrix, "
@@ -396,7 +403,7 @@ def _build_kernel(x_sample, weights0, mean_population_moments, opts):
         kernel.init_state(None if guess is None else np.asarray(guess, float))
         return wrap(kernel), m, original
 
-    pt, m, original = payload
+    pt, m, original, validate = payload
     from entropy_balance_weighting_spark.kernels.spark import SparkKernel
 
     kernel = SparkKernel.from_problem(
@@ -410,6 +417,8 @@ def _build_kernel(x_sample, weights0, mean_population_moments, opts):
         ),
         prepacked=pt.packed_arrays,
     )
+    if validate:
+        kernel.defer_validation()
     return kernel, m, original
 
 
@@ -433,7 +442,10 @@ def _build_penalty_kernel(x_sample, weights0, mean_population_moments, opts, bou
         )
         return wrap(kernel), m, original
 
-    pt, m, original = payload
+    pt, m, original, validate = payload
+    if validate:
+        # the penalty kernel has no fused first-pass check — eager V1 scan
+        _validate_distributed_inputs(pt)
     from entropy_balance_weighting_spark.kernels.penalty_spark import (
         PenaltySparkKernel,
     )
@@ -473,7 +485,7 @@ def _build_elastic_kernel(x_sample, weights0, mean_population_moments, opts, bou
         )
         return wrap(kernel), m, original
 
-    pt, m, original = payload
+    pt, m, original, validate = payload
     from entropy_balance_weighting_spark.kernels.elastic_spark import (
         ElasticSparkKernel,
     )
@@ -490,6 +502,8 @@ def _build_elastic_kernel(x_sample, weights0, mean_population_moments, opts, bou
         ),
         prepacked=pt.packed_arrays,
     )
+    if validate:
+        kernel.defer_validation()
     return kernel, m, original
 
 

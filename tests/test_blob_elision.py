@@ -120,3 +120,28 @@ def test_commit_pass_appends_wstar_and_keeps_metadata():
         )
     )
     assert out2.num_columns == out.num_columns
+
+
+def test_adaptive_blob_partitions(spark):
+    """Scale-adaptive blob partitioning (r13): small problems coalesce to
+    ceil(N / rows-per-partition) clamped to the core count; large problems
+    (and a disabled knob) leave the encode partitioning alone."""
+    from entropy_balance_weighting_spark.kernels.spark import (
+        adaptive_blob_partitions,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    # small problem at default 150k rows/partition: 600k rows -> 4 parts
+    assert adaptive_blob_partitions(spark, 600_000, 32) == 4
+    # already at (or below) the target: leave alone
+    assert adaptive_blob_partitions(spark, 600_000, 4) is None
+    assert adaptive_blob_partitions(spark, 600_000, 2) is None
+    # large problem: target clamps to parallelism, current >= that -> None
+    assert adaptive_blob_partitions(spark, 10**9, max(par, 64)) is None
+    # degenerate/disabled
+    assert adaptive_blob_partitions(spark, 0, 32) is None
+    spark.conf.set("spark.ebw.blobRowsPerPartition", "0")
+    try:
+        assert adaptive_blob_partitions(spark, 600_000, 32) is None
+    finally:
+        spark.conf.unset("spark.ebw.blobRowsPerPartition")

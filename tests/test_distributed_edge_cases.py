@@ -135,6 +135,39 @@ def test_distributed_validation_rejects_bad_inputs(spark):
         )
 
 
+def test_deferred_validation_same_error_all_distributed_kernels(spark):
+    """V1 validation is fused into the kernels' first pass (r13
+    optimization): the unbounded and elastic distributed kernels must
+    still raise the SAME bad-entry ValueError — with the counts — that
+    the eager aggregate produced, for bad X values and bad weights."""
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(12),
+            "w": [1.0] * 10 + [-2.0, 1.0],  # one non-positive weight
+            "x0": list(np.linspace(0, 1, 10)) + [0.5, np.inf],  # one bad X
+        }
+    )
+    spec = MomentSpec(
+        weight_col="w",
+        numeric=("x0",),
+        dropna=False,
+        drop_nonpositive_weights=False,  # let both reach the validator
+    )
+    pt = build_problem_tables(spark.createDataFrame(pdf), spec)
+    for opts in (
+        {"force_distributed": True},
+        {"force_distributed": True, "bounds": (0.2, 5.0)},
+    ):
+        with pytest.raises(
+            ValueError, match=r"1 bad X rows, 1 bad weights"
+        ):
+            entropy_balance(
+                mean_population_moments=np.array([0.5]),
+                x_sample=pt,
+                options=opts,
+            )
+
+
 def test_estimator_raises_on_nonconvergence(spark):
     from entropy_balance_weighting_spark.ml import EntropyBalanceEstimator
 
