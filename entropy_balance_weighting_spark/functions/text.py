@@ -788,7 +788,6 @@ def bm25_topk(
         F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")
     ).first()
     avgdl = float(tot["s"]) / float(tot["c"])
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     qtoks = (
         queries.select(
             F.col(query_id_col),
@@ -798,9 +797,22 @@ def bm25_topk(
         .distinct()
     )
     contrib = _bm25_contrib(n_docs, avgdl, k1=k1, b=b, quant=quant)
+    # Broadcast-cut FIRST (r13 optimization, guide §2.3/§3): the query-term
+    # broadcast reduces tf to the candidate postings (Σ_{t∈queries} df_t
+    # rows) BEFORE anything shuffles, so the dl/df joins move candidate-
+    # sized relations instead of the full corpus — the previous order
+    # shuffled the whole tf table through the dl join and the whole df
+    # table through the term join.  df values are identical by
+    # construction (tf has one row per (doc, term), so counting the
+    # broadcast-cut tf per term IS the global document frequency for
+    # every queried term), and the per-(q,d,t) contributions are
+    # integer-quantized before the sum, so scores and ranks cannot move.
+    qterms = qtoks.select("tok").distinct()
+    tf_q = tf.join(F.broadcast(qterms), "tok")
+    dfreq_q = tf_q.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(dl, id_col)
-        .join(dfreq, "tok")
+        tf_q.join(dl, id_col)
+        .join(F.broadcast(dfreq_q), "tok")
         .join(F.broadcast(qtoks), "tok")
         .groupBy(query_id_col, id_col)
         .agg(F.sum(contrib).alias("score_q"))

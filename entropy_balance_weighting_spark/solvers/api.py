@@ -369,9 +369,14 @@ def _resolve_problem(x_sample, weights0, mean_population_moments, opts):
             and nnz <= threshold
             and dense_cells <= 8 * threshold
         ):
-            if validate:
-                _validate_distributed_inputs(pt)
             x, w0, row_ids, spark = _collect_dense(pt)
+            if validate:
+                # the problem is on the driver anyway — validate the
+                # collected arrays (free numpy) instead of running a
+                # separate full Spark scan (r13 optimization; NaN/Inf
+                # long values land in the dense cells, so the predicate
+                # set is unchanged)
+                _validate_local_inputs(x, w0, m)
             wrap = lambda kernel: _LocalKernelAsDataFrame(kernel, row_ids, spark)  # noqa: E731
             return "local", (x, w0, m, original, wrap)
         # V1 validation for the distributed kernels is DEFERRED into the
@@ -533,12 +538,20 @@ class _LocalKernelAsDataFrame:
 def _collect_dense(pt: ProblemTables):
     """Local fast path: collect the long tables into a dense numpy problem
     (SURVEY §7.2 — exactness for small fixtures, no per-iteration jobs).
-    Arrow-batched ``toPandas`` + vectorized scatter — no per-row Python."""
-    wpd = pt.w0.toPandas()
+    Arrow-batched ``toPandas`` + vectorized scatter — no per-row Python.
+    The two collects run as concurrent jobs (guide §2.6): they share the
+    materialized prep rows, so overlapping them makes the wall the max of
+    the two instead of the sum."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_w = pool.submit(pt.w0.toPandas)
+        fut_x = pool.submit(pt.x_long.toPandas)
+        wpd = fut_w.result()
+        xpd = fut_x.result()
     row_ids = wpd["row_id"].to_numpy(np.int64)
     w0 = wpd["w0"].to_numpy(np.float64)
     n = len(row_ids)
-    xpd = pt.x_long.toPandas()
     # row_id -> dense position, fully vectorized (a Python dict + .map is
     # a per-long-row interpreter loop — N·nnz lookups)
     order = np.argsort(row_ids, kind="stable")
