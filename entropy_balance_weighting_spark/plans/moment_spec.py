@@ -467,8 +467,11 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
     long = long_moments(rows, spec)
     names = _moment_names(spec, combos)
     spark = df.sparkSession
+    # single slice (see _packed_arrays): the dictionary is K driver rows,
+    # consumed via broadcast joins — one task materializes it, not a
+    # defaultParallelism wave of empty slices
     moments = spark.createDataFrame(
-        [(i, nm) for i, nm in enumerate(names)],
+        spark.sparkContext.parallelize(list(enumerate(names)), 1),
         T.StructType(
             [
                 T.StructField("moment_id", T.IntegerType(), False),
@@ -584,7 +587,12 @@ def _packed_arrays(
         [T.StructField(f"__cmb_{c}", T.StringType(), True) for c in combo_src]
         + [T.StructField("idx", T.ArrayType(T.IntegerType(), False), False)]
     )
-    dim = spark.createDataFrame(dim_rows, dim_schema)
+    # single slice: the dim table is driver-built and broadcast — default
+    # parallelization would make its materialization a full-width task
+    # wave of mostly-empty slices (r13 optimization, guide §5.1)
+    dim = spark.createDataFrame(
+        spark.sparkContext.parallelize(dim_rows, 1), dim_schema
+    )
     cond = None
     for c in combo_src:
         eq = F.col(c).cast("string").eqNullSafe(F.col(f"__cmb_{c}"))
@@ -663,8 +671,11 @@ def vector_to_problem_tables(
         raise ValueError(f"row_key {row_key} is not unique")
 
     spark = df.sparkSession
+    # single slice: K driver rows consumed via broadcast joins (see
+    # build_problem_tables) — avoid a defaultParallelism wave of empty slices
     moments = spark.createDataFrame(
-        [(j, names[j]) for j in range(k)], "moment_id int, moment_name string"
+        spark.sparkContext.parallelize([(j, names[j]) for j in range(k)], 1),
+        "moment_id int, moment_name string",
     )
     x_long_w0 = (
         rows.select("row_id", "w0", F.posexplode("__arr").alias("moment_id", "value"))
@@ -746,8 +757,13 @@ def targets_from_problem(
             for nm in pt.moment_names
             if nm in pt.weighted_sums
         ]
+        # single-slice local relation: the default createDataFrame
+        # parallelizes K rows across defaultParallelism empty slices, so
+        # every later action on the targets pays a full-width task wave
+        # for driver-held data (r13 optimization, guide §5.1)
         return spark.createDataFrame(
-            data, "moment_name string, target double"
+            spark.sparkContext.parallelize(data, 1),
+            "moment_name string, target double",
         )
     long_w = (
         pt.x_long_w0

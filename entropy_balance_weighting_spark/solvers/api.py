@@ -150,10 +150,20 @@ def _moments_vector(pt: ProblemTables, m: Any) -> np.ndarray:
         return np.asarray(m, dtype=np.float64)
     cols = set(m.columns)
     if "moment_id" not in cols:
-        from pyspark.sql import functions as F
-
-        m = m.join(F.broadcast(pt.moments), "moment_name")
-    rows = m.select("moment_id", "target").collect()
+        # K-bounded by contract: collect the targets and key them against
+        # the driver-held dictionary instead of a broadcast join — the
+        # join materialized TWO parallelized relations (2 jobs × default-
+        # parallelism empty slices) to pair K rows with K names (r13
+        # optimization, guide §5.1).  Unknown names are dropped either
+        # way (the join was inner), and missing ids raise below as before.
+        name_to_id = {nm: i for i, nm in enumerate(pt.moment_names)}
+        rows = [
+            {"moment_id": name_to_id[r["moment_name"]], "target": r["target"]}
+            for r in m.select("moment_name", "target").collect()
+            if r["moment_name"] in name_to_id
+        ]
+    else:
+        rows = m.select("moment_id", "target").collect()
     out = np.full(pt.k, np.nan)
     for r in rows:
         out[r["moment_id"]] = float(r["target"])
