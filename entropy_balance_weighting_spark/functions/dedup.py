@@ -79,12 +79,16 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(id, mh_1..mh_H) from a shingle table — ONE groupBy computing all H
-    min-hashes as parallel aggregates (no per-hash shuffle).  The md5 hash
-    is projected ONCE per shingle; the H permutations are cheap integer
-    affine maps over that bound column."""
+    """(id, n_sh, mh_1..mh_H) from a shingle table — ONE groupBy computing
+    all H min-hashes as parallel aggregates (no per-hash shuffle).  The md5
+    hash is projected ONCE per shingle; the H permutations are cheap integer
+    affine maps over that bound column.  ``n_sh`` (the per-doc shingle
+    count — exact because the shingle table is distinct by construction)
+    rides the same aggregate so the Jaccard denominator needs no second
+    shingle-table scan + shuffle (guide §2.4: two aggregations keyed the
+    same way share one exchange)."""
     hashed = sh.select("id", (portable_hash32(F.col("sh")) % MINHASH_P).alias("h"))
-    aggs = [
+    aggs = [F.count(F.lit(1)).alias("n_sh")] + [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_minhash_params(), start=1)
     ]
@@ -148,7 +152,11 @@ def verified_near_dups(
     sh = shingle_table(df, id_col, text_col, n).cache()
     sig = minhash_signatures(sh).cache()
     pairs = lsh_candidate_pairs(sig)
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-doc shingle counts ride the signature aggregate (same id key,
+    # same exchange) — the cached sig IS the counts table; the previous
+    # separate sh.groupBy("id") re-scanned the postings-sized shingle
+    # cache and paid its own shuffle + AQE stage per run
+    counts = sig.select("id", "n_sh")
     # |A ∩ B| per candidate pair: equi-join the two shingle sets on (id, sh)
     inter = (
         pairs.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
@@ -1015,18 +1023,25 @@ def bloom_check(
     m_bits: int = 1 << 20,
     k: int = 5,
     normalize: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Screen a new batch against a :func:`bloom_build` sketch: returns
-    ``(id, might_exist)`` where ``might_exist = 1`` iff ALL ``k`` bit
+    ``(id, *carry_cols, might_exist)`` where ``might_exist = 1`` iff ALL ``k`` bit
     positions are set.  No false negatives (a true duplicate always
     flags); false positives at the sketch's FPP — route flagged docs to
     the exact verifier, pass the rest straight through.  ``m_bits``/
     ``k``/``normalize`` must match the build.
 
-    Plan: the new batch explodes to k rows/doc, joins the (≤ m_bits)
-    position table — AQE broadcasts it when it fits — and a doc is
-    flagged when its matched-position count reaches k.  The archive is
-    never touched.
+    Plan: the new batch explodes to ≤ k DISTINCT bit rows/doc in ONE
+    pass, LEFT-joins the (≤ m_bits) position table — AQE broadcasts it
+    when it fits — and a doc is flagged when every one of its distinct
+    bits matched.  The archive is never touched, and neither is the new
+    batch a second time: the doc's own distinct-bit count (two seeds can
+    collide into one bit for short keys) rides the same exploded rows as
+    a plain count, so the previous second ``new_df`` subtree (and the
+    caller's join-back, via ``carry_cols``) is gone (r13 optimization,
+    guide §2.4).  ``carry_cols`` names payload columns to carry through
+    to the output — one output row per distinct ``(id, *carry_cols)``.
     """
     key = (
         F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
@@ -1037,27 +1052,25 @@ def bloom_check(
             for i in range(k)
         ]
     )
+    carry = list(carry_cols)
     exploded = new_df.select(
-        F.col(id_col).alias("id"), F.explode(pos).alias("bit")
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry],
+        F.explode(F.array_distinct(pos)).alias("bit"),
     )
-    hits = (
-        exploded.join(bits, "bit")
-        .groupBy("id")
-        .agg(F.countDistinct("bit").alias("n_hit"))
-    )
-    # distinct-bit counting vs k requires the doc's own distinct count
-    # (two seeds can collide into one bit for short keys)
-    own = (
-        new_df.select(
-            F.col(id_col).alias("id"),
-            F.array_size(F.array_distinct(pos)).alias("n_own"),
-        )
+    marked = exploded.join(
+        bits.withColumn("__hit", F.lit(1)), "bit", "left"
     )
     return (
-        own.join(hits, "id", "left")
+        marked.groupBy("id", *carry)
+        .agg(
+            F.count(F.lit(1)).alias("__n_own"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n_hit"),
+        )
         .select(
             "id",
-            F.when(F.coalesce(F.col("n_hit"), F.lit(0)) >= F.col("n_own"), 1)
+            *carry,
+            F.when(F.col("__n_hit") >= F.col("__n_own"), 1)
             .otherwise(0)
             .cast("long")
             .alias("might_exist"),
@@ -1107,7 +1120,21 @@ def remove_duplicated_spans(
     actually lose a span (join-gated); untouched documents never explode,
     so the expensive token-level shuffle is proportional to real
     duplication, not corpus size.
+
+    Persist discipline (r13 optimization, guide §2.4/§5.3): the
+    multi-consumer DAG (grams feeds stats AND the occurrence join; hits
+    feeds excise AND protect; covered feeds the gate AND the surgery
+    anti-join) previously recompiled each shared subtree per consumer —
+    ~20 corpus-scan leaves, the gram fan-out built 4× per run
+    (spikes/scan_multiplicity.py).  Each shared relation is now
+    persisted once: ``grams`` is the one corpus-sized cache (8-byte
+    hash + 2 ints per gram — cheaper spilled once than re-scanning,
+    re-splitting, re-hashing the corpus 4×); ``hits``/``covered``/
+    ``touched_ids`` are duplication-proportional, ``n_tok`` doc-count
+    sized.
     """
+    from pyspark.storagelevel import StorageLevel
+
     toks = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("t")
     )
@@ -1123,6 +1150,7 @@ def remove_duplicated_spans(
             ).alias("pos", "g"),
         )
         .select("id", "pos", F.xxhash64("g").alias("gh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # per-gram document frequency + canonical (lowest) holder, one
     # hash-groupBy on the 8-byte gram key
@@ -1142,7 +1170,7 @@ def remove_duplicated_spans(
     # protected (anti-join) so the canonical copy of every duplicated
     # gram survives intact even under overlapping spans with different
     # canonical holders.
-    hits = grams.join(gram_stats, "gh")
+    hits = grams.join(gram_stats, "gh").persist(StorageLevel.MEMORY_AND_DISK)
     covered = (
         hits.filter(F.col("id") != F.col("canon"))
         .select(
@@ -1163,8 +1191,12 @@ def remove_duplicated_spans(
         )
         .distinct()
     )
-    covered = covered.join(protected, ["id", "cp"], "left_anti")
-    touched_ids = covered.select("id").distinct()
+    covered = covered.join(protected, ["id", "cp"], "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    touched_ids = covered.select("id").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # token surgery ONLY on touched documents
     touched = toks.join(touched_ids, "id")
     positions = touched.select(
@@ -1186,7 +1218,9 @@ def remove_duplicated_spans(
             F.size("pairs").alias("n_kept"),
         )
     )
-    n_tok = toks.select("id", F.size("t").alias("n_tokens"))
+    n_tok = toks.select("id", F.size("t").alias("n_tokens")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # LEFT join: a fully-excised document (every position covered, e.g.
     # an exact duplicate of a lower-id doc) produces no `rebuilt` row
     # but must still emit its output row with empty clean_text.
@@ -1269,7 +1303,14 @@ def fuzzy_join_candidates(
         )
     lx = lt.select("__lid", F.explode("__ltoks").alias("__tok"))
     rx = rt.select("__rid", F.explode("__rtoks").alias("__tok"))
-    tok_df = lx.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    # the df table joins into BOTH prefix streams; unpersisted, each
+    # stream re-aggregated it from a fresh corpus explode (r13
+    # optimization, guide §2.4; vocabulary-sized cache)
+    tok_df = (
+        lx.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .persist()
+    )
 
     def prefix_stream(exploded, id_col):
         # token-keyed shuffle join (vocabulary never broadcasts), then
@@ -1354,12 +1395,19 @@ def fuzzy_join_jaccard(
             f"(both {left_id!r}) — the output carries one column per side"
         )
 
+    from pyspark.storagelevel import StorageLevel
+
+    # each side's token-set relation feeds the candidate stage (explode →
+    # df aggregate → prefix stream) AND the verify join; unpersisted, the
+    # whole scan + tokenize re-ran per consumer (left ~4×, right 2× —
+    # spikes/scan_multiplicity.py).  One tokenization each, spilled to
+    # disk if the arrays outgrow memory (r13 optimization, guide §2.4/§5.3).
     lt = left.select(
         F.col(left_id).alias("__lid"), _fuzzy_tokset(left_text).alias("__ltoks")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     rt = right.select(
         F.col(right_id).alias("__rid"), _fuzzy_tokset(right_text).alias("__rtoks")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if blocking == "prefix":
         cand = fuzzy_join_candidates(
             lt, rt, threshold=threshold, max_token_df=max_token_df

@@ -185,11 +185,23 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
+    from pyspark.storagelevel import StorageLevel
+
     n_docs = df.count()
     toks = df.select(
         "doc_id", by, F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
-    tf = toks.groupBy("doc_id", by, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df aggregate and the scoring join; without a
+    # persist Spark compiles two independent subtrees and the corpus is
+    # scanned + exploded + aggregated TWICE (verified on the executed
+    # plan: two FileScans, the second inside the df BroadcastExchange).
+    # Persisting caps the ranker at ONE corpus scan — the same
+    # discipline as bm25_topk (r13 optimization, guide §2.4/§5).
+    tf = (
+        toks.groupBy("doc_id", by, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(dfreq, "tok")
@@ -230,10 +242,24 @@ def unigram_doc_logprob(
     Returns ``(doc_col, n_tok, logprob)`` with ``logprob`` the mean
     ln-probability per token (higher = more typical of the corpus).
     """
+    from pyspark.storagelevel import StorageLevel
+
     toks = df.select(
         doc_col, F.explode(tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # freq is vocab-sized and consumed twice (the totals action below and
+    # the scoring join); without a persist each consumer re-scans and
+    # re-explodes the CORPUS to rebuild it — three corpus passes per run.
+    # Persisting the small frequency table caps it at two: one to build
+    # freq (the totals action materializes the cache), one for the join's
+    # probe side (r13 optimization, guide §2.4/§5; caching the exploded
+    # corpus itself would be the wrong trade at 100 TB — recomputing one
+    # cheap explode beats spilling a corpus-sized cache).
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = freq.agg(
         F.sum("n").alias("s"), F.count(F.lit(1)).alias("v")
     ).first()
@@ -409,9 +435,25 @@ def bigram_doc_logprob(
     bg = toks.select("doc", pair.alias("p")).select(
         "doc", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
     )
-    c2 = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
-    v = float(bg.agg(F.countDistinct("cur")).first()[0])
+    from pyspark.storagelevel import StorageLevel
+
+    # One corpus-sized aggregate builds the bigram table; everything else
+    # derives from it.  Before the r13 optimization the plan rebuilt the
+    # exploded-bigram corpus FOUR times per run (the c2 subtree, the c1
+    # subtree, the vocab-count action, and the scoring join's probe side).
+    # c2 is bigram-vocab-sized: persist it, fold c1 as Σ_cur n2 (the exact
+    # same integers — every bg row lands in exactly one (prev, cur) cell)
+    # and count the distinct continuations off c2's keys (same set by
+    # construction).  Corpus passes per run: 4 → 2 (the vocab action that
+    # materializes the cache, and the scoring join's probe side; caching
+    # the exploded corpus itself would be the wrong trade at 100 TB).
+    c2 = (
+        bg.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    v = float(c2.select("cur").distinct().count())
     return (
         bg.join(c2, ["prev", "cur"])
         .join(c1, "prev")

@@ -553,7 +553,12 @@ def pagerank(
     otherwise re-plans a growing DAG (documented Spark failure mode).
     Damping/teleport follow Page et al. 1999."""
     src, dst = F.col(src_col), F.col(dst_col)
-    e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
+    # e feeds FOUR consumers at setup (both sides of the node union, the
+    # out-degree aggregate, the link join) — persist so the upstream edge
+    # derivation (often a full corpus link-extraction) runs once, not 4×;
+    # dropped right after the links cache materializes (r13 optimization,
+    # guide §2.4/§5.3, found via spikes/scan_multiplicity.py).
+    e = edges.select(src.alias("src"), dst.alias("dst")).distinct().persist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -564,10 +569,15 @@ def pagerank(
         info["iterations"] = 0
         info["residual"] = 0.0
     if n == 0:
+        e.unpersist()
         return nodes.select("id", F.lit(0.0).alias("rank"))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out_deg is node-sized and read by the dangling-mass action EVERY
+    # iteration — uncached it re-derived the whole edge list per
+    # iteration (one corpus re-scan per PageRank step)
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
     links = e.join(out_deg, "src").cache()
     links.count()
+    e.unpersist()
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
     cached_prev = None
     try:
@@ -626,11 +636,19 @@ def pagerank(
                 ranks = new_ranks
                 if info is not None:
                     info["iterations"] = i + 1
+        # Hand back a lineage-free result on BOTH paths: the finally below
+        # releases the nodes/links caches, so an un-checkpointed return
+        # (the old tol=None path) recomputed the ENTIRE iteration lineage —
+        # including the edge derivation, corpus scans and all — when the
+        # caller finally consumed it (r13 optimization; the final plan
+        # carried 18 relation leaves at n_iters=4,
+        # spikes/scan_multiplicity.py).  One eager materialization here
+        # runs while every cache is still alive.
+        ranks = ranks.localCheckpoint()
         if cached_prev is not None:
-            # hand back a lineage-free result and release the loop cache
-            ranks = ranks.localCheckpoint()
             cached_prev.unpersist()
         return ranks
     finally:
         nodes.unpersist()
         links.unpersist()
+        out_deg.unpersist()

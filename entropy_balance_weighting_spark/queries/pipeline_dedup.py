@@ -701,10 +701,13 @@ def dd_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("is_dup"),
     )
     newb = verbatim.unionByName(perturbed)
-    flags = dedup.bloom_check(newb, bits, m_bits=m_bits, k=k).withColumnRenamed(
-        "id", "doc_id"
-    )
-    joined = newb.select("doc_id", "source", "is_dup").join(flags, "doc_id")
+    # carry (source, is_dup) through the screen itself — the batch is
+    # consumed ONCE; the previous join-back re-derived the whole newb
+    # union a third time (r13 optimization: 7 → 3 corpus subtrees in the
+    # optimized plan, spikes/scan_multiplicity.py)
+    joined = dedup.bloom_check(
+        newb, bits, m_bits=m_bits, k=k, carry_cols=("source", "is_dup")
+    ).withColumnRenamed("id", "doc_id")
     missed = F.when(
         (F.col("is_dup") == 1) & (F.col("might_exist") == 0), 1
     ).otherwise(0)

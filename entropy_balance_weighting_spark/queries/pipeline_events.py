@@ -471,8 +471,13 @@ def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("ts").alias("t"))
         )
 
-    v = first_after("view", None)
-    c = first_after("click", v)
+    # each stage feeds BOTH its own step count and the next stage's join;
+    # unpersisted, stage N's subtree re-expands inside stage N+1 and the
+    # union re-scanned events 6× (1+2+3) instead of once per event type
+    # (r13 optimization, guide §2.4; the stage tables are per-user minima —
+    # tiny — so the caches are user-count-bounded)
+    v = first_after("view", None).persist()
+    c = first_after("click", v).persist()
     p = first_after("purchase", c)
 
     def step_count(df, label):

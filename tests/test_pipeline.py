@@ -53,6 +53,31 @@ def test_minhash_finds_planted_near_dups(spark):
     assert max(r["jaccard"] for r in pairs) > 0.95
 
 
+def test_minhash_signature_carries_exact_shingle_count(spark):
+    """The fused ``n_sh`` aggregate (r13 optimization: the Jaccard
+    denominator rides the signature groupBy instead of a second
+    shingle-table scan + shuffle) must equal the exact distinct-shingle
+    count per doc."""
+    from pyspark.sql import functions as F
+
+    from entropy_balance_weighting_spark.functions.dedup import (
+        minhash_signatures,
+        shingle_table,
+    )
+    from entropy_balance_weighting_spark.session import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    sh = shingle_table(docs, "doc_id", "text")
+    got = {
+        r["id"]: r["n_sh"] for r in minhash_signatures(sh).collect()
+    }
+    want = {
+        r["id"]: r["n"]
+        for r in sh.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_lsh_ann_recall_vs_brute_force(spark):
     """The LSH-bucketed ANN must retrieve most of the exact top-3 (recall
     is the contract; exactness is the brute-force path's job)."""
