@@ -596,7 +596,11 @@ def simhash_near_dup_pairs(
     bits_per = n_bits // n_bands
     mask = (1 << bits_per) - 1
 
-    sig = simhash16(df, id_col, text_col, n_bits=n_bits)
+    # the signature table feeds BOTH sides of the banded self-join;
+    # persisted (N rows of id + n_bits hash) so the corpus tokenize +
+    # per-bit weighted sums run once, not twice (r13 optimization,
+    # guide §2.4 — same discipline as the MinHash sig cache)
+    sig = simhash16(df, id_col, text_col, n_bits=n_bits).persist()
     band = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
     banded = sig.select("id", "simhash", band).withColumn(
         "bval",
@@ -814,9 +818,16 @@ def remove_boilerplate_lines(
     single hash aggregate, no window sort.  Joining on the full line
     string (not a hash) keeps the operator EXACT at any scale; swap the
     key for an md5 column if line lengths dominate the shuffle."""
+    from pyspark.storagelevel import StorageLevel
+
+    # "explode to lines once" needs a persist to be literally true: the
+    # line table feeds the boilerplate aggregate, the anti-join probe AND
+    # the per-doc totals — unpersisted, each consumer re-scanned and
+    # re-exploded the corpus (3× per run; r13 optimization, guide
+    # §2.4/§5.3, spikes/scan_multiplicity.py)
     lines = doc_lines(
         df, id_col=id_col, text_col=text_col, line_words=line_words
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hot = (
         lines.groupBy("line")
         .agg(F.countDistinct("id").alias("df"))

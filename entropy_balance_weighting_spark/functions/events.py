@@ -275,12 +275,25 @@ def asof_join_salted(
         *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
         F.lit(0).alias("_side"),
     )
+    from pyspark.storagelevel import StorageLevel
+
     l_tagged = left.withColumn("_side", F.lit(1))
-    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True).withColumn(
-        "_bkt",
-        F.floor(
-            F.col(ts_col).cast("timestamp").cast("double") / F.lit(bucket_seconds)
-        ),
+    # "two passes over the same union" needs a persist to cost one build:
+    # the local-carry window and the boundary summary both shuffle on
+    # (key, bucket) but Spark does NOT reuse the exchange across them
+    # (verified: 0 ReusedExchange, both source scans duplicated at
+    # runtime), so unpersisted the union — and both input scans under it —
+    # ran twice per call (r13 optimization, guide §2.4/§5.3)
+    u = (
+        l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+        .withColumn(
+            "_bkt",
+            F.floor(
+                F.col(ts_col).cast("timestamp").cast("double")
+                / F.lit(bucket_seconds)
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     pcols = [f"{prefix}{c}" for c in right_cols]

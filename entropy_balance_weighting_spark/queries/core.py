@@ -26,17 +26,16 @@ def lineitem_moments_long(li: DataFrame) -> DataFrame:
     column is just rows ``(row_id, 'ret_'||val, 1.0)``
     (ref: pums_example.py:94 one-hot; SURVEY §2 E10).
     """
-    numeric = li.selectExpr(
+    # ONE stack emits numeric and one-hot rows from a single corpus scan —
+    # the previous union's one-hot branch re-scanned lineitem (2 scans →
+    # 1; r13 optimization, guide §2.4 — stack keys are expressions, so the
+    # indicator name rides the same Generate)
+    return li.selectExpr(
         "l_quantity AS w0",
-        "stack(3, 'extendedprice', l_extendedprice, 'discount', l_discount,"
-        " 'tax', l_tax) AS (moment, value)",
+        "stack(4, 'extendedprice', l_extendedprice, 'discount', l_discount,"
+        " 'tax', l_tax, concat('ret_', l_returnflag), 1.0D)"
+        " AS (moment, value)",
     )
-    onehot = li.select(
-        F.col("l_quantity").alias("w0"),
-        F.concat(F.lit("ret_"), F.col("l_returnflag")).alias("moment"),
-        F.lit(1.0).alias("value"),
-    )
-    return numeric.unionByName(onehot)
 
 
 @register(
@@ -390,15 +389,17 @@ def t2_largest_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 1 over the K-row gap frame.
     """
     li = _lineitem(spark, sf_dir)
+    # one corpus scan: the national mean re-derives from the K-row group
+    # partials (Σ of per-group weighted sums) instead of a second full
+    # aggregate over lineitem (r13 optimization, guide §2.4; float order
+    # inside a Spark sum is partition-arbitrary either way)
     grp = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
-        (
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity")
-        ).alias("grp_mean")
-    )
-    nat = li.agg(
-        (
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity")
-        ).alias("nat_mean")
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("__s"),
+        F.sum("l_quantity").alias("__w"),
+    ).persist()
+    nat = grp.agg((F.sum("__s") / F.sum("__w")).alias("nat_mean"))
+    grp = grp.select(
+        "grp", (F.col("__s") / F.col("__w")).alias("grp_mean")
     )
     return (
         grp.crossJoin(F.broadcast(nat))

@@ -177,12 +177,26 @@ def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ p·ln p rollup — one scan, two grouped aggregates, all
     map-side-combinable."""
     docs = load_table(spark, sf_dir, "documents")
+    # explode-unpivot instead of a self-union: ONE corpus scan emits both
+    # (col, val) streams (the union form scanned documents once per
+    # column); the per-(col, val) count table is persisted because it
+    # feeds both the per-col total and the entropy rollup — unpersisted,
+    # each consumer re-ran the whole unpivot+count (r13 optimization,
+    # guide §2.4, spikes/scan_multiplicity.py: 4 scans → 1)
     cols = docs.select(
-        F.lit("lang").alias("col"), F.col("lang").alias("val")
-    ).unionByName(
-        docs.select(F.lit("source").alias("col"), F.col("source").alias("val"))
-    )
-    f = cols.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("col"), F.col("lang").alias("val")
+                ),
+                F.struct(
+                    F.lit("source").alias("col"),
+                    F.col("source").alias("val"),
+                ),
+            )
+        ).alias("cv")
+    ).select("cv.col", "cv.val")
+    f = cols.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n")).persist()
     tot = f.groupBy("col").agg(F.sum("n").alias("t"))
     p = F.col("n") / F.col("t").cast("double")
     return (
@@ -234,9 +248,12 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     width, which is why it's cheap enough to run before any expensive
     keyed job.  The ORACLE replays count, ppm, and ratio arithmetic."""
     ev = load_table(spark, sf_dir, "events")
+    # per_key feeds the totals aggregate AND the profile join; persisted
+    # (key-count sized) so the event scan + keyed partial-agg run once,
+    # not twice (r13 optimization, guide §2.4)
     per_key = ev.groupBy(F.col("user_id").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).persist()
     tot = per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n").alias("n_rows"),

@@ -519,7 +519,11 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side.  The classic growth-analytics rollup, no window over user
     histories."""
     ev = load_table(spark, sf_dir, "events")
-    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    # the distinct activity table feeds the first-day aggregate AND the
+    # cohort join; unpersisted, the events scan + distinct shuffle ran
+    # twice per call (r13 optimization, guide §2.4; the cache is
+    # user×day sized, far below the event log)
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct().persist()
     first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
     return (
         act.join(first, "user_id")

@@ -177,7 +177,9 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
 
-    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    payloads = docs.mapInPandas(
+        gen, "doc_id long, payload binary"
+    ).persist()  # encode stage feeds two consumers; run Python once (r13)
     feats = multimodal.extract_features(payloads)  # REAL decoder
     resized = multimodal.resize_images(payloads, 8, 6)  # REAL resizer
     rs_feats = multimodal.extract_features(resized).select(
@@ -289,7 +291,9 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
 
-    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    payloads = docs.mapInPandas(
+        gen, "doc_id long, payload binary"
+    ).persist()  # encode stage feeds two consumers; run Python once (r13)
     feats = multimodal.extract_features(payloads)  # REAL JPEG decoder
 
     def tol(batches):
@@ -407,7 +411,9 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
 
-    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    payloads = docs.mapInPandas(
+        gen, "doc_id long, payload binary"
+    ).persist()  # encode stage feeds two consumers; run Python once (r13)
     feats = multimodal.extract_audio_features(payloads)  # REAL WAV decoder
     resampled = multimodal.resample_audio(payloads, 16)  # REAL resampler
     rs_feats = multimodal.extract_audio_features(resampled).select(
@@ -561,7 +567,9 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
 
-    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    payloads = docs.mapInPandas(
+        gen, "doc_id long, payload binary"
+    ).persist()  # encode stage feeds two consumers; run Python once (r13)
     feats = multimodal.extract_features(payloads)  # REAL PNG decoder
     resized = multimodal.resize_images(payloads, 8, 6)  # REAL resizer
     rs_feats = multimodal.extract_features(resized).select(
@@ -700,7 +708,9 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
 
-    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    payloads = docs.mapInPandas(
+        gen, "doc_id long, payload binary"
+    ).persist()  # encode stage feeds two consumers; run Python once (r13)
     feats = multimodal.extract_features(payloads)  # REAL GIF decoder
     resized = multimodal.resize_images(payloads, 8, 6)  # REAL resizer
     rs_feats = multimodal.extract_features(resized).select(
@@ -1968,12 +1978,20 @@ def mm_video_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
     frames = multimodal.sample_video_frames(payloads, every_n=2)
     hashed = multimodal.dhash_video_frames(frames)
-    sigs = multimodal.video_band_signatures(
-        hashed, every_n=2, band_size=2
-    ).join(docs, "doc_id")
+    # sigs sits on top of the Python encode→demux→dHash chain and feeds
+    # BOTH the bucket stats and the dup-doc count; buckets feeds bstats
+    # AND the dup filter.  Unpersisted, the consumers re-ran the whole
+    # Python stage per reference — 7 expansions of the video pipeline per
+    # query run (r13 optimization, guide §2.4/§4.5,
+    # spikes/scan_multiplicity.py); both relations are band-row sized.
+    sigs = (
+        multimodal.video_band_signatures(hashed, every_n=2, band_size=2)
+        .join(docs, "doc_id")
+        .persist()
+    )
     buckets = sigs.groupBy("source", "band", "sig").agg(
         F.countDistinct("doc_id").alias("csize")
-    )
+    ).persist()
     bstats = buckets.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(F.when(F.col("csize") >= 2, 1).otherwise(0))
