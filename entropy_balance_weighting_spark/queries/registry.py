@@ -73,11 +73,23 @@ PINNED: list[str] = [
 # round; stale entries are harmless (they just pin freshness one extra
 # round).
 FORCE_FRESH: list[str] = [
-    # r13 changes:
+    # r13 build-phase changes (semantic/algorithm changes — highest
+    # re-green priority):
     "txt_quality_deciles",  # global_rank: ranged slice now persisted
     "dd_fuzzy_join",        # rarest-k prefix blocking (skew-safe default)
     "mm_pdf_text",          # per-page CID font routing; %6==0 docs collide
     "txt_langid_nb_confusion",  # fallback row-key persist hardening
+    # The r13 OPTIMIZATION sweep additionally changed 28 query plans
+    # (plans/r13/<q>_{before,after}.txt) — equivalence-preserving
+    # restructurings, each re-proven by full-registry oracle drives at
+    # sf0.01 AND sf0.001 this round.  They are deliberately NOT forced:
+    # the window is exactly saturated (5 pinned + 4 forced + 6 never-green
+    # + 35 r10-stale = 50), and forcing any of them would push an r10-stale
+    # query to 3-rounds stale — the max-staleness<=2 invariant
+    # (test_staleness_budget) outranks same-round driver re-greening of an
+    # equivalence-preserving plan change.  The 22 changed queries whose
+    # last green is r11/r12 rotate into r14's window mechanically
+    # (staleness sort).  See OPTIMIZATION_r13.md "Rotation allocation".
 ]
 
 # Observed driver window size (rounds 4-6 all recorded exactly 50 rows).
