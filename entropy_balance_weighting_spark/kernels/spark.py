@@ -768,8 +768,30 @@ def _stats_pass(
 
 
 def _step_pass(
-    k: int, lam: np.ndarray, dlam: np.ndarray, wprog=None, sum_w0: float = 1.0
+    k: int,
+    lam: np.ndarray,
+    dlam: np.ndarray,
+    wprog=None,
+    sum_w0: float = 1.0,
+    spec_lam_new: np.ndarray | None = None,
+    blocks=None,
 ) -> Callable:
+    """Step reductions (A2/A6), optionally fused with SPECULATIVE stats of
+    the α=1 primal candidate (r13 optimization, guide §1.2 "remove passes").
+
+    Measured on both unbounded bench problems (sf0.1): every commit is
+    ``primal`` with ``alpha == 1.0`` exactly (the fraction-to-boundary
+    never binds on well-conditioned problems).  The post-commit state is
+    then ``w + (X·Δλ − cd)·w`` — α-independent — so this pass can compute
+    the NEXT iteration's full IterStats in the same scan, and the kernel
+    skips that stats job entirely when the driver indeed commits primal at
+    α=1.  Bit-exactness: ``w_new = w + dw`` with the RAW ``dw`` equals the
+    ``_w_state`` lin-replay at α=1 (multiplying by 1.0 is an IEEE
+    identity), and every speculative accumulator below mirrors
+    ``_stats_pass`` expression by expression, so a hit returns the same
+    bits the real pass would — iteration counts and weights cannot drift.
+    """
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         dw_sq = 0.0
         nan_ct = 0.0
@@ -777,6 +799,15 @@ def _step_pass(
         xt_wdual = np.zeros(k)
         alpha_raw = np.inf
         min_wdual = np.inf
+        spec = spec_lam_new is not None
+        if spec:
+            s_f_val = 0.0
+            s_cd_sq = 0.0
+            s_nan_ct = 0.0
+            s_xt_w = np.zeros(k)
+            s_xt_wcd = np.zeros(k)
+            s_gram, s_gram_add = make_gram_accum(k, blocks)
+            s_min_w = np.inf
         for rb in batches:
             if not rb.num_rows:
                 continue
@@ -801,7 +832,30 @@ def _step_pass(
             xt_wdual += _xt_v(flat_idx, flat_val, lens, wdf, k)
             if len(wdf):
                 min_wdual = min(min_wdual, float(wdf.min()))
-        yield _pack_rb([dw_sq, nan_ct, xt_dw, xt_wdual], [alpha_raw, min_wdual])
+            if spec:
+                # α=1 primal candidate, exactly as the lin-replay renders it
+                w_new = w + dw
+                w0 = _rb_col(rb, "w0")
+                r = w_new / q
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    lr = np.log(r)
+                    s_f_val += float(np.sum(w0 * (r * lr - r + 1.0)))
+                    s_cd = lr - _x_dot(flat_idx, flat_val, lens, spec_lam_new)
+                s_bad = ~np.isfinite(s_cd)
+                s_nan_ct += float(s_bad.sum())
+                s_cdf = np.where(s_bad, 0.0, s_cd)
+                s_cd_sq += float(s_cdf @ s_cdf)
+                s_xt_w += _xt_v(flat_idx, flat_val, lens, w_new, k)
+                s_xt_wcd += _xt_v(flat_idx, flat_val, lens, w_new * s_cdf, k)
+                s_gram_add(flat_idx, flat_val, lens, w_new)
+                if len(w_new):
+                    s_min_w = min(s_min_w, float(w_new.min()))
+        sums = [dw_sq, nan_ct, xt_dw, xt_wdual]
+        mins = [alpha_raw, min_wdual]
+        if spec:
+            sums += [s_f_val, s_cd_sq, s_nan_ct, s_xt_w, s_xt_wcd, s_gram]
+            mins += [s_min_w]
+        yield _pack_rb(sums, mins)
 
     return fn
 
@@ -894,6 +948,24 @@ class SparkKernel:
         # bad-entry counts ride the payload tail, so validation costs zero
         # extra jobs (r13 optimization)
         self._validate_first_stats = False
+        # Speculative α=1 primal stats (r13 optimization): the step pass
+        # fuses the NEXT iteration's stats reductions for the α=1 primal
+        # candidate; ``commit`` marks the stash live when the driver indeed
+        # commits primal at exactly α=1 with an analytic program append,
+        # and ``stats`` then returns it with ZERO Spark jobs.  Two
+        # prediction misses (dual commit or α<1) disable speculation for
+        # the rest of the solve, bounding wasted work on problems where
+        # the fraction-to-boundary binds.  Conf kill switch for A/B:
+        # spark.ebw.speculativeStats=false.
+        self._spec: dict | None = None
+        self._spec_misses = 0
+        self._spec_conf = (
+            str(
+                spark.conf.get("spark.ebw.speculativeStats", "true")
+            ).lower()
+            != "false"
+        )
+        self.spec_hits = 0  # observable for tests/diagnostics
 
     @classmethod
     def from_problem(
@@ -1007,6 +1079,19 @@ class SparkKernel:
     def stats(self, lam: np.ndarray) -> IterStats:
         k = self.k
         validate = self._validate_first_stats
+        if (
+            not validate
+            and self._spec is not None
+            and self._spec["committed"]
+            and np.array_equal(lam, self._spec["lam_new"])
+        ):
+            # speculative hit: the step pass already computed these exact
+            # reductions on the committed α=1 primal state — zero jobs
+            out = self._spec["stats"]
+            self._spec = None
+            self.spec_hits += 1
+            return out
+        self._spec = None
         sums, mins = self._reduce(
             _stats_pass(
                 k,
@@ -1046,9 +1131,43 @@ class SparkKernel:
 
     def step_stats(self, lam: np.ndarray, dlam: np.ndarray) -> StepStats:
         k = self.k
+        speculate = self._spec_conf and self._spec_misses < 2
+        lam_new = np.asarray(lam + dlam, dtype=np.float64) if speculate else None
         sums, mins = self._reduce(
-            _step_pass(k, lam, dlam, self._wprog, self.sum_w0)
+            _step_pass(
+                k,
+                lam,
+                dlam,
+                self._wprog,
+                self.sum_w0,
+                spec_lam_new=lam_new,
+                blocks=blocks_tuple(self.block_structure) if speculate else None,
+            ),
+            # the speculative payload carries a gram: use the same reduce
+            # topology the stats pass uses so a hit's merge order is
+            # identical to what the real stats pass would have produced
+            big=self._gram_big if speculate else False,
         )
+        self._spec = None
+        if speculate:
+            off = 2 + 2 * k
+            self._spec = {
+                "lam": np.asarray(lam, dtype=np.float64).copy(),
+                "dlam": np.asarray(dlam, dtype=np.float64).copy(),
+                "lam_new": lam_new,
+                "committed": False,
+                "stats": IterStats(
+                    f_val=float(sums[off]),
+                    xt_w=sums[off + 3 : off + 3 + k],
+                    cd_sq=float(sums[off + 1]),
+                    xt_wcd=sums[off + 3 + k : off + 3 + 2 * k],
+                    gram=gram_from_sums(
+                        sums[off + 3 + 2 * k :], k, self.block_structure
+                    ),
+                    min_w=float(mins[2]),
+                    has_nan=sums[off + 2] > 0,
+                ),
+            }
         return StepStats(
             alpha_raw=float(mins[0]),
             xt_dw=sums[2 : 2 + k],
@@ -1083,10 +1202,27 @@ class SparkKernel:
         ``min_w`` (primal underflow)."""
         self._prev_wprog = self._wprog
         if choice == "dual":
+            if self._spec is not None:
+                # prediction miss: the speculative α=1 primal stats were
+                # computed but the driver committed the dual candidate
+                self._spec = None
+                self._spec_misses += 1
             self._last_commit = "analytic"
             self._wprog = [("exp", np.asarray(lam + dlam, dtype=np.float64))]
             return
         if self._wprog is not None and len(self._wprog) < self._MAX_PROG:
+            if self._spec is not None:
+                if (
+                    alpha == 1.0
+                    and np.array_equal(lam, self._spec["lam"])
+                    and np.array_equal(dlam, self._spec["dlam"])
+                ):
+                    # the committed state IS the speculated candidate: the
+                    # next stats() call returns the stash with zero jobs
+                    self._spec["committed"] = True
+                else:
+                    self._spec = None
+                    self._spec_misses += 1
             self._last_commit = "analytic"
             self._wprog = [
                 *self._wprog,
@@ -1098,6 +1234,11 @@ class SparkKernel:
                 ),
             ]
             return
+        # materialized commit: the next stats pass must run for real (it
+        # materializes the rewritten cache and releases the superseded
+        # one), so the stash is unusable here — dropped without a miss
+        # penalty (the prediction itself was not wrong)
+        self._spec = None
         self._last_commit = "materialized"
         new_rdd = (
             self._rdd.mapPartitions(
@@ -1128,6 +1269,7 @@ class SparkKernel:
         lineage — paid only on the failure path."""
         if self._last_commit is None:
             raise RuntimeError("no committed step to roll back")
+        self._spec = None  # stale by definition after an undo
         if self._last_commit == "analytic":
             self._wprog = self._prev_wprog
             self._last_commit = None
