@@ -1177,7 +1177,18 @@ class SparkKernel:
             has_nan=sums[1] > 0,
         )
 
-    _MAX_PROG = 4  # analytic ops before a primal chain is materialized
+    # Analytic ops before a primal chain is materialized.  Raised 4 → 8 in
+    # r13: the speculative stats fusion changed the economics — each
+    # materialization now costs a full blob re-encode + persist AND loses
+    # one fused iteration (its stats pass must run for real), so short
+    # solves (typical Newton counts are 3–10) should never materialize.
+    # The price is up to 7 replayed lin ops per pass (2 dots + a log
+    # each) on solves that do run long — linear in chain length and paid
+    # only past iteration 8.  Values are identical either way (the
+    # materialized wstar stores exactly what the replay computes —
+    # pinned by tests/test_speculative_stats.py); this is purely a
+    # rewrite-avoidance knob.
+    _MAX_PROG = 8
 
     def commit(self, choice: str, lam: np.ndarray, dlam: np.ndarray, alpha: float) -> None:
         """Advance the iterate — a driver-side program update, NOT a cache

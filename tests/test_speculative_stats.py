@@ -94,6 +94,37 @@ def test_speculative_fusion_fires_and_is_bit_identical(spark, problem):
     assert w_on == w_off
 
 
+def test_max_prog_is_value_neutral(spark, problem):
+    """_MAX_PROG only decides replay-vs-materialize; the materialized
+    wstar stores exactly what the replay computes, so results must be
+    IDENTICAL at any cap.  Pins the r13 4→8 raise as value-neutral."""
+    import entropy_balance_weighting_spark.kernels.spark as ks
+    from entropy_balance_weighting_spark import entropy_balance
+
+    pt, targets = problem
+    out = []
+    orig = ks.SparkKernel._MAX_PROG
+    try:
+        for mp in (2, 8):
+            ks.SparkKernel._MAX_PROG = mp
+            res = entropy_balance(
+                mean_population_moments=targets,
+                x_sample=pt,
+                options={"force_distributed": True},
+            )
+            out.append(
+                (
+                    res.n_iterations,
+                    res.diagnostics["history"],
+                    res.equality_multipliers_estimate.tolist(),
+                    res.new_weights.orderBy("row_id").collect(),
+                )
+            )
+    finally:
+        ks.SparkKernel._MAX_PROG = orig
+    assert out[0] == out[1]
+
+
 def test_speculation_disabled_after_two_misses(spark):
     """The miss counter must disable speculation permanently for the solve
     — bounded waste on problems where the fraction-to-boundary binds."""
