@@ -213,7 +213,15 @@ def main() -> None:
 # Contract: emit the full diagnostics object first (for humans / solo
 # re-runs), then a short final line under this budget that the driver can
 # always parse.  `tests/test_bench_output.py` pins the budget.
-FINAL_LINE_BUDGET = 1000
+#
+# r14 (verdict item 3): 1000 was tight enough that the 32-entry wall map
+# truncated to the top 20, and the driver's round-over-round comparator
+# mislabeled the clipped entries "dropped_from_bench" (3 false alarms in
+# PERF_r13).  The capture window is ~2000 chars; 1900 leaves headroom for
+# the trailing newline while fitting every current entry (the 32-entry
+# line measures ~1450 chars).  Truncation biggest-first remains as the
+# guard for pathological registry growth.
+FINAL_LINE_BUDGET = 1900
 
 
 def render_output_lines(diagnostics: dict) -> list[str]:

@@ -73,24 +73,33 @@ PINNED: list[str] = [
 # round; stale entries are harmless (they just pin freshness one extra
 # round).
 FORCE_FRESH: list[str] = [
-    # r13 build-phase changes (semantic/algorithm changes — highest
-    # re-green priority):
-    "txt_quality_deciles",  # global_rank: ranged slice now persisted
-    "dd_fuzzy_join",        # rarest-k prefix blocking (skew-safe default)
-    "mm_pdf_text",          # per-page CID font routing; %6==0 docs collide
-    "txt_langid_nb_confusion",  # fallback row-key persist hardening
-    # The r13 OPTIMIZATION sweep additionally changed 28 query plans
-    # (plans/r13/<q>_{before,after}.txt) — equivalence-preserving
-    # restructurings, each re-proven by full-registry oracle drives at
-    # sf0.01 AND sf0.001 this round.  They are deliberately NOT forced:
-    # the window is exactly saturated (5 pinned + 4 forced + 6 never-green
-    # + 35 r10-stale = 50), and forcing any of them would push an r10-stale
-    # query to 3-rounds stale — the max-staleness<=2 invariant
-    # (test_staleness_budget) outranks same-round driver re-greening of an
-    # equivalence-preserving plan change.  The 22 changed queries whose
-    # last green is r11/r12 rotate into r14's window mechanically
-    # (staleness sort).  See OPTIMIZATION_r13.md "Rotation allocation".
+    # r14: EMPTY.  The r13 entries (txt_quality_deciles, dd_fuzzy_join,
+    # mm_pdf_text, txt_langid_nb_confusion) all got green r13 driver rows
+    # (CORRECTNESS_r13.json) and keeping them forced would starve two
+    # 2-rounds-stale r11 queries out of the r14 window — the inherited
+    # tree failed test_staleness_budget for exactly that reason once the
+    # driver committed CORRECTNESS_r13.json.  With the head freed, the
+    # window is 5 pinned + all 43 r11-stale + 2 r12 slots.
 ]
+
+# Queries whose PLAN changed in round <value> while their latest green
+# driver row predates it (r13 verdict item 2): used as a SECONDARY sort
+# key inside the staleness rotation, so spare window capacity after the
+# 2-rounds-stale demand goes to changed-but-unverified plans first.  It
+# never reorders across staleness rounds (the tail stays
+# staleness-monotone) and never displaces a 2-rounds-stale query, so the
+# staleness budget invariant is untouched.
+PLAN_CHANGED: dict[str, int] = {
+    # r13 recompute-sweep plan changes whose last green row is r12
+    # (plans/r13/<q>_{before,after}.txt); the r11-green sweep queries
+    # rotate in mechanically and the r13-green ones are already proven.
+    "ev_funnel_steps": 13,
+    "ev_retention_cohorts": 13,
+    "mm_jpeg_decode": 13,
+    "mm_wav_decode": 13,
+    "mm_png_decode": 13,
+    "mm_gif_decode": 13,
+}
 
 # Observed driver window size (rounds 4-6 all recorded exactly 50 rows).
 DRIVER_WINDOW = 50
@@ -146,7 +155,16 @@ def enumeration_priority() -> list[str]:
     ]
     head_set.update(forced)
     rest = [n for n in QUERIES if n not in head_set]
-    rest.sort(key=lambda n: (hist.get(n, -1), reg_order[n]))
+    rest.sort(
+        key=lambda n: (
+            hist.get(n, -1),
+            # changed-plan queries first within equal staleness (see
+            # PLAN_CHANGED): a plan change newer than the last green row
+            # means the green evidence is stale for the current code
+            -(PLAN_CHANGED.get(n, -1) > hist.get(n, -1)),
+            reg_order[n],
+        )
+    )
     return pinned + forced + rest
 
 
