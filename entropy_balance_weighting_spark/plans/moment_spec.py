@@ -120,6 +120,55 @@ class ProblemTables:
         return len(self.moment_names)
 
 
+_SPREAD_BYTES_CONF = "spark.ebw.spreadPartitionBytes"
+# Unit: the OPTIMIZER'S size-estimate domain (optimizedPlan().stats()),
+# which for a pruned parquet scan tracks encoded column bytes (~12 B/row
+# for the bench specs) — NOT in-memory row size.  2 MiB of estimate ≈
+# 150k prepared rows, aligning the spread width with
+# spark.ebw.blobRowsPerPartition so the packed-blob coalesce becomes a
+# no-op instead of a second shuffle.
+_SPREAD_BYTES_DEFAULT = 2 * 1024 * 1024
+
+
+def _spread_width(rows: DataFrame) -> int | None:
+    """Target width for the one-time small-input spread, or ``None`` to
+    keep the scan partitioning.
+
+    Fires only when the scan under-utilizes the cluster (input splits <
+    half the cores); at real scale splits >> cores and this never runs.
+    r13 spread to ``defaultParallelism`` unconditionally; r14 derives the
+    width from the optimizer's size estimate instead (guide §2.2: size
+    partitions by bytes, not core count).  A full-width wave over a
+    ~30 MB input pays more in task dispatch — and, on a steal-prone
+    host, in stall exposure (the driver's r13 32-core bench read m1 at
+    5× its 8-core time under exactly that amplification) — than the
+    parallelism returns, and every downstream consumer (counts
+    aggregate, long explode, packed encode) hits its per-task sweet
+    spot near the blob kernel's 150k rows/partition.  Conf-overridable;
+    ``<= 0`` restores the full-width r13 behavior."""
+    sc = rows.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if rows.rdd.getNumPartitions() >= max(2, cores // 2):
+        return None
+    try:
+        spread_bytes = int(
+            rows.sparkSession.conf.get(
+                _SPREAD_BYTES_CONF, str(_SPREAD_BYTES_DEFAULT)
+            )
+        )
+    except Exception:  # pragma: no cover - conf unavailable
+        spread_bytes = _SPREAD_BYTES_DEFAULT
+    if spread_bytes <= 0:
+        return cores
+    try:
+        est = int(
+            rows._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - JVM estimate unavailable
+        return cores
+    return min(cores, max(2, -(-est // spread_bytes)))
+
+
 def _interaction_cols(spec: MomentSpec) -> tuple[list[str], list[str]]:
     """(extra numeric-side, extra categorical-side) interaction columns not
     already covered by ``numeric``/``onehot``.  A side is categorical iff
@@ -376,10 +425,9 @@ def build_problem_tables(df: DataFrame, spec: MomentSpec) -> ProblemTables:
     # narrow plan — including the zero-shuffle packed kernel — to that
     # partition count.  Spread once before materializing when the scan
     # under-utilizes the cluster; at real scale input splits >> cores and
-    # this branch never fires.
-    spark_ctx = df.sparkSession.sparkContext
-    target = spark_ctx.defaultParallelism
-    if rows.rdd.getNumPartitions() < max(2, target // 2):
+    # this branch never fires.  Width is size-derived (see _spread_width).
+    target = _spread_width(rows)
+    if target is not None:
         rows = rows.repartition(target)
     # LAZY checkpoint: the counts aggregate right below is the first action
     # and materializes it — one source scan instead of two (separate
@@ -656,9 +704,8 @@ def vector_to_problem_tables(
         .withColumn("__arr", vector_to_array(F.col(features_col)))
         .select("row_id", w.alias("w0"), "__arr")
     )
-    spark_ctx = df.sparkSession.sparkContext
-    target = spark_ctx.defaultParallelism
-    if rows.rdd.getNumPartitions() < max(2, target // 2):
+    target = _spread_width(rows)
+    if target is not None:
         rows = rows.repartition(target)
     # lazy: the counts agg below materializes the checkpoint (one scan)
     rows = rows.localCheckpoint(eager=False)

@@ -86,10 +86,12 @@ def build_globagg(df, spec):
     )
 
 
-def apply_variant(variant: str) -> None:
+def apply_variant(variant: str, spark=None) -> None:
     DataFrame.localCheckpoint = ORIG_CKPT
     DataFrame.repartition = ORIG_REPART
     ms.build_problem_tables = ORIG_BUILD
+    if spark is not None:
+        spark.conf.unset("spark.ebw.spreadPartitionBytes")
     if variant == "eager":
         DataFrame.localCheckpoint = lambda self, eager=True: ORIG_CKPT(self, True)
     elif variant == "nockpt":
@@ -98,6 +100,11 @@ def apply_variant(variant: str) -> None:
         DataFrame.repartition = (
             lambda self, *a, **k: self
         )  # m1 path uses it only for the spread
+    elif variant == "fullwidth":
+        # r13 behavior: spread to defaultParallelism (conf <= 0 disables
+        # the size-derived width)
+        if spark is not None:
+            spark.conf.set("spark.ebw.spreadPartitionBytes", "0")
     elif variant == "globagg":
         ms.build_problem_tables = build_globagg
     elif variant != "base":
@@ -127,18 +134,20 @@ def main() -> None:
     apply_variant("base")
     q.fn(spark, "/root/testdata/sf0.001").count()
 
-    results = {}
-    for v in variants:
-        apply_variant(v)
-        spark.sparkContext.setJobDescription(f"m1:{v}")
-        times = [timed_run() for _ in range(reps)]
-        results[v] = times
+    # INTERLEAVED round-robin so box drift hits every variant equally
+    results = {v: [] for v in variants}
+    for _rep in range(reps):
+        for v in variants:
+            apply_variant(v, spark)
+            spark.sparkContext.setJobDescription(f"m1:{v}")
+            results[v].append(timed_run())
+    for v, times in results.items():
         print(
             f"{v:9s} min={min(times):6.3f} med={statistics.median(times):6.3f} "
             f"all={[round(t, 2) for t in times]}",
             flush=True,
         )
-    apply_variant("base")
+    apply_variant("base", spark)
     spark.stop()
 
 

@@ -37,7 +37,7 @@ def main() -> None:
     app_id = sc.applicationId
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     q = QUERIES["m1_problem_table_stats"]
-    apply_variant(variant)
+    apply_variant(variant, spark)
     # warmup
     df = q.fn(spark, sf_dir)
     df.persist(); df.count(); df.collect(); df.unpersist()

@@ -196,3 +196,37 @@ def test_interaction_collinear_problem_solves(spark):
     }
     for mid, t in tgt.items():
         assert ach[mid] == pytest.approx(t, rel=1e-5)
+
+
+def test_spread_width_is_size_derived_and_self_disabling(spark):
+    """r14: the small-input spread derives its width from the optimizer's
+    size estimate (clamped to [2, defaultParallelism]) instead of a
+    full-width defaultParallelism wave; wide inputs skip the spread; a
+    non-positive conf restores the full-width behavior."""
+    from entropy_balance_weighting_spark.plans.moment_spec import (
+        _SPREAD_BYTES_CONF,
+        _spread_width,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    small = spark.range(0, 10, 1, 1).selectExpr(
+        "id", "cast(id as double) w0"
+    )
+    # tiny estimate -> the floor of 2 (never a full-width wave)
+    w = _spread_width(small)
+    assert w == 2, w
+    # self-disabling: input already at >= half the cores
+    wide = small.repartition(max(2, cores))
+    assert _spread_width(wide) is None
+    # conf <= 0 -> legacy full-width spread
+    spark.conf.set(_SPREAD_BYTES_CONF, "0")
+    try:
+        assert _spread_width(small) == cores
+    finally:
+        spark.conf.unset(_SPREAD_BYTES_CONF)
+    # a 1-byte target maxes out at the core count, never beyond
+    spark.conf.set(_SPREAD_BYTES_CONF, "1")
+    try:
+        assert _spread_width(small) == cores
+    finally:
+        spark.conf.unset(_SPREAD_BYTES_CONF)
